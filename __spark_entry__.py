@@ -1,10 +1,20 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` — flagship JEXL-compiled query at sf0.001.
+``queries()`` — one entry per implemented operator (SURVEY.md §2).
+``oracle_sql()`` — DuckDB-equivalent SQL per query key.
+
+Query keys are grouped by the SURVEY §2 area they cover:
+  jexl_*      — the JEXL→Column compiler spine (§2.2)
+  filter_*    — filter:/f: evaluation-phase functions (§2.2)
+  geo_*       — geo: functions (§2.2)
+  groupby_*   — #GROUPBY aggregators (§2.4)
+  unique_*    — #UNIQUE granularities (§2.4)
+  discovery_* / facet_* / count_* — index-derived aggregations (§2.4)
+  tpch_*      — CachedResults-style SQL surface (§2.1 sink; free on Spark)
+  edge_*      — graph/edge queries (§2.3/§3.3)
+  ssdeep_*    — similarity join (§2.3)
+  dedup_* / ann_* / text_* — training-data pipeline ops
 """
 
 from __future__ import annotations
@@ -13,26 +23,19 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+from datawave_spark.entries import QUERIES, ORACLES
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: JEXL-compiled predicate + groupBy over events at
+    sf0.001 — exercises parser, compiler, multi-value semantics and the
+    aggregation transform in one plan."""
+    return QUERIES["flagship"](spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {k: v for k, v in QUERIES.items() if k != "flagship"}
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return dict(ORACLES)

@@ -1,0 +1,60 @@
+#!/usr/bin/env python3
+"""Benchmark harness: run every registered query at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and print ONE
+JSON line: {"metric": ..., "value": sec, "unit": "sec", "queries":
+{name: sec}, "sf": ...}.
+
+Each query is fully materialized with the noop writer (no driver-side
+collect), so the measured time is plan + execution, which is what
+matters at scale.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+os.environ.setdefault("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+SF_DIR = os.environ["SPARK_GRAFT_SF_DIR"]
+
+
+def main() -> None:
+    from datawave_spark.session import get_spark
+    import __spark_entry__ as entrymod
+
+    spark = get_spark("datawave_spark_bench")
+    queries = entrymod.queries()
+
+    # Warm the JVM/reader path once (excluded from timings).
+    try:
+        next(iter(queries.values()))(spark, SF_DIR).write.format("noop") \
+            .mode("overwrite").save()
+    except Exception:
+        pass
+
+    timings: dict[str, float] = {}
+    for name, fn in sorted(queries.items()):
+        t0 = time.perf_counter()
+        try:
+            df = fn(spark, SF_DIR)
+            df.write.format("noop").mode("overwrite").save()
+            timings[name] = round(time.perf_counter() - t0, 4)
+        except Exception as e:  # a failing query must not kill the bench
+            print(f"bench: {name} failed: {e}", file=sys.stderr)
+            timings[name] = -1.0
+
+    ok = [v for v in timings.values() if v >= 0]
+    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    print(json.dumps({
+        "metric": "total_query_sec",
+        "value": round(sum(ok), 4),
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,339 @@
+"""Compile the JEXL AST to a single ``pyspark.sql.Column`` predicate.
+
+This module replaces the entire index/evaluation split of the reference:
+where DataWave compiles the AST once into an index-iterator tree
+(IteratorBuildingVisitor, warehouse/query-core/.../jexl/visitors/
+IteratorBuildingVisitor.java:129) and again into a per-document JEXL
+interpreter (DatawaveInterpreter.java:71), we emit one declarative
+Column expression and let Catalyst do predicate pushdown, partition
+pruning, reordering and whole-stage codegen.
+
+Semantics implemented (DatawaveArithmetic parity,
+jexl/DatawaveArithmetic.java:24,50-120):
+
+- multi-valued fields (ArrayType columns) compare with ANY-value
+  (implicit EXISTS) semantics; ``!=`` / ``!~`` mean NO value matches;
+- every predicate is semantically *total* (never NULL): a comparison
+  against a missing/null field is False, so its negation is True —
+  matching per-document evaluation where an absent field simply fails
+  the comparison.  Implementation detail that matters at 100 TB:
+  negation is pushed down to the leaves (De Morgan) and only NEGATED
+  leaves wrap in ``coalesce(.., False)`` — a positive leaf's NULL is
+  indistinguishable from False under a WHERE clause (both drop the row,
+  through any AND/OR combination), and leaving it bare keeps the
+  comparison eligible for parquet predicate pushdown / row-group
+  skipping, which a coalesce() wrapper defeats;
+- ``=~`` is Java ``Pattern.matches`` — a FULL match — so patterns are
+  anchored ``^(?:re)$`` before ``rlike``;
+- literals are canonicalised with the field's normalizer (the ingest
+  side stored normalized values), ExpandMultiNormalizedTerms parity;
+- ``_ANYFIELD_ == v`` expands to an OR over all compatible fields
+  (UnfieldedIndexExpansionVisitor parity, DefaultQueryPlanner.java:1406)
+  using the DataFrame schema as the metadata source.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field as dc_field
+from typing import Any, Callable
+
+from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql import types as T
+
+from datawave_spark.jexl.ast import (
+    AndNode, CmpNode, FieldCmpNode, FuncNode, Identifier, JexlNode,
+    Literal, NotNode, OrNode,
+)
+from datawave_spark.normalizers import Normalizer, get_normalizer
+
+ANYFIELD_NAMES = {"_ANYFIELD_", "ANYFIELD"}
+
+
+@dataclass
+class FieldSpec:
+    """Per-field configuration — the analogue of the metadata table's
+    per-(datatype, field) type binding (EventMetadata, SURVEY §1.4)."""
+    column: str                      # physical column name
+    normalizer: str = "noop"
+    normalized_at_rest: bool = True  # stored values already canonical?
+
+
+@dataclass
+class CompileContext:
+    """Schema + field model for one query compilation."""
+    schema: T.StructType
+    fields: dict[str, FieldSpec] = dc_field(default_factory=dict)  # UPPER name → spec
+    # query model: alias → concrete field names (QueryModelVisitor parity)
+    model: dict[str, list[str]] = dc_field(default_factory=dict)
+
+    @classmethod
+    def for_dataframe(cls, df: DataFrame,
+                      field_types: dict[str, str] | None = None,
+                      model: dict[str, list[str]] | None = None) -> "CompileContext":
+        """Derive a context from a DataFrame schema.  ``field_types``
+        optionally binds normalizer names per field (case-insensitive)."""
+        ft = {k.upper(): v for k, v in (field_types or {}).items()}
+        fields = {}
+        for f in df.schema.fields:
+            spec = FieldSpec(column=f.name)
+            if f.name.upper() in ft:
+                spec.normalizer = ft[f.name.upper()]
+                spec.normalized_at_rest = False
+            fields[f.name.upper()] = spec
+        mdl = {k.upper(): [v.upper() for v in vs] for k, vs in (model or {}).items()}
+        return cls(schema=df.schema, fields=fields, model=mdl)
+
+    def resolve(self, name: str) -> FieldSpec | None:
+        return self.fields.get(name.upper())
+
+    def spark_type(self, spec: FieldSpec) -> T.DataType:
+        for f in self.schema.fields:
+            if f.name == spec.column:
+                return f.dataType
+        raise KeyError(spec.column)
+
+
+# function compiler registry: (namespace, name) → fn(ctx, args) → Column
+FUNCTION_COMPILERS: dict[tuple[str, str], Callable[..., Column]] = {}
+
+
+def register_function(namespace: str, name: str):
+    def deco(fn):
+        FUNCTION_COMPILERS[(namespace, name)] = fn
+        return fn
+    return deco
+
+
+def _false() -> Column:
+    return F.lit(False)
+
+
+def _total(c: Column) -> Column:
+    """Make a predicate total: NULL → False."""
+    return F.coalesce(c, F.lit(False))
+
+
+def _element_type(dtype: T.DataType) -> T.DataType:
+    return dtype.elementType if isinstance(dtype, T.ArrayType) else dtype
+
+
+def _typed_literal(value: Any, norm: Normalizer, elem_type: T.DataType) -> Column:
+    v = norm.normalize_literal(value)
+    if isinstance(elem_type, (T.DoubleType, T.FloatType, T.DecimalType,
+                              T.LongType, T.IntegerType, T.ShortType)):
+        try:
+            v = float(v) if isinstance(elem_type, (T.DoubleType, T.FloatType, T.DecimalType)) else int(v)
+        except (TypeError, ValueError):
+            pass
+    return F.lit(v)
+
+
+def _scalar_cmp(op: str, col: Column, lit: Column, elem_type: T.DataType,
+                norm: Normalizer, normalized_at_rest: bool) -> Column:
+    """One value vs literal.  Numeric fields compare numerically (the
+    reference's NumberType lexical encoding exists only to make Accumulo
+    sort numerics; Catalyst compares natively)."""
+    if not normalized_at_rest:
+        col = norm.col(col)
+    if isinstance(elem_type, T.StringType) and norm.name == "number":
+        col = col.cast("double")
+    if op == "==":
+        return col == lit
+    if op == "<":
+        return col < lit
+    if op == ">":
+        return col > lit
+    if op == "<=":
+        return col <= lit
+    if op == ">=":
+        return col >= lit
+    raise ValueError(f"unsupported scalar op {op}")
+
+
+def compile_cmp(node: CmpNode, ctx: CompileContext,
+                negated: bool = False) -> Column:
+    name = node.field.name.upper()
+    if name in ANYFIELD_NAMES:
+        return _compile_anyfield(node, ctx, negated)
+    if name in ctx.model:
+        # Query model (aliasing): alias → OR of concrete-field positives,
+        # totalized before an outer negation.
+        positive_op = {"!=": "==", "!~": "=~"}.get(node.op, node.op)
+        out = None
+        for c in ctx.model[name]:
+            p = compile_cmp(CmpNode(positive_op, Identifier(c), node.value), ctx)
+            out = p if out is None else out | p
+        if negated ^ (node.op in ("!=", "!~")):
+            return ~_total(out)
+        return out
+    spec = ctx.resolve(name)
+    negate = negated ^ (node.op in ("!=", "!~"))
+    if spec is None:
+        # Unknown field: comparison is False; negated ops become True.
+        return F.lit(negate)
+
+    positive_op = {"!=": "==", "!~": "=~"}.get(node.op, node.op)
+
+    value = node.value.value
+    if value is None:
+        col = F.col(spec.column)
+        is_null = col.isNull()
+        if isinstance(ctx.spark_type(spec), T.ArrayType):
+            is_null = col.isNull() | (F.size(col) == 0)
+        return ~is_null if negate else is_null
+
+    norm = get_normalizer(spec.normalizer)
+    dtype = ctx.spark_type(spec)
+    elem_type = _element_type(dtype)
+    lit = _typed_literal(value, norm, elem_type)
+
+    if positive_op == "=~":
+        pattern = "^(?:" + str(norm.normalize_literal(value)) + ")$"
+
+        def leaf(c: Column) -> Column:
+            cc = norm.col(c) if not spec.normalized_at_rest else c
+            return cc.cast("string").rlike(pattern)
+    else:
+        def leaf(c: Column) -> Column:
+            return _scalar_cmp(positive_op, c, lit, elem_type, norm,
+                               spec.normalized_at_rest)
+
+    if isinstance(dtype, T.ArrayType):
+        pred = F.exists(F.col(spec.column), leaf)
+    else:
+        pred = leaf(F.col(spec.column))
+    # Bare (non-total) when positive — NULL behaves as False under a
+    # WHERE clause and the comparison stays pushdown-eligible.
+    return ~_total(pred) if negate else pred
+
+
+def _compile_anyfield(node: CmpNode, ctx: CompileContext,
+                      negated: bool = False) -> Column:
+    """_ANYFIELD_ expansion over all schema fields whose type is
+    compatible with the literal (string literal → string-ish fields;
+    numeric literal → numeric fields)."""
+    value = node.value.value
+    want_numeric = isinstance(value, (int, float)) and not isinstance(value, bool)
+    preds = []
+    for fname, spec in ctx.fields.items():
+        et = _element_type(ctx.spark_type(spec))
+        is_numeric = isinstance(et, (T.DoubleType, T.FloatType, T.LongType,
+                                     T.IntegerType, T.ShortType, T.DecimalType))
+        if want_numeric != is_numeric:
+            continue
+        positive_op = ("==" if node.op in ("==", "!=")
+                       else "=~" if node.op in ("=~", "!~") else node.op)
+        preds.append(compile_cmp(CmpNode(positive_op, Identifier(fname),
+                                         node.value), ctx))
+    negate = negated ^ (node.op in ("!=", "!~"))
+    if not preds:
+        return F.lit(negate)
+    out = preds[0]
+    for p in preds[1:]:
+        out = out | p
+    return ~_total(out) if negate else out
+
+
+def compile_field_cmp(node: FieldCmpNode, ctx: CompileContext,
+                      negated: bool = False) -> Column:
+    neg = negated ^ (node.op == "!=")
+    lspec, rspec = ctx.resolve(node.left.name), ctx.resolve(node.right.name)
+    if lspec is None or rspec is None:
+        return F.lit(neg)
+    lt, rt = ctx.spark_type(lspec), ctx.spark_type(rspec)
+    lcol, rcol = F.col(lspec.column), F.col(rspec.column)
+
+    def pair(op: str, a: Column, b: Column) -> Column:
+        return {"==": a == b, "<": a < b, ">": a > b,
+                "<=": a <= b, ">=": a >= b}[op]
+
+    pop = "==" if node.op == "!=" else node.op
+    if isinstance(lt, T.ArrayType) and isinstance(rt, T.ArrayType):
+        pred = F.exists(lcol, lambda x: F.exists(rcol, lambda y: pair(pop, x, y)))
+    elif isinstance(lt, T.ArrayType):
+        pred = F.exists(lcol, lambda x: pair(pop, x, rcol))
+    elif isinstance(rt, T.ArrayType):
+        pred = F.exists(rcol, lambda y: pair(pop, lcol, y))
+    else:
+        pred = pair(pop, lcol, rcol)
+    return ~_total(pred) if neg else pred
+
+
+def field_pred(ctx: CompileContext, field_name: str,
+               leaf: Callable[[Column], Column],
+               *, negate: bool = False) -> Column:
+    """Build a total ANY-value predicate over a (possibly multi-valued)
+    field — the shared helper for the filter:/f:/geo: function families.
+    ``leaf`` receives one scalar value column."""
+    spec = ctx.resolve(field_name)
+    if spec is None:
+        pred = _false()
+    else:
+        dtype = ctx.spark_type(spec)
+        if isinstance(dtype, T.ArrayType):
+            pred = F.exists(F.col(spec.column), leaf)
+        else:
+            pred = leaf(F.col(spec.column))
+        pred = _total(pred)
+    return ~pred if negate else pred
+
+
+def field_values(ctx: CompileContext, field_name: str) -> Column:
+    """The field's values as an array column (scalar fields wrap to a
+    0/1-element array) — for count/aggregate-style functions."""
+    spec = ctx.resolve(field_name)
+    if spec is None:
+        return F.array()
+    dtype = ctx.spark_type(spec)
+    col = F.col(spec.column)
+    if isinstance(dtype, T.ArrayType):
+        return F.coalesce(col, F.array())
+    return F.filter(F.array(col), lambda v: v.isNotNull())
+
+
+def compile_node(node: JexlNode, ctx: CompileContext,
+                 negated: bool = False) -> Column:
+    """Compile with negation pushed down to the leaves (De Morgan), so
+    positive comparisons stay bare (pushdown-eligible) and only negated
+    leaves pay the coalesce() totalization."""
+    if isinstance(node, AndNode):
+        combine = Column.__or__ if negated else Column.__and__
+        out = compile_node(node.terms[0], ctx, negated)
+        for t in node.terms[1:]:
+            out = combine(out, compile_node(t, ctx, negated))
+        return out
+    if isinstance(node, OrNode):
+        combine = Column.__and__ if negated else Column.__or__
+        out = compile_node(node.terms[0], ctx, negated)
+        for t in node.terms[1:]:
+            out = combine(out, compile_node(t, ctx, negated))
+        return out
+    if isinstance(node, NotNode):
+        return compile_node(node.term, ctx, not negated)
+    if isinstance(node, CmpNode):
+        return compile_cmp(node, ctx, negated)
+    if isinstance(node, FieldCmpNode):
+        return compile_field_cmp(node, ctx, negated)
+    if isinstance(node, FuncNode):
+        key = (node.namespace, node.name)
+        if key not in FUNCTION_COMPILERS:
+            raise ValueError(f"unknown function {node.namespace}:{node.name}")
+        pred = FUNCTION_COMPILERS[key](ctx, node.args)
+        # Function compilers return total predicates (they coalesce
+        # internally), so direct negation is safe.
+        return ~pred if negated else pred
+    if isinstance(node, Literal) and isinstance(node.value, bool):
+        return F.lit(node.value ^ negated)
+    raise TypeError(f"cannot compile node {node!r}")
+
+
+def compile_query(df: DataFrame, query, *,
+                  field_types: dict[str, str] | None = None,
+                  model: dict[str, list[str]] | None = None) -> DataFrame:
+    """Parse (if needed) and apply a JEXL query to a DataFrame."""
+    from datawave_spark.jexl.parser import parse
+    # Importing registers the filter:/f:/content:/geo:/grouping: compilers.
+    import datawave_spark.functions  # noqa: F401
+    node = parse(query) if isinstance(query, str) else query
+    ctx = CompileContext.for_dataframe(df, field_types=field_types, model=model)
+    return df.filter(compile_node(node, ctx))

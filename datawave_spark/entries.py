@@ -1,0 +1,332 @@
+"""Registry of driver-checked queries + DuckDB oracle SQL.
+
+Each entry exercises one operator from SURVEY.md §2 through the public
+engine API (JEXL compiler / operators), over the driver's parquet tables.
+Conventions for oracle hash-match stability:
+
+- every computed/aggregate column is aliased identically on both sides;
+- floating aggregates round to 4 decimals on both sides (FP addition is
+  not associative; Spark sums in partition order);
+- timestamps are formatted to strings on both sides (Spark session TZ is
+  UTC; DuckDB timestamps are UTC-naive).
+"""
+
+from __future__ import annotations
+
+import os
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from datawave_spark.compiler import compile_query
+from datawave_spark.operators.discovery import discovery, facets
+from datawave_spark.operators.grouping import group_by
+from datawave_spark.operators.unique import unique, unique_tuples
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLES: dict[str, str] = {}
+
+_TS_FMT = "yyyy-MM-dd HH:mm:ss"          # Spark date_format
+_TS_FMT_DUCK = "%Y-%m-%d %H:%M:%S"       # DuckDB strftime
+
+
+def register(name: str, oracle: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+    return deco
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    from datawave_spark.sources.parquet import read_parquet
+    return read_parquet(spark, os.path.join(sf_dir, f"{name}.parquet"))
+
+
+# ---------------------------------------------------------------- flagship
+
+@register("flagship")
+def q_flagship(spark, sf_dir):
+    """JEXL predicate + #GROUPBY aggregation in one plan."""
+    ev = _t(spark, sf_dir, "events")
+    hits = compile_query(ev, "(EVENT_TYPE == 'click' || EVENT_TYPE == 'purchase') && VALUE > 100")
+    out = group_by(hits, ["event_type"],
+                   [("SUM", "value", "sum_value"), ("MAX", "value", "max_value")])
+    return out.select("event_type", "record_count",
+                      F.round("sum_value", 4).alias("sum_value"), "max_value")
+
+
+# ------------------------------------------------- §2.2 JEXL spine queries
+
+@register("jexl_eq_range", """
+SELECT event_id, user_id, value FROM events
+WHERE event_type = 'click' AND value > 50
+""")
+def q_jexl_eq_range(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    return compile_query(ev, "EVENT_TYPE == 'click' && VALUE > 50") \
+        .select("event_id", "user_id", "value")
+
+
+@register("jexl_or_not", """
+SELECT event_id, event_type, user_id FROM events
+WHERE (event_type = 'view' OR event_type = 'error') AND NOT user_id = 7
+""")
+def q_jexl_or_not(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    q = "(EVENT_TYPE == 'view' || EVENT_TYPE == 'error') && !(USER_ID == 7)"
+    return compile_query(ev, q).select("event_id", "event_type", "user_id")
+
+
+@register("jexl_regex", """
+SELECT event_id, event_type FROM events
+WHERE regexp_full_match(event_type, 'c.*k')
+""")
+def q_jexl_regex(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    return compile_query(ev, "EVENT_TYPE =~ 'c.*k'").select("event_id", "event_type")
+
+
+@register("jexl_anyfield", """
+SELECT event_id FROM events WHERE event_type = 'signup' OR props = 'signup'
+""")
+def q_jexl_anyfield(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events").select("event_id", "event_type", "props")
+    return compile_query(ev, "_ANYFIELD_ == 'signup'").select("event_id")
+
+
+@register("jexl_field_cmp", """
+SELECT l_orderkey, l_linenumber, l_tax, l_discount FROM lineitem
+WHERE l_tax > l_discount
+""")
+def q_jexl_field_cmp(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return compile_query(li, "L_TAX > L_DISCOUNT") \
+        .select("l_orderkey", "l_linenumber", "l_tax", "l_discount")
+
+
+# ------------------------------------------- §2.2 filter:/f:/geo: functions
+
+@register("filter_include_regex", """
+SELECT event_id, props FROM events
+WHERE regexp_full_match(props, '.*"k": 6[0-9].*')
+""")
+def q_filter_include_regex(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    return compile_query(ev, "filter:includeRegex(PROPS, '.*\"k\": 6[0-9].*')") \
+        .select("event_id", "props")
+
+
+@register("filter_exclude_regex", """
+SELECT event_id, event_type FROM events
+WHERE NOT regexp_full_match(event_type, '.*(?:ick|iew).*')
+""")
+def q_filter_exclude_regex(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    return compile_query(ev, "filter:excludeRegex(EVENT_TYPE, '.*(?:ick|iew).*')") \
+        .select("event_id", "event_type")
+
+
+@register("filter_between_dates", f"""
+SELECT event_id, strftime(ts, '{_TS_FMT_DUCK}') AS ts_s FROM events
+WHERE ts >= TIMESTAMP '2024-01-05 00:00:00' AND ts <= TIMESTAMP '2024-01-10 00:00:00'
+""")
+def q_filter_between_dates(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    out = compile_query(ev, "filter:betweenDates(TS, '2024-01-05', '2024-01-10')")
+    return out.select("event_id", F.date_format("ts", _TS_FMT).alias("ts_s"))
+
+
+@register("f_between", """
+SELECT event_id, value FROM events WHERE value >= 100 AND value <= 200
+""")
+def q_f_between(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    return compile_query(ev, "f:between(VALUE, 100, 200)").select("event_id", "value")
+
+
+@register("f_length", """
+SELECT event_id, event_type FROM events WHERE length(event_type) BETWEEN 4 AND 5
+""")
+def q_f_length(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    return compile_query(ev, "f:length(EVENT_TYPE, 4, 5)").select("event_id", "event_type")
+
+
+@register("geo_bbox", """
+SELECT event_id, CAST(user_id % 180 - 90 AS DOUBLE) AS lat,
+       CAST(event_id % 360 - 180 AS DOUBLE) AS lon
+FROM events
+WHERE (user_id % 180 - 90) BETWEEN -10 AND 40
+  AND (event_id % 360 - 180) BETWEEN -20 AND 60
+""")
+def q_geo_bbox(spark, sf_dir):
+    # No native geo columns in the driver tables: derive a deterministic
+    # point per event on both sides, then run the real geo: predicate.
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "GEO", F.concat_ws(",",
+                           (F.col("user_id") % 180 - 90).cast("double"),
+                           (F.col("event_id") % 360 - 180).cast("double")))
+    out = compile_query(ev, "geo:within_bounding_box(GEO, '-10,-20', '40,60')")
+    return out.select("event_id",
+                      (F.col("user_id") % 180 - 90).cast("double").alias("lat"),
+                      (F.col("event_id") % 360 - 180).cast("double").alias("lon"))
+
+
+# ------------------------------------------------ §2.4 aggregation surface
+
+@register("groupby_type", """
+SELECT event_type, count(*) AS record_count, round(sum(value), 4) AS sum_value,
+       round(avg(value), 4) AS avg_value, min(value) AS min_value,
+       max(value) AS max_value
+FROM events GROUP BY event_type
+""")
+def q_groupby_type(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    out = group_by(ev, ["event_type"],
+                   [("SUM", "value", "sum_value"), ("AVERAGE", "value", "avg_value"),
+                    ("MIN", "value", "min_value"), ("MAX", "value", "max_value")])
+    return out.select("event_type", "record_count",
+                      F.round("sum_value", 4).alias("sum_value"),
+                      F.round("avg_value", 4).alias("avg_value"),
+                      "min_value", "max_value")
+
+
+@register("unique_user_day", """
+SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE)::VARCHAR AS day
+FROM events
+""")
+def q_unique_user_day(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    out = unique_tuples(ev, {"user_id": "ALL", "ts": "DAY"})
+    return out.select("user_id", F.col("ts").cast("date").cast("string").alias("day"))
+
+
+@register("unique_most_recent", f"""
+SELECT user_id, event_id, strftime(ts, '{_TS_FMT_DUCK}') AS ts_s FROM (
+  SELECT user_id, event_id, ts,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events) WHERE rn = 1
+""")
+def q_unique_most_recent(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    out = unique(ev, {"user_id": "ALL"}, most_recent_by=["ts", "event_id"])
+    return out.select("user_id", "event_id", F.date_format("ts", _TS_FMT).alias("ts_s"))
+
+
+@register("count_matches", """
+SELECT count(*) AS cnt FROM events WHERE event_type = 'purchase' AND value > 250
+""")
+def q_count_matches(spark, sf_dir):
+    """CountingShardQueryLogic parity: count-only query."""
+    ev = _t(spark, sf_dir, "events")
+    hits = compile_query(ev, "EVENT_TYPE == 'purchase' && VALUE > 250")
+    return hits.agg(F.count(F.lit(1)).alias("cnt"))
+
+
+@register("discovery_terms", """
+SELECT field, value, CAST(day AS VARCHAR) AS day, cnt FROM (
+  SELECT field, value, CAST(date_trunc('day', ts) AS DATE) AS day, count(*) AS cnt
+  FROM (
+    SELECT 'event_type' AS field, CAST(event_type AS VARCHAR) AS value, ts FROM events
+    UNION ALL
+    SELECT 'props' AS field, CAST(props AS VARCHAR) AS value, ts FROM events
+  ) GROUP BY field, value, day)
+""")
+def q_discovery_terms(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    out = discovery(ev, ["event_type", "props"], "ts")
+    return out.select("field", "value", F.col("day").cast("string").alias("day"), "cnt")
+
+
+@register("facet_counts", """
+SELECT field, value, count(*) AS cnt FROM (
+  SELECT 'event_type' AS field, CAST(event_type AS VARCHAR) AS value FROM events WHERE value > 100
+  UNION ALL
+  SELECT 'user_id' AS field, CAST(user_id AS VARCHAR) AS value FROM events WHERE value > 100
+) GROUP BY field, value
+""")
+def q_facet_counts(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events").filter(F.col("value") > 100)
+    return facets(ev, ["event_type", "user_id"])
+
+
+# --------------------------- §2.1 CachedResults/SQL surface (TPC-H style)
+
+@register("tpch_q1", """
+SELECT l_returnflag, l_linestatus, round(sum(l_quantity), 4) AS sum_qty,
+       round(sum(l_extendedprice), 4) AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 4) AS sum_disc_price,
+       round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 4) AS sum_charge,
+       round(avg(l_quantity), 4) AS avg_qty, round(avg(l_extendedprice), 4) AS avg_price,
+       round(avg(l_discount), 4) AS avg_disc, count(*) AS count_order
+FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+""")
+def q_tpch_q1(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+            .groupBy("l_returnflag", "l_linestatus")
+            .agg(F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
+                 F.round(F.sum("l_extendedprice"), 4).alias("sum_base_price"),
+                 F.round(F.sum(disc_price), 4).alias("sum_disc_price"),
+                 F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 4).alias("sum_charge"),
+                 F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+                 F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+                 F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+                 F.count(F.lit(1)).alias("count_order")))
+
+
+@register("tpch_q3", """
+SELECT l_orderkey, round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue,
+       CAST(o_orderdate AS DATE)::VARCHAR AS orderdate, o_orderpriority
+FROM customer JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING' AND o_orderdate < TIMESTAMP '1995-03-15 00:00:00'
+  AND l_shipdate > TIMESTAMP '1995-03-15 00:00:00'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+""")
+def q_tpch_q3(spark, sf_dir):
+    cu = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    od = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1995-03-15").cast("timestamp"))
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1995-03-15").cast("timestamp"))
+    return (li.join(od, li.l_orderkey == od.o_orderkey)
+            .join(F.broadcast(cu), od.o_custkey == cu.c_custkey)
+            .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+            .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4)
+                 .alias("revenue"))
+            .select("l_orderkey", "revenue",
+                    F.col("o_orderdate").cast("date").cast("string").alias("orderdate"),
+                    "o_orderpriority"))
+
+
+@register("tpch_q5_regional", """
+SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA' GROUP BY n_name
+""")
+def q_tpch_q5(spark, sf_dir):
+    cu = _t(spark, sf_dir, "customer")
+    od = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    su = _t(spark, sf_dir, "supplier")
+    na = _t(spark, sf_dir, "nation")
+    re = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    return (li.join(od, li.l_orderkey == od.o_orderkey)
+            .join(cu, od.o_custkey == cu.c_custkey)
+            .join(su, (li.l_suppkey == su.s_suppkey)
+                  & (cu.c_nationkey == su.s_nationkey))
+            .join(F.broadcast(na), su.s_nationkey == na.n_nationkey)
+            .join(F.broadcast(re), na.n_regionkey == re.r_regionkey)
+            .groupBy("n_name")
+            .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4)
+                 .alias("revenue")))

@@ -1,0 +1,101 @@
+"""``grouping:`` namespace — grouping-context (sibling-group) matching.
+
+Reference: warehouse/query-core/src/main/java/datawave/query/jexl/
+functions/GroupingRequiredFilterFunctions.java —
+``matchesInGroup:163``, ``matchesInGroupLeft:251``,
+``getGroupsForMatchesInGroup:45``, ``atomValuesMatch:352``.
+
+DataWave encodes nested-record siblings with flat field names
+``FIELD.context.instance`` (SimpleGroupFieldNameParser) and these
+functions re-associate values that came from the SAME sibling group.
+Spark has the natural representation DataWave lacks: an
+``array<struct<...>>`` column where each struct IS one sibling group.
+``grouping:matchesInGroup(F1, v1, F2, v2)`` therefore compiles to one
+``EXISTS`` over the struct array: some group has F1==v1 AND F2==v2.
+
+Resolution: the compiler scans the schema for ArrayType(StructType)
+columns whose struct fields (case-insensitive) cover all referenced
+field names.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from datawave_spark.compiler.columns import CompileContext, register_function
+from datawave_spark.jexl.ast import Identifier, Literal
+
+
+def _find_group_column(ctx: CompileContext, names: list[str]) -> tuple[str, dict[str, str]]:
+    """Find the array<struct> column containing all ``names`` as struct
+    fields; returns (column, upper-name → struct-field map)."""
+    wanted = {n.upper() for n in names}
+    for f in ctx.schema.fields:
+        if isinstance(f.dataType, T.ArrayType) and \
+                isinstance(f.dataType.elementType, T.StructType):
+            have = {sf.name.upper(): sf.name for sf in f.dataType.elementType.fields}
+            if wanted <= set(have):
+                return f.name, have
+    raise ValueError(
+        f"no array<struct> group column covers fields {sorted(wanted)}")
+
+
+def _pairs(args) -> list[tuple[str, object]]:
+    """(FIELD, value, FIELD, value, ...) → [(name, value), ...].
+    A trailing integer arg (group index) is accepted and ignored for the
+    boolean form, as in the reference's matchesInGroup overloads."""
+    flat = list(args)
+    if len(flat) % 2 == 1 and isinstance(flat[-1], Literal) \
+            and isinstance(flat[-1].value, int):
+        flat = flat[:-1]
+    out = []
+    for i in range(0, len(flat), 2):
+        fld = flat[i]
+        val = flat[i + 1]
+        assert isinstance(fld, Identifier), f"expected field, got {fld}"
+        v = val.value if isinstance(val, Literal) else val.name
+        out.append((fld.name, v))
+    return out
+
+
+@register_function("grouping", "matchesInGroup")
+def g_matches_in_group(ctx: CompileContext, args):
+    """GroupingRequiredFilterFunctions.matchesInGroup:163 — true iff some
+    sibling group satisfies every (FIELD == value) pair.  Values compare
+    case-insensitively (reference compares normalized values)."""
+    pairs = _pairs(args)
+    col_name, field_map = _find_group_column(ctx, [p[0] for p in pairs])
+
+    def group_pred(g):
+        pred = None
+        for name, value in pairs:
+            sf = field_map[name.upper()]
+            this = F.lower(g.getField(sf).cast("string")) == str(value).lower()
+            pred = this if pred is None else pred & this
+        return pred
+
+    return F.coalesce(F.exists(F.col(col_name), group_pred), F.lit(False))
+
+
+@register_function("grouping", "matchesInGroupLeft")
+def g_matches_in_group_left(ctx: CompileContext, args):
+    """GroupingRequiredFilterFunctions.matchesInGroupLeft:251 — same-group
+    matching anchored at the left (parent) context level.  With groups
+    modeled as one struct per sibling, left-anchoring coincides with
+    matchesInGroup."""
+    return g_matches_in_group(ctx, args)
+
+
+@register_function("grouping", "atomValuesMatch")
+def g_atom_values_match(ctx: CompileContext, args):
+    """GroupingRequiredFilterFunctions.atomValuesMatch:352 — two fields
+    share at least one value within the same group."""
+    f1, f2 = args[0].name, args[1].name
+    col_name, field_map = _find_group_column(ctx, [f1, f2])
+    s1, s2 = field_map[f1.upper()], field_map[f2.upper()]
+    return F.coalesce(
+        F.exists(F.col(col_name),
+                 lambda g: F.lower(g.getField(s1).cast("string"))
+                 == F.lower(g.getField(s2).cast("string"))),
+        F.lit(False))

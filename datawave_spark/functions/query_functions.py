@@ -1,0 +1,65 @@
+"""``f:`` namespace — QueryFunctions.
+
+Reference: warehouse/query-core/src/main/java/datawave/query/jexl/
+functions/QueryFunctions.java — ``length:55``, ``between:81-183``,
+``matchRegex:199``, ``includeText:219``.  The *options* half of the
+``f:`` namespace (f:groupby, f:unique, f:sum, ... — recognized by
+QueryOptionsFromQueryVisitor.java:58-64) does not evaluate per row; it is
+extracted from the AST before compilation by
+``datawave_spark.compiler.options.extract_options``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from datawave_spark.compiler.columns import (
+    CompileContext, field_pred, register_function,
+)
+from datawave_spark.functions.filter_functions import _ident, _lit
+
+
+@register_function("f", "between")
+def f_between(ctx: CompileContext, args):
+    """QueryFunctions.between:81-183 (string/float/long overloads) —
+    inclusive bounds, ANY-value semantics."""
+    fname = _ident(args[0])
+    lo, hi = _lit(args[1]), _lit(args[2])
+    numeric = isinstance(lo, (int, float)) and not isinstance(lo, bool)
+    if numeric:
+        return field_pred(ctx, fname,
+                          lambda v: (v.cast("double") >= float(lo))
+                          & (v.cast("double") <= float(hi)))
+    return field_pred(ctx, fname,
+                      lambda v: (v.cast("string") >= str(lo))
+                      & (v.cast("string") <= str(hi)))
+
+
+@register_function("f", "length")
+def f_length(ctx: CompileContext, args):
+    """QueryFunctions.length:55 — value string-length within
+    ``[lo, hi]``."""
+    fname = _ident(args[0])
+    lo, hi = int(_lit(args[1])), int(_lit(args[2]))
+    return field_pred(ctx, fname,
+                      lambda v: (F.length(v.cast("string")) >= lo)
+                      & (F.length(v.cast("string")) <= hi))
+
+
+@register_function("f", "matchRegex")
+def f_match_regex(ctx: CompileContext, args):
+    """QueryFunctions.matchRegex:199 — full-match against normalized
+    value (same as filter:includeRegex)."""
+    pattern = "^(?:" + str(_lit(args[1])) + ")$"
+    return field_pred(ctx, _ident(args[0]),
+                      lambda v: v.cast("string").rlike(pattern))
+
+
+@register_function("f", "includeText")
+def f_include_text(ctx: CompileContext, args):
+    """QueryFunctions.includeText:219 — equality against the RAW
+    (un-normalized) value.  Our wide tables store raw values, so this is
+    plain equality without literal normalization."""
+    text = str(_lit(args[1]))
+    return field_pred(ctx, _ident(args[0]),
+                      lambda v: v.cast("string") == text)

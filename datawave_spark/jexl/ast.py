@@ -1,0 +1,135 @@
+"""JEXL AST node types.
+
+This is the engine's whole-query IR — the analogue of DataWave's
+``ASTJexlScript`` (org.apache.commons.jexl3 parse tree) that its ~35
+rewrite visitors operate on (reference: warehouse/query-core/.../query/
+planner/DefaultQueryPlanner.java:701).  We keep it deliberately small:
+boolean structure + comparisons + function calls.  Rewrite passes in
+``datawave_spark.compiler.rewrite`` are pure functions AST→AST.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Any
+
+
+class JexlNode:
+    """Base class for all AST nodes."""
+
+    def children(self) -> tuple["JexlNode", ...]:
+        return ()
+
+
+@dataclass(frozen=True)
+class Literal(JexlNode):
+    """A literal value: string, int, float, bool or None."""
+    value: Any
+
+    def __str__(self) -> str:
+        if self.value is None:
+            return "null"
+        if isinstance(self.value, bool):
+            return "true" if self.value else "false"
+        if isinstance(self.value, str):
+            return "'" + self.value.replace("'", "\\'") + "'"
+        return repr(self.value)
+
+
+@dataclass(frozen=True)
+class Identifier(JexlNode):
+    """A field reference.  DataWave canonicalises identifiers to upper
+    case (DefaultQueryPlanner CaseSensitivityVisitor); we preserve the
+    raw name and resolve case-insensitively at compile time."""
+    name: str
+
+    def __str__(self) -> str:
+        return self.name
+
+
+# Comparison ops and their negations (for RewriteNegations parity).
+NEGATED_OP = {"==": "!=", "!=": "==", "<": ">=", ">": "<=",
+              "<=": ">", ">=": "<", "=~": "!~", "!~": "=~"}
+
+
+@dataclass(frozen=True)
+class CmpNode(JexlNode):
+    """``FIELD op literal``.  With multi-value set semantics: true iff
+    ANY value of FIELD satisfies the comparison (DatawaveArithmetic
+    fieldsMatch, reference jexl/DatawaveArithmetic.java:50-120).
+    ``!=`` / ``!~`` mean NO value matches (DataWave rewrites ``A != b``
+    to ``!(A == b)``, RewriteNegationsVisitor)."""
+    op: str          # == != < > <= >= =~ !~
+    field: Identifier
+    value: Literal
+
+    def children(self):
+        return (self.field, self.value)
+
+    def __str__(self) -> str:
+        return f"{self.field} {self.op} {self.value}"
+
+
+@dataclass(frozen=True)
+class FieldCmpNode(JexlNode):
+    """Field-to-field comparison ``F1 op F2`` — evaluation-only in the
+    reference (FieldToFieldComparisonVisitor); any-pair semantics over
+    multi-valued fields."""
+    op: str
+    left: Identifier
+    right: Identifier
+
+    def children(self):
+        return (self.left, self.right)
+
+    def __str__(self) -> str:
+        return f"{self.left} {self.op} {self.right}"
+
+
+@dataclass(frozen=True)
+class AndNode(JexlNode):
+    terms: tuple[JexlNode, ...]
+
+    def children(self):
+        return self.terms
+
+    def __str__(self) -> str:
+        return "(" + " && ".join(str(t) for t in self.terms) + ")"
+
+
+@dataclass(frozen=True)
+class OrNode(JexlNode):
+    terms: tuple[JexlNode, ...]
+
+    def children(self):
+        return self.terms
+
+    def __str__(self) -> str:
+        return "(" + " || ".join(str(t) for t in self.terms) + ")"
+
+
+@dataclass(frozen=True)
+class NotNode(JexlNode):
+    term: JexlNode
+
+    def children(self):
+        return (self.term,)
+
+    def __str__(self) -> str:
+        return f"!({self.term})"
+
+
+@dataclass(frozen=True)
+class FuncNode(JexlNode):
+    """Namespaced function call ``ns:name(arg, ...)``.  Args are
+    Identifiers or Literals (nested expressions are not used by the
+    reference function surface)."""
+    namespace: str
+    name: str
+    args: tuple[JexlNode, ...] = field(default_factory=tuple)
+
+    def children(self):
+        return self.args
+
+    def __str__(self) -> str:
+        return f"{self.namespace}:{self.name}({', '.join(str(a) for a in self.args)})"

@@ -1,0 +1,199 @@
+"""Recursive-descent parser for the DataWave JEXL subset.
+
+Grammar (precedence low→high), matching commons-jexl3 as used by
+DataWave queries (reference grammar: org.apache.commons.jexl3 Parser;
+DataWave's usage surface is visible throughout
+warehouse/query-core/src/test/java/datawave/query/):
+
+    expr     := or
+    or       := and ( '||' and )*
+    and      := not ( '&&' not )*
+    not      := '!' not | primary
+    primary  := '(' expr ')' | funcall | comparison | atom
+    funcall  := IDENT ':' IDENT '(' args? ')'
+    comparison := atom OP atom          (OP: == != < > <= >= =~ !~)
+    atom     := IDENT | literal
+    literal  := STRING | NUMBER | 'null' | 'true' | 'false'
+
+Literal-on-the-left comparisons (``'x' == F``) are inverted at parse
+time (InvertNodeVisitor parity, DefaultQueryPlanner.java:1264).
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Any
+
+from datawave_spark.jexl.ast import (
+    AndNode, CmpNode, FieldCmpNode, FuncNode, Identifier, JexlNode,
+    Literal, NotNode, OrNode,
+)
+
+
+class JexlParseError(ValueError):
+    pass
+
+
+_TOKEN_RE = re.compile(r"""
+    (?P<ws>\s+)
+  | (?P<op>==|!=|<=|>=|=~|!~|&&|\|\||[<>!()\,])
+  | (?P<number>-?\d+\.\d+|-?\d+)
+  | (?P<string>'(?:\\.|[^'\\])*'|"(?:\\.|[^"\\])*")
+  | (?P<ident>[A-Za-z_$][A-Za-z0-9_.$]*)
+  | (?P<colon>:)
+""", re.VERBOSE)
+
+_KEYWORDS = {"null": None, "true": True, "false": False,
+              "NULL": None, "TRUE": True, "FALSE": False}
+
+_CMP_OPS = {"==", "!=", "<", ">", "<=", ">=", "=~", "!~"}
+
+
+def _tokenize(text: str) -> list[tuple[str, str]]:
+    tokens: list[tuple[str, str]] = []
+    pos = 0
+    while pos < len(text):
+        m = _TOKEN_RE.match(text, pos)
+        if not m:
+            raise JexlParseError(f"unexpected character {text[pos]!r} at {pos}: {text[max(0,pos-20):pos+20]!r}")
+        pos = m.end()
+        kind = m.lastgroup
+        if kind == "ws":
+            continue
+        tokens.append((kind, m.group()))
+    tokens.append(("eof", ""))
+    return tokens
+
+
+def _unquote(s: str) -> str:
+    body = s[1:-1]
+    # JEXL string escapes: \' \" \\ pass through their literal character.
+    return re.sub(r"\\(.)", r"\1", body)
+
+
+class _Parser:
+    def __init__(self, tokens: list[tuple[str, str]]):
+        self.tokens = tokens
+        self.i = 0
+
+    def peek(self) -> tuple[str, str]:
+        return self.tokens[self.i]
+
+    def next(self) -> tuple[str, str]:
+        tok = self.tokens[self.i]
+        self.i += 1
+        return tok
+
+    def expect(self, value: str) -> None:
+        kind, tok = self.next()
+        if tok != value:
+            raise JexlParseError(f"expected {value!r}, got {tok!r}")
+
+    def parse_expr(self) -> JexlNode:
+        return self.parse_or()
+
+    def parse_or(self) -> JexlNode:
+        terms = [self.parse_and()]
+        while self.peek()[1] == "||":
+            self.next()
+            terms.append(self.parse_and())
+        return terms[0] if len(terms) == 1 else OrNode(tuple(terms))
+
+    def parse_and(self) -> JexlNode:
+        terms = [self.parse_not()]
+        while self.peek()[1] == "&&":
+            self.next()
+            terms.append(self.parse_not())
+        return terms[0] if len(terms) == 1 else AndNode(tuple(terms))
+
+    def parse_not(self) -> JexlNode:
+        if self.peek()[1] == "!":
+            self.next()
+            return NotNode(self.parse_not())
+        return self.parse_primary()
+
+    def parse_primary(self) -> JexlNode:
+        kind, tok = self.peek()
+        if tok == "(":
+            self.next()
+            inner = self.parse_expr()
+            self.expect(")")
+            return inner
+        if kind == "ident" and self.tokens[self.i + 1][0] == "colon":
+            return self.parse_funcall()
+        return self.parse_comparison()
+
+    def parse_funcall(self) -> FuncNode:
+        _, ns = self.next()
+        self.next()  # colon
+        kind, name = self.next()
+        if kind != "ident":
+            raise JexlParseError(f"expected function name after {ns}:, got {name!r}")
+        self.expect("(")
+        args: list[JexlNode] = []
+        if self.peek()[1] != ")":
+            args.append(self.parse_arg())
+            while self.peek()[1] == ",":
+                self.next()
+                args.append(self.parse_arg())
+        self.expect(")")
+        return FuncNode(ns, name, tuple(args))
+
+    def parse_arg(self) -> JexlNode:
+        kind, tok = self.peek()
+        if kind == "ident" and tok not in _KEYWORDS:
+            self.next()
+            return Identifier(tok)
+        return Literal(self._literal_value())
+
+    def parse_comparison(self) -> JexlNode:
+        left = self.parse_atom()
+        kind, tok = self.peek()
+        if tok in _CMP_OPS:
+            self.next()
+            right = self.parse_atom()
+            return self._make_cmp(tok, left, right)
+        # Bare identifier/literal as boolean expression: JEXL would coerce;
+        # DataWave queries never do this except literal true/false.
+        if isinstance(left, Literal) and isinstance(left.value, bool):
+            return left
+        raise JexlParseError(f"expected comparison operator, got {tok!r}")
+
+    @staticmethod
+    def _make_cmp(op: str, left: JexlNode, right: JexlNode) -> JexlNode:
+        inverse = {"<": ">", ">": "<", "<=": ">=", ">=": "<=",
+                   "==": "==", "!=": "!=", "=~": "=~", "!~": "!~"}
+        if isinstance(left, Identifier) and isinstance(right, Identifier):
+            return FieldCmpNode(op, left, right)
+        if isinstance(left, Literal) and isinstance(right, Identifier):
+            # InvertNodeVisitor parity: 'x' == F  →  F == 'x'
+            return CmpNode(inverse[op], right, left)
+        if isinstance(left, Identifier) and isinstance(right, Literal):
+            return CmpNode(op, left, right)
+        raise JexlParseError(f"literal-to-literal comparison: {left} {op} {right}")
+
+    def parse_atom(self) -> JexlNode:
+        kind, tok = self.peek()
+        if kind == "ident" and tok not in _KEYWORDS:
+            self.next()
+            return Identifier(tok)
+        return Literal(self._literal_value())
+
+    def _literal_value(self) -> Any:
+        kind, tok = self.next()
+        if kind == "number":
+            return float(tok) if "." in tok else int(tok)
+        if kind == "string":
+            return _unquote(tok)
+        if kind == "ident" and tok in _KEYWORDS:
+            return _KEYWORDS[tok]
+        raise JexlParseError(f"expected literal, got {tok!r}")
+
+
+def parse(text: str) -> JexlNode:
+    """Parse a JEXL query string into an AST."""
+    p = _Parser(_tokenize(text))
+    node = p.parse_expr()
+    if p.peek()[0] != "eof":
+        raise JexlParseError(f"trailing input at token {p.peek()[1]!r}")
+    return node

@@ -1,0 +1,103 @@
+"""Type normalizers as Spark column expressions.
+
+DataWave's type system (datawave.data.type.*, e.g. LcNoDiacriticsType,
+NumberType, DateType, IpAddressType, GeoType — enumerated in
+warehouse/query-core/src/test/java/datawave/query/testframework/
+CitiesDataType.java:82-93) exists to map raw values to *index-sortable
+canonical strings* so that Accumulo's lexicographic index can answer
+typed range queries.  On Spark the storage layer compares natively, so a
+normalizer here has two jobs only:
+
+1. ``normalize_literal`` — canonicalise a query literal the same way the
+   ingest path canonicalised the stored value (so equality matches);
+2. ``col`` — the column expression applying the same canonicalisation to
+   a raw-valued column when the table was NOT ingested normalized.
+
+Both stay JVM-side (built-in functions, no Python UDFs) so they inline
+into whole-stage codegen.
+"""
+
+from __future__ import annotations
+
+import ipaddress
+import unicodedata
+from typing import Any, Callable
+
+from pyspark.sql import Column, functions as F
+
+# Latin accent fold for the JVM-side expression path; covers the Latin-1 +
+# Latin Extended-A repertoire (same practical coverage as the reference's
+# LcNoDiacriticsType, which NFD-decomposes and strips combining marks).
+_ACCENTS = "àáâãäåāăąçćĉċčèéêëēĕėęěìíîïĩīĭįıñńņňòóôõöøōŏőšśŝşùúûüũūŭůűųýÿŷžźż"
+_PLAIN = "aaaaaaaaaccccceeeeeeeeeiiiiiiiiinnnnooooooooossssuuuuuuuuuuyyyzzz"
+assert len(_ACCENTS) == len(_PLAIN)
+
+
+class Normalizer:
+    """A named normalizer: python-side literal fn + spark-side column fn."""
+
+    def __init__(self, name: str,
+                 literal_fn: Callable[[Any], Any],
+                 col_fn: Callable[[Column], Column]):
+        self.name = name
+        self._literal_fn = literal_fn
+        self._col_fn = col_fn
+
+    def normalize_literal(self, value: Any) -> Any:
+        if value is None:
+            return None
+        return self._literal_fn(value)
+
+    def col(self, c: Column) -> Column:
+        return self._col_fn(c)
+
+
+def _lc_no_diacritics_py(v: Any) -> str:
+    s = str(v).lower()
+    nfd = unicodedata.normalize("NFD", s)
+    return "".join(ch for ch in nfd if not unicodedata.combining(ch))
+
+
+def _lc_no_diacritics_col(c: Column) -> Column:
+    return F.translate(F.lower(c.cast("string")), _ACCENTS, _PLAIN)
+
+
+def _number_py(v: Any) -> float:
+    return float(v)
+
+
+def _ip_py(v: Any) -> str:
+    # Canonical dotted-quad (strips leading zeros); parity with
+    # datawave.data.type.IpAddressType normalization intent.
+    return str(ipaddress.ip_address(str(v).strip()))
+
+
+def _ip_col(c: Column) -> Column:
+    # Rebuild dotted-quad from int-parsed octets; IPv4 JVM-side.
+    parts = F.split(c.cast("string"), r"\.")
+    return F.concat_ws(".", *[parts[i].cast("int").cast("string") for i in range(4)])
+
+
+NORMALIZERS: dict[str, Normalizer] = {
+    "noop": Normalizer("noop", lambda v: v, lambda c: c),
+    "lc": Normalizer("lc", lambda v: str(v).lower(), lambda c: F.lower(c.cast("string"))),
+    "lcNoDiacritics": Normalizer("lcNoDiacritics", _lc_no_diacritics_py, _lc_no_diacritics_col),
+    "number": Normalizer("number", _number_py, lambda c: c.cast("double")),
+    "date": Normalizer("date", lambda v: str(v), lambda c: F.to_timestamp(c)),
+    "ipAddress": Normalizer("ipAddress", _ip_py, _ip_col),
+    "trimLeadingZeros": Normalizer("trimLeadingZeros",
+                                   lambda v: str(v).lstrip("0") or "0",
+                                   lambda c: F.regexp_replace(c.cast("string"), r"^0+(?=.)", "")),
+    "hexString": Normalizer("hexString", lambda v: str(v).lower(),
+                            lambda c: F.lower(c.cast("string"))),
+    "macAddress": Normalizer("macAddress",
+                             lambda v: str(v).lower().replace("-", ":"),
+                             lambda c: F.regexp_replace(F.lower(c.cast("string")), "-", ":")),
+}
+
+
+def get_normalizer(name: str) -> Normalizer:
+    try:
+        return NORMALIZERS[name]
+    except KeyError:
+        raise KeyError(f"unknown normalizer {name!r}; known: {sorted(NORMALIZERS)}") from None

@@ -1,0 +1,52 @@
+"""#GROUPBY + aggregator surface.
+
+Reference: warehouse/query-core/src/main/java/datawave/query/common/
+grouping/DocumentGrouper.java:118 with per-group aggregators
+(SumAggregator.java:18, CountAggregator.java:17, AverageAggregator.java:20,
+MinAggregator.java:15, MaxAggregator.java:15), executed partial-on-tserver
+(GroupingIterator, wired at QueryIterator.java:476) and final-on-webserver
+(GroupingTransform.java:34).
+
+Spark restatement: ``df.groupBy(...).agg(...)`` — Catalyst's partial
+aggregation (map-side combine) + final aggregation reproduces the
+reference's two-phase scheme automatically, and at 100 TB the map-side
+partial keeps the shuffle proportional to group cardinality, not row
+count.  Multi-valued (ArrayType) group fields are exploded first: DataWave
+groups on each VALUE of a field, not on the value-set (DocumentGrouper
+"grouping context" semantics).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import types as T
+
+_AGGS = {
+    "SUM": F.sum, "COUNT": F.count, "AVERAGE": F.avg, "AVG": F.avg,
+    "MIN": F.min, "MAX": F.max,
+}
+
+
+def group_by(df: DataFrame, group_fields: list[str],
+             aggregations: list[tuple[str, str, str]] | None = None,
+             count_alias: str = "record_count") -> DataFrame:
+    """#GROUPBY(group_fields) with #SUM/#COUNT/#AVERAGE/#MIN/#MAX.
+
+    ``aggregations`` is ``[(op, field, alias), ...]``; a row count per
+    group (the reference's implicit group cardinality) is always emitted
+    as ``count_alias``.  ArrayType group fields are exploded (one group
+    per value, DocumentGrouper parity).
+    """
+    schema = {f.name: f.dataType for f in df.schema.fields}
+    out = df
+    for g in group_fields:
+        if isinstance(schema.get(g), T.ArrayType):
+            out = out.withColumn(g, F.explode_outer(g))
+    exprs = [F.count(F.lit(1)).alias(count_alias)]
+    for op, fld, alias in (aggregations or []):
+        fn = _AGGS[op.upper()]
+        col = F.col(fld)
+        if op.upper() != "COUNT" and isinstance(schema.get(fld), T.StringType):
+            col = col.cast("double")
+        exprs.append(fn(col).alias(alias))
+    return out.groupBy(*group_fields).agg(*exprs)

@@ -1,0 +1,44 @@
+"""Parquet reader with TIMESTAMP(NANOS) support.
+
+Spark (4.x) raises PARQUET_TYPE_ILLEGAL on parquet TIMESTAMP(NANOS)
+columns; with ``spark.sql.legacy.parquet.nanosAsLong=true`` it reads
+them as epoch-nanos LongType.  This reader inspects the parquet footer
+with pyarrow, reads with the legacy flag semantics, and rebuilds proper
+TimestampType columns via integer microsecond truncation — the same
+truncation DuckDB applies (its timestamps are microsecond), so both
+sides of the oracle comparison see identical values.
+
+Uses ``div 1000`` (integer division) not ``/1000`` — epoch-nanos
+(~1.7e18) exceeds double's 53-bit mantissa, so float division would
+corrupt low-order digits.
+"""
+
+from __future__ import annotations
+
+import pyarrow.parquet as pq
+import pyarrow as pa
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+
+def _nanos_columns(path: str) -> list[str]:
+    """Column names with timestamp[ns] type in the parquet schema."""
+    schema = pq.read_schema(path)
+    out = []
+    for field in schema:
+        t = field.type
+        if pa.types.is_timestamp(t) and t.unit == "ns":
+            out.append(field.name)
+    return out
+
+
+def read_parquet(spark: SparkSession, path: str) -> DataFrame:
+    """Read parquet; nanosecond-timestamp columns come back as proper
+    TimestampType (microsecond, truncated)."""
+    # nanosAsLong=true is set session-wide (session._DEFAULTS) so the
+    # scan-time conf matches schema-inference time.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    ns_cols = _nanos_columns(path)
+    df = spark.read.parquet(path)
+    for c in ns_cols:
+        df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
+    return df

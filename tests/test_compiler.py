@@ -1,0 +1,175 @@
+"""AST→Column compiler tests over an in-memory multi-value event frame —
+the analogue of the reference's functional query tests
+(warehouse/query-core/src/test/java/datawave/query/testframework/
+AbstractFunctionalQuery.java): tiny corpus, query, expected uid set.
+"""
+
+import pytest
+
+from datawave_spark.compiler import compile_query
+
+ROWS = [
+    # uid, CITY (multi), STATE (multi), NUM (scalar), NAME, GEO "lat,lon"
+    ("a", ["rome", "milan"], ["lazio"], 10.0, "Alice", "41.9,12.5"),
+    ("b", ["rome"], ["lombardy"], 25.0, "Bob", "45.5,9.2"),
+    ("c", ["paris"], ["idf"], 5.0, "Carol", "48.9,2.3"),
+    ("d", [], None, None, "Ótto", "0.0,0.0"),
+    ("e", ["london", "rome"], ["greater-london"], 25.0, None, "51.5,-0.1"),
+]
+SCHEMA = "uid string, CITY array<string>, STATE array<string>, NUM double, NAME string, GEO string"
+
+
+@pytest.fixture(scope="module")
+def events(spark):
+    return spark.createDataFrame(ROWS, SCHEMA).cache()
+
+
+def uids(df):
+    return sorted(r.uid for r in df.select("uid").collect())
+
+
+def test_any_value_eq(spark, events):
+    assert uids(compile_query(events, "CITY == 'rome'")) == ["a", "b", "e"]
+
+
+def test_ne_means_no_value_matches(spark, events):
+    # DatawaveArithmetic: A != 'x' ⇔ no value of A equals x; rows with
+    # empty/missing CITY satisfy it.
+    assert uids(compile_query(events, "CITY != 'rome'")) == ["c", "d"]
+
+
+def test_scalar_numeric_range(spark, events):
+    assert uids(compile_query(events, "NUM > 10 && NUM <= 25")) == ["b", "e"]
+
+
+def test_and_or_not(spark, events):
+    q = "(CITY == 'rome' && NUM > 20) || STATE == 'idf'"
+    assert uids(compile_query(events, q)) == ["b", "c", "e"]
+    assert uids(compile_query(events, "!(CITY == 'rome') && NUM == null")) == ["d"]
+
+
+def test_regex_full_match(spark, events):
+    # =~ is Java Pattern.matches → full match, so 'ro' matches nothing
+    assert uids(compile_query(events, "CITY =~ 'ro'")) == []
+    assert uids(compile_query(events, "CITY =~ 'ro.*'")) == ["a", "b", "e"]
+    assert uids(compile_query(events, "CITY !~ 'ro.*'")) == ["c", "d"]
+
+
+def test_null_checks(spark, events):
+    assert uids(compile_query(events, "NUM == null")) == ["d"]
+    assert uids(compile_query(events, "CITY == null")) == ["d"]
+    assert uids(compile_query(events, "!(NAME == null)")) == ["a", "b", "c", "d"]
+
+
+def test_field_to_field(spark, events):
+    df = spark.createDataFrame(
+        [("x", 1.0, 1.0), ("y", 1.0, 2.0)], "uid string, A double, B double")
+    assert uids(compile_query(df, "A == B")) == ["x"]
+    assert uids(compile_query(df, "A != B")) == ["y"]
+
+
+def test_normalizer_lc_no_diacritics(spark, events):
+    df = compile_query(events, "NAME == 'otto'",
+                       field_types={"NAME": "lcNoDiacritics"})
+    assert uids(df) == ["d"]
+
+
+def test_anyfield_expansion(spark, events):
+    # _ANYFIELD_ == 'rome' → OR over string-ish fields
+    assert uids(compile_query(events, "_ANYFIELD_ == 'rome'")) == ["a", "b", "e"]
+    assert uids(compile_query(events, "_ANYFIELD_ == 25")) == ["b", "e"]
+
+
+def test_query_model_alias(spark, events):
+    # QueryModelVisitor parity: LOCATION → CITY OR STATE
+    df = compile_query(events, "LOCATION == 'idf'",
+                       model={"LOCATION": ["CITY", "STATE"]})
+    assert uids(df) == ["c"]
+
+
+def test_unknown_field_is_false(spark, events):
+    assert uids(compile_query(events, "NOPE == 'x'")) == []
+    assert uids(compile_query(events, "NOPE != 'x'")) == ["a", "b", "c", "d", "e"]
+
+
+class TestFilterFunctions:
+    def test_is_null_not_null(self, spark, events):
+        assert uids(compile_query(events, "filter:isNull(NUM)")) == ["d"]
+        assert uids(compile_query(events, "filter:isNotNull(CITY)")) == ["a", "b", "c", "e"]
+
+    def test_include_exclude_regex(self, spark, events):
+        assert uids(compile_query(events, "filter:includeRegex(CITY, 'mil.*')")) == ["a"]
+        assert uids(compile_query(events, "filter:excludeRegex(CITY, '.*o.*')")) == ["c", "d"]
+
+    def test_occurrence(self, spark, events):
+        assert uids(compile_query(events, "filter:occurrence(CITY, '>', 1)")) == ["a", "e"]
+        assert uids(compile_query(events, "filter:occurrence(CITY, 2)")) == ["a", "e"]
+
+    def test_matches_at_least_count_of(self, spark, events):
+        q = "filter:matchesAtLeastCountOf(2, CITY, 'ROME', 'MILAN', 'OSLO')"
+        assert uids(compile_query(events, q)) == ["a"]
+
+    def test_between_and_length(self, spark, events):
+        assert uids(compile_query(events, "f:between(NUM, 6, 25)")) == ["a", "b", "e"]
+        assert uids(compile_query(events, "f:length(CITY, 6, 6)")) == ["e"]
+
+    def test_geo_bbox(self, spark, events):
+        q = "geo:within_bounding_box(GEO, '40.0,8.0', '46.0,13.0')"
+        assert uids(compile_query(events, q)) == ["a", "b"]
+
+    def test_geo_circle(self, spark, events):
+        q = "geo:within_circle(GEO, '41.9,12.5', 1.0)"
+        assert uids(compile_query(events, q)) == ["a"]
+
+
+class TestDates:
+    @pytest.fixture(scope="class")
+    def dated(self, spark):
+        return spark.createDataFrame(
+            [("a", "2024-01-15"), ("b", "2024-06-01"), ("c", "2025-01-01")],
+            "uid string, WHEN string")
+
+    def test_after_before_between(self, spark, dated):
+        assert uids(compile_query(dated, "filter:afterDate(WHEN, '2024-05-01')")) == ["b", "c"]
+        assert uids(compile_query(dated, "filter:beforeDate(WHEN, '2024-05-01')")) == ["a"]
+        assert uids(compile_query(
+            dated, "filter:betweenDates(WHEN, '2024-01-01', '2024-12-31')")) == ["a", "b"]
+
+    def test_pattern_arg(self, spark):
+        df = spark.createDataFrame([("a", "20240115"), ("b", "20250601")],
+                                   "uid string, WHEN string")
+        q = "filter:betweenDates(WHEN, '20240101', '20241231', 'yyyyMMdd')"
+        assert uids(compile_query(df, q)) == ["a"]
+
+
+class TestGroupingContext:
+    @pytest.fixture(scope="class")
+    def grouped(self, spark):
+        # One struct per sibling group — the representation DataWave
+        # emulates with FIELD.context.instance flat names.
+        return spark.createDataFrame(
+            [("a", [{"NAME": "bob", "AGE": "40"}, {"NAME": "ann", "AGE": "9"}]),
+             ("b", [{"NAME": "bob", "AGE": "9"}]),
+             ("c", [{"NAME": "zed", "AGE": "40"}])],
+            "uid string, FAMILY array<struct<NAME string, AGE string>>")
+
+    def test_matches_in_group(self, spark, grouped):
+        q = "grouping:matchesInGroup(NAME, 'bob', AGE, '40')"
+        assert uids(compile_query(grouped, q)) == ["a"]
+
+    def test_cross_group_would_differ(self, spark, grouped):
+        # plain AND matches across groups — 'b' has bob and (age 9);
+        # grouping respects siblinghood
+        q = "NAME == 'bob' && AGE == '9'"
+        plain = compile_query(grouped.selectExpr(
+            "uid", "transform(FAMILY, g -> g.NAME) as NAME",
+            "transform(FAMILY, g -> g.AGE) as AGE"), q)
+        assert uids(plain) == ["a", "b"]
+        grouped_q = "grouping:matchesInGroup(NAME, 'bob', AGE, '9')"
+        assert uids(compile_query(grouped, grouped_q)) == ["b"]
+
+    def test_atom_values_match(self, spark):
+        df = spark.createDataFrame(
+            [("a", [{"X": "1", "Y": "1"}]), ("b", [{"X": "1", "Y": "2"}])],
+            "uid string, G array<struct<X string, Y string>>")
+        assert uids(compile_query(df, "grouping:atomValuesMatch(X, Y)")) == ["a"]
