@@ -19,6 +19,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from datawave_spark.compiler import compile_query
+from datawave_spark.operators import dedup, similarity, text as text_ops
 from datawave_spark.operators.discovery import discovery, facets
 from datawave_spark.operators.grouping import group_by
 from datawave_spark.operators.unique import unique, unique_tuples
@@ -330,3 +331,193 @@ def q_tpch_q5(spark, sf_dir):
             .groupBy("n_name")
             .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4)
                  .alias("revenue")))
+
+
+# ---------------------------------------- training-data ops: dedup family
+
+# Shared oracle fragment: tokenized documents (word lists, lowercased).
+_DUCK_TOKS = ("SELECT doc_id, list_filter(regexp_split_to_array(lower(text), "
+              "'[^a-z0-9]+'), t -> t != '') AS t FROM documents")
+# Distinct word-2-gram shingles per doc.
+_DUCK_SHINGLES2 = f"""
+SELECT doc_id AS id,
+       unnest(list_distinct([array_to_string(t[i:i+1], ' ')
+                             for i in range(1, greatest(len(t)-1, 1)+1)])) AS shingle
+FROM ({_DUCK_TOKS})"""
+
+
+@register("dedup_exact", """
+SELECT md5(text) AS content_hash, count(*) AS n_docs, min(doc_id) AS keep_id
+FROM documents GROUP BY md5(text)
+""")
+def q_dedup_exact(spark, sf_dir):
+    return dedup.exact_dedup(_t(spark, sf_dir, "documents"), "text", "doc_id")
+
+
+@register("dedup_minhash_sig", f"""
+SELECT id, concat_ws('', {", ".join(f"min(md5('s{i}:' || shingle))" for i in range(8))}) AS sig
+FROM ({_DUCK_SHINGLES2}) WHERE shingle != '' GROUP BY id
+""")
+def q_dedup_minhash_sig(spark, sf_dir):
+    sig = dedup.minhash_signatures(_t(spark, sf_dir, "documents"),
+                                   "text", "doc_id", k=2, num_hashes=8)
+    return sig.select("id", F.concat_ws("", F.col("sig")).alias("sig"))
+
+
+@register("dedup_simhash", f"""
+SELECT simhash, count(*) AS n_docs, min(id) AS keep_id FROM (
+  SELECT doc_id AS id,
+         concat({", ".join(
+             "CASE WHEN list_sum(list_transform(t, t_ -> CASE WHEN "
+             f"substr(md5(t_), {i+1}, 1) IN ('8','9','a','b','c','d','e','f') "
+             "THEN 1 ELSE -1 END)) > 0 THEN '1' ELSE '0' END" for i in range(8))}) AS simhash
+  FROM ({_DUCK_TOKS}))
+GROUP BY simhash
+""")
+def q_dedup_simhash(spark, sf_dir):
+    return dedup.simhash_buckets(_t(spark, sf_dir, "documents"),
+                                 "text", "doc_id", bits=8)
+
+
+@register("dedup_ngram_pairs", f"""
+WITH sh AS ({_DUCK_SHINGLES2}),
+sizes AS (SELECT id, count(*) AS n FROM sh GROUP BY id),
+inter AS (
+  SELECT a.id AS id_a, b.id AS id_b, count(*) AS n_inter
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.id < b.id
+  GROUP BY a.id, b.id)
+SELECT id_a, id_b, round(n_inter / (sa.n + sb.n - n_inter), 4) AS jaccard
+FROM inter JOIN sizes sa ON sa.id = id_a JOIN sizes sb ON sb.id = id_b
+WHERE round(n_inter / (sa.n + sb.n - n_inter), 4) >= 0.3
+""")
+def q_dedup_ngram_pairs(spark, sf_dir):
+    """SSDeep-similarity-join shape (ngram explode -> equi-join -> score;
+    reference: query/tables/ssdeep/SSDeepSimilarityQueryLogic.java) as
+    near-dup pair detection on documents."""
+    return dedup.ngram_jaccard_pairs(_t(spark, sf_dir, "documents"),
+                                     "text", "doc_id", k=2, threshold=0.3)
+
+
+@register("dedup_minhash_lsh")  # approximate: rows-only driver check;
+def q_dedup_minhash_lsh(spark, sf_dir):
+    """MinHash+LSH near-dup pairs (recall vs exact asserted in
+    tests/test_dedup.py)."""
+    return dedup.minhash_lsh_pairs(_t(spark, sf_dir, "documents"),
+                                   "text", "doc_id", k=2, num_hashes=16,
+                                   bands=8, threshold=0.3)
+
+
+# ------------------------------------------ training-data ops: similarity
+
+def _query_vec(sf_dir: str, vec_id: int = 0) -> list[float]:
+    import pyarrow.parquet as pq
+    tbl = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"),
+                        filters=[("vec_id", "=", vec_id)])
+    return [float(x) for x in tbl.column("embedding")[0].as_py()]
+
+
+@register("ann_topk", """
+WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0)
+SELECT vec_id AS id,
+       round(list_dot_product(embedding::DOUBLE[], qv) /
+             (sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))
+              * sqrt(list_dot_product(qv, qv))), 4) AS cos
+FROM embeddings, q ORDER BY cos DESC, id LIMIT 10
+""")
+def q_ann_topk(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    return similarity.cosine_topk(emb, "embedding", "vec_id",
+                                  _query_vec(sf_dir), k=10)
+
+
+@register("ann_knn_join", """
+WITH qs AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 10),
+scored AS (
+  SELECT query_id, e.vec_id AS corpus_id,
+         round(list_dot_product(qv, e.embedding::DOUBLE[]) /
+               (sqrt(list_dot_product(qv, qv))
+                * sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))), 4) AS cos
+  FROM qs, embeddings e WHERE e.vec_id != query_id)
+SELECT query_id, corpus_id, cos FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, corpus_id) AS rn
+  FROM scored) WHERE rn <= 3
+""")
+def q_ann_knn_join(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    return similarity.knn_join(emb.filter(F.col("vec_id") < 10), emb,
+                               "embedding", "vec_id", k=3)
+
+
+@register("ann_lsh_topk")  # approximate: rows-only; recall in tests
+def q_ann_lsh_topk(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    return similarity.lsh_cosine_topk(emb, "embedding", "vec_id",
+                                      _query_vec(sf_dir), k=10, bits=8)
+
+
+# ---------------------------------------- training-data ops: text analysis
+
+@register("text_token_count", """
+SELECT doc_id, len(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                               t -> t != '')) AS n_tokens,
+       ceil(length(text) / 4)::BIGINT AS n_subwords_est
+FROM documents
+""")
+def q_text_token_count(spark, sf_dir):
+    out = text_ops.token_count(_t(spark, sf_dir, "documents"), "text")
+    return out.select("doc_id", F.col("n_tokens").cast("long").alias("n_tokens"),
+                      "n_subwords_est")
+
+
+@register("text_quality", """
+SELECT doc_id,
+  round(CASE WHEN len(t) > 0 THEN list_sum(list_transform(t, x -> length(x))) / len(t) ELSE 0.0 END, 4) AS mean_word_len,
+  round(CASE WHEN len(t) > 0 THEN len(list_filter(t, x -> list_contains(['the','a','of','and','to','in','is','that','it','for'], x))) / len(t) ELSE 0.0 END, 4) AS stopword_ratio,
+  round(CASE WHEN length(text) > 0 THEN length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) / length(text) ELSE 0.0 END, 4) AS alpha_ratio,
+  round(0.4 * least((CASE WHEN len(t) > 0 THEN list_sum(list_transform(t, x -> length(x))) / len(t) ELSE 0.0 END) / 8, 1.0)
+      + 0.3 * least((CASE WHEN len(t) > 0 THEN len(list_filter(t, x -> list_contains(['the','a','of','and','to','in','is','that','it','for'], x))) / len(t) ELSE 0.0 END) * 4, 1.0)
+      + 0.3 * (CASE WHEN length(text) > 0 THEN length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) / length(text) ELSE 0.0 END), 4) AS quality
+FROM (SELECT doc_id, text, list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x != '') AS t FROM documents)
+""")
+def q_text_quality(spark, sf_dir):
+    out = text_ops.quality_score(_t(spark, sf_dir, "documents"), "text")
+    return out.select("doc_id", "mean_word_len", "stopword_ratio",
+                      "alpha_ratio", "quality")
+
+
+@register("text_langid", """
+SELECT doc_id,
+  CASE WHEN h_en > 0 AND h_en = s THEN 'en'
+       WHEN h_fr > 0 AND h_fr = s THEN 'fr'
+       WHEN h_de > 0 AND h_de = s THEN 'de'
+       WHEN h_es > 0 AND h_es = s THEN 'es'
+       ELSE 'und' END AS lang_pred
+FROM (
+  SELECT doc_id,
+    len(list_filter(t, x -> list_contains(['the','a','of','and','to','in','is','that','it','for'], x))) AS h_en,
+    len(list_filter(t, x -> list_contains(['le','la','de','et','les','des','un','une','est','que'], x))) AS h_fr,
+    len(list_filter(t, x -> list_contains(['der','die','das','und','ist','von','den','mit','ein','zu'], x))) AS h_de,
+    len(list_filter(t, x -> list_contains(['el','la','de','y','los','que','un','una','es','en'], x))) AS h_es,
+    greatest(
+      len(list_filter(t, x -> list_contains(['the','a','of','and','to','in','is','that','it','for'], x))),
+      len(list_filter(t, x -> list_contains(['le','la','de','et','les','des','un','une','est','que'], x))),
+      len(list_filter(t, x -> list_contains(['der','die','das','und','ist','von','den','mit','ein','zu'], x))),
+      len(list_filter(t, x -> list_contains(['el','la','de','y','los','que','un','una','es','en'], x)))) AS s
+  FROM (SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x != '') AS t FROM documents))
+""")
+def q_text_langid(spark, sf_dir):
+    out = text_ops.lang_id(_t(spark, sf_dir, "documents"), "text")
+    return out.select("doc_id", "lang_pred")
+
+
+@register("text_fingerprint", """
+SELECT doc_id, list_reduce(
+  list_prepend(0::BIGINT, list_transform(
+    list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), t -> t != ''),
+    t -> (length(t)*7 + ascii(substr(t, 1, 1)))::BIGINT)),
+  (acc, v) -> (acc*131 + v) % 1000000007) AS fingerprint
+FROM documents
+""")
+def q_text_fingerprint(spark, sf_dir):
+    out = text_ops.fingerprint(_t(spark, sf_dir, "documents"), "text")
+    return out.select("doc_id", "fingerprint")

@@ -1,0 +1,207 @@
+"""Deduplication operators for large-scale corpus curation.
+
+Beyond the reference's per-result #UNIQUE (UniqueTransform), a 100 TB
+training-data pipeline needs corpus-level dedup.  Four strategies, all
+pure DataFrame ops (JVM-side, shuffle-conscious):
+
+- ``exact_dedup``       — content-hash groupBy (one shuffle on a short
+                          hash key; group count = distinct docs).
+- ``minhash_lsh_pairs`` — shingle → MinHash signature → LSH bands →
+                          band-bucket equi-join → exact Jaccard verify.
+                          The classic near-dup pipeline (Broder '97 /
+                          Leskovec et al., MMDS ch.3).  The only
+                          quadratic step is within LSH buckets.
+- ``simhash_buckets``   — per-token hash bit-vote signature (Charikar
+                          '02); near-dups collide on the signature.
+- ``ngram_jaccard_pairs`` — n-gram explode → equi-join on gram →
+                          per-pair intersection count → Jaccard via
+                          |A∩B| / (|A|+|B|−|A∩B|).  This is also the
+                          shape of DataWave's SSDeep similarity join
+                          (reference: warehouse/query-core/.../query/
+                          tables/ssdeep/SSDeepSimilarityQueryLogic.java,
+                          SSDeepScoringFunction.java — decompose hash
+                          into n-grams, equi-join candidates, score
+                          pairs) re-expressed on documents.
+
+Determinism: all hashing is md5-based (not Spark's ``hash()``/xxhash)
+so the DuckDB oracle can reproduce signatures bit-for-bit.
+
+Scale notes (100 TB): every pipeline here shuffles on a *derived short
+key* (hash / band / gram), never on raw text; text only travels for the
+verify join, which is restricted to candidate pairs.  At that scale one
+would also salt hot band-buckets (boilerplate text ⇒ giant buckets) —
+``minhash_lsh_pairs`` caps bucket size with ``max_bucket`` for exactly
+that reason, trading recall for bounded worst-case skew, the same
+cardinality-cap tradeoff the reference makes in its global index
+(GlobalIndexUidAggregator.MAX).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from datawave_spark.util import spread
+
+TOKEN_RE = "[^a-z0-9]+"
+
+
+def _tokens(col) -> Column:
+    return F.filter(F.split(F.lower(col), TOKEN_RE), lambda t: t != "")
+
+
+def shingles(df: DataFrame, text_col: str, id_col: str, k: int = 3) -> DataFrame:
+    """Distinct word k-shingles per document: (id, shingle)."""
+    df = spread(df)
+    toks = _tokens(F.col(text_col))
+    grams = F.transform(
+        F.sequence(F.lit(0), F.greatest(F.size(toks) - k, F.lit(0))),
+        lambda i: F.concat_ws(" ", F.slice(toks, i + 1, k)))
+    return (df.select(F.col(id_col).alias("id"),
+                      F.explode(F.array_distinct(grams)).alias("shingle"))
+            .filter(F.col("shingle") != ""))
+
+
+def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Exact duplicate groups by content md5: (content_hash, n_docs,
+    keep_id) keeping the smallest id — the canonical representative."""
+    return (df.select(F.md5(F.col(text_col).cast("string")).alias("content_hash"),
+                      F.col(id_col).alias("id"))
+            .groupBy("content_hash")
+            .agg(F.count(F.lit(1)).alias("n_docs"), F.min("id").alias("keep_id")))
+
+
+def minhash_signatures(df: DataFrame, text_col: str, id_col: str,
+                       k: int = 3, num_hashes: int = 16) -> DataFrame:
+    """(id, sig array<string>) — MinHash over md5(salt || shingle).
+
+    One aggregation: shingles exploded once, ``num_hashes`` mins computed
+    per group (map-side partial).  md5-of-salted-shingle stands in for
+    the classic random permutations; mins of a uniform hash are an
+    equally valid MinHash family.
+    """
+    sh = shingles(df, text_col, id_col, k)
+    return minhash_signatures_from(sh, num_hashes)
+
+
+def minhash_signatures_from(sh: DataFrame, num_hashes: int = 16) -> DataFrame:
+    """MinHash signatures from a prebuilt (id, shingle) frame."""
+    mins = [F.min(F.md5(F.concat(F.lit(f"s{i}:"), F.col("shingle"))))
+            .alias(f"h{i}") for i in range(num_hashes)]
+    sig = sh.groupBy("id").agg(*mins)
+    return sig.select("id", F.array(*[F.col(f"h{i}") for i in range(num_hashes)])
+                      .alias("sig"))
+
+
+def minhash_lsh_pairs(df: DataFrame, text_col: str, id_col: str,
+                      k: int = 3, num_hashes: int = 16, bands: int = 8,
+                      threshold: float = 0.5,
+                      max_bucket: int | None = None) -> DataFrame:
+    """Near-duplicate candidate pairs with exact Jaccard ≥ threshold:
+    (id_a, id_b, jaccard), id_a < id_b.
+
+    Pipeline: signatures → band keys → equi-join within band buckets →
+    dedup candidate pairs → verify with exact shingle Jaccard.
+    """
+    rows = num_hashes // bands
+    # ONE shingle pass feeds both the signature build and the verify
+    # join — persisted so tokenize+explode runs once end-to-end.
+    sh = shingles(df, text_col, id_col, k).persist()
+    sig = minhash_signatures_from(sh, num_hashes)
+    band_cols = [F.md5(F.concat_ws("|", F.lit(str(b)),
+                                   *[F.col("sig")[b * rows + r] for r in range(rows)]))
+                 for b in range(bands)]
+    # One long frame (id, band, bucket) and ONE self-join on
+    # (band, bucket) — not a join per band: 1 shuffle instead of
+    # `bands`, and AQE's skew handling sees the whole key space.
+    banded = sig.select(
+        "id", F.posexplode(F.array(*band_cols)).alias("band", "bucket"))
+    if max_bucket is not None:
+        # Cap pathological buckets (boilerplate skew guard) — the same
+        # cardinality-cap tradeoff as the reference's Uid.List MAX.
+        sizes = (banded.groupBy("band", "bucket").count()
+                 .filter(F.col("count") <= max_bucket).drop("count"))
+        banded = banded.join(F.broadcast(sizes), ["band", "bucket"])
+    left = banded.alias("l")
+    right = banded.alias("r")
+    cand = (left.join(right, ["band", "bucket"])
+            .filter(F.col("l.id") < F.col("r.id"))
+            .select(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"))
+            .distinct())
+    return verify_jaccard_pairs_from(sh, cand, threshold)
+
+
+def verify_jaccard_pairs(df: DataFrame, text_col: str, id_col: str,
+                         cand: DataFrame, k: int, threshold: float) -> DataFrame:
+    """Exact Jaccard for candidate pairs from raw documents."""
+    sh = shingles(df, text_col, id_col, k).persist()
+    return verify_jaccard_pairs_from(sh, cand, threshold)
+
+
+def verify_jaccard_pairs_from(sh: DataFrame, cand: DataFrame,
+                              threshold: float) -> DataFrame:
+    """Exact Jaccard for candidate pairs given a prebuilt (persisted)
+    (id, shingle) frame: join each side's shingle set, count matches,
+    compare to set sizes."""
+    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n"))
+    a = sh.select(F.col("id").alias("id_a"), F.col("shingle").alias("sh_a"))
+    b = sh.select(F.col("id").alias("__idb"), F.col("shingle").alias("sh_b"))
+    inter = (cand.join(a, "id_a")
+             .join(b, (F.col("id_b") == F.col("__idb"))
+                   & (F.col("sh_a") == F.col("sh_b")))
+             .groupBy("id_a", "id_b")
+             .agg(F.count(F.lit(1)).alias("n_inter")))
+    out = (inter
+           .join(sizes.select(F.col("id").alias("id_a"), F.col("n").alias("n_a")), "id_a")
+           .join(sizes.select(F.col("id").alias("id_b"), F.col("n").alias("n_b")), "id_b")
+           .withColumn("jaccard", F.round(
+               F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter")), 4))
+           .filter(F.col("jaccard") >= threshold)
+           .select("id_a", "id_b", "jaccard"))
+    return out
+
+
+def simhash_buckets(df: DataFrame, text_col: str, id_col: str,
+                    bits: int = 16) -> DataFrame:
+    """SimHash near-dup buckets: (simhash, n_docs, keep_id).
+
+    Signature bit i = majority vote over tokens of bit i of
+    md5(token); bit i is the high bit of hex nibble i (≤ 32 bits).
+    Documents sharing a full signature are near-dup candidates.
+    """
+    # Explode tokens and let the codegen'd hash aggregate do the bit
+    # voting (one conditional SUM per bit) — much faster than a
+    # higher-order-function array fold, and the md5 runs once per token.
+    high = ("8", "9", "a", "b", "c", "d", "e", "f")
+    tok = spread(df).select(F.col(id_col).alias("id"),
+                    F.explode(_tokens(F.col(text_col))).alias("t")) \
+            .select("id", F.md5("t").alias("h"))
+    votes = [F.sum(F.when(F.substring("h", i + 1, 1).isin(*high), 1)
+                   .otherwise(-1)).alias(f"v{i}") for i in range(bits)]
+    per_doc = tok.groupBy("id").agg(*votes)
+    bit_cols = [F.when(F.col(f"v{i}") > 0, F.lit("1")).otherwise(F.lit("0"))
+                for i in range(bits)]
+    return (per_doc.select("id", F.concat(*bit_cols).alias("simhash"))
+            .groupBy("simhash")
+            .agg(F.count(F.lit(1)).alias("n_docs"), F.min("id").alias("keep_id")))
+
+
+def ngram_jaccard_pairs(df: DataFrame, text_col: str, id_col: str,
+                        k: int = 3, threshold: float = 0.5) -> DataFrame:
+    """All-pairs n-gram Jaccard ≥ threshold via gram equi-join (the
+    SSDeep-similarity-join shape: explode n-grams, join on gram, score
+    pairs): (id_a, id_b, jaccard)."""
+    sh = shingles(df, text_col, id_col, k).persist()
+    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n"))
+    a = sh.select(F.col("id").alias("id_a"), "shingle")
+    b = sh.select(F.col("id").alias("id_b"), "shingle")
+    inter = (a.join(b, "shingle")
+             .filter(F.col("id_a") < F.col("id_b"))
+             .groupBy("id_a", "id_b")
+             .agg(F.count(F.lit(1)).alias("n_inter")))
+    return (inter
+            .join(sizes.select(F.col("id").alias("id_a"), F.col("n").alias("n_a")), "id_a")
+            .join(sizes.select(F.col("id").alias("id_b"), F.col("n").alias("n_b")), "id_b")
+            .withColumn("jaccard", F.round(
+                F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter")), 4))
+            .filter(F.col("jaccard") >= threshold)
+            .select("id_a", "id_b", "jaccard"))

@@ -1,0 +1,132 @@
+"""Multimodal (image/audio/video) column plumbing.
+
+Design: media are opaque ``binary`` columns + a typed metadata struct
+(mime, width/height/duration, source uri).  All Spark-side mechanics —
+schema, partitioning, Arrow batch shape, UDF signatures — are real and
+tested; the actual codec work is stubbed because no image/audio
+libraries exist in this container:
+
+- ``decode_image`` raises ``NotImplementedError`` unless a decoder
+  callback is injected (production would pass e.g. a PIL-based fn);
+- ``fake_decode`` is the deterministic stand-in used by tests: it
+  "decodes" a binary payload into a (height, width, mean_byte) tuple
+  computed from the bytes themselves, exercising the identical
+  mapInPandas path a real decoder would.
+
+Batch sizing: ``mapInPandas`` receives Arrow batches; for ~MB-sized
+media set ``spark.sql.execution.arrow.maxRecordsPerBatch`` low (e.g. 64)
+so a batch stays within executor memory at 100 TB scale — noted here
+because it is the one knob that matters when the opaque blobs are big.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable, Iterator
+from typing import Any
+
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import types as T
+
+MEDIA_META = T.StructType([
+    T.StructField("mime", T.StringType()),
+    T.StructField("width", T.IntegerType()),
+    T.StructField("height", T.IntegerType()),
+    T.StructField("duration_ms", T.LongType()),
+    T.StructField("uri", T.StringType()),
+])
+
+
+def attach_media(df: DataFrame, payload_col: str, mime: str,
+                 uri_col: str | None = None) -> DataFrame:
+    """Normalize a raw binary column into (media binary, media_meta
+    struct) — the canonical multimodal layout."""
+    meta = F.struct(
+        F.lit(mime).alias("mime"),
+        F.lit(None).cast("int").alias("width"),
+        F.lit(None).cast("int").alias("height"),
+        F.lit(None).cast("long").alias("duration_ms"),
+        (F.col(uri_col) if uri_col else F.lit(None).cast("string")).alias("uri"),
+    )
+    return df.withColumn("media", F.col(payload_col).cast("binary")) \
+             .withColumn("media_meta", meta)
+
+
+def fake_decode(payload: bytes) -> tuple[int, int, float]:
+    """Deterministic stand-in for a real image decoder: derives
+    (height, width, mean_byte) from the payload bytes."""
+    if payload is None or len(payload) == 0:
+        return (0, 0, 0.0)
+    h = 1 + payload[0] % 64
+    w = 1 + payload[-1] % 64
+    mean = sum(payload) / len(payload)
+    return (h, w, round(mean, 4))
+
+
+_DECODE_SCHEMA = "id long, height int, width int, mean_byte double"
+
+
+def decode_media(df: DataFrame, id_col: str = "id",
+                 media_col: str = "media",
+                 decoder: Callable[[bytes], tuple[int, int, float]] | None = None,
+                 ) -> DataFrame:
+    """Decode/feature-extract via mapInPandas (Arrow-batched).  Pass a
+    real ``decoder`` in production; defaults to raising (no codec libs
+    in this image) — tests inject ``fake_decode``."""
+    if decoder is None:
+        raise NotImplementedError(
+            "no image/audio codec libraries in this container; inject a "
+            "decoder callback (tests use multimodal.fake_decode)")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            decoded = [decoder(b) for b in pdf[media_col]]
+            yield pd.DataFrame({
+                "id": pdf[id_col],
+                "height": [d[0] for d in decoded],
+                "width": [d[1] for d in decoded],
+                "mean_byte": [d[2] for d in decoded],
+            })
+
+    return df.select(id_col, media_col).mapInPandas(run, _DECODE_SCHEMA)
+
+
+def resize_stub(df: DataFrame, id_col: str = "id", media_col: str = "media",
+                target: tuple[int, int] = (224, 224)) -> DataFrame:
+    """Resize plumbing: passes payloads through mapInPandas with the
+    target dims recorded — a real impl swaps the identity transform for
+    a codec call; the Spark-side shape is identical."""
+    th, tw = target
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame({
+                "id": pdf[id_col],
+                "media": pdf[media_col],   # identity; real impl: resized bytes
+                "height": th, "width": tw,
+            })
+
+    return df.select(id_col, media_col).mapInPandas(
+        run, f"id long, media binary, height int, width int")
+
+
+def frame_sample_stub(df: DataFrame, id_col: str = "id",
+                      media_col: str = "media", every_ms: int = 1000,
+                      max_frames: int = 8) -> DataFrame:
+    """Video frame-sampling plumbing: emits one row per sampled frame
+    index (1 row in, N rows out through mapInPandas) — the real impl
+    would attach decoded frame bytes; the fan-out shape is what matters
+    for partition sizing."""
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {"id": [], "frame_idx": [], "ts_ms": []}
+            for _, r in pdf.iterrows():
+                n = min(max_frames, 1 + (len(r[media_col]) or 0) % max_frames)
+                for i in range(n):
+                    rows["id"].append(r[id_col])
+                    rows["frame_idx"].append(i)
+                    rows["ts_ms"].append(i * every_ms)
+            yield pd.DataFrame(rows)
+
+    return df.select(id_col, media_col).mapInPandas(
+        run, "id long, frame_idx int, ts_ms long")

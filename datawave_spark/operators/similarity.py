@@ -1,0 +1,112 @@
+"""Similarity search over embedding columns (array<float>).
+
+Two paths, as a 100 TB pipeline needs both:
+
+- ``cosine_topk``      — exact brute-force top-k for one query vector.
+  JVM-side: dot product via ``F.zip_with`` + ``F.aggregate`` (no Python
+  in the row loop), one narrow scan + a driver-side top-k (``limit`` on
+  an ordered frame → Spark's TakeOrdered, no full sort shuffle).
+- ``lsh_cosine_topk``  — random-hyperplane LSH (Charikar '02): sign
+  signature → probe only the query's bucket (optionally multi-probe by
+  Hamming distance ≤ 1).  At scale the bucket join prunes the scan to
+  ~N/2^bits candidates; the hyperplanes are seeded-deterministic.
+- ``knn_join``         — exact k-NN for EVERY row of a query frame
+  against a corpus (broadcast the smaller side; per-query top-k via
+  window), the building block for dedup-by-embedding and retrieval
+  eval sets.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import Column, DataFrame, Window, functions as F
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y),
+                       F.lit(0.0), lambda acc, v: acc + v)
+
+
+def _norm(a: Column) -> Column:
+    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v * v))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return _dot(a, b) / (_norm(a) * _norm(b))
+
+
+def cosine_topk(df: DataFrame, vec_col: str, id_col: str,
+                query: list[float], k: int = 10,
+                round_to: int = 4) -> DataFrame:
+    """Exact top-k by cosine to ``query``: (id, cos) — ties broken by id
+    so the result set is deterministic."""
+    q = F.array(*[F.lit(float(x)) for x in query])
+    scored = df.select(
+        F.col(id_col).alias("id"),
+        F.round(cosine(F.col(vec_col).cast("array<double>"), q), round_to).alias("cos"))
+    return scored.orderBy(F.col("cos").desc(), F.col("id")).limit(k)
+
+
+def _hyperplanes(dim: int, bits: int, seed: int = 42) -> np.ndarray:
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((bits, dim))
+
+
+def lsh_signature(vec: Column, planes: np.ndarray) -> Column:
+    """Sign-bit signature string for a vector column."""
+    bits = []
+    for row in planes:
+        plane = F.array(*[F.lit(float(x)) for x in row])
+        bits.append(F.when(_dot(vec, plane) >= 0, F.lit("1")).otherwise(F.lit("0")))
+    return F.concat(*bits)
+
+
+def lsh_cosine_topk(df: DataFrame, vec_col: str, id_col: str,
+                    query: list[float], k: int = 10, bits: int = 8,
+                    seed: int = 42, probe_radius: int = 2,
+                    round_to: int = 4) -> DataFrame:
+    """Approximate top-k: score only vectors whose LSH bucket is within
+    Hamming distance ≤ probe_radius of the query's bucket (multiprobe).
+    With bits=8, radius=2 this scans ~37/256 ≈ 14% of the corpus —
+    recall/cost is tunable per deployment via (bits, probe_radius)."""
+    from itertools import combinations
+    planes = _hyperplanes(len(query), bits, seed)
+    qv = np.asarray(query, dtype=float)
+    qsig = "".join("1" if planes[i] @ qv >= 0 else "0" for i in range(bits))
+
+    def flip(sig: str, idxs: tuple[int, ...]) -> str:
+        out = list(sig)
+        for i in idxs:
+            out[i] = "0" if out[i] == "1" else "1"
+        return "".join(out)
+
+    probes = {qsig}
+    for r in range(1, probe_radius + 1):
+        for idxs in combinations(range(bits), r):
+            probes.add(flip(qsig, idxs))
+    vec = F.col(vec_col).cast("array<double>")
+    sig = lsh_signature(vec, planes)
+    cand = df.select(F.col(id_col).alias("id"), vec.alias("__v"), sig.alias("__sig")) \
+             .filter(F.col("__sig").isin(*sorted(probes)))
+    q = F.array(*[F.lit(float(x)) for x in query])
+    scored = cand.select("id", F.round(cosine(F.col("__v"), q), round_to).alias("cos"))
+    return scored.orderBy(F.col("cos").desc(), F.col("id")).limit(k)
+
+
+def knn_join(queries: DataFrame, corpus: DataFrame, vec_col: str,
+             id_col: str, k: int = 5, round_to: int = 4) -> DataFrame:
+    """For each query row, the k nearest corpus rows by cosine:
+    (query_id, corpus_id, cos).  The corpus side of the cross join is
+    broadcast when small; per-query top-k via window row_number (one
+    shuffle on query_id)."""
+    qs = queries.select(F.col(id_col).alias("query_id"),
+                        F.col(vec_col).cast("array<double>").alias("__qv"))
+    cs = corpus.select(F.col(id_col).alias("corpus_id"),
+                       F.col(vec_col).cast("array<double>").alias("__cv"))
+    scored = (qs.crossJoin(cs)
+              .filter(F.col("query_id") != F.col("corpus_id"))
+              .select("query_id", "corpus_id",
+                      F.round(cosine(F.col("__qv"), F.col("__cv")), round_to).alias("cos")))
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("corpus_id"))
+    return (scored.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") <= k).drop("__rn"))

@@ -1,0 +1,76 @@
+"""Recall/consistency tests for the approximate operators (MinHash-LSH,
+LSH cosine) against their exact counterparts — the checks the driver's
+rows-only gate can't do."""
+
+import os
+
+import pytest
+
+from datawave_spark.operators import dedup, similarity
+from datawave_spark.sources.parquet import read_parquet
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return read_parquet(spark, f"{SF_DIR}/documents.parquet").cache()
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return read_parquet(spark, f"{SF_DIR}/embeddings.parquet").cache()
+
+
+def test_exact_dedup_counts(spark, docs):
+    out = dedup.exact_dedup(docs, "text", "doc_id")
+    total = docs.count()
+    assert out.agg({"n_docs": "sum"}).collect()[0][0] == total
+
+
+def test_minhash_lsh_recall(spark, docs):
+    exact = {(r.id_a, r.id_b) for r in dedup.ngram_jaccard_pairs(
+        docs, "text", "doc_id", k=2, threshold=0.3).collect()}
+    lsh = {(r.id_a, r.id_b) for r in dedup.minhash_lsh_pairs(
+        docs, "text", "doc_id", k=2, num_hashes=16, bands=8,
+        threshold=0.3).collect()}
+    assert lsh <= exact  # verify step guarantees no false positives
+    assert exact, "synthetic corpus should contain planted near-dups"
+    recall = len(lsh) / len(exact)
+    # 8 bands × 2 rows: P(candidate | j=0.3) = 1-(1-0.09)^8 ≈ 0.53, and
+    # planted dups are far above threshold, so recall is high in practice.
+    assert recall >= 0.8, f"LSH recall {recall:.2f} too low ({len(lsh)}/{len(exact)})"
+
+
+def test_simhash_groups_exact_dups_together(spark, docs):
+    # identical texts must share a simhash bucket
+    from pyspark.sql import functions as F
+    two = docs.limit(1).select(F.lit(900001).alias("doc_id"), "text") \
+        .union(docs.limit(1).select(F.lit(900002).alias("doc_id"), "text"))
+    out = dedup.simhash_buckets(two, "text", "doc_id", bits=16)
+    assert out.count() == 1
+    assert out.collect()[0].n_docs == 2
+
+
+def test_lsh_cosine_recall(spark, emb):
+    import pyarrow.parquet as pq
+    q = [float(x) for x in pq.read_table(
+        f"{SF_DIR}/embeddings.parquet",
+        filters=[("vec_id", "=", 0)]).column("embedding")[0].as_py()]
+    exact = [r.id for r in similarity.cosine_topk(emb, "embedding", "vec_id", q, k=10).collect()]
+    approx = [r.id for r in similarity.lsh_cosine_topk(
+        emb, "embedding", "vec_id", q, k=10, bits=8).collect()]
+    # multiprobe LSH on 8 bits: the query vector itself (cos=1) must be
+    # found, and a majority of the true top-10 should survive
+    assert exact[0] == 0 and approx[0] == 0
+    overlap = len(set(exact) & set(approx))
+    assert overlap >= 5, f"LSH top-10 overlap {overlap}/10 too low"
+
+
+def test_knn_join_k_rows_per_query(spark, emb):
+    from pyspark.sql import functions as F
+    out = similarity.knn_join(emb.filter(F.col("vec_id") < 5), emb,
+                              "embedding", "vec_id", k=3)
+    counts = {r.query_id: r["count"] for r in
+              out.groupBy("query_id").count().collect()}
+    assert counts == {i: 3 for i in range(5)}
