@@ -1,0 +1,236 @@
+"""AST→AST rewrite passes.
+
+The analogue of DataWave's visitor pipeline (DefaultQueryPlanner.
+updateQueryTree:701-849, visitors in query/jexl/visitors/).  Catalyst
+re-optimizes whatever we emit, so most reference passes are unnecessary
+for performance — these exist for (a) semantics (options extraction,
+model expansion happen before compilation), (b) plan-string parity
+tests, and (c) fail-fast threshold guards:
+
+- ``flatten``          — TreeFlatteningRebuildingVisitor (1308)
+- ``dedup_terms``      — UniqueExpressionTermsVisitor (1360)
+- ``rewrite_negations``— RewriteNegationsVisitor (1332): != → !(==)
+- ``prune``            — QueryPruningVisitor (1431): boolean constant
+                         folding
+- ``extract_options``  — QueryOptionsFromQueryVisitor (720): pull
+                         f:groupby / f:unique / f:sum / ... out of the
+                         expression into an options dict
+- ``count_terms`` / ``depth`` / ``validate_thresholds`` —
+  TermCountingVisitor / DepthVisitor / ShardQueryConfiguration guards
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field as dc_field
+from typing import Any
+
+from datawave_spark.jexl.ast import (
+    AndNode, CmpNode, FieldCmpNode, FuncNode, Identifier, JexlNode,
+    Literal, NotNode, OrNode,
+)
+
+TRUE = Literal(True)
+FALSE = Literal(False)
+
+
+def _rebuild(node: JexlNode, terms: list[JexlNode], cls) -> JexlNode:
+    if not terms:
+        return TRUE if cls is AndNode else FALSE
+    if len(terms) == 1:
+        return terms[0]
+    return cls(tuple(terms))
+
+
+def flatten(node: JexlNode) -> JexlNode:
+    """Collapse nested ANDs/ORs: (a && (b && c)) → (a && b && c)."""
+    if isinstance(node, (AndNode, OrNode)):
+        cls = type(node)
+        out: list[JexlNode] = []
+        for t in node.terms:
+            ft = flatten(t)
+            if isinstance(ft, cls):
+                out.extend(ft.terms)
+            else:
+                out.append(ft)
+        return _rebuild(node, out, cls)
+    if isinstance(node, NotNode):
+        return NotNode(flatten(node.term))
+    return node
+
+
+def dedup_terms(node: JexlNode) -> JexlNode:
+    """A && A → A (UniqueExpressionTermsVisitor)."""
+    if isinstance(node, (AndNode, OrNode)):
+        cls = type(node)
+        seen: list[JexlNode] = []
+        for t in node.terms:
+            dt = dedup_terms(t)
+            if dt not in seen:
+                seen.append(dt)
+        return _rebuild(node, seen, cls)
+    if isinstance(node, NotNode):
+        return NotNode(dedup_terms(node.term))
+    return node
+
+
+def rewrite_negations(node: JexlNode) -> JexlNode:
+    """``A != b`` → ``!(A == b)``; ``A !~ r`` → ``!(A =~ r)`` —
+    RewriteNegationsVisitor parity (the compiler handles either form;
+    this normalizes the tree for plan-string comparison)."""
+    if isinstance(node, CmpNode) and node.op in ("!=", "!~"):
+        pos = "==" if node.op == "!=" else "=~"
+        return NotNode(CmpNode(pos, node.field, node.value))
+    if isinstance(node, FieldCmpNode) and node.op == "!=":
+        return NotNode(FieldCmpNode("==", node.left, node.right))
+    if isinstance(node, (AndNode, OrNode)):
+        return type(node)(tuple(rewrite_negations(t) for t in node.terms))
+    if isinstance(node, NotNode):
+        return NotNode(rewrite_negations(node.term))
+    return node
+
+
+def prune(node: JexlNode) -> JexlNode:
+    """Boolean constant folding (QueryPruningVisitor): true && A → A,
+    false && A → false, !true → false, etc."""
+    if isinstance(node, NotNode):
+        inner = prune(node.term)
+        if isinstance(inner, Literal) and isinstance(inner.value, bool):
+            return Literal(not inner.value)
+        return NotNode(inner)
+    if isinstance(node, (AndNode, OrNode)):
+        is_and = isinstance(node, AndNode)
+        unit, zero = (True, False) if is_and else (False, True)
+        out: list[JexlNode] = []
+        for t in node.terms:
+            pt = prune(t)
+            if isinstance(pt, Literal) and isinstance(pt.value, bool):
+                if pt.value == zero:
+                    return Literal(zero)
+                continue  # drop identity element
+            out.append(pt)
+        return _rebuild(node, out, type(node))
+    return node
+
+
+def default_pipeline(node: JexlNode) -> JexlNode:
+    """The standard rewrite chain applied before compilation."""
+    return prune(dedup_terms(flatten(node)))
+
+
+# ---------------------------------------------------------------- options
+
+# f: functions that are OPTIONS, not predicates (QueryOptionsFromQuery
+# Visitor.java:58-64 + UniqueFunction granularity forms).
+OPTION_FUNCS = {
+    "groupby", "unique", "most_recent_unique", "sum", "min", "max",
+    "average", "count", "rename", "excerpt_fields", "limit_fields",
+    "noexpansion", "lenient", "strict",
+}
+
+
+@dataclass
+class QueryOptions:
+    """Extracted post-query options — drives the transform chain
+    (GroupingTransform / UniqueTransform / LimitFields / Excerpt)."""
+    groupby: list[str] = dc_field(default_factory=list)
+    unique: dict[str, str] = dc_field(default_factory=dict)  # field → granularity
+    most_recent_unique: bool = False
+    aggregations: list[tuple[str, str]] = dc_field(default_factory=list)  # (op, field)
+    rename: dict[str, str] = dc_field(default_factory=dict)
+    excerpt_fields: list[str] = dc_field(default_factory=list)
+    limit_fields: dict[str, int] = dc_field(default_factory=dict)
+    noexpansion: bool = False
+    lenient: bool = False
+    strict: bool = False
+
+
+def _arg_str(a: JexlNode) -> str:
+    return a.name if isinstance(a, Identifier) else str(a.value)
+
+
+def _parse_unique_arg(raw: str) -> tuple[str, str]:
+    if "[" in raw and raw.endswith("]"):
+        f, g = raw[:-1].split("[", 1)
+        return f, g.upper()
+    return raw, "ALL"
+
+
+def extract_options(node: JexlNode) -> tuple[JexlNode, QueryOptions]:
+    """Pull option f: functions out of the tree; the remaining tree is
+    pruned (options contribute no predicate)."""
+    opts = QueryOptions()
+
+    def walk(n: JexlNode) -> JexlNode:
+        if isinstance(n, FuncNode) and n.namespace == "f" \
+                and n.name in OPTION_FUNCS:
+            args = [_arg_str(a) for a in n.args]
+            if n.name == "groupby":
+                opts.groupby.extend(args)
+            elif n.name in ("unique", "most_recent_unique"):
+                opts.most_recent_unique |= n.name == "most_recent_unique"
+                for raw in args:
+                    f, g = _parse_unique_arg(raw)
+                    opts.unique[f] = g
+            elif n.name in ("sum", "min", "max", "average", "count"):
+                opts.aggregations.extend((n.name.upper(), a) for a in args)
+            elif n.name == "rename":
+                for raw in args:
+                    old, new = raw.split("=", 1)
+                    opts.rename[old] = new
+            elif n.name == "excerpt_fields":
+                opts.excerpt_fields.extend(args)
+            elif n.name == "limit_fields":
+                for raw in args:
+                    f, lim = raw.split("=", 1)
+                    opts.limit_fields[f] = int(lim)
+            elif n.name == "noexpansion":
+                opts.noexpansion = True
+            elif n.name == "lenient":
+                opts.lenient = True
+            elif n.name == "strict":
+                opts.strict = True
+            return TRUE
+        if isinstance(n, (AndNode, OrNode)):
+            return type(n)(tuple(walk(t) for t in n.terms))
+        if isinstance(n, NotNode):
+            return NotNode(walk(n.term))
+        return n
+
+    return prune(walk(node)), opts
+
+
+# ------------------------------------------------------------- validators
+
+def count_terms(node: JexlNode) -> int:
+    """TermCountingVisitor: leaf comparisons + function calls."""
+    if isinstance(node, (CmpNode, FieldCmpNode, FuncNode)):
+        return 1
+    if isinstance(node, (AndNode, OrNode)):
+        return sum(count_terms(t) for t in node.terms)
+    if isinstance(node, NotNode):
+        return count_terms(node.term)
+    return 0
+
+
+def depth(node: JexlNode) -> int:
+    """DepthVisitor."""
+    kids = node.children()
+    if not kids:
+        return 1
+    return 1 + max(depth(k) for k in kids)
+
+
+class ThresholdExceeded(ValueError):
+    pass
+
+
+def validate_thresholds(node: JexlNode, max_terms: int = 2500,
+                        max_depth: int = 2500) -> None:
+    """ShardQueryConfiguration maxTermThreshold / maxDepthThreshold
+    fail-fast guards."""
+    n = count_terms(node)
+    if n > max_terms:
+        raise ThresholdExceeded(f"query has {n} terms > maxTermThreshold {max_terms}")
+    d = depth(node)
+    if d > max_depth:
+        raise ThresholdExceeded(f"query depth {d} > maxDepthThreshold {max_depth}")

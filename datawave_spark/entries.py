@@ -521,3 +521,53 @@ FROM documents
 def q_text_fingerprint(spark, sf_dir):
     out = text_ops.fingerprint(_t(spark, sf_dir, "documents"), "text")
     return out.select("doc_id", "fingerprint")
+
+
+# --------------------------------------- LUCENE front-end (§3.1 syntax)
+
+@register("lucene_bool_range", """
+SELECT event_id, event_type, value FROM events
+WHERE event_type = 'click' AND value >= 100 AND value <= 300
+""")
+def q_lucene_bool_range(spark, sf_dir):
+    from datawave_spark.plans import QueryPlanner
+    ev = _t(spark, sf_dir, "events")
+    res = QueryPlanner(ev).plan("event_type:click AND value:[100 TO 300]",
+                                syntax="LUCENE")
+    return res.df.select("event_id", "event_type", "value")
+
+
+@register("lucene_wildcard_not", """
+SELECT event_id, event_type FROM events
+WHERE regexp_full_match(event_type, 's.*p') AND NOT user_id = 1
+""")
+def q_lucene_wildcard_not(spark, sf_dir):
+    from datawave_spark.plans import QueryPlanner
+    ev = _t(spark, sf_dir, "events")
+    res = QueryPlanner(ev).plan("event_type:s*p AND NOT user_id:1",
+                                syntax="LUCENE")
+    return res.df.select("event_id", "event_type")
+
+
+@register("lucene_groupby_sum", """
+SELECT event_type, count(*) AS record_count, round(sum(value), 4) AS sum_value
+FROM events WHERE value > 50 GROUP BY event_type
+""")
+def q_lucene_groupby_sum(spark, sf_dir):
+    from datawave_spark.plans import QueryPlanner
+    ev = _t(spark, sf_dir, "events")
+    res = QueryPlanner(ev).plan("value:{50 TO 100000} #GROUPBY(event_type) #SUM(value)",
+                                syntax="LUCENE")
+    return res.df.select("event_type", "record_count",
+                         F.round("sum_value", 4).alias("sum_value"))
+
+
+@register("lucene_unique_day", """
+SELECT DISTINCT user_id, event_type FROM events WHERE value > 400
+""")
+def q_lucene_unique(spark, sf_dir):
+    from datawave_spark.plans import QueryPlanner
+    ev = _t(spark, sf_dir, "events")
+    res = QueryPlanner(ev).plan("value:{400 TO 100000} #UNIQUE(user_id, event_type)",
+                                syntax="LUCENE")
+    return res.df.select("user_id", "event_type")

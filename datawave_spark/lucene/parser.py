@@ -1,0 +1,268 @@
+"""LUCENE syntax → the engine's JEXL AST.
+
+Reference: warehouse/query-core/src/main/java/datawave/query/language/
+parser/jexl/LuceneToJexlQueryParser.java:26 (javacc grammar
+AccumuloSyntaxParser.java:45).  The LUCENE dialect DataWave accepts:
+
+- ``FIELD:value`` (equality), ``FIELD:val*``/``va?ue`` (wildcards →
+  regex), bare ``value`` (unfielded → _ANYFIELD_);
+- ``FIELD:[a TO b]`` inclusive / ``{a TO b}`` exclusive ranges;
+- ``FIELD:"a b c"`` quoted phrase → content:phrase(FIELD, ...);
+- ``AND`` / ``OR`` / ``NOT`` (and symbolic &&/||/!), implicit AND for
+  adjacent terms (DataWave configures implicit-AND), parentheses;
+- ``#FUNC(args)`` post-filters/options — the `language/functions/jexl/`
+  class list: #INCLUDE, #EXCLUDE, #ISNULL, #ISNOTNULL, #TEXT,
+  #GROUPBY, #UNIQUE, #UNIQUE_BY_DAY (etc.), #SUM/#MIN/#MAX/#AVERAGE/
+  #COUNT, #EXCERPT_FIELDS, #LIMIT_FIELDS, #NOEXPANSION, #LENIENT,
+  #STRICT, #RENAME, #MATCHES_IN_GROUP, #OCCURRENCE, #JEXL.
+
+Everything compiles onto the same JEXL AST the JEXL parser produces, so
+downstream (rewrites, options extraction, Column compiler) is shared.
+"""
+
+from __future__ import annotations
+
+import re
+
+from datawave_spark.jexl.ast import (
+    AndNode, CmpNode, FuncNode, Identifier, JexlNode, Literal, NotNode,
+    OrNode,
+)
+
+
+class LuceneParseError(ValueError):
+    pass
+
+
+_TOKEN_RE = re.compile(r"""
+    (?P<ws>\s+)
+  | (?P<lparen>\() | (?P<rparen>\))
+  | (?P<lbracket>\[) | (?P<rbracket>\]) | (?P<lbrace>\{) | (?P<rbrace>\})
+  | (?P<and>AND\b|&&) | (?P<or>OR\b|\|\|) | (?P<not>NOT\b|!)
+  | (?P<to>TO\b)
+  | (?P<hashfunc>\#[A-Za-z_][A-Za-z0-9_]*)
+  | (?P<phrase>"(?:\\.|[^"\\])*")
+  | (?P<fielded>[A-Za-z_$][A-Za-z0-9_.$]*:)
+  | (?P<comma>,)
+  | (?P<term>[^\s()\[\]{}",]+)
+""", re.VERBOSE)
+
+
+def _tokenize(text: str) -> list[tuple[str, str]]:
+    out, pos = [], 0
+    while pos < len(text):
+        m = _TOKEN_RE.match(text, pos)
+        if not m:
+            raise LuceneParseError(f"bad character at {pos}: {text[pos:pos+20]!r}")
+        pos = m.end()
+        if m.lastgroup != "ws":
+            out.append((m.lastgroup, m.group()))
+    out.append(("eof", ""))
+    return out
+
+
+# LUCENE wildcard → Java regex (full-match semantics downstream)
+def _wildcard_to_regex(term: str) -> str:
+    out = []
+    for ch in term:
+        if ch == "*":
+            out.append(".*")
+        elif ch == "?":
+            out.append(".")
+        else:
+            out.append(re.escape(ch))
+    return "".join(out)
+
+
+# #FUNC name → (namespace, jexl name) for evaluation-phase functions
+# (language/functions/jexl/*.java class list).
+_HASH_EVAL = {
+    "INCLUDE": ("filter", "includeRegex"),
+    "EXCLUDE": ("filter", "excludeRegex"),
+    "ISNULL": ("filter", "isNull"),
+    "ISNOTNULL": ("filter", "isNotNull"),
+    "OCCURRENCE": ("filter", "occurrence"),
+    "MATCHES_AT_LEAST_COUNT_OF": ("filter", "matchesAtLeastCountOf"),
+    "TEXT": ("f", "includeText"),
+    "MATCHES_IN_GROUP": ("grouping", "matchesInGroup"),
+    "MATCHES_IN_GROUP_LEFT": ("grouping", "matchesInGroupLeft"),
+}
+
+# #FUNC options → f: namespace option functions (QueryOptionsFromQuery
+# recognizes f:groupby, f:unique, f:unique_by_*, f:sum..., :58-64).
+_HASH_OPTIONS = {
+    "GROUPBY": "groupby", "GROUP_BY": "groupby",
+    "UNIQUE": "unique", "MOST_RECENT_UNIQUE": "most_recent_unique",
+    "SUM": "sum", "MIN": "min", "MAX": "max", "AVERAGE": "average",
+    "COUNT": "count", "RENAME": "rename",
+    "EXCERPT_FIELDS": "excerpt_fields", "LIMIT_FIELDS": "limit_fields",
+    "NOEXPANSION": "noexpansion", "LENIENT": "lenient", "STRICT": "strict",
+}
+_UNIQUE_BY = re.compile(r"UNIQUE_BY_([A-Z]+)$")
+
+
+class _Parser:
+    def __init__(self, tokens):
+        self.tokens = tokens
+        self.i = 0
+
+    def peek(self):
+        return self.tokens[self.i]
+
+    def next(self):
+        t = self.tokens[self.i]
+        self.i += 1
+        return t
+
+    def expect(self, kind):
+        k, v = self.next()
+        if k != kind:
+            raise LuceneParseError(f"expected {kind}, got {v!r}")
+        return v
+
+    # OR over AND over unary; adjacency = implicit AND
+    def parse_or(self) -> JexlNode:
+        terms = [self.parse_and()]
+        while self.peek()[0] == "or":
+            self.next()
+            terms.append(self.parse_and())
+        return terms[0] if len(terms) == 1 else OrNode(tuple(terms))
+
+    _STARTERS = {"lparen", "not", "hashfunc", "phrase", "fielded", "term"}
+
+    def parse_and(self) -> JexlNode:
+        terms = [self.parse_unary()]
+        while True:
+            kind = self.peek()[0]
+            if kind == "and":
+                self.next()
+                terms.append(self.parse_unary())
+            elif kind in self._STARTERS:      # implicit AND
+                terms.append(self.parse_unary())
+            else:
+                break
+        return terms[0] if len(terms) == 1 else AndNode(tuple(terms))
+
+    def parse_unary(self) -> JexlNode:
+        kind, _ = self.peek()
+        if kind == "not":
+            self.next()
+            return NotNode(self.parse_unary())
+        if kind == "lparen":
+            self.next()
+            inner = self.parse_or()
+            self.expect("rparen")
+            return inner
+        if kind == "hashfunc":
+            return self.parse_hashfunc()
+        return self.parse_term()
+
+    def parse_hashfunc(self) -> JexlNode:
+        _, raw = self.next()
+        name = raw[1:].upper()
+        args: list[JexlNode] = []
+        if self.peek()[0] == "lparen":
+            self.next()
+            while self.peek()[0] != "rparen":
+                k, v = self.next()
+                if k == "comma":
+                    continue
+                if k == "lbracket":
+                    # granularity suffix: #UNIQUE(FIELD[DAY]) — attach
+                    # to the preceding field identifier
+                    gran = self.expect("term")
+                    self.expect("rbracket")
+                    prev = args.pop()
+                    base = prev.name if isinstance(prev, Identifier) else str(prev.value)
+                    args.append(Identifier(f"{base}[{gran}]"))
+                    continue
+                if k == "phrase":
+                    args.append(Literal(self._unquote(v)))
+                elif k == "term":
+                    # numbers stay numeric, words become identifiers or
+                    # string literals depending on position (functions
+                    # sort it out; identifiers are safe for both).
+                    if re.fullmatch(r"-?\d+", v):
+                        args.append(Literal(int(v)))
+                    elif re.fullmatch(r"-?\d+\.\d+", v):
+                        args.append(Literal(float(v)))
+                    else:
+                        args.append(Identifier(v))
+                else:
+                    raise LuceneParseError(f"bad #{name} argument {v!r}")
+            self.expect("rparen")
+        if name in _HASH_EVAL:
+            ns, fn = _HASH_EVAL[name]
+            # filter: regex/value args arrive as Identifiers — convert
+            # non-leading args to literals (fields stay identifiers only
+            # in positions the functions expect).
+            return FuncNode(ns, fn, tuple(args))
+        m = _UNIQUE_BY.match(name)
+        if m:
+            gran = m.group(1)
+            field_args = tuple(
+                Identifier(f"{a.name if isinstance(a, Identifier) else a.value}[{gran}]")
+                for a in args)
+            return FuncNode("f", "unique", field_args)
+        if name in _HASH_OPTIONS:
+            return FuncNode("f", _HASH_OPTIONS[name], tuple(args))
+        if name == "JEXL":
+            from datawave_spark.jexl.parser import parse as parse_jexl
+            assert args and isinstance(args[0], Literal)
+            return parse_jexl(str(args[0].value))
+        raise LuceneParseError(f"unknown function #{name}")
+
+    @staticmethod
+    def _unquote(s: str) -> str:
+        return re.sub(r"\\(.)", r"\1", s[1:-1])
+
+    def parse_term(self) -> JexlNode:
+        kind, v = self.next()
+        field = "_ANYFIELD_"
+        if kind == "fielded":
+            field = v[:-1]
+            kind, v = self.next()
+        if kind == "phrase":
+            words = self._unquote(v).split()
+            if len(words) == 1:
+                return CmpNode("==", Identifier(field), Literal(words[0]))
+            args = [Literal(w) for w in words]
+            if field != "_ANYFIELD_":
+                return FuncNode("content", "phrase",
+                                (Identifier(field), *args))
+            return FuncNode("content", "phrase", tuple(args))
+        if kind in ("lbracket", "lbrace"):
+            lo_incl = kind == "lbracket"
+            lo = self.expect("term")
+            self.expect("to")
+            hi = self.next()[1]
+            end_kind = self.next()[0]
+            hi_incl = end_kind == "rbracket"
+            lo_op = ">=" if lo_incl else ">"
+            hi_op = "<=" if hi_incl else "<"
+            return AndNode((
+                CmpNode(lo_op, Identifier(field), self._typed(lo)),
+                CmpNode(hi_op, Identifier(field), self._typed(hi)),
+            ))
+        if kind != "term":
+            raise LuceneParseError(f"unexpected {v!r}")
+        if "*" in v or "?" in v:
+            return CmpNode("=~", Identifier(field),
+                           Literal(_wildcard_to_regex(v)))
+        return CmpNode("==", Identifier(field), self._typed(v))
+
+    @staticmethod
+    def _typed(v: str) -> Literal:
+        if re.fullmatch(r"-?\d+", v):
+            return Literal(int(v))
+        if re.fullmatch(r"-?\d+\.\d+", v):
+            return Literal(float(v))
+        return Literal(v)
+
+
+def parse_lucene(text: str) -> JexlNode:
+    p = _Parser(_tokenize(text))
+    node = p.parse_or()
+    if p.peek()[0] != "eof":
+        raise LuceneParseError(f"trailing input at {p.peek()[1]!r}")
+    return node

@@ -1,0 +1,3 @@
+"""Query planning: the user-facing query lifecycle."""
+
+from datawave_spark.plans.planner import QueryPlanner, QueryResult  # noqa: F401

@@ -1,0 +1,112 @@
+"""The query lifecycle: parse → rewrite → extract options → compile →
+post-transforms → paged results.
+
+This is the Spark restatement of DataWave's 3-tier flow (SURVEY §3.1):
+REST create → DefaultQueryPlanner.process (ShardQueryLogic.initialize,
+query/planner/DefaultQueryPlanner.java:387) → tserver QueryIterator →
+DocumentTransformer pages.  Here: the planner emits one DataFrame whose
+Catalyst plan subsumes RangeStream range generation (partition pruning)
+and the iterator tree (whole-stage codegen); paging is
+``toLocalIterator``.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field as dc_field
+from typing import Any, Iterator
+
+from pyspark.sql import DataFrame, functions as F
+
+from datawave_spark.compiler.columns import CompileContext, compile_node
+from datawave_spark.compiler.rewrite import (
+    QueryOptions, default_pipeline, extract_options, validate_thresholds,
+)
+from datawave_spark.jexl.ast import JexlNode
+from datawave_spark.operators.grouping import group_by
+from datawave_spark.operators.limit_fields import limit_fields
+from datawave_spark.operators.unique import unique
+
+
+@dataclass
+class QueryResult:
+    """A planned, executable query."""
+    df: DataFrame
+    options: QueryOptions
+    plan_string: str          # rewritten JEXL — the EXPLAIN-style string
+                              # (QueryPlanTest asserts on this in the
+                              # reference); spark_plan() gives Catalyst's.
+
+    def spark_plan(self) -> str:
+        return self.df._jdf.queryExecution().explainString("formatted")
+
+    def pages(self, page_size: int = 100) -> Iterator[list]:
+        """RunningQuery.next() paging (RunningQuery.java:408) without
+        collecting the whole result on the driver."""
+        page = []
+        for row in self.df.toLocalIterator():
+            page.append(row)
+            if len(page) >= page_size:
+                yield page
+                page = []
+        if page:
+            yield page
+
+
+class QueryPlanner:
+    """Plans JEXL or LUCENE queries against an event DataFrame.
+
+    ``field_types`` binds normalizers per field (the metadata-table type
+    registry, SURVEY §1.4); ``model`` maps query aliases to concrete
+    fields (QueryModelVisitor).  Thresholds mirror
+    ShardQueryConfiguration's fail-fast guards.
+    """
+
+    def __init__(self, df: DataFrame, *,
+                 field_types: dict[str, str] | None = None,
+                 model: dict[str, list[str]] | None = None,
+                 max_terms: int = 2500, max_depth: int = 2500):
+        self.df = df
+        self.field_types = field_types
+        self.model = model
+        self.max_terms = max_terms
+        self.max_depth = max_depth
+
+    def parse(self, query: str, syntax: str = "JEXL") -> JexlNode:
+        syntax = syntax.upper()
+        if syntax == "LUCENE":
+            from datawave_spark.lucene.parser import parse_lucene
+            return parse_lucene(query)
+        if syntax == "JEXL":
+            from datawave_spark.jexl.parser import parse as parse_jexl
+            return parse_jexl(query)
+        raise ValueError(f"unknown syntax {syntax!r} (JEXL or LUCENE)")
+
+    def plan(self, query: str, syntax: str = "JEXL") -> QueryResult:
+        import datawave_spark.functions  # noqa: F401  (register compilers)
+        node = self.parse(query, syntax)
+        node = default_pipeline(node)
+        node, opts = extract_options(node)
+        validate_thresholds(node, self.max_terms, self.max_depth)
+
+        ctx = CompileContext.for_dataframe(
+            self.df, field_types=self.field_types, model=self.model)
+        out = self.df.filter(compile_node(node, ctx))
+
+        # Post-transform chain — GroupingTransform / UniqueTransform /
+        # LimitFields order mirrors QueryIterator's pipeline (:467-887).
+        if opts.limit_fields:
+            out = limit_fields(out, opts.limit_fields)
+        if opts.groupby:
+            aggs = [(op, f, f"{op.lower()}_{f}".lower())
+                    for op, f in opts.aggregations]
+            out = group_by(out, [g for g in opts.groupby], aggs)
+        elif opts.unique:
+            ts_cols = [c for c, t in self.df.dtypes if t == "timestamp"]
+            most_recent = ts_cols[:1] if opts.most_recent_unique else None
+            out = unique(out, opts.unique, most_recent_by=most_recent)
+        if opts.rename:
+            for old, new in opts.rename.items():
+                if old in out.columns:
+                    out = out.withColumnRenamed(old, new)
+
+        return QueryResult(df=out, options=opts, plan_string=str(node))

@@ -1,0 +1,159 @@
+"""LUCENE front-end + rewrite passes + planner lifecycle tests —
+modeled on the reference's LuceneQueryTest / QueryPlanTest /
+visitor-level tests."""
+
+import pytest
+
+from datawave_spark.compiler.rewrite import (
+    ThresholdExceeded, count_terms, dedup_terms, default_pipeline, depth,
+    extract_options, flatten, prune, rewrite_negations, validate_thresholds,
+)
+from datawave_spark.jexl.ast import (
+    AndNode, CmpNode, FuncNode, Identifier, Literal, NotNode, OrNode,
+)
+from datawave_spark.jexl.parser import parse as jexl
+from datawave_spark.lucene.parser import parse_lucene
+from datawave_spark.plans import QueryPlanner
+
+
+class TestLucene:
+    def test_fielded_term(self):
+        assert parse_lucene("CITY:rome") == jexl("CITY == 'rome'")
+
+    def test_implicit_and_and_or(self):
+        assert parse_lucene("CITY:rome STATE:lazio") == jexl(
+            "CITY == 'rome' && STATE == 'lazio'")
+        assert parse_lucene("CITY:rome OR CITY:paris") == jexl(
+            "CITY == 'rome' || CITY == 'paris'")
+
+    def test_not_and_parens(self):
+        assert parse_lucene("(CITY:rome OR CITY:milan) AND NOT NUM:5") == \
+            jexl("(CITY == 'rome' || CITY == 'milan') && !(NUM == 5)")
+
+    def test_wildcards(self):
+        assert parse_lucene("CITY:ro*") == jexl("CITY =~ 'ro.*'")
+        assert parse_lucene("CITY:r?me") == jexl("CITY =~ 'r.me'")
+
+    def test_range_terms(self):
+        assert parse_lucene("NUM:[5 TO 10]") == jexl("NUM >= 5 && NUM <= 10")
+        assert parse_lucene("NUM:{5 TO 10}") == jexl("NUM > 5 && NUM < 10")
+
+    def test_unfielded(self):
+        assert parse_lucene("rome") == jexl("_ANYFIELD_ == 'rome'")
+
+    def test_phrase(self):
+        node = parse_lucene('TEXT:"hello world"')
+        assert node == FuncNode("content", "phrase",
+                                (Identifier("TEXT"), Literal("hello"),
+                                 Literal("world")))
+
+    def test_hash_include(self):
+        node = parse_lucene("CITY:rome AND #INCLUDE(STATE, laz.*)")
+        assert isinstance(node, AndNode)
+        assert node.terms[1] == FuncNode("filter", "includeRegex",
+                                         (Identifier("STATE"),
+                                          Identifier("laz.*")))
+
+    def test_hash_isnotnull(self):
+        assert parse_lucene("#ISNOTNULL(CITY)") == FuncNode(
+            "filter", "isNotNull", (Identifier("CITY"),))
+
+    def test_hash_groupby_unique(self):
+        node = parse_lucene("CITY:rome #GROUPBY(STATE) #SUM(NUM)")
+        assert node.terms[1] == FuncNode("f", "groupby", (Identifier("STATE"),))
+        node2 = parse_lucene("CITY:rome #UNIQUE(UID[DAY])")
+        assert node2.terms[1] == FuncNode("f", "unique", (Identifier("UID[DAY]"),))
+        node3 = parse_lucene("CITY:rome #UNIQUE_BY_DAY(UID)")
+        assert node3.terms[1] == FuncNode("f", "unique", (Identifier("UID[DAY]"),))
+
+    def test_hash_jexl_passthrough(self):
+        assert parse_lucene('#JEXL("A == \'1\'")') == jexl("A == '1'")
+
+
+class TestRewrites:
+    def test_flatten(self):
+        n = jexl("A == '1' && (B == '2' && (C == '3' && D == '4'))")
+        f = flatten(n)
+        assert isinstance(f, AndNode) and len(f.terms) == 4
+
+    def test_dedup(self):
+        n = flatten(jexl("A == '1' && A == '1' && B == '2'"))
+        assert len(dedup_terms(n).terms) == 2
+
+    def test_rewrite_negations(self):
+        assert rewrite_negations(jexl("A != '1'")) == NotNode(jexl("A == '1'"))
+
+    def test_prune(self):
+        n = AndNode((Literal(True), jexl("A == '1'")))
+        assert prune(n) == jexl("A == '1'")
+        assert prune(OrNode((Literal(True), jexl("A == '1'")))) == Literal(True)
+        assert prune(NotNode(Literal(False))) == Literal(True)
+
+    def test_extract_options(self):
+        node = default_pipeline(parse_lucene(
+            "CITY:rome #GROUPBY(STATE) #SUM(NUM) #UNIQUE(UID[HOUR]) #LIMIT_FIELDS(CITY=2)"))
+        rest, opts = extract_options(node)
+        assert rest == jexl("CITY == 'rome'")
+        assert opts.groupby == ["STATE"]
+        assert opts.aggregations == [("SUM", "NUM")]
+        assert opts.unique == {"UID": "HOUR"}
+        assert opts.limit_fields == {"CITY": 2}
+
+    def test_thresholds(self):
+        n = jexl(" && ".join(f"F{i} == '{i}'" for i in range(10)))
+        assert count_terms(n) == 10
+        assert depth(n) >= 2
+        with pytest.raises(ThresholdExceeded):
+            validate_thresholds(n, max_terms=5)
+
+
+class TestPlanner:
+    @pytest.fixture(scope="class")
+    def events(self, spark):
+        rows = [
+            ("a", ["rome", "milan"], 10.0, "2024-01-01 10:00:00"),
+            ("b", ["rome"], 25.0, "2024-01-01 11:00:00"),
+            ("c", ["paris"], 5.0, "2024-01-02 09:00:00"),
+            ("d", ["rome"], 30.0, "2024-01-02 09:30:00"),
+        ]
+        df = spark.createDataFrame(
+            rows, "uid string, CITY array<string>, NUM double, TS string")
+        from pyspark.sql import functions as F
+        return df.withColumn("TS", F.to_timestamp("TS")).cache()
+
+    def test_lucene_end_to_end(self, events):
+        qp = QueryPlanner(events)
+        res = qp.plan("CITY:rome AND NUM:[10 TO 30]", syntax="LUCENE")
+        assert sorted(r.uid for r in res.df.collect()) == ["a", "b", "d"]
+        assert "CITY == 'rome'" in res.plan_string
+
+    def test_groupby_option(self, events):
+        qp = QueryPlanner(events)
+        res = qp.plan("CITY:rome #GROUPBY(CITY) #SUM(NUM)", syntax="LUCENE")
+        rows = {r.CITY: r for r in res.df.collect()}
+        assert rows["rome"].record_count == 3
+        assert rows["rome"].sum_num == 65.0
+        assert rows["milan"].record_count == 1
+
+    def test_unique_option(self, events):
+        qp = QueryPlanner(events)
+        res = qp.plan("CITY:rome #UNIQUE(TS[DAY])", syntax="LUCENE")
+        assert res.df.count() == 2  # two distinct days
+
+    def test_limit_fields(self, events):
+        qp = QueryPlanner(events)
+        res = qp.plan("CITY:rome #LIMIT_FIELDS(CITY=1)", syntax="LUCENE")
+        row = [r for r in res.df.collect() if r.uid == "a"][0]
+        assert row.CITY == ["rome"] and row.CITY_count == 2
+
+    def test_pages(self, events):
+        qp = QueryPlanner(events)
+        res = qp.plan("NUM > 0", syntax="JEXL")
+        pages = list(res.pages(page_size=3))
+        assert [len(p) for p in pages] == [3, 1]
+
+    def test_plan_string_stability(self, events):
+        qp = QueryPlanner(events)
+        res = qp.plan("(CITY:rome AND (CITY:rome AND NUM:5))", syntax="LUCENE")
+        # flatten + dedup applied
+        assert res.plan_string == "(CITY == 'rome' && NUM == 5)"
