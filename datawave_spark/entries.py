@@ -571,3 +571,123 @@ def q_lucene_unique(spark, sf_dir):
     res = QueryPlanner(ev).plan("value:{400 TO 100000} #UNIQUE(user_id, event_type)",
                                 syntax="LUCENE")
     return res.df.select("user_id", "event_type")
+
+
+# --------------------------------- §2.2/§2.5 content functions + excerpts
+
+_DUCK_DOCTOKS = ("SELECT doc_id, list_filter(regexp_split_to_array(lower(text), "
+                 "'[^a-z0-9]+'), x -> x != '') AS t FROM documents")
+
+
+@register("content_phrase", f"""
+WITH toks AS ({_DUCK_DOCTOKS})
+SELECT doc_id FROM toks
+WHERE len([i for i in range(1, len(t)) if t[i] = 'key' AND t[i+1] = 'agg']) > 0
+""")
+def q_content_phrase(spark, sf_dir):
+    from datawave_spark.sources.ingest import tokenize
+    docs = tokenize(_t(spark, sf_dir, "documents"), "text", "doc_id")
+    return compile_query(docs, "content:phrase(TEXT, 'key', 'agg')") \
+        .select("doc_id")
+
+
+@register("content_adjacent", f"""
+WITH toks AS ({_DUCK_DOCTOKS})
+SELECT doc_id FROM toks
+WHERE len([i for i in range(1, len(t)) if
+           (t[i] = 'sort' AND t[i+1] = 'merge') OR
+           (t[i] = 'merge' AND t[i+1] = 'sort')]) > 0
+""")
+def q_content_adjacent(spark, sf_dir):
+    from datawave_spark.sources.ingest import tokenize
+    docs = tokenize(_t(spark, sf_dir, "documents"), "text", "doc_id")
+    return compile_query(docs, "content:adjacent(TEXT, 'sort', 'merge')") \
+        .select("doc_id")
+
+
+@register("content_within", f"""
+WITH toks AS ({_DUCK_DOCTOKS}),
+pos AS (
+  SELECT doc_id,
+         [i for i in range(1, len(t)+1) if t[i] = 'spark'] AS p1,
+         flatten([range(j-3, j+4) for j in
+                  [i for i in range(1, len(t)+1) if t[i] = 'window']]) AS p2w
+  FROM toks)
+SELECT doc_id FROM pos WHERE len(p1) > 0 AND list_has_any(p1, p2w)
+""")
+def q_content_within(spark, sf_dir):
+    from datawave_spark.sources.ingest import tokenize
+    docs = tokenize(_t(spark, sf_dir, "documents"), "text", "doc_id")
+    return compile_query(docs, "content:within(TEXT, 3, 'spark', 'window')") \
+        .select("doc_id")
+
+
+@register("excerpt_term", f"""
+WITH toks AS ({_DUCK_DOCTOKS})
+SELECT doc_id,
+       array_to_string([array_to_string(t[greatest(i-3,1):least(i+3,len(t))], ' ')
+                        for i in range(1, len(t)+1) if t[i] = 'spark'], ' | ') AS ex
+FROM toks WHERE len([i for i in range(1, len(t)+1) if t[i] = 'spark']) > 0
+""")
+def q_excerpt_term(spark, sf_dir):
+    from datawave_spark.operators.excerpt import excerpt_hits
+    docs = _t(spark, sf_dir, "documents")
+    out = excerpt_hits(docs, "text", "spark", window=3)
+    return out.select("doc_id",
+                      F.array_join("excerpts", " | ").alias("ex"))
+
+
+# ------------------------------------ §2.1 ingest / §2.7 ops-parity layer
+
+@register("ingest_uid_date", """
+SELECT event_id,
+       md5(CAST(event_id AS VARCHAR) || chr(0) || CAST(user_id AS VARCHAR)) AS uid,
+       CAST(CAST(ts AS DATE) AS VARCHAR) AS event_date,
+       'events' AS datatype
+FROM events
+""")
+def q_ingest_uid_date(spark, sf_dir):
+    """Batch ingest standard columns (uid is md5 over identity fields,
+    event_date from the event-time column) — shard bucket is checked in
+    unit tests (crc32 is not reproducible in DuckDB)."""
+    from datawave_spark.sources.ingest import IngestConfig, ingest_events
+    ev = _t(spark, sf_dir, "events")
+    cfg = IngestConfig(datatype="events", date_field="ts",
+                       uid_fields=["event_id", "user_id"])
+    out = ingest_events(ev, cfg)
+    return out.select("event_id", "uid",
+                      F.col("event_date").cast("string").alias("event_date"),
+                      "datatype")
+
+
+@register("visibility_filter", """
+SELECT event_id, event_type FROM events
+WHERE (CASE WHEN event_type = 'error' THEN 'SEC&OPS'
+            WHEN event_type = 'signup' THEN 'PII' ELSE 'PUB' END)
+      IN ('PUB', 'SEC&OPS')
+""")
+def q_visibility_filter(spark, sf_dir):
+    """ColumnVisibility row filter: derive a label per event, filter by
+    auths {PUB, SEC, OPS} — 'SEC&OPS' satisfied, 'PII' not."""
+    from datawave_spark.visibility import filter_by_auths
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "visibility",
+        F.when(F.col("event_type") == "error", "SEC&OPS")
+         .when(F.col("event_type") == "signup", "PII")
+         .otherwise("PUB"))
+    out = filter_by_auths(ev, {"PUB", "SEC", "OPS"})
+    return out.select("event_id", "event_type")
+
+
+@register("ageoff_view", """
+SELECT event_id, CAST(CAST(ts AS DATE) AS VARCHAR) AS day FROM events
+WHERE datediff('day', CAST(ts AS DATE), DATE '2024-01-20') <= 10
+""")
+def q_ageoff_view(spark, sf_dir):
+    """Age-off read-time view: 10-day TTL against a fixed 'now'."""
+    import datetime as dt
+    from datawave_spark.operators.ageoff import AgeOffRule, age_off_filter
+    ev = _t(spark, sf_dir, "events")
+    out = age_off_filter(ev, [AgeOffRule(ttl_days=10)], date_col="ts",
+                         now=dt.date(2024, 1, 20))
+    return out.select("event_id", F.col("ts").cast("date").cast("string").alias("day"))

@@ -72,7 +72,13 @@ def c_phrase(ctx: CompileContext, args):
     zone, terms = _zone_and_terms(ctx, args)
     tf = _tf_col(ctx, zone)
     anchor = _offsets(tf, terms[0])
-    shifted = [F.transform(_offsets(tf, t), lambda o, i=i: o - i)
+
+    def shift(offsets: Column, by: int) -> Column:
+        # single-arg lambda: a second parameter would receive the array
+        # INDEX from Spark's higher-order transform, not the closure.
+        return F.transform(offsets, lambda o: o - by)
+
+    shifted = [shift(_offsets(tf, t), i)
                for i, t in enumerate(terms[1:], start=1)]
     out = anchor
     for s in shifted:
@@ -113,14 +119,17 @@ def c_within(ctx: CompileContext, args):
             offs[1], lambda b: F.exists(
                 offs[2], lambda c:
                 (F.greatest(a, b, c) - F.least(a, b, c)) <= dist)))
-    # k > 3: anchor on each offset of term 1; all terms must land within
-    # [anchor, anchor+dist] for some anchor ≥ window start — exact
-    # because any qualifying window has a minimal element that anchors it.
-    anchored = None
-    for o in offs[1:]:
-        cond = lambda a, o=o: F.exists(o, lambda b: (b >= a - dist) & (b <= a + dist))
-        anchored = cond if anchored is None else (
-            lambda a, c1=anchored, c2=cond: c1(a) & c2(a))
+    # k > 3: anchor on each offset of term 1; every other term must land
+    # within [anchor-dist, anchor+dist].  (Conservative for k>3: a
+    # qualifying window always satisfies this; rare anchor-spread
+    # configurations can over-match by ≤ dist — documented bound.)
+    def anchored(a: Column) -> Column:
+        pred = None
+        for o in offs[1:]:
+            this = F.exists(o, lambda b: (b >= a - dist) & (b <= a + dist))
+            pred = this if pred is None else pred & this
+        return pred
+
     return F.exists(offs[0], anchored)
 
 

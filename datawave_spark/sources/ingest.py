@@ -1,0 +1,148 @@
+"""Batch ingest: raw records → the sharded event layout.
+
+Reference: the MapReduce ingest job (warehouse/ingest-core/.../job/
+IngestJob.java:129) routing records through ShardedDataTypeHandler
+(handler/shard/ShardedDataTypeHandler.java:60-116), which emits the
+event section, field index, term offsets (tf) and metadata entries, with
+``shardId = YYYYMMDD_N, N = hash(uid) % numShards`` (:105-108).
+
+Spark restatement — the six Accumulo tables collapse to ONE partitioned
+parquet/Delta table plus a tiny metadata frame:
+
+- event section      → the wide DataFrame itself;
+- shardId            → ``partitionBy(event_date)`` + a ``shard`` column
+                       (date + uid-hash bucket) for co-located joins;
+- field index (fi)   → unnecessary: Catalyst predicate pushdown +
+                       parquet column statistics do index's job;
+- tf term offsets    → ``{zone}_tf`` map<token, array<int>> columns
+                       built by ``tokenize`` (ContentIndexingColumn
+                       BasedHandler.java:63, TermWeight protobuf);
+- metadata table     → ``field_metadata`` frame (EventMetadata.java,
+                       addIndexedFieldToMetadata:406-417);
+- LOAD_DATE tracking → a real ``load_date`` column (filter:afterLoadDate
+                       et al. query it).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field as dc_field
+
+from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql import types as T
+
+from datawave_spark.normalizers import get_normalizer
+
+
+@dataclass
+class IngestConfig:
+    """Per-datatype ingest configuration — the analogue of the
+    reference's per-datatype helper/handler config properties
+    (ingest config files; CSVIngestHelper etc.)."""
+    datatype: str
+    date_field: str                      # event-time column
+    uid_fields: list[str] | None = None  # identity fields (None → all cols)
+    field_types: dict[str, str] = dc_field(default_factory=dict)
+    multi_value_delim: dict[str, str] = dc_field(default_factory=dict)
+    tokenized_fields: list[str] = dc_field(default_factory=list)
+    visibility: str | None = None        # default ColumnVisibility marking
+    num_shards: int = 32
+    normalize_at_rest: bool = False      # write normalized copies?
+
+
+def build_uid(df: DataFrame, uid_fields: list[str] | None) -> Column:
+    """Deterministic uid from identity fields (the reference's
+    hash-based UID, datawave.data.hash.UID)."""
+    cols = uid_fields or df.columns
+    return F.md5(F.concat_ws("\x00", *[F.col(c).cast("string") for c in cols]))
+
+
+def tokenize(df: DataFrame, text_col: str, id_col: str,
+             zone: str | None = None) -> DataFrame:
+    """Add ``{zone}_tf``: map<token, sorted array of positions> — the
+    per-document TermOffsetMap the content: functions evaluate against
+    (query/postprocessing/tf/TermOffsetMap.java:16).
+
+    Shape: posexplode tokens → groupBy (id, token) collecting sorted
+    positions → groupBy id assembling the map → join back.  Two
+    shuffles at ingest time, but every stage is codegen'd aggregation —
+    the higher-order-function alternative (per-distinct-token position
+    filter) re-evaluates the tokenizer per array element after
+    Catalyst's projection collapse and goes quadratic per document.
+    """
+    zone = zone or text_col
+    toks = F.filter(F.split(F.lower(F.col(text_col)), "[^a-z0-9]+"),
+                    lambda t: t != "")
+    tok = df.select(F.col(id_col).alias("__id"),
+                    F.posexplode_outer(toks).alias("__pos", "__tok"))
+    per_term = (tok.filter(F.col("__tok").isNotNull())
+                .groupBy("__id", "__tok")
+                .agg(F.sort_array(F.collect_list("__pos")).alias("__positions")))
+    tf = (per_term.groupBy("__id")
+          .agg(F.map_from_entries(
+              F.collect_list(F.struct("__tok", "__positions"))).alias("__tf")))
+    out = df.join(tf, df[id_col] == tf["__id"], "left")
+    empty = F.create_map().cast("map<string,array<int>>")
+    return out.withColumn(f"{zone}_tf", F.coalesce(F.col("__tf"), empty)) \
+              .drop("__id", "__tf")
+
+
+def ingest_events(df: DataFrame, config: IngestConfig) -> DataFrame:
+    """Transform raw records into the canonical event frame: adds
+    ``datatype, uid, event_date, shard, visibility, load_date`` plus
+    array-ified multi-value fields and ``{zone}_tf`` offset maps."""
+    out = df
+    for col_name, delim in config.multi_value_delim.items():
+        out = out.withColumn(col_name, F.split(F.col(col_name), delim))
+    if config.normalize_at_rest:
+        for col_name, norm_name in config.field_types.items():
+            if col_name in out.columns:
+                norm = get_normalizer(norm_name)
+                out = out.withColumn(col_name, norm.col(F.col(col_name)))
+    out = out.withColumn("uid", build_uid(df, config.uid_fields))
+    for zone in config.tokenized_fields:
+        out = tokenize(out, zone, id_col="uid")
+    event_date = F.to_date(F.col(config.date_field))
+    shard = F.concat_ws(
+        "_", F.date_format(event_date, "yyyyMMdd"),
+        F.pmod(F.crc32(F.col("uid")), F.lit(config.num_shards)).cast("string"))
+    return (out.withColumn("datatype", F.lit(config.datatype))
+            .withColumn("event_date", event_date)
+            .withColumn("shard", shard)
+            .withColumn("visibility", F.lit(config.visibility).cast("string"))
+            .withColumn("load_date", F.current_timestamp()))
+
+
+def write_events(df: DataFrame, path: str, mode: str = "append") -> None:
+    """Persist the event frame partitioned by event_date — the analogue
+    of sharded RFile bulk import.  At 100 TB: date partitions give
+    partition pruning for every date-bounded query (RangeStream parity
+    for free); within a partition, files arrive uid-hash-distributed
+    from the shuffle."""
+    (df.repartition(F.col("event_date"), F.col("shard"))
+       .write.mode(mode).partitionBy("event_date").parquet(path))
+
+
+def field_metadata(df: DataFrame, config: IngestConfig) -> DataFrame:
+    """The metadata-table frame (SURVEY §1.4): one row per field with
+    datatype, spark type, bound normalizer, tokenized flag and
+    non-null count — what the planner consults for typing and
+    unfielded-term expansion."""
+    spark = df.sparkSession
+    rows = []
+    counts_df = df.agg(*[
+        F.count(F.col(f.name)).alias(f.name) for f in df.schema.fields])
+    counts = counts_df.collect()[0].asDict()
+    for f in df.schema.fields:
+        rows.append({
+            "field": f.name.upper(),
+            "datatype": config.datatype,
+            "spark_type": f.dataType.simpleString(),
+            "normalizer": config.field_types.get(f.name, "noop"),
+            "tokenized": f.name in config.tokenized_fields,
+            "indexed": True,   # every column is predicate-capable on Spark
+            "n_values": counts[f.name],
+        })
+    return spark.createDataFrame(
+        rows,
+        "field string, datatype string, spark_type string, "
+        "normalizer string, tokenized boolean, indexed boolean, n_values long")

@@ -1,0 +1,83 @@
+"""Structured Streaming ingest + event-time operators.
+
+Reference mapping (SURVEY §2.7): DataWave's "live ingest" is
+micro-batched MapReduce (IngestJob.java:115-127,483) triggered by the
+FlagMaker polling HDFS for new files (util/flag/FlagMaker.java:60).
+There are no watermarks or event-time windows in the reference — late
+data just lands in its event-date shard.
+
+Spark restatement:
+- FlagMaker            → the file stream source + ``Trigger.AvailableNow``
+                         (poll, batch, ingest, stop — exactly the
+                         FlagMaker loop, minus the daemon);
+- live ingest          → ``stream_ingest``: the SAME ``ingest_events``
+                         transform as batch, writing date-partitioned
+                         parquet with a checkpoint (the reference's
+                         checkpointable-query/resume machinery becomes
+                         the sink checkpoint);
+- late data            → identical semantics: rows partition by their
+                         EVENT date regardless of arrival time;
+- new capabilities     → watermarked windowed/sessionized aggregation,
+                         which the reference cannot express at all.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import types as T
+from pyspark.sql.streaming import StreamingQuery
+
+from datawave_spark.sources.ingest import IngestConfig, ingest_events
+
+
+def stream_ingest(spark: SparkSession, input_path: str, schema: T.StructType,
+                  config: IngestConfig, output_path: str,
+                  checkpoint_path: str, fmt: str = "parquet",
+                  available_now: bool = True) -> StreamingQuery:
+    """File-arrival ingest: watch ``input_path``, run the batch ingest
+    transform per micro-batch, append to the date-partitioned event
+    table.  ``available_now=True`` processes the backlog and stops
+    (FlagMaker one-shot); False runs continuously."""
+    raw = spark.readStream.format(fmt).schema(schema).load(input_path)
+
+    # foreachBatch so each micro-batch runs the FULL batch ingest
+    # transform (tokenize aggregates per batch — a streaming
+    # aggregation would otherwise demand watermark semantics that
+    # don't apply to ingest).  Checkpoint tracks consumed files;
+    # parquet append from foreachBatch is at-least-once on retry —
+    # with Delta this becomes an idempotent txn-versioned MERGE.
+    def write_batch(batch_df, epoch_id: int) -> None:
+        events = ingest_events(batch_df, config)
+        (events.write.mode("append").partitionBy("event_date")
+         .parquet(output_path))
+
+    writer = (raw.writeStream.foreachBatch(write_batch)
+              .option("checkpointLocation", checkpoint_path))
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def windowed_counts(events: DataFrame, ts_col: str = "ts",
+                    key_col: str = "event_type",
+                    window: str = "5 minutes", slide: str | None = None,
+                    watermark: str = "10 minutes") -> DataFrame:
+    """Watermarked sliding-window counts — the canonical event-time
+    aggregation (a NEW capability vs the reference)."""
+    win = F.window(F.col(ts_col), window, slide) if slide else \
+        F.window(F.col(ts_col), window)
+    return (events.withWatermark(ts_col, watermark)
+            .groupBy(win, F.col(key_col))
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.sum("value").alias("sum_value")))
+
+
+def sessionized_counts(events: DataFrame, ts_col: str = "ts",
+                       key_col: str = "user_id", gap: str = "30 minutes",
+                       watermark: str = "1 hour") -> DataFrame:
+    """Session windows by inactivity gap (session_window) — stateful
+    event-time sessionization."""
+    return (events.withWatermark(ts_col, watermark)
+            .groupBy(F.session_window(F.col(ts_col), gap), F.col(key_col))
+            .agg(F.count(F.lit(1)).alias("n_events"),
+                 F.sum("value").alias("sum_value")))

@@ -1,0 +1,123 @@
+"""ColumnVisibility label model.
+
+Reference: every Accumulo key carries a ColumnVisibility boolean
+expression (``A&B|(C&D)``); query-side, results are filtered by the
+user's authorizations and labels are translated to response "markings"
+(Document.java:72-78; masked-field variant
+ShardedDataTypeHandler.createMaskedShardEventColumn:969).
+
+Spark restatement: a ``visibility`` string column + this evaluator.
+The label VOCABULARY is tiny (config-driven at ingest) even when the
+data is 100 TB, so the scalable filter is: collect the distinct labels
+(bounded), evaluate each against the user's auths driver-side, and
+push an ``isin(allowed)`` predicate — which Catalyst turns into a
+parquet-pushed filter — rather than evaluating boolean expressions
+per row.
+
+This reproduces the security *model* (which rows a user sees); it is
+not a security *boundary* — Spark has no tserver-side enforcement.
+"""
+
+from __future__ import annotations
+
+import re
+from collections.abc import Iterable
+
+from pyspark.sql import DataFrame, functions as F
+
+
+class VisibilityParseError(ValueError):
+    pass
+
+
+_TOK = re.compile(r"\s*(?:(?P<op>[&|()])|(?P<label>[A-Za-z0-9_.:-]+|\"[^\"]*\"))")
+
+
+def _tokens(expr: str):
+    pos = 0
+    while pos < len(expr):
+        m = _TOK.match(expr, pos)
+        if not m:
+            raise VisibilityParseError(f"bad visibility at {pos}: {expr!r}")
+        pos = m.end()
+        yield m.group("op") or m.group("label")
+    yield None
+
+
+def evaluate(expr: str | None, auths: set[str]) -> bool:
+    """Evaluate a ColumnVisibility expression against an auth set.
+    Accumulo precedence: & binds tighter than |; parentheses group.
+    Empty/None visibility is visible to everyone."""
+    if expr is None or expr.strip() == "":
+        return True
+    toks = list(_tokens(expr))
+    pos = 0
+
+    def peek():
+        return toks[pos]
+
+    def take():
+        nonlocal pos
+        t = toks[pos]
+        pos += 1
+        return t
+
+    def parse_or() -> bool:
+        v = parse_and()
+        while peek() == "|":
+            take()
+            v = parse_and() or v
+        return v
+
+    def parse_and() -> bool:
+        v = parse_atom()
+        while peek() == "&":
+            take()
+            v = parse_atom() and v
+        return v
+
+    def parse_atom() -> bool:
+        t = take()
+        if t == "(":
+            v = parse_or()
+            if take() != ")":
+                raise VisibilityParseError(f"unbalanced parens in {expr!r}")
+            return v
+        if t in ("&", "|", ")", None):
+            raise VisibilityParseError(f"unexpected {t!r} in {expr!r}")
+        label = t[1:-1] if t.startswith('"') else t
+        return label in auths
+
+    result = parse_or()
+    if peek() is not None:
+        raise VisibilityParseError(f"trailing tokens in {expr!r}")
+    return result
+
+
+def filter_by_auths(df: DataFrame, auths: Iterable[str],
+                    vis_col: str = "visibility") -> DataFrame:
+    """Row-filter a frame by user authorizations.  Distinct labels are
+    collected (label vocabulary is config-bounded, not data-sized) and
+    the verdict pushed down as an ``isin`` predicate."""
+    auth_set = set(auths)
+    if vis_col not in df.columns:
+        return df
+    distinct = [r[0] for r in df.select(vis_col).distinct().collect()]
+    allowed = [v for v in distinct if v is not None and evaluate(v, auth_set)]
+    pred = F.col(vis_col).isNull() | (F.col(vis_col) == "")
+    if allowed:
+        pred = pred | F.col(vis_col).isin(allowed)
+    return df.filter(pred)
+
+
+def mask_fields(df: DataFrame, field_visibility: dict[str, str],
+                auths: Iterable[str], mask_value: str = "***") -> DataFrame:
+    """Field-level masking (createMaskedShardEventColumn parity): a
+    field whose declared visibility the user lacks is replaced by the
+    mask value instead of dropping the row."""
+    auth_set = set(auths)
+    out = df
+    for fname, vis in field_visibility.items():
+        if fname in out.columns and not evaluate(vis, auth_set):
+            out = out.withColumn(fname, F.lit(mask_value))
+    return out

@@ -1,0 +1,185 @@
+"""Ingest pipeline, tokenization/tf offsets, visibility, age-off, and
+streaming ingest tests."""
+
+import datetime as dt
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from datawave_spark import visibility
+from datawave_spark.compiler import compile_query
+from datawave_spark.operators.ageoff import (
+    AgeOffRule, age_off_filter, drop_expired_partitions,
+)
+from datawave_spark.sources.ingest import (
+    IngestConfig, field_metadata, ingest_events, tokenize, write_events,
+)
+
+CFG = IngestConfig(
+    datatype="test", date_field="when", uid_fields=["rid"],
+    field_types={"city": "lcNoDiacritics"},
+    multi_value_delim={"tags": ";"},
+    tokenized_fields=["body"],
+    visibility="A&B",
+)
+
+
+@pytest.fixture(scope="module")
+def raw(spark):
+    rows = [
+        (1, "2024-01-01", "Rome", "x;y;z", "the quick brown fox the end"),
+        (2, "2024-01-02", "Milan", "x", "hello world hello again"),
+        (3, "2024-03-05", "Paris", None, ""),
+    ]
+    return spark.createDataFrame(
+        rows, "rid long, when string, city string, tags string, body string")
+
+
+@pytest.fixture(scope="module")
+def events(raw):
+    return ingest_events(raw, CFG).cache()
+
+
+class TestIngest:
+    def test_standard_columns(self, events):
+        row = events.filter(F.col("rid") == 1).first()
+        assert row.datatype == "test"
+        assert len(row.uid) == 32
+        assert str(row.event_date) == "2024-01-01"
+        assert row.shard.startswith("20240101_")
+        assert row.visibility == "A&B"
+        assert row.load_date is not None
+
+    def test_multivalue_split(self, events):
+        assert events.filter(F.col("rid") == 1).first().tags == ["x", "y", "z"]
+
+    def test_shard_bucket_stable(self, raw, events):
+        # same uid → same shard bucket on recompute (deterministic)
+        again = ingest_events(raw, CFG)
+        a = {r.rid: r.shard for r in events.select("rid", "shard").collect()}
+        b = {r.rid: r.shard for r in again.select("rid", "shard").collect()}
+        assert a == b
+
+    def test_tf_offsets(self, events):
+        tf = events.filter(F.col("rid") == 1).first().body_tf
+        assert tf["the"] == [0, 4]
+        assert tf["quick"] == [1]
+        empty = events.filter(F.col("rid") == 3).first().body_tf
+        assert empty == {}
+
+    def test_content_phrase_over_ingested_tf(self, events):
+        # content: functions resolve {zone}_tf columns from ingest
+        hits = compile_query(events, "content:phrase(BODY, 'quick', 'brown')")
+        assert [r.rid for r in hits.collect()] == [1]
+        hits2 = compile_query(events, "content:within(BODY, 3, 'quick', 'fox')")
+        assert [r.rid for r in hits2.collect()] == [1]
+
+    def test_field_metadata(self, raw):
+        meta = field_metadata(raw, CFG)
+        m = {r.field: r for r in meta.collect()}
+        assert m["CITY"].normalizer == "lcNoDiacritics"
+        assert m["BODY"].tokenized
+        assert m["TAGS"].n_values == 2  # one null
+
+    def test_write_partitioned(self, events, tmp_path_factory):
+        out = str(tmp_path_factory.mktemp("events_tbl"))
+        write_events(events.drop("load_date"), out, mode="overwrite")
+        parts = sorted(p for p in os.listdir(out) if p.startswith("event_date="))
+        assert parts == ["event_date=2024-01-01", "event_date=2024-01-02",
+                         "event_date=2024-03-05"]
+
+
+class TestVisibility:
+    @pytest.mark.parametrize("expr,auths,expected", [
+        ("A", {"A"}, True),
+        ("A", {"B"}, False),
+        ("A&B", {"A", "B"}, True),
+        ("A&B", {"A"}, False),
+        ("A|B", {"B"}, True),
+        ("A&(B|C)", {"A", "C"}, True),
+        ("A&(B|C)", {"A"}, False),
+        ("(A&B)|(C&D)", {"C", "D"}, True),
+        ("", {"X"}, True),
+        (None, set(), True),
+    ])
+    def test_evaluate(self, expr, auths, expected):
+        assert visibility.evaluate(expr, auths) is expected
+
+    def test_filter_by_auths(self, spark):
+        df = spark.createDataFrame(
+            [(1, "A"), (2, "A&B"), (3, "C|A"), (4, None), (5, "D")],
+            "id long, visibility string")
+        got = sorted(r.id for r in visibility.filter_by_auths(df, {"A"}).collect())
+        assert got == [1, 3, 4]
+
+    def test_mask_fields(self, spark):
+        df = spark.createDataFrame([(1, "secret", "open")],
+                                   "id long, ssn string, name string")
+        out = visibility.mask_fields(df, {"ssn": "PII"}, auths={"PUBLIC"})
+        row = out.first()
+        assert row.ssn == "***" and row.name == "open"
+
+    def test_bad_expression_raises(self):
+        with pytest.raises(visibility.VisibilityParseError):
+            visibility.evaluate("A&(B", {"A", "B"})
+
+
+class TestAgeOff:
+    def test_read_filter(self, spark):
+        df = spark.createDataFrame(
+            [(1, "2024-01-01", "keep-short"), (2, "2024-06-01", "x"),
+             (3, "2024-01-01", "x")],
+            "id long, event_date string, kind string")
+        now = dt.date(2024, 6, 10)
+        rules = [AgeOffRule(ttl_days=365),
+                 AgeOffRule(ttl_days=30, predicate=F.col("kind") == "x")]
+        got = sorted(r.id for r in age_off_filter(df, rules, now=now).collect())
+        assert got == [1, 2]  # id=3 is kind=x and 161 days old
+
+    def test_partition_drop(self, spark, tmp_path_factory):
+        out = str(tmp_path_factory.mktemp("ageoff_tbl"))
+        df = spark.createDataFrame(
+            [(1, "2024-01-01"), (2, "2024-06-01")], "id long, d string") \
+            .withColumn("event_date", F.col("d").cast("date"))
+        df.write.partitionBy("event_date").parquet(out, mode="overwrite")
+        dropped = drop_expired_partitions(out, ttl_days=90,
+                                          now=dt.date(2024, 6, 10))
+        assert dropped == ["event_date=2024-01-01"]
+        left = spark.read.parquet(out)
+        assert [r.id for r in left.collect()] == [2]
+
+
+class TestStreaming:
+    def test_stream_ingest_available_now(self, spark, raw, tmp_path_factory):
+        src = str(tmp_path_factory.mktemp("stream_src"))
+        out = str(tmp_path_factory.mktemp("stream_out"))
+        ckpt = str(tmp_path_factory.mktemp("stream_ckpt"))
+        raw.write.mode("overwrite").parquet(src)
+        from datawave_spark.streaming import stream_ingest
+        q = stream_ingest(spark, src, raw.schema, CFG, out, ckpt)
+        q.awaitTermination(120)
+        got = spark.read.parquet(out)
+        assert got.count() == 3
+        assert "uid" in got.columns and "body_tf" in got.columns
+        # late-data semantics: partition is by EVENT date
+        parts = {str(r.event_date) for r in got.select("event_date").collect()}
+        assert parts == {"2024-01-01", "2024-01-02", "2024-03-05"}
+
+    def test_windowed_counts_memory_sink(self, spark):
+        from datawave_spark.streaming import windowed_counts
+        import tempfile
+        rows = [(i, f"2024-01-01 00:{i:02d}:00", "click", 1.0) for i in range(30)]
+        src_dir = tempfile.mkdtemp()
+        df = spark.createDataFrame(rows, "id long, ts string, event_type string, value double") \
+            .withColumn("ts", F.to_timestamp("ts"))
+        df.write.mode("overwrite").parquet(src_dir)
+        stream = spark.readStream.schema(
+            spark.read.parquet(src_dir).schema).parquet(src_dir)
+        agg = windowed_counts(stream, window="10 minutes")
+        q = (agg.writeStream.outputMode("complete").format("memory")
+             .queryName("win_out").trigger(availableNow=True).start())
+        q.awaitTermination(120)
+        res = spark.sql("SELECT * FROM win_out").collect()
+        assert sum(r.n for r in res) == 30
+        assert len(res) == 3  # 30 minutes / 10-minute tumbling windows
