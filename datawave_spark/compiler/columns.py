@@ -157,11 +157,17 @@ def compile_cmp(node: CmpNode, ctx: CompileContext,
         return _compile_anyfield(node, ctx, negated)
     if name in ctx.model:
         # Query model (aliasing): alias → OR of concrete-field positives,
-        # totalized before an outer negation.
+        # totalized before an outer negation.  The alias is removed from
+        # the child context so identity entries (SOURCE → SOURCE) and
+        # alias chains cannot recurse.
+        child_ctx = CompileContext(
+            schema=ctx.schema, fields=ctx.fields,
+            model={k: v for k, v in ctx.model.items() if k != name})
         positive_op = {"!=": "==", "!~": "=~"}.get(node.op, node.op)
         out = None
         for c in ctx.model[name]:
-            p = compile_cmp(CmpNode(positive_op, Identifier(c), node.value), ctx)
+            p = compile_cmp(CmpNode(positive_op, Identifier(c), node.value),
+                            child_ctx)
             out = p if out is None else out | p
         if negated ^ (node.op in ("!=", "!~")):
             return ~_total(out)

@@ -1,0 +1,141 @@
+"""Edge (graph) table: ingest-time edge materialization + edge query.
+
+Reference:
+- ingest: warehouse/ingest-core/.../handler/edge/
+  ProtobufEdgeDataTypeHandler.java:82 — config-driven vertex-pair edges
+  from co-occurring fields in one event (config keys :88-118, JEXL
+  "preconditions" :116); key layout warehouse/core/.../edge/util/
+  EdgeKey.java:21 (row = source\\0sink, STATS_TYPE:496
+  ACTIVITY/DURATION/LINKS, EDGE_FORMAT:558 STANDARD|STATS);
+- query: EdgeQueryLogic (query/tables/edge/EdgeQueryLogic.java:83) over
+  virtual fields SOURCE/SINK/TYPE/RELATION/ATTRIBUTE1..3;
+- event chaining: DefaultEdgeEventQueryLogic — rebuild an event query
+  from an edge result.
+
+Spark restatement: ``edges`` is an ordinary DataFrame built at ingest by
+a config-driven select/explode; edge queries are the SAME JEXL compiler
+with a field model mapping the virtual fields; STATS edges are a
+groupBy; multi-hop traversal (a capability the reference lacks) is an
+iterative self-join.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import types as T
+
+from datawave_spark.compiler import compile_query
+
+
+@dataclass
+class EdgeDefinition:
+    """One configured relationship (ProtobufEdgeDataTypeHandler config
+    entry): source/sink fields, labels, optional JEXL precondition."""
+    source_field: str
+    sink_field: str
+    edge_type: str
+    relationship: str = ""
+    attribute1: str | None = None     # column copied into attr1
+    precondition: str | None = None   # JEXL over the event
+    bidirectional: bool = False
+
+
+def _as_array(df: DataFrame, col: str) -> F.Column:
+    dtype = dict(df.dtypes).get(col, "")
+    c = F.col(col).cast("array<string>") if dtype.startswith("array") \
+        else F.array(F.col(col).cast("string"))
+    return F.filter(c, lambda v: v.isNotNull())
+
+
+def build_edges(events: DataFrame, defs: list[EdgeDefinition],
+                date_col: str | None = None) -> DataFrame:
+    """Materialize the edge frame: one row per (source value, sink
+    value) pair per event per definition — STANDARD format.  Multi-value
+    fields fan out (explode), preconditions filter events first."""
+    outs = []
+    for d in defs:
+        src = events
+        if d.precondition:
+            src = compile_query(src, d.precondition)
+        pairs = src.select(
+            F.explode(_as_array(src, d.source_field)).alias("source"),
+            _as_array(src, d.sink_field).alias("__sinks"),
+            *( [F.col(d.attribute1).cast("string").alias("attribute1")]
+               if d.attribute1 else [F.lit(None).cast("string").alias("attribute1")] ),
+            *( [F.to_date(F.col(date_col)).alias("edge_date")]
+               if date_col else [F.lit(None).cast("date").alias("edge_date")] ),
+        ).select(
+            "source", F.explode("__sinks").alias("sink"),
+            "attribute1", "edge_date",
+        ).select(
+            "source", "sink",
+            F.lit(d.edge_type).alias("edge_type"),
+            F.lit(d.relationship).alias("relationship"),
+            "attribute1", "edge_date",
+        )
+        outs.append(pairs)
+        if d.bidirectional:
+            outs.append(pairs.select(
+                F.col("sink").alias("source"), F.col("source").alias("sink"),
+                "edge_type",
+                F.lit(d.relationship[::-1] if d.relationship else "").alias("relationship"),
+                "attribute1", "edge_date"))
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.union(o)
+    return out
+
+
+def stats_edges(edges: DataFrame) -> DataFrame:
+    """STATS/LINKS format: aggregate edge weights per vertex pair per
+    type (EdgeKey STATS_TYPE LINKS) — map-side partial keeps the shuffle
+    at pair cardinality."""
+    return (edges.groupBy("source", "sink", "edge_type", "relationship")
+            .agg(F.count(F.lit(1)).alias("weight")))
+
+
+# Virtual-field model for edge JEXL queries (EdgeQueryLogic fields);
+# SOURCE/SINK/ATTRIBUTE1 resolve directly (case-insensitive).
+EDGE_MODEL = {"TYPE": ["EDGE_TYPE"], "RELATION": ["RELATIONSHIP"]}
+
+
+def edge_query(edges: DataFrame, jexl: str) -> DataFrame:
+    """JEXL over SOURCE/SINK/TYPE/RELATION/ATTRIBUTE1 virtual fields —
+    the same compiler, a field model instead of a bespoke planner."""
+    return compile_query(edges, jexl, model=EDGE_MODEL)
+
+
+def edge_events(edges: DataFrame, events: DataFrame,
+                source_field: str, sink_field: str | None = None) -> DataFrame:
+    """DefaultEdgeEventQueryLogic: pivot an edge result back to the
+    events that produced it — semi-join events on the edge endpoints."""
+    keys = edges.select("source", "sink").distinct()
+    cond = events[source_field].cast("string") == keys["source"]
+    if sink_field:
+        cond = cond & (events[sink_field].cast("string") == keys["sink"])
+    return events.join(keys, cond, "left_semi")
+
+
+def k_hop(edges: DataFrame, start_jexl: str, hops: int = 2,
+          max_frontier: int | None = None) -> DataFrame:
+    """Multi-hop traversal (beyond the reference): BFS frontier via
+    iterative self-join; returns (vertex, hop) — minimal hop per vertex.
+    ``max_frontier`` caps the frontier per level (supernode guard)."""
+    start = edge_query(edges, start_jexl)
+    frontier = start.select(F.col("sink").alias("vertex")).distinct() \
+        .withColumn("hop", F.lit(1))
+    seen = frontier
+    fwd = edges.select(F.col("source").alias("vertex"),
+                       F.col("sink").alias("next")).distinct()
+    for h in range(2, hops + 1):
+        if max_frontier is not None:
+            frontier = frontier.limit(max_frontier)
+        nxt = (frontier.join(fwd, "vertex")
+               .select(F.col("next").alias("vertex")).distinct()
+               .join(seen.select("vertex"), "vertex", "left_anti")
+               .withColumn("hop", F.lit(h)))
+        seen = seen.union(nxt)
+        frontier = nxt
+    return seen

@@ -691,3 +691,81 @@ def q_ageoff_view(spark, sf_dir):
     out = age_off_filter(ev, [AgeOffRule(ttl_days=10)], date_col="ts",
                          now=dt.date(2024, 1, 20))
     return out.select("event_id", F.col("ts").cast("date").cast("string").alias("day"))
+
+
+# ------------------------------------------- §2.3/§3.3 edges, graph, TLD
+
+_EDGE_DEFS_SQL = """
+SELECT CAST(user_id AS VARCHAR) AS source, event_type AS sink,
+       'user_event' AS edge_type, 'did' AS relationship
+FROM events WHERE value > 50
+"""
+
+
+@register("edge_build_stats", f"""
+SELECT source, sink, edge_type, relationship, count(*) AS weight
+FROM ({_EDGE_DEFS_SQL})
+GROUP BY source, sink, edge_type, relationship
+""")
+def q_edge_build_stats(spark, sf_dir):
+    """Ingest-time edge materialization with a JEXL precondition, then
+    STATS/LINKS aggregation (ProtobufEdgeDataTypeHandler + EdgeKey
+    STATS_TYPE parity)."""
+    from datawave_spark.edges import EdgeDefinition, build_edges, stats_edges
+    ev = _t(spark, sf_dir, "events")
+    defs = [EdgeDefinition("user_id", "event_type", "user_event", "did",
+                           precondition="VALUE > 50")]
+    return stats_edges(build_edges(ev, defs)) \
+        .select("source", "sink", "edge_type", "relationship", "weight")
+
+
+@register("edge_query_virtual", f"""
+SELECT source, sink FROM ({_EDGE_DEFS_SQL})
+WHERE sink = 'purchase' AND NOT source = '7'
+""")
+def q_edge_query_virtual(spark, sf_dir):
+    """EdgeQueryLogic: JEXL over SOURCE/SINK/TYPE virtual fields."""
+    from datawave_spark.edges import EdgeDefinition, build_edges, edge_query
+    ev = _t(spark, sf_dir, "events")
+    defs = [EdgeDefinition("user_id", "event_type", "user_event", "did",
+                           precondition="VALUE > 50")]
+    edges = build_edges(ev, defs)
+    out = edge_query(edges, "SINK == 'purchase' && !(SOURCE == '7')")
+    return out.select("source", "sink")
+
+
+@register("edge_event_chain", f"""
+SELECT DISTINCT e.event_id, e.user_id, e.event_type FROM events e
+JOIN (SELECT DISTINCT source, sink FROM ({_EDGE_DEFS_SQL})
+      WHERE sink = 'error') k
+  ON CAST(e.user_id AS VARCHAR) = k.source AND e.event_type = k.sink
+""")
+def q_edge_event_chain(spark, sf_dir):
+    """DefaultEdgeEventQueryLogic: pivot edge results back to events."""
+    from datawave_spark.edges import (EdgeDefinition, build_edges,
+                                      edge_events, edge_query)
+    ev = _t(spark, sf_dir, "events")
+    defs = [EdgeDefinition("user_id", "event_type", "user_event", "did",
+                           precondition="VALUE > 50")]
+    sel = edge_query(build_edges(ev, defs), "SINK == 'error'")
+    out = edge_events(sel, ev, "user_id", "event_type")
+    return out.select("event_id", "user_id", "event_type").distinct()
+
+
+@register("tld_family_rollup", """
+WITH fam AS (
+  SELECT *, CAST(user_id AS VARCHAR) AS tld FROM events),
+hits AS (SELECT DISTINCT tld FROM fam WHERE value > 480)
+SELECT f.event_id, f.tld FROM fam f JOIN hits USING (tld)
+""")
+def q_tld_family_rollup(spark, sf_dir):
+    """TLD/parent-child rollup: events grouped into families by user
+    (family key = uid prefix in the reference; derived key here) —
+    any member matching returns the whole family."""
+    from datawave_spark.operators.tld import tld_rollup
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "uid", F.concat_ws(".", F.col("user_id").cast("string"),
+                           F.lit("x"), F.lit("y"), F.col("event_id").cast("string")))
+    fam = tld_rollup(ev, "VALUE > 480", uid_col="uid", parts=1)
+    return fam.select("event_id",
+                      F.col("user_id").cast("string").alias("tld"))

@@ -1,0 +1,111 @@
+"""Edge build/query/chain/k-hop and TLD hierarchy tests — modeled on the
+reference's edge query tests and TLD/Ancestor query tests."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from datawave_spark.edges import (
+    EdgeDefinition, build_edges, edge_events, edge_query, k_hop,
+    stats_edges,
+)
+from datawave_spark.operators.tld import (
+    ancestors_match, parents_only, tld_key, tld_rollup,
+)
+
+
+@pytest.fixture(scope="module")
+def events(spark):
+    rows = [
+        (1, "alice", ["p1", "p2"], "login", "2024-01-01"),
+        (2, "bob", ["p1"], "login", "2024-01-01"),
+        (3, "alice", ["p3"], "purchase", "2024-01-02"),
+        (4, "carol", [], "login", "2024-01-02"),
+    ]
+    return spark.createDataFrame(
+        rows, "eid long, user string, phones array<string>, act string, d string").cache()
+
+
+@pytest.fixture(scope="module")
+def edges(events):
+    defs = [
+        EdgeDefinition("user", "phones", "user_phone", "owns"),
+        EdgeDefinition("user", "act", "user_act", "did",
+                       precondition="ACT == 'login'"),
+    ]
+    return build_edges(events, defs, date_col="d").cache()
+
+
+class TestEdges:
+    def test_build_fanout(self, edges):
+        up = edges.filter(F.col("edge_type") == "user_phone")
+        assert up.count() == 4  # alice×2 + bob×1 + alice×1
+        assert sorted((r.source, r.sink) for r in up.collect()) == [
+            ("alice", "p1"), ("alice", "p2"), ("alice", "p3"), ("bob", "p1")]
+
+    def test_precondition(self, edges):
+        ua = edges.filter(F.col("edge_type") == "user_act")
+        # only login events produce edges; carol has no phones but logs in
+        assert sorted(r.source for r in ua.collect()) == ["alice", "bob", "carol"]
+
+    def test_stats_edges(self, edges):
+        w = {(r.source, r.sink): r.weight
+             for r in stats_edges(edges).collect()}
+        assert w[("alice", "p1")] == 1
+
+    def test_edge_query_virtual_fields(self, edges):
+        got = edge_query(edges, "SOURCE == 'alice' && TYPE == 'user_phone'")
+        assert got.count() == 3
+        got2 = edge_query(edges, "SINK == 'p1' && !(SOURCE == 'bob')")
+        assert [r.source for r in got2.collect()] == ["alice"]
+
+    def test_edge_event_chain(self, edges, events):
+        sel = edge_query(edges, "TYPE == 'user_phone' && SINK == 'p1'")
+        evs = edge_events(sel, events, "user")
+        assert sorted(r.eid for r in evs.collect()) == [1, 2, 3]
+
+    def test_k_hop(self, spark):
+        e = spark.createDataFrame(
+            [("a", "b"), ("b", "c"), ("c", "d"), ("a", "x")],
+            "source string, sink string") \
+            .withColumn("edge_type", F.lit("t")) \
+            .withColumn("relationship", F.lit("")) \
+            .withColumn("attribute1", F.lit(None).cast("string")) \
+            .withColumn("edge_date", F.lit(None).cast("date"))
+        got = {r.vertex: r.hop for r in
+               k_hop(e, "SOURCE == 'a'", hops=3).collect()}
+        assert got == {"b": 1, "x": 1, "c": 2, "d": 3}
+
+
+class TestTLD:
+    @pytest.fixture(scope="class")
+    def docs(self, spark):
+        rows = [
+            ("h1.h2.h3", "parent", 1.0),
+            ("h1.h2.h3.1", "childA", 9.0),
+            ("h1.h2.h3.1.1", "grandchild", 2.0),
+            ("x1.x2.x3", "parent", 3.0),
+            ("x1.x2.x3.1", "childB", 4.0),
+        ]
+        return spark.createDataFrame(rows, "uid string, NAME string, V double").cache()
+
+    def test_tld_key(self, spark):
+        df = spark.createDataFrame([("a.b.c.d.e",)], "uid string")
+        assert df.select(tld_key(F.col("uid")).alias("k")).first().k == "a.b.c"
+
+    def test_rollup_matches_whole_family(self, docs):
+        fam = tld_rollup(docs, "NAME == 'childa'",
+                         parts=3)
+        assert fam.count() == 0  # normalization not applied: exact value
+        fam = tld_rollup(docs, "NAME == 'childA'", parts=3)
+        assert sorted(r.uid for r in fam.collect()) == [
+            "h1.h2.h3", "h1.h2.h3.1", "h1.h2.h3.1.1"]
+
+    def test_parents_only(self, docs):
+        assert sorted(r.uid for r in parents_only(docs).collect()) == [
+            "h1.h2.h3", "x1.x2.x3"]
+
+    def test_ancestors_match(self, docs):
+        # childA matches → childA + its descendants (grandchild), not parent
+        got = ancestors_match(docs, "NAME == 'childA'")
+        assert sorted(r.uid for r in got.collect()) == [
+            "h1.h2.h3.1", "h1.h2.h3.1.1"]
