@@ -769,3 +769,63 @@ def q_tld_family_rollup(spark, sf_dir):
     fam = tld_rollup(ev, "VALUE > 480", uid_col="uid", parts=1)
     return fam.select("event_id",
                       F.col("user_id").cast("string").alias("tld"))
+
+
+# --------------------------- §2.3 chained query / §2.1 CachedResults SQL
+
+@register("chained_query", """
+SELECT event_id, user_id, event_type, value FROM events
+WHERE event_type = 'purchase'
+  AND CAST(user_id AS VARCHAR) IN (
+    SELECT DISTINCT CAST(user_id AS VARCHAR) FROM events
+    WHERE event_type = 'error' AND value > 400)
+""")
+def q_chained_query(spark, sf_dir):
+    """ChainedQueryTable: users who had a high-value error (query A)
+    feed a purchase lookup (query B)."""
+    from datawave_spark.plans.chained import chained_query
+    ev = _t(spark, sf_dir, "events")
+    out = chained_query(ev, "EVENT_TYPE == 'error' && VALUE > 400", "user_id",
+                        ev, "user_id", jexl_b="EVENT_TYPE == 'purchase'")
+    return out.select("event_id", "user_id", "event_type", "value")
+
+
+@register("cached_results_sql", """
+SELECT user_id, round(sum(value), 4) AS total, count(*) AS n,
+       rank() OVER (ORDER BY round(sum(value), 4) DESC, user_id) AS rnk
+FROM events WHERE event_type = 'purchase' GROUP BY user_id
+""")
+def q_cached_results_sql(spark, sf_dir):
+    """CachedResults parity: run a JEXL query, register the result as a
+    view, run full SQL (GROUP BY + window ORDER BY) over it — the
+    capability the reference needed a MySQL round-trip for."""
+    from datawave_spark.plans import QueryPlanner
+    ev = _t(spark, sf_dir, "events")
+    res = QueryPlanner(ev).plan("EVENT_TYPE == 'purchase'")
+    res.to_view("cached_results")
+    return spark.sql("""
+        SELECT user_id, round(sum(value), 4) AS total, count(*) AS n,
+               rank() OVER (ORDER BY round(sum(value), 4) DESC, user_id) AS rnk
+        FROM cached_results GROUP BY user_id""")
+
+
+@register("cardinality_exact", """
+SELECT count(DISTINCT user_id) AS users, count(DISTINCT event_type) AS types,
+       count(DISTINCT CAST(ts AS DATE)) AS days
+FROM events
+""")
+def q_cardinality_exact(spark, sf_dir):
+    """Field cardinality, exact (count logics family)."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.agg(F.countDistinct("user_id").alias("users"),
+                  F.countDistinct("event_type").alias("types"),
+                  F.countDistinct(F.col("ts").cast("date")).alias("days"))
+
+
+@register("cardinality_hll")  # approximate (HLL): rows-only driver check
+def q_cardinality_hll(spark, sf_dir):
+    """Index-stats HLL parity (StatsHyperLogMapper): per-field
+    approximate cardinality; accuracy asserted in unit tests."""
+    from datawave_spark.operators.discovery import cardinality
+    ev = _t(spark, sf_dir, "events")
+    return cardinality(ev, ["user_id", "event_type", "props"])

@@ -39,6 +39,16 @@ class QueryResult:
     def spark_plan(self) -> str:
         return self.df._jdf.queryExecution().explainString("formatted")
 
+    def to_view(self, name: str):
+        """CachedResults parity (web-services/cached-results/.../
+        CachedResultsBean.java:143-172): the reference copies results
+        into MySQL so users can run SQL (ORDER BY / GROUP BY / joins)
+        over them; here the result already IS a DataFrame — register it
+        and use Spark SQL.  The whole subsystem dissolves into one
+        line."""
+        self.df.createOrReplaceTempView(name)
+        return self.df.sparkSession
+
     def pages(self, page_size: int = 100) -> Iterator[list]:
         """RunningQuery.next() paging (RunningQuery.java:408) without
         collecting the whole result on the driver."""

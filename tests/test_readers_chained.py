@@ -1,0 +1,81 @@
+"""CSV/JSON/XML reader and chained-query tests."""
+
+import textwrap
+
+import pytest
+from pyspark.sql import functions as F
+
+from datawave_spark.plans.chained import chained_query
+from datawave_spark.sources.readers import (
+    flatten_structs, read_csv_events, read_json_events, read_xml_events,
+)
+
+
+class TestReaders:
+    def test_csv_multivalue(self, spark, tmp_path_factory):
+        d = tmp_path_factory.mktemp("csv")
+        p = d / "data.csv"
+        p.write_text("id,city,tags\n1,rome,a;b\n2,paris,c\n")
+        df = read_csv_events(spark, str(p),
+                             multi_value_delim={"tags": ";"})
+        rows = {r.id: r for r in df.collect()}
+        assert rows[1].tags == ["a", "b"]
+        assert rows[2].city == "paris"
+
+    def test_json_flatten(self, spark, tmp_path_factory):
+        d = tmp_path_factory.mktemp("json")
+        p = d / "data.json"
+        p.write_text(
+            '{"id": 1, "meta": {"lang": "en", "geo": {"lat": 1.5}}, "tags": ["x","y"]}\n'
+            '{"id": 2, "meta": {"lang": "fr", "geo": {"lat": 2.5}}, "tags": []}\n')
+        df = read_json_events(spark, str(p))
+        assert set(df.columns) == {"id", "meta_lang", "meta_geo_lat", "tags"}
+        rows = {r.id: r for r in df.collect()}
+        assert rows[1].meta_lang == "en" and rows[1].meta_geo_lat == 1.5
+        assert rows[1].tags == ["x", "y"]
+
+    def test_flatten_preserves_array_of_struct(self, spark):
+        df = spark.createDataFrame(
+            [(1, [{"n": "a"}], {"x": 2})],
+            "id long, g array<struct<n string>>, s struct<x long>")
+        out = flatten_structs(df)
+        assert set(out.columns) == {"id", "g", "s_x"}
+
+    def test_xml_records(self, spark, tmp_path_factory):
+        d = tmp_path_factory.mktemp("xml")
+        p = d / "dump.xml"
+        p.write_text(textwrap.dedent("""\
+            <mediawiki>
+              <page><title>Alpha</title><revision><text>hello world</text></revision></page>
+              <page><title>Beta</title><revision><text>more text</text></revision></page>
+            </mediawiki>"""))
+        df = read_xml_events(spark, str(p), "page",
+                             {"title": "title", "body": "revision/text"})
+        rows = sorted((r.title, r.body) for r in df.collect())
+        assert rows == [("Alpha", "hello world"), ("Beta", "more text")]
+
+
+class TestChained:
+    def test_chain_semi_join(self, spark):
+        a = spark.createDataFrame(
+            [(1, "bad"), (2, "ok"), (3, "bad")], "uid long, status string")
+        b = spark.createDataFrame(
+            [(1, "x"), (2, "y"), (3, "z"), (4, "w")], "uid long, payload string")
+        out = chained_query(a, "STATUS == 'bad'", "uid", b, "uid")
+        assert sorted(r.payload for r in out.collect()) == ["x", "z"]
+
+    def test_chain_with_second_predicate(self, spark):
+        a = spark.createDataFrame([(1, "bad")], "uid long, status string")
+        b = spark.createDataFrame(
+            [(1, "keep"), (1, "drop")], "uid long, kind string")
+        out = chained_query(a, "STATUS == 'bad'", "uid", b, "uid",
+                            jexl_b="KIND == 'keep'")
+        assert [r.kind for r in out.collect()] == ["keep"]
+
+
+def test_hll_cardinality_accuracy(spark):
+    from datawave_spark.operators.discovery import cardinality
+    df = spark.range(10000).withColumn("k", (F.col("id") % 500).cast("string"))
+    got = {r.field: r.cardinality for r in cardinality(df, ["id", "k"]).collect()}
+    assert abs(got["k"] - 500) / 500 < 0.05
+    assert abs(got["id"] - 10000) / 10000 < 0.05
