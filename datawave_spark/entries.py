@@ -632,7 +632,7 @@ FROM toks WHERE len([i for i in range(1, len(t)+1) if t[i] = 'spark']) > 0
 def q_excerpt_term(spark, sf_dir):
     from datawave_spark.operators.excerpt import excerpt_hits
     docs = _t(spark, sf_dir, "documents")
-    out = excerpt_hits(docs, "text", "spark", window=3)
+    out = excerpt_hits(docs, "text", "doc_id", "spark", window=3)
     return out.select("doc_id",
                       F.array_join("excerpts", " | ").alias("ex"))
 

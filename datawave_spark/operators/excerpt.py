@@ -5,13 +5,18 @@ transformer/ExcerptTransform.java:49 + iterator/logic/
 TermFrequencyExcerptIterator (971 LoC) — walks the tf column family
 rebuilding a token window around each phrase hit.
 
-Spark restatement: the document's token array is sliced around each hit
-offset with pure higher-order functions — the 971-line iterator becomes
-a dozen lines because the tokens are already a column."""
+Spark restatement: hit positions come from the SAME tf offset map the
+content: functions use (built by sources.ingest.tokenize — an
+aggregation pipeline, so positions are computed once per document), and
+the token array is sliced only around those few positions.  Scanning
+for positions with a per-index higher-order filter instead goes
+quadratic per document after Catalyst's projection collapse."""
 
 from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, functions as F
+
+from datawave_spark.sources.ingest import tokenize
 
 TOKEN_RE = "[^a-z0-9]+"
 
@@ -20,30 +25,29 @@ def _tokens(col: Column) -> Column:
     return F.filter(F.split(F.lower(col), TOKEN_RE), lambda t: t != "")
 
 
-def excerpts(df: DataFrame, text_col: str, term: str, window: int = 5,
-             out_col: str = "excerpts") -> DataFrame:
+def excerpts(df: DataFrame, text_col: str, id_col: str, term: str,
+             window: int = 5, out_col: str = "excerpts") -> DataFrame:
     """Add ``out_col``: array of ``±window``-token excerpt strings, one
     per occurrence of ``term`` (empty array when absent)."""
-    # Materialize tokens once (see sources.ingest.tokenize for why).
-    tmp = df.withColumn("__ex_toks", _tokens(F.col(text_col)))
-    toks = F.col("__ex_toks")
+    zone = "__excerpt"
+    tokened = tokenize(df, text_col, id_col, zone=zone, emit_tokens=True)
+    tf = F.col(f"{zone}_tf")
+    toks = F.col(f"{zone}_tokens")
+    positions = F.coalesce(tf.getItem(term.lower()), F.array().cast("array<int>"))
     n = F.size(toks)
-    positions = F.filter(F.sequence(F.lit(0), F.greatest(n - 1, F.lit(0))),
-                         lambda i: F.get(toks, i) == term.lower())
 
     def win(p: Column) -> Column:
         start0 = F.greatest(p - window, F.lit(0))
         end0 = F.least(p + window, n - 1)
         return F.concat_ws(" ", F.slice(toks, start0 + 1, end0 - start0 + 1))
 
-    ex = F.when(n > 0, F.transform(positions, win)) \
-        .otherwise(F.array().cast("array<string>"))
-    return tmp.withColumn(out_col, ex).drop("__ex_toks")
+    return tokened.withColumn(out_col, F.transform(positions, win)) \
+                  .drop(f"{zone}_tf", f"{zone}_tokens")
 
 
-def excerpt_hits(df: DataFrame, text_col: str, term: str, window: int = 5,
-                 out_col: str = "excerpts") -> DataFrame:
+def excerpt_hits(df: DataFrame, text_col: str, id_col: str, term: str,
+                 window: int = 5, out_col: str = "excerpts") -> DataFrame:
     """Only documents containing the term, with their excerpts — the
     shape an #EXCERPT_FIELDS result page shows."""
-    out = excerpts(df, text_col, term, window, out_col)
+    out = excerpts(df, text_col, id_col, term, window, out_col)
     return out.filter(F.size(F.col(out_col)) > 0)

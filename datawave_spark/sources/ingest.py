@@ -57,7 +57,7 @@ def build_uid(df: DataFrame, uid_fields: list[str] | None) -> Column:
 
 
 def tokenize(df: DataFrame, text_col: str, id_col: str,
-             zone: str | None = None) -> DataFrame:
+             zone: str | None = None, emit_tokens: bool = False) -> DataFrame:
     """Add ``{zone}_tf``: map<token, sorted array of positions> — the
     per-document TermOffsetMap the content: functions evaluate against
     (query/postprocessing/tf/TermOffsetMap.java:16).
@@ -80,10 +80,26 @@ def tokenize(df: DataFrame, text_col: str, id_col: str,
     tf = (per_term.groupBy("__id")
           .agg(F.map_from_entries(
               F.collect_list(F.struct("__tok", "__positions"))).alias("__tf")))
+    if emit_tokens:
+        # Materialized position-ordered token array on the same shuffle
+        # key — consumers (excerpts) then slice real data instead of
+        # re-tokenizing the text per reference.
+        toks_agg = (tok.filter(F.col("__tok").isNotNull())
+                    .groupBy("__id")
+                    .agg(F.transform(
+                        F.array_sort(F.collect_list(
+                            F.struct("__pos", "__tok"))),
+                        lambda s: s.getField("__tok")).alias("__tokens")))
+        tf = tf.join(toks_agg, "__id", "left")
     out = df.join(tf, df[id_col] == tf["__id"], "left")
     empty = F.create_map().cast("map<string,array<int>>")
-    return out.withColumn(f"{zone}_tf", F.coalesce(F.col("__tf"), empty)) \
-              .drop("__id", "__tf")
+    out = out.withColumn(f"{zone}_tf", F.coalesce(F.col("__tf"), empty))
+    if emit_tokens:
+        out = out.withColumn(
+            f"{zone}_tokens",
+            F.coalesce(F.col("__tokens"), F.array().cast("array<string>"))) \
+            .drop("__tokens")
+    return out.drop("__id", "__tf")
 
 
 def ingest_events(df: DataFrame, config: IngestConfig) -> DataFrame:
