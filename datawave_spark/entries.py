@@ -829,3 +829,181 @@ def q_cardinality_hll(spark, sf_dir):
     from datawave_spark.operators.discovery import cardinality
     ev = _t(spark, sf_dir, "events")
     return cardinality(ev, ["user_id", "event_type", "props"])
+
+
+# -------------------- §2.5 HIT_TERM + CachedResults SQL surface breadth
+
+@register("hit_terms", """
+SELECT event_id,
+       list_filter([CASE WHEN event_type = 'click' THEN 'EVENT_TYPE == ''click''' END,
+                    CASE WHEN value > 400 THEN 'VALUE > 400' END,
+                    CASE WHEN user_id < 20 THEN 'USER_ID < 20' END],
+                   x -> x IS NOT NULL) AS hits
+FROM events
+WHERE (event_type = 'click' AND value > 400) OR user_id < 20
+""")
+def q_hit_terms(spark, sf_dir):
+    """HIT_TERM attribution (HitListArithmetic parity): which leaf terms
+    matched, per result row."""
+    from datawave_spark.operators.hit_terms import with_hit_terms
+    ev = _t(spark, sf_dir, "events")
+    out = with_hit_terms(
+        ev, "(EVENT_TYPE == 'click' && VALUE > 400) || USER_ID < 20",
+        hit_col="hits")
+    return out.select("event_id", "hits")
+
+
+@register("tpch_q6_revenue", """
+SELECT round(sum(l_extendedprice * l_discount), 4) AS revenue FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1994-01-01' AND l_shipdate < TIMESTAMP '1995-01-01'
+  AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24
+""")
+def q_tpch_q6(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return (li.filter((F.col("l_shipdate") >= F.lit("1994-01-01").cast("timestamp"))
+                      & (F.col("l_shipdate") < F.lit("1995-01-01").cast("timestamp"))
+                      & (F.col("l_discount") >= 0.05) & (F.col("l_discount") <= 0.07)
+                      & (F.col("l_quantity") < 24))
+            .agg(F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 4)
+                 .alias("revenue")))
+
+
+@register("tpch_q4_priority", """
+SELECT o_orderpriority, count(*) AS order_count FROM orders
+WHERE o_orderdate >= TIMESTAMP '1995-01-01' AND o_orderdate < TIMESTAMP '1995-04-01'
+  AND EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey
+              AND l_shipdate > o_orderdate)
+GROUP BY o_orderpriority
+""")
+def q_tpch_q4(spark, sf_dir):
+    od = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1995-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1995-04-01").cast("timestamp")))
+    li = _t(spark, sf_dir, "lineitem")
+    joined = od.join(li, (od.o_orderkey == li.l_orderkey)
+                     & (li.l_shipdate > od.o_orderdate), "left_semi")
+    return joined.groupBy("o_orderpriority") \
+        .agg(F.count(F.lit(1)).alias("order_count"))
+
+
+@register("tpch_q12_shipmode", """
+SELECT l_returnflag,
+       sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS high_line_count,
+       sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS low_line_count
+FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+WHERE l_shipdate >= TIMESTAMP '1994-01-01' AND l_shipdate < TIMESTAMP '1995-01-01'
+GROUP BY l_returnflag
+""")
+def q_tpch_q12(spark, sf_dir):
+    od = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1994-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1995-01-01").cast("timestamp")))
+    hi = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (li.join(od, li.l_orderkey == od.o_orderkey)
+            .groupBy("l_returnflag")
+            .agg(F.sum(F.when(hi, 1).otherwise(0)).alias("high_line_count"),
+                 F.sum(F.when(~hi, 1).otherwise(0)).alias("low_line_count")))
+
+
+@register("tpch_q18_big_orders", """
+SELECT c_name, o_orderkey, round(sum(l_quantity), 4) AS total_qty
+FROM customer JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON o_orderkey = l_orderkey
+GROUP BY c_name, o_orderkey
+HAVING sum(l_quantity) > 250
+""")
+def q_tpch_q18(spark, sf_dir):
+    cu = _t(spark, sf_dir, "customer")
+    od = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    return (li.join(od, li.l_orderkey == od.o_orderkey)
+            .join(cu, od.o_custkey == cu.c_custkey)
+            .groupBy("c_name", "o_orderkey")
+            .agg(F.sum("l_quantity").alias("__q"))
+            .filter(F.col("__q") > 250)
+            .select("c_name", "o_orderkey",
+                    F.round("__q", 4).alias("total_qty")))
+
+
+@register("tpch_q19_disjunctive", """
+SELECT round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
+FROM lineitem JOIN part ON p_partkey = l_partkey
+WHERE (p_brand = 'Brand#1' AND l_quantity BETWEEN 1 AND 11 AND p_size BETWEEN 1 AND 5)
+   OR (p_brand = 'Brand#2' AND l_quantity BETWEEN 10 AND 20 AND p_size BETWEEN 1 AND 10)
+   OR (p_brand = 'Brand#3' AND l_quantity BETWEEN 20 AND 30 AND p_size BETWEEN 1 AND 15)
+""")
+def q_tpch_q19(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    pa = _t(spark, sf_dir, "part")
+    j = li.join(F.broadcast(pa), li.l_partkey == pa.p_partkey)
+    q, s, b = F.col("l_quantity"), F.col("p_size"), F.col("p_brand")
+    pred = ((b == "Brand#1") & q.between(1, 11) & s.between(1, 5)) | \
+           ((b == "Brand#2") & q.between(10, 20) & s.between(1, 10)) | \
+           ((b == "Brand#3") & q.between(20, 30) & s.between(1, 15))
+    return j.filter(pred).agg(
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4)
+        .alias("revenue"))
+
+
+@register("window_topk_per_group", """
+SELECT event_type, event_id, value FROM (
+  SELECT event_type, event_id, value,
+         row_number() OVER (PARTITION BY event_type ORDER BY value DESC, event_id) AS rn
+  FROM events) WHERE rn <= 5
+""")
+def q_window_topk(spark, sf_dir):
+    from pyspark.sql import Window
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy(F.col("value").desc(), "event_id")
+    return (ev.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= 5).select("event_type", "event_id", "value"))
+
+
+@register("sessionize_gap", """
+WITH g AS (
+  SELECT user_id, ts,
+         CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_s
+  FROM events),
+s AS (SELECT user_id, ts,
+             sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                              ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM g)
+SELECT user_id, session_id, count(*) AS n_events
+FROM s GROUP BY user_id, session_id
+""")
+def q_sessionize(spark, sf_dir):
+    """Batch sessionization: lag-gap detection + running-sum session ids
+    (the Window formulation of session_window)."""
+    from pyspark.sql import Window
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = (F.col("ts").cast("long")
+           - F.lag(F.col("ts").cast("long")).over(w)) > 1800
+    new_s = F.when(gap, 1).otherwise(0)
+    wsum = Window.partitionBy("user_id").orderBy("ts") \
+        .rowsBetween(Window.unboundedPreceding, 0)
+    return (ev.withColumn("__new", new_s)
+            .withColumn("session_id", F.sum("__new").over(wsum))
+            .groupBy("user_id", "session_id")
+            .agg(F.count(F.lit(1)).alias("n_events")))
+
+
+@register("pivot_type_by_day", """
+SELECT day,
+       round(COALESCE(sum(CASE WHEN event_type = 'click' THEN value END), 0), 4) AS click,
+       round(COALESCE(sum(CASE WHEN event_type = 'purchase' THEN value END), 0), 4) AS purchase,
+       round(COALESCE(sum(CASE WHEN event_type = 'error' THEN value END), 0), 4) AS error
+FROM (SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS day, event_type, value FROM events)
+GROUP BY day
+""")
+def q_pivot(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events").select(
+        F.col("ts").cast("date").cast("string").alias("day"),
+        "event_type", "value")
+    out = (ev.groupBy("day")
+           .pivot("event_type", ["click", "purchase", "error"]).sum("value"))
+    return out.select("day",
+                      *[F.round(F.coalesce(F.col(c), F.lit(0.0)), 4).alias(c)
+                        for c in ("click", "purchase", "error")])
