@@ -1007,3 +1007,45 @@ def q_pivot(spark, sf_dir):
     return out.select("day",
                       *[F.round(F.coalesce(F.col(c), F.lit(0.0)), 4).alias(c)
                         for c in ("click", "purchase", "error")])
+
+
+# ------------------- §4 geohash acceleration + index-frame RangeStream
+
+@register("geo_bbox_accelerated", """
+SELECT event_id,
+       CAST(user_id % 160 - 80 AS DOUBLE) AS lat,
+       CAST(event_id % 360 - 180 AS DOUBLE) AS lon
+FROM events
+WHERE (user_id % 160 - 80) BETWEEN 10 AND 35
+  AND (event_id % 360 - 180) BETWEEN 20 AND 60
+""")
+def q_geo_bbox_accel(spark, sf_dir):
+    """Geohash-prefix-accelerated bounding box: coarse StartsWith
+    prefixes (pushdown-able) + exact check — must equal the plain bbox
+    (the oracle)."""
+    from datawave_spark.functions.geohash import (add_geohash,
+                                                  bbox_filter_accelerated)
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id",
+        (F.col("user_id") % 160 - 80).cast("double").alias("lat"),
+        (F.col("event_id") % 360 - 180).cast("double").alias("lon"))
+    ev = add_geohash(ev, "lat", "lon", precision=6)
+    out = bbox_filter_accelerated(ev, "lat", "lon", 10.0, 20.0, 35.0, 60.0)
+    return out.select("event_id", "lat", "lon")
+
+
+@register("index_driven_query", """
+SELECT event_id, user_id, value FROM events
+WHERE event_type = 'purchase' AND value > 300 AND NOT user_id = 5
+""")
+def q_index_driven(spark, sf_dir):
+    """RangeStream parity: build the inverted-index frame, derive
+    candidate uids (AND = index intersection, NOT = anti join vs the
+    universe), fetch events — one Catalyst plan."""
+    from datawave_spark.sources.index_frame import build_index, index_query
+    ev = _t(spark, sf_dir, "events")
+    idx = build_index(ev, ["event_type", "value", "user_id"], "event_id")
+    out = index_query(
+        ev, idx, "EVENT_TYPE == 'purchase' && VALUE > 300 && !(USER_ID == 5)",
+        "event_id")
+    return out.select("event_id", "user_id", "value")

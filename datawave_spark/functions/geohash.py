@@ -1,0 +1,132 @@
+"""Geohash encoding + bounding-box prefix acceleration.
+
+Reference: DataWave's GeoType normalizer maps lat/lon to z-order index
+strings and the planner expands geo functions into index range
+predicates (GeoWaveFunctionsDescriptor / FunctionIndexQueryExpansion
+Visitor at DefaultQueryPlanner.java:1390, pruned by
+GeoWavePruningVisitor:1557) — the composite/DiscreteIndexType family
+(ExpandCompositeTerms:1550).
+
+Spark restatement: ``geohash_col`` is a generated column (pure JVM bit
+math — no UDF); a bounding-box query becomes
+
+    startswith(geohash, any covering prefix)  AND  exact bbox predicate
+
+The StartsWith prefix predicates push into parquet row-group stats (and
+prune partitions if the table partitions/Z-ORDERs by geohash prefix) —
+the same coarse-filter-then-exact shape as the reference's geo index
+ranges.  At 100 TB, storing events sorted/partitioned by
+``substr(geohash, 1, k)`` makes every geo query prune to the covering
+cells.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+_BASE32 = "0123456789bcdefghjkmnpqrstuvwxyz"
+_BITS_Q = 20  # quantization bits per axis (enough for precision ≤ 8)
+
+
+def geohash_col(lat: Column, lon: Column, precision: int = 8) -> Column:
+    """Standard geohash (base32, lon-first bit interleave) as a pure
+    column expression."""
+    assert 1 <= precision <= 8
+    lat_q = F.floor((lat + 90.0) / 180.0 * (1 << _BITS_Q)).cast("long")
+    lon_q = F.floor((lon + 180.0) / 360.0 * (1 << _BITS_Q)).cast("long")
+    # clamp the open upper edge (lat=90 / lon=180)
+    lat_q = F.least(lat_q, F.lit((1 << _BITS_Q) - 1))
+    lon_q = F.least(lon_q, F.lit((1 << _BITS_Q) - 1))
+    total_bits = 5 * precision
+    # morton: bit i (from msb, i=0..) comes from lon (even i) / lat (odd)
+    morton = F.lit(0).cast("long")
+    for i in range(total_bits):
+        axis, k = (lon_q, i // 2) if i % 2 == 0 else (lat_q, i // 2)
+        src_bit = _BITS_Q - 1 - k
+        bit = F.shiftright(axis, src_bit) % 2
+        morton = morton + F.shiftleft(bit, total_bits - 1 - i)
+    alphabet = F.array(*[F.lit(ch) for ch in _BASE32])
+    out = None
+    for c in range(precision):
+        idx = (F.shiftright(morton, 5 * (precision - 1 - c)) % 32).cast("int")
+        ch = F.element_at(alphabet, idx + 1)
+        out = ch if out is None else F.concat(out, ch)
+    return out
+
+
+def geohash_py(lat: float, lon: float, precision: int = 8) -> str:
+    """Driver-side geohash (same quantized algorithm — bit-identical to
+    ``geohash_col``) for prefix planning."""
+    lat_q = min(int((lat + 90.0) / 180.0 * (1 << _BITS_Q)), (1 << _BITS_Q) - 1)
+    lon_q = min(int((lon + 180.0) / 360.0 * (1 << _BITS_Q)), (1 << _BITS_Q) - 1)
+    total_bits = 5 * precision
+    morton = 0
+    for i in range(total_bits):
+        axis, k = (lon_q, i // 2) if i % 2 == 0 else (lat_q, i // 2)
+        bit = (axis >> (_BITS_Q - 1 - k)) & 1
+        morton |= bit << (total_bits - 1 - i)
+    return "".join(_BASE32[(morton >> (5 * (precision - 1 - c))) & 31]
+                   for c in range(precision))
+
+
+_CELL_DEG = {  # approx (lat_deg, lon_deg) per geohash cell by precision
+    1: (45.0, 45.0), 2: (5.625, 11.25), 3: (1.40625, 1.40625),
+    4: (0.17578125, 0.3515625), 5: (0.0439453125, 0.0439453125),
+    6: (0.0054931640625, 0.010986328125),
+    7: (0.00137329101562, 0.00137329101562),
+    8: (0.000171661376953, 0.000343322753906),
+}
+
+
+def bbox_prefixes(min_lat: float, min_lon: float, max_lat: float,
+                  max_lon: float, precision: int = 4,
+                  max_cells: int = 64) -> list[str]:
+    """Covering geohash prefixes for a bbox (GeoWave range-decomposition
+    analog): step the bbox at the cell size of ``precision``, collecting
+    distinct cell hashes; fall back to a coarser precision if the cover
+    would exceed ``max_cells``."""
+    for p in range(precision, 0, -1):
+        dlat, dlon = _CELL_DEG[p]
+        cells: set[str] = set()
+        lat = min_lat
+        overflow = False
+        while lat <= max_lat + dlat and not overflow:
+            lon = min_lon
+            while lon <= max_lon + dlon:
+                cells.add(geohash_py(min(lat, max_lat), min(lon, max_lon), p))
+                if len(cells) > max_cells:
+                    overflow = True
+                    break
+                lon += dlon
+            lat += dlat
+        if not overflow:
+            return sorted(cells)
+    return [""]
+
+
+def add_geohash(df: DataFrame, lat_col: str, lon_col: str,
+                precision: int = 8, out_col: str = "geohash") -> DataFrame:
+    """Generated geohash column (the composite-field analog) — compute
+    at ingest and sort/partition by a prefix of it for pruning."""
+    return df.withColumn(out_col,
+                         geohash_col(F.col(lat_col), F.col(lon_col), precision))
+
+
+def bbox_filter_accelerated(df: DataFrame, lat_col: str, lon_col: str,
+                            min_lat: float, min_lon: float,
+                            max_lat: float, max_lon: float,
+                            geohash_col_name: str = "geohash",
+                            prefix_precision: int = 4) -> DataFrame:
+    """Bounding-box query with geohash prefix acceleration: coarse
+    StartsWith prefix predicates (pushdown/row-group-skippable) AND the
+    exact bbox check."""
+    prefixes = bbox_prefixes(min_lat, min_lon, max_lat, max_lon,
+                             prefix_precision)
+    gh = F.col(geohash_col_name)
+    coarse = None
+    for p in prefixes:
+        this = gh.startswith(p)
+        coarse = this if coarse is None else coarse | this
+    exact = (F.col(lat_col) >= min_lat) & (F.col(lat_col) <= max_lat) \
+        & (F.col(lon_col) >= min_lon) & (F.col(lon_col) <= max_lon)
+    return df.filter(coarse & exact)
