@@ -1049,3 +1049,45 @@ def q_index_driven(spark, sf_dir):
         ev, idx, "EVENT_TYPE == 'purchase' && VALUE > 300 && !(USER_ID == 5)",
         "event_id")
     return out.select("event_id", "user_id", "value")
+
+
+# ----------------------------------- §3.2 lookup / facet sketches / misc
+
+@register("lookup_uuid", """
+SELECT event_id, user_id, event_type, value FROM events WHERE event_id = 1234
+""")
+def q_lookup_uuid(spark, sf_dir):
+    from datawave_spark.plans.lookup import lookup_uuid
+    ev = _t(spark, sf_dir, "events")
+    return lookup_uuid(ev, "event_id", 1234) \
+        .select("event_id", "user_id", "event_type", "value")
+
+
+@register("content_fetch", """
+SELECT doc_id, text FROM documents WHERE doc_id IN (1, 2, 3)
+""")
+def q_content_fetch(spark, sf_dir):
+    from datawave_spark.plans.lookup import fetch_content
+    docs = _t(spark, sf_dir, "documents")
+    return fetch_content(docs, "doc_id", [1, 2, 3], "text")
+
+
+@register("facet_with_cardinality")  # HLL sketch inside: rows-only check
+def q_facet_with_cardinality(spark, sf_dir):
+    from datawave_spark.operators.discovery import facets_with_cardinality
+    ev = _t(spark, sf_dir, "events")
+    return facets_with_cardinality(ev, ["event_type"], "user_id")
+
+
+@register("lucene_global_agg", """
+SELECT round(sum(value), 4) AS sum_value, round(avg(value), 4) AS average_value
+FROM events WHERE event_type = 'click'
+""")
+def q_lucene_global_agg(spark, sf_dir):
+    """#SUM/#AVERAGE without #GROUPBY → global aggregation."""
+    from datawave_spark.plans import QueryPlanner
+    ev = _t(spark, sf_dir, "events")
+    res = QueryPlanner(ev).plan(
+        "event_type:click #SUM(value) #AVERAGE(value)", syntax="LUCENE")
+    return res.df.select(F.round("sum_value", 4).alias("sum_value"),
+                         F.round("average_value", 4).alias("average_value"))

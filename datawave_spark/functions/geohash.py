@@ -123,10 +123,12 @@ def bbox_filter_accelerated(df: DataFrame, lat_col: str, lon_col: str,
     prefixes = bbox_prefixes(min_lat, min_lon, max_lat, max_lon,
                              prefix_precision)
     gh = F.col(geohash_col_name)
-    coarse = None
-    for p in prefixes:
-        this = gh.startswith(p)
-        coarse = this if coarse is None else coarse | this
+    # All covering cells share one precision, so the coarse test is ONE
+    # substring + isin — not an OR of startswith per prefix, each copy
+    # of which would re-inline the whole geohash expression when
+    # Catalyst pushes the filter through the generating projection.
+    plen = len(prefixes[0])
+    coarse = F.substring(gh, 1, plen).isin(*prefixes)
     exact = (F.col(lat_col) >= min_lat) & (F.col(lat_col) <= max_lat) \
         & (F.col(lon_col) >= min_lon) & (F.col(lon_col) <= max_lon)
     return df.filter(coarse & exact)

@@ -63,6 +63,19 @@ def field_index_counts(df: DataFrame, fields: list[str],
     return long_df.groupBy(*keys).agg(F.count(F.lit(1)).alias("cnt"))
 
 
+def facets_with_cardinality(df: DataFrame, facet_fields: list[str],
+                            cardinality_of: str) -> DataFrame:
+    """Facet counts + per-facet-value cardinality sketch of another
+    field — the precomputed facet table's (count, HLL) pair
+    (FacetHandler.java:52 stores cardinality sketches alongside
+    counts)."""
+    return (_unpivot(df, facet_fields, keep=[cardinality_of])
+            .groupBy("field", "value")
+            .agg(F.count(F.lit(1)).alias("cnt"),
+                 F.approx_count_distinct(F.col(f"__keep_{cardinality_of}"))
+                 .alias("cardinality")))
+
+
 def cardinality(df: DataFrame, fields: list[str]) -> DataFrame:
     """Index-stats HLL parity (StatsHyperLogMapper → HyperLogFieldSummary):
     per-field approximate cardinality via HyperLogLog++."""

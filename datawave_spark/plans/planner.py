@@ -110,6 +110,12 @@ class QueryPlanner:
             aggs = [(op, f, f"{op.lower()}_{f}".lower())
                     for op, f in opts.aggregations]
             out = group_by(out, [g for g in opts.groupby], aggs)
+        elif opts.aggregations:
+            # #SUM/#MIN/... without #GROUPBY: global aggregation
+            from datawave_spark.operators.grouping import _AGGS
+            exprs = [_AGGS[op](F.col(f)).alias(f"{op.lower()}_{f}".lower())
+                     for op, f in opts.aggregations]
+            out = out.agg(*exprs)
         elif opts.unique:
             ts_cols = [c for c, t in self.df.dtypes if t == "timestamp"]
             most_recent = ts_cols[:1] if opts.most_recent_unique else None
