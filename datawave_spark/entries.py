@@ -1091,3 +1091,16 @@ def q_lucene_global_agg(spark, sf_dir):
         "event_type:click #SUM(value) #AVERAGE(value)", syntax="LUCENE")
     return res.df.select(F.round("sum_value", 4).alias("sum_value"),
                          F.round("average_value", 4).alias("average_value"))
+
+
+@register("normalized_lc_query", """
+SELECT doc_id, source FROM documents WHERE source = 'src7'
+""")
+def q_normalized_lc(spark, sf_dir):
+    """Normalizer path: the query literal 'SRC7' canonicalises through
+    the field's lc normalizer before comparison (ExpandMultiNormalized
+    Terms parity)."""
+    docs = _t(spark, sf_dir, "documents")
+    out = compile_query(docs, "SOURCE == 'SRC7'",
+                        field_types={"SOURCE": "lc"})
+    return out.select("doc_id", "source")

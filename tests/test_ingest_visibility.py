@@ -183,3 +183,26 @@ class TestStreaming:
         res = spark.sql("SELECT * FROM win_out").collect()
         assert sum(r.n for r in res) == 30
         assert len(res) == 3  # 30 minutes / 10-minute tumbling windows
+
+
+class TestStatefulStreaming:
+    def test_streaming_unique_across_batches(self, spark, tmp_path_factory):
+        import pyspark.sql.functions as F
+        from datawave_spark.streaming.stateful import streaming_unique
+        src = str(tmp_path_factory.mktemp("su_src"))
+        # two files with overlapping keys → maxFilesPerTrigger=1 forces
+        # two micro-batches, so dedup must span batch boundaries
+        spark.createDataFrame([(1, "a"), (2, "b")], "k long, v string") \
+            .coalesce(1).write.parquet(src + "/f1")
+        spark.createDataFrame([(2, "b2"), (3, "c")], "k long, v string") \
+            .coalesce(1).write.parquet(src + "/f2")
+        schema = "k long, v string"
+        stream = (spark.readStream.schema(schema)
+                  .option("maxFilesPerTrigger", 1)
+                  .parquet(src + "/*"))
+        out = streaming_unique(stream, ["k"])
+        q = (out.writeStream.outputMode("append").format("memory")
+             .queryName("su_out").trigger(availableNow=True).start())
+        q.awaitTermination(120)
+        rows = spark.sql("SELECT k FROM su_out").collect()
+        assert sorted(r.k for r in rows) == [1, 2, 3]  # k=2 emitted once

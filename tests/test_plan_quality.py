@@ -1,0 +1,83 @@
+"""Plan-quality regression tests: these assert on the PHYSICAL PLAN —
+pushdown reaching parquet, broadcasts chosen, shuffle counts bounded,
+bucketed joins shuffle-free — because at 100 TB the plan shape IS the
+performance."""
+
+import pytest
+from pyspark.sql import functions as F
+
+import __spark_entry__ as entrymod
+from datawave_spark.plans.metrics import plan_counters
+from datawave_spark.util import salted_join, write_bucketed
+
+SF = "/root/testdata/sf0.001"
+
+
+class TestPushdown:
+    def test_jexl_filter_pushes_to_parquet(self, spark):
+        df = entrymod.queries()["jexl_eq_range"](spark, SF)
+        c = plan_counters(df)
+        pushed = " ".join(c["pushed_filters"])
+        assert "event_type" in pushed and "value" in pushed
+        assert c["n_shuffles"] == 0  # pure filter+project: no shuffle
+
+    def test_column_pruning(self, spark):
+        df = entrymod.queries()["jexl_eq_range"](spark, SF)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        # the 4 needed columns (3 projected + 1 filter-only) are read;
+        # the unused ts/props columns are pruned from the scan
+        import re
+        schema = re.search(r"ReadSchema: struct<([^>]*)>", plan).group(1)
+        assert "props" not in schema and "ts" not in schema
+        assert "event_type" in schema and "value" in schema
+
+    def test_negated_leaf_does_not_break_pushdown_of_siblings(self, spark):
+        from datawave_spark.compiler import compile_query
+        from datawave_spark.sources.parquet import read_parquet
+        ev = read_parquet(spark, f"{SF}/events.parquet")
+        df = compile_query(ev, "EVENT_TYPE == 'click' && !(USER_ID == 3)")
+        pushed = " ".join(plan_counters(df)["pushed_filters"])
+        assert "event_type" in pushed
+
+
+class TestJoinStrategy:
+    def test_small_dims_broadcast(self, spark):
+        df = entrymod.queries()["tpch_q5_regional"](spark, SF)
+        c = plan_counters(df)
+        assert c["n_broadcasts"] >= 2  # nation + region at minimum
+
+    def test_groupby_single_shuffle(self, spark):
+        df = entrymod.queries()["groupby_type"](spark, SF)
+        assert plan_counters(df)["n_shuffles"] == 1
+
+    def test_unique_single_shuffle(self, spark):
+        df = entrymod.queries()["unique_user_day"](spark, SF)
+        assert plan_counters(df)["n_shuffles"] == 1
+
+
+class TestSkewAndBuckets:
+    def test_salted_join_matches_plain(self, spark):
+        fact = spark.range(0, 2000).select(
+            (F.col("id") % 3).alias("k"), F.col("id").alias("v"))
+        dim = spark.createDataFrame([(0, "a"), (1, "b"), (2, "c"), (3, "d")],
+                                    "k long, name string")
+        plain = fact.join(dim, "k").groupBy("name").count()
+        salted = salted_join(fact, dim, "k").groupBy("name").count()
+        assert sorted(map(tuple, plain.collect())) == \
+            sorted(map(tuple, salted.collect()))
+
+    def test_bucketed_join_has_no_shuffle(self, spark, tmp_path_factory):
+        import shutil
+        for t in ("bt_a", "bt_b"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
+            shutil.rmtree(f"spark-warehouse/{t}", ignore_errors=True)
+        a = spark.range(0, 1000).select(F.col("id").alias("k"),
+                                        (F.col("id") * 2).alias("x"))
+        b = spark.range(0, 1000).select(F.col("id").alias("k"),
+                                        (F.col("id") * 3).alias("y"))
+        write_bucketed(a, "bt_a", "k", buckets=8)
+        write_bucketed(b, "bt_b", "k", buckets=8)
+        joined = spark.table("bt_a").join(spark.table("bt_b"), "k")
+        c = plan_counters(joined)
+        assert c["n_shuffles"] == 0, "bucketed equi-join must not shuffle"
+        assert joined.count() == 1000
