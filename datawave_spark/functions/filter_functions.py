@@ -188,6 +188,54 @@ def f_between_load_dates(ctx: CompileContext, args):
     return f_between_dates(ctx, args)
 
 
+@register_function("filter", "getAllMatches")
+def f_get_all_matches(ctx: CompileContext, args):
+    """EvaluationPhaseFilterFunctions.getAllMatches:343 — the reference
+    returns the set of values matching a regex (used for hit
+    collection); as a predicate term it is true when any value matches,
+    i.e. includeRegex."""
+    return f_include_regex(ctx, args)
+
+
+@register_function("filter", "timeFunction")
+def f_time_function(ctx: CompileContext, args):
+    """EvaluationPhaseFilterFunctions.timeFunction:1431 —
+    ``(FIELD1, FIELD2, operator, equality, goal)``: compare the time
+    difference of two date fields against a goal in millis, e.g.
+    ``filter:timeFunction(DEATH, BIRTH, '-', '>', 86400000)``."""
+    f1, f2 = _ident(args[0]), _ident(args[1])
+    operator = str(_lit(args[2]))
+    equality = str(_lit(args[3]))
+    goal = int(_lit(args[4]))
+    assert operator == "-", f"only '-' supported (reference too): {operator}"
+    spec1, spec2 = ctx.resolve(f1), ctx.resolve(f2)
+    if spec1 is None or spec2 is None:
+        return F.lit(False)
+    delta = (_ts(F.col(spec1.column), None).cast("double")
+             - _ts(F.col(spec2.column), None).cast("double")) * 1000.0
+    cmp = {">": delta > goal, "<": delta < goal, ">=": delta >= goal,
+           "<=": delta <= goal, "==": delta == goal, "=": delta == goal,
+           "!=": delta != goal}[equality]
+    return F.coalesce(cmp, F.lit(False))
+
+
+@register_function("filter", "getMaxTime")
+def f_get_max_time(ctx: CompileContext, args):
+    """EvaluationPhaseFilterFunctions.getMaxTime:1447 — max epoch-millis
+    over the field's values."""
+    vals = field_values(ctx, _ident(args[0]))
+    return F.array_max(F.transform(
+        vals, lambda v: (_ts(v, None).cast("double") * 1000).cast("long")))
+
+
+@register_function("filter", "getMinTime")
+def f_get_min_time(ctx: CompileContext, args):
+    """EvaluationPhaseFilterFunctions.getMinTime:1465."""
+    vals = field_values(ctx, _ident(args[0]))
+    return F.array_min(F.transform(
+        vals, lambda v: (_ts(v, None).cast("double") * 1000).cast("long")))
+
+
 @register_function("filter", "getMaxValue")
 def f_get_max_value(ctx: CompileContext, args):
     """EvaluationPhaseFilterFunctions.getMaxValue:1481 — returns a value

@@ -50,3 +50,22 @@ def group_by(df: DataFrame, group_fields: list[str],
             col = col.cast("double")
         exprs.append(fn(col).alias(alias))
     return out.groupBy(*group_fields).agg(*exprs)
+
+
+def group_by_context(df: DataFrame, group_col: str, group_fields: list[str],
+                     aggregations: list[tuple[str, str, str]] | None = None,
+                     count_alias: str = "record_count") -> DataFrame:
+    """Grouping-context #GROUPBY (DocumentGrouper.java:118's sibling
+    semantics): ``group_col`` is an ``array<struct>`` column where each
+    struct is one sibling group; the group key is the TUPLE of
+    ``group_fields`` taken from the SAME struct — the pairing DataWave
+    reconstructs from FIELD.context.instance names, which the nested
+    representation gives us directly.  Aggregated fields also come from
+    the struct."""
+    exploded = df.select("*", F.explode(F.col(group_col)).alias("__g"))
+    keys = [F.col(f"__g.{f}").alias(f) for f in group_fields]
+    exprs = [F.count(F.lit(1)).alias(count_alias)]
+    for op, fld, alias in (aggregations or []):
+        exprs.append(_AGGS[op.upper()](
+            F.col(f"__g.{fld}").cast("double")).alias(alias))
+    return exploded.groupBy(*keys).agg(*exprs)

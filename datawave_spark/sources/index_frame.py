@@ -35,6 +35,25 @@ from datawave_spark.jexl.ast import (
 from datawave_spark.normalizers import get_normalizer
 
 
+def build_reverse_index(index: DataFrame) -> DataFrame:
+    """Reversed-value index (shardReverseIndex parity, SURVEY §1.1):
+    leading-wildcard terms (``FIELD =~ '.*suffix'``) become PREFIX
+    lookups on the reversed value — pushdown-able StartsWith instead of
+    a full regex scan."""
+    return index.withColumn("value", F.reverse(F.col("value")))
+
+
+def suffix_uids(reverse_index: DataFrame, field: str, suffix: str) -> DataFrame:
+    """Candidate uids for a trailing-wildcard term via the reverse
+    index: value ends with ``suffix`` ⇔ reversed value starts with
+    reversed suffix."""
+    rev = suffix[::-1]
+    return (reverse_index
+            .filter((F.col("field") == field.upper())
+                    & F.col("value").startswith(rev))
+            .select("uid").distinct())
+
+
 def build_index(events: DataFrame, fields: list[str], id_col: str,
                 date_col: str | None = None,
                 field_types: dict[str, str] | None = None) -> DataFrame:

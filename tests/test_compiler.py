@@ -173,3 +173,47 @@ class TestGroupingContext:
             [("a", [{"X": "1", "Y": "1"}]), ("b", [{"X": "1", "Y": "2"}])],
             "uid string, G array<struct<X string, Y string>>")
         assert uids(compile_query(df, "grouping:atomValuesMatch(X, Y)")) == ["a"]
+
+
+class TestMoreFilterFunctions:
+    def test_get_all_matches(self, spark, events):
+        q = "filter:getAllMatches(CITY, 'ro.*')"
+        assert uids(compile_query(events, q)) == ["a", "b", "e"]
+
+    def test_time_function(self, spark):
+        df = spark.createDataFrame(
+            [("a", "2024-01-02 00:00:00", "2024-01-01 00:00:00"),
+             ("b", "2024-01-01 00:30:00", "2024-01-01 00:00:00")],
+            "uid string, END string, START string")
+        q = "filter:timeFunction(END, START, '-', '>', 3600000)"
+        assert uids(compile_query(df, q)) == ["a"]
+
+
+class TestGroupingContextGroupBy:
+    def test_group_by_context_tuples(self, spark):
+        from datawave_spark.operators.grouping import group_by_context
+        df = spark.createDataFrame(
+            [("a", [{"NAME": "bob", "AGE": "40"}, {"NAME": "ann", "AGE": "9"}]),
+             ("b", [{"NAME": "bob", "AGE": "40"}]),
+             ("c", [{"NAME": "bob", "AGE": "9"}])],
+            "uid string, FAM array<struct<NAME string, AGE string>>")
+        out = group_by_context(df, "FAM", ["NAME", "AGE"],
+                               [("AVERAGE", "AGE", "avg_age")])
+        rows = {(r.NAME, r.AGE): r.record_count for r in out.collect()}
+        # (bob, 40) pairs only from the SAME sibling group: docs a+b
+        assert rows[("bob", "40")] == 2
+        assert rows[("bob", "9")] == 1
+        assert rows[("ann", "9")] == 1
+
+
+class TestReverseIndex:
+    def test_suffix_lookup(self, spark):
+        from datawave_spark.sources.index_frame import (
+            build_index, build_reverse_index, suffix_uids)
+        df = spark.createDataFrame(
+            [("a", "anderson"), ("b", "johnson"), ("c", "smith")],
+            "uid string, NAME string")
+        idx = build_index(df, ["NAME"], "uid")
+        ridx = build_reverse_index(idx)
+        got = sorted(r.uid for r in suffix_uids(ridx, "NAME", "son").collect())
+        assert got == ["a", "b"]
