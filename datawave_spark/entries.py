@@ -835,10 +835,10 @@ def q_cardinality_hll(spark, sf_dir):
 
 @register("hit_terms", """
 SELECT event_id,
-       list_filter([CASE WHEN event_type = 'click' THEN 'EVENT_TYPE == ''click''' END,
+       array_to_string(list_filter([CASE WHEN event_type = 'click' THEN 'EVENT_TYPE == ''click''' END,
                     CASE WHEN value > 400 THEN 'VALUE > 400' END,
                     CASE WHEN user_id < 20 THEN 'USER_ID < 20' END],
-                   x -> x IS NOT NULL) AS hits
+                   x -> x IS NOT NULL), ' | ') AS hits
 FROM events
 WHERE (event_type = 'click' AND value > 400) OR user_id < 20
 """)
@@ -850,7 +850,7 @@ def q_hit_terms(spark, sf_dir):
     out = with_hit_terms(
         ev, "(EVENT_TYPE == 'click' && VALUE > 400) || USER_ID < 20",
         hit_col="hits")
-    return out.select("event_id", "hits")
+    return out.select("event_id", F.array_join("hits", " | ").alias("hits"))
 
 
 @register("tpch_q6_revenue", """

@@ -1,0 +1,116 @@
+"""Property-based tests: the JEXL compiler against a pure-Python
+evaluator implementing DataWave's documented semantics (any-value
+comparisons, no-value-matches negation, total predicates).
+
+This is the dual-execution oracle idea (SURVEY §5) at the unit level:
+hypothesis generates random query trees + the Python referee evaluates
+them row-by-row; the Spark result must agree exactly.
+"""
+
+import math
+import re
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from datawave_spark.compiler import compile_query
+from datawave_spark.jexl.ast import (
+    AndNode, CmpNode, Identifier, JexlNode, Literal, NotNode, OrNode,
+)
+
+# -------- fixed corpus: multi-value string field, scalar num, nullables
+ROWS = [
+    ("r0", ["alpha", "beta"], 1.0),
+    ("r1", ["beta"], 5.5),
+    ("r2", ["gamma", "alpha", "beta"], -3.0),
+    ("r3", [], None),
+    ("r4", ["delta"], 0.0),
+    ("r5", None, 7.25),
+    ("r6", ["alpha"], 5.5),
+]
+SCHEMA = "uid string, TAGS array<string>, NUM double"
+
+STRINGS = ["alpha", "beta", "gamma", "delta", "nope"]
+NUMBERS = [-3.0, 0.0, 1.0, 5.5, 7.25, 100.0]
+
+
+def leaf_strategy():
+    str_leaf = st.builds(
+        lambda op, v: CmpNode(op, Identifier("TAGS"), Literal(v)),
+        st.sampled_from(["==", "!="]), st.sampled_from(STRINGS))
+    re_leaf = st.builds(
+        lambda op, v: CmpNode(op, Identifier("TAGS"), Literal(v[:2] + ".*")),
+        st.sampled_from(["=~", "!~"]), st.sampled_from(STRINGS))
+    num_leaf = st.builds(
+        lambda op, v: CmpNode(op, Identifier("NUM"), Literal(v)),
+        st.sampled_from(["==", "!=", "<", ">", "<=", ">="]),
+        st.sampled_from(NUMBERS))
+    null_leaf = st.builds(
+        lambda f, op: CmpNode(op, Identifier(f), Literal(None)),
+        st.sampled_from(["TAGS", "NUM"]), st.sampled_from(["==", "!="]))
+    return st.one_of(str_leaf, re_leaf, num_leaf, null_leaf)
+
+
+def tree_strategy(depth: int = 3):
+    return st.recursive(
+        leaf_strategy(),
+        lambda kids: st.one_of(
+            st.builds(lambda a, b: AndNode((a, b)), kids, kids),
+            st.builds(lambda a, b: OrNode((a, b)), kids, kids),
+            st.builds(NotNode, kids),
+        ),
+        max_leaves=6)
+
+
+# ---------------------------------------- pure-Python referee evaluator
+
+def _values(row, field):
+    if field == "TAGS":
+        return row[1] or []
+    return [] if row[2] is None else [row[2]]
+
+
+def eval_node(node: JexlNode, row) -> bool:
+    if isinstance(node, AndNode):
+        return all(eval_node(t, row) for t in node.terms)
+    if isinstance(node, OrNode):
+        return any(eval_node(t, row) for t in node.terms)
+    if isinstance(node, NotNode):
+        return not eval_node(node.term, row)
+    assert isinstance(node, CmpNode)
+    vals = _values(row, node.field.name)
+    lit = node.value.value
+    if lit is None:
+        empty = len(vals) == 0
+        return empty if node.op == "==" else not empty
+    if node.op in ("=~", "!~"):
+        hit = any(re.fullmatch(str(lit), str(v)) for v in vals)
+        return hit if node.op == "=~" else not hit
+    ops = {"==": lambda v: v == lit, "<": lambda v: v < lit,
+           ">": lambda v: v > lit, "<=": lambda v: v <= lit,
+           ">=": lambda v: v >= lit}
+    if node.op == "!=":
+        return not any(v == lit for v in vals)
+    return any(ops[node.op](v) for v in vals)
+
+
+@pytest.fixture(scope="module")
+def pdf(spark):
+    return spark.createDataFrame(ROWS, SCHEMA).cache()
+
+
+@settings(max_examples=60, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(tree=tree_strategy())
+def test_compiler_matches_python_referee(spark, pdf, tree):
+    expected = sorted(r[0] for r in ROWS if eval_node(tree, r))
+    got = sorted(r.uid for r in compile_query(pdf, str(tree)).collect())
+    assert got == expected, f"query {tree} → {got}, referee says {expected}"
+
+
+@settings(max_examples=40, deadline=None)
+@given(tree=tree_strategy())
+def test_parser_roundtrip(tree):
+    from datawave_spark.jexl.parser import parse
+    assert parse(str(tree)) == tree
