@@ -962,13 +962,13 @@ def q_window_topk(spark, sf_dir):
 
 @register("sessionize_gap", """
 WITH g AS (
-  SELECT user_id, ts,
+  SELECT user_id, ts, event_id,
          CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
                    > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_s
   FROM events),
 s AS (SELECT user_id, ts,
-             sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
-                              ROWS UNBOUNDED PRECEDING) AS session_id
+             CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
       FROM g)
 SELECT user_id, session_id, count(*) AS n_events
 FROM s GROUP BY user_id, session_id
@@ -982,7 +982,7 @@ def q_sessionize(spark, sf_dir):
     gap = (F.col("ts").cast("long")
            - F.lag(F.col("ts").cast("long")).over(w)) > 1800
     new_s = F.when(gap, 1).otherwise(0)
-    wsum = Window.partitionBy("user_id").orderBy("ts") \
+    wsum = Window.partitionBy("user_id").orderBy("ts", "event_id") \
         .rowsBetween(Window.unboundedPreceding, 0)
     return (ev.withColumn("__new", new_s)
             .withColumn("session_id", F.sum("__new").over(wsum))

@@ -35,8 +35,12 @@ def read_parquet(spark: SparkSession, path: str) -> DataFrame:
     """Read parquet; nanosecond-timestamp columns come back as proper
     TimestampType (microsecond, truncated)."""
     # nanosAsLong=true is set session-wide (session._DEFAULTS) so the
-    # scan-time conf matches schema-inference time.
+    # scan-time conf matches schema-inference time; set here too (both
+    # are runtime SQL confs) so an externally-created SparkSession —
+    # e.g. the verification driver's — works unmodified.  UTC keeps
+    # rendered timestamps aligned with DuckDB's UTC-naive values.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     ns_cols = _nanos_columns(path)
     df = spark.read.parquet(path)
     for c in ns_cols:
