@@ -1,0 +1,117 @@
+"""Multi-datatype event catalog with per-datatype query pruning.
+
+Reference: all datatypes share DataWave's shard table; a query is
+implicitly a union over datatypes, and IngestTypePruningVisitor removes
+branches referencing fields a datatype never ingests (SURVEY §2.6),
+driven by the metadata table's per-(datatype, field) rows.
+
+Spark restatement: one DataFrame per datatype (its own schema,
+normalizers, model).  A query compiles per-datatype after an AST
+pruning pass that folds comparisons on absent fields to constants — a
+datatype whose whole tree folds to False is SKIPPED (no scan at all,
+the partition-pruning analog), and the survivors union by column name.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field as dc_field
+
+from pyspark.sql import DataFrame, functions as F
+
+from datawave_spark.compiler.columns import CompileContext, compile_node
+from datawave_spark.compiler.rewrite import default_pipeline, prune
+from datawave_spark.jexl.ast import (
+    AndNode, CmpNode, FieldCmpNode, FuncNode, Identifier, JexlNode,
+    Literal, NotNode, OrNode,
+)
+
+
+def prune_missing_fields(node: JexlNode, available: set[str]) -> JexlNode:
+    """IngestTypePruningVisitor: fold leaves referencing fields this
+    datatype lacks — positive comparisons to False, negated ops to True
+    (an absent field trivially satisfies not-equals) — then
+    constant-fold the boolean structure."""
+    avail = {a.upper() for a in available}
+
+    def walk(n: JexlNode) -> JexlNode:
+        if isinstance(n, CmpNode):
+            if n.field.name.upper() in avail or n.field.name.upper() in ("_ANYFIELD_", "ANYFIELD"):
+                return n
+            return Literal(n.op in ("!=", "!~"))
+        if isinstance(n, FieldCmpNode):
+            if n.left.name.upper() in avail and n.right.name.upper() in avail:
+                return n
+            return Literal(n.op == "!=")
+        if isinstance(n, FuncNode):
+            refs = [a.name.upper() for a in n.args if isinstance(a, Identifier)]
+            if all(r in avail for r in refs):
+                return n
+            return Literal(False)
+        if isinstance(n, (AndNode, OrNode)):
+            return type(n)(tuple(walk(t) for t in n.terms))
+        if isinstance(n, NotNode):
+            return NotNode(walk(n.term))
+        return n
+
+    return prune(walk(node))
+
+
+@dataclass
+class DatatypeSpec:
+    df: DataFrame
+    field_types: dict[str, str] = dc_field(default_factory=dict)
+    model: dict[str, list[str]] = dc_field(default_factory=dict)
+
+
+class EventCatalog:
+    """Query across datatypes as the reference's shared shard table
+    does — with per-datatype pruning and by-name union output."""
+
+    def __init__(self, datatypes: dict[str, DatatypeSpec | DataFrame]):
+        self.datatypes: dict[str, DatatypeSpec] = {
+            name: spec if isinstance(spec, DatatypeSpec) else DatatypeSpec(spec)
+            for name, spec in datatypes.items()}
+
+    def plan_per_datatype(self, jexl: str) -> dict[str, JexlNode | None]:
+        """The pruned AST per datatype (None = fully pruned, no scan) —
+        the EXPLAIN view of datatype pruning."""
+        from datawave_spark.jexl.parser import parse
+        node = default_pipeline(parse(jexl))
+        out: dict[str, JexlNode | None] = {}
+        for name, spec in self.datatypes.items():
+            fields = {f.name for f in spec.df.schema.fields}
+            pruned = prune_missing_fields(node, fields)
+            if pruned == Literal(False):
+                out[name] = None
+            else:
+                out[name] = pruned
+        return out
+
+    def query(self, jexl: str, select: list[str] | None = None) -> DataFrame:
+        """Run across all datatypes; output columns = requested
+        ``select`` (datatypes missing a column contribute NULL) plus a
+        ``datatype`` discriminator."""
+        import datawave_spark.functions  # noqa: F401
+        plans = self.plan_per_datatype(jexl)
+        parts: list[DataFrame] = []
+        for name, node in plans.items():
+            if node is None:
+                continue  # pruned: this datatype is never scanned
+            spec = self.datatypes[name]
+            ctx = CompileContext.for_dataframe(
+                spec.df, field_types=spec.field_types, model=spec.model)
+            hits = spec.df.filter(compile_node(node, ctx))
+            cols = select or [f.name for f in spec.df.schema.fields]
+            have = {f.name.upper(): f.name for f in spec.df.schema.fields}
+            proj = [F.lit(name).alias("datatype")]
+            for c in cols:
+                src = have.get(c.upper())
+                proj.append(F.col(src).alias(c) if src
+                            else F.lit(None).cast("string").alias(c))
+            parts.append(hits.select(*proj))
+        if not parts:
+            raise ValueError("query pruned for every datatype")
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p, allowMissingColumns=True)
+        return out

@@ -1,0 +1,61 @@
+"""Multi-datatype catalog + IngestTypePruning tests."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from datawave_spark.jexl.ast import Literal
+from datawave_spark.jexl.parser import parse as jexl
+from datawave_spark.plans.catalog import (
+    DatatypeSpec, EventCatalog, prune_missing_fields,
+)
+
+
+class TestPruneMissing:
+    def test_positive_leaf_folds_false(self):
+        n = prune_missing_fields(jexl("GHOST == 'x'"), {"REAL"})
+        assert n == Literal(False)
+
+    def test_negated_leaf_folds_true(self):
+        n = prune_missing_fields(jexl("GHOST != 'x'"), {"REAL"})
+        assert n == Literal(True)
+
+    def test_or_keeps_viable_branch(self):
+        n = prune_missing_fields(jexl("GHOST == 'x' || REAL == 'y'"), {"REAL"})
+        assert n == jexl("REAL == 'y'")
+
+    def test_and_with_missing_dies(self):
+        n = prune_missing_fields(jexl("GHOST == 'x' && REAL == 'y'"), {"REAL"})
+        assert n == Literal(False)
+
+
+class TestCatalog:
+    @pytest.fixture(scope="class")
+    def catalog(self, spark):
+        people = spark.createDataFrame(
+            [("p1", "alice", 30.0), ("p2", "bob", 40.0)],
+            "uid string, NAME string, AGE double")
+        orgs = spark.createDataFrame(
+            [("o1", "acme", "alice"), ("o2", "globex", "carol")],
+            "uid string, ORG string, NAME string")
+        return EventCatalog({"people": people, "orgs": DatatypeSpec(orgs)})
+
+    def test_union_across_datatypes(self, catalog):
+        out = catalog.query("NAME == 'alice'", select=["uid", "NAME"])
+        rows = sorted((r.datatype, r.uid) for r in out.collect())
+        assert rows == [("orgs", "o1"), ("people", "p1")]
+
+    def test_datatype_pruned_entirely(self, catalog):
+        plans = catalog.plan_per_datatype("AGE > 20")
+        assert plans["orgs"] is None       # orgs has no AGE: no scan
+        assert plans["people"] is not None
+        out = catalog.query("AGE > 20", select=["uid"])
+        assert {r.datatype for r in out.collect()} == {"people"}
+
+    def test_missing_column_nulls(self, catalog):
+        out = catalog.query("NAME == 'alice'", select=["uid", "ORG"])
+        got = {r.datatype: r.ORG for r in out.collect()}
+        assert got["orgs"] == "acme" and got["people"] is None
+
+    def test_fully_pruned_raises(self, catalog):
+        with pytest.raises(ValueError):
+            catalog.query("NOPE == 'x' && ALSO_NOPE == 'y'")
