@@ -1104,3 +1104,22 @@ def q_normalized_lc(spark, sf_dir):
     out = compile_query(docs, "SOURCE == 'SRC7'",
                         field_types={"SOURCE": "lc"})
     return out.select("doc_id", "source")
+
+
+@register("multi_datatype_query", """
+SELECT 'documents' AS datatype, doc_id, CAST(NULL AS BIGINT) AS event_id
+FROM documents WHERE lang = 'en' AND n_chars > 500
+UNION ALL
+SELECT 'events' AS datatype, CAST(NULL AS BIGINT) AS doc_id, event_id
+FROM events WHERE event_type = 'click' AND value > 480
+""")
+def q_multi_datatype(spark, sf_dir):
+    """Shared-shard-table semantics: one query across datatypes with
+    per-datatype branch pruning (documents lack EVENT_TYPE; events lack
+    LANG — each scans only its viable branch)."""
+    from datawave_spark.plans.catalog import EventCatalog
+    cat = EventCatalog({"documents": _t(spark, sf_dir, "documents"),
+                        "events": _t(spark, sf_dir, "events")})
+    out = cat.query("(LANG == 'en' && N_CHARS > 500) || (EVENT_TYPE == 'click' && VALUE > 480)",
+                    select=["doc_id", "event_id"])
+    return out.select("datatype", "doc_id", "event_id")

@@ -104,10 +104,13 @@ class EventCatalog:
             cols = select or [f.name for f in spec.df.schema.fields]
             have = {f.name.upper(): f.name for f in spec.df.schema.fields}
             proj = [F.lit(name).alias("datatype")]
+            # project only the columns this datatype HAS —
+            # unionByName(allowMissingColumns) fills the rest with
+            # correctly-typed NULLs from the other datatypes' schemas
             for c in cols:
                 src = have.get(c.upper())
-                proj.append(F.col(src).alias(c) if src
-                            else F.lit(None).cast("string").alias(c))
+                if src:
+                    proj.append(F.col(src).alias(c))
             parts.append(hits.select(*proj))
         if not parts:
             raise ValueError("query pruned for every datatype")
