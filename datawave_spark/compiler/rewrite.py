@@ -22,8 +22,6 @@ tests, and (c) fail-fast threshold guards:
 from __future__ import annotations
 
 from dataclasses import dataclass, field as dc_field
-from typing import Any
-
 from datawave_spark.jexl.ast import (
     AndNode, CmpNode, FieldCmpNode, FuncNode, Identifier, JexlNode,
     Literal, NotNode, OrNode,

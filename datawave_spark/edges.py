@@ -24,7 +24,6 @@ from __future__ import annotations
 from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, functions as F
-from pyspark.sql import types as T
 
 from datawave_spark.compiler import compile_query
 

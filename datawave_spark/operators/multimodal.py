@@ -22,7 +22,6 @@ because it is the one knob that matters when the opaque blobs are big.
 from __future__ import annotations
 
 from collections.abc import Callable, Iterator
-from typing import Any
 
 import pandas as pd
 from pyspark.sql import DataFrame, functions as F

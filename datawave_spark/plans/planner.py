@@ -12,8 +12,8 @@ and the iterator tree (whole-stage codegen); paging is
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field as dc_field
-from typing import Any, Iterator
+from dataclasses import dataclass
+from typing import Iterator
 
 from pyspark.sql import DataFrame, functions as F
 

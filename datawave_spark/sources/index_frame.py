@@ -27,7 +27,6 @@ index-organized table does.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
-from pyspark.sql import types as T
 
 from datawave_spark.jexl.ast import (
     AndNode, CmpNode, JexlNode, NotNode, OrNode,

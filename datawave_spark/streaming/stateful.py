@@ -10,8 +10,7 @@ with exact state instead of the reference's false-positive-prone Bloom.
 
 from __future__ import annotations
 
-from collections.abc import Iterable, Iterator
-from typing import Any
+from collections.abc import Iterator
 
 import pandas as pd
 from pyspark.sql import DataFrame
