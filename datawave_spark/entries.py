@@ -1123,3 +1123,34 @@ def q_multi_datatype(spark, sf_dir):
     out = cat.query("(LANG == 'en' && N_CHARS > 500) || (EVENT_TYPE == 'click' && VALUE > 480)",
                     select=["doc_id", "event_id"])
     return out.select("datatype", "doc_id", "event_id")
+
+
+@register("dedup_clusters", f"""
+WITH RECURSIVE sh AS ({_DUCK_SHINGLES2}),
+sizes AS (SELECT id, count(*) AS n FROM sh GROUP BY id),
+inter AS (
+  SELECT a.id AS id_a, b.id AS id_b, count(*) AS n_inter
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.id < b.id GROUP BY a.id, b.id),
+pairs AS (
+  SELECT id_a, id_b FROM inter JOIN sizes sa ON sa.id = id_a JOIN sizes sb ON sb.id = id_b
+  WHERE round(n_inter / (sa.n + sb.n - n_inter), 4) >= 0.3),
+edges AS (SELECT id_a AS s, id_b AS d FROM pairs UNION SELECT id_b, id_a FROM pairs),
+reach(v, r) AS (
+  SELECT s, s FROM edges
+  UNION
+  SELECT e.d, reach.r FROM reach JOIN edges e ON e.s = reach.v),
+comp AS (SELECT v AS id, min(r) AS component FROM reach GROUP BY v)
+SELECT d.doc_id AS id, COALESCE(c.component, d.doc_id) AS canonical_id,
+       COALESCE(c.component, d.doc_id) != d.doc_id AS is_duplicate
+FROM documents d LEFT JOIN comp c ON c.id = d.doc_id
+""")
+def q_dedup_clusters(spark, sf_dir):
+    """Near-dup pairs → connected components → one canonical doc per
+    cluster (the curation decision; iterative min-label propagation,
+    oracle = transitive closure via recursive CTE)."""
+    from datawave_spark.operators.components import dedup_clusters
+    from datawave_spark.operators import dedup
+    docs = _t(spark, sf_dir, "documents")
+    pairs = dedup.ngram_jaccard_pairs(docs, "text", "doc_id", k=2,
+                                      threshold=0.3, prefix_filter=True)
+    return dedup_clusters(docs, "doc_id", pairs)

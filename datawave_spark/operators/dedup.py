@@ -38,7 +38,7 @@ cardinality-cap tradeoff the reference makes in its global index
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql import Column, DataFrame, Window, functions as F
 
 from datawave_spark.util import spread
 
@@ -186,22 +186,53 @@ def simhash_buckets(df: DataFrame, text_col: str, id_col: str,
 
 
 def ngram_jaccard_pairs(df: DataFrame, text_col: str, id_col: str,
-                        k: int = 3, threshold: float = 0.5) -> DataFrame:
+                        k: int = 3, threshold: float = 0.5,
+                        prefix_filter: bool = False) -> DataFrame:
     """All-pairs n-gram Jaccard ≥ threshold via gram equi-join (the
     SSDeep-similarity-join shape: explode n-grams, join on gram, score
-    pairs): (id_a, id_b, jaccard)."""
+    pairs): (id_a, id_b, jaccard).
+
+    ``prefix_filter=True`` enables the classic prefix-filtering prune
+    (Chaudhuri et al. '06 / ppjoin): order each document's shingles by
+    ascending global document frequency (rarest first) and generate
+    candidates only from each doc's first ``⌊(1−t)·n⌋+1`` shingles —
+    two sets with Jaccard ≥ t MUST overlap within those prefixes, so
+    no true pair is lost, while frequent (boilerplate) shingles stop
+    generating candidate pairs.  At 100 TB this is the difference
+    between the join exploding on common grams and staying near-linear;
+    exactness is asserted against the unfiltered path in tests.
+    """
     sh = shingles(df, text_col, id_col, k).persist()
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n"))
-    a = sh.select(F.col("id").alias("id_a"), "shingle")
-    b = sh.select(F.col("id").alias("id_b"), "shingle")
-    inter = (a.join(b, "shingle")
-             .filter(F.col("id_a") < F.col("id_b"))
-             .groupBy("id_a", "id_b")
-             .agg(F.count(F.lit(1)).alias("n_inter")))
-    return (inter
-            .join(sizes.select(F.col("id").alias("id_a"), F.col("n").alias("n_a")), "id_a")
-            .join(sizes.select(F.col("id").alias("id_b"), F.col("n").alias("n_b")), "id_b")
-            .withColumn("jaccard", F.round(
-                F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter")), 4))
-            .filter(F.col("jaccard") >= threshold)
-            .select("id_a", "id_b", "jaccard"))
+    if prefix_filter:
+        w_rank = Window.partitionBy("id").orderBy("df", "shingle")
+        gram_df = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+        ranked = (sh.join(gram_df, "shingle")
+                  .join(sizes, "id")
+                  .withColumn("__r", F.row_number().over(w_rank))
+                  .filter(F.col("__r") <=
+                          F.floor((1.0 - threshold) * F.col("n")) + 1))
+        cand_src = ranked.select("id", "shingle")
+    else:
+        cand_src = sh
+    a = cand_src.select(F.col("id").alias("id_a"), "shingle")
+    b = cand_src.select(F.col("id").alias("id_b"), "shingle")
+    cand = (a.join(b, "shingle")
+            .filter(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b").distinct())
+    if not prefix_filter:
+        # fast path: the equi-join already counts full intersections
+        inter = (a.join(b, "shingle")
+                 .filter(F.col("id_a") < F.col("id_b"))
+                 .groupBy("id_a", "id_b")
+                 .agg(F.count(F.lit(1)).alias("n_inter")))
+        return (inter
+                .join(sizes.select(F.col("id").alias("id_a"), F.col("n").alias("n_a")), "id_a")
+                .join(sizes.select(F.col("id").alias("id_b"), F.col("n").alias("n_b")), "id_b")
+                .withColumn("jaccard", F.round(
+                    F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter")), 4))
+                .filter(F.col("jaccard") >= threshold)
+                .select("id_a", "id_b", "jaccard"))
+    # prefix-filtered candidates hold only partial intersections —
+    # verify with the full shingle sets
+    return verify_jaccard_pairs_from(sh, cand, threshold)

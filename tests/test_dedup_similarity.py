@@ -74,3 +74,40 @@ def test_knn_join_k_rows_per_query(spark, emb):
     counts = {r.query_id: r["count"] for r in
               out.groupBy("query_id").count().collect()}
     assert counts == {i: 3 for i in range(5)}
+
+
+def test_prefix_filter_is_exact(spark, docs):
+    """Prefix filtering must lose NO pairs (the prefix-filter theorem):
+    identical output to the unfiltered all-pairs join."""
+    plain = {(r.id_a, r.id_b, r.jaccard) for r in dedup.ngram_jaccard_pairs(
+        docs, "text", "doc_id", k=2, threshold=0.3).collect()}
+    filtered = {(r.id_a, r.id_b, r.jaccard) for r in dedup.ngram_jaccard_pairs(
+        docs, "text", "doc_id", k=2, threshold=0.3,
+        prefix_filter=True).collect()}
+    assert filtered == plain and plain
+
+
+class TestComponents:
+    def test_connected_components_basic(self, spark):
+        from datawave_spark.operators.components import connected_components
+        pairs = spark.createDataFrame(
+            [(1, 2), (2, 3), (10, 11), (20, 21), (21, 22), (22, 23)],
+            "id_a long, id_b long")
+        got = {r.id: r.component for r in connected_components(pairs).collect()}
+        assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10,
+                       20: 20, 21: 20, 22: 20, 23: 20}
+
+    def test_dedup_clusters_end_to_end(self, spark, docs):
+        from datawave_spark.operators.components import dedup_clusters
+        pairs = dedup.ngram_jaccard_pairs(docs, "text", "doc_id", k=2,
+                                          threshold=0.3)
+        out = dedup_clusters(docs, "doc_id", pairs).collect()
+        assert len(out) == docs.count()
+        dups = [r for r in out if r.is_duplicate]
+        assert dups, "planted near-dups should form clusters"
+        by_canon = {}
+        for r in out:
+            by_canon.setdefault(r.canonical_id, []).append(r.id)
+        # every cluster's canonical id is its minimum member
+        for canon, members in by_canon.items():
+            assert canon == min(members)
