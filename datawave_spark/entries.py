@@ -1154,3 +1154,15 @@ def q_dedup_clusters(spark, sf_dir):
     pairs = dedup.ngram_jaccard_pairs(docs, "text", "doc_id", k=2,
                                       threshold=0.3, prefix_filter=True)
     return dedup_clusters(docs, "doc_id", pairs)
+
+
+@register("ann_ivf_topk")  # approximate (IVF probe): rows-only; recall in tests
+def q_ann_ivf_topk(spark, sf_dir):
+    """IVF ANN: deterministic codebook, ingest-time cluster assignment,
+    query probes the nearest n_probe clusters only."""
+    from datawave_spark.operators import similarity
+    emb = _t(spark, sf_dir, "embeddings")
+    cents = similarity.ivf_centroids(emb, "embedding", "vec_id", n_centroids=8)
+    assigned = similarity.ivf_assign(emb, "embedding", cents)
+    return similarity.ivf_cosine_topk(assigned, "embedding", "vec_id",
+                                      cents, _query_vec(sf_dir), k=10, n_probe=4)

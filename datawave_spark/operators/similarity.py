@@ -19,6 +19,7 @@ Two paths, as a 100 TB pipeline needs both:
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame, Window, functions as F
 
 
@@ -110,3 +111,68 @@ def knn_join(queries: DataFrame, corpus: DataFrame, vec_col: str,
     w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("corpus_id"))
     return (scored.withColumn("__rn", F.row_number().over(w))
             .filter(F.col("__rn") <= k).drop("__rn"))
+
+
+# ----------------------------------------------------------------- IVF
+
+def ivf_centroids(df: DataFrame, vec_col: str, id_col: str,
+                  n_centroids: int = 16, refine_iters: int = 2,
+                  sample_cap: int = 4096) -> np.ndarray:
+    """Deterministic IVF codebook: seed centroids from a fixed id-ordered
+    sample, refined with a few Lloyd iterations driver-side (numpy) —
+    the codebook is tiny; the DATA never leaves the cluster except this
+    bounded sample."""
+    sample = np.array(
+        [r[0] for r in df.select(vec_col).orderBy(id_col)
+         .limit(sample_cap).collect()], dtype=float)
+    sample /= np.maximum(np.linalg.norm(sample, axis=1, keepdims=True), 1e-12)
+    cents = sample[:n_centroids].copy()
+    for _ in range(refine_iters):
+        sims = sample @ cents.T
+        assign = sims.argmax(axis=1)
+        for c in range(n_centroids):
+            members = sample[assign == c]
+            if len(members):
+                m = members.mean(axis=0)
+                cents[c] = m / max(np.linalg.norm(m), 1e-12)
+    return cents
+
+
+def ivf_assign(df: DataFrame, vec_col: str, centroids: np.ndarray,
+               out_col: str = "ivf_cluster") -> DataFrame:
+    """Assign each vector to its nearest (cosine) centroid — vectorized
+    pandas UDF (one Arrow batch matmul per partition chunk).  Run at
+    ingest; partition/sort the table by the cluster id so query-time
+    probes prune to the probed clusters' files."""
+    from pyspark.sql.functions import pandas_udf
+
+    cents = centroids  # captured; broadcast automatically with the task
+
+    @pandas_udf("int")
+    def assign(vecs: pd.Series) -> pd.Series:
+        m = np.array(vecs.tolist(), dtype=float)
+        m /= np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+        return pd.Series((m @ cents.T).argmax(axis=1).astype("int32"))
+
+    return df.withColumn(out_col, assign(F.col(vec_col).cast("array<double>")))
+
+
+def ivf_cosine_topk(assigned: DataFrame, vec_col: str, id_col: str,
+                    centroids: np.ndarray, query: list[float], k: int = 10,
+                    n_probe: int = 4, cluster_col: str = "ivf_cluster",
+                    round_to: int = 4) -> DataFrame:
+    """IVF query: rank centroids against the query driver-side, scan
+    only the ``n_probe`` nearest clusters, exact cosine within — scans
+    ~n_probe/n_centroids of the corpus."""
+    from pyspark.sql import functions as F
+    q = np.asarray(query, dtype=float)
+    qn = q / max(np.linalg.norm(q), 1e-12)
+    order = (centroids @ qn).argsort()[::-1][:n_probe]
+    probes = [int(c) for c in order]
+    qcol = F.array(*[F.lit(float(x)) for x in query])
+    cand = assigned.filter(F.col(cluster_col).isin(probes))
+    scored = cand.select(
+        F.col(id_col).alias("id"),
+        F.round(cosine(F.col(vec_col).cast("array<double>"), qcol),
+                round_to).alias("cos"))
+    return scored.orderBy(F.col("cos").desc(), F.col("id")).limit(k)

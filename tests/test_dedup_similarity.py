@@ -111,3 +111,28 @@ class TestComponents:
         # every cluster's canonical id is its minimum member
         for canon, members in by_canon.items():
             assert canon == min(members)
+
+
+class TestIVF:
+    def test_ivf_recall_vs_bruteforce(self, spark, emb):
+        import numpy as np
+        import pyarrow.parquet as pq
+        cents = similarity.ivf_centroids(emb, "embedding", "vec_id",
+                                         n_centroids=8)
+        assert cents.shape[1] == 64
+        assigned = similarity.ivf_assign(emb, "embedding", cents).cache()
+        # every row assigned to a valid cluster
+        clusters = {r.ivf_cluster for r in
+                    assigned.select("ivf_cluster").distinct().collect()}
+        assert clusters <= set(range(8))
+        q = [float(x) for x in pq.read_table(
+            f"{SF_DIR}/embeddings.parquet",
+            filters=[("vec_id", "=", 0)]).column("embedding")[0].as_py()]
+        exact = [r.id for r in similarity.cosine_topk(
+            emb, "embedding", "vec_id", q, k=10).collect()]
+        approx = [r.id for r in similarity.ivf_cosine_topk(
+            assigned, "embedding", "vec_id", cents, q, k=10,
+            n_probe=4).collect()]
+        assert approx[0] == 0  # the query vector itself
+        overlap = len(set(exact) & set(approx))
+        assert overlap >= 5, f"IVF top-10 overlap {overlap}/10"
