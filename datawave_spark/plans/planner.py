@@ -98,9 +98,10 @@ class QueryPlanner:
         node, opts = extract_options(node)
         validate_thresholds(node, self.max_terms, self.max_depth)
 
+        src = self._ensure_tf_columns(self.df, node)
         ctx = CompileContext.for_dataframe(
-            self.df, field_types=self.field_types, model=self.model)
-        out = self.df.filter(compile_node(node, ctx))
+            src, field_types=self.field_types, model=self.model)
+        out = src.filter(compile_node(node, ctx))
 
         # Post-transform chain — GroupingTransform / UniqueTransform /
         # LimitFields order mirrors QueryIterator's pipeline (:467-887).
@@ -120,9 +121,87 @@ class QueryPlanner:
             ts_cols = [c for c, t in self.df.dtypes if t == "timestamp"]
             most_recent = ts_cols[:1] if opts.most_recent_unique else None
             out = unique(out, opts.unique, most_recent_by=most_recent)
+        if opts.excerpt_fields:
+            out = self._apply_excerpts(out, node, opts.excerpt_fields)
         if opts.rename:
             for old, new in opts.rename.items():
                 if old in out.columns:
                     out = out.withColumnRenamed(old, new)
 
         return QueryResult(df=out, options=opts, plan_string=str(node))
+
+    @staticmethod
+    def _ensure_tf_columns(df: DataFrame, node) -> DataFrame:
+        """content: functions need ``{zone}_tf`` offset maps.  Ingest
+        builds them once (the scale path); for ad-hoc queries over raw
+        text the planner tokenizes on the fly."""
+        from datawave_spark.functions.content import DEFAULT_ZONE
+        from datawave_spark.jexl.ast import FuncNode, Identifier
+        from datawave_spark.sources.ingest import tokenize
+
+        zones: set[str] = set()
+
+        def walk(n):
+            if isinstance(n, FuncNode) and n.namespace == "content":
+                if n.args and isinstance(n.args[0], Identifier):
+                    zones.add(n.args[0].name)
+                else:
+                    zones.add(DEFAULT_ZONE)
+            for c in n.children():
+                walk(c)
+
+        walk(node)
+        cols = {c.upper(): c for c in df.columns}
+        out = df
+        for zone in zones:
+            if f"{zone.upper()}_TF" in cols or "TF" in cols:
+                continue
+            src = cols.get(zone.upper())
+            if src is None:
+                continue
+            out = tokenize(out, src, id_col=df.columns[0], zone=src)
+        return out
+
+    @staticmethod
+    def _apply_excerpts(out: DataFrame, node, fields: list[str]) -> DataFrame:
+        """#EXCERPT_FIELDS: for each requested text field, attach
+        ±5-token windows around the query's content/equality terms on
+        that field (ExcerptTransform semantics — excerpts are computed
+        for the terms that drove the hit)."""
+        from datawave_spark.jexl.ast import CmpNode, FuncNode, Identifier, Literal
+        from datawave_spark.operators.excerpt import excerpts
+
+        def terms_for(field: str) -> list[str]:
+            found: list[str] = []
+
+            def walk(n):
+                if isinstance(n, FuncNode) and n.namespace == "content":
+                    args = list(n.args)
+                    zone = None
+                    if args and isinstance(args[0], Identifier):
+                        zone = args[0].name
+                        args = args[1:]
+                    if zone is None or zone.upper() == field.upper():
+                        found.extend(str(a.value) for a in args
+                                     if isinstance(a, Literal)
+                                     and isinstance(a.value, str))
+                elif isinstance(n, CmpNode) and n.op == "==" \
+                        and n.field.name.upper() == field.upper() \
+                        and isinstance(n.value.value, str):
+                    found.append(n.value.value)
+                for c in n.children():
+                    walk(c)
+
+            walk(node)
+            return found
+
+        id_col = out.columns[0]
+        for field in fields:
+            src = next((c for c in out.columns
+                        if c.upper() == field.upper()), None)
+            if src is None:
+                continue
+            for i, term in enumerate(terms_for(field)):
+                out = excerpts(out, src, id_col, term, window=5,
+                               out_col=f"{src}_excerpt_{i}")
+        return out

@@ -157,3 +157,21 @@ class TestPlanner:
         res = qp.plan("(CITY:rome AND (CITY:rome AND NUM:5))", syntax="LUCENE")
         # flatten + dedup applied
         assert res.plan_string == "(CITY == 'rome' && NUM == 5)"
+
+
+class TestExcerptOption:
+    def test_excerpt_fields_through_planner(self, spark):
+        from datawave_spark.plans import QueryPlanner
+        df = spark.createDataFrame(
+            [(1, "the quick brown fox jumps over the lazy dog"),
+             (2, "no relevant animals here at all")],
+            "doc_id long, BODY string")
+        qp = QueryPlanner(df)
+        res = qp.plan('BODY:"brown fox" #EXCERPT_FIELDS(BODY)',
+                      syntax="LUCENE")
+        rows = res.df.collect()
+        assert [r.doc_id for r in rows] == [1]
+        ex_cols = [c for c in res.df.columns if "excerpt" in c]
+        assert ex_cols, "excerpt columns attached"
+        first = rows[0][ex_cols[0]]
+        assert any("brown" in e for e in first)
