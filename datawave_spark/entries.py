@@ -1152,7 +1152,7 @@ def q_dedup_clusters(spark, sf_dir):
     from datawave_spark.operators import dedup
     docs = _t(spark, sf_dir, "documents")
     pairs = dedup.ngram_jaccard_pairs(docs, "text", "doc_id", k=2,
-                                      threshold=0.3, prefix_filter=True)
+                                      threshold=0.3)
     return dedup_clusters(docs, "doc_id", pairs)
 
 

@@ -30,8 +30,15 @@ def connected_components(pairs: DataFrame, max_iter: int = 15) -> DataFrame:
              .union(pairs.select(F.col("id_b").alias("src"),
                                  F.col("id_a").alias("dst")))
              .distinct().persist())
+    # Size the iteration to the graph: per-round cost is dominated by
+    # stage overhead when the edge frame is small, so shrink the
+    # partition count to keep each round a handful of tasks (50k edges
+    # per partition; large graphs keep full parallelism).
+    n_edges = edges.count()
+    parts = max(1, min(edges.rdd.getNumPartitions(), n_edges // 50_000 + 1))
+    edges = edges.repartition(parts, "dst").persist()
     labels = (edges.select(F.col("src").alias("id")).distinct()
-              .withColumn("component", F.col("id")))
+              .withColumn("component", F.col("id")).persist())
     for _ in range(max_iter):
         neighbor_min = (edges
                         .join(labels.withColumnRenamed("id", "dst")
