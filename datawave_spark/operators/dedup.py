@@ -144,9 +144,6 @@ def verify_jaccard_pairs_from(sh: DataFrame, cand: DataFrame,
     compare to set sizes.  The shingle frame is first semi-joined to
     ids that appear in any candidate pair — verification cost scales
     with the candidate set, not the corpus."""
-    ids = (cand.select(F.col("id_a").alias("id"))
-           .union(cand.select(F.col("id_b").alias("id"))).distinct())
-    sh = sh.join(ids, "id", "left_semi")
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n"))
     a = sh.select(F.col("id").alias("id_a"), F.col("shingle").alias("sh_a"))
     b = sh.select(F.col("id").alias("__idb"), F.col("shingle").alias("sh_b"))
