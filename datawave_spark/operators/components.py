@@ -45,16 +45,19 @@ def connected_components(pairs: DataFrame, max_iter: int = 15) -> DataFrame:
                               .withColumnRenamed("component", "n_comp"), "dst")
                         .groupBy("src")
                         .agg(F.min("n_comp").alias("min_n")))
-        updated = (labels
-                   .join(neighbor_min.withColumnRenamed("src", "id"), "id", "left")
-                   .withColumn("new_comp",
-                               F.least(F.col("component"),
-                                       F.coalesce(F.col("min_n"), F.col("component"))))
-                   .select("id", F.col("new_comp").alias("component"))
-                   .persist())
-        changed = (updated.join(labels.withColumnRenamed("component", "old"), "id")
-                   .filter(F.col("component") != F.col("old")).count())
-        labels = updated
+        # carry the old label through the projection so convergence is
+        # checked on the SAME materialization — one job per round, not
+        # a second join against the previous labels
+        step = (labels
+                .join(neighbor_min.withColumnRenamed("src", "id"), "id", "left")
+                .withColumn("new_comp",
+                            F.least(F.col("component"),
+                                    F.coalesce(F.col("min_n"), F.col("component"))))
+                .select("id", F.col("component").alias("__old"),
+                        F.col("new_comp").alias("component"))
+                .persist())
+        changed = step.filter(F.col("component") != F.col("__old")).count()
+        labels = step.select("id", "component")
         if changed == 0:
             break
     return labels
