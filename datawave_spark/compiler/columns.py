@@ -191,7 +191,14 @@ def compile_cmp(node: CmpNode, ctx: CompileContext,
     norm = get_normalizer(spec.normalizer)
     dtype = ctx.spark_type(spec)
     elem_type = _element_type(dtype)
-    lit = _typed_literal(value, norm, elem_type)
+    try:
+        lit = _typed_literal(value, norm, elem_type)
+    except (ValueError, TypeError):
+        # The literal does not normalize under this field's type (e.g.
+        # _ANYFIELD_ expanding a word against an ipAddress field) — the
+        # term simply cannot match this field.  ExpandMultiNormalized
+        # Terms drops such branches in the reference.
+        return F.lit(negate)
 
     if positive_op == "=~":
         pattern = "^(?:" + str(norm.normalize_literal(value)) + ")$"

@@ -1166,3 +1166,23 @@ def q_ann_ivf_topk(spark, sf_dir):
     assigned = similarity.ivf_assign(emb, "embedding", cents)
     return similarity.ivf_cosine_topk(assigned, "embedding", "vec_id",
                                       cents, _query_vec(sf_dir), k=10, n_probe=4)
+
+
+@register("dedup_embedding_pairs", """
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       round(list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) /
+             (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))
+              * sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))), 4) AS cos
+FROM embeddings a JOIN embeddings b
+  ON a.label = b.label AND a.vec_id < b.vec_id
+WHERE round(list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) /
+            (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))
+             * sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))), 4) >= 0.5
+""")
+def q_dedup_embedding_pairs(spark, sf_dir):
+    """Embedding-cosine near-dup pairs, label-blocked (the IVF-cluster
+    blocking shape at scale)."""
+    from datawave_spark.operators import dedup
+    emb = _t(spark, sf_dir, "embeddings")
+    return dedup.embedding_dedup_pairs(emb, "embedding", "vec_id",
+                                       threshold=0.5, block_col="label")

@@ -102,12 +102,16 @@ def f_matches_at_least(ctx: CompileContext, args):
 
 
 def _ts(col: Column, pattern: str | None) -> Column:
+    # try_to_timestamp everywhere: an unparseable stored value fails the
+    # comparison instead of failing the query (the reference's evaluator
+    # likewise treats bad values as non-matching).
     if pattern:
-        return F.to_timestamp(col.cast("string"), _java_to_spark_fmt(pattern))
+        return F.try_to_timestamp(col.cast("string"),
+                                  F.lit(_java_to_spark_fmt(pattern)))
     return F.coalesce(
         col.cast("timestamp"),
-        F.to_timestamp(col.cast("string")),
-        F.to_timestamp(col.cast("string"), "yyyyMMdd"),
+        F.try_to_timestamp(col.cast("string")),
+        F.try_to_timestamp(col.cast("string"), F.lit("yyyyMMdd")),
     )
 
 

@@ -68,8 +68,13 @@ def _number_py(v: Any) -> float:
 
 def _ip_py(v: Any) -> str:
     # Canonical dotted-quad (strips leading zeros); parity with
-    # datawave.data.type.IpAddressType normalization intent.
-    return str(ipaddress.ip_address(str(v).strip()))
+    # datawave.data.type.IpAddressType normalization intent.  Padded
+    # octets ('010.002.003.004') are legal query forms in the reference;
+    # python's ipaddress treats them as ambiguous-octal, so strip first.
+    s = str(v).strip()
+    if "." in s and all(p.isdigit() for p in s.split(".")):
+        s = ".".join(str(int(p)) for p in s.split("."))
+    return str(ipaddress.ip_address(s))
 
 
 def _ip_col(c: Column) -> Column:

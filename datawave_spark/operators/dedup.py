@@ -244,3 +244,32 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str, id_col: str,
     # prefix-filtered candidates hold only partial intersections —
     # verify with the full shingle sets
     return verify_jaccard_pairs_from(sh, cand, threshold)
+
+
+def embedding_dedup_pairs(df: DataFrame, vec_col: str, id_col: str,
+                          threshold: float = 0.95,
+                          block_col: str | None = None) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: (id_a, id_b, cos ≥ t).
+
+    ``block_col`` (e.g. an IVF cluster id or label) restricts the pair
+    join to within-block comparisons — the blocking that keeps this
+    near-linear at corpus scale; without it the join is all-pairs
+    (quadratic: only for small frames or eval sets).
+    """
+    from datawave_spark.operators.similarity import cosine
+    v = F.col(vec_col).cast("array<double>")
+    base_cols = [F.col(id_col).alias("id"), v.alias("vec")]
+    if block_col:
+        base_cols.append(F.col(block_col).alias("blk"))
+    base = df.select(*base_cols)
+    a = base.select(*[F.col(c).alias(f"{c}_a") for c in base.columns])
+    b = base.select(*[F.col(c).alias(f"{c}_b") for c in base.columns])
+    cond = F.col("id_a") < F.col("id_b")
+    if block_col:
+        joined = a.join(b, F.col("blk_a") == F.col("blk_b")).filter(cond)
+    else:
+        joined = a.crossJoin(b).filter(cond)
+    return (joined
+            .select("id_a", "id_b",
+                    F.round(cosine(F.col("vec_a"), F.col("vec_b")), 4).alias("cos"))
+            .filter(F.col("cos") >= threshold))
