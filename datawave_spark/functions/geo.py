@@ -77,24 +77,13 @@ def g_within_circle(ctx: CompileContext, args):
     return field_pred(ctx, fname, leaf)
 
 
-try:  # geowave:* JTS predicates need shapely (not in this image)
-    import shapely  # noqa: F401
-    _HAVE_SHAPELY = True
-except ImportError:
-    _HAVE_SHAPELY = False
-
-
 def _geowave_predicate(op: str):
     def compiler(ctx: CompileContext, args):
-        if not _HAVE_SHAPELY:
-            raise NotImplementedError(
-                f"geowave:{op} requires shapely (not in this image); "
-                "geo:within_bounding_box / geo:within_circle cover the "
-                "built-in surface")
-        # Shapely path: bounding-box prefilter JVM-side + pandas-UDF
-        # exact predicate (see GeoWaveFunctionsDescriptor for the
-        # reference's equivalent index-prefilter design).
-        from datawave_spark.functions._geowave_shapely import compile_geowave
+        # Dependency-free path: POINT/POLYGON WKT against point fields
+        # via ray casting (bbox prefilter JVM-side, pandas-UDF exact —
+        # the GeoWaveFunctionsDescriptor coarse/exact split).  A shapely
+        # deployment would swap in full JTS geometry support here.
+        from datawave_spark.functions._geowave_purepy import compile_geowave
         return compile_geowave(ctx, op, args)
     return compiler
 

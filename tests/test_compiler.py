@@ -217,3 +217,29 @@ class TestReverseIndex:
         ridx = build_reverse_index(idx)
         got = sorted(r.uid for r in suffix_uids(ridx, "NAME", "son").collect())
         assert got == ["a", "b"]
+
+
+class TestGeoWave:
+    @pytest.fixture(scope="class")
+    def points(self, spark):
+        return spark.createDataFrame(
+            [("a", "41.9,12.5"), ("b", "48.9,2.3"), ("c", "35.7,139.7"),
+             ("d", "0.5,0.5"), ("e", None)],
+            "uid string, GEO string")
+
+    def test_intersects_polygon(self, spark, points):
+        # box around western europe (WKT is lon lat order)
+        q = "geowave:intersects(GEO, 'POLYGON((0 35, 15 35, 15 55, 0 55, 0 35))')"
+        assert uids(compile_query(points, q)) == ["a", "b"]
+
+    def test_within_triangle(self, spark, points):
+        q = "geowave:within(GEO, 'POLYGON((0 0, 2 0, 0 2, 0 0))')"
+        assert uids(compile_query(points, q)) == ["d"]
+
+    def test_point_equality(self, spark, points):
+        q = "geowave:intersects(GEO, 'POINT(12.5 41.9)')"
+        assert uids(compile_query(points, q)) == ["a"]
+
+    def test_crosses_always_false_for_points(self, spark, points):
+        q = "geowave:crosses(GEO, 'POLYGON((0 0, 2 0, 0 2, 0 0))')"
+        assert uids(compile_query(points, q)) == []
