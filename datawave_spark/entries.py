@@ -1186,3 +1186,21 @@ def q_dedup_embedding_pairs(spark, sf_dir):
     emb = _t(spark, sf_dir, "embeddings")
     return dedup.embedding_dedup_pairs(emb, "embedding", "vec_id",
                                        threshold=0.5, block_col="label")
+
+
+@register("geowave_polygon", """
+SELECT event_id FROM events
+WHERE (user_id % 180 - 90) BETWEEN -10 AND 40
+  AND (event_id % 360 - 180) BETWEEN -20 AND 60
+""")
+def q_geowave_polygon(spark, sf_dir):
+    """geowave:intersects with a rectangular POLYGON — exercises the
+    WKT parse + bbox prefilter + ray-cast pandas UDF path (oracle: the
+    equivalent bbox arithmetic)."""
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "GEO", F.concat_ws(",",
+                           (F.col("user_id") % 180 - 90).cast("double"),
+                           (F.col("event_id") % 360 - 180).cast("double")))
+    q = ("geowave:intersects(GEO, "
+         "'POLYGON((-20 -10, 60 -10, 60 40, -20 40, -20 -10))')")
+    return compile_query(ev, q).select("event_id")
