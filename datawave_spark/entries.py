@@ -1204,3 +1204,83 @@ def q_geowave_polygon(spark, sf_dir):
     q = ("geowave:intersects(GEO, "
          "'POLYGON((-20 -10, 60 -10, 60 40, -20 40, -20 -10))')")
     return compile_query(ev, q).select("event_id")
+
+
+@register("tpch_q10_returns", """
+SELECT c_custkey, c_name, round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue,
+       n_name
+FROM customer JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN nation ON c_nationkey = n_nationkey
+WHERE o_orderdate >= TIMESTAMP '1994-10-01' AND o_orderdate < TIMESTAMP '1995-01-01'
+  AND l_returnflag = 'R'
+GROUP BY c_custkey, c_name, n_name
+""")
+def q_tpch_q10(spark, sf_dir):
+    cu = _t(spark, sf_dir, "customer")
+    od = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1994-10-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1995-01-01").cast("timestamp")))
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    na = _t(spark, sf_dir, "nation")
+    return (li.join(od, li.l_orderkey == od.o_orderkey)
+            .join(cu, od.o_custkey == cu.c_custkey)
+            .join(F.broadcast(na), cu.c_nationkey == na.n_nationkey)
+            .groupBy("c_custkey", "c_name", "n_name")
+            .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4)
+                 .alias("revenue"))
+            .select("c_custkey", "c_name", "revenue", "n_name"))
+
+
+@register("tpch_q7_volume", """
+SELECT supp_nation, cust_nation, yr, round(sum(volume), 4) AS revenue FROM (
+  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+         CAST(year(l_shipdate) AS BIGINT) AS yr,
+         l_extendedprice * (1 - l_discount) AS volume
+  FROM supplier JOIN lineitem ON s_suppkey = l_suppkey
+  JOIN orders ON o_orderkey = l_orderkey
+  JOIN customer ON c_custkey = o_custkey
+  JOIN nation n1 ON s_nationkey = n1.n_nationkey
+  JOIN nation n2 ON c_nationkey = n2.n_nationkey
+  WHERE ((n1.n_name = 'FRANCE' AND n2.n_name = 'GERMANY')
+      OR (n1.n_name = 'GERMANY' AND n2.n_name = 'FRANCE')))
+GROUP BY supp_nation, cust_nation, yr
+""")
+def q_tpch_q7(spark, sf_dir):
+    su = _t(spark, sf_dir, "supplier")
+    li = _t(spark, sf_dir, "lineitem")
+    od = _t(spark, sf_dir, "orders")
+    cu = _t(spark, sf_dir, "customer")
+    na = _t(spark, sf_dir, "nation")
+    n1 = na.select(F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation"))
+    n2 = na.select(F.col("n_nationkey").alias("c_nk"), F.col("n_name").alias("cust_nation"))
+    j = (li.join(su, li.l_suppkey == su.s_suppkey)
+         .join(od, li.l_orderkey == od.o_orderkey)
+         .join(cu, od.o_custkey == cu.c_custkey)
+         .join(F.broadcast(n1), su.s_nationkey == n1.s_nk)
+         .join(F.broadcast(n2), cu.c_nationkey == n2.c_nk)
+         .filter(((F.col("supp_nation") == "FRANCE") & (F.col("cust_nation") == "GERMANY"))
+                 | ((F.col("supp_nation") == "GERMANY") & (F.col("cust_nation") == "FRANCE"))))
+    return (j.groupBy("supp_nation", "cust_nation",
+                      F.year("l_shipdate").cast("long").alias("yr"))
+            .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4)
+                 .alias("revenue")))
+
+
+@register("tpch_q14_promo", """
+SELECT round(100.0 * sum(CASE WHEN p_type LIKE 'PROMO%%'
+                              THEN l_extendedprice * (1 - l_discount) ELSE 0 END)
+             / sum(l_extendedprice * (1 - l_discount)), 4) AS promo_revenue
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= TIMESTAMP '1995-09-01' AND l_shipdate < TIMESTAMP '1995-10-01'
+""")
+def q_tpch_q14(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1995-09-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1995-10-01").cast("timestamp")))
+    pa = _t(spark, sf_dir, "part")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    promo = F.when(F.col("p_type").startswith("PROMO"), rev).otherwise(0.0)
+    return (li.join(F.broadcast(pa), li.l_partkey == pa.p_partkey)
+            .agg(F.round(100.0 * F.sum(promo) / F.sum(rev), 4)
+                 .alias("promo_revenue")))
