@@ -137,7 +137,7 @@ class QueryOptions:
     rename: dict[str, str] = dc_field(default_factory=dict)
     excerpt_fields: list[str] = dc_field(default_factory=list)
     limit_fields: dict[str, int] = dc_field(default_factory=dict)
-    noexpansion: bool = False
+    noexpansion: list[str] = dc_field(default_factory=list)  # fields exempt from model expansion
     lenient: bool = False
     strict: bool = False
 
@@ -182,7 +182,7 @@ def extract_options(node: JexlNode) -> tuple[JexlNode, QueryOptions]:
                     f, lim = raw.split("=", 1)
                     opts.limit_fields[f] = int(lim)
             elif n.name == "noexpansion":
-                opts.noexpansion = True
+                opts.noexpansion.extend(args)
             elif n.name == "lenient":
                 opts.lenient = True
             elif n.name == "strict":

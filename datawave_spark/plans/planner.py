@@ -99,8 +99,14 @@ class QueryPlanner:
         validate_thresholds(node, self.max_terms, self.max_depth)
 
         src = self._ensure_tf_columns(self.df, node)
+        model = self.model
+        if opts.noexpansion and model:
+            # #NOEXPANSION(fields): listed aliases bypass query-model
+            # expansion (QueryOptionsFromQueryVisitor's noexpansion)
+            skip = {f.upper() for f in opts.noexpansion}
+            model = {k: v for k, v in model.items() if k.upper() not in skip}
         ctx = CompileContext.for_dataframe(
-            src, field_types=self.field_types, model=self.model)
+            src, field_types=self.field_types, model=model)
         out = src.filter(compile_node(node, ctx))
 
         # Post-transform chain — GroupingTransform / UniqueTransform /

@@ -175,3 +175,17 @@ class TestExcerptOption:
         assert ex_cols, "excerpt columns attached"
         first = rows[0][ex_cols[0]]
         assert any("brown" in e for e in first)
+
+
+class TestNoExpansion:
+    def test_noexpansion_skips_model(self, spark):
+        df = spark.createDataFrame(
+            [("a", "rome", "lazio")], "uid string, CITY string, STATE string")
+        qp = QueryPlanner(df, model={"LOCATION": ["CITY", "STATE"]})
+        # with expansion: LOCATION:lazio matches via STATE
+        assert [r.uid for r in qp.plan("LOCATION:lazio", syntax="LUCENE")
+                .df.collect()] == ["a"]
+        # with #NOEXPANSION(LOCATION): alias unresolved → no match
+        res = qp.plan("LOCATION:lazio #NOEXPANSION(LOCATION)", syntax="LUCENE")
+        assert res.df.count() == 0
+        assert res.options.noexpansion == ["LOCATION"]
