@@ -21,20 +21,27 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 
 
-def connected_components(pairs: DataFrame, max_iter: int = 15) -> DataFrame:
+def connected_components(pairs: DataFrame, max_iter: int = 15,
+                         driver_threshold: int = 1_000_000) -> DataFrame:
     """(id, component) for every vertex in ``pairs`` (id_a, id_b);
-    component = the minimum id reachable.  Driver-side loop with a
-    convergence check per round (the reference point for iteration cost:
-    each round shuffles on the vertex key only)."""
+    component = the minimum id reachable.
+
+    Small/large cutover (the reference's Uid.List-style strategy
+    switch): a near-dup edge list is usually tiny relative to the
+    corpus — below ``driver_threshold`` edges it is union-found on the
+    driver in one pass (no per-round shuffles); above it, distributed
+    min-label propagation with a convergence check per round."""
     edges = (pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
              .union(pairs.select(F.col("id_b").alias("src"),
                                  F.col("id_a").alias("dst")))
              .distinct().persist())
+    n_edges = edges.count()
+    if n_edges <= driver_threshold:
+        return _driver_union_find(edges)
     # Size the iteration to the graph: per-round cost is dominated by
     # stage overhead when the edge frame is small, so shrink the
     # partition count to keep each round a handful of tasks (50k edges
     # per partition; large graphs keep full parallelism).
-    n_edges = edges.count()
     parts = max(1, min(edges.rdd.getNumPartitions(), n_edges // 50_000 + 1))
     edges = edges.repartition(parts, "dst").persist()
     labels = (edges.select(F.col("src").alias("id")).distinct()
@@ -61,6 +68,33 @@ def connected_components(pairs: DataFrame, max_iter: int = 15) -> DataFrame:
         if changed == 0:
             break
     return labels
+
+
+def _driver_union_find(edges: DataFrame) -> DataFrame:
+    """Exact union-find over a collected edge list (bounded by the
+    caller's threshold); labels = component minimum."""
+    parent: dict = {}
+
+    def find(x):
+        root = x
+        while parent.get(root, root) != root:
+            root = parent[root]
+        while parent.get(x, x) != x:   # path compression
+            parent[x], x = root, parent[x]
+        return root
+
+    rows = edges.collect()
+    for r in rows:
+        a, b = find(r.src), find(r.dst)
+        if a != b:
+            # union by min so the root IS the component minimum
+            lo, hi = (a, b) if a < b else (b, a)
+            parent[hi] = lo
+    vertices = {r.src for r in rows}
+    out = [(v, find(v)) for v in sorted(vertices)]
+    spark = edges.sparkSession
+    schema = edges.schema["src"].dataType.simpleString()
+    return spark.createDataFrame(out, f"id {schema}, component {schema}")
 
 
 def dedup_clusters(df: DataFrame, id_col: str, pairs: DataFrame) -> DataFrame:

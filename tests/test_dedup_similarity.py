@@ -136,3 +136,18 @@ class TestIVF:
         assert approx[0] == 0  # the query vector itself
         overlap = len(set(exact) & set(approx))
         assert overlap >= 5, f"IVF top-10 overlap {overlap}/10"
+
+
+def test_distributed_path_matches_driver_union_find(spark):
+    """Force the iterative path (threshold 0) and check it agrees with
+    the driver union-find on a chain + cliques graph."""
+    from datawave_spark.operators.components import connected_components
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5), (10, 11), (11, 12), (10, 12),
+         (20, 21)],
+        "id_a long, id_b long")
+    fast = {(r.id, r.component) for r in connected_components(pairs).collect()}
+    dist = {(r.id, r.component) for r in
+            connected_components(pairs, driver_threshold=0).collect()}
+    assert fast == dist
+    assert dict(fast)[5] == 1  # 4-hop chain resolves to the minimum
