@@ -215,6 +215,22 @@ def compile_cmp(node: CmpNode, ctx: CompileContext,
         pred = F.exists(F.col(spec.column), leaf)
     else:
         pred = leaf(F.col(spec.column))
+
+    # Tokenized zones (a companion {field}_tf offset map exists): a term
+    # also matches by TOKEN membership — the reference's content fields
+    # index their tokens (ContentIndexingColumnBasedHandler), so
+    # BODY == 'quick' hits documents containing the token, not only an
+    # exact full-value match.
+    tf_spec = ctx.resolve(f"{name}_TF")
+    if tf_spec is not None and isinstance(value, str) \
+            and positive_op in ("==", "=~"):
+        tf_col = F.col(tf_spec.column)
+        if positive_op == "==":
+            tok_pred = F.map_contains_key(tf_col, str(value).lower())
+        else:
+            pat = "^(?:" + str(value) + ")$"
+            tok_pred = F.exists(F.map_keys(tf_col), lambda t: t.rlike(pat))
+        pred = pred | tok_pred
     # Bare (non-total) when positive — NULL behaves as False under a
     # WHERE clause and the comparison stays pushdown-eligible.
     return ~_total(pred) if negate else pred

@@ -1,0 +1,70 @@
+"""Full-lifecycle integration: raw CSV → ingest (tokenization, shards,
+visibility) → JEXL/LUCENE queries incl. multi-zone content functions →
+post-transforms → paged output.  The whole user journey in one test."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from datawave_spark.plans import QueryPlanner
+from datawave_spark.sources.ingest import IngestConfig, ingest_events
+from datawave_spark.sources.readers import read_csv_events
+from datawave_spark.visibility import filter_by_auths
+
+CSV = """id,when,title,body,tags,vis
+1,2024-03-01,quick brown fox,the quick brown fox jumps high,animal;classic,PUB
+2,2024-03-01,lazy dog sleeps,a lazy dog sleeps all day long,animal,PUB
+3,2024-03-02,stock report,markets rose on quick gains today,finance,SEC&INT
+4,2024-03-05,fox market news,fox reports quick market moves,finance;animal,PUB
+"""
+
+
+@pytest.fixture(scope="module")
+def event_table(spark, tmp_path_factory):
+    d = tmp_path_factory.mktemp("e2e")
+    p = d / "raw.csv"
+    p.write_text(CSV)
+    raw = read_csv_events(spark, str(p), multi_value_delim={"tags": ";"})
+    cfg = IngestConfig(
+        datatype="articles", date_field="when", uid_fields=["id"],
+        tokenized_fields=["title", "body"])
+    events = ingest_events(raw, cfg).withColumn("visibility", F.col("vis"))
+    return events.cache()
+
+
+class TestEndToEnd:
+    def test_ingest_shape(self, event_table):
+        assert {"uid", "event_date", "shard", "title_tf", "body_tf"} \
+            <= set(event_table.columns)
+        assert event_table.count() == 4
+
+    def test_multi_zone_phrase(self, event_table):
+        qp = QueryPlanner(event_table)
+        # same phrase, different zones → different hits
+        title_hits = qp.plan("content:phrase(TITLE, 'quick', 'brown')").df
+        body_hits = qp.plan("content:phrase(BODY, 'quick', 'market')").df
+        assert [r.id for r in title_hits.collect()] == [1]
+        assert [r.id for r in body_hits.collect()] == [4]
+
+    def test_mixed_zone_and_field_query(self, event_table):
+        qp = QueryPlanner(event_table)
+        res = qp.plan("TAGS == 'animal' && content:within(BODY, 5, 'quick', 'fox')")
+        assert sorted(r.id for r in res.df.collect()) == [1, 4]
+
+    def test_visibility_then_query(self, event_table):
+        visible = filter_by_auths(event_table, {"PUB"})
+        qp = QueryPlanner(visible)
+        res = qp.plan("body:quick", syntax="LUCENE")
+        # id=3 matches 'quick' but is SEC&INT — invisible to PUB
+        assert sorted(r.id for r in res.df.collect()) == [1, 4]
+
+    def test_lucene_groupby_over_ingested(self, event_table):
+        qp = QueryPlanner(event_table)
+        res = qp.plan("tags:animal #GROUPBY(event_date)", syntax="LUCENE")
+        by_day = {str(r.event_date): r.record_count for r in res.df.collect()}
+        assert by_day == {"2024-03-01": 2, "2024-03-05": 1}
+
+    def test_paged_output(self, event_table):
+        qp = QueryPlanner(event_table)
+        res = qp.plan("filter:isNotNull(TAGS)")
+        pages = list(res.pages(page_size=3))
+        assert [len(p) for p in pages] == [3, 1]
