@@ -1284,3 +1284,38 @@ def q_tpch_q14(spark, sf_dir):
     return (li.join(F.broadcast(pa), li.l_partkey == pa.p_partkey)
             .agg(F.round(100.0 * F.sum(promo) / F.sum(rev), 4)
                  .alias("promo_revenue")))
+
+
+@register("filter_time_function", """
+SELECT event_id FROM events
+WHERE (epoch_ms(ts) - epoch_ms(TIMESTAMP '2024-01-01 00:00:00')) > 1209600000
+""")
+def q_filter_time_function(spark, sf_dir):
+    """filter:timeFunction — event time more than 14 days after a fixed
+    epoch column (delta in millis)."""
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "EPOCH", F.lit("2024-01-01 00:00:00").cast("timestamp"))
+    out = compile_query(
+        ev, "filter:timeFunction(TS, EPOCH, '-', '>', 1209600000)")
+    return out.select("event_id")
+
+
+@register("f_match_regex", """
+SELECT event_id, props FROM events
+WHERE regexp_full_match(props, '\\{"k": 9\\}')
+""")
+def q_f_match_regex(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    out = compile_query(ev, r"f:matchRegex(PROPS, '\\{\"k\": 9\\}')")
+    return out.select("event_id", "props")
+
+
+@register("filter_occurrence_scalar", """
+SELECT event_id FROM events WHERE props IS NOT NULL AND value > 480
+""")
+def q_filter_occurrence(spark, sf_dir):
+    """filter:occurrence on a scalar field (count is 0/1) combined with
+    a range term."""
+    ev = _t(spark, sf_dir, "events")
+    out = compile_query(ev, "filter:occurrence(PROPS, '==', 1) && VALUE > 480")
+    return out.select("event_id")
