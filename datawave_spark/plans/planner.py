@@ -81,6 +81,18 @@ class QueryPlanner:
         self.max_terms = max_terms
         self.max_depth = max_depth
 
+    @classmethod
+    def from_metadata(cls, df: DataFrame, metadata: DataFrame,
+                      **kwargs) -> "QueryPlanner":
+        """Bind field normalizers from the ingest metadata frame
+        (sources.ingest.field_metadata) — the planner consulting the
+        metadata table for types, exactly the reference's
+        MetadataHelper-driven planning (SURVEY §1.4)."""
+        rows = metadata.select("field", "normalizer").collect()
+        field_types = {r.field: r.normalizer for r in rows
+                       if r.normalizer and r.normalizer != "noop"}
+        return cls(df, field_types=field_types, **kwargs)
+
     def parse(self, query: str, syntax: str = "JEXL") -> JexlNode:
         syntax = syntax.upper()
         if syntax == "LUCENE":

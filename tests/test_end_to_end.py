@@ -68,3 +68,19 @@ class TestEndToEnd:
         res = qp.plan("filter:isNotNull(TAGS)")
         pages = list(res.pages(page_size=3))
         assert [len(p) for p in pages] == [3, 1]
+
+
+def test_planner_from_metadata(spark):
+    """Metadata-table-driven planning: normalizers bound from the ingest
+    metadata frame, not hand configuration."""
+    from datawave_spark.plans import QueryPlanner
+    from datawave_spark.sources.ingest import IngestConfig, field_metadata
+    raw = spark.createDataFrame(
+        [(1, "2024-01-01", "Zürich"), (2, "2024-01-01", "Geneva")],
+        "id long, when string, city string")
+    cfg = IngestConfig(datatype="t", date_field="when", uid_fields=["id"],
+                       field_types={"city": "lcNoDiacritics"})
+    meta = field_metadata(raw, cfg)
+    qp = QueryPlanner.from_metadata(raw, meta)
+    # literal normalizes through the metadata-bound lcNoDiacritics
+    assert [r.id for r in qp.plan("CITY == 'ZURICH'").df.collect()] == [1]
