@@ -232,3 +232,25 @@ def validate_thresholds(node: JexlNode, max_terms: int = 2500,
     d = depth(node)
     if d > max_depth:
         raise ThresholdExceeded(f"query depth {d} > maxDepthThreshold {max_depth}")
+
+
+def whindex(node: JexlNode, mappings: dict[tuple[str, object], str]) -> JexlNode:
+    """Value-specific field remapping (WhindexVisitor parity,
+    DefaultQueryPlanner.java:1384, visitors/whindex/): configured
+    (field, value) pairs rewrite to a value-specific field — e.g. a
+    generic GEO field queried with a known landmark value remaps to the
+    per-type field that actually indexes it.  Keys are (FIELD_UPPER,
+    value)."""
+    def walk(n: JexlNode) -> JexlNode:
+        if isinstance(n, CmpNode):
+            target = mappings.get((n.field.name.upper(), n.value.value))
+            if target:
+                return CmpNode(n.op, Identifier(target), n.value)
+            return n
+        if isinstance(n, (AndNode, OrNode)):
+            return type(n)(tuple(walk(t) for t in n.terms))
+        if isinstance(n, NotNode):
+            return NotNode(walk(n.term))
+        return n
+
+    return walk(node)

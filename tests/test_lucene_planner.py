@@ -189,3 +189,14 @@ class TestNoExpansion:
         res = qp.plan("LOCATION:lazio #NOEXPANSION(LOCATION)", syntax="LUCENE")
         assert res.df.count() == 0
         assert res.options.noexpansion == ["LOCATION"]
+
+
+class TestWhindex:
+    def test_value_specific_remap(self):
+        from datawave_spark.compiler.rewrite import whindex
+        node = jexl("GEO_FIELD == 'landmark1' && OTHER == 'x'")
+        out = whindex(node, {("GEO_FIELD", "landmark1"): "GEO_LANDMARKS"})
+        assert out == jexl("GEO_LANDMARKS == 'landmark1' && OTHER == 'x'")
+        # non-configured values untouched
+        node2 = jexl("GEO_FIELD == 'other_value'")
+        assert whindex(node2, {("GEO_FIELD", "landmark1"): "X"}) == node2
