@@ -254,3 +254,37 @@ def whindex(node: JexlNode, mappings: dict[tuple[str, object], str]) -> JexlNode
         return n
 
     return walk(node)
+
+
+def expand_composites(node: JexlNode,
+                      composites: dict[tuple[str, ...], str],
+                      sep: str = "\x00") -> JexlNode:
+    """Composite-field expansion (ExpandCompositeTerms parity,
+    DefaultQueryPlanner.java:1550, query/composite/Composite.java:12):
+    an AND of equality terms on co-indexed fields collapses into ONE
+    equality on the generated composite column (value = joined parts),
+    turning a multi-predicate scan into a single sortable term —
+    build the column at ingest with ``composite_column``."""
+    ordered = {tuple(f.upper() for f in k): v for k, v in composites.items()}
+
+    def walk(n: JexlNode) -> JexlNode:
+        if isinstance(n, AndNode):
+            terms = [walk(t) for t in n.terms]
+            eqs = {t.field.name.upper(): t for t in terms
+                   if isinstance(t, CmpNode) and t.op == "=="}
+            for fields, target in ordered.items():
+                if set(fields) <= set(eqs):
+                    value = sep.join(str(eqs[f].value.value) for f in fields)
+                    keep = [t for t in terms
+                            if not (isinstance(t, CmpNode) and t.op == "=="
+                                    and t.field.name.upper() in fields)]
+                    keep.append(CmpNode("==", Identifier(target), Literal(value)))
+                    return _rebuild(n, keep, AndNode)
+            return _rebuild(n, terms, AndNode)
+        if isinstance(n, OrNode):
+            return _rebuild(n, [walk(t) for t in n.terms], OrNode)
+        if isinstance(n, NotNode):
+            return NotNode(walk(n.term))
+        return n
+
+    return walk(node)

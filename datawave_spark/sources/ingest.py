@@ -162,3 +162,14 @@ def field_metadata(df: DataFrame, config: IngestConfig) -> DataFrame:
         rows,
         "field string, datatype string, spark_type string, "
         "normalizer string, tokenized boolean, indexed boolean, n_values long")
+
+
+def composite_column(df: DataFrame, fields: list[str], out_col: str,
+                     sep: str = "\x00") -> DataFrame:
+    """Generated composite column (Composite.java's joined term) —
+    create at ingest for field combinations queried together, pair with
+    ``compiler.rewrite.expand_composites`` at plan time.  Sorting or
+    Z-ORDERing the table by this column makes the collapsed term a
+    contiguous scan range."""
+    return df.withColumn(
+        out_col, F.concat_ws(sep, *[F.col(f).cast("string") for f in fields]))

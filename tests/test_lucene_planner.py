@@ -200,3 +200,27 @@ class TestWhindex:
         # non-configured values untouched
         node2 = jexl("GEO_FIELD == 'other_value'")
         assert whindex(node2, {("GEO_FIELD", "landmark1"): "X"}) == node2
+
+
+class TestComposite:
+    def test_expand_and_query(self, spark):
+        from datawave_spark.compiler.rewrite import expand_composites
+        from datawave_spark.compiler.columns import (CompileContext,
+                                                     compile_node)
+        from datawave_spark.sources.ingest import composite_column
+        import datawave_spark.functions  # noqa: F401
+        df = spark.createDataFrame(
+            [(1, "a", "x"), (2, "a", "y"), (3, "b", "x")],
+            "id long, F1 string, F2 string")
+        df = composite_column(df, ["F1", "F2"], "F1_F2")
+        node = jexl("F1 == 'a' && F2 == 'x'")
+        rewritten = expand_composites(node, {("F1", "F2"): "F1_F2"})
+        assert str(rewritten) == "F1_F2 == 'a\x00x'"
+        ctx = CompileContext.for_dataframe(df)
+        got = [r.id for r in df.filter(compile_node(rewritten, ctx)).collect()]
+        assert got == [1]
+
+    def test_partial_match_untouched(self):
+        from datawave_spark.compiler.rewrite import expand_composites
+        node = jexl("F1 == 'a' && F3 == 'z'")
+        assert expand_composites(node, {("F1", "F2"): "C"}) == node
