@@ -79,3 +79,46 @@ def test_hll_cardinality_accuracy(spark):
     got = {r.field: r.cardinality for r in cardinality(df, ["id", "k"]).collect()}
     assert abs(got["k"] - 500) / 500 < 0.05
     assert abs(got["id"] - 10000) / 10000 < 0.05
+
+
+class TestNestedCorpus:
+    """Books/Flatten-corpus shapes: nested JSON → flattened scalars +
+    array<struct> sibling groups → grouping-context queries (the
+    representation SURVEY §1.5 maps FIELD.context.instance onto)."""
+
+    @pytest.fixture(scope="class")
+    def books(self, spark, tmp_path_factory):
+        d = tmp_path_factory.mktemp("books")
+        p = d / "books.json"
+        p.write_text(
+            '{"isbn": "1", "info": {"title": "dune", "year": 1965}, '
+            '"AUTHORS": [{"NAME": "herbert", "ROLE": "author"}]}\n'
+            '{"isbn": "2", "info": {"title": "good omens", "year": 1990}, '
+            '"AUTHORS": [{"NAME": "pratchett", "ROLE": "author"}, '
+            '{"NAME": "gaiman", "ROLE": "author"}]}\n'
+            '{"isbn": "3", "info": {"title": "sandman", "year": 1989}, '
+            '"AUTHORS": [{"NAME": "gaiman", "ROLE": "author"}, '
+            '{"NAME": "kieth", "ROLE": "artist"}]}\n')
+        from datawave_spark.sources.readers import read_json_events
+        return read_json_events(spark, str(p)).cache()
+
+    def test_flattened_scalars_queryable(self, books):
+        from datawave_spark.compiler import compile_query
+        got = compile_query(books, "INFO_YEAR > 1985 && INFO_YEAR < 1991")
+        assert sorted(r.isbn for r in got.collect()) == ["2", "3"]
+
+    def test_grouping_context_same_struct(self, books):
+        from datawave_spark.compiler import compile_query
+        # gaiman AS ARTIST exists in no single sibling group
+        none = compile_query(
+            books, "grouping:matchesInGroup(NAME, 'gaiman', ROLE, 'artist')")
+        assert none.count() == 0
+        hit = compile_query(
+            books, "grouping:matchesInGroup(NAME, 'kieth', ROLE, 'artist')")
+        assert [r.isbn for r in hit.collect()] == ["3"]
+
+    def test_group_by_context_over_json(self, books):
+        from datawave_spark.operators.grouping import group_by_context
+        out = group_by_context(books, "AUTHORS", ["ROLE"])
+        roles = {r.ROLE: r.record_count for r in out.collect()}
+        assert roles == {"author": 4, "artist": 1}
