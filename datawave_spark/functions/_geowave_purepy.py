@@ -19,6 +19,7 @@ from __future__ import annotations
 
 import re
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import Column, functions as F
 from pyspark.sql.functions import pandas_udf
@@ -61,6 +62,29 @@ def point_in_polygon(x: float, y: float, ring: list[tuple[float, float]]) -> boo
     return inside
 
 
+def point_in_polygon_vec(x: np.ndarray, y: np.ndarray,
+                         ring: list[tuple[float, float]]) -> np.ndarray:
+    """Vectorized ray cast: the whole Arrow batch against each ring
+    edge with numpy array ops (the ring is small, the batch is big —
+    loop over edges, never over points).  Bit-for-bit the same verdict
+    as the scalar ``point_in_polygon``."""
+    inside = np.zeros(x.shape, dtype=bool)
+    on_edge = np.zeros(x.shape, dtype=bool)
+    n = len(ring)
+    for i in range(n):
+        x1, y1 = ring[i]
+        x2, y2 = ring[(i + 1) % n]
+        cross = (x2 - x1) * (y - y1) - (y2 - y1) * (x - x1)
+        on_edge |= ((x >= min(x1, x2)) & (x <= max(x1, x2))
+                    & (y >= min(y1, y2)) & (y <= max(y1, y2))
+                    & (np.abs(cross) < 1e-12))
+        crossing = (y1 > y) != (y2 > y)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            xin = (x2 - x1) * (y - y1) / (y2 - y1) + x1
+        inside ^= crossing & (x < xin)
+    return inside | on_edge
+
+
 def _bbox(kind, geom):
     if kind == "point":
         x, y = geom
@@ -87,19 +111,21 @@ def compile_geowave(ctx, op: str, args):
 
     @pandas_udf("boolean")
     def exact(points: pd.Series) -> pd.Series:
-        out = []
-        for p in points:
-            try:
-                lat_s, lon_s = str(p).split(",")
-                lon, lat = float(lon_s), float(lat_s)
-            except (ValueError, AttributeError):
-                out.append(False)
-                continue
-            if kind == "point":
-                out.append(abs(lon - geom[0]) < 1e-9 and abs(lat - geom[1]) < 1e-9)
-            else:
-                out.append(point_in_polygon(lon, lat, geom))
-        return pd.Series(out)
+        # whole-batch numpy: split once, coerce once, one vectorized
+        # geometry test — no per-row Python loop.
+        parts = points.astype(str).str.split(",", n=1, expand=True)
+        lat = pd.to_numeric(parts[0], errors="coerce").to_numpy(dtype=float)
+        if parts.shape[1] > 1:
+            lon = pd.to_numeric(parts[1], errors="coerce").to_numpy(dtype=float)
+        else:
+            lon = np.full(lat.shape, np.nan)
+        valid = ~(np.isnan(lat) | np.isnan(lon))
+        if kind == "point":
+            res = valid & (np.abs(lon - geom[0]) < 1e-9) \
+                & (np.abs(lat - geom[1]) < 1e-9)
+        else:
+            res = valid & point_in_polygon_vec(lon, lat, geom)
+        return pd.Series(res)
 
     def leaf(v: Column) -> Column:
         parts = F.split(v.cast("string"), ",")

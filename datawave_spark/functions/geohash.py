@@ -116,19 +116,31 @@ def bbox_filter_accelerated(df: DataFrame, lat_col: str, lon_col: str,
                             min_lat: float, min_lon: float,
                             max_lat: float, max_lon: float,
                             geohash_col_name: str = "geohash",
-                            prefix_precision: int = 4) -> DataFrame:
+                            prefix_precision: int = 4,
+                            stored: bool = False) -> DataFrame:
     """Bounding-box query with geohash prefix acceleration: coarse
     StartsWith prefix predicates (pushdown/row-group-skippable) AND the
-    exact bbox check."""
+    exact bbox check.
+
+    ``stored=True`` means the geohash column is real table data (built
+    at ingest, e.g. ``sources.prepared.geo_events``): the coarse test is
+    emitted as an OR of ``startswith`` predicates, which Spark pushes to
+    parquet as StringStartsWith and row-group-skips on a
+    geohash-clustered table.  With a DERIVED geohash (stored=False) each
+    startswith copy would re-inline the whole ~30-step Morton expression
+    when Catalyst pushes the filter through the generating projection —
+    there the coarse test is ONE substring + isin instead."""
     prefixes = bbox_prefixes(min_lat, min_lon, max_lat, max_lon,
                              prefix_precision)
     gh = F.col(geohash_col_name)
-    # All covering cells share one precision, so the coarse test is ONE
-    # substring + isin — not an OR of startswith per prefix, each copy
-    # of which would re-inline the whole geohash expression when
-    # Catalyst pushes the filter through the generating projection.
-    plen = len(prefixes[0])
-    coarse = F.substring(gh, 1, plen).isin(*prefixes)
+    if stored:
+        coarse = gh.startswith(prefixes[0])
+        for p in prefixes[1:]:
+            coarse = coarse | gh.startswith(p)
+    else:
+        # All covering cells share one precision → one substring + isin.
+        plen = len(prefixes[0])
+        coarse = F.substring(gh, 1, plen).isin(*prefixes)
     exact = (F.col(lat_col) >= min_lat) & (F.col(lat_col) <= max_lat) \
         & (F.col(lon_col) >= min_lon) & (F.col(lon_col) <= max_lon)
     return df.filter(coarse & exact)

@@ -171,14 +171,35 @@ class QueryPlanner:
         walk(node)
         cols = {c.upper(): c for c in df.columns}
         out = df
+        id_col = None
         for zone in zones:
             if f"{zone.upper()}_TF" in cols or "TF" in cols:
                 continue
             src = cols.get(zone.upper())
             if src is None:
                 continue
-            out = tokenize(out, src, id_col=df.columns[0], zone=src)
+            if id_col is None:
+                out, id_col = QueryPlanner._doc_id(out)
+            out = tokenize(out, src, id_col=id_col, zone=src)
+        if id_col == "__doc_id":
+            out = out.drop("__doc_id")
         return out
+
+    @staticmethod
+    def _doc_id(df: DataFrame) -> tuple[DataFrame, str]:
+        """A real unique document id for tokenize's join-back.  The
+        first column is NOT assumed to be a key — if it weren't unique,
+        tokenize's groupBy would merge token offset maps across distinct
+        rows and content:phrase could match documents that never
+        contained the terms.  Prefers a ``uid`` column (the ingest
+        standard); otherwise derives a deterministic surrogate hash over
+        the whole row (identical duplicate rows collide harmlessly —
+        their token maps are identical)."""
+        for c in df.columns:
+            if c.upper() == "UID":
+                return df, c
+        surrogate = F.md5(F.to_json(F.struct(*[F.col(c) for c in df.columns])))
+        return df.withColumn("__doc_id", surrogate), "__doc_id"
 
     @staticmethod
     def _apply_excerpts(out: DataFrame, node, fields: list[str]) -> DataFrame:
@@ -213,7 +234,7 @@ class QueryPlanner:
             walk(node)
             return found
 
-        id_col = out.columns[0]
+        out, id_col = QueryPlanner._doc_id(out)
         for field in fields:
             src = next((c for c in out.columns
                         if c.upper() == field.upper()), None)
@@ -222,4 +243,6 @@ class QueryPlanner:
             for i, term in enumerate(terms_for(field)):
                 out = excerpts(out, src, id_col, term, window=5,
                                out_col=f"{src}_excerpt_{i}")
+        if id_col == "__doc_id":
+            out = out.drop("__doc_id")
         return out

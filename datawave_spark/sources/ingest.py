@@ -51,9 +51,16 @@ class IngestConfig:
 
 def build_uid(df: DataFrame, uid_fields: list[str] | None) -> Column:
     """Deterministic uid from identity fields (the reference's
-    hash-based UID, datawave.data.hash.UID)."""
+    hash-based UID, datawave.data.hash.UID).
+
+    NULLs are encoded with a distinct sentinel before hashing —
+    concat_ws silently SKIPS null columns, so without it distinct
+    records whose non-null values align (('a', NULL, 'b') vs
+    ('a', 'b', NULL)) would collide to one uid, merging their tf maps
+    and shard/dedup identity."""
     cols = uid_fields or df.columns
-    return F.md5(F.concat_ws("\x00", *[F.col(c).cast("string") for c in cols]))
+    return F.md5(F.concat_ws("\x00", *[
+        F.coalesce(F.col(c).cast("string"), F.lit("\x01NULL")) for c in cols]))
 
 
 def tokenize(df: DataFrame, text_col: str, id_col: str,

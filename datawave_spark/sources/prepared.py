@@ -1,0 +1,96 @@
+"""Prepared (ingest-materialized) derived assets.
+
+The reference stores its acceleration structures — the global inverted
+index (shardIndex, SURVEY §1.1) and geo index strings (GeoType z-order,
+DiscreteIndexType) — at INGEST time; queries only read them.  Round-1
+entries rebuilt these per query, which benchmarks ingest, not lookup.
+This module materializes each asset once per scale-factor directory
+under a local cache root and hands queries the stored table:
+
+- ``geo_events``  — (event_id, lat, lon, geohash), range-partitioned +
+  sorted by geohash so coarse prefix predicates prune via parquet
+  row-group stats (the GeoWave tiered-range analog).
+- ``index_frame`` — the inverted-index frame (field, value, uid,
+  event_date), partitioned by ``field`` and sorted by ``value`` within
+  partitions: a term lookup prunes to one field directory and
+  row-group-skips on value (RangeStream.java:106 reads the
+  index-organized table the same way).
+
+At 100 TB these writes are the ingest job's responsibility
+(write_events/write_bucketed); the lazy build here exists so local
+correctness runs don't need a separate ingest step.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+PREPARED_ROOT = os.environ.get("SPARK_GRAFT_PREPARED_DIR",
+                               os.path.join(os.path.dirname(os.path.dirname(
+                                   os.path.dirname(os.path.abspath(__file__)))),
+                                   ".prepared"))
+
+
+def prepared_path(sf_dir: str, name: str) -> str:
+    tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    return os.path.join(PREPARED_ROOT, tag, name)
+
+
+def get_or_build(spark: SparkSession, sf_dir: str, name: str, build_fn,
+                 *, range_by: str | None = None,
+                 partition_by: str | None = None,
+                 sort_by: str | None = None,
+                 num_parts: int = 8) -> DataFrame:
+    """Read the prepared asset, building + writing it first if absent.
+
+    ``range_by``: repartitionByRange + sortWithinPartitions on that
+    column (global clustering → row-group stats pruning on it).
+    ``partition_by``: hive-style directory partitioning (partition
+    pruning on equality).  ``sort_by``: within-partition sort.
+    """
+    path = prepared_path(sf_dir, name)
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        df = build_fn()
+        w = df
+        if range_by:
+            w = df.repartitionByRange(num_parts, range_by) \
+                  .sortWithinPartitions(range_by)
+        elif sort_by:
+            w = df.sortWithinPartitions(sort_by)
+        writer = w.write.mode("overwrite")
+        if partition_by:
+            writer = writer.partitionBy(partition_by)
+        writer.parquet(path)
+    return spark.read.parquet(path)
+
+
+def geo_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Events with a stored geohash column, clustered by geohash."""
+    from pyspark.sql import functions as F
+    from datawave_spark.functions.geohash import add_geohash
+    from datawave_spark.sources.parquet import read_parquet
+
+    def build():
+        ev = read_parquet(spark, os.path.join(sf_dir, "events.parquet")) \
+            .select("event_id",
+                    (F.col("user_id") % 160 - 80).cast("double").alias("lat"),
+                    (F.col("event_id") % 360 - 180).cast("double").alias("lon"))
+        return add_geohash(ev, "lat", "lon", precision=6)
+
+    return get_or_build(spark, sf_dir, "geo_events", build, range_by="geohash")
+
+
+def index_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The materialized inverted-index frame over the events table."""
+    from datawave_spark.sources.index_frame import build_index
+    from datawave_spark.sources.parquet import read_parquet
+
+    def build():
+        ev = read_parquet(spark, os.path.join(sf_dir, "events.parquet"))
+        return build_index(ev, ["event_type", "value", "user_id"], "event_id",
+                           date_col="ts")
+
+    return get_or_build(spark, sf_dir, "index_frame", build,
+                        partition_by="field", sort_by="value")

@@ -46,8 +46,13 @@ def _tokens(expr: str):
 
 def evaluate(expr: str | None, auths: set[str]) -> bool:
     """Evaluate a ColumnVisibility expression against an auth set.
-    Accumulo precedence: & binds tighter than |; parentheses group.
-    Empty/None visibility is visible to everyone."""
+
+    Accumulo's parser REJECTS mixed ``&`` and ``|`` at the same
+    parenthesis level (there is no precedence to invent): a label like
+    ``A&B|C`` is a parse error, because silently choosing ``(A&B)|C``
+    would grant visibility to users holding only C — broader than the
+    label author intended.  Parentheses group; empty/None visibility is
+    visible to everyone."""
     if expr is None or expr.strip() == "":
         return True
     toks = list(_tokens(expr))
@@ -62,24 +67,24 @@ def evaluate(expr: str | None, auths: set[str]) -> bool:
         pos += 1
         return t
 
-    def parse_or() -> bool:
-        v = parse_and()
-        while peek() == "|":
-            take()
-            v = parse_and() or v
-        return v
-
-    def parse_and() -> bool:
+    def parse_expr() -> bool:
         v = parse_atom()
-        while peek() == "&":
-            take()
-            v = parse_atom() and v
+        op = None
+        while peek() in ("&", "|"):
+            t = take()
+            if op is None:
+                op = t
+            elif t != op:
+                raise VisibilityParseError(
+                    f"mixed '&' and '|' without parentheses in {expr!r}")
+            nxt = parse_atom()
+            v = (v and nxt) if op == "&" else (v or nxt)
         return v
 
     def parse_atom() -> bool:
         t = take()
         if t == "(":
-            v = parse_or()
+            v = parse_expr()
             if take() != ")":
                 raise VisibilityParseError(f"unbalanced parens in {expr!r}")
             return v
@@ -88,10 +93,20 @@ def evaluate(expr: str | None, auths: set[str]) -> bool:
         label = t[1:-1] if t.startswith('"') else t
         return label in auths
 
-    result = parse_or()
+    result = parse_expr()
     if peek() is not None:
         raise VisibilityParseError(f"trailing tokens in {expr!r}")
     return result
+
+
+def _evaluate_fail_closed(expr: str, auths: set[str]) -> bool:
+    """A stored label that does not parse (e.g. mixed &/| written
+    without parens) grants NOTHING — fail closed, mirroring Accumulo
+    where such a label could never have been ingested."""
+    try:
+        return evaluate(expr, auths)
+    except VisibilityParseError:
+        return False
 
 
 def filter_by_auths(df: DataFrame, auths: Iterable[str],
@@ -103,7 +118,8 @@ def filter_by_auths(df: DataFrame, auths: Iterable[str],
     if vis_col not in df.columns:
         return df
     distinct = [r[0] for r in df.select(vis_col).distinct().collect()]
-    allowed = [v for v in distinct if v is not None and evaluate(v, auth_set)]
+    allowed = [v for v in distinct
+               if v is not None and _evaluate_fail_closed(v, auth_set)]
     pred = F.col(vis_col).isNull() | (F.col(vis_col) == "")
     if allowed:
         pred = pred | F.col(vis_col).isin(allowed)
@@ -118,6 +134,6 @@ def mask_fields(df: DataFrame, field_visibility: dict[str, str],
     auth_set = set(auths)
     out = df
     for fname, vis in field_visibility.items():
-        if fname in out.columns and not evaluate(vis, auth_set):
+        if fname in out.columns and not _evaluate_fail_closed(vis, auth_set):
             out = out.withColumn(fname, F.lit(mask_value))
     return out

@@ -55,6 +55,18 @@ def test_regex_full_match(spark, events):
     assert uids(compile_query(events, "CITY !~ 'ro.*'")) == ["c", "d"]
 
 
+def test_numeric_regex(spark, events):
+    # '=~' on a number-typed field: the regex pattern must NOT pass
+    # through the numeric normalizer (float('25.*') raises and the term
+    # would silently compile to constant False).
+    assert uids(compile_query(events, "NUM =~ '25.*'",
+                              field_types={"NUM": "number"})) == ["b", "e"]
+    assert uids(compile_query(events, "NUM !~ '25.*'",
+                              field_types={"NUM": "number"})) == ["a", "c", "d"]
+    # same on an untyped (noop) numeric column
+    assert uids(compile_query(events, "NUM =~ '25.*'")) == ["b", "e"]
+
+
 def test_null_checks(spark, events):
     assert uids(compile_query(events, "NUM == null")) == ["d"]
     assert uids(compile_query(events, "CITY == null")) == ["d"]

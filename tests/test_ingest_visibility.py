@@ -54,6 +54,17 @@ class TestIngest:
     def test_multivalue_split(self, events):
         assert events.filter(F.col("rid") == 1).first().tags == ["x", "y", "z"]
 
+    def test_build_uid_distinguishes_null_positions(self, spark):
+        # concat_ws silently skips NULLs — ('a', NULL, 'b') and
+        # ('a', 'b', NULL) must NOT collide to one uid.
+        from datawave_spark.sources.ingest import build_uid
+        df = spark.createDataFrame(
+            [("a", None, "b"), ("a", "b", None)],
+            "x string, y string, z string")
+        got = [r.u for r in
+               df.select(build_uid(df, ["x", "y", "z"]).alias("u")).collect()]
+        assert got[0] != got[1]
+
     def test_shard_bucket_stable(self, raw, events):
         # same uid → same shard bucket on recompute (deterministic)
         again = ingest_events(raw, CFG)
@@ -123,6 +134,21 @@ class TestVisibility:
     def test_bad_expression_raises(self):
         with pytest.raises(visibility.VisibilityParseError):
             visibility.evaluate("A&(B", {"A", "B"})
+
+    def test_mixed_ops_require_parens(self):
+        # Accumulo rejects mixed &/| at the same paren level; inventing
+        # (A&B)|C precedence would over-grant to holders of only C.
+        with pytest.raises(visibility.VisibilityParseError):
+            visibility.evaluate("A&B|C", {"C"})
+        assert visibility.evaluate("A&(B|C)", {"A", "C"}) is True
+        assert visibility.evaluate("(A&B)|C", {"C"}) is True
+
+    def test_filter_fails_closed_on_bad_label(self, spark):
+        df = spark.createDataFrame(
+            [(1, "A"), (2, "A&B|C")], "id long, visibility string")
+        got = sorted(r.id for r in
+                     visibility.filter_by_auths(df, {"A", "C"}).collect())
+        assert got == [1]  # unparseable label grants nothing
 
 
 class TestAgeOff:

@@ -224,3 +224,32 @@ class TestComposite:
         from datawave_spark.compiler.rewrite import expand_composites
         node = jexl("F1 == 'a' && F3 == 'z'")
         assert expand_composites(node, {("F1", "F2"): "C"}) == node
+
+    def test_duplicate_member_field_not_collapsed(self):
+        # A member field appearing twice in the AND must keep all
+        # original terms (collapsing on the last value would rewrite an
+        # unsatisfiable/multi-match conjunction into a wrong composite).
+        from datawave_spark.compiler.rewrite import expand_composites
+        node = jexl("F1 == 'a' && F1 == 'b' && F2 == 'x'")
+        assert expand_composites(node, {("F1", "F2"): "C"}) == node
+
+    def test_array_member_field_not_collapsed(self):
+        # composite_column concatenates a cast array — it can never
+        # equal the joined scalar parts, so array members opt out.
+        from datawave_spark.compiler.rewrite import expand_composites
+        node = jexl("F1 == 'a' && F2 == 'x'")
+        assert expand_composites(node, {("F1", "F2"): "C"},
+                                 array_fields={"F1"}) == node
+
+    def test_tokenize_uses_real_doc_id(self, spark):
+        # The first column is NOT assumed to be a key: with a non-unique
+        # first column, on-the-fly tokenization must not merge token
+        # maps across rows (content:phrase would match documents that
+        # never contained the terms).
+        df = spark.createDataFrame(
+            [(1, "the quick brown fox"), (1, "lazy dog sleeps")],
+            "grp int, TEXT string")
+        res = QueryPlanner(df).plan("content:phrase(TEXT, 'quick', 'brown')")
+        rows = res.df.collect()
+        assert len(rows) == 1
+        assert rows[0].TEXT == "the quick brown fox"
