@@ -600,13 +600,13 @@ def q_lucene_groupby_sum(spark, sf_dir):
                          F.round("sum_value", 4).alias("sum_value"))
 
 
-@register("lucene_unique_day", """
-SELECT DISTINCT user_id, event_type FROM events WHERE value > 400
+@register("lucene_unique_fields", """
+SELECT DISTINCT user_id, event_type FROM events WHERE value > 300
 """)
 def q_lucene_unique(spark, sf_dir):
     from datawave_spark.plans import QueryPlanner
     ev = _t(spark, sf_dir, "events")
-    res = QueryPlanner(ev).plan("value:{400 TO 100000} #UNIQUE(user_id, event_type)",
+    res = QueryPlanner(ev).plan("value:{300 TO 100000} #UNIQUE(user_id, event_type)",
                                 syntax="LUCENE")
     return res.df.select("user_id", "event_type")
 
@@ -627,6 +627,29 @@ def q_content_phrase(spark, sf_dir):
     docs = tokenize(_t(spark, sf_dir, "documents"), "text", "doc_id")
     return compile_query(docs, "content:phrase(TEXT, 'key', 'agg')") \
         .select("doc_id")
+
+
+@register("content_scored_phrase", f"""
+WITH toks AS ({_DUCK_DOCTOKS}),
+phrase AS (
+  SELECT doc_id, t, len(t) AS total FROM toks
+  WHERE len([i for i in range(1, len(t)) if t[i] = 'key' AND t[i+1] = 'agg']) > 0)
+SELECT doc_id FROM phrase
+WHERE ln(greatest(len([x for x in t if x = 'key']), 1) / total) <= -3.0
+  AND ln(greatest(len([x for x in t if x = 'agg']), 1) / total) <= -3.0
+""")
+def q_content_scored_phrase(spark, sf_dir):
+    """content:scoredPhrase with REAL score semantics
+    (ContentFunctions.scoredPhrase:214 / ContentOrderedEvaluator:119):
+    the phrase only matches when every term's ingest score (ln of
+    in-document relative frequency, the TermWeight analog) clears the
+    threshold — terms scoring above it contribute no offsets."""
+    from datawave_spark.sources.ingest import tokenize
+    docs = tokenize(_t(spark, sf_dir, "documents"), "text", "doc_id",
+                    emit_scores=True)
+    out = compile_query(docs,
+                        "content:scoredPhrase(TEXT, -3.0, 'key', 'agg')")
+    return out.select("doc_id")
 
 
 @register("content_adjacent", f"""

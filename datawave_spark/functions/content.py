@@ -133,14 +133,52 @@ def c_within(ctx: CompileContext, args):
     return F.exists(offs[0], anchored)
 
 
+def _scores_col(ctx: CompileContext, zone: str) -> Column | None:
+    for cand in (f"{zone}_scores", "scores"):
+        spec = ctx.resolve(cand)
+        if spec is not None:
+            return F.col(spec.column)
+    return None
+
+
 @register_function("content", "scoredPhrase")
 def c_scored_phrase(ctx: CompileContext, args):
-    """ContentFunctions.scoredPhrase:214 — phrase with a minimum score.
-    The reference's scores come from TermWeight protobufs written by
-    scoring tokenizers; our ingest does not compute per-term scores, so
-    this degrades to ``phrase`` over the same offsets (score threshold
-    ignored), documented as an intentional difference."""
+    """ContentFunctions.scoredPhrase:214 — phrase restricted to terms
+    whose ingest score clears the threshold.  Reference semantics
+    (ContentOrderedEvaluator:119-122): a TermWeight position with
+    ``score > minScore`` is SKIPPED (scores are negative log-prob-like;
+    more-negative = rarer), so a term scoring above the threshold
+    contributes no offsets and the phrase fails.  Scores come from the
+    ``{zone}_scores`` map written by ``tokenize(emit_scores=True)``
+    (one score per distinct token — the per-position refinement the
+    TermWeight protobuf allows is collapsed per-token here, documented
+    difference).  Without a scores column this degrades to ``phrase``.
+    """
     args = list(args)
-    if args and isinstance(args[0], Literal) and isinstance(args[0].value, (int, float)):
-        args = args[1:]  # drop min-score
-    return c_phrase(ctx, args)
+    zone = DEFAULT_ZONE
+    if args and isinstance(args[0], Identifier):
+        zone = args[0].name
+        args = args[1:]
+    min_score = None
+    if args and isinstance(args[0], Literal) \
+            and isinstance(args[0].value, (int, float)):
+        min_score = float(args[0].value)
+        args = args[1:]
+    terms = [str(a.value if isinstance(a, Literal) else a) for a in args]
+    tf = _tf_col(ctx, zone)
+    scores = _scores_col(ctx, zone)
+
+    def offsets(term: str) -> Column:
+        offs = _offsets(tf, term)
+        if scores is None or min_score is None:
+            return offs
+        ok = F.coalesce(scores.getItem(term.lower()) <= min_score,
+                        F.lit(False))
+        return F.when(ok, offs).otherwise(F.array().cast("array<int>"))
+
+    anchor = offsets(terms[0])
+    out = anchor
+    for i, t in enumerate(terms[1:], start=1):
+        shifted = F.transform(offsets(t), lambda o: o - i)
+        out = F.array_intersect(out, shifted)
+    return F.size(out) > 0

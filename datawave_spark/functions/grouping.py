@@ -87,6 +87,45 @@ def g_matches_in_group_left(ctx: CompileContext, args):
     return g_matches_in_group(ctx, args)
 
 
+@register_function("grouping", "getGroupsForMatchesInGroup")
+def g_get_groups_for_matches(ctx: CompileContext, args):
+    """GroupingRequiredFilterFunctions.getGroupsForMatchesInGroup:45 —
+    returns the grouping contexts whose group satisfies every pair; in
+    a predicate position a JEXL collection is truthy iff non-empty, so
+    the boolean compilation coincides with matchesInGroup.  Use
+    ``matching_group_indices`` to materialize the matched groups
+    themselves as a column (the value form the reference feeds to
+    hit-term attribution)."""
+    return g_matches_in_group(ctx, args)
+
+
+def matching_group_indices(df, pairs: list[tuple[str, object]],
+                           out_col: str = "matching_groups"):
+    """Attach ``out_col``: array of indices of sibling groups matching
+    every (FIELD, value) pair — the value form of
+    getGroupsForMatchesInGroup (the index is the 'instance' part of the
+    reference's FIELD.context.instance naming)."""
+    ctx = CompileContext.for_dataframe(df)
+    col_name, field_map = _find_group_column(ctx, [p[0] for p in pairs])
+    col = F.col(col_name)
+
+    def pred(g):
+        p = None
+        for name, value in pairs:
+            sf = field_map[name.upper()]
+            this = F.lower(g.getField(sf).cast("string")) == str(value).lower()
+            p = this if p is None else p & this
+        return p
+
+    idxs = F.when(
+        F.size(col) > 0,
+        F.filter(F.sequence(F.lit(0), F.size(col) - 1),
+                 lambda i: F.coalesce(pred(F.element_at(col, i + 1)),
+                                      F.lit(False)))) \
+        .otherwise(F.array().cast("array<int>"))
+    return df.withColumn(out_col, idxs)
+
+
 @register_function("grouping", "atomValuesMatch")
 def g_atom_values_match(ctx: CompileContext, args):
     """GroupingRequiredFilterFunctions.atomValuesMatch:352 — two fields

@@ -83,6 +83,21 @@ def _ip_col(c: Column) -> Column:
     return F.concat_ws(".", *[parts[i].cast("int").cast("string") for i in range(4)])
 
 
+def _geo_py(v: Any) -> str:
+    # GeoType parity (datawave.data.type.GeoType): a "lat,lon" point
+    # normalizes to a z-order index string — here the geohash (same
+    # Morton interleave family), bit-identical to the column form.
+    from datawave_spark.functions.geohash import geohash_py
+    lat_s, lon_s = str(v).split(",", 1)
+    return geohash_py(float(lat_s), float(lon_s), 8)
+
+
+def _geo_col(c: Column) -> Column:
+    from datawave_spark.functions.geohash import geohash_col
+    parts = F.split(c.cast("string"), ",")
+    return geohash_col(parts[0].cast("double"), parts[1].cast("double"), 8)
+
+
 NORMALIZERS: dict[str, Normalizer] = {
     "noop": Normalizer("noop", lambda v: v, lambda c: c),
     "lc": Normalizer("lc", lambda v: str(v).lower(), lambda c: F.lower(c.cast("string"))),
@@ -98,6 +113,7 @@ NORMALIZERS: dict[str, Normalizer] = {
     "macAddress": Normalizer("macAddress",
                              lambda v: str(v).lower().replace("-", ":"),
                              lambda c: F.regexp_replace(F.lower(c.cast("string")), "-", ":")),
+    "geo": Normalizer("geo", _geo_py, _geo_col),
 }
 
 

@@ -74,10 +74,18 @@ class QueryPlanner:
     def __init__(self, df: DataFrame, *,
                  field_types: dict[str, str] | None = None,
                  model: dict[str, list[str]] | None = None,
+                 whindex_mappings: dict[tuple[str, object], str] | None = None,
+                 composites: dict[tuple[str, ...], str] | None = None,
                  max_terms: int = 2500, max_depth: int = 2500):
         self.df = df
         self.field_types = field_types
         self.model = model
+        # WhindexVisitor config: (FIELD, value) → value-specific field
+        # (DefaultQueryPlanner.java:1384, visitors/whindex/)
+        self.whindex_mappings = whindex_mappings
+        # ExpandCompositeTerms config: (member fields...) → composite
+        # column created at ingest (DefaultQueryPlanner.java:1550)
+        self.composites = composites
         self.max_terms = max_terms
         self.max_depth = max_depth
 
@@ -105,8 +113,20 @@ class QueryPlanner:
 
     def plan(self, query: str, syntax: str = "JEXL") -> QueryResult:
         import datawave_spark.functions  # noqa: F401  (register compilers)
+        from pyspark.sql import types as T
+        from datawave_spark.compiler.rewrite import (expand_composites,
+                                                     whindex)
         node = self.parse(query, syntax)
         node = default_pipeline(node)
+        # Reference pass order: whindex (1384) before composite
+        # expansion (1550) — a whindex remap may complete a composite.
+        if self.whindex_mappings:
+            node = whindex(node, self.whindex_mappings)
+        if self.composites:
+            arr = {f.name.upper() for f in self.df.schema.fields
+                   if isinstance(f.dataType, T.ArrayType)}
+            node = expand_composites(node, self.composites,
+                                     array_fields=arr)
         node, opts = extract_options(node)
         validate_thresholds(node, self.max_terms, self.max_depth)
 
@@ -158,13 +178,16 @@ class QueryPlanner:
         from datawave_spark.sources.ingest import tokenize
 
         zones: set[str] = set()
+        scored_zones: set[str] = set()
 
         def walk(n):
             if isinstance(n, FuncNode) and n.namespace == "content":
-                if n.args and isinstance(n.args[0], Identifier):
-                    zones.add(n.args[0].name)
-                else:
-                    zones.add(DEFAULT_ZONE)
+                zone = (n.args[0].name
+                        if n.args and isinstance(n.args[0], Identifier)
+                        else DEFAULT_ZONE)
+                zones.add(zone)
+                if n.name == "scoredPhrase":
+                    scored_zones.add(zone)
             for c in n.children():
                 walk(c)
 
@@ -180,7 +203,8 @@ class QueryPlanner:
                 continue
             if id_col is None:
                 out, id_col = QueryPlanner._doc_id(out)
-            out = tokenize(out, src, id_col=id_col, zone=src)
+            out = tokenize(out, src, id_col=id_col, zone=src,
+                           emit_scores=zone in scored_zones)
         if id_col == "__doc_id":
             out = out.drop("__doc_id")
         return out

@@ -64,7 +64,8 @@ def build_uid(df: DataFrame, uid_fields: list[str] | None) -> Column:
 
 
 def tokenize(df: DataFrame, text_col: str, id_col: str,
-             zone: str | None = None, emit_tokens: bool = False) -> DataFrame:
+             zone: str | None = None, emit_tokens: bool = False,
+             emit_scores: bool = False) -> DataFrame:
     """Add ``{zone}_tf``: map<token, sorted array of positions> — the
     per-document TermOffsetMap the content: functions evaluate against
     (query/postprocessing/tf/TermOffsetMap.java:16).
@@ -75,6 +76,12 @@ def tokenize(df: DataFrame, text_col: str, id_col: str,
     the higher-order-function alternative (per-distinct-token position
     filter) re-evaluates the tokenizer per array element after
     Catalyst's projection collapse and goes quadratic per document.
+
+    ``emit_scores`` adds ``{zone}_scores``: map<token, double> of
+    ``ln(term_count / doc_token_total)`` — the TermWeight score analog
+    (warehouse/core/.../protobuf/TermWeightPosition.java; the
+    reference's scoring tokenizers store a weight per position, here
+    one per distinct token) consumed by ``content:scoredPhrase``.
     """
     zone = zone or text_col
     toks = F.filter(F.split(F.lower(F.col(text_col)), "[^a-z0-9]+"),
@@ -84,9 +91,22 @@ def tokenize(df: DataFrame, text_col: str, id_col: str,
     per_term = (tok.filter(F.col("__tok").isNotNull())
                 .groupBy("__id", "__tok")
                 .agg(F.sort_array(F.collect_list("__pos")).alias("__positions")))
-    tf = (per_term.groupBy("__id")
-          .agg(F.map_from_entries(
-              F.collect_list(F.struct("__tok", "__positions"))).alias("__tf")))
+    tf_aggs = [F.map_from_entries(
+        F.collect_list(F.struct("__tok", "__positions"))).alias("__tf")]
+    if emit_scores:
+        tf_aggs.append(F.collect_list(
+            F.struct(F.col("__tok"),
+                     F.size("__positions").alias("__cnt"))).alias("__cnts"))
+    tf = per_term.groupBy("__id").agg(*tf_aggs)
+    if emit_scores:
+        total = F.aggregate(F.col("__cnts"), F.lit(0),
+                            lambda acc, s: acc + s.getField("__cnt"))
+        tf = tf.withColumn("__scores", F.map_from_entries(F.transform(
+            F.col("__cnts"),
+            lambda s: F.struct(
+                s.getField("__tok"),
+                F.log(s.getField("__cnt").cast("double") / total))))) \
+            .drop("__cnts")
     if emit_tokens:
         # Materialized position-ordered token array on the same shuffle
         # key — consumers (excerpts) then slice real data instead of
@@ -106,6 +126,11 @@ def tokenize(df: DataFrame, text_col: str, id_col: str,
             f"{zone}_tokens",
             F.coalesce(F.col("__tokens"), F.array().cast("array<string>"))) \
             .drop("__tokens")
+    if emit_scores:
+        empty_scores = F.create_map().cast("map<string,double>")
+        out = out.withColumn(
+            f"{zone}_scores",
+            F.coalesce(F.col("__scores"), empty_scores)).drop("__scores")
     return out.drop("__id", "__tf")
 
 

@@ -86,6 +86,18 @@ def test_normalizer_lc_no_diacritics(spark, events):
     assert uids(df) == ["d"]
 
 
+def test_normalizer_geo_zorder(spark, events):
+    # GeoType parity: a metadata-bound geo field normalizes "lat,lon"
+    # to a z-order (geohash) string on both the literal and the column.
+    df = compile_query(events, "GEO == '41.9,12.5'",
+                       field_types={"GEO": "geo"})
+    assert uids(df) == ["a"]
+    from datawave_spark.normalizers import get_normalizer
+    from datawave_spark.functions.geohash import geohash_py
+    assert get_normalizer("geo").normalize_literal("41.9,12.5") == \
+        geohash_py(41.9, 12.5, 8)
+
+
 def test_anyfield_expansion(spark, events):
     # _ANYFIELD_ == 'rome' → OR over string-ish fields
     assert uids(compile_query(events, "_ANYFIELD_ == 'rome'")) == ["a", "b", "e"]
@@ -185,6 +197,27 @@ class TestGroupingContext:
             [("a", [{"X": "1", "Y": "1"}]), ("b", [{"X": "1", "Y": "2"}])],
             "uid string, G array<struct<X string, Y string>>")
         assert uids(compile_query(df, "grouping:atomValuesMatch(X, Y)")) == ["a"]
+
+    def test_get_groups_for_matches_predicate(self, spark, grouped):
+        # collection form is truthy iff non-empty → same rows as
+        # matchesInGroup in a predicate position
+        q = "grouping:getGroupsForMatchesInGroup(NAME, 'bob', AGE, '40')"
+        assert uids(compile_query(grouped, q)) == ["a"]
+
+    def test_matching_group_indices_value_form(self, spark, grouped):
+        from datawave_spark.functions.grouping import matching_group_indices
+        out = matching_group_indices(grouped, [("NAME", "bob"), ("AGE", "40")])
+        got = {r.uid: r.matching_groups for r in out.collect()}
+        assert got == {"a": [0], "b": [], "c": []}
+
+    def test_matching_group_indices_multiple(self, spark):
+        from datawave_spark.functions.grouping import matching_group_indices
+        df = spark.createDataFrame(
+            [("a", [{"N": "x"}, {"N": "y"}, {"N": "x"}]), ("b", [])],
+            "uid string, G array<struct<N string>>")
+        out = matching_group_indices(df, [("N", "x")])
+        got = {r.uid: r.matching_groups for r in out.collect()}
+        assert got == {"a": [0, 2], "b": []}
 
 
 class TestMoreFilterFunctions:

@@ -241,6 +241,45 @@ class TestComposite:
         assert expand_composites(node, {("F1", "F2"): "C"},
                                  array_fields={"F1"}) == node
 
+    def test_planner_wires_composites_end_to_end(self, spark):
+        # QueryPlanTest parity: the planner's plan_string shows the
+        # collapsed composite term, and the query runs over the
+        # ingest-generated composite column.
+        from datawave_spark.sources.ingest import composite_column
+        df = spark.createDataFrame(
+            [(1, "a", "x"), (2, "a", "y"), (3, "b", "x")],
+            "id long, F1 string, F2 string")
+        df = composite_column(df, ["F1", "F2"], "F1_F2")
+        planner = QueryPlanner(df, composites={("F1", "F2"): "F1_F2"})
+        res = planner.plan("F1 == 'a' && F2 == 'x'")
+        assert "F1_F2" in res.plan_string
+        assert [r.id for r in res.df.collect()] == [1]
+
+    def test_planner_wires_whindex_and_composites(self, spark):
+        # whindex remap runs BEFORE composite expansion (reference order
+        # 1384 → 1550): GEO=='landmark' remaps to GEO_L, which then
+        # completes the (GEO_L, TYPE) composite.
+        from datawave_spark.sources.ingest import composite_column
+        df = spark.createDataFrame(
+            [(1, "landmark", "poi"), (2, "landmark", "road"), (3, "x", "poi")],
+            "id long, GEO_L string, TYPE string")
+        df = composite_column(df, ["GEO_L", "TYPE"], "GEO_L_TYPE")
+        planner = QueryPlanner(
+            df,
+            whindex_mappings={("GEO", "landmark"): "GEO_L"},
+            composites={("GEO_L", "TYPE"): "GEO_L_TYPE"})
+        res = planner.plan("GEO == 'landmark' && TYPE == 'poi'")
+        assert "GEO_L_TYPE" in res.plan_string
+        assert [r.id for r in res.df.collect()] == [1]
+
+    def test_planner_skips_composite_for_array_member(self, spark):
+        df = spark.createDataFrame(
+            [(1, ["a"], "x")], "id long, F1 array<string>, F2 string")
+        planner = QueryPlanner(df, composites={("F1", "F2"): "C"})
+        res = planner.plan("F1 == 'a' && F2 == 'x'")
+        assert "C ==" not in res.plan_string
+        assert [r.id for r in res.df.collect()] == [1]
+
     def test_tokenize_uses_real_doc_id(self, spark):
         # The first column is NOT assumed to be a key: with a non-unique
         # first column, on-the-fly tokenization must not merge token
