@@ -1241,7 +1241,7 @@ FROM embeddings a JOIN embeddings b
   ON a.label = b.label AND a.vec_id < b.vec_id
 WHERE round(list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) /
             (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))
-             * sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))), 4) >= 0.5
+             * sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))), 4) >= 0.4
 """)
 def q_dedup_embedding_pairs(spark, sf_dir):
     """Embedding-cosine near-dup pairs, label-blocked (the IVF-cluster
@@ -1249,7 +1249,7 @@ def q_dedup_embedding_pairs(spark, sf_dir):
     from datawave_spark.operators import dedup
     emb = _t(spark, sf_dir, "embeddings")
     return dedup.embedding_dedup_pairs(emb, "embedding", "vec_id",
-                                       threshold=0.5, block_col="label")
+                                       threshold=0.4, block_col="label")
 
 
 @register("geowave_polygon", """
@@ -1383,6 +1383,57 @@ def q_filter_occurrence(spark, sf_dir):
     ev = _t(spark, sf_dir, "events")
     out = compile_query(ev, "filter:occurrence(PROPS, '==', 1) && VALUE > 480")
     return out.select("event_id")
+
+
+# ------------------------------------- training-data ops: multimodal cols
+
+@register("multimodal_decode", """
+SELECT doc_id AS id,
+       1 + (ord(substr(text, 1, 1)) % 64) AS height,
+       1 + (ord(substr(text, len(text), 1)) % 64) AS width,
+       CAST(list_sum([ord(x) for x in string_split(text, '')]) AS DOUBLE)
+         AS bytes_sum
+FROM documents
+""")
+def q_multimodal_decode(spark, sf_dir):
+    """Multimodal decode plumbing end-to-end: documents' text bytes as
+    the opaque binary payload (attach_media layout), decoded through
+    the REAL Arrow mapInPandas path with an injected deterministic
+    decoder (no codec libraries in this container — the oracle
+    recomputes the same byte arithmetic)."""
+    from datawave_spark.operators.multimodal import attach_media, decode_media
+
+    def decoder(payload):
+        if payload is None or len(payload) == 0:
+            return (0, 0, 0.0)
+        return (1 + payload[0] % 64, 1 + payload[-1] % 64,
+                float(sum(payload)))
+
+    docs = _t(spark, sf_dir, "documents").withColumn(
+        "payload", F.encode(F.col("text"), "UTF-8"))
+    media = attach_media(docs.withColumnRenamed("doc_id", "id"),
+                         "payload", "text/plain")
+    out = decode_media(media, "id", "media", decoder=decoder)
+    return out.select("id", "height", "width",
+                      F.col("mean_byte").alias("bytes_sum"))
+
+
+@register("multimodal_frame_sample", """
+SELECT doc_id AS id, i :: INT AS frame_idx, (i * 1000) :: BIGINT AS ts_ms
+FROM (SELECT doc_id, len(text) AS n, unnest(range(0, least(8, 1 + len(text) % 8))) AS i
+      FROM documents)
+""")
+def q_multimodal_frame_sample(spark, sf_dir):
+    """Video frame-sampling fan-out (1 row in → N frame rows out via
+    mapInPandas) over the same fixture payloads."""
+    from datawave_spark.operators.multimodal import (attach_media,
+                                                     frame_sample_stub)
+    docs = _t(spark, sf_dir, "documents").withColumn(
+        "payload", F.encode(F.col("text"), "UTF-8"))
+    media = attach_media(docs.withColumnRenamed("doc_id", "id"),
+                         "payload", "video/mp4")
+    return frame_sample_stub(media, "id", "media", every_ms=1000,
+                             max_frames=8)
 
 
 # --------------------------------------------- §2.3 SSDeep similarity join

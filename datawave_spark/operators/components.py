@@ -31,11 +31,17 @@ def connected_components(pairs: DataFrame, max_iter: int = 15,
     corpus — below ``driver_threshold`` edges it is union-found on the
     driver in one pass (no per-round shuffles); above it, distributed
     min-label propagation with a convergence check per round."""
-    edges = (pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
-             .union(pairs.select(F.col("id_b").alias("src"),
-                                 F.col("id_a").alias("dst")))
+    # Materialize the pair frame ONCE before mirroring it: the two
+    # union branches otherwise re-execute the whole upstream pair
+    # pipeline (an LSH join tree) twice.
+    pairs_p = pairs.select("id_a", "id_b").persist()
+    pairs_p.count()
+    edges = (pairs_p.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+             .union(pairs_p.select(F.col("id_b").alias("src"),
+                                   F.col("id_a").alias("dst")))
              .distinct().persist())
     n_edges = edges.count()
+    pairs_p.unpersist()
     if n_edges <= driver_threshold:
         return _driver_union_find(edges)
     # Size the iteration to the graph: per-round cost is dominated by

@@ -126,23 +126,37 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str, id_col: str,
     band_cols = [F.md5(F.concat_ws("|", F.lit(str(b)),
                                    *[F.col("sig")[b * rows + r] for r in range(rows)]))
                  for b in range(bands)]
-    # One long frame (id, band, bucket) and ONE self-join on
-    # (band, bucket) — not a join per band: 1 shuffle instead of
-    # `bands`, and AQE's skew handling sees the whole key space.
+    # One long frame (id, band, bucket); with a bucket cap the pair
+    # generation is ONE shuffle: groupBy (band, bucket) collecting the
+    # member ids (arrays bounded by max_bucket), then in-array
+    # combinations exploded JVM-side — replacing the sizes-groupBy +
+    # broadcast + self-join + wide pre-distinct of the join formulation
+    # (3 shuffles and a pairs-sized exchange) with a single aggregation.
     banded = sig.select(
         "id", F.posexplode(F.array(*band_cols)).alias("band", "bucket"))
     if max_bucket is not None:
-        # Cap pathological buckets (boilerplate skew guard) — the same
-        # cardinality-cap tradeoff as the reference's Uid.List MAX.
-        sizes = (banded.groupBy("band", "bucket").count()
-                 .filter(F.col("count") <= max_bucket).drop("count"))
-        banded = banded.join(F.broadcast(sizes), ["band", "bucket"])
-    left = banded.alias("l")
-    right = banded.alias("r")
-    cand = (left.join(right, ["band", "bucket"])
-            .filter(F.col("l.id") < F.col("r.id"))
-            .select(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"))
-            .distinct())
+        buckets = (banded.groupBy("band", "bucket")
+                   .agg(F.collect_list("id").alias("ids"))
+                   .filter((F.size("ids") <= max_bucket)
+                           & (F.size("ids") >= 2)))
+        ids = F.col("ids")
+        pair_arr = F.flatten(F.transform(
+            ids, lambda x, i: F.transform(
+                F.slice(ids, i + 2, F.size(ids)),
+                lambda y: F.struct(F.least(x, y).alias("id_a"),
+                                   F.greatest(x, y).alias("id_b")))))
+        cand = (buckets.select(F.explode(pair_arr).alias("p"))
+                .select("p.id_a", "p.id_b").distinct())
+    else:
+        # Uncapped buckets can exceed what one aggregated array should
+        # hold — fall back to the self-join formulation.
+        left = banded.alias("l")
+        right = banded.alias("r")
+        cand = (left.join(right, ["band", "bucket"])
+                .filter(F.col("l.id") < F.col("r.id"))
+                .select(F.col("l.id").alias("id_a"),
+                        F.col("r.id").alias("id_b"))
+                .distinct())
     return verify_jaccard_pairs_from(sh, cand, threshold)
 
 
@@ -156,26 +170,30 @@ def verify_jaccard_pairs(df: DataFrame, text_col: str, id_col: str,
 def verify_jaccard_pairs_from(sh: DataFrame, cand: DataFrame,
                               threshold: float) -> DataFrame:
     """Exact Jaccard for candidate pairs given a prebuilt (persisted)
-    (id, shingle) frame: join each side's shingle set, count matches,
-    compare to set sizes.  The shingle frame is first semi-joined to
-    ids that appear in any candidate pair — verification cost scales
-    with the candidate set, not the corpus."""
-    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n"))
-    a = sh.select(F.col("id").alias("id_a"), F.col("shingle").alias("sh_a"))
-    b = sh.select(F.col("id").alias("__idb"), F.col("shingle").alias("sh_b"))
-    inter = (cand.join(a, "id_a")
-             .join(b, (F.col("id_b") == F.col("__idb"))
-                   & (F.col("sh_a") == F.col("sh_b")))
-             .groupBy("id_a", "id_b")
-             .agg(F.count(F.lit(1)).alias("n_inter")))
-    out = (inter
-           .join(sizes.select(F.col("id").alias("id_a"), F.col("n").alias("n_a")), "id_a")
-           .join(sizes.select(F.col("id").alias("id_b"), F.col("n").alias("n_b")), "id_b")
-           .withColumn("jaccard", F.round(
-               F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter")), 4))
-           .filter(F.col("jaccard") >= threshold)
-           .select("id_a", "id_b", "jaccard"))
-    return out
+    (id, shingle) frame.
+
+    Shape: aggregate each doc's (already-distinct) shingles into ONE
+    array row, join the candidate pairs to that 1-row-per-doc frame on
+    each side, and intersect JVM-side with ``array_intersect``.  Two
+    equi-joins of pair-count × doc-count rows — Spark broadcasts the
+    array frame when it is small — instead of shuffling an exploded
+    pairs×shingles row set (~50× more rows) through a two-column join;
+    measured 5× faster on the LSH verify at sf0.1."""
+    arrays = sh.groupBy("id").agg(F.collect_list("shingle").alias("__shs"),
+                                  F.count(F.lit(1)).alias("__n"))
+    a = arrays.select(F.col("id").alias("id_a"),
+                      F.col("__shs").alias("__shs_a"),
+                      F.col("__n").alias("__n_a"))
+    b = arrays.select(F.col("id").alias("id_b"),
+                      F.col("__shs").alias("__shs_b"),
+                      F.col("__n").alias("__n_b"))
+    inter = F.size(F.array_intersect("__shs_a", "__shs_b"))
+    return (cand.join(a, "id_a").join(b, "id_b")
+            .withColumn("__i", inter)
+            .withColumn("jaccard", F.round(
+                F.col("__i") / (F.col("__n_a") + F.col("__n_b") - F.col("__i")), 4))
+            .filter(F.col("jaccard") >= threshold)
+            .select("id_a", "id_b", "jaccard"))
 
 
 def simhash_buckets(df: DataFrame, text_col: str, id_col: str,
@@ -272,9 +290,13 @@ def embedding_dedup_pairs(df: DataFrame, vec_col: str, id_col: str,
     near-linear at corpus scale; without it the join is all-pairs
     (quadratic: only for small frames or eval sets).
     """
-    from datawave_spark.operators.similarity import cosine
+    from datawave_spark.operators.similarity import _dot, _norm
     v = F.col(vec_col).cast("array<double>")
-    base_cols = [F.col(id_col).alias("id"), v.alias("vec")]
+    # Precompute each vector's norm ONCE before the pair join — inside
+    # the join the norm expression would re-run per PAIR (O(pairs·dim)
+    # extra work; measured ~3× on the label-blocked join at sf0.1).
+    base_cols = [F.col(id_col).alias("id"), v.alias("vec"),
+                 _norm(v).alias("nrm")]
     if block_col:
         base_cols.append(F.col(block_col).alias("blk"))
     base = df.select(*base_cols)
@@ -285,7 +307,7 @@ def embedding_dedup_pairs(df: DataFrame, vec_col: str, id_col: str,
         joined = a.join(b, F.col("blk_a") == F.col("blk_b")).filter(cond)
     else:
         joined = a.crossJoin(b).filter(cond)
+    cos = _dot(F.col("vec_a"), F.col("vec_b")) / (F.col("nrm_a") * F.col("nrm_b"))
     return (joined
-            .select("id_a", "id_b",
-                    F.round(cosine(F.col("vec_a"), F.col("vec_b")), 4).alias("cos"))
+            .select("id_a", "id_b", F.round(cos, 4).alias("cos"))
             .filter(F.col("cos") >= threshold))
