@@ -1117,6 +1117,39 @@ def q_index_driven(spark, sf_dir):
     return out.select("event_id", "user_id", "value")
 
 
+@register("reverse_index_suffix", """
+SELECT event_id, event_type FROM events WHERE event_type LIKE '%up'
+""")
+def q_reverse_index_suffix(spark, sf_dir):
+    """Leading-wildcard term served by the REVERSE index
+    (shardReverseIndex parity, SURVEY §1.1 / index_frame.py:37):
+    ``EVENT_TYPE =~ '.*up'`` becomes a pushdown-able StartsWith on the
+    reversed value over the materialized index frame, then a semi-join
+    back to events."""
+    from datawave_spark.sources.index_frame import (build_reverse_index,
+                                                    suffix_uids)
+    from datawave_spark.sources.prepared import index_frame
+    ev = _t(spark, sf_dir, "events")
+    rev = build_reverse_index(index_frame(spark, sf_dir))
+    uids = suffix_uids(rev, "event_type", "up")
+    out = ev.join(uids, ev.event_id.cast("string") == uids.uid, "left_semi")
+    return out.select("event_id", "event_type")
+
+
+@register("query_model_alias", """
+SELECT event_id, event_type, props FROM events
+WHERE event_type = 'click' OR props = 'click'
+""")
+def q_query_model_alias(spark, sf_dir):
+    """Query-model aliasing (QueryModelVisitor parity,
+    DefaultQueryPlanner.java:1342): the alias ETYPE expands to an OR
+    over its concrete fields."""
+    ev = _t(spark, sf_dir, "events")
+    out = compile_query(ev, "ETYPE == 'click'",
+                        model={"ETYPE": ["EVENT_TYPE", "PROPS"]})
+    return out.select("event_id", "event_type", "props")
+
+
 # ----------------------------------- §3.2 lookup / facet sketches / misc
 
 @register("lookup_uuid", """
@@ -1348,6 +1381,51 @@ def q_tpch_q14(spark, sf_dir):
     return (li.join(F.broadcast(pa), li.l_partkey == pa.p_partkey)
             .agg(F.round(100.0 * F.sum(promo) / F.sum(rev), 4)
                  .alias("promo_revenue")))
+
+
+@register("tpch_q13_custdist", """
+SELECT c_count, count(*) AS custdist FROM (
+  SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+  FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+  GROUP BY c.c_custkey)
+GROUP BY c_count
+""")
+def q_tpch_q13(spark, sf_dir):
+    """TPC-H q13 shape (customer order-count distribution): left outer
+    join + two-level aggregation — the outer-join surface of the
+    CachedResults SQL path."""
+    cu = _t(spark, sf_dir, "customer")
+    od = _t(spark, sf_dir, "orders")
+    per = (cu.join(od, cu.c_custkey == od.o_custkey, "left")
+           .groupBy("c_custkey")
+           .agg(F.count("o_orderkey").alias("c_count")))
+    return per.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
+
+
+@register("tpch_q22_antijoin", """
+WITH avg_bal AS (SELECT avg(c_acctbal) AS a FROM customer WHERE c_acctbal > 0)
+SELECT c_nationkey, count(*) AS numcust, round(sum(c_acctbal), 4) AS totacctbal
+FROM customer, avg_bal
+WHERE c_acctbal > a
+  AND NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey AND o_totalprice > 400000)
+GROUP BY c_nationkey
+""")
+def q_tpch_q22(spark, sf_dir):
+    """TPC-H q22 shape: scalar-subquery threshold (broadcast single-row
+    frame) + anti join for above-average-balance customers with no
+    large orders."""
+    cu = _t(spark, sf_dir, "customer")
+    od = _t(spark, sf_dir, "orders")
+    avg_bal = cu.filter(F.col("c_acctbal") > 0) \
+        .agg(F.avg("c_acctbal").alias("a"))
+    rich = cu.join(F.broadcast(avg_bal)) \
+        .filter(F.col("c_acctbal") > F.col("a"))
+    big = od.filter(F.col("o_totalprice") > 400000)
+    no_orders = rich.join(big, rich.c_custkey == big.o_custkey, "left_anti")
+    return (no_orders.groupBy("c_nationkey")
+            .agg(F.count(F.lit(1)).alias("numcust"),
+                 F.round(F.sum("c_acctbal"), 4).alias("totacctbal")))
 
 
 @register("filter_time_function", """

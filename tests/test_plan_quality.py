@@ -40,6 +40,36 @@ class TestPushdown:
         assert "event_type" in pushed
 
 
+class TestPreparedAssets:
+    def test_geo_prefix_predicates_push_to_stored_table(self, spark):
+        # the accelerated bbox must emit StartsWith on the STORED
+        # geohash column (row-group-skippable), not a derived substring
+        df = entrymod.queries()["geo_bbox_accelerated"](spark, SF)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "StartsWith(geohash" in plan
+        assert ".prepared" in plan  # reads the materialized asset
+
+    def test_index_frame_partition_prunes_on_field(self, spark):
+        df = entrymod.queries()["index_driven_query"](spark, SF)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        # field is a hive partition of the prepared index: equality
+        # terms prune to one field directory
+        assert "PartitionFilters: [isnotnull(field" in plan
+        assert ".prepared" in plan
+
+    def test_ssdeep_single_candidate_equijoin(self, spark):
+        # candidate generation is ONE equi-join on the ngram tuple —
+        # no cross join anywhere in the plan
+        from datawave_spark.operators.ssdeep import ssdeep_similarity_join
+        df = spark.createDataFrame(
+            [(1, "96:abcdefghijklmnop:abcdefgh"),
+             (2, "96:abcdefghijklmnoq:abcdefgh")], "id int, ssdeep string")
+        out = ssdeep_similarity_join(df, df, "ssdeep", "id")
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+
+
 class TestJoinStrategy:
     def test_small_dims_broadcast(self, spark):
         df = entrymod.queries()["tpch_q5_regional"](spark, SF)

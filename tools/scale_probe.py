@@ -65,6 +65,17 @@ def generate(spark):
          .repartition(8).write.mode("overwrite").parquet(doc_out))
 
 
+def _ssdeep_probe(docs):
+    from pyspark.sql import functions as F
+    from datawave_spark.entries import _fake_ssdeep_frame
+    from datawave_spark.operators.ssdeep import ssdeep_similarity_join
+    hashes = _fake_ssdeep_frame(docs)
+    queries = hashes.filter(F.col("doc_id") < 100)
+    ssdeep_similarity_join(queries, hashes, "ssdeep", "doc_id",
+                           max_repeated=0) \
+        .write.format("noop").mode("overwrite").save()
+
+
 def probe(spark):
     from pyspark.sql import functions as F
     from datawave_spark.compiler import compile_query
@@ -99,6 +110,10 @@ def probe(spark):
             d, "text", "doc_id", 2, 8)), small_d, big_d),
         "simhash": (lambda d: noop(dedup.simhash_buckets(
             d, "text", "doc_id", 8)), small_d, big_d),
+        "lsh_pairs": (lambda d: noop(dedup.minhash_lsh_pairs(
+            d, "text", "doc_id", k=2, num_hashes=16, bands=8,
+            threshold=0.3, max_bucket=100)), small_d, big_d),
+        "ssdeep_join": (lambda d: _ssdeep_probe(d), small_d, big_d),
     }
     print(f"{'op':12} {'1x':>7} {'10x':>8} {'ratio':>6}")
     for name, (fn, s_df, b_df) in ops.items():
