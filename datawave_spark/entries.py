@@ -1117,6 +1117,44 @@ def q_index_driven(spark, sf_dir):
     return out.select("event_id", "user_id", "value")
 
 
+@register("limit_fields_cap", """
+SELECT user_id,
+       array_to_string(list_sort(list_distinct(list(event_type)))[1:2], ',')
+         AS types_capped,
+       len(list_distinct(list(event_type))) AS types_count
+FROM events GROUP BY user_id
+""")
+def q_limit_fields_cap(spark, sf_dir):
+    """limit.fields (LimitFields.java:54): multi-valued field capped to
+    N values with the original count recorded in ``{field}_count``."""
+    from datawave_spark.operators.limit_fields import limit_fields
+    ev = _t(spark, sf_dir, "events")
+    agg = ev.groupBy("user_id").agg(
+        F.sort_array(F.collect_set("event_type")).alias("types"))
+    out = limit_fields(agg, {"types": 2})
+    return out.select("user_id",
+                      F.array_join("types", ",").alias("types_capped"),
+                      "types_count")
+
+
+@register("csv_reader_query", """
+SELECT event_id, event_type, value FROM events
+WHERE event_type = 'error' AND value > 250
+""")
+def q_csv_reader_query(spark, sf_dir):
+    """CSV reader path end-to-end (ExtendedCSVIngestHelper parity):
+    events round-tripped through a CSV copy, read back with an explicit
+    schema, and queried with the JEXL compiler — oracle runs on the
+    original parquet, so the round trip must be lossless."""
+    from datawave_spark.sources.prepared import csv_events_path
+    from datawave_spark.sources.readers import read_csv_events
+    path = csv_events_path(spark, sf_dir)
+    df = read_csv_events(spark, path,
+                         schema="event_id long, event_type string, value double")
+    out = compile_query(df, "EVENT_TYPE == 'error' && VALUE > 250")
+    return out.select("event_id", "event_type", "value")
+
+
 @register("reverse_index_suffix", """
 SELECT event_id, event_type FROM events WHERE event_type LIKE '%up'
 """)

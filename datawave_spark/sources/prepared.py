@@ -82,6 +82,19 @@ def geo_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return get_or_build(spark, sf_dir, "geo_events", build, range_by="geohash")
 
 
+def csv_events_path(spark: SparkSession, sf_dir: str) -> str:
+    """A CSV copy of (event_id, event_type, value) — raw-format input
+    for exercising the CSV reader path end-to-end."""
+    import os as _os
+    path = prepared_path(sf_dir, "csv_events")
+    if not _os.path.exists(_os.path.join(path, "_SUCCESS")):
+        ev = spark.read.parquet(_os.path.join(sf_dir, "events.parquet")) \
+            .select("event_id", "event_type", "value")
+        ev.coalesce(1).write.mode("overwrite") \
+            .option("header", "true").csv(path)
+    return path
+
+
 def index_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The materialized inverted-index frame over the events table."""
     from datawave_spark.sources.index_frame import build_index

@@ -232,3 +232,40 @@ class TestStatefulStreaming:
         q.awaitTermination(120)
         rows = spark.sql("SELECT k FROM su_out").collect()
         assert sorted(r.k for r in rows) == [1, 2, 3]  # k=2 emitted once
+
+    def test_streaming_unique_ttl_dedups_within_window(self, spark,
+                                                       tmp_path_factory):
+        # with a long TTL, behaves as streaming_unique across batches
+        # (the timeout path only changes long-horizon state retention)
+        from datawave_spark.streaming.stateful import streaming_unique_ttl
+        src = str(tmp_path_factory.mktemp("sut_src"))
+        spark.createDataFrame([(1, "a"), (2, "b")], "k long, v string") \
+            .coalesce(1).write.parquet(src + "/f1")
+        spark.createDataFrame([(2, "b2"), (3, "c")], "k long, v string") \
+            .coalesce(1).write.parquet(src + "/f2")
+        stream = (spark.readStream.schema("k long, v string")
+                  .option("maxFilesPerTrigger", 1).parquet(src + "/*"))
+        out = streaming_unique_ttl(stream, ["k"], ttl_ms=3_600_000)
+        q = (out.writeStream.outputMode("append").format("memory")
+             .queryName("sut_out").trigger(availableNow=True).start())
+        q.awaitTermination(120)
+        rows = spark.sql("SELECT k FROM sut_out").collect()
+        assert sorted(r.k for r in rows) == [1, 2, 3]
+
+    def test_streaming_running_counts(self, spark, tmp_path_factory):
+        from datawave_spark.streaming.stateful import streaming_running_counts
+        src = str(tmp_path_factory.mktemp("src_src"))
+        spark.createDataFrame([("a",), ("a",), ("b",)], "k string") \
+            .coalesce(1).write.parquet(src + "/f1")
+        spark.createDataFrame([("a",), ("b",)], "k string") \
+            .coalesce(1).write.parquet(src + "/f2")
+        stream = (spark.readStream.schema("k string")
+                  .option("maxFilesPerTrigger", 1).parquet(src + "/*"))
+        out = streaming_running_counts(stream, ["k"])
+        q = (out.writeStream.outputMode("update").format("memory")
+             .queryName("src_out").trigger(availableNow=True).start())
+        q.awaitTermination(120)
+        rows = spark.sql("SELECT k, max(total) AS t FROM src_out GROUP BY k") \
+            .collect()
+        got = {r.k: r.t for r in rows}
+        assert got == {"a": 3, "b": 2}  # cumulative across batches

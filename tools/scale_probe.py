@@ -2,23 +2,34 @@
 """10× scale probe: generate deterministic synthetic events (6M rows)
 and documents (50k, planted near-dups) under .scratch/, then compare
 operator wall times at 1× (driver sf0.1) vs 10× — the "would this
-survive a scale-up" check.  Results from 2026-08-13 are recorded in
-README.md §Measured scaling.
+survive a scale-up" check.
 
-Usage: python tools/scale_probe.py [--keep]
+Each (operator, scale) measurement runs in its OWN subprocess/JVM:
+within one long-lived session, accumulated cached frames, GC pressure
+and JIT state skew later measurements by 2-5× in either direction
+(observed: the same op measured 27 s isolated vs 170 s late in a
+shared session).  Results recorded in README.md §Measured scaling.
+
+Usage: python tools/scale_probe.py [--keep] [--ops a,b,c]
+       python tools/scale_probe.py --one <op> <events_path> <docs_path>
 """
 
 from __future__ import annotations
 
 import os
 import shutil
+import subprocess
 import sys
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-SCRATCH = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-                       ".scratch")
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+SCRATCH = os.path.join(REPO, ".scratch")
+SMALL = "/root/testdata/sf0.1"
+
+OPS = ["jexl_filter", "groupby", "tokenize_tf", "minhash_sig", "simhash",
+       "lsh_pairs", "ssdeep_join"]
 
 
 def generate(spark):
@@ -65,68 +76,94 @@ def generate(spark):
          .repartition(8).write.mode("overwrite").parquet(doc_out))
 
 
-def _ssdeep_probe(docs):
+def run_one(op: str, events_path: str, docs_path: str) -> None:
+    """Measure one operator once in this (fresh) process; prints the
+    wall seconds of the timed run (after one untimed codegen warm-up on
+    a 1k-row slice)."""
     from pyspark.sql import functions as F
-    from datawave_spark.entries import _fake_ssdeep_frame
-    from datawave_spark.operators.ssdeep import ssdeep_similarity_join
-    hashes = _fake_ssdeep_frame(docs)
-    queries = hashes.filter(F.col("doc_id") < 100)
-    ssdeep_similarity_join(queries, hashes, "ssdeep", "doc_id",
-                           max_repeated=0) \
-        .write.format("noop").mode("overwrite").save()
-
-
-def probe(spark):
-    from pyspark.sql import functions as F
+    from datawave_spark.session import get_spark
     from datawave_spark.compiler import compile_query
     from datawave_spark.operators import dedup
     from datawave_spark.operators.grouping import group_by
     from datawave_spark.sources.ingest import tokenize
-    from datawave_spark.sources.parquet import read_parquet
 
-    small_e = read_parquet(spark, "/root/testdata/sf0.1/events.parquet")
-    big_e = spark.read.parquet(f"{SCRATCH}/events_sf1.parquet")
-    small_d = read_parquet(spark, "/root/testdata/sf0.1/documents.parquet")
-    big_d = spark.read.parquet(f"{SCRATCH}/documents_sf1.parquet")
-    for df in (small_e, big_e, small_d, big_d):
-        df.count()
+    spark = get_spark("scale_probe_one")
+    ev = spark.read.parquet(events_path)
+    docs = spark.read.parquet(docs_path)
 
     def noop(df):
         df.write.format("noop").mode("overwrite").save()
 
-    def t(fn):
-        t0 = time.perf_counter()
-        fn()
-        return time.perf_counter() - t0
+    def ssdeep_join(d):
+        from datawave_spark.entries import _fake_ssdeep_frame
+        from datawave_spark.operators.ssdeep import ssdeep_similarity_join
+        hashes = _fake_ssdeep_frame(d)
+        queries = hashes.filter(F.col("doc_id") < 100)
+        noop(ssdeep_similarity_join(queries, hashes, "ssdeep", "doc_id",
+                                    max_repeated=0))
 
     ops = {
-        "jexl_filter": (lambda d: noop(compile_query(
-            d, "EVENT_TYPE == 'click' && VALUE > 50")), small_e, big_e),
-        "groupby": (lambda d: noop(group_by(
-            d, ["event_type"], [("SUM", "value", "s")])), small_e, big_e),
-        "tokenize_tf": (lambda d: noop(tokenize(d, "text", "doc_id")),
-                        small_d, big_d),
-        "minhash_sig": (lambda d: noop(dedup.minhash_signatures(
-            d, "text", "doc_id", 2, 8)), small_d, big_d),
-        "simhash": (lambda d: noop(dedup.simhash_buckets(
-            d, "text", "doc_id", 8)), small_d, big_d),
-        "lsh_pairs": (lambda d: noop(dedup.minhash_lsh_pairs(
+        "jexl_filter": lambda d: noop(compile_query(
+            d, "EVENT_TYPE == 'click' && VALUE > 50")),
+        "groupby": lambda d: noop(group_by(
+            d, ["event_type"], [("SUM", "value", "s")])),
+        "tokenize_tf": lambda d: noop(tokenize(d, "text", "doc_id")),
+        "minhash_sig": lambda d: noop(dedup.minhash_signatures(
+            d, "text", "doc_id", 2, 8)),
+        "simhash": lambda d: noop(dedup.simhash_buckets(
+            d, "text", "doc_id", 8)),
+        "lsh_pairs": lambda d: noop(dedup.minhash_lsh_pairs(
             d, "text", "doc_id", k=2, num_hashes=16, bands=8,
-            threshold=0.3, max_bucket=100)), small_d, big_d),
-        "ssdeep_join": (lambda d: _ssdeep_probe(d), small_d, big_d),
+            threshold=0.3, max_bucket=100)),
+        "ssdeep_join": ssdeep_join,
     }
-    print(f"{'op':12} {'1x':>7} {'10x':>8} {'ratio':>6}")
-    for name, (fn, s_df, b_df) in ops.items():
-        fn(s_df)  # codegen warm
-        s, b = t(lambda: fn(s_df)), t(lambda: fn(b_df))
-        print(f"{name:12} {s:7.1f} {b:8.1f} {b / max(s, 0.01):6.1f}")
+    src = ev if op in ("jexl_filter", "groupby") else docs
+    ops[op](src.limit(1000))          # codegen warm-up, untimed
+    spark.catalog.clearCache()
+    t0 = time.perf_counter()
+    ops[op](src)
+    print(f"PROBE_SECONDS {time.perf_counter() - t0:.2f}")
 
 
-if __name__ == "__main__":
+def main() -> None:
+    if "--one" in sys.argv:
+        i = sys.argv.index("--one")
+        run_one(sys.argv[i + 1], sys.argv[i + 2], sys.argv[i + 3])
+        return
+
     from datawave_spark.session import get_spark
-    spark = get_spark("scale_probe")
+    spark = get_spark("scale_probe_gen")
     generate(spark)
-    probe(spark)
+    spark.stop()
+
+    wanted = OPS
+    for a in sys.argv:
+        if a.startswith("--ops"):
+            wanted = a.split("=", 1)[1].split(",")
+
+    def measure(op: str, ev_path: str, doc_path: str) -> float:
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--one", op,
+             ev_path, doc_path],
+            capture_output=True, text=True, cwd=REPO,
+            env={**os.environ, "PYTHONPATH": REPO})
+        for line in out.stdout.splitlines():
+            if line.startswith("PROBE_SECONDS"):
+                return float(line.split()[1])
+        print(out.stderr[-500:], file=sys.stderr)
+        return float("nan")
+
+    print(f"{'op':12} {'1x':>7} {'10x':>8} {'ratio':>6}", flush=True)
+    for op in wanted:
+        s = measure(op, f"{SMALL}/events.parquet", f"{SMALL}/documents.parquet")
+        b = measure(op, f"{SCRATCH}/events_sf1.parquet",
+                    f"{SCRATCH}/documents_sf1.parquet")
+        print(f"{op:12} {s:7.1f} {b:8.1f} {b / max(s, 0.01):6.1f}", flush=True)
+
     if "--keep" not in sys.argv:
         shutil.rmtree(SCRATCH, ignore_errors=True)
         print("(.scratch removed; pass --keep to retain)")
+
+
+if __name__ == "__main__":
+    main()
