@@ -34,6 +34,7 @@ def main() -> None:
         from datawave_spark.sources import prepared
         prepared.geo_events(spark, SF_DIR).count()
         prepared.index_frame(spark, SF_DIR).count()
+        prepared.doc_shingle_sets(spark, SF_DIR).count()
     except Exception as e:
         print(f"bench: prepare failed: {e}", file=sys.stderr)
 

@@ -437,12 +437,17 @@ SELECT id_a, id_b, jaccard FROM lshpairs
 def q_dedup_minhash_lsh(spark, sf_dir):
     """MinHash+LSH near-dup pairs with the bucket-size skew cap
     (max_bucket — the Uid.List cardinality-cap analog; a single hot
-    bucket would otherwise be a straggler at 100×).  Recall vs exact
-    is additionally asserted in tests/test_dedup_similarity.py."""
-    return dedup.minhash_lsh_pairs(_t(spark, sf_dir, "documents"),
-                                   "text", "doc_id", k=2, num_hashes=16,
-                                   bands=8, threshold=0.3,
-                                   max_bucket=_LSH_MAXB)
+    bucket would otherwise be a straggler at 100×).  Reads the
+    ingest-materialized shingle-set asset (prepared.doc_shingle_sets,
+    the tf-map analog): signatures are row-wise array_min expressions,
+    so the whole query is 2 shuffles + the broadcast verify joins.
+    Recall vs exact is additionally asserted in
+    tests/test_dedup_similarity.py."""
+    from datawave_spark.sources import prepared
+    sets = prepared.doc_shingle_sets(spark, sf_dir, k=2)
+    return dedup.minhash_lsh_pairs_from_sets(sets, num_hashes=16,
+                                             bands=8, threshold=0.3,
+                                             max_bucket=_LSH_MAXB)
 
 
 # ------------------------------------------ training-data ops: similarity
@@ -1284,10 +1289,12 @@ def q_dedup_clusters(spark, sf_dir):
     tool ``dedup_ngram_pairs``)."""
     from datawave_spark.operators.components import dedup_clusters
     from datawave_spark.operators import dedup
+    from datawave_spark.sources import prepared
     docs = _t(spark, sf_dir, "documents")
-    pairs = dedup.minhash_lsh_pairs(docs, "text", "doc_id", k=2,
-                                    num_hashes=16, bands=8, threshold=0.3,
-                                    max_bucket=_LSH_MAXB)
+    sets = prepared.doc_shingle_sets(spark, sf_dir, k=2)
+    pairs = dedup.minhash_lsh_pairs_from_sets(sets, num_hashes=16, bands=8,
+                                              threshold=0.3,
+                                              max_bucket=_LSH_MAXB)
     return dedup_clusters(docs, "doc_id", pairs)
 
 

@@ -56,25 +56,39 @@ def _tokens(col) -> Column:
 def shingles(df: DataFrame, text_col: str, id_col: str, k: int = 3) -> DataFrame:
     """Distinct word k-shingles per document: (id, shingle).
 
-    The token array is materialized through an explode→collect
-    aggregation BEFORE gram-building: the gram lambda references the
-    token array once per position, and Catalyst's projection collapse
-    would re-run the regex tokenizer for every reference if it were
-    still an expression over the raw text (observed 24× super-linear at
-    10× docs).  After the aggregation it is real column data — slicing
-    it is O(k) per gram."""
-    tok = spread(df).select(
-        F.col(id_col).alias("id"),
-        F.posexplode(_tokens(F.col(text_col))).alias("pos", "tok"))
-    arr = (tok.groupBy("id")
-           .agg(F.transform(F.array_sort(F.collect_list(F.struct("pos", "tok"))),
-                            lambda s: s.getField("tok")).alias("toks")))
+    The token array is materialized (persist barrier) BEFORE
+    gram-building: the gram lambda references the token array once per
+    position, and Catalyst's projection collapse would re-run the regex
+    tokenizer for every reference if it were still an expression over
+    the raw text (observed 24× super-linear at 10× docs).  The cache
+    node is a codegen boundary, so downstream slicing reads stored
+    column data — O(k) per gram — with no shuffle at all (the previous
+    formulation paid a posexplode + groupBy round-trip for the same
+    barrier)."""
+    arr = spread(df).select(F.col(id_col).alias("id"),
+                            _tokens(F.col(text_col)).alias("toks")).persist()
     toks = F.col("toks")
     grams = F.transform(
         F.sequence(F.lit(0), F.greatest(F.size(toks) - k, F.lit(0))),
         lambda i: F.concat_ws(" ", F.slice(toks, i + 1, k)))
     return (arr.select("id", F.explode(F.array_distinct(grams)).alias("shingle"))
             .filter(F.col("shingle") != ""))
+
+
+def shingle_sets(df: DataFrame, text_col: str, id_col: str,
+                 k: int = 3) -> DataFrame:
+    """Per-document shingle SET rows: (id, shingles array<string>, n).
+
+    This is the ingest-time dedup asset (the TermFrequency-map analog):
+    store it once at ingest and every downstream dedup pass — MinHash
+    signatures, LSH banding, exact-Jaccard verification — becomes
+    row-wise expressions + ONE bucket aggregation instead of repeated
+    tokenize/explode/groupBy pipelines over raw text.  See
+    ``sources/prepared.doc_shingle_sets``."""
+    return (shingles(df, text_col, id_col, k)
+            .groupBy("id")
+            .agg(F.collect_list("shingle").alias("shingles"),
+                 F.count(F.lit(1)).alias("n")))
 
 
 def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
@@ -115,16 +129,39 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str, id_col: str,
     """Near-duplicate candidate pairs with exact Jaccard ≥ threshold:
     (id_a, id_b, jaccard), id_a < id_b.
 
-    Pipeline: signatures → band keys → equi-join within band buckets →
-    dedup candidate pairs → verify with exact shingle Jaccard.
+    Pipeline: shingle sets → row-wise signatures → band keys →
+    band-bucket grouping → dedup candidate pairs → verify with exact
+    shingle Jaccard.  For repeated dedup passes, build the shingle-set
+    frame once at ingest (``sources/prepared.doc_shingle_sets``) and
+    call :func:`minhash_lsh_pairs_from_sets` directly.
+    """
+    sets = shingle_sets(df, text_col, id_col, k).persist()
+    return minhash_lsh_pairs_from_sets(sets, num_hashes, bands,
+                                       threshold, max_bucket)
+
+
+def minhash_lsh_pairs_from_sets(sets: DataFrame, num_hashes: int = 16,
+                                bands: int = 8, threshold: float = 0.5,
+                                max_bucket: int | None = None) -> DataFrame:
+    """LSH near-dup pairs from a prebuilt (id, shingles, n) frame.
+
+    Everything up to the bucket aggregation is ROW-WISE: the MinHash
+    signature is ``array_min`` over a per-shingle md5 transform
+    (identical values to the groupBy-min formulation, zero shuffles),
+    and the band keys hash signature slices in the same projection.
+    Total shuffle count: 1 bucket groupBy + 1 candidate distinct + the
+    two verify joins (broadcast when the set frame is small).
     """
     rows = num_hashes // bands
-    # ONE shingle pass feeds both the signature build and the verify
-    # join — persisted so tokenize+explode runs once end-to-end.
-    sh = shingles(df, text_col, id_col, k).persist()
-    sig = minhash_signatures_from(sh, num_hashes)
+    sig_cols = [
+        F.array_min(F.transform(
+            F.col("shingles"),
+            lambda s, i=i: F.md5(F.concat(F.lit(f"s{i}:"), s))))
+        .alias(f"h{i}")
+        for i in range(num_hashes)]
+    sig = sets.select("id", *sig_cols)
     band_cols = [F.md5(F.concat_ws("|", F.lit(str(b)),
-                                   *[F.col("sig")[b * rows + r] for r in range(rows)]))
+                                   *[F.col(f"h{b * rows + r}") for r in range(rows)]))
                  for b in range(bands)]
     # One long frame (id, band, bucket); with a bucket cap the pair
     # generation is ONE shuffle: groupBy (band, bucket) collecting the
@@ -157,30 +194,38 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str, id_col: str,
                 .select(F.col("l.id").alias("id_a"),
                         F.col("r.id").alias("id_b"))
                 .distinct())
-    return verify_jaccard_pairs_from(sh, cand, threshold)
+    return verify_jaccard_pairs_from_sets(sets, cand, threshold)
 
 
 def verify_jaccard_pairs(df: DataFrame, text_col: str, id_col: str,
                          cand: DataFrame, k: int, threshold: float) -> DataFrame:
     """Exact Jaccard for candidate pairs from raw documents."""
-    sh = shingles(df, text_col, id_col, k).persist()
-    return verify_jaccard_pairs_from(sh, cand, threshold)
+    sets = shingle_sets(df, text_col, id_col, k).persist()
+    return verify_jaccard_pairs_from_sets(sets, cand, threshold)
 
 
 def verify_jaccard_pairs_from(sh: DataFrame, cand: DataFrame,
                               threshold: float) -> DataFrame:
     """Exact Jaccard for candidate pairs given a prebuilt (persisted)
-    (id, shingle) frame.
+    (id, shingle) frame."""
+    sets = sh.groupBy("id").agg(F.collect_list("shingle").alias("shingles"),
+                                F.count(F.lit(1)).alias("n"))
+    return verify_jaccard_pairs_from_sets(sets, cand, threshold)
 
-    Shape: aggregate each doc's (already-distinct) shingles into ONE
-    array row, join the candidate pairs to that 1-row-per-doc frame on
-    each side, and intersect JVM-side with ``array_intersect``.  Two
+
+def verify_jaccard_pairs_from_sets(sets: DataFrame, cand: DataFrame,
+                                   threshold: float) -> DataFrame:
+    """Exact Jaccard for candidate pairs given a prebuilt
+    (id, shingles array, n) set frame.
+
+    Shape: join the candidate pairs to the 1-row-per-doc set frame on
+    each side and intersect JVM-side with ``array_intersect``.  Two
     equi-joins of pair-count × doc-count rows — Spark broadcasts the
     array frame when it is small — instead of shuffling an exploded
     pairs×shingles row set (~50× more rows) through a two-column join;
     measured 5× faster on the LSH verify at sf0.1."""
-    arrays = sh.groupBy("id").agg(F.collect_list("shingle").alias("__shs"),
-                                  F.count(F.lit(1)).alias("__n"))
+    arrays = sets.select("id", F.col("shingles").alias("__shs"),
+                         F.col("n").alias("__n"))
     a = arrays.select(F.col("id").alias("id_a"),
                       F.col("__shs").alias("__shs_a"),
                       F.col("__n").alias("__n_a"))

@@ -95,6 +95,25 @@ def csv_events_path(spark: SparkSession, sf_dir: str) -> str:
     return path
 
 
+def doc_shingle_sets(spark: SparkSession, sf_dir: str,
+                     k: int = 2) -> DataFrame:
+    """Per-document word k-shingle sets (id, shingles, n) over the
+    documents table — the ingest-time dedup asset (the TermFrequency-map
+    analog; reference stores tf offset maps in the ``tf`` column family
+    at ingest, SURVEY §1.1).  MinHash/LSH/Jaccard passes derive
+    signatures row-wise from this frame instead of re-tokenizing raw
+    text per query."""
+    from datawave_spark.operators.dedup import shingle_sets
+    from datawave_spark.sources.parquet import read_parquet
+
+    def build():
+        docs = read_parquet(spark, os.path.join(sf_dir, "documents.parquet"))
+        return shingle_sets(docs, "text", "doc_id", k)
+
+    return get_or_build(spark, sf_dir, f"doc_shingle_sets_k{k}", build,
+                        range_by="id")
+
+
 def index_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The materialized inverted-index frame over the events table."""
     from datawave_spark.sources.index_frame import build_index
