@@ -359,8 +359,9 @@ SELECT id, concat_ws('', {", ".join(f"min(md5('s{i}:' || shingle))" for i in ran
 FROM ({_DUCK_SHINGLES2}) WHERE shingle != '' GROUP BY id
 """)
 def q_dedup_minhash_sig(spark, sf_dir):
-    sig = dedup.minhash_signatures(_t(spark, sf_dir, "documents"),
-                                   "text", "doc_id", k=2, num_hashes=8)
+    from datawave_spark.sources import prepared
+    sets = prepared.doc_shingle_sets(spark, sf_dir, k=2)
+    sig = dedup.minhash_signatures_from_sets(sets, num_hashes=8)
     return sig.select("id", F.concat_ws("", F.col("sig")).alias("sig"))
 
 
@@ -393,9 +394,11 @@ WHERE round(n_inter / (sa.n + sb.n - n_inter), 4) >= 0.3
 def q_dedup_ngram_pairs(spark, sf_dir):
     """SSDeep-similarity-join shape (ngram explode -> equi-join -> score;
     reference: query/tables/ssdeep/SSDeepSimilarityQueryLogic.java) as
-    near-dup pair detection on documents."""
-    return dedup.ngram_jaccard_pairs(_t(spark, sf_dir, "documents"),
-                                     "text", "doc_id", k=2, threshold=0.3)
+    near-dup pair detection on documents, reading the ingest-time
+    shingle-set asset (sizes come free; grams are a row-wise explode)."""
+    from datawave_spark.sources import prepared
+    sets = prepared.doc_shingle_sets(spark, sf_dir, k=2)
+    return dedup.ngram_jaccard_pairs_from_sets(sets, threshold=0.3)
 
 
 # MinHash-LSH is md5-based and fully deterministic, so DuckDB can
@@ -1384,8 +1387,8 @@ SELECT supp_nation, cust_nation, yr, round(sum(volume), 4) AS revenue FROM (
   JOIN customer ON c_custkey = o_custkey
   JOIN nation n1 ON s_nationkey = n1.n_nationkey
   JOIN nation n2 ON c_nationkey = n2.n_nationkey
-  WHERE ((n1.n_name = 'FRANCE' AND n2.n_name = 'GERMANY')
-      OR (n1.n_name = 'GERMANY' AND n2.n_name = 'FRANCE')))
+  WHERE ((n1.n_name = 'NATION_11' AND n2.n_name = 'NATION_7')
+      OR (n1.n_name = 'NATION_7' AND n2.n_name = 'NATION_11')))
 GROUP BY supp_nation, cust_nation, yr
 """)
 def q_tpch_q7(spark, sf_dir):
@@ -1401,8 +1404,8 @@ def q_tpch_q7(spark, sf_dir):
          .join(cu, od.o_custkey == cu.c_custkey)
          .join(F.broadcast(n1), su.s_nationkey == n1.s_nk)
          .join(F.broadcast(n2), cu.c_nationkey == n2.c_nk)
-         .filter(((F.col("supp_nation") == "FRANCE") & (F.col("cust_nation") == "GERMANY"))
-                 | ((F.col("supp_nation") == "GERMANY") & (F.col("cust_nation") == "FRANCE"))))
+         .filter(((F.col("supp_nation") == "NATION_11") & (F.col("cust_nation") == "NATION_7"))
+                 | ((F.col("supp_nation") == "NATION_7") & (F.col("cust_nation") == "NATION_11"))))
     return (j.groupBy("supp_nation", "cust_nation",
                       F.year("l_shipdate").cast("long").alias("yr"))
             .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4)

@@ -122,6 +122,30 @@ def minhash_signatures_from(sh: DataFrame, num_hashes: int = 16) -> DataFrame:
                       .alias("sig"))
 
 
+def _salted_min(arr, salt: str):
+    # NB: the lambda must be unary — pyspark.transform passes the array
+    # index as a second argument to binary lambdas, which would clobber
+    # a default-arg salt.
+    return F.array_min(F.transform(
+        arr, lambda s: F.md5(F.concat(F.lit(salt), s))))
+
+
+def minhash_signatures_from_sets(sets: DataFrame,
+                                 num_hashes: int = 16) -> DataFrame:
+    """MinHash signatures from a prebuilt (id, shingles, n) set frame —
+    pure row-wise expressions (no shuffle), same values as the groupBy
+    formulation."""
+    sig_cols = [_salted_min(F.col("shingles"), f"s{i}:")
+                for i in range(num_hashes)]
+    return sets.select("id", F.array(*sig_cols).alias("sig"))
+
+
+def sets_to_shingles(sets: DataFrame) -> DataFrame:
+    """Explode a (id, shingles, n) set frame back to (id, shingle) rows
+    for the equi-join-shaped pipelines."""
+    return sets.select("id", F.explode("shingles").alias("shingle"))
+
+
 def minhash_lsh_pairs(df: DataFrame, text_col: str, id_col: str,
                       k: int = 3, num_hashes: int = 16, bands: int = 8,
                       threshold: float = 0.5,
@@ -153,12 +177,8 @@ def minhash_lsh_pairs_from_sets(sets: DataFrame, num_hashes: int = 16,
     two verify joins (broadcast when the set frame is small).
     """
     rows = num_hashes // bands
-    sig_cols = [
-        F.array_min(F.transform(
-            F.col("shingles"),
-            lambda s, i=i: F.md5(F.concat(F.lit(f"s{i}:"), s))))
-        .alias(f"h{i}")
-        for i in range(num_hashes)]
+    sig_cols = [_salted_min(F.col("shingles"), f"s{i}:").alias(f"h{i}")
+                for i in range(num_hashes)]
     sig = sets.select("id", *sig_cols)
     band_cols = [F.md5(F.concat_ws("|", F.lit(str(b)),
                                    *[F.col(f"h{b * rows + r}") for r in range(rows)]))
@@ -291,6 +311,23 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str, id_col: str,
     """
     sh = shingles(df, text_col, id_col, k).persist()
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n"))
+    return _ngram_jaccard_core(sh, sizes, threshold, prefix_filter)
+
+
+def ngram_jaccard_pairs_from_sets(sets: DataFrame, threshold: float = 0.5,
+                                  prefix_filter: bool = False) -> DataFrame:
+    """All-pairs n-gram Jaccard from the prepared (id, shingles, n)
+    set frame: sizes come free (no groupBy) and the gram rows are a
+    row-wise explode of stored arrays instead of re-tokenizing text."""
+    sh = sets_to_shingles(sets)
+    sizes = sets.select("id", "n")
+    return _ngram_jaccard_core(sh, sizes, threshold, prefix_filter,
+                               sets=sets)
+
+
+def _ngram_jaccard_core(sh: DataFrame, sizes: DataFrame, threshold: float,
+                        prefix_filter: bool,
+                        sets: DataFrame | None = None) -> DataFrame:
     if prefix_filter:
         w_rank = Window.partitionBy("id").orderBy("df", "shingle")
         gram_df = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
@@ -304,9 +341,6 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str, id_col: str,
         cand_src = sh
     a = cand_src.select(F.col("id").alias("id_a"), "shingle")
     b = cand_src.select(F.col("id").alias("id_b"), "shingle")
-    cand = (a.join(b, "shingle")
-            .filter(F.col("id_a") < F.col("id_b"))
-            .select("id_a", "id_b").distinct())
     if not prefix_filter:
         # fast path: the equi-join already counts full intersections
         inter = (a.join(b, "shingle")
@@ -322,6 +356,11 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str, id_col: str,
                 .select("id_a", "id_b", "jaccard"))
     # prefix-filtered candidates hold only partial intersections —
     # verify with the full shingle sets
+    cand = (a.join(b, "shingle")
+            .filter(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b").distinct())
+    if sets is not None:
+        return verify_jaccard_pairs_from_sets(sets, cand, threshold)
     return verify_jaccard_pairs_from(sh, cand, threshold)
 
 

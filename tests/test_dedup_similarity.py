@@ -42,6 +42,29 @@ def test_minhash_lsh_recall(spark, docs):
     assert recall >= 0.8, f"LSH recall {recall:.2f} too low ({len(lsh)}/{len(exact)})"
 
 
+def test_from_sets_signatures_match_groupby_formulation(spark, docs):
+    """The row-wise (array_min over transform) signature path must be
+    bit-identical to the groupBy-min path — guards the pyspark
+    higher-order-function arity trap (a binary lambda receives the
+    array INDEX as its second argument, clobbering closure salts)."""
+    sets = dedup.shingle_sets(docs, "text", "doc_id", k=2)
+    via_sets = {r.id: list(r.sig) for r in
+                dedup.minhash_signatures_from_sets(sets, 8).collect()}
+    via_group = {r.id: list(r.sig) for r in
+                 dedup.minhash_signatures(docs, "text", "doc_id", k=2,
+                                          num_hashes=8).collect()}
+    assert via_sets == via_group
+
+
+def test_from_sets_ngram_pairs_match_raw_path(spark, docs):
+    sets = dedup.shingle_sets(docs, "text", "doc_id", k=2)
+    via_sets = {(r.id_a, r.id_b, r.jaccard) for r in
+                dedup.ngram_jaccard_pairs_from_sets(sets, 0.3).collect()}
+    raw = {(r.id_a, r.id_b, r.jaccard) for r in dedup.ngram_jaccard_pairs(
+        docs, "text", "doc_id", k=2, threshold=0.3).collect()}
+    assert via_sets == raw and raw
+
+
 def test_simhash_groups_exact_dups_together(spark, docs):
     # identical texts must share a simhash bucket
     from pyspark.sql import functions as F
