@@ -847,14 +847,14 @@ SELECT event_id, user_id, event_type, value FROM events
 WHERE event_type = 'purchase'
   AND CAST(user_id AS VARCHAR) IN (
     SELECT DISTINCT CAST(user_id AS VARCHAR) FROM events
-    WHERE event_type = 'error' AND value > 400)
+    WHERE event_type = 'error' AND value > 300)
 """)
 def q_chained_query(spark, sf_dir):
     """ChainedQueryTable: users who had a high-value error (query A)
     feed a purchase lookup (query B)."""
     from datawave_spark.plans.chained import chained_query
     ev = _t(spark, sf_dir, "events")
-    out = chained_query(ev, "EVENT_TYPE == 'error' && VALUE > 400", "user_id",
+    out = chained_query(ev, "EVENT_TYPE == 'error' && VALUE > 300", "user_id",
                         ev, "user_id", jexl_b="EVENT_TYPE == 'purchase'")
     return out.select("event_id", "user_id", "event_type", "value")
 
@@ -924,13 +924,13 @@ def q_hit_terms(spark, sf_dir):
 
 @register("tpch_q6_revenue", """
 SELECT round(sum(l_extendedprice * l_discount), 4) AS revenue FROM lineitem
-WHERE l_shipdate >= TIMESTAMP '1994-01-01' AND l_shipdate < TIMESTAMP '1995-01-01'
+WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
   AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24
 """)
 def q_tpch_q6(spark, sf_dir):
     li = _t(spark, sf_dir, "lineitem")
-    return (li.filter((F.col("l_shipdate") >= F.lit("1994-01-01").cast("timestamp"))
-                      & (F.col("l_shipdate") < F.lit("1995-01-01").cast("timestamp"))
+    return (li.filter((F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+                      & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
                       & (F.col("l_discount") >= 0.05) & (F.col("l_discount") <= 0.07)
                       & (F.col("l_quantity") < 24))
             .agg(F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 4)
@@ -957,17 +957,17 @@ def q_tpch_q4(spark, sf_dir):
 
 @register("tpch_q12_shipmode", """
 SELECT l_returnflag,
-       sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS high_line_count,
-       sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS low_line_count
+       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
 FROM orders JOIN lineitem ON o_orderkey = l_orderkey
-WHERE l_shipdate >= TIMESTAMP '1994-01-01' AND l_shipdate < TIMESTAMP '1995-01-01'
+WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
 GROUP BY l_returnflag
 """)
 def q_tpch_q12(spark, sf_dir):
     od = _t(spark, sf_dir, "orders")
     li = _t(spark, sf_dir, "lineitem").filter(
-        (F.col("l_shipdate") >= F.lit("1994-01-01").cast("timestamp"))
-        & (F.col("l_shipdate") < F.lit("1995-01-01").cast("timestamp")))
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp")))
     hi = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
     return (li.join(od, li.l_orderkey == od.o_orderkey)
             .groupBy("l_returnflag")
@@ -1357,15 +1357,15 @@ SELECT c_custkey, c_name, round(sum(l_extendedprice * (1 - l_discount)), 4) AS r
 FROM customer JOIN orders ON c_custkey = o_custkey
 JOIN lineitem ON l_orderkey = o_orderkey
 JOIN nation ON c_nationkey = n_nationkey
-WHERE o_orderdate >= TIMESTAMP '1994-10-01' AND o_orderdate < TIMESTAMP '1995-01-01'
+WHERE o_orderdate >= TIMESTAMP '1996-10-01' AND o_orderdate < TIMESTAMP '1997-01-01'
   AND l_returnflag = 'R'
 GROUP BY c_custkey, c_name, n_name
 """)
 def q_tpch_q10(spark, sf_dir):
     cu = _t(spark, sf_dir, "customer")
     od = _t(spark, sf_dir, "orders").filter(
-        (F.col("o_orderdate") >= F.lit("1994-10-01").cast("timestamp"))
-        & (F.col("o_orderdate") < F.lit("1995-01-01").cast("timestamp")))
+        (F.col("o_orderdate") >= F.lit("1996-10-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp")))
     li = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
     na = _t(spark, sf_dir, "nation")
     return (li.join(od, li.l_orderkey == od.o_orderkey)
