@@ -1351,6 +1351,35 @@ def q_geowave_polygon(spark, sf_dir):
     return compile_query(ev, q).select("event_id")
 
 
+@register("geowave_polygon_data", """
+SELECT event_id FROM events
+WHERE (event_id % 360 - 180) - (1 + event_id % 3) <= 40
+  AND (event_id % 360 - 180) + (1 + event_id % 3) >= -30
+  AND (user_id % 160 - 80) - (1 + user_id % 2) <= 35
+  AND (user_id % 160 - 80) + (1 + user_id % 2) >= -20
+""")
+def q_geowave_polygon_data(spark, sf_dir):
+    """geowave:intersects over WKT polygon DATA (GeometryType fields,
+    not just points — GeoWaveFunctions.java:269 evaluates stored JTS
+    geometry): each event carries a deterministic axis-aligned rectangle
+    WKT; for rectangles the exact polygon test reduces to interval
+    arithmetic, giving a plain-SQL oracle while the Spark path runs the
+    real WKT parse -> JVM bbox prune -> polygon geometry UDF."""
+    ev = _t(spark, sf_dir, "events")
+    cx = (F.col("event_id") % 360 - 180).cast("int")
+    cy = (F.col("user_id") % 160 - 80).cast("int")
+    w = (1 + F.col("event_id") % 3).cast("int")
+    h = (1 + F.col("user_id") % 2).cast("int")
+    wkt = F.format_string(
+        "POLYGON((%d %d, %d %d, %d %d, %d %d, %d %d))",
+        cx - w, cy - h, cx + w, cy - h, cx + w, cy + h, cx - w, cy + h,
+        cx - w, cy - h)
+    ev = ev.withColumn("GEOM", wkt)
+    q = ("geowave:intersects(GEOM, "
+         "'POLYGON((-30 -20, 40 -20, 40 35, -30 35, -30 -20))')")
+    return compile_query(ev, q).select("event_id")
+
+
 @register("tpch_q10_returns", """
 SELECT c_custkey, c_name, round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue,
        n_name
