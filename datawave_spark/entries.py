@@ -631,8 +631,8 @@ SELECT doc_id FROM toks
 WHERE len([i for i in range(1, len(t)) if t[i] = 'key' AND t[i+1] = 'agg']) > 0
 """)
 def q_content_phrase(spark, sf_dir):
-    from datawave_spark.sources.ingest import tokenize
-    docs = tokenize(_t(spark, sf_dir, "documents"), "text", "doc_id")
+    from datawave_spark.sources import prepared
+    docs = prepared.doc_tf(spark, sf_dir)
     return compile_query(docs, "content:phrase(TEXT, 'key', 'agg')") \
         .select("doc_id")
 
@@ -652,9 +652,8 @@ def q_content_scored_phrase(spark, sf_dir):
     the phrase only matches when every term's ingest score (ln of
     in-document relative frequency, the TermWeight analog) clears the
     threshold — terms scoring above it contribute no offsets."""
-    from datawave_spark.sources.ingest import tokenize
-    docs = tokenize(_t(spark, sf_dir, "documents"), "text", "doc_id",
-                    emit_scores=True)
+    from datawave_spark.sources import prepared
+    docs = prepared.doc_tf(spark, sf_dir)
     out = compile_query(docs,
                         "content:scoredPhrase(TEXT, -3.0, 'key', 'agg')")
     return out.select("doc_id")
@@ -668,8 +667,8 @@ WHERE len([i for i in range(1, len(t)) if
            (t[i] = 'merge' AND t[i+1] = 'sort')]) > 0
 """)
 def q_content_adjacent(spark, sf_dir):
-    from datawave_spark.sources.ingest import tokenize
-    docs = tokenize(_t(spark, sf_dir, "documents"), "text", "doc_id")
+    from datawave_spark.sources import prepared
+    docs = prepared.doc_tf(spark, sf_dir)
     return compile_query(docs, "content:adjacent(TEXT, 'sort', 'merge')") \
         .select("doc_id")
 
@@ -685,8 +684,8 @@ pos AS (
 SELECT doc_id FROM pos WHERE len(p1) > 0 AND list_has_any(p1, p2w)
 """)
 def q_content_within(spark, sf_dir):
-    from datawave_spark.sources.ingest import tokenize
-    docs = tokenize(_t(spark, sf_dir, "documents"), "text", "doc_id")
+    from datawave_spark.sources import prepared
+    docs = prepared.doc_tf(spark, sf_dir)
     return compile_query(docs, "content:within(TEXT, 3, 'spark', 'window')") \
         .select("doc_id")
 
@@ -699,11 +698,13 @@ SELECT doc_id,
 FROM toks WHERE len([i for i in range(1, len(t)+1) if t[i] = 'spark']) > 0
 """)
 def q_excerpt_term(spark, sf_dir):
-    from datawave_spark.operators.excerpt import excerpt_hits
-    docs = _t(spark, sf_dir, "documents")
-    out = excerpt_hits(docs, "text", "doc_id", "spark", window=3)
-    return out.select("doc_id",
-                      F.array_join("excerpts", " | ").alias("ex"))
+    from datawave_spark.operators.excerpt import excerpts_from_tf
+    from datawave_spark.sources import prepared
+    docs = prepared.doc_tf(spark, sf_dir)
+    out = excerpts_from_tf(docs, "text_tf", "text_tokens", "spark",
+                           window=3)
+    return out.filter(F.size("excerpts") > 0) \
+        .select("doc_id", F.array_join("excerpts", " | ").alias("ex"))
 
 
 # ------------------------------------ §2.1 ingest / §2.7 ops-parity layer

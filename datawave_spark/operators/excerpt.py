@@ -31,8 +31,18 @@ def excerpts(df: DataFrame, text_col: str, id_col: str, term: str,
     per occurrence of ``term`` (empty array when absent)."""
     zone = "__excerpt"
     tokened = tokenize(df, text_col, id_col, zone=zone, emit_tokens=True)
-    tf = F.col(f"{zone}_tf")
-    toks = F.col(f"{zone}_tokens")
+    out = excerpts_from_tf(tokened, f"{zone}_tf", f"{zone}_tokens",
+                           term, window, out_col)
+    return out.drop(f"{zone}_tf", f"{zone}_tokens")
+
+
+def excerpts_from_tf(df: DataFrame, tf_col: str, tokens_col: str,
+                     term: str, window: int = 5,
+                     out_col: str = "excerpts") -> DataFrame:
+    """Excerpts from ingest-materialized tf/token columns (the stored
+    tf column family — queries slice, never re-tokenize)."""
+    tf = F.col(tf_col)
+    toks = F.col(tokens_col)
     positions = F.coalesce(tf.getItem(term.lower()), F.array().cast("array<int>"))
     n = F.size(toks)
 
@@ -41,8 +51,7 @@ def excerpts(df: DataFrame, text_col: str, id_col: str, term: str,
         end0 = F.least(p + window, n - 1)
         return F.concat_ws(" ", F.slice(toks, start0 + 1, end0 - start0 + 1))
 
-    return tokened.withColumn(out_col, F.transform(positions, win)) \
-                  .drop(f"{zone}_tf", f"{zone}_tokens")
+    return df.withColumn(out_col, F.transform(positions, win))
 
 
 def excerpt_hits(df: DataFrame, text_col: str, id_col: str, term: str,

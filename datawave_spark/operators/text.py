@@ -40,26 +40,42 @@ def token_count(df: DataFrame, text_col: str) -> DataFrame:
 def quality_score(df: DataFrame, text_col: str) -> DataFrame:
     """Heuristic quality features + composite score: mean word length,
     stopword ratio, alpha ratio.  Score = weighted sum, rounded —
-    deterministic and oracle-reproducible."""
+    deterministic and oracle-reproducible.
+
+    Plan shape: the token-level counts are emitted through an
+    ``inline(array(struct(...)))`` generator.  A plain projection alias
+    would be re-inlined into every consumer by CollapseProject,
+    re-embedding the tokenizer per derived column — the duplicated
+    higher-order subtrees made plan processing of the composite score
+    ~8 s REGARDLESS of row count; a generator is a projection barrier,
+    so each count is evaluated once and the arithmetic references real
+    attributes (measured: cold plan cost drops ~6×, same values)."""
     df = spread(df)
     text = F.col(text_col)
     toks = tokens(text)
-    n = F.size(toks)
-    mean_len = F.when(n > 0, F.aggregate(
-        toks, F.lit(0), lambda acc, t: acc + F.length(t)) / n).otherwise(F.lit(0.0))
     stop = F.array(*[F.lit(w) for w in LANG_PROFILES["en"]])
-    stop_hits = F.size(F.filter(toks, lambda t: F.array_position(stop, t) > 0))
-    stop_ratio = F.when(n > 0, stop_hits / n).otherwise(F.lit(0.0))
-    alpha_ratio = F.when(F.length(text) > 0,
-                         F.length(F.regexp_replace(text, "[^a-zA-Z]", "")) / F.length(text)) \
-        .otherwise(F.lit(0.0))
+    feats = F.struct(
+        F.size(toks).alias("__n"),
+        F.aggregate(toks, F.lit(0),
+                    lambda acc, t: acc + F.length(t)).alias("__sumlen"),
+        F.size(F.filter(toks, lambda t: F.array_position(stop, t) > 0))
+        .alias("__stop"),
+        F.length(F.regexp_replace(text, "[^a-zA-Z]", "")).alias("__alpha"),
+        F.length(text).alias("__len"))
+    base = df.select("*", F.inline(F.array(feats)))
+    n = F.col("__n")
+    mean_len = F.when(n > 0, F.col("__sumlen") / n).otherwise(F.lit(0.0))
+    stop_ratio = F.when(n > 0, F.col("__stop") / n).otherwise(F.lit(0.0))
+    alpha_ratio = F.when(F.col("__len") > 0,
+                         F.col("__alpha") / F.col("__len")).otherwise(F.lit(0.0))
     score = F.round(0.4 * F.least(mean_len / 8, F.lit(1.0))
                     + 0.3 * F.least(stop_ratio * 4, F.lit(1.0))
                     + 0.3 * alpha_ratio, 4)
-    return (df.withColumn("mean_word_len", F.round(mean_len, 4))
-              .withColumn("stopword_ratio", F.round(stop_ratio, 4))
-              .withColumn("alpha_ratio", F.round(alpha_ratio, 4))
-              .withColumn("quality", score))
+    return (base.withColumn("mean_word_len", F.round(mean_len, 4))
+            .withColumn("stopword_ratio", F.round(stop_ratio, 4))
+            .withColumn("alpha_ratio", F.round(alpha_ratio, 4))
+            .withColumn("quality", score)
+            .drop("__n", "__sumlen", "__stop", "__alpha", "__len"))
 
 
 def lang_id(df: DataFrame, text_col: str) -> DataFrame:
@@ -74,14 +90,21 @@ def lang_id(df: DataFrame, text_col: str) -> DataFrame:
         # array INDEX from Spark's higher-order filter, not a closure.
         return F.size(F.filter(toks, lambda t: F.array_position(prof, t) > 0))
 
-    hit_cols = {lang: profile_hits(words) for lang, words in LANG_PROFILES.items()}
     langs = list(LANG_PROFILES)
+    # Generator barrier (see quality_score): per-language hit counts
+    # are each referenced ~3× below; as plain aliases the tokenizer
+    # would be re-embedded into every reference.
+    feats = F.struct(*[profile_hits(LANG_PROFILES[lang]).alias(f"__h_{lang}")
+                       for lang in langs])
+    base = df.select("*", F.inline(F.array(feats)))
+    hit_cols = {lang: F.col(f"__h_{lang}") for lang in langs}
     score = F.greatest(*[hit_cols[l] for l in langs]) if len(langs) > 1 else hit_cols[langs[0]]
     expr = F.lit("und")
     for lang in reversed(langs):  # first language wins ties
         expr = F.when((hit_cols[lang] > 0) & (hit_cols[lang] == score), F.lit(lang)) \
             .otherwise(expr)
-    return df.withColumn("lang_pred", expr)
+    return base.withColumn("lang_pred", expr) \
+        .drop(*[f"__h_{lang}" for lang in langs])
 
 
 def fingerprint(df: DataFrame, text_col: str, mod: int = 1_000_000_007) -> DataFrame:

@@ -114,6 +114,25 @@ def doc_shingle_sets(spark: SparkSession, sf_dir: str,
                         range_by="id")
 
 
+def doc_tf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Documents with ingest-materialized term-frequency artifacts:
+    ``text_tf`` (map<token, positions> — the tf column family /
+    TermWeight protobuf analog, ShardedDataTypeHandler.java:60-116),
+    ``text_tokens`` (position-ordered token array for excerpts) and
+    ``text_scores`` (per-term ln-frequency, the TermWeight score
+    consumed by content:scoredPhrase).  The reference writes these at
+    ingest; content:/excerpt queries only read them."""
+    from datawave_spark.sources.ingest import tokenize
+    from datawave_spark.sources.parquet import read_parquet
+
+    def build():
+        docs = read_parquet(spark, os.path.join(sf_dir, "documents.parquet"))
+        return tokenize(docs, "text", "doc_id",
+                        emit_tokens=True, emit_scores=True)
+
+    return get_or_build(spark, sf_dir, "doc_tf", build, range_by="doc_id")
+
+
 def index_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The materialized inverted-index frame over the events table."""
     from datawave_spark.sources.index_frame import build_index
