@@ -36,6 +36,8 @@ def main() -> None:
         prepared.index_frame(spark, SF_DIR).count()
         prepared.doc_shingle_sets(spark, SF_DIR).count()
         prepared.doc_tf(spark, SF_DIR).count()
+        prepared.facet_table(spark, SF_DIR).count()
+        prepared.index_stats(spark, SF_DIR).count()
     except Exception as e:
         print(f"bench: prepare failed: {e}", file=sys.stderr)
 

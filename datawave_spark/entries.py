@@ -1225,6 +1225,62 @@ def q_facet_with_cardinality(spark, sf_dir):
     return facets_with_cardinality(ev, ["event_type"], "user_id")
 
 
+@register("facet_table_lookup", """
+SELECT 'event_type' AS field, CAST(event_type AS VARCHAR) AS value,
+       count(*) AS cnt
+FROM events GROUP BY event_type
+""")
+def q_facet_table_lookup(spark, sf_dir):
+    """Facet lookup against the PRECOMPUTED facet table (the reference
+    maintains this at ingest — FacetHandler.java:52; FacetedQueryLogic
+    reads it): partition-pruned to one field directory, no corpus
+    aggregation at query time."""
+    from datawave_spark.sources import prepared
+    ft = prepared.facet_table(spark, sf_dir)
+    return ft.filter(F.col("field") == "event_type") \
+        .select("field", "value", "cnt")
+
+
+@register("index_stats_lookup", """
+SELECT 'event_id' AS field, count(DISTINCT event_id) AS cardinality FROM events
+UNION ALL
+SELECT 'event_type', count(DISTINCT event_type) FROM events
+UNION ALL
+SELECT 'user_id', count(DISTINCT user_id) FROM events
+""")
+def q_index_stats_lookup(spark, sf_dir):
+    """Per-field cardinality from the ingest-built index-stats table
+    (StatsHyperLogMapper/StatsJob parity); the stored exact counts are
+    oracle-checked, the stored HLL column is what a cost-based term
+    ordering (OrderByCostVisitor) would consult."""
+    from datawave_spark.sources import prepared
+    return prepared.index_stats(spark, sf_dir) \
+        .select("field", "cardinality")
+
+
+@register("edge_k_hop", """
+WITH h1 AS (SELECT DISTINCT event_type AS vertex FROM events
+            WHERE CAST(user_id AS VARCHAR) = '7' AND value > 50),
+h2 AS (SELECT DISTINCT CAST(user_id AS VARCHAR) AS vertex FROM events
+       WHERE value > 50 AND event_type IN (SELECT vertex FROM h1)
+         AND CAST(user_id AS VARCHAR) NOT IN (SELECT vertex FROM h1))
+SELECT vertex, 1 AS hop FROM h1
+UNION ALL
+SELECT vertex, 2 AS hop FROM h2
+""")
+def q_edge_k_hop(spark, sf_dir):
+    """Multi-hop graph traversal over ingest-built edges (a capability
+    upgrade over the reference's single-hop EdgeQueryLogic): BFS via
+    iterative self-join on a bidirectional user<->event_type edge set —
+    hop 2 finds users co-occurring on the start user's event types."""
+    from datawave_spark.edges import EdgeDefinition, build_edges, k_hop
+    ev = _t(spark, sf_dir, "events")
+    defs = [EdgeDefinition("user_id", "event_type", "user_event", "did",
+                           precondition="VALUE > 50", bidirectional=True)]
+    edges = build_edges(ev, defs)
+    return k_hop(edges, "SOURCE == '7'", hops=2).select("vertex", "hop")
+
+
 @register("lucene_global_agg", """
 SELECT round(sum(value), 4) AS sum_value, round(avg(value), 4) AS average_value
 FROM events WHERE event_type = 'click'

@@ -133,6 +133,46 @@ def doc_tf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return get_or_build(spark, sf_dir, "doc_tf", build, range_by="doc_id")
 
 
+def facet_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Precomputed facet counts over the events table — the facet
+    TABLE the reference maintains at ingest (FacetHandler.java:52
+    writes field-value co-occurrence counts + cardinality sketches);
+    queries read it instead of re-aggregating the corpus.  Partitioned
+    by ``field`` so a one-field facet lookup prunes to one directory."""
+    from datawave_spark.operators.discovery import facets_with_cardinality
+    from datawave_spark.sources.parquet import read_parquet
+
+    def build():
+        ev = read_parquet(spark, os.path.join(sf_dir, "events.parquet"))
+        return facets_with_cardinality(ev, ["event_type", "user_id"],
+                                       "event_id")
+
+    return get_or_build(spark, sf_dir, "facet_table", build,
+                        partition_by="field", sort_by="value")
+
+
+def index_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-field cardinality statistics — the index-stats table built by
+    the reference's MapReduce stats job (StatsHyperLogMapper →
+    HyperLogFieldSummary): one row per field with exact distinct count
+    (cheap at ingest) and the HLL approximation the planner would use
+    for cost ordering (OrderByCostVisitor)."""
+    from pyspark.sql import functions as F
+    from datawave_spark.sources.parquet import read_parquet
+
+    def build():
+        ev = read_parquet(spark, os.path.join(sf_dir, "events.parquet"))
+        fields = ["event_type", "user_id", "event_id"]
+        rows = [F.struct(
+            F.lit(f).alias("field"),
+            F.countDistinct(F.col(f)).alias("cardinality"),
+            F.approx_count_distinct(F.col(f)).alias("cardinality_hll"))
+            for f in fields]
+        return ev.agg(F.array(*rows).alias("a")).selectExpr("inline(a)")
+
+    return get_or_build(spark, sf_dir, "index_stats", build)
+
+
 def index_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The materialized inverted-index frame over the events table."""
     from datawave_spark.sources.index_frame import build_index
