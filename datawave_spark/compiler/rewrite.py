@@ -310,3 +310,76 @@ def expand_composites(node: JexlNode,
         return n
 
     return walk(node)
+
+
+# ------------------------------------------------------------- cost ordering
+
+# Node-class base costs mirror the reference's comparator family
+# (jexl/nodes/DefaultJexlNodeComparator.java, FieldCostComparator,
+# TermCostComparator, wired by visitors/order/OrderByCostVisitor.java:36):
+# equality < range < regex < field-compare < functions; negations last
+# within their operand's class.
+_COST_EQ, _COST_RANGE, _COST_REGEX, _COST_FIELDCMP, _COST_FUNC = 0, 1, 2, 3, 4
+
+
+def _term_cost(n: JexlNode, stats: dict[str, int]) -> tuple[int, float]:
+    """(class_cost, estimated match fraction).  The fraction for an
+    equality term is 1/field-cardinality from the index-stats table —
+    higher-cardinality fields are MORE selective, so they sort first in
+    an AND and the codegen'd short-circuit skips the expensive tail for
+    most rows."""
+    if isinstance(n, CmpNode):
+        if n.op == "==":
+            card = stats.get(n.field.name.upper(), 0)
+            return (_COST_EQ, 1.0 / card if card > 0 else 0.5)
+        if n.op in ("<", ">", "<=", ">="):
+            return (_COST_RANGE, 0.33)
+        return (_COST_REGEX, 0.5)          # =~ / !~
+    if isinstance(n, FieldCmpNode):
+        return (_COST_FIELDCMP, 0.6)
+    if isinstance(n, FuncNode):
+        return (_COST_FUNC, 0.9)
+    if isinstance(n, NotNode):
+        base, sel = _term_cost(n.term, stats)
+        return (base, min(1.0, 1.0 - sel + 1e-9))
+    if isinstance(n, AndNode):
+        costs = [_term_cost(t, stats) for t in n.terms]
+        frac = 1.0
+        for _, s in costs:
+            frac *= s
+        return (max(c for c, _ in costs), frac)
+    if isinstance(n, OrNode):
+        costs = [_term_cost(t, stats) for t in n.terms]
+        return (max(c for c, _ in costs),
+                min(1.0, sum(s for _, s in costs)))
+    return (_COST_FUNC, 1.0)
+
+
+def order_by_cost(node: JexlNode, stats: dict[str, int]) -> JexlNode:
+    """OrderByCostVisitor parity (visitors/order/OrderByCostVisitor.java:36,
+    DefaultQueryPlanner stage 28): order AND/OR children by estimated
+    cost so cheap, selective terms evaluate first.  Spark's codegen'd
+    boolean operators short-circuit left-to-right, so on a 100 TB scan
+    this ordering decides how many rows reach the expensive tail terms
+    (regexes, geo UDFs).  ``stats`` maps FIELD (upper) → distinct-value
+    cardinality — the ingest-built index-stats table
+    (sources/prepared.index_stats, StatsJob parity).
+
+    ANDs put low-match-fraction (selective) terms first; ORs put
+    high-match-fraction terms first (each row stops at the first true
+    disjunct).  The sort is stable: equal-cost terms keep author order.
+    """
+    def walk(n: JexlNode) -> JexlNode:
+        if isinstance(n, (AndNode, OrNode)):
+            terms = [walk(t) for t in n.terms]
+            if isinstance(n, AndNode):
+                key = lambda t: _term_cost(t, stats)            # noqa: E731
+            else:
+                key = lambda t: (_term_cost(t, stats)[0],       # noqa: E731
+                                 -_term_cost(t, stats)[1])
+            return type(n)(tuple(sorted(terms, key=key)))
+        if isinstance(n, NotNode):
+            return NotNode(walk(n.term))
+        return n
+
+    return walk(node)

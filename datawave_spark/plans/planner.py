@@ -76,6 +76,7 @@ class QueryPlanner:
                  model: dict[str, list[str]] | None = None,
                  whindex_mappings: dict[tuple[str, object], str] | None = None,
                  composites: dict[tuple[str, ...], str] | None = None,
+                 stats: dict[str, int] | None = None,
                  max_terms: int = 2500, max_depth: int = 2500):
         self.df = df
         self.field_types = field_types
@@ -86,6 +87,9 @@ class QueryPlanner:
         # ExpandCompositeTerms config: (member fields...) → composite
         # column created at ingest (DefaultQueryPlanner.java:1550)
         self.composites = composites
+        # OrderByCostVisitor config: FIELD → distinct-value cardinality
+        # (the index-stats table; DefaultQueryPlanner stage 28)
+        self.stats = {k.upper(): v for k, v in stats.items()} if stats else None
         self.max_terms = max_terms
         self.max_depth = max_depth
 
@@ -100,6 +104,18 @@ class QueryPlanner:
         field_types = {r.field: r.normalizer for r in rows
                        if r.normalizer and r.normalizer != "noop"}
         return cls(df, field_types=field_types, **kwargs)
+
+    @classmethod
+    def from_stats(cls, df: DataFrame, stats_df: DataFrame,
+                   **kwargs) -> "QueryPlanner":
+        """Bind cost-ordering cardinalities from the ingest-built
+        index-stats table (sources.prepared.index_stats — the StatsJob
+        HLL summary the reference's OrderByCostVisitor consults).  The
+        stats frame is field-count-sized; collecting it is the same
+        bounded metadata read the reference does at plan time."""
+        rows = stats_df.select("field", "cardinality").collect()
+        return cls(df, stats={r.field: int(r.cardinality) for r in rows},
+                   **kwargs)
 
     def parse(self, query: str, syntax: str = "JEXL") -> JexlNode:
         syntax = syntax.upper()
@@ -127,6 +143,9 @@ class QueryPlanner:
                    if isinstance(f.dataType, T.ArrayType)}
             node = expand_composites(node, self.composites,
                                      array_fields=arr)
+        if self.stats:
+            from datawave_spark.compiler.rewrite import order_by_cost
+            node = order_by_cost(node, self.stats)
         node, opts = extract_options(node)
         validate_thresholds(node, self.max_terms, self.max_depth)
 

@@ -292,3 +292,47 @@ class TestComposite:
         rows = res.df.collect()
         assert len(rows) == 1
         assert rows[0].TEXT == "the quick brown fox"
+
+
+class TestOrderByCost:
+    """OrderByCostVisitor parity (visitors/order/OrderByCostVisitor.java
+    + FieldCostComparator): AND/OR children reorder by estimated cost —
+    asserted on the plan string, QueryPlanTest-style."""
+
+    STATS = {"EVENT_TYPE": 5, "EVENT_ID": 10_000}
+
+    def test_and_orders_eq_range_func(self):
+        from datawave_spark.compiler.rewrite import order_by_cost
+        node = jexl("filter:includeRegex(EVENT_TYPE, 'cl.*') && "
+                    "VALUE > 100 && EVENT_TYPE == 'click'")
+        got = str(order_by_cost(default_pipeline(node), self.STATS))
+        assert got == ("(EVENT_TYPE == 'click' && VALUE > 100 && "
+                       "filter:includeRegex(EVENT_TYPE, 'cl.*'))")
+
+    def test_and_puts_selective_eq_first(self):
+        from datawave_spark.compiler.rewrite import order_by_cost
+        node = jexl("EVENT_TYPE == 'click' && EVENT_ID == 7")
+        got = str(order_by_cost(default_pipeline(node), self.STATS))
+        # EVENT_ID matches 1/10000 of rows vs 1/5 — it goes first
+        assert got == "(EVENT_ID == 7 && EVENT_TYPE == 'click')"
+
+    def test_or_puts_likely_true_first(self):
+        from datawave_spark.compiler.rewrite import order_by_cost
+        node = jexl("EVENT_ID == 7 || EVENT_TYPE == 'click'")
+        got = str(order_by_cost(default_pipeline(node), self.STATS))
+        # each row stops at the first TRUE disjunct: high-match first
+        assert got == "(EVENT_TYPE == 'click' || EVENT_ID == 7)"
+
+    def test_planner_from_stats_same_results(self, spark):
+        from datawave_spark.sources import prepared
+        from datawave_spark.sources.parquet import read_parquet
+        sf = "/root/testdata/sf0.001"
+        ev = read_parquet(spark, f"{sf}/events.parquet")
+        q = "filter:includeRegex(EVENT_TYPE, 'cl.*') && VALUE > 400 && EVENT_TYPE == 'click'"
+        plain = QueryPlanner(ev).plan(q)
+        stats = QueryPlanner.from_stats(ev, prepared.index_stats(spark, sf))
+        ordered = stats.plan(q)
+        assert ordered.plan_string.startswith("(EVENT_TYPE == 'click'")
+        a = {r.event_id for r in plain.df.select("event_id").collect()}
+        b = {r.event_id for r in ordered.df.select("event_id").collect()}
+        assert a == b

@@ -57,6 +57,46 @@ class TestPreparedAssets:
         assert "PartitionFilters: [isnotnull(field" in plan
         assert ".prepared" in plan
 
+    def test_facet_table_partition_prunes_on_field(self, spark):
+        # the ingest-precomputed facet table is hive-partitioned by
+        # field; a one-field facet lookup must prune, not scan+filter
+        df = entrymod.queries()["facet_table_lookup"](spark, SF)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert ".prepared" in plan
+        assert "PartitionFilters: [isnotnull(field" in plan
+
+    def test_content_reads_only_tf_map_columns(self, spark):
+        # content:phrase consumes the STORED tf map; the scan must not
+        # read the raw text or the (excerpt-only) token array — at
+        # 100 TB reading those columns would triple the scan bytes
+        import re
+        df = entrymod.queries()["content_phrase"](spark, SF)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert ".prepared" in plan
+        schemas = re.findall(r"ReadSchema: struct<([^>]*)>", plan)
+        assert schemas and all("text_tokens" not in s and "text_scores" not in s
+                               for s in schemas)
+        assert any("text_tf" in s for s in schemas)
+
+    def test_excerpt_is_pure_projection_over_stored_tokens(self, spark):
+        # excerpts slice the ingest-stored token array around stored
+        # hit offsets: zero shuffles, zero re-tokenization
+        df = entrymod.queries()["excerpt_term"](spark, SF)
+        c = plan_counters(df)
+        assert c["n_shuffles"] == 0
+
+    def test_lsh_from_sets_bounded_shuffles(self, spark):
+        # signatures/bands are row-wise over the stored shingle sets:
+        # the whole LSH query is the bucket groupBy + candidate distinct
+        # (+ AQE may add exchanges for the verify joins when it skips
+        # broadcasting); there must be no cartesian anywhere
+        df = entrymod.queries()["dedup_minhash_lsh"](spark, SF)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        c = plan_counters(df)
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+        assert c["n_shuffles"] <= 5
+
     def test_ssdeep_single_candidate_equijoin(self, spark):
         # candidate generation is ONE equi-join on the ngram tuple —
         # no cross join anywhere in the plan
