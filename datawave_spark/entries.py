@@ -1562,6 +1562,171 @@ def q_tpch_q22(spark, sf_dir):
                  F.round(F.sum("c_acctbal"), 4).alias("totacctbal")))
 
 
+@register("tpch_q8_share", """
+SELECT yr, round(sum(CASE WHEN nat = 'NATION_7' THEN volume ELSE 0 END)
+                 / sum(volume), 4) AS mkt_share
+FROM (SELECT CAST(year(o_orderdate) AS BIGINT) AS yr,
+             l_extendedprice * (1 - l_discount) AS volume, n1.n_name AS nat
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      JOIN supplier ON l_suppkey = s_suppkey
+      JOIN nation n1 ON s_nationkey = n1.n_nationkey
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation n2 ON c_nationkey = n2.n_nationkey
+      JOIN region ON n2.n_regionkey = r_regionkey
+      JOIN part ON l_partkey = p_partkey
+      WHERE r_name = 'ASIA' AND p_type = 'ECONOMY')
+GROUP BY yr
+""")
+def q_tpch_q8(spark, sf_dir):
+    """TPC-H q8 shape (national market share): the deepest join tree in
+    the suite — fact spine lineitem->orders shuffles once, every
+    dimension (supplier, nation x2, region, part, customer) broadcasts."""
+    li = _t(spark, sf_dir, "lineitem")
+    od = _t(spark, sf_dir, "orders")
+    su = _t(spark, sf_dir, "supplier")
+    cu = _t(spark, sf_dir, "customer")
+    na = _t(spark, sf_dir, "nation")
+    re = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    pa = _t(spark, sf_dir, "part").filter(F.col("p_type") == "ECONOMY")
+    n1 = na.select(F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("nat"))
+    n2 = na.select(F.col("n_nationkey").alias("c_nk"), F.col("n_regionkey").alias("c_rk"))
+    j = (li.join(od, li.l_orderkey == od.o_orderkey)
+         .join(F.broadcast(su), li.l_suppkey == su.s_suppkey)
+         .join(F.broadcast(n1), su.s_nationkey == F.col("s_nk"))
+         .join(cu, od.o_custkey == cu.c_custkey)
+         .join(F.broadcast(n2), cu.c_nationkey == F.col("c_nk"))
+         .join(F.broadcast(re), F.col("c_rk") == re.r_regionkey)
+         .join(F.broadcast(pa), li.l_partkey == pa.p_partkey))
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (j.select(F.year("o_orderdate").cast("long").alias("yr"),
+                     vol.alias("volume"), "nat")
+            .groupBy("yr")
+            .agg(F.round(F.sum(F.when(F.col("nat") == "NATION_7",
+                                      F.col("volume")).otherwise(0))
+                         / F.sum("volume"), 4).alias("mkt_share")))
+
+
+@register("tpch_q9_profit", """
+SELECT nation, yr, round(sum(volume), 4) AS profit
+FROM (SELECT n_name AS nation, CAST(year(o_orderdate) AS BIGINT) AS yr,
+             l_extendedprice * (1 - l_discount) AS volume
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      JOIN supplier ON l_suppkey = s_suppkey
+      JOIN nation ON s_nationkey = n_nationkey
+      JOIN part ON l_partkey = p_partkey
+      WHERE p_name LIKE '%red%')
+GROUP BY nation, yr
+""")
+def q_tpch_q9(spark, sf_dir):
+    """TPC-H q9 shape (product-line profit by nation and year; the
+    ps_supplycost term is dropped - no partsupp table in the fixture):
+    LIKE-filtered part dimension broadcast into the fact spine."""
+    li = _t(spark, sf_dir, "lineitem")
+    od = _t(spark, sf_dir, "orders")
+    su = _t(spark, sf_dir, "supplier")
+    na = _t(spark, sf_dir, "nation")
+    pa = _t(spark, sf_dir, "part").filter(F.col("p_name").like("%red%"))
+    j = (li.join(od, li.l_orderkey == od.o_orderkey)
+         .join(F.broadcast(su), li.l_suppkey == su.s_suppkey)
+         .join(F.broadcast(na), su.s_nationkey == na.n_nationkey)
+         .join(F.broadcast(pa), li.l_partkey == pa.p_partkey))
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (j.select(F.col("n_name").alias("nation"),
+                     F.year("o_orderdate").cast("long").alias("yr"),
+                     vol.alias("volume"))
+            .groupBy("nation", "yr")
+            .agg(F.round(F.sum("volume"), 4).alias("profit")))
+
+
+@register("tpch_q15_top_supplier", """
+WITH revenue AS (
+  SELECT l_suppkey AS supplier_no,
+         round(sum(l_extendedprice * (1 - l_discount)), 4) AS total_revenue
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1996-04-01'
+  GROUP BY l_suppkey)
+SELECT s_suppkey, s_name, total_revenue
+FROM supplier JOIN revenue ON s_suppkey = supplier_no
+WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)
+""")
+def q_tpch_q15(spark, sf_dir):
+    """TPC-H q15 (top supplier): revenue view + scalar-subquery max —
+    the max is a single-row broadcast joined back against the view,
+    which Spark computes from the same shuffle output (reused exchange),
+    not a second scan."""
+    li = _t(spark, sf_dir, "lineitem")
+    su = _t(spark, sf_dir, "supplier")
+    rev = (li.filter((F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+                     & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp")))
+           .groupBy(F.col("l_suppkey").alias("supplier_no"))
+           .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4)
+                .alias("total_revenue")))
+    mx = rev.agg(F.max("total_revenue").alias("mx"))
+    top = rev.join(F.broadcast(mx), rev.total_revenue == F.col("mx")).drop("mx")
+    return (su.join(top, su.s_suppkey == top.supplier_no)
+            .select("s_suppkey", "s_name", "total_revenue"))
+
+
+@register("tpch_q17_avg_qty", """
+SELECT round(sum(l_extendedprice) / 7.0, 4) AS avg_yearly
+FROM lineitem JOIN part ON p_partkey = l_partkey
+WHERE p_brand = 'Brand#1'
+  AND l_quantity < (SELECT 0.2 * avg(l_quantity) FROM lineitem l2
+                    WHERE l2.l_partkey = lineitem.l_partkey)
+""")
+def q_tpch_q17(spark, sf_dir):
+    """TPC-H q17 (small-quantity revenue): correlated per-part average
+    subquery, decorrelated into a groupBy + broadcast join - the
+    standard Spark restatement of a correlated scalar subquery."""
+    li = _t(spark, sf_dir, "lineitem")
+    pa = _t(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#1")
+    avg_qty = (li.groupBy(F.col("l_partkey").alias("pk"))
+               .agg((0.2 * F.avg("l_quantity")).alias("lim")))
+    j = (li.join(F.broadcast(pa), li.l_partkey == pa.p_partkey)
+         .join(F.broadcast(avg_qty), li.l_partkey == F.col("pk"))
+         .filter(F.col("l_quantity") < F.col("lim")))
+    return j.agg(F.round(F.sum("l_extendedprice") / 7.0, 4).alias("avg_yearly"))
+
+
+@register("tpch_q21_shape", """
+SELECT s_name, count(*) AS numwait
+FROM supplier JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+JOIN orders ON o_orderkey = l1.l_orderkey
+WHERE l1.l_returnflag = 'R' AND o_orderstatus = 'F'
+  AND EXISTS (SELECT 1 FROM lineitem l2
+              WHERE l2.l_orderkey = l1.l_orderkey
+                AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                  WHERE l3.l_orderkey = l1.l_orderkey
+                    AND l3.l_suppkey <> l1.l_suppkey
+                    AND l3.l_returnflag = 'R')
+GROUP BY s_name
+""")
+def q_tpch_q21(spark, sf_dir):
+    """TPC-H q21 shape (suppliers who kept orders waiting; returnflag
+    stands in for the fixture's missing receipt/commit dates): the
+    EXISTS becomes a leftsemi join and the NOT EXISTS a leftanti join
+    on (orderkey, other-supplier) pairs."""
+    li = _t(spark, sf_dir, "lineitem")
+    su = _t(spark, sf_dir, "supplier")
+    od = _t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    l1 = li.filter(F.col("l_returnflag") == "R") \
+        .select("l_orderkey", "l_suppkey")
+    others = li.select(F.col("l_orderkey").alias("o_ok"),
+                       F.col("l_suppkey").alias("o_sk"),
+                       F.col("l_returnflag").alias("o_rf"))
+    semi = l1.join(others,
+                   (l1.l_orderkey == others.o_ok)
+                   & (l1.l_suppkey != others.o_sk), "left_semi")
+    others_r = others.filter(F.col("o_rf") == "R")
+    anti = semi.join(others_r,
+                     (semi.l_orderkey == others_r.o_ok)
+                     & (semi.l_suppkey != others_r.o_sk), "left_anti")
+    j = (anti.join(od, anti.l_orderkey == od.o_orderkey)
+         .join(F.broadcast(su), anti.l_suppkey == su.s_suppkey))
+    return j.groupBy("s_name").agg(F.count(F.lit(1)).alias("numwait"))
+
+
 @register("filter_time_function", """
 SELECT event_id FROM events
 WHERE (epoch_ms(ts) - epoch_ms(TIMESTAMP '2024-01-01 00:00:00')) > 1209600000
