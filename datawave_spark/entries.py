@@ -1049,8 +1049,10 @@ def q_sessionize(spark, sf_dir):
     from pyspark.sql import Window
     ev = _t(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    gap = (F.col("ts").cast("long")
-           - F.lag(F.col("ts").cast("long")).over(w)) > 1800
+    # ts is TIMESTAMP_NTZ in the fixture; Spark 4 forbids a direct
+    # ntz->long cast, so go through unix_timestamp (session TZ is UTC).
+    secs = F.unix_timestamp(F.col("ts").cast("timestamp"))
+    gap = (secs - F.lag(secs).over(w)) > 1800
     new_s = F.when(gap, 1).otherwise(0)
     wsum = Window.partitionBy("user_id").orderBy("ts", "event_id") \
         .rowsBetween(Window.unboundedPreceding, 0)
@@ -1725,6 +1727,131 @@ def q_tpch_q21(spark, sf_dir):
     j = (anti.join(od, anti.l_orderkey == od.o_orderkey)
          .join(F.broadcast(su), anti.l_suppkey == su.s_suppkey))
     return j.groupBy("s_name").agg(F.count(F.lit(1)).alias("numwait"))
+
+
+@register("tpch_q2_shape", """
+WITH cost AS (
+  SELECT l_partkey, l_suppkey, min(l_extendedprice / l_quantity) AS sc
+  FROM lineitem GROUP BY l_partkey, l_suppkey),
+best AS (
+  SELECT l_partkey, l_suppkey, sc FROM (
+    SELECT l_partkey, l_suppkey, sc,
+           min(sc) OVER (PARTITION BY l_partkey) AS mc
+    FROM cost) WHERE sc = mc)
+SELECT p_partkey, s_name, n_name, s_acctbal, round(sc, 4) AS supplycost
+FROM best JOIN part ON p_partkey = l_partkey
+JOIN supplier ON s_suppkey = l_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE p_size = 30 AND r_name = 'ASIA'
+""")
+def q_tpch_q2(spark, sf_dir):
+    """TPC-H q2 shape (min-cost supplier per part; unit price over the
+    lineitem part-supplier pairs stands in for the fixture's missing
+    partsupp.ps_supplycost): the correlated min becomes a window min
+    over the partkey partition — one shuffle, reused by the filter,
+    instead of a second aggregate + join-back.  min() is exact over
+    doubles, so the sc = mc equality is deterministic on both engines."""
+    from pyspark.sql import Window
+    li = _t(spark, sf_dir, "lineitem")
+    pa = _t(spark, sf_dir, "part").filter(F.col("p_size") == 30)
+    su = _t(spark, sf_dir, "supplier")
+    na = _t(spark, sf_dir, "nation")
+    re = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    cost = (li.groupBy("l_partkey", "l_suppkey")
+            .agg(F.min(F.col("l_extendedprice") / F.col("l_quantity"))
+                 .alias("sc")))
+    w = Window.partitionBy("l_partkey")
+    best = (cost.withColumn("mc", F.min("sc").over(w))
+            .filter(F.col("sc") == F.col("mc")))
+    j = (best.join(F.broadcast(pa), best.l_partkey == pa.p_partkey)
+         .join(F.broadcast(su), best.l_suppkey == su.s_suppkey)
+         .join(F.broadcast(na), su.s_nationkey == na.n_nationkey)
+         .join(F.broadcast(re), na.n_regionkey == re.r_regionkey))
+    return j.select("p_partkey", "s_name", "n_name", "s_acctbal",
+                    F.round("sc", 4).alias("supplycost"))
+
+
+@register("tpch_q11_shape", """
+WITH val AS (
+  SELECT l_partkey, sum(l_extendedprice * l_quantity) AS v
+  FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+  WHERE s_nationkey = 3
+  GROUP BY l_partkey)
+SELECT l_partkey AS ps_partkey, round(v, 4) AS part_value
+FROM val, (SELECT sum(v) * 0.001 AS th FROM val)
+WHERE v > th
+""")
+def q_tpch_q11(spark, sf_dir):
+    """TPC-H q11 shape (important stock: parts whose value exceeds a
+    fraction of the national total): group + HAVING against a scalar
+    subquery over the same aggregate — the total is a single-row
+    broadcast, and AQE reuses the val shuffle for both branches."""
+    li = _t(spark, sf_dir, "lineitem")
+    su = _t(spark, sf_dir, "supplier").filter(F.col("s_nationkey") == 3)
+    val = (li.join(F.broadcast(su), li.l_suppkey == su.s_suppkey)
+           .groupBy("l_partkey")
+           .agg(F.sum(F.col("l_extendedprice") * F.col("l_quantity"))
+                .alias("v")))
+    th = val.agg((F.sum("v") * 0.001).alias("th"))
+    return (val.join(F.broadcast(th))
+            .filter(F.col("v") > F.col("th"))
+            .select(F.col("l_partkey").alias("ps_partkey"),
+                    F.round("v", 4).alias("part_value")))
+
+
+@register("tpch_q16_shape", """
+SELECT p_brand, p_type, p_size, count(DISTINCT l_suppkey) AS supplier_cnt
+FROM lineitem JOIN part ON p_partkey = l_partkey
+WHERE p_brand <> 'Brand#1' AND p_size IN (5, 10, 15, 20)
+  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY p_brand, p_type, p_size
+""")
+def q_tpch_q16(spark, sf_dir):
+    """TPC-H q16 shape (supplier counts per part attribute; negative
+    account balance stands in for the complaint-comment filter): NOT IN
+    becomes a broadcast left-anti join, then count(DISTINCT) per
+    attribute tuple — Catalyst plans the distinct as a two-phase
+    partial/final expand, no extra shuffle beyond the groupBy."""
+    li = _t(spark, sf_dir, "lineitem")
+    pa = _t(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#1") & F.col("p_size").isin(5, 10, 15, 20))
+    neg = _t(spark, sf_dir, "supplier") \
+        .filter(F.col("s_acctbal") < 0).select("s_suppkey")
+    j = (li.join(F.broadcast(pa), li.l_partkey == pa.p_partkey)
+         .join(F.broadcast(neg), li.l_suppkey == neg.s_suppkey, "left_anti"))
+    return (j.groupBy("p_brand", "p_type", "p_size")
+            .agg(F.countDistinct("l_suppkey").alias("supplier_cnt")))
+
+
+@register("tpch_q20_shape", """
+WITH shipped AS (
+  SELECT l_suppkey, sum(l_quantity) AS qty
+  FROM lineitem JOIN part ON p_partkey = l_partkey
+  WHERE p_name LIKE '%blue%'
+  GROUP BY l_suppkey),
+thresh AS (SELECT avg(qty) * 1.1 AS th FROM shipped)
+SELECT s_suppkey, s_name, s_acctbal
+FROM supplier
+WHERE s_suppkey IN (SELECT l_suppkey FROM shipped, thresh WHERE qty > th)
+""")
+def q_tpch_q20(spark, sf_dir):
+    """TPC-H q20 shape (suppliers with excess shipments of a named part
+    family; the availqty > half-shipped predicate is restated as
+    shipped-quantity above 1.1x the per-supplier average so the
+    threshold is scale-invariant): aggregate -> scalar broadcast ->
+    semi join into the supplier dimension."""
+    li = _t(spark, sf_dir, "lineitem")
+    pa = _t(spark, sf_dir, "part").filter(F.col("p_name").like("%blue%"))
+    su = _t(spark, sf_dir, "supplier")
+    shipped = (li.join(F.broadcast(pa), li.l_partkey == pa.p_partkey)
+               .groupBy("l_suppkey")
+               .agg(F.sum("l_quantity").alias("qty")))
+    th = shipped.agg((F.avg("qty") * 1.1).alias("th"))
+    keep = shipped.join(F.broadcast(th)).filter(F.col("qty") > F.col("th")) \
+        .select("l_suppkey")
+    return (su.join(keep, su.s_suppkey == keep.l_suppkey, "left_semi")
+            .select("s_suppkey", "s_name", "s_acctbal"))
 
 
 @register("filter_time_function", """
