@@ -69,16 +69,24 @@ class CompileContext:
     @classmethod
     def for_dataframe(cls, df: DataFrame,
                       field_types: dict[str, str] | None = None,
-                      model: dict[str, list[str]] | None = None) -> "CompileContext":
+                      model: dict[str, list[str]] | None = None,
+                      at_rest: set[str] | list[str] | None = None) -> "CompileContext":
         """Derive a context from a DataFrame schema.  ``field_types``
-        optionally binds normalizer names per field (case-insensitive)."""
+        optionally binds normalizer names per field (case-insensitive).
+        Fields named in ``at_rest`` hold values ALREADY normalized at
+        ingest (sources.ingest normalize_at_rest / prepared assets):
+        only the query literal is normalized, and the predicate stays a
+        bare pushable comparison on the stored column — the reference
+        stores normValue at ingest for exactly this reason (SURVEY
+        §1.3)."""
         ft = {k.upper(): v for k, v in (field_types or {}).items()}
+        rest = {k.upper() for k in (at_rest or ())}
         fields = {}
         for f in df.schema.fields:
             spec = FieldSpec(column=f.name)
             if f.name.upper() in ft:
                 spec.normalizer = ft[f.name.upper()]
-                spec.normalized_at_rest = False
+                spec.normalized_at_rest = f.name.upper() in rest
             fields[f.name.upper()] = spec
         mdl = {k.upper(): [v.upper() for v in vs] for k, vs in (model or {}).items()}
         return cls(schema=df.schema, fields=fields, model=mdl)
@@ -368,11 +376,16 @@ def compile_node(node: JexlNode, ctx: CompileContext,
 
 def compile_query(df: DataFrame, query, *,
                   field_types: dict[str, str] | None = None,
-                  model: dict[str, list[str]] | None = None) -> DataFrame:
-    """Parse (if needed) and apply a JEXL query to a DataFrame."""
+                  model: dict[str, list[str]] | None = None,
+                  at_rest: set[str] | list[str] | None = None) -> DataFrame:
+    """Parse (if needed) and apply a JEXL query to a DataFrame.
+    ``at_rest`` names typed fields whose stored values are already
+    normalized (ingest-time normalization) — their predicates compile
+    to bare pushable comparisons."""
     from datawave_spark.jexl.parser import parse
     # Importing registers the filter:/f:/content:/geo:/grouping: compilers.
     import datawave_spark.functions  # noqa: F401
     node = parse(query) if isinstance(query, str) else query
-    ctx = CompileContext.for_dataframe(df, field_types=field_types, model=model)
+    ctx = CompileContext.for_dataframe(df, field_types=field_types,
+                                       model=model, at_rest=at_rest)
     return df.filter(compile_node(node, ctx))

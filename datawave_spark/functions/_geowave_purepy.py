@@ -9,10 +9,14 @@ vectorized pandas UDF over the point field, ALWAYS behind a JVM-side
 bounding-box prefilter (GeoWavePruningVisitor's coarse/exact split), so
 Python sees candidate rows only.
 
-Supported query geometries: ``POINT(x y)``, ``POLYGON((x y, ...))``
-(single ring), and the reference's bbox form via geo:within_bounding_box.
-Supported data: point fields ("lat,lon" strings).  Anything else raises
-— a real deployment adds shapely and uses functions/geo.py's gated path.
+Supported geometries (query and data): ``POINT``, ``POLYGON`` (outer
+ring; holes ignored), ``LINESTRING``, ``MULTIPOLYGON``, plus the
+reference's bbox form via geo:within_bounding_box and "lat,lon" point
+strings (GeoType form).  Single-ring POLYGON data rows evaluate on the
+vectorized batch path (padded numpy edge tables, one pass per Arrow
+batch); LINESTRING/MULTIPOLYGON/nested shapes take the per-row numpy
+fallback.  A full-JTS deployment adds shapely via functions/geo.py's
+gated path.
 """
 
 from __future__ import annotations
@@ -25,22 +29,44 @@ from pyspark.sql import Column, functions as F
 from pyspark.sql.functions import pandas_udf
 
 _WKT_POINT = re.compile(r"POINT\s*\(\s*([-\d.]+)\s+([-\d.]+)\s*\)", re.I)
-_WKT_POLY = re.compile(r"POLYGON\s*\(\s*\(([^)]*)\)\s*\)", re.I)
+_WKT_POLY = re.compile(r"POLYGON\s*\(\s*\(([^)]*)\)", re.I)
+_WKT_LINE = re.compile(r"LINESTRING\s*\(([^()]*)\)", re.I)
+_WKT_MPOLY = re.compile(r"MULTIPOLYGON\s*\((.*)\)\s*$", re.I | re.S)
+_MPOLY_PART = re.compile(r"\(\s*\(([^()]*)\)")
+
+
+def _coords(body: str) -> list[tuple[float, float]]:
+    pts = []
+    for pair in body.split(","):
+        x, y = pair.split()
+        pts.append((float(x), float(y)))
+    return pts
 
 
 def parse_wkt(wkt: str):
-    """→ ('point', (x, y)) or ('polygon', [(x, y), ...])."""
-    m = _WKT_POINT.match(wkt.strip())
+    """→ ('point', (x, y)) | ('polygon', ring) | ('linestring', pts) |
+    ('multipolygon', [ring, ...]).  Rings are outer shells; interior
+    holes are ignored (adequate for the prune-then-exact evaluation
+    split — a hole can only turn a would-be hit into a miss, and the
+    fixtures/tests use hole-free geometry; a full-JTS deployment swaps
+    in shapely via functions/geo.py)."""
+    s = wkt.strip()
+    m = _WKT_POINT.match(s)
     if m:
         return "point", (float(m.group(1)), float(m.group(2)))
-    m = _WKT_POLY.match(wkt.strip())
+    m = _WKT_POLY.match(s)
     if m:
-        pts = []
-        for pair in m.group(1).split(","):
-            x, y = pair.split()
-            pts.append((float(x), float(y)))
-        return "polygon", pts
-    raise ValueError(f"unsupported WKT (POINT/POLYGON only): {wkt[:60]}")
+        return "polygon", _coords(m.group(1))
+    m = _WKT_LINE.match(s)
+    if m:
+        return "linestring", _coords(m.group(1))
+    m = _WKT_MPOLY.match(s)
+    if m:
+        rings = [_coords(p.group(1)) for p in _MPOLY_PART.finditer(m.group(1))]
+        if rings:
+            return "multipolygon", rings
+    raise ValueError(
+        f"unsupported WKT (POINT/POLYGON/LINESTRING/MULTIPOLYGON): {wkt[:60]}")
 
 
 def point_in_polygon(x: float, y: float, ring: list[tuple[float, float]]) -> bool:
@@ -150,14 +176,113 @@ def poly_covers(ring_a, ring_b) -> bool:
             and not _proper_crossings(ring_a, ring_b))
 
 
+def _segments_intersect(pts_a, closed_a, pts_b, closed_b) -> bool:
+    """Any segment of chain A touches any segment of chain B (proper
+    crossing, collinear overlap, or endpoint contact) — all pairs at
+    once via numpy broadcasting."""
+    a1, a2 = _chain_arrays(pts_a, closed_a)
+    b1, b2 = _chain_arrays(pts_b, closed_b)
+
+    def cross(o, p, q):
+        return ((p[..., 0] - o[..., 0]) * (q[..., 1] - o[..., 1])
+                - (p[..., 1] - o[..., 1]) * (q[..., 0] - o[..., 0]))
+
+    a1e, a2e = a1[:, None, :], a2[:, None, :]
+    b1e, b2e = b1[None, :, :], b2[None, :, :]
+    d1, d2 = cross(a1e, a2e, b1e), cross(a1e, a2e, b2e)
+    d3, d4 = cross(b1e, b2e, a1e), cross(b1e, b2e, a2e)
+    proper = (d1 * d2 < 0) & (d3 * d4 < 0)
+    # touching / collinear: a zero cross with bbox overlap
+    def on(o, p, q, d):
+        return ((np.abs(d) < 1e-12)
+                & (q[..., 0] >= np.minimum(o[..., 0], p[..., 0]) - 1e-12)
+                & (q[..., 0] <= np.maximum(o[..., 0], p[..., 0]) + 1e-12)
+                & (q[..., 1] >= np.minimum(o[..., 1], p[..., 1]) - 1e-12)
+                & (q[..., 1] <= np.maximum(o[..., 1], p[..., 1]) + 1e-12))
+    touch = (on(a1e, a2e, b1e, d1) | on(a1e, a2e, b2e, d2)
+             | on(b1e, b2e, a1e, d3) | on(b1e, b2e, a2e, d4))
+    return bool(np.any(proper | touch))
+
+
+def _chain_arrays(pts, closed: bool):
+    P = np.asarray(pts, dtype=float)
+    if closed:
+        if len(P) > 1 and np.allclose(P[0], P[-1]):
+            P = P[:-1]
+        return P, np.roll(P, -1, axis=0)
+    return P[:-1], P[1:]
+
+
+def _line_poly_predicate(op: str, line, ring) -> bool:
+    """LINESTRING data vs POLYGON query (GeoWaveFunctions.java evaluates
+    full JTS here; this covers the simple-chain/simple-ring case)."""
+    L = np.asarray(line, dtype=float)
+    v_in = point_in_polygon_vec(L[:, 0], L[:, 1], ring)
+    touches = _segments_intersect(line, False, ring, True)
+    if op == "intersects":
+        return bool(v_in.any()) or touches
+    if op in ("within", "covered_by"):
+        return bool(v_in.all()) and not _proper_crossings_chain(line, False,
+                                                               ring, True)
+    if op == "crosses":
+        # JTS line/area crosses: the line has points in the interior
+        # AND points in the exterior of the polygon — a vertex on each
+        # side, or a proper boundary crossing (which implies both).
+        proper = _proper_crossings_chain(line, False, ring, True)
+        return proper or (bool(v_in.any()) and not bool(v_in.all()))
+    return False                            # contains/covers/overlaps
+
+
+def _proper_crossings_chain(pts_a, closed_a, pts_b, closed_b) -> bool:
+    a1, a2 = _chain_arrays(pts_a, closed_a)
+    b1, b2 = _chain_arrays(pts_b, closed_b)
+
+    def cross(o, p, q):
+        return ((p[..., 0] - o[..., 0]) * (q[..., 1] - o[..., 1])
+                - (p[..., 1] - o[..., 1]) * (q[..., 0] - o[..., 0]))
+
+    a1e, a2e = a1[:, None, :], a2[:, None, :]
+    b1e, b2e = b1[None, :, :], b2[None, :, :]
+    d1, d2 = cross(a1e, a2e, b1e), cross(a1e, a2e, b2e)
+    d3, d4 = cross(b1e, b2e, a1e), cross(b1e, b2e, a2e)
+    return bool(np.any((d1 * d2 < 0) & (d3 * d4 < 0)))
+
+
 def geometry_predicate(op: str, dk: str, dg, qk: str, qg) -> bool:
     """Evaluate ``geowave:<op>`` between a data geometry (dk, dg) and
-    the query geometry (qk, qg); kinds are 'point' | 'polygon'."""
+    the query geometry (qk, qg); kinds are 'point' | 'polygon' |
+    'linestring' | 'multipolygon'."""
+    # multipolygon operands: decompose into parts (covers/within require
+    # a single part to cover — adequate for disjoint shells, which is
+    # what valid MULTIPOLYGONs are)
+    if dk == "multipolygon":
+        return any(geometry_predicate(op, "polygon", r, qk, qg) for r in dg)
+    if qk == "multipolygon":
+        return any(geometry_predicate(op, dk, dg, "polygon", r) for r in qg)
+    if dk == "linestring" and qk == "polygon":
+        return _line_poly_predicate(op, dg, qg)
+    if dk == "polygon" and qk == "linestring":
+        swap = {"within": "contains", "covered_by": "covers",
+                "contains": "within", "covers": "covered_by"}.get(op, op)
+        if swap == "crosses":
+            return _line_poly_predicate("crosses", qg, dg)
+        return _line_poly_predicate(swap, qg, dg)
+    if dk == "linestring" and qk == "linestring":
+        if op == "intersects":
+            return _segments_intersect(dg, False, qg, False)
+        if op == "crosses":
+            return _proper_crossings_chain(dg, False, qg, False)
+        return False
+    if dk == "linestring" and qk == "point":
+        return op in ("intersects", "contains", "covers") \
+            and _point_on_chain(qg, dg)
+    if dk == "point" and qk == "linestring":
+        return op in ("intersects", "within", "covered_by") \
+            and _point_on_chain(dg, qg)
     if op == "crosses":
         # point/point, point/polygon and polygon/polygon never 'cross'
         # in JTS (crosses needs an intersection of lower dimension than
-        # both operands — only line operands can, and WKT LINESTRING
-        # data is out of scope here).
+        # both operands — only line operands can).
         return False
     if dk == "point" and qk == "point":
         eq = abs(dg[0] - qg[0]) < 1e-9 and abs(dg[1] - qg[1]) < 1e-9
@@ -184,18 +309,116 @@ def geometry_predicate(op: str, dk: str, dg, qk: str, qg) -> bool:
     raise ValueError(f"geowave:{op} unsupported")
 
 
+def _point_on_chain(pt, chain) -> bool:
+    x, y = pt
+    C = np.asarray(chain, dtype=float)
+    for (x1, y1), (x2, y2) in zip(C[:-1], C[1:]):
+        if (min(x1, x2) - 1e-12 <= x <= max(x1, x2) + 1e-12
+                and min(y1, y2) - 1e-12 <= y <= max(y1, y2) + 1e-12
+                and abs((x2 - x1) * (y - y1) - (y2 - y1) * (x - x1)) < 1e-12):
+            return True
+    return False
+
+
+def polygon_rows_predicate(coord_lists: pd.Series, op: str,
+                           qring) -> np.ndarray:
+    """Vectorized geowave predicate for a BATCH of single-ring POLYGON
+    rows against one query ring.  ``coord_lists`` holds each row's flat
+    [x0, y0, x1, y1, ...] coordinate list (extracted JVM-side by
+    ``regexp_extract_all`` — no Python regex); the batch is packed into
+    padded numpy vertex tables and vertex-in / edge-crossing tests
+    broadcast over (rows × edges).  Bit-for-bit the same verdict as the
+    scalar ``geometry_predicate('polygon', ...)`` path."""
+    n = len(coord_lists)
+    arrs = [np.asarray(v, dtype=float) if v is not None
+            else np.zeros(0) for v in coord_lists]
+    lens = np.array([len(a) // 2 for a in arrs], dtype=int)
+    flat = np.concatenate(arrs) if arrs else np.zeros(0)
+    counts = np.array([len(a) for a in arrs], dtype=int)
+    offs = np.concatenate([[0], np.cumsum(counts)])
+    row_of = np.repeat(np.arange(n), counts)
+    idx_in_row = np.arange(len(flat)) - np.repeat(offs[:-1], counts)
+    V = max(int(lens.max()) if n else 1, 1)
+    X = np.zeros((n, V))
+    Y = np.zeros((n, V))
+    even = idx_in_row % 2 == 0
+    X[row_of[even], idx_in_row[even] // 2] = flat[even]
+    Y[row_of[~even], idx_in_row[~even] // 2] = flat[~even]
+    cnt = np.maximum(lens, 1)
+    rows = np.arange(n)[:, None]
+    last = cnt - 1
+    closing = (cnt > 1) & (X[np.arange(n), last] == X[:, 0]) \
+        & (Y[np.arange(n), last] == Y[:, 0])
+    cnt = np.where(closing, cnt - 1, cnt)
+    # pad the tail with each row's last vertex (degenerate edges are
+    # inert in every test below), then edge successor with ring wrap
+    ar = np.arange(V)[None, :]
+    gather = np.minimum(ar, (cnt - 1)[:, None])
+    X = X[rows, gather]
+    Y = Y[rows, gather]
+    nxt = np.where(ar + 1 < cnt[:, None], ar + 1,
+                   np.where(ar < cnt[:, None], 0, ar))
+    X2 = X[rows, nxt]
+    Y2 = Y[rows, nxt]
+
+    # 1. data vertices vs the query ring (on-boundary counts as inside)
+    din = point_in_polygon_vec(X, Y, qring)
+    any_dvert_in, all_dvert_in = din.any(axis=1), din.all(axis=1)
+
+    # 2. query vertices vs each data ring
+    Q, _ = _ring_arrays(qring)
+    q_in = np.zeros((n, len(Q)), dtype=bool)
+    for qi, (qx, qy) in enumerate(Q):
+        crossing = (Y > qy) != (Y2 > qy)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            xin = (X2 - X) * (qy - Y) / (Y2 - Y) + X
+        inside = ((crossing & (qx < xin)).sum(axis=1) % 2).astype(bool)
+        crs = (X2 - X) * (qy - Y) - (Y2 - Y) * (qx - X)
+        on = ((np.abs(crs) < 1e-12)
+              & (qx >= np.minimum(X, X2)) & (qx <= np.maximum(X, X2))
+              & (qy >= np.minimum(Y, Y2)) & (qy <= np.maximum(Y, Y2))) \
+            .any(axis=1)
+        q_in[:, qi] = inside | on
+    any_qvert_in, all_qvert_in = q_in.any(axis=1), q_in.all(axis=1)
+
+    # 3. strict edge crossings: data edges (n,V) × query edges (M)
+    B1, B2 = _ring_arrays(qring)
+    b1x, b1y = B1[:, 0][None, None, :], B1[:, 1][None, None, :]
+    b2x, b2y = B2[:, 0][None, None, :], B2[:, 1][None, None, :]
+    ax1, ay1 = X[..., None], Y[..., None]
+    ax2, ay2 = X2[..., None], Y2[..., None]
+    d1 = (ax2 - ax1) * (b1y - ay1) - (ay2 - ay1) * (b1x - ax1)
+    d2 = (ax2 - ax1) * (b2y - ay1) - (ay2 - ay1) * (b2x - ax1)
+    d3 = (b2x - b1x) * (ay1 - b1y) - (b2y - b1y) * (ax1 - b1x)
+    d4 = (b2x - b1x) * (ay2 - b1y) - (b2y - b1y) * (ax2 - b1x)
+    proper = ((d1 * d2 < 0) & (d3 * d4 < 0)).any(axis=(1, 2))
+
+    intersects = any_dvert_in | any_qvert_in | proper
+    if op == "intersects":
+        return intersects
+    if op in ("contains", "covers"):        # data covers query
+        return all_qvert_in & ~proper
+    if op in ("within", "covered_by"):      # query covers data
+        return all_dvert_in & ~proper
+    if op == "overlaps":
+        return (intersects & ~(all_qvert_in & ~proper)
+                & ~(all_dvert_in & ~proper))
+    return np.zeros(n, dtype=bool)          # crosses: never for areas
+
+
 def compile_geowave(ctx, op: str, args):
     """Compile ``geowave:<op>(FIELD, 'WKT')``.
 
     Data forms supported per row: "lat,lon" point strings (GeoType form)
-    and WKT ``POINT``/``POLYGON`` strings (GeometryType form).  WKT
+    and WKT ``POINT``/``POLYGON``/``LINESTRING``/``MULTIPOLYGON``
+    strings (GeometryType form — GeoWaveFunctions.java:137-335).  WKT
     coordinates are (lon lat) = (x y) per WKT convention; "lat,lon"
     strings are y-first.  Evaluation is split coarse→exact like the
     reference's GeoWavePruningVisitor: a JVM-side bounding-box test over
     codegen'd expressions prunes the scan, and the exact geometry
-    pandas UDF sees candidate rows only (point rows vectorized across
-    the whole Arrow batch; polygon rows — already candidate-only —
-    evaluated per row with numpy edge tables)."""
+    pandas UDF sees candidate rows only ("lat,lon" point rows and
+    single-ring polygon rows both vectorized across the whole Arrow
+    batch; other WKT shapes per-row numpy)."""
     from datawave_spark.compiler.columns import field_pred
     from datawave_spark.functions.filter_functions import _ident, _lit
 
@@ -205,19 +428,25 @@ def compile_geowave(ctx, op: str, args):
     q_minx, q_miny, q_maxx, q_maxy = _bbox(qk, qg)
 
     @pandas_udf("boolean")
-    def exact(vals: pd.Series) -> pd.Series:
-        sv = vals.astype(str)
-        is_wkt = sv.str.match(r"\s*(POINT|POLYGON)", case=False)
-        out = np.zeros(len(sv), dtype=bool)
-        # vectorized fast path: all "lat,lon" point rows at once
-        pts = sv[~is_wkt]
-        if len(pts):
-            parts = pts.str.split(",", n=1, expand=True)
-            lat = pd.to_numeric(parts[0], errors="coerce").to_numpy(dtype=float)
-            if parts.shape[1] > 1:
-                lon = pd.to_numeric(parts[1], errors="coerce").to_numpy(dtype=float)
-            else:
-                lon = np.full(lat.shape, np.nan)
+    def exact(vals: pd.Series, iswkt: pd.Series, coarse: pd.Series,
+              nums: pd.Series) -> pd.Series:
+        """Exact geometry verdict.  ``iswkt``/``coarse``/``nums`` are
+        computed JVM-side (codegen, once per row) and shipped in the
+        same Arrow batch: Python does NO regex over non-candidates and
+        no re-parse of coordinates — candidates are evaluated straight
+        from the extracted numeric lists."""
+        n = len(vals)
+        out = np.zeros(n, dtype=bool)
+        cand = coarse.fillna(False).to_numpy(dtype=bool)
+        wk = iswkt.fillna(False).to_numpy(dtype=bool)
+        # vectorized "lat,lon" candidates: nums = [lat, lon]
+        pidx = np.flatnonzero(cand & ~wk)
+        if len(pidx):
+            pl = nums.iloc[pidx]
+            lat = np.array([v[0] if v is not None and len(v) > 0 else np.nan
+                            for v in pl], dtype=float)
+            lon = np.array([v[1] if v is not None and len(v) > 1 else np.nan
+                            for v in pl], dtype=float)
             valid = ~(np.isnan(lat) | np.isnan(lon))
             if qk == "point":
                 res = valid & (np.abs(lon - qg[0]) < 1e-9) \
@@ -225,61 +454,53 @@ def compile_geowave(ctx, op: str, args):
                 if op not in ("intersects", "within", "covered_by",
                               "contains", "covers"):
                     res &= False
-            elif op in ("intersects", "within", "covered_by"):
+            elif qk == "polygon" and op in ("intersects", "within",
+                                            "covered_by"):
                 res = valid & point_in_polygon_vec(lon, lat, qg)
+            elif qk == "linestring" and op in ("intersects", "within",
+                                               "covered_by"):
+                res = np.array([bool(v) and _point_on_chain((x, y), qg)
+                                for v, x, y in zip(valid, lon, lat)])
             else:
                 res = np.zeros(lat.shape, dtype=bool)
-            out[(~is_wkt).to_numpy()] = res
-        # WKT rows: Spark's AND does not short-circuit into the UDF, so
-        # re-apply the bbox prune HERE, vectorized (one C-regex extract
-        # + a groupby min/max), and run the per-row geometry loop on
-        # bbox-passing candidates only.
-        wkt_idx = np.flatnonzero(is_wkt.to_numpy())
-        if len(wkt_idx):
-            wv = sv.iloc[wkt_idx]
-            nums = wv.str.extractall(r"(-?\d+\.?\d*)")[0].astype(float)
-            xs = nums[nums.index.get_level_values(1) % 2 == 0].groupby(level=0)
-            ys = nums[nums.index.get_level_values(1) % 2 == 1].groupby(level=0)
-            bb = pd.DataFrame({"minx": xs.min(), "maxx": xs.max(),
-                               "miny": ys.min(), "maxy": ys.max()}) \
-                .reindex(wv.index)
-            if op in ("contains", "covers"):
-                cand = (bb.minx <= q_minx) & (bb.maxx >= q_maxx) \
-                    & (bb.miny <= q_miny) & (bb.maxy >= q_maxy)
-            elif op in ("within", "covered_by"):
-                cand = (bb.minx >= q_minx) & (bb.maxx <= q_maxx) \
-                    & (bb.miny >= q_miny) & (bb.maxy <= q_maxy)
-            else:
-                cand = (bb.minx <= q_maxx) & (bb.maxx >= q_minx) \
-                    & (bb.miny <= q_maxy) & (bb.maxy >= q_miny)
-            cand = cand.fillna(False).to_numpy()
-            for j in np.flatnonzero(cand):
+            out[pidx] = res
+        # WKT candidates (already bbox-pruned JVM-side)
+        widx = np.flatnonzero(cand & wk)
+        if len(widx):
+            wv = vals.iloc[widx].astype(str)
+            # vectorized fast path: single-ring POLYGON rows vs a
+            # polygon query — the whole candidate set in one padded
+            # numpy edge-table pass over the JVM-extracted coordinates
+            spoly = (wv.str.match(r"\s*POLYGON", case=False)
+                     & ~wv.str.contains(r"\)\s*,\s*\(", regex=True)
+                     ).to_numpy()
+            if qk == "polygon" and spoly.any():
+                out[widx[spoly]] = polygon_rows_predicate(
+                    nums.iloc[widx[spoly]], op, qg)
+            fallback = np.flatnonzero(~spoly) if qk == "polygon" \
+                else np.arange(len(wv))
+            for j in fallback:
                 try:
                     dk, dg = parse_wkt(wv.iloc[j])
                 except ValueError:
                     continue
-                out[wkt_idx[j]] = geometry_predicate(op, dk, dg, qk, qg)
+                out[widx[j]] = geometry_predicate(op, dk, dg, qk, qg)
         return pd.Series(out)
 
     def leaf(v: Column) -> Column:
-        if op == "crosses":
-            # no supported operand pair can 'cross' (see
-            # geometry_predicate); constant-fold to false.
-            return F.lit(False)
         vs = v.cast("string")
-        is_wkt = vs.rlike(r"^\s*(?i)(POINT|POLYGON)")
+        is_wkt = vs.rlike(r"^\s*(?i)(POINT|POLYGON|LINESTRING|MULTIPOLYGON)")
         # data bbox, JVM-side for both forms: "lat,lon" is y-first; WKT
         # alternates x y, so even-index numbers are x, odd are y.
-        parts = F.split(vs, ",")
-        nums = F.regexp_extract_all(vs, F.lit(r"(-?\d+\.?\d*)"), F.lit(1))
-        xs = F.transform(F.filter(nums, lambda e, i: i % 2 == F.lit(0)),
-                         lambda e: e.cast("double"))
-        ys = F.transform(F.filter(nums, lambda e, i: i % 2 == F.lit(1)),
-                         lambda e: e.cast("double"))
-        d_minx = F.when(is_wkt, F.array_min(xs)).otherwise(parts[1].cast("double"))
-        d_maxx = F.when(is_wkt, F.array_max(xs)).otherwise(parts[1].cast("double"))
-        d_miny = F.when(is_wkt, F.array_min(ys)).otherwise(parts[0].cast("double"))
-        d_maxy = F.when(is_wkt, F.array_max(ys)).otherwise(parts[0].cast("double"))
+        nums = F.transform(
+            F.regexp_extract_all(vs, F.lit(r"(-?\d+\.?\d*)"), F.lit(1)),
+            lambda e: e.cast("double"))
+        xs = F.when(is_wkt, F.filter(nums, lambda e, i: i % 2 == F.lit(0))) \
+            .otherwise(F.slice(nums, 2, 1))
+        ys = F.when(is_wkt, F.filter(nums, lambda e, i: i % 2 == F.lit(1))) \
+            .otherwise(F.slice(nums, 1, 1))
+        d_minx, d_maxx = F.array_min(xs), F.array_max(xs)
+        d_miny, d_maxy = F.array_min(ys), F.array_max(ys)
         if op in ("contains", "covers"):
             # data must at least bbox-contain the query geometry
             coarse = (d_minx <= q_minx) & (d_maxx >= q_maxx) \
@@ -287,9 +508,9 @@ def compile_geowave(ctx, op: str, args):
         elif op in ("within", "covered_by"):
             coarse = (d_minx >= q_minx) & (d_maxx <= q_maxx) \
                 & (d_miny >= q_miny) & (d_maxy <= q_maxy)
-        else:                               # intersects / overlaps
+        else:                               # intersects / overlaps / crosses
             coarse = (d_minx <= q_maxx) & (d_maxx >= q_minx) \
                 & (d_miny <= q_maxy) & (d_maxy >= q_miny)
-        return coarse & exact(vs)
+        return exact(vs, is_wkt, coarse, nums)
 
     return field_pred(ctx, fname, leaf)

@@ -48,32 +48,59 @@ def cosine_topk(df: DataFrame, vec_col: str, id_col: str,
     return scored.orderBy(F.col("cos").desc(), F.col("id")).limit(k)
 
 
-def _hyperplanes(dim: int, bits: int, seed: int = 42) -> np.ndarray:
-    rng = np.random.default_rng(seed)
-    return rng.standard_normal((bits, dim))
+def hyperplanes(dim: int, bits: int, seed: int = 42) -> np.ndarray:
+    """Deterministic Gaussian hyperplanes with md5-derived randomness —
+    the same hash-not-rng construction as every other derived asset in
+    the repo, so an external oracle (DuckDB) consumes the identical
+    inlined literals and the whole LSH pipeline is value-checkable.
+    Box-Muller over two md5 uniforms per component gives the N(0,1)
+    marginals random-projection LSH wants (Charikar '02)."""
+    import hashlib
+    import math
+
+    def u(tag: str) -> float:
+        h = hashlib.md5(tag.encode()).hexdigest()
+        return (int(h[:8], 16) + 0.5) / 2.0 ** 32
+
+    return np.array([
+        [math.sqrt(-2.0 * math.log(u(f"{seed}:{b}:{j}:a")))
+         * math.cos(2.0 * math.pi * u(f"{seed}:{b}:{j}:b"))
+         for j in range(dim)]
+        for b in range(bits)])
+
+
+_hyperplanes = hyperplanes  # back-compat alias
 
 
 def lsh_signature(vec: Column, planes: np.ndarray) -> Column:
-    """Sign-bit signature string for a vector column."""
+    """Sign-bit signature string for a vector column.  The projection is
+    rounded to 6 decimals before the sign test so an external engine
+    summing in a different order lands on the same bit."""
     bits = []
     for row in planes:
         plane = F.array(*[F.lit(float(x)) for x in row])
-        bits.append(F.when(_dot(vec, plane) >= 0, F.lit("1")).otherwise(F.lit("0")))
+        bits.append(F.when(F.round(_dot(vec, plane), 6) >= 0,
+                           F.lit("1")).otherwise(F.lit("0")))
     return F.concat(*bits)
 
 
-def lsh_cosine_topk(df: DataFrame, vec_col: str, id_col: str,
-                    query: list[float], k: int = 10, bits: int = 8,
-                    seed: int = 42, probe_radius: int = 2,
-                    round_to: int = 4) -> DataFrame:
-    """Approximate top-k: score only vectors whose LSH bucket is within
-    Hamming distance ≤ probe_radius of the query's bucket (multiprobe).
-    With bits=8, radius=2 this scans ~37/256 ≈ 14% of the corpus —
-    recall/cost is tunable per deployment via (bits, probe_radius)."""
+def query_signature(query: list[float], planes: np.ndarray) -> str:
+    """The driver-side signature of a query vector, mirroring
+    ``lsh_signature``'s fold order + rounding exactly."""
+    sig = []
+    for row in planes:
+        acc = 0.0
+        for v, p in zip(query, row):
+            acc += float(v) * float(p)
+        sig.append("1" if round(acc, 6) >= 0 else "0")
+    return "".join(sig)
+
+
+def probe_set(qsig: str, probe_radius: int = 2) -> list[str]:
+    """All signatures within Hamming distance ≤ probe_radius (multiprobe
+    LSH): the bucket keys the query scans."""
     from itertools import combinations
-    planes = _hyperplanes(len(query), bits, seed)
-    qv = np.asarray(query, dtype=float)
-    qsig = "".join("1" if planes[i] @ qv >= 0 else "0" for i in range(bits))
+    bits = len(qsig)
 
     def flip(sig: str, idxs: tuple[int, ...]) -> str:
         out = list(sig)
@@ -85,12 +112,46 @@ def lsh_cosine_topk(df: DataFrame, vec_col: str, id_col: str,
     for r in range(1, probe_radius + 1):
         for idxs in combinations(range(bits), r):
             probes.add(flip(qsig, idxs))
+    return sorted(probes)
+
+
+def lsh_cosine_topk(df: DataFrame, vec_col: str, id_col: str,
+                    query: list[float], k: int = 10, bits: int = 8,
+                    seed: int = 42, probe_radius: int = 2,
+                    round_to: int = 4) -> DataFrame:
+    """Approximate top-k: score only vectors whose LSH bucket is within
+    Hamming distance ≤ probe_radius of the query's bucket (multiprobe).
+    With bits=8, radius=2 this scans ~37/256 ≈ 14% of the corpus —
+    recall/cost is tunable per deployment via (bits, probe_radius).
+    Computes signatures in-plan; at scale use ``lsh_cosine_topk_stored``
+    over an ingest-signed table (sources.prepared.embedding_lsh)."""
+    planes = hyperplanes(len(query), bits, seed)
     vec = F.col(vec_col).cast("array<double>")
-    sig = lsh_signature(vec, planes)
-    cand = df.select(F.col(id_col).alias("id"), vec.alias("__v"), sig.alias("__sig")) \
-             .filter(F.col("__sig").isin(*sorted(probes)))
+    signed = df.select(F.col(id_col), vec.alias(vec_col),
+                       lsh_signature(vec, planes).alias("__sig"))
+    return lsh_cosine_topk_stored(signed, vec_col, id_col, "__sig",
+                                  query, planes, k=k,
+                                  probe_radius=probe_radius,
+                                  round_to=round_to)
+
+
+def lsh_cosine_topk_stored(signed: DataFrame, vec_col: str, id_col: str,
+                           sig_col: str, query: list[float],
+                           planes: np.ndarray, k: int = 10,
+                           probe_radius: int = 2,
+                           round_to: int = 4) -> DataFrame:
+    """Multiprobe LSH top-k over a table whose signature column was
+    written at ingest: the probe is an IN filter on a short stored
+    string (pushes to parquet, row-group-skips on the sig-clustered
+    layout); only bucket members are scored."""
+    qsig = query_signature(query, planes)
+    probes = probe_set(qsig, probe_radius)
+    cand = signed.filter(F.col(sig_col).isin(*probes))
     q = F.array(*[F.lit(float(x)) for x in query])
-    scored = cand.select("id", F.round(cosine(F.col("__v"), q), round_to).alias("cos"))
+    scored = cand.select(
+        F.col(id_col).alias("id"),
+        F.round(cosine(F.col(vec_col).cast("array<double>"), q),
+                round_to).alias("cos"))
     return scored.orderBy(F.col("cos").desc(), F.col("id")).limit(k)
 
 

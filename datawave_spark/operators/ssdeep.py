@@ -128,6 +128,57 @@ def edit_distance_score(cs1: Column, c1: Column, d1: Column,
             .otherwise(F.lit(0)).cast("int"))
 
 
+def text_fixture_hashes(docs: DataFrame, text_col: str = "text",
+                        id_col: str = "doc_id") -> DataFrame:
+    """Deterministic ssdeep-format hashes (chunkSize:chunk:doubleChunk)
+    derived from document text, reproducible bit-for-bit in DuckDB:
+    chunk char i = first hex char of md5(word-2-gram i); doubleChunk =
+    the same at half resolution (odd grams, 'd'-salted); chunkSize
+    depends on token count.  Near-duplicate texts therefore share chunk
+    substrings, exactly like real ssdeep.  This is the INGEST-side
+    builder (the reference treats ssdeep hashes as ingest data —
+    warehouse/ingest-ssdeep feeds the ssdeepIndex table); run once and
+    store via sources.prepared.ssdeep_hashes, never per query."""
+    toks = F.filter(F.split(F.lower(F.col(text_col)), "[^a-z0-9]+"),
+                    lambda t: t != "")
+    # materialize the token array (explode→collect) so the gram lambdas
+    # slice real data instead of re-running the tokenizer per element
+    tok = docs.select(F.col(id_col),
+                      F.posexplode(toks).alias("pos", "tok"))
+    arr = (tok.groupBy(id_col)
+           .agg(F.transform(F.array_sort(F.collect_list(
+               F.struct("pos", "tok"))),
+               lambda s: s.getField("tok")).alias("t")))
+    t = F.col("t")
+    n = F.size(t)
+    grams = F.when(n >= 2, F.transform(
+        F.sequence(F.lit(1), n - 1),
+        lambda i: F.concat_ws(" ", F.element_at(t, i),
+                              F.element_at(t, i + 1)))) \
+        .otherwise(F.array().cast("array<string>"))
+    with_g = arr.select(id_col, grams.alias("g"))
+    g = F.col("g")
+    dg = F.filter(g, lambda x, i: i % 2 == 0)  # 1-based odd positions
+    chunk = F.array_join(
+        F.transform(F.slice(g, 1, 64),
+                    lambda x: F.substring(F.md5(x), 1, 1)), "")
+    dchunk = F.array_join(
+        F.transform(F.slice(dg, 1, 32),
+                    lambda x: F.substring(F.md5(F.concat(F.lit("d"), x)),
+                                          1, 1)), "")
+    cs = F.when(F.size(g) + 1 < 40, 96).when(F.size(g) + 1 < 80, 192) \
+        .otherwise(384)
+    base = with_g.select(
+        id_col,
+        F.concat_ws(":", cs.cast("string"), chunk, dchunk).alias("ssdeep"))
+    # docs with no tokens never enter the explode — restore them with an
+    # unscorable (empty-chunk) hash, as the reference skips sub-minimum
+    # hashes rather than erroring
+    return (docs.select(id_col).join(base, id_col, "left")
+            .withColumn("ssdeep", F.coalesce(F.col("ssdeep"),
+                                             F.lit("96::"))))
+
+
 def ssdeep_similarity_join(queries: DataFrame, targets: DataFrame,
                            hash_col: str, id_col: str,
                            ngram_size: int = NGRAM_SIZE,

@@ -37,7 +37,7 @@ class QueryResult:
                               # reference); spark_plan() gives Catalyst's.
 
     def spark_plan(self) -> str:
-        return self.df._jdf.queryExecution().explainString("formatted")
+        return self.df._jdf.queryExecution().executedPlan().toString()
 
     def to_view(self, name: str):
         """CachedResults parity (web-services/cached-results/.../
@@ -184,8 +184,40 @@ class QueryPlanner:
             for old, new in opts.rename.items():
                 if old in out.columns:
                     out = out.withColumnRenamed(old, new)
+        if model:
+            out = self._apply_reverse_model(out, model)
 
         return QueryResult(df=out, options=opts, plan_string=str(node))
+
+    @staticmethod
+    def _apply_reverse_model(df: DataFrame,
+                             model: dict[str, list[str]]) -> DataFrame:
+        """Reverse query-model mapping on OUTPUT (QueryModelVisitor /
+        DocumentTransformer parity, DefaultQueryPlanner.java:1342): the
+        user queried in model-alias vocabulary, so result columns whose
+        physical names are model members are renamed BACK to the alias.
+        Where an alias expands to several concrete fields that all
+        survive into the result, the reference's attribute bag holds
+        duplicates under one name; DataFrame columns must be unique, so
+        subsequent members get ``ALIAS_2``, ``ALIAS_3``, ... (a
+        documented representational divergence, not a semantic one)."""
+        reverse: dict[str, str] = {}
+        for alias, fields in model.items():
+            for f in fields:
+                reverse.setdefault(f.upper(), alias)
+        taken = {c.upper() for c in df.columns}
+        for c in list(df.columns):
+            alias = reverse.get(c.upper())
+            if alias is None:
+                continue
+            target, i = alias, 1
+            while target.upper() in taken - {c.upper()}:
+                i += 1
+                target = f"{alias}_{i}"
+            taken.discard(c.upper())
+            taken.add(target.upper())
+            df = df.withColumnRenamed(c, target)
+        return df
 
     @staticmethod
     def _ensure_tf_columns(df: DataFrame, node) -> DataFrame:

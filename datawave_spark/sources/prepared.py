@@ -185,3 +185,125 @@ def index_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return get_or_build(spark, sf_dir, "index_frame", build,
                         partition_by="field", sort_by="value")
+
+
+def reverse_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The STORED reverse index (shardReverseIndex parity,
+    ShardedDataTypeHandler.java:60-116 writes it at ingest alongside the
+    forward index): the index frame with ``value`` reversed, partitioned
+    by field and sorted by the reversed value, so a trailing-wildcard
+    term becomes a pushable ``StartsWith`` on a plain stored column —
+    parquet row-group stats skip, no expression evaluation per row."""
+    from datawave_spark.sources.index_frame import build_reverse_index
+
+    def build():
+        return build_reverse_index(index_frame(spark, sf_dir))
+
+    return get_or_build(spark, sf_dir, "reverse_index", build,
+                        partition_by="field", sort_by="value")
+
+
+def ssdeep_hashes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document ssdeep hashes as a stored ingest column — in the
+    reference, ssdeep hashes are DATA written at ingest
+    (warehouse/ingest-ssdeep feeds the ssdeepIndex table); the
+    similarity query only decomposes stored hashes into ngrams and
+    joins.  Clustered by doc_id."""
+    from datawave_spark.operators.ssdeep import text_fixture_hashes
+    from datawave_spark.sources.parquet import read_parquet
+
+    def build():
+        docs = read_parquet(spark, os.path.join(sf_dir, "documents.parquet"))
+        return text_fixture_hashes(docs, "text", "doc_id")
+
+    return get_or_build(spark, sf_dir, "ssdeep_hashes", build,
+                        range_by="doc_id")
+
+
+def normalized_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Documents with lc-normalized string fields written AT REST
+    (SURVEY §1.3: the reference stores normValue in the event/index at
+    ingest precisely so queries compare bare bytes).  A typed equality
+    against this table compiles to a plain pushable predicate instead
+    of wrapping the column in ``lower()`` — at 100 TB an unpushed
+    ``lower(col) = lit`` is a full scan per query.  Clustered by
+    ``source`` so the equality also row-group-skips."""
+    from datawave_spark.normalizers import get_normalizer
+    from datawave_spark.sources.parquet import read_parquet
+
+    def build():
+        docs = read_parquet(spark, os.path.join(sf_dir, "documents.parquet"))
+        lc = get_normalizer("lc")
+        for c in ("source", "lang"):
+            docs = docs.withColumn(c, lc.col(docs[c]))
+        return docs
+
+    return get_or_build(spark, sf_dir, "normalized_documents", build,
+                        range_by="source")
+
+
+def embedding_ivf_centroids(spark: SparkSession, sf_dir: str,
+                            n_centroids: int = 8) -> DataFrame:
+    """The IVF codebook as a stored ingest asset: (cluster, centroid).
+    Tiny (n_centroids rows) — the query-time read is the same bounded
+    metadata fetch as the reference's metadata-table consultations."""
+    from datawave_spark.operators.similarity import ivf_centroids
+    from datawave_spark.sources.parquet import read_parquet
+
+    def build():
+        emb = read_parquet(spark, os.path.join(sf_dir, "embeddings.parquet"))
+        cents = ivf_centroids(emb, "embedding", "vec_id",
+                              n_centroids=n_centroids)
+        return spark.createDataFrame(
+            [(i, [float(x) for x in row]) for i, row in enumerate(cents)],
+            "cluster int, centroid array<double>")
+
+    return get_or_build(spark, sf_dir, f"embedding_ivf_centroids_c{n_centroids}",
+                        build)
+
+
+def embedding_ivf(spark: SparkSession, sf_dir: str,
+                  n_centroids: int = 8) -> DataFrame:
+    """Embeddings with their IVF cluster assignment as a STORED ingest
+    column, hive-partitioned by cluster — a query probing n_probe
+    clusters prunes to those directories and never touches the rest of
+    the corpus (the IVF-index analog of the reference's ingest-built
+    index tables)."""
+    import numpy as np
+    from datawave_spark.operators.similarity import ivf_assign
+    from datawave_spark.sources.parquet import read_parquet
+
+    def build():
+        emb = read_parquet(spark, os.path.join(sf_dir, "embeddings.parquet"))
+        cents_df = embedding_ivf_centroids(spark, sf_dir, n_centroids)
+        cents = np.array([r.centroid for r in
+                          cents_df.orderBy("cluster").collect()])
+        return ivf_assign(emb, "embedding", cents)
+
+    return get_or_build(spark, sf_dir, f"embedding_ivf_c{n_centroids}", build,
+                        partition_by="ivf_cluster")
+
+
+def embedding_lsh(spark: SparkSession, sf_dir: str, bits: int = 8,
+                  seed: int = 42) -> DataFrame:
+    """Embeddings with their random-hyperplane LSH signature as a STORED
+    ingest column (vec_id, embedding, label, sig), clustered by sig —
+    the ANN analog of the reference's ingest-built index tables: the
+    query-time bucket probe is an IN filter on a short stored string
+    that pushes to parquet, not a per-row signature computation over
+    the full corpus."""
+    from pyspark.sql import functions as F
+    from datawave_spark.operators.similarity import (hyperplanes,
+                                                     lsh_signature)
+    from datawave_spark.sources.parquet import read_parquet
+
+    def build():
+        emb = read_parquet(spark, os.path.join(sf_dir, "embeddings.parquet"))
+        dim = len(emb.select("embedding").head()[0])
+        planes = hyperplanes(dim, bits, seed)
+        return emb.withColumn(
+            "sig", lsh_signature(F.col("embedding").cast("array<double>"),
+                                 planes))
+
+    return get_or_build(spark, sf_dir, f"embedding_lsh_b{bits}", build,
+                        range_by="sig")

@@ -115,3 +115,90 @@ class TestEndToEnd:
         w = "geowave:within(GEOM, 'POLYGON((0 0, 10 0, 10 10, 0 10, 0 0))')"
         got_w = {r.id for r in compile_query(df, w).select("id").collect()}
         assert got_w == {1, 4}
+
+
+class TestLinestringMulti:
+    """LINESTRING / MULTIPOLYGON WKT surface (GeoWaveFunctions.java
+    evaluates arbitrary JTS geometry; these cover the simple-chain and
+    disjoint-shell cases the pure-python path supports)."""
+
+    def test_parse_linestring(self):
+        kind, pts = parse_wkt("LINESTRING(0 0, 5 5, 10 0)")
+        assert kind == "linestring" and pts == [(0, 0), (5, 5), (10, 0)]
+
+    def test_parse_multipolygon(self):
+        kind, rings = parse_wkt(
+            "MULTIPOLYGON(((0 0, 2 0, 2 2, 0 2, 0 0)), "
+            "((10 10, 12 10, 12 12, 10 12, 10 10)))")
+        assert kind == "multipolygon" and len(rings) == 2
+        assert rings[1][0] == (10.0, 10.0)
+
+    def test_parse_polygon_with_hole_keeps_shell(self):
+        kind, ring = parse_wkt(
+            "POLYGON((0 0, 10 0, 10 10, 0 10, 0 0), (4 4, 6 4, 6 6, 4 6, 4 4))")
+        assert kind == "polygon" and len(ring) == 5
+
+    def test_line_vs_polygon(self):
+        square = [(0, 0), (10, 0), (10, 10), (0, 10)]
+        inside = [(2, 2), (8, 8)]
+        through = [(-5, 5), (15, 5)]
+        outside = [(20, 20), (30, 30)]
+        assert geometry_predicate("within", "linestring", inside,
+                                  "polygon", square)
+        assert geometry_predicate("intersects", "linestring", through,
+                                  "polygon", square)
+        assert geometry_predicate("crosses", "linestring", through,
+                                  "polygon", square)
+        assert not geometry_predicate("crosses", "linestring", inside,
+                                      "polygon", square)
+        assert not geometry_predicate("intersects", "linestring", outside,
+                                      "polygon", square)
+        # swapped operands: polygon data, linestring query
+        assert geometry_predicate("intersects", "polygon", square,
+                                  "linestring", through)
+        assert geometry_predicate("contains", "polygon", square,
+                                  "linestring", inside)
+
+    def test_line_vs_line(self):
+        a = [(0, 0), (10, 10)]
+        b = [(0, 10), (10, 0)]
+        c = [(20, 0), (30, 0)]
+        assert geometry_predicate("intersects", "linestring", a,
+                                  "linestring", b)
+        assert geometry_predicate("crosses", "linestring", a,
+                                  "linestring", b)
+        assert not geometry_predicate("intersects", "linestring", a,
+                                      "linestring", c)
+
+    def test_point_vs_linestring(self):
+        line = [(0, 0), (10, 10)]
+        assert geometry_predicate("intersects", "point", (5, 5),
+                                  "linestring", line)
+        assert not geometry_predicate("intersects", "point", (5, 6),
+                                      "linestring", line)
+
+    def test_multipolygon_vs_polygon(self):
+        parts = [[(0, 0), (2, 0), (2, 2), (0, 2)],
+                 [(10, 10), (12, 10), (12, 12), (10, 12)]]
+        probe = [(11, 11), (13, 11), (13, 13), (11, 13)]
+        far = [(30, 30), (31, 30), (31, 31), (30, 31)]
+        assert geometry_predicate("intersects", "multipolygon", parts,
+                                  "polygon", probe)
+        assert not geometry_predicate("intersects", "multipolygon", parts,
+                                      "polygon", far)
+
+    def test_linestring_column_end_to_end(self, spark):
+        from datawave_spark.compiler import compile_query
+        rows = [
+            (1, "LINESTRING(2 2, 8 8)"),            # inside
+            (2, "LINESTRING(-5 5, 15 5)"),          # crosses through
+            (3, "LINESTRING(20 20, 30 30)"),        # outside
+            (4, "MULTIPOLYGON(((2 2, 4 2, 4 4, 2 4, 2 2)))"),  # inside part
+        ]
+        df = spark.createDataFrame(rows, "id long, GEOM string")
+        q = "geowave:intersects(GEOM, 'POLYGON((0 0, 10 0, 10 10, 0 10, 0 0))')"
+        got = {r.id for r in compile_query(df, q).select("id").collect()}
+        assert got == {1, 2, 4}
+        c = "geowave:crosses(GEOM, 'POLYGON((0 0, 10 0, 10 10, 0 10, 0 0))')"
+        got_c = {r.id for r in compile_query(df, c).select("id").collect()}
+        assert got_c == {2}

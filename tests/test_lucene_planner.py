@@ -177,6 +177,32 @@ class TestExcerptOption:
         assert any("brown" in e for e in first)
 
 
+class TestReverseModel:
+    def test_result_columns_renamed_to_alias(self, spark):
+        # QueryModelVisitor reverse mapping (DefaultQueryPlanner.java:
+        # 1342): results come back in the alias vocabulary the user
+        # queried in; multi-member aliases get _2 suffixes (DataFrame
+        # columns must be unique where the reference's attribute bag
+        # holds duplicates under one name)
+        df = spark.createDataFrame(
+            [("a", "rome", "lazio"), ("b", "oslo", "ostlandet")],
+            "uid string, CITY string, STATE string")
+        qp = QueryPlanner(df, model={"LOCATION": ["CITY", "STATE"]})
+        res = qp.plan("LOCATION == 'rome'")
+        assert res.df.columns == ["uid", "LOCATION", "LOCATION_2"]
+        assert [r.uid for r in res.df.collect()] == ["a"]
+        # the alias expands to concrete fields inside the compiled
+        # Catalyst predicate (the physical columns are what's filtered)
+        assert "CITY" in res.spark_plan()
+
+    def test_unmodeled_columns_untouched(self, spark):
+        df = spark.createDataFrame(
+            [("a", "rome", 7)], "uid string, CITY string, NUM long")
+        qp = QueryPlanner(df, model={"LOCATION": ["CITY"]})
+        res = qp.plan("LOCATION == 'rome'")
+        assert res.df.columns == ["uid", "LOCATION", "NUM"]
+
+
 class TestNoExpansion:
     def test_noexpansion_skips_model(self, spark):
         df = spark.createDataFrame(

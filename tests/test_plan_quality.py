@@ -97,6 +97,52 @@ class TestPreparedAssets:
         assert "BroadcastNestedLoopJoin" not in plan
         assert c["n_shuffles"] <= 5
 
+    def test_reverse_index_pushes_startswith(self, spark):
+        # trailing-wildcard terms read the STORED reverse index
+        # (shardReverseIndex parity): the prefix test must reach parquet
+        # as a pushed StartsWith on the stored value column, with the
+        # field directory partition-pruned
+        df = entrymod.queries()["reverse_index_suffix"](spark, SF)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert ".prepared" in plan
+        assert "PushedFilters" in plan and "StartsWith(value,pu" in plan
+        assert "PartitionFilters: [isnotnull(field" in plan
+
+    def test_normalized_at_rest_equality_pushes_bare_predicate(self, spark):
+        # typed lc equality against the normalized-at-rest table must be
+        # a pushable EqualTo on the raw stored column — NOT lower(col)
+        df = entrymod.queries()["normalized_lc_query"](spark, SF)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert ".prepared" in plan
+        assert "EqualTo(source,src7)" in plan
+        assert "lower" not in plan
+
+    def test_ssdeep_reads_stored_hash_asset(self, spark):
+        # the similarity entry must read the ingest-materialized hash
+        # table, not tokenize the corpus: no posexplode/generator and
+        # no raw documents scan in the plan
+        df = entrymod.queries()["ssdeep_similarity"](spark, SF)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert ".prepared" in plan
+        assert "documents.parquet" not in plan
+
+    def test_ann_lsh_probes_stored_signature_column(self, spark):
+        # the LSH probe is an IN filter on the STORED sig column (pushes
+        # to parquet); signatures must not be recomputed in-plan
+        df = entrymod.queries()["ann_lsh_topk"](spark, SF)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert ".prepared" in plan
+        assert "In(sig" in plan
+
+    def test_ann_ivf_partition_prunes_probed_clusters(self, spark):
+        # the IVF corpus is hive-partitioned by stored cluster id: an
+        # n_probe query must prune to the probed directories
+        df = entrymod.queries()["ann_ivf_topk"](spark, SF)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert ".prepared" in plan
+        assert "PartitionFilters: [ivf_cluster" in plan \
+            or "PartitionFilters: [isnotnull(ivf_cluster" in plan
+
     def test_ssdeep_single_candidate_equijoin(self, spark):
         # candidate generation is ONE equi-join on the ngram tuple —
         # no cross join anywhere in the plan

@@ -95,9 +95,9 @@ def run_one(op: str, events_path: str, docs_path: str) -> None:
         df.write.format("noop").mode("overwrite").save()
 
     def ssdeep_join(d):
-        from datawave_spark.entries import _fake_ssdeep_frame
-        from datawave_spark.operators.ssdeep import ssdeep_similarity_join
-        hashes = _fake_ssdeep_frame(d)
+        from datawave_spark.operators.ssdeep import (ssdeep_similarity_join,
+                                                     text_fixture_hashes)
+        hashes = text_fixture_hashes(d)
         queries = hashes.filter(F.col("doc_id") < 100)
         noop(ssdeep_similarity_join(queries, hashes, "ssdeep", "doc_id",
                                     max_repeated=0))
