@@ -36,6 +36,8 @@ def main() -> None:
         prepared.index_frame(spark, SF_DIR).count()
         prepared.reverse_index(spark, SF_DIR).count()
         prepared.doc_shingle_sets(spark, SF_DIR).count()
+        prepared.doc_minhash(spark, SF_DIR).count()
+        prepared.lsh_pairs(spark, SF_DIR).count()
         prepared.doc_tf(spark, SF_DIR).count()
         prepared.facet_table(spark, SF_DIR).count()
         prepared.index_stats(spark, SF_DIR).count()

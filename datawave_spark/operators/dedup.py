@@ -164,6 +164,31 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str, id_col: str,
                                        threshold, max_bucket)
 
 
+def attach_minhash_signatures(sets: DataFrame,
+                              num_hashes: int = 16) -> DataFrame:
+    """Ingest-side signature materialization: (id, shingles, n) →
+    + ``sig`` array<string>.  Store the result once
+    (sources/prepared.doc_minhash) and every LSH pass reads signatures
+    instead of re-hashing every shingle ``num_hashes`` times."""
+    sig_cols = [_salted_min(F.col("shingles"), f"s{i}:")
+                for i in range(num_hashes)]
+    return sets.withColumn("sig", F.array(*sig_cols))
+
+
+def minhash_lsh_pairs_from_signed(signed: DataFrame, num_hashes: int = 16,
+                                  bands: int = 8, threshold: float = 0.5,
+                                  max_bucket: int | None = None) -> DataFrame:
+    """LSH near-dup pairs from an ingest-SIGNED set frame
+    (id, shingles, n, sig — sources/prepared.doc_minhash): query-time
+    signature work is ``bands`` md5s over stored array elements per
+    document; the per-shingle hashing already happened at ingest."""
+    sig = signed.select("id", *[
+        F.element_at(F.col("sig"), i + 1).alias(f"h{i}")
+        for i in range(num_hashes)])
+    return _lsh_pairs_from_sig(signed, sig, num_hashes, bands, threshold,
+                               max_bucket)
+
+
 def minhash_lsh_pairs_from_sets(sets: DataFrame, num_hashes: int = 16,
                                 bands: int = 8, threshold: float = 0.5,
                                 max_bucket: int | None = None) -> DataFrame:
@@ -176,10 +201,20 @@ def minhash_lsh_pairs_from_sets(sets: DataFrame, num_hashes: int = 16,
     Total shuffle count: 1 bucket groupBy + 1 candidate distinct + the
     two verify joins (broadcast when the set frame is small).
     """
-    rows = num_hashes // bands
     sig_cols = [_salted_min(F.col("shingles"), f"s{i}:").alias(f"h{i}")
                 for i in range(num_hashes)]
     sig = sets.select("id", *sig_cols)
+    return _lsh_pairs_from_sig(sets, sig, num_hashes, bands, threshold,
+                               max_bucket)
+
+
+def _lsh_pairs_from_sig(sets: DataFrame, sig: DataFrame, num_hashes: int,
+                        bands: int, threshold: float,
+                        max_bucket: int | None) -> DataFrame:
+    """Shared LSH tail: band keys over an (id, h0..hN) signature frame →
+    bucket aggregation → candidate pairs → exact-Jaccard verify against
+    the (id, shingles, n) set frame."""
+    rows = num_hashes // bands
     band_cols = [F.md5(F.concat_ws("|", F.lit(str(b)),
                                    *[F.col(f"h{b * rows + r}") for r in range(rows)]))
                  for b in range(bands)]

