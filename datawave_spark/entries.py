@@ -879,6 +879,24 @@ def q_visibility_filter(spark, sf_dir):
     return out.select("event_id", "event_type")
 
 
+@register("visibility_mask", """
+SELECT event_id,
+       '***' AS props,
+       CAST(user_id AS VARCHAR) AS user_id
+FROM events WHERE event_type = 'click'
+""")
+def q_visibility_mask(spark, sf_dir):
+    """Field-level masking (createMaskedShardEventColumn parity,
+    visibility.mask_fields): the user holds {PUB} but ``props`` is
+    declared PII — its values come back masked while the PUB-visible
+    ``user_id`` survives; rows are NOT dropped."""
+    from datawave_spark.visibility import mask_fields
+    ev = _t(spark, sf_dir, "events").filter(F.col("event_type") == "click") \
+        .withColumn("user_id", F.col("user_id").cast("string"))
+    out = mask_fields(ev, {"props": "PII", "user_id": "PUB"}, {"PUB"})
+    return out.select("event_id", "props", "user_id")
+
+
 @register("ageoff_view", """
 SELECT event_id, CAST(CAST(ts AS DATE) AS VARCHAR) AS day FROM events
 WHERE datediff('day', CAST(ts AS DATE), DATE '2024-01-20') <= 10
@@ -1340,6 +1358,23 @@ def q_json_reader_query(spark, sf_dir):
     df = read_json_events(spark, json_events_path(spark, sf_dir))
     out = compile_query(df, "EVENT_TYPE == 'purchase' && VALUE > 200")
     return out.select("event_id", "event_type", "value")
+
+
+@register("xml_reader_query", """
+SELECT CAST(doc_id AS VARCHAR) AS id, lang, trim(text) AS text
+FROM documents WHERE lang = 'fr'
+""")
+def q_xml_reader_query(spark, sf_dir):
+    """Wikipedia-XML reader path end-to-end (sources/readers.py
+    read_xml_events — whole-file ElementTree parse inside Arrow
+    mapInPandas): documents round-tripped through a <page>-record XML
+    dump and read back; entity escaping must be lossless, so the text
+    column participates in the value hash."""
+    from datawave_spark.sources.prepared import xml_docs_path
+    from datawave_spark.sources.readers import read_xml_events
+    df = read_xml_events(spark, xml_docs_path(spark, sf_dir), "page",
+                         {"id": "id", "lang": "lang", "text": "text"})
+    return df.filter(F.col("lang") == "fr").select("id", "lang", "text")
 
 
 @register("grouping_matches_in_group", """

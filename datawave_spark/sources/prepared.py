@@ -107,6 +107,34 @@ def json_events_path(spark: SparkSession, sf_dir: str) -> str:
     return path
 
 
+def xml_docs_path(spark: SparkSession, sf_dir: str) -> str:
+    """A Wikipedia-dump-shaped XML copy of the documents table
+    (<page><id/><lang/><text/></page> records) — raw-format input for
+    exercising the record-oriented XML reader end-to-end.  Entity
+    escaping is done with codegen'd replaces; the reader's ElementTree
+    parse unescapes, so the round trip is lossless."""
+    import os as _os
+    from pyspark.sql import functions as F
+    path = prepared_path(sf_dir, "xml_docs")
+    if not _os.path.exists(_os.path.join(path, "_SUCCESS")):
+        d = spark.read.parquet(_os.path.join(sf_dir, "documents.parquet")) \
+            .select("doc_id", "lang", "text")
+
+        def esc(c):
+            c = F.replace(c, F.lit("&"), F.lit("&amp;"))
+            c = F.replace(c, F.lit("<"), F.lit("&lt;"))
+            return F.replace(c, F.lit(">"), F.lit("&gt;"))
+
+        row = F.concat(
+            F.lit("<page><id>"), F.col("doc_id").cast("string"),
+            F.lit("</id><lang>"), esc(F.col("lang")),
+            F.lit("</lang><text>"), esc(F.col("text")),
+            F.lit("</text></page>"))
+        d.select(row.alias("value")).coalesce(1) \
+            .write.mode("overwrite").text(path)
+    return path
+
+
 def doc_shingle_sets(spark: SparkSession, sf_dir: str,
                      k: int = 2) -> DataFrame:
     """Per-document word k-shingle sets (id, shingles, n) over the
