@@ -82,14 +82,19 @@ def repetition_ratios(df: DataFrame, text_col: str, id_col: str,
                             _tokens(F.col(text_col)).alias("__t")).persist()
 
     def gram_ratio(k: int) -> Column:
+        # reference the gram-building transform exactly ONCE: codegen
+        # does not share lambda-bearing subexpressions, so a second
+        # reference (e.g. size(grams) for the denominator) would build
+        # the gram array twice per row — the total is n-k+1 by
+        # construction, no need to ask the array
         n = F.size(t)
-        grams = F.when(n >= k, F.transform(
-            F.sequence(F.lit(1), n - (k - 1)),
+        total = n - (k - 1)
+        grams = F.when(total >= 1, F.transform(
+            F.sequence(F.lit(1), total),
             lambda i: F.concat_ws(
                 " ", *[F.element_at(t, i + j) for j in range(k)]))) \
             .otherwise(F.array().cast("array<string>"))
-        total = F.size(grams)
-        return F.when(total > 0,
+        return F.when(total >= 1,
                       F.round(1 - F.size(F.array_distinct(grams)) / total,
                               round_to)).otherwise(F.lit(0.0))
 

@@ -29,7 +29,7 @@ SCRATCH = os.path.join(REPO, ".scratch")
 SMALL = "/root/testdata/sf0.1"
 
 OPS = ["jexl_filter", "groupby", "tokenize_tf", "minhash_sig", "simhash",
-       "lsh_pairs", "ssdeep_join"]
+       "lsh_pairs", "ssdeep_join", "repetition", "decontaminate", "pack"]
 
 
 def generate(spark):
@@ -83,7 +83,7 @@ def run_one(op: str, events_path: str, docs_path: str) -> None:
     from pyspark.sql import functions as F
     from datawave_spark.session import get_spark
     from datawave_spark.compiler import compile_query
-    from datawave_spark.operators import dedup
+    from datawave_spark.operators import curation, dedup
     from datawave_spark.operators.grouping import group_by
     from datawave_spark.sources.ingest import tokenize
 
@@ -116,6 +116,14 @@ def run_one(op: str, events_path: str, docs_path: str) -> None:
             d, "text", "doc_id", k=2, num_hashes=16, bands=8,
             threshold=0.3, max_bucket=100)),
         "ssdeep_join": ssdeep_join,
+        "repetition": lambda d: noop(curation.repetition_ratios(
+            d, "text", "doc_id")),
+        "decontaminate": lambda d: noop(curation.decontaminate(
+            d, d.filter(F.col("doc_id") < 20), "text", "doc_id", 5)),
+        "pack": lambda d: noop(curation.pack_sequences(
+            d.select("doc_id", F.lit("s").alias("src"),
+                     F.length("text").alias("n")),
+            "doc_id", "src", "n", 2048)),
     }
     src = ev if op in ("jexl_filter", "groupby") else docs
     ops[op](src.limit(1000))          # codegen warm-up, untimed
