@@ -41,8 +41,8 @@ from pyspark.sql import Column, DataFrame, functions as F
 from pyspark.sql import types as T
 
 from datawave_spark.jexl.ast import (
-    AndNode, CmpNode, FieldCmpNode, FuncNode, Identifier, JexlNode,
-    Literal, NotNode, OrNode,
+    AndNode, ArithCmpNode, ArithNode, CmpNode, FieldCmpNode, FuncNode,
+    Identifier, JexlNode, Literal, NotNode, OrNode,
 )
 from datawave_spark.normalizers import Normalizer, get_normalizer
 
@@ -306,6 +306,46 @@ def compile_field_cmp(node: FieldCmpNode, ctx: CompileContext,
     return ~_total(pred) if neg else pred
 
 
+def _compile_arith_expr(node: JexlNode, ctx: CompileContext) -> Column:
+    """Arithmetic operand tree → Column (JexlArithmetic surface).
+    Identifiers resolve to scalar columns; multi-valued (array) fields
+    are rejected — the any-value×any-value arithmetic product the
+    reference's DatawaveArithmetic could express is out of surface."""
+    if isinstance(node, Literal):
+        return F.lit(node.value)
+    if isinstance(node, Identifier):
+        spec = ctx.resolve(node.name)
+        if spec is None:
+            return F.lit(None)
+        if isinstance(ctx.spark_type(spec), T.ArrayType):
+            raise ValueError(
+                f"arithmetic over multi-valued field {node.name}")
+        return F.col(spec.column)
+    if isinstance(node, ArithNode):
+        a = _compile_arith_expr(node.left, ctx)
+        b = _compile_arith_expr(node.right, ctx)
+        return {"+": a + b, "-": a - b, "*": a * b,
+                "/": a / b, "%": a % b}[node.op]
+    raise TypeError(f"cannot compile arithmetic operand {node!r}")
+
+
+def compile_arith_cmp(node: ArithCmpNode, ctx: CompileContext,
+                      negated: bool = False) -> Column:
+    """``expr op expr`` where a side carries arithmetic: native Column
+    arithmetic + comparison (floating semantics; NULL operands make the
+    comparison NULL, totalized like every other leaf)."""
+    a = _compile_arith_expr(node.left, ctx)
+    b = _compile_arith_expr(node.right, ctx)
+    if node.op == "!=":
+        # total-negation semantics, same as CmpNode '!=': a NULL
+        # operand (missing field) satisfies the inequality
+        eq = a == b
+        return _total(eq) if negated else ~_total(eq)
+    pred = {"==": a == b, "<": a < b, ">": a > b,
+            "<=": a <= b, ">=": a >= b}[node.op]
+    return ~_total(pred) if negated else pred
+
+
 def field_pred(ctx: CompileContext, field_name: str,
                leaf: Callable[[Column], Column],
                *, negate: bool = False) -> Column:
@@ -361,6 +401,8 @@ def compile_node(node: JexlNode, ctx: CompileContext,
         return compile_cmp(node, ctx, negated)
     if isinstance(node, FieldCmpNode):
         return compile_field_cmp(node, ctx, negated)
+    if isinstance(node, ArithCmpNode):
+        return compile_arith_cmp(node, ctx, negated)
     if isinstance(node, FuncNode):
         key = (node.namespace, node.name)
         if key not in FUNCTION_COMPILERS:

@@ -109,6 +109,37 @@ def q_jexl_field_cmp(spark, sf_dir):
 
 # ------------------------------------------- §2.2 filter:/f:/geo: functions
 
+@register("jexl_arithmetic", """
+SELECT event_id, value, user_id FROM events
+WHERE (value * 2 + user_id) > 300 AND value % 7 < 3
+""")
+def q_jexl_arithmetic(spark, sf_dir):
+    """JEXL arithmetic inside comparisons (commons-jexl3
+    JexlArithmetic — the reference evaluates full arithmetic in its
+    tserver JEXL engine): compiles to native Column arithmetic inside
+    whole-stage codegen; literal-only subtrees constant-fold at parse
+    time."""
+    ev = _t(spark, sf_dir, "events")
+    out = compile_query(ev, "(VALUE * 2 + USER_ID) > 300 && VALUE % 7 < 3")
+    return out.select("event_id", "value", "user_id")
+
+
+@register("jexl_marker_query", """
+SELECT event_id, value FROM events
+WHERE (value >= 100 AND value <= 120) OR event_type = 'signup'
+""")
+def q_jexl_marker_query(spark, sf_dir):
+    """QueryPropertyMarker parity (QueryPropertyMarker.java): the
+    reference's PLANNED query strings wrap subtrees in marker
+    assignments — ``((_Bounded_ = true) && (range))``,
+    ``((_Delayed_ = true) && (term))`` — and users re-run those
+    strings.  The markers evaluate true and prune away; the wrapped
+    expressions keep their semantics."""
+    ev = _t(spark, sf_dir, "events")
+    out = compile_query(ev, "((_Bounded_ = true) && (VALUE >= 100 && VALUE <= 120)) || ((_Delayed_ = true) && (EVENT_TYPE == 'signup'))")
+    return out.select("event_id", "value")
+
+
 @register("filter_include_regex", """
 SELECT event_id, props FROM events
 WHERE regexp_full_match(props, '.*"k": 6[0-9].*')

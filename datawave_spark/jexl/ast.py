@@ -87,6 +87,44 @@ class FieldCmpNode(JexlNode):
 
 
 @dataclass(frozen=True)
+class ArithNode(JexlNode):
+    """Arithmetic expression ``left op right`` (op: + - * / %) over
+    identifiers, numeric literals and nested arithmetic — the
+    commons-jexl3 arithmetic surface (JexlArithmetic) DataWave
+    evaluates inside comparisons.  Literal-only subtrees are
+    constant-folded at parse time; field-bearing trees compile to
+    native Column arithmetic (floating semantics — the reference's
+    NumberType normalizes numerics to decimal anyway)."""
+    op: str          # + - * / %
+    left: JexlNode   # Identifier | Literal | ArithNode
+    right: JexlNode
+
+    def children(self):
+        return (self.left, self.right)
+
+    def __str__(self) -> str:
+        return f"({self.left} {self.op} {self.right})"
+
+
+@dataclass(frozen=True)
+class ArithCmpNode(JexlNode):
+    """Comparison where at least one side is an arithmetic expression:
+    ``(VALUE * 2 + USER_ID) > 950``.  Scalar-column semantics —
+    arithmetic over multi-valued (array) fields is rejected at compile
+    time (the reference's any-value arithmetic over multi-value
+    operands is out of surface)."""
+    op: str          # == != < > <= >= (no regex ops)
+    left: JexlNode
+    right: JexlNode
+
+    def children(self):
+        return (self.left, self.right)
+
+    def __str__(self) -> str:
+        return f"{self.left} {self.op} {self.right}"
+
+
+@dataclass(frozen=True)
 class AndNode(JexlNode):
     terms: tuple[JexlNode, ...]
 

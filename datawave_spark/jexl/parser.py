@@ -9,14 +9,20 @@ warehouse/query-core/src/test/java/datawave/query/):
     or       := and ( '||' and )*
     and      := not ( '&&' not )*
     not      := '!' not | primary
-    primary  := '(' expr ')' | funcall | comparison | atom
+    primary  := '(' expr ')' | funcall | comparison
     funcall  := IDENT ':' IDENT '(' args? ')'
-    comparison := atom OP atom          (OP: == != < > <= >= =~ !~)
-    atom     := IDENT | literal
+    comparison := additive OP additive  (OP: == != < > <= >= =~ !~)
+    additive := mult ( ('+'|'-') mult )*
+    mult     := unary ( ('*'|'/'|'%') unary )*
+    unary    := '-' unary | operand
+    operand  := IDENT | literal | '(' additive ')'
     literal  := STRING | NUMBER | 'null' | 'true' | 'false'
 
 Literal-on-the-left comparisons (``'x' == F``) are inverted at parse
 time (InvertNodeVisitor parity, DefaultQueryPlanner.java:1264).
+Arithmetic (commons-jexl3 JexlArithmetic surface) is constant-folded
+when literal-only; ``(`` ambiguity between boolean grouping and
+parenthesized arithmetic resolves by backtracking.
 """
 
 from __future__ import annotations
@@ -25,8 +31,8 @@ import re
 from typing import Any
 
 from datawave_spark.jexl.ast import (
-    AndNode, CmpNode, FieldCmpNode, FuncNode, Identifier, JexlNode,
-    Literal, NotNode, OrNode,
+    AndNode, ArithCmpNode, ArithNode, CmpNode, FieldCmpNode, FuncNode,
+    Identifier, JexlNode, Literal, NotNode, OrNode,
 )
 
 
@@ -36,8 +42,8 @@ class JexlParseError(ValueError):
 
 _TOKEN_RE = re.compile(r"""
     (?P<ws>\s+)
-  | (?P<op>==|!=|<=|>=|=~|!~|&&|\|\||[<>!()\,])
-  | (?P<number>-?\d+\.\d+|-?\d+)
+  | (?P<op>==|!=|<=|>=|=~|!~|&&|\|\||[<>!()\,+\-*/%=])
+  | (?P<number>\d+\.\d+|\d+)
   | (?P<string>'(?:\\.|[^'\\])*'|"(?:\\.|[^"\\])*")
   | (?P<ident>[A-Za-z_$][A-Za-z0-9_.$]*)
   | (?P<colon>:)
@@ -115,10 +121,19 @@ class _Parser:
     def parse_primary(self) -> JexlNode:
         kind, tok = self.peek()
         if tok == "(":
-            self.next()
-            inner = self.parse_expr()
-            self.expect(")")
-            return inner
+            # '(' is ambiguous: boolean grouping or a parenthesized
+            # arithmetic operand ('(VALUE + 1) > 3').  Try the boolean
+            # reading; on failure backtrack and let parse_comparison's
+            # additive grammar consume the parenthesis.
+            mark = self.i
+            try:
+                self.next()
+                inner = self.parse_expr()
+                self.expect(")")
+                return inner
+            except JexlParseError:
+                self.i = mark
+                return self.parse_comparison()
         if kind == "ident" and self.tokens[self.i + 1][0] == "colon":
             return self.parse_funcall()
         return self.parse_comparison()
@@ -141,17 +156,43 @@ class _Parser:
 
     def parse_arg(self) -> JexlNode:
         kind, tok = self.peek()
+        if tok == "-":
+            self.next()
+            v = self._literal_value()
+            if not isinstance(v, (int, float)) or isinstance(v, bool):
+                raise JexlParseError(f"cannot negate literal {v!r}")
+            return Literal(-v)
         if kind == "ident" and tok not in _KEYWORDS:
             self.next()
             return Identifier(tok)
         return Literal(self._literal_value())
 
+    _MARKER_RE = re.compile(r"_[A-Za-z]+_$")
+
     def parse_comparison(self) -> JexlNode:
-        left = self.parse_atom()
+        left = self.parse_additive()
         kind, tok = self.peek()
+        if tok == "=":
+            # QueryPropertyMarker assignment (QueryPropertyMarker.java;
+            # the reference's planner wraps subtrees in
+            # ``((_Bounded_ = true) && (...))`` / _Delayed_ / _Eval_ /
+            # _List_ / _Term_ / _Hole_ hints).  The assignment always
+            # evaluates true; the hint itself is a planner artifact, so
+            # re-running a reference-planned query string just works —
+            # the surrounding AND keeps the wrapped expression.  Only
+            # ``_X_``-shaped identifiers are accepted; anything else is
+            # a user error (assignment is not part of the query
+            # surface).
+            if isinstance(left, Identifier) \
+                    and self._MARKER_RE.match(left.name):
+                self.next()
+                self._literal_value()          # the asserted value
+                return Literal(True)
+            raise JexlParseError(
+                f"assignment to non-marker {left}: did you mean '=='?")
         if tok in _CMP_OPS:
             self.next()
-            right = self.parse_atom()
+            right = self.parse_additive()
             return self._make_cmp(tok, left, right)
         # Bare identifier/literal as boolean expression: JEXL would coerce;
         # DataWave queries never do this except literal true/false.
@@ -163,6 +204,11 @@ class _Parser:
     def _make_cmp(op: str, left: JexlNode, right: JexlNode) -> JexlNode:
         inverse = {"<": ">", ">": "<", "<=": ">=", ">=": "<=",
                    "==": "==", "!=": "!=", "=~": "=~", "!~": "!~"}
+        if isinstance(left, ArithNode) or isinstance(right, ArithNode):
+            if op in ("=~", "!~"):
+                raise JexlParseError(
+                    f"regex comparison over arithmetic: {left} {op} {right}")
+            return ArithCmpNode(op, left, right)
         if isinstance(left, Identifier) and isinstance(right, Identifier):
             return FieldCmpNode(op, left, right)
         if isinstance(left, Literal) and isinstance(right, Identifier):
@@ -172,12 +218,64 @@ class _Parser:
             return CmpNode(op, left, right)
         raise JexlParseError(f"literal-to-literal comparison: {left} {op} {right}")
 
-    def parse_atom(self) -> JexlNode:
+    _ADD_OPS = ("+", "-")
+    _MUL_OPS = ("*", "/", "%")
+
+    @staticmethod
+    def _fold(op: str, left: JexlNode, right: JexlNode) -> JexlNode:
+        """Constant-fold literal-only arithmetic at parse time
+        (the reference folds via its rewrite visitors)."""
+        if isinstance(left, Literal) and isinstance(right, Literal) \
+                and isinstance(left.value, (int, float)) \
+                and isinstance(right.value, (int, float)):
+            a, b = left.value, right.value
+            try:
+                v = {"+": lambda: a + b, "-": lambda: a - b,
+                     "*": lambda: a * b, "%": lambda: a % b,
+                     "/": lambda: a / b}[op]()
+            except ZeroDivisionError:
+                raise JexlParseError(f"division by zero: {a} {op} {b}")
+            return Literal(v)
+        return ArithNode(op, left, right)
+
+    def parse_additive(self) -> JexlNode:
+        node = self.parse_mult()
+        while self.peek()[1] in self._ADD_OPS:
+            _, op = self.next()
+            node = self._fold(op, node, self.parse_mult())
+        return node
+
+    def parse_mult(self) -> JexlNode:
+        node = self.parse_unary()
+        while self.peek()[1] in self._MUL_OPS:
+            _, op = self.next()
+            node = self._fold(op, node, self.parse_unary())
+        return node
+
+    def parse_unary(self) -> JexlNode:
+        if self.peek()[1] == "-":
+            self.next()
+            inner = self.parse_unary()
+            if isinstance(inner, Literal) and \
+                    isinstance(inner.value, (int, float)):
+                return Literal(-inner.value)
+            return ArithNode("-", Literal(0), inner)
+        return self.parse_operand()
+
+    def parse_operand(self) -> JexlNode:
         kind, tok = self.peek()
+        if tok == "(":
+            self.next()
+            inner = self.parse_additive()
+            self.expect(")")
+            return inner
         if kind == "ident" and tok not in _KEYWORDS:
             self.next()
             return Identifier(tok)
         return Literal(self._literal_value())
+
+    # retained name: operand parsing for comparisons pre-arithmetic
+    parse_atom = parse_operand
 
     def _literal_value(self) -> Any:
         kind, tok = self.next()

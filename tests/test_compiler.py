@@ -288,3 +288,32 @@ class TestGeoWave:
     def test_crosses_always_false_for_points(self, spark, points):
         q = "geowave:crosses(GEO, 'POLYGON((0 0, 2 0, 0 2, 0 0))')"
         assert uids(compile_query(points, q)) == []
+
+
+class TestArithmeticCompile:
+    def test_arith_cmp_matches_sql(self, spark):
+        from datawave_spark.compiler import compile_query
+        df = spark.createDataFrame(
+            [(1, 10.0, 3), (2, 40.0, 100), (3, None, 5), (4, 25.0, None)],
+            "id long, v double, u long")
+        out = compile_query(df, "V * 2 + U > 50")
+        assert sorted(r.id for r in out.collect()) == [2]
+        # != is total: NULL operands satisfy the inequality
+        out2 = compile_query(df, "V * 2 != 20.0")
+        assert sorted(r.id for r in out2.collect()) == [2, 3, 4]
+        out3 = compile_query(df, "!(V * 2 != 20.0)")
+        assert sorted(r.id for r in out3.collect()) == [1]
+
+    def test_field_both_sides(self, spark):
+        from datawave_spark.compiler import compile_query
+        df = spark.createDataFrame([(1, 10.0, 3), (2, 4.0, 100)],
+                                   "id long, v double, u long")
+        out = compile_query(df, "V > U - 90")
+        assert sorted(r.id for r in out.collect()) == [1]
+
+    def test_array_field_rejected(self, spark):
+        import pytest
+        from datawave_spark.compiler import compile_query
+        df = spark.createDataFrame([(1, [1.0, 2.0])], "id long, v array<double>")
+        with pytest.raises(Exception, match="multi-valued"):
+            compile_query(df, "V * 2 > 3").collect()

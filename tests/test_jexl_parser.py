@@ -77,3 +77,69 @@ def test_roundtrip_str():
     q = "(A == '1' && (B > 2 || !(C =~ 'x.*')))"
     node = parse_jexl(q)
     assert parse_jexl(str(node)) == node
+
+
+class TestArithmetic:
+    """commons-jexl3 arithmetic surface inside comparisons
+    (JexlArithmetic): precedence, folding, unary minus, parens."""
+
+    def test_precedence_and_str(self):
+        from datawave_spark.jexl.parser import parse
+        assert str(parse("VALUE + 2 * 3 > 10")) == "(VALUE + 6) > 10"
+        assert str(parse("(VALUE + 2) * 3 > 10")) == "((VALUE + 2) * 3) > 10"
+        assert str(parse("VALUE * 2 + U > 10")) == "((VALUE * 2) + U) > 10"
+
+    def test_literal_folding(self):
+        from datawave_spark.jexl.parser import parse
+        assert str(parse("VALUE > 2 * 50 + 1")) == "VALUE > 101"
+        assert str(parse("VALUE > 10 / 4")) == "VALUE > 2.5"
+
+    def test_unary_minus(self):
+        from datawave_spark.jexl.parser import parse
+        assert str(parse("VALUE > -5")) == "VALUE > -5"
+        assert str(parse("VALUE > -(2 + 3)")) == "VALUE > -5"
+        assert str(parse("-VALUE > 5")) == "((0 - VALUE)) > 5" \
+            or str(parse("-VALUE > 5")) == "(0 - VALUE) > 5"
+
+    def test_boolean_parens_still_group(self):
+        from datawave_spark.jexl.parser import parse
+        from datawave_spark.jexl.ast import AndNode
+        assert isinstance(parse("(A == 1) && (B == 2)"), AndNode)
+
+    def test_regex_over_arithmetic_rejected(self):
+        import pytest
+        from datawave_spark.jexl.parser import JexlParseError, parse
+        with pytest.raises(JexlParseError):
+            parse("VALUE + 1 =~ 'x.*'")
+
+    def test_division_by_zero_literal_rejected(self):
+        import pytest
+        from datawave_spark.jexl.parser import JexlParseError, parse
+        with pytest.raises(JexlParseError):
+            parse("VALUE > 1 / 0")
+
+
+class TestQueryPropertyMarkers:
+    """Reference-planned query strings wrap subtrees in marker
+    assignments (QueryPropertyMarker.java): they must parse, evaluate
+    true, and prune away."""
+
+    def test_bounded_marker_unwraps(self):
+        from datawave_spark.jexl.parser import parse
+        from datawave_spark.compiler.rewrite import default_pipeline
+        n = default_pipeline(parse(
+            "((_Bounded_ = true) && (VALUE >= 10 && VALUE <= 20))"))
+        assert str(n) == "(VALUE >= 10 && VALUE <= 20)"
+
+    def test_delayed_and_eval_markers(self):
+        from datawave_spark.jexl.parser import parse
+        from datawave_spark.compiler.rewrite import default_pipeline
+        n = default_pipeline(parse(
+            "((_Delayed_ = true) && (A == 'x')) || ((_Eval_ = true) && (B == 'y'))"))
+        assert str(n) == "(A == 'x' || B == 'y')"
+
+    def test_non_marker_assignment_rejected(self):
+        import pytest
+        from datawave_spark.jexl.parser import JexlParseError, parse
+        with pytest.raises(JexlParseError, match="non-marker"):
+            parse("FIELD = 'x'")
