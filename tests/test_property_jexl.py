@@ -114,3 +114,54 @@ def test_compiler_matches_python_referee(spark, pdf, tree):
 def test_parser_roundtrip(tree):
     from datawave_spark.jexl.parser import parse
     assert parse(str(tree)) == tree
+
+
+# ---------------- LUCENE ↔ JEXL front-end equivalence (property)
+
+class TestLuceneJexlEquivalence:
+    """Both syntax front-ends compile onto the same AST, so a random
+    boolean tree rendered in LUCENE and in JEXL must select identical
+    rows — the reference's LuceneToJexlQueryParser contract."""
+
+    @settings(max_examples=25, deadline=None,
+              suppress_health_check=[HealthCheck.function_scoped_fixture])
+    @given(tree=st.recursive(
+        st.one_of(
+            st.builds(lambda v: ("TAGS", v), st.sampled_from(STRINGS)),
+            st.builds(lambda v: ("NUM", v),
+                      st.sampled_from(["5.5", "1.0", "0.0", "100.0"]))),
+        lambda kids: st.one_of(
+            st.builds(lambda a, b: ("AND", a, b), kids, kids),
+            st.builds(lambda a, b: ("OR", a, b), kids, kids),
+            st.builds(lambda a: ("NOT", a), kids)),
+        max_leaves=6))
+    def test_same_rows(self, spark, tree):
+        from datawave_spark.lucene.parser import parse_lucene
+        from datawave_spark.jexl.parser import parse as parse_jexl
+
+        def lucene(t):
+            if t[0] == "AND":
+                return f"({lucene(t[1])} AND {lucene(t[2])})"
+            if t[0] == "OR":
+                return f"({lucene(t[1])} OR {lucene(t[2])})"
+            if t[0] == "NOT":
+                return f"(NOT {lucene(t[1])})"
+            f, v = t
+            return f"{f}:{v}"
+
+        def jexl(t):
+            if t[0] == "AND":
+                return f"({jexl(t[1])} && {jexl(t[2])})"
+            if t[0] == "OR":
+                return f"({jexl(t[1])} || {jexl(t[2])})"
+            if t[0] == "NOT":
+                return f"!({jexl(t[1])})"
+            f, v = t
+            return f"{f} == '{v}'"
+
+        df = spark.createDataFrame(ROWS, SCHEMA)
+        got_l = {r.uid for r in
+                 compile_query(df, parse_lucene(lucene(tree))).collect()}
+        got_j = {r.uid for r in
+                 compile_query(df, parse_jexl(jexl(tree))).collect()}
+        assert got_l == got_j
