@@ -928,6 +928,23 @@ def q_visibility_mask(spark, sf_dir):
     return out.select("event_id", "props", "user_id")
 
 
+@register("query_metrics_record")  # wall-time inside: rows-only check
+def q_query_metrics_record(spark, sf_dir):
+    """Query-metrics record (reference query/metrics/ service +
+    DefaultQueryPlanner timers): one row of execution statistics for a
+    measured query — result rows plus plan-shape counters (scans,
+    shuffles, broadcasts, codegen spans), the numbers that decide
+    whether a plan survives a 100× scale-up."""
+    from datawave_spark.plans.metrics import run_with_metrics
+    ev = _t(spark, sf_dir, "events")
+    hits = compile_query(ev, "EVENT_TYPE == 'click' && VALUE > 400") \
+        .select("event_id")
+    _, m = run_with_metrics(hits)
+    return spark.createDataFrame(
+        [(m.rows, m.n_scans, m.n_shuffles, m.n_broadcasts)],
+        "rows long, n_scans long, n_shuffles long, n_broadcasts long")
+
+
 @register("ageoff_view", """
 SELECT event_id, CAST(CAST(ts AS DATE) AS VARCHAR) AS day FROM events
 WHERE datediff('day', CAST(ts AS DATE), DATE '2024-01-20') <= 10

@@ -1,0 +1,76 @@
+"""Table maintenance: small-file compaction for the event store.
+
+Reference: Accumulo performs this continuously (minor/major compaction
+merges RFiles per tablet; the reference's tables inherit it for free).
+A parquet/Delta lake on object storage does NOT — streaming ingest
+(foreachBatch appends, one file per partition per micro-batch) and
+fine-grained shard partitioning accumulate small files, and at 100 TB
+the scan-planning overhead (file listing, footer reads, one task per
+tiny split) becomes the dominant query cost.  This module is the
+major-compaction analog: rewrite a table (or one date partition) into
+~target-size files, optionally re-clustered on a sort key so row-group
+stats stay selective.
+
+The rewrite is write-then-swap: the new files land in a sibling
+directory and replace the old data only after the write commits
+(_SUCCESS), so readers never observe a half-compacted table — the
+parquet-level equivalent of Accumulo's atomic file replacement (and of
+Delta's OPTIMIZE transaction, which subsumes this module when Delta is
+available).
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession
+
+DEFAULT_TARGET_BYTES = 128 * 1024 * 1024
+
+
+def _dir_bytes(path: str) -> int:
+    total = 0
+    for root, _dirs, files in os.walk(path):
+        for f in files:
+            if not f.startswith(("_", ".")):
+                total += os.path.getsize(os.path.join(root, f))
+    return total
+
+
+def parquet_file_count(path: str) -> int:
+    n = 0
+    for _root, _dirs, files in os.walk(path):
+        n += sum(1 for f in files
+                 if f.endswith(".parquet") and not f.startswith((".", "_")))
+    return n
+
+
+def compact(spark: SparkSession, path: str,
+            target_file_bytes: int = DEFAULT_TARGET_BYTES,
+            sort_by: str | None = None) -> int:
+    """Rewrite the parquet data at ``path`` into ``ceil(size/target)``
+    files (optionally range-clustered + sorted on ``sort_by`` so the
+    compaction also restores row-group-stat selectivity), then swap the
+    new files in.  Returns the new file count.
+
+    On a cluster this runs per date-partition directory (the unit the
+    reference's major compaction works in); sizing by on-disk bytes
+    keeps output files near the target regardless of row width."""
+    total = _dir_bytes(path)
+    n_files = max(1, -(-total // target_file_bytes))
+    df: DataFrame = spark.read.parquet(path)
+    if sort_by:
+        w = df.repartitionByRange(n_files, sort_by) \
+              .sortWithinPartitions(sort_by)
+    else:
+        w = df.repartition(n_files)
+    tmp = path.rstrip("/") + ".compact.tmp"
+    w.write.mode("overwrite").parquet(tmp)
+    if not os.path.exists(os.path.join(tmp, "_SUCCESS")):
+        raise RuntimeError(f"compaction write did not commit: {tmp}")
+    old = path.rstrip("/") + ".compact.old"
+    os.rename(path, old)
+    os.rename(tmp, path)
+    shutil.rmtree(old)
+    return parquet_file_count(path)

@@ -1,0 +1,50 @@
+"""Compaction (major-compaction analog): small files merge to
+target-size files, data survives byte-for-byte, swap is atomic
+(write-then-rename), and a sort key restores clustering."""
+
+import os
+
+from pyspark.sql import functions as F
+
+from datawave_spark.sources.maintenance import compact, parquet_file_count
+
+
+def test_compact_merges_small_files(spark, tmp_path):
+    path = str(tmp_path / "events")
+    # 64 tiny files — the streaming-append pathology
+    spark.range(0, 10000).select(
+        F.col("id"), (F.col("id") % 7).alias("k")) \
+        .repartition(64).write.parquet(path)
+    assert parquet_file_count(path) == 64
+    before = sorted(map(tuple, spark.read.parquet(path).collect()))
+
+    n = compact(spark, path, target_file_bytes=10 * 1024 * 1024)
+    assert n < 8                       # ~200KB of data → a few files
+    assert parquet_file_count(path) == n
+    after = sorted(map(tuple, spark.read.parquet(path).collect()))
+    assert after == before             # lossless
+    assert not os.path.exists(path + ".compact.tmp")
+    assert not os.path.exists(path + ".compact.old")
+
+
+def test_compact_with_sort_restores_clustering(spark, tmp_path):
+    path = str(tmp_path / "tbl")
+    spark.range(0, 50000).select(
+        F.col("id"), F.md5(F.col("id").cast("string")).alias("h")) \
+        .repartition(32).write.parquet(path)
+    compact(spark, path, target_file_bytes=512 * 1024, sort_by="id")
+    # range clustering: per-file id ranges must be (near-)disjoint, so
+    # an id-range filter prunes to ~one file via row-group stats
+    import pyarrow.parquet as pq
+    ranges = []
+    for root, _d, files in os.walk(path):
+        for f in files:
+            if f.endswith(".parquet"):
+                t = pq.read_table(os.path.join(root, f), columns=["id"])
+                if t.num_rows:
+                    ids = t.column("id").to_pylist()
+                    ranges.append((min(ids), max(ids)))
+    ranges.sort()
+    assert len(ranges) >= 2
+    for (a_lo, a_hi), (b_lo, b_hi) in zip(ranges, ranges[1:]):
+        assert a_hi <= b_lo            # disjoint consecutive ranges
