@@ -730,6 +730,67 @@ def q_curation_pack(spark, sf_dir):
     return pack_sequences(docs, "doc_id", "source", "n_sub", budget=2048)
 
 
+@register("curation_pipeline", f"""
+WITH RECURSIVE {_DUCK_LSH_CTES},
+edges AS (SELECT id_a AS s, id_b AS d FROM lshpairs
+          UNION SELECT id_b, id_a FROM lshpairs),
+reach(v, r) AS (
+  SELECT s, s FROM edges
+  UNION
+  SELECT e.d, reach.r FROM reach JOIN edges e ON e.s = reach.v),
+comp AS (SELECT v AS id, min(r) AS component FROM reach GROUP BY v),
+canon AS (SELECT d.doc_id, d.source, d.n_chars FROM documents d
+          LEFT JOIN comp c ON c.id = d.doc_id
+          WHERE COALESCE(c.component, d.doc_id) = d.doc_id),
+toks AS (SELECT doc_id,
+           list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                       x -> x != '') AS t
+         FROM documents),
+quality AS (SELECT doc_id FROM toks
+            WHERE round(CASE WHEN len(t) > 0
+                        THEN 1 - len(list_distinct(t)) / len(t)
+                        ELSE 0.0 END, 4) <= 0.55),
+sampled AS (SELECT c.* FROM canon c JOIN quality q USING (doc_id)
+            WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+                  < '{_rate_hex(0.8)}'),
+s AS (SELECT doc_id, source, CAST(ceil(n_chars / 4) AS BIGINT) AS size
+      FROM sampled),
+c2 AS (SELECT *, sum(size) OVER (PARTITION BY source ORDER BY doc_id
+                                 ROWS UNBOUNDED PRECEDING) AS cum FROM s)
+SELECT doc_id, source, size, CAST(floor((cum - size) / 2048) AS BIGINT) AS bin
+FROM c2
+""")
+def q_curation_pipeline(spark, sf_dir):
+    """End-to-end corpus curation as ONE composed plan — the shape a
+    100 TB training-data run takes: near-dup clusters from the stored
+    LSH-pair asset → keep cluster canonicals → drop high-repetition
+    docs (dup_token_ratio > 0.55) → deterministic 80% sample →
+    pack survivors into 2048-token bins per source.  Every stage is a
+    previously-oracle-checked operator; the composition is itself
+    value-checked against the fully-composed SQL."""
+    from datawave_spark.operators.components import dedup_clusters
+    from datawave_spark.operators.curation import (pack_sequences,
+                                                   repetition_ratios,
+                                                   stratified_sample)
+    from datawave_spark.sources import prepared
+    docs = _t(spark, sf_dir, "documents")
+    pairs = prepared.lsh_pairs(spark, sf_dir, k=2, num_hashes=16, bands=8,
+                               threshold=0.3, max_bucket=_LSH_MAXB)
+    clusters = dedup_clusters(docs, "doc_id", pairs)
+    canon = clusters.filter(F.col("canonical_id") == F.col("id")) \
+        .select(F.col("id").alias("doc_id"))
+    quality = repetition_ratios(docs, "text", "doc_id") \
+        .filter(F.col("dup_token_ratio") <= 0.55).select("doc_id")
+    base = docs.join(canon, "doc_id", "left_semi") \
+        .join(quality, "doc_id", "left_semi")
+    sampled = stratified_sample(base, "doc_id", "source", {},
+                                default_rate=0.8)
+    sized = sampled.select(
+        "doc_id", "source",
+        F.ceil(F.col("n_chars") / 4).cast("long").alias("n_sub"))
+    return pack_sequences(sized, "doc_id", "source", "n_sub", budget=2048)
+
+
 # --------------------------------------- LUCENE front-end (§3.1 syntax)
 
 @register("lucene_bool_range", """
