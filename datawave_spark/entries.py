@@ -642,6 +642,29 @@ def q_text_fingerprint(spark, sf_dir):
     return out.select("doc_id", "fingerprint")
 
 
+@register("text_doc_frequency", """
+SELECT tok, count(DISTINCT doc_id) AS df
+FROM (SELECT doc_id,
+        unnest(list_distinct(list_filter(
+          regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x != '')))
+        AS tok
+      FROM documents)
+GROUP BY tok ORDER BY df DESC, tok LIMIT 20
+""")
+def q_text_doc_frequency(spark, sf_dir):
+    """Corpus vocabulary statistics: top terms by document frequency,
+    read from the STORED tf maps (prepared.doc_tf — the tokenization
+    happened at ingest; the query explodes stored map keys): the
+    discovery/term-frequency analog over tokenized content, and the
+    df/idf input a quality or BM25-style scorer consumes."""
+    from datawave_spark.sources import prepared
+    tf = prepared.doc_tf(spark, sf_dir)
+    toks = tf.select("doc_id", F.explode(F.map_keys("text_tf")).alias("tok"))
+    return (toks.groupBy("tok")
+            .agg(F.countDistinct("doc_id").alias("df"))
+            .orderBy(F.col("df").desc(), "tok").limit(20))
+
+
 # ----------------------------------- training-data ops: corpus curation
 
 def _rate_hex(rate: float) -> str:
@@ -845,6 +868,20 @@ def q_lucene_unique(spark, sf_dir):
 
 _DUCK_DOCTOKS = ("SELECT doc_id, list_filter(regexp_split_to_array(lower(text), "
                  "'[^a-z0-9]+'), x -> x != '') AS t FROM documents")
+
+
+@register("lucene_compare", """
+SELECT event_id FROM events WHERE value < user_id
+""")
+def q_lucene_compare(spark, sf_dir):
+    """#COMPARE through the LUCENE front-end
+    (language/functions/jexl/Compare.java): field-to-field comparison
+    with ANY multi-value semantics, compiled to the same FieldCmp node
+    the JEXL path produces."""
+    from datawave_spark.lucene.parser import parse_lucene
+    ev = _t(spark, sf_dir, "events")
+    node = parse_lucene("#COMPARE(VALUE, '<', 'ANY', USER_ID)")
+    return compile_query(ev, node).select("event_id")
 
 
 @register("content_phrase", f"""

@@ -25,8 +25,8 @@ from __future__ import annotations
 import re
 
 from datawave_spark.jexl.ast import (
-    AndNode, CmpNode, FuncNode, Identifier, JexlNode, Literal, NotNode,
-    OrNode,
+    AndNode, CmpNode, FieldCmpNode, FuncNode, Identifier, JexlNode,
+    Literal, NotNode, OrNode,
 )
 
 
@@ -191,6 +191,29 @@ class _Parser:
                 else:
                     raise LuceneParseError(f"bad #{name} argument {v!r}")
             self.expect("rparen")
+        if name == "COMPARE":
+            # language/functions/jexl/Compare.java:
+            # #COMPARE(FIELD1, '<', 'ANY', FIELD2) → field-to-field
+            # comparison; ANY (the default) is this engine's multi-value
+            # semantics, ALL is out of surface.
+            if len(args) != 4:
+                raise LuceneParseError(
+                    f"#COMPARE takes (field, op, mode, field), got {args}")
+
+            def _s(a):
+                v = a.name if isinstance(a, Identifier) else str(a.value)
+                # args may arrive single-quoted (lexed as bare terms)
+                if len(v) >= 2 and v[0] == v[-1] and v[0] in "'\"":
+                    v = v[1:-1]
+                return v
+
+            f1, op, mode, f2 = (_s(a) for a in args)
+            if mode.upper() not in ("ANY", ""):
+                raise LuceneParseError(
+                    f"#COMPARE mode {mode!r} unsupported (ANY only)")
+            if op not in ("==", "!=", "<", ">", "<=", ">="):
+                raise LuceneParseError(f"#COMPARE op {op!r} unsupported")
+            return FieldCmpNode(op, Identifier(f1), Identifier(f2))
         if name in _HASH_EVAL:
             ns, fn = _HASH_EVAL[name]
             # filter: regex/value args arrive as Identifiers — convert

@@ -362,3 +362,21 @@ class TestOrderByCost:
         a = {r.event_id for r in plain.df.select("event_id").collect()}
         b = {r.event_id for r in ordered.df.select("event_id").collect()}
         assert a == b
+
+
+class TestCompareFunction:
+    def test_compare_maps_to_field_cmp(self, spark):
+        from datawave_spark.lucene.parser import parse_lucene
+        from datawave_spark.jexl.ast import FieldCmpNode
+        n = parse_lucene("#COMPARE(VALUE, '<', 'ANY', USER_ID)")
+        assert isinstance(n, FieldCmpNode) and n.op == "<"
+        df = spark.createDataFrame([(1, 2.0, 10), (2, 20.0, 10)],
+                                   "id long, VALUE double, USER_ID long")
+        from datawave_spark.compiler import compile_query
+        assert [r.id for r in compile_query(df, n).collect()] == [1]
+
+    def test_compare_all_mode_rejected(self):
+        import pytest
+        from datawave_spark.lucene.parser import LuceneParseError, parse_lucene
+        with pytest.raises(LuceneParseError, match="ANY only"):
+            parse_lucene("#COMPARE(A, '<', 'ALL', B)")
