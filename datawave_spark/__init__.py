@@ -25,3 +25,13 @@ inverted indexes.  This package re-expresses every capability Spark-first:
 __version__ = "0.1.0"
 
 from datawave_spark.session import get_spark  # noqa: F401
+from datawave_spark.compiler import compile_query  # noqa: F401
+
+
+def __getattr__(name):
+    # QueryPlanner imports the full function surface; keep top-level
+    # import light by resolving it lazily.
+    if name == "QueryPlanner":
+        from datawave_spark.plans import QueryPlanner
+        return QueryPlanner
+    raise AttributeError(name)
