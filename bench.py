@@ -40,6 +40,7 @@ def main() -> None:
         prepared.lsh_pairs(spark, SF_DIR).count()
         prepared.doc_tf(spark, SF_DIR).count()
         prepared.facet_table(spark, SF_DIR).count()
+        prepared.rollup_hourly(spark, SF_DIR).count()
         prepared.index_stats(spark, SF_DIR).count()
         prepared.ssdeep_hashes(spark, SF_DIR).count()
         prepared.normalized_documents(spark, SF_DIR).count()

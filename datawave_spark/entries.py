@@ -1406,6 +1406,78 @@ def q_pivot(spark, sf_dir):
 
 # ------------------- §4 geohash acceleration + index-frame RangeStream
 
+@register("asof_join_events", f"""
+SELECT p.event_id, p.user_id,
+       strftime(p.ts, '{_TS_FMT_DUCK}') AS ts,
+       round(c.value, 4) AS value_asof
+FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+ASOF LEFT JOIN (SELECT user_id, ts, max(value) AS value FROM events
+                WHERE event_type = 'click' GROUP BY user_id, ts) c
+  ON p.user_id = c.user_id AND p.ts >= c.ts
+""")
+def q_asof_join_events(spark, sf_dir):
+    """As-of join (point-in-time correctness — the operator Spark
+    lacks and DuckDB/kdb ship natively): each purchase gets the most
+    recent at-or-before click value for the same user.  Implemented as
+    union + per-key window carry-forward — ONE shuffle, no join, no
+    quadratic range explosion (operators/asof.py); the oracle is
+    DuckDB's native ASOF LEFT JOIN."""
+    from datawave_spark.operators.asof import asof_join
+    ev = _t(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase")
+    clicks = ev.filter(F.col("event_type") == "click") \
+        .select("user_id", "ts", "value")
+    out = asof_join(purchases, clicks, "user_id", "ts", ["value"])
+    return out.select("event_id", "user_id",
+                      F.date_format("ts", _TS_FMT).alias("ts"),
+                      F.round("value_asof", 4).alias("value_asof"))
+
+
+@register("rollup_daily_from_hourly", """
+SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS day, event_type,
+       count(*) AS n, round(sum(value), 4) AS sum_value
+FROM events GROUP BY 1, 2
+""")
+def q_rollup_daily_from_hourly(spark, sf_dir):
+    """Hypertable rollup (continuous-aggregate pattern): the DAILY
+    answer composes from the INGEST-MATERIALIZED hourly rollup
+    (sources.prepared.rollup_hourly) by re-aggregating decomposable
+    partials (sum of counts, sum of sums) — the oracle aggregates raw
+    events directly, proving grain-composition correctness.  At 100 TB
+    the dashboard query scans the rollup (~1e5× smaller than raw),
+    never the event table."""
+    from datawave_spark.sources import prepared
+    hr = prepared.rollup_hourly(spark, sf_dir)
+    return (hr.groupBy(F.col("hour").cast("date").cast("string").alias("day"),
+                       "event_type")
+            .agg(F.sum("n").alias("n"),
+                 F.round(F.sum("sum_value"), 4).alias("sum_value")))
+
+
+@register("range_join_intervals", """
+WITH iv AS (SELECT event_type AS itype,
+                   min(ts) + INTERVAL 5 DAY AS s,
+                   min(ts) + INTERVAL 15 DAY AS e
+            FROM events GROUP BY event_type)
+SELECT iv.itype, e.event_id FROM events e
+JOIN iv ON e.ts >= iv.s AND e.ts <= iv.e
+""")
+def q_range_join_intervals(spark, sf_dir):
+    """Range (interval-containment) join without an equi-key: events
+    landing inside each per-type activity window.  Uses the
+    interval-bucketing rewrite (operators/asof.range_join) — intervals
+    explode into day buckets, the join hashes on the bucket, and the
+    exact BETWEEN runs as a residual — instead of the nested-loop plan
+    a bare BETWEEN join would get."""
+    from datawave_spark.operators.asof import range_join
+    ev = _t(spark, sf_dir, "events")
+    iv = (ev.groupBy(F.col("event_type").alias("itype"))
+          .agg((F.min("ts") + F.expr("interval 5 days")).alias("s"),
+               (F.min("ts") + F.expr("interval 15 days")).alias("e")))
+    out = range_join(ev.select("event_id", "ts"), "ts", iv, "s", "e")
+    return out.select("itype", "event_id")
+
+
 @register("geo_bbox_accelerated", """
 SELECT event_id,
        CAST(user_id % 160 - 80 AS DOUBLE) AS lat,

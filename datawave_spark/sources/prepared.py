@@ -210,6 +210,29 @@ def doc_tf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return get_or_build(spark, sf_dir, "doc_tf", build, range_by="doc_id")
 
 
+def rollup_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly pre-aggregate of the events table — the hypertable
+    continuous-aggregate pattern (TimescaleDB caggs / druid rollup):
+    (hour, event_type, n, sum_value) materialized at ingest and
+    range-clustered by hour, so time-bounded dashboards scan the tiny
+    rollup (row-group-pruned on hour) and COARSER grains (day, month)
+    compose by re-aggregating it — count and sum are decomposable, so
+    the daily answer from hourly partials equals the daily answer from
+    raw events."""
+    from pyspark.sql import functions as F
+    from datawave_spark.sources.parquet import read_parquet
+
+    def build():
+        ev = read_parquet(spark, os.path.join(sf_dir, "events.parquet"))
+        return (ev.groupBy(F.date_trunc("hour", F.col("ts")).alias("hour"),
+                           "event_type")
+                .agg(F.count(F.lit(1)).alias("n"),
+                     F.sum("value").alias("sum_value")))
+
+    return get_or_build(spark, sf_dir, "rollup_hourly", build,
+                        range_by="hour")
+
+
 def facet_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Precomputed facet counts over the events table — the facet
     TABLE the reference maintains at ingest (FacetHandler.java:52
