@@ -46,6 +46,7 @@ def main() -> None:
         prepared.normalized_documents(spark, SF_DIR).count()
         prepared.embedding_lsh(spark, SF_DIR).count()
         prepared.embedding_ivf(spark, SF_DIR).count()
+        prepared.embedding_int8(spark, SF_DIR).count()
     except Exception as e:
         print(f"bench: prepare failed: {e}", file=sys.stderr)
 

@@ -530,6 +530,36 @@ def q_ann_knn_join(spark, sf_dir):
                                "embedding", "vec_id", k=3)
 
 
+@register("ann_quantized_topk", """
+WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
+qt AS (SELECT vec_id,
+         CASE WHEN list_max(list_transform(embedding::DOUBLE[], x -> abs(x))) > 0
+              THEN list_max(list_transform(embedding::DOUBLE[], x -> abs(x))) / 127.0
+              ELSE 1.0 END AS s,
+         embedding::DOUBLE[] AS e
+       FROM embeddings),
+dq AS (SELECT vec_id,
+         list_transform(e, x -> floor(x / s + 0.5) * s) AS d
+       FROM qt)
+SELECT vec_id AS id,
+       round(list_dot_product(d, qv) /
+             (sqrt(list_dot_product(d, d)) * sqrt(list_dot_product(qv, qv))), 4) AS cos
+FROM dq, q
+ORDER BY cos DESC, id LIMIT 10
+""")
+def q_ann_quantized_topk(spark, sf_dir):
+    """Top-k over the INT8-QUANTIZED stored corpus
+    (sources.prepared.embedding_int8 — 4× smaller scan than float32):
+    scoring dequantizes in-plan (x · q_scale); the round-half-up code
+    assignment is reproduced exactly in DuckDB, so the whole
+    quantize→dequantize→score pipeline is value-checked, quantization
+    error included."""
+    from datawave_spark.sources import prepared
+    quant = prepared.embedding_int8(spark, sf_dir)
+    return similarity.quantized_cosine_topk(quant, "vec_id",
+                                            _query_vec(sf_dir), k=10)
+
+
 _LSH_PLANES = similarity.hyperplanes(dim=64, bits=8, seed=42)
 
 

@@ -384,6 +384,23 @@ def embedding_ivf(spark: SparkSession, sf_dir: str,
                         partition_by="ivf_cluster")
 
 
+def embedding_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8-quantized embeddings as a stored ingest asset
+    (vec_id, label, q_scale, q_vec) — the 4×-smaller ANN corpus
+    representation; queries score dequantized values without touching
+    the float32 table."""
+    from datawave_spark.operators.similarity import quantize_embeddings
+    from datawave_spark.sources.parquet import read_parquet
+
+    def build():
+        emb = read_parquet(spark, os.path.join(sf_dir, "embeddings.parquet"))
+        return quantize_embeddings(emb, "embedding") \
+            .select("vec_id", "label", "q_scale", "q_vec")
+
+    return get_or_build(spark, sf_dir, "embedding_int8", build,
+                        range_by="vec_id")
+
+
 def embedding_lsh(spark: SparkSession, sf_dir: str, bits: int = 8,
                   seed: int = 42) -> DataFrame:
     """Embeddings with their random-hyperplane LSH signature as a STORED

@@ -174,3 +174,19 @@ def test_distributed_path_matches_driver_union_find(spark):
             connected_components(pairs, driver_threshold=0).collect()}
     assert fast == dist
     assert dict(fast)[5] == 1  # 4-hop chain resolves to the minimum
+
+
+def test_quantized_topk_high_recall(spark, emb):
+    """Int8 quantization error is ~0.4% per component; the dequantized
+    top-10 must agree with the exact float top-10 almost perfectly."""
+    import pyarrow.parquet as pq
+    q = [float(x) for x in pq.read_table(
+        f"{SF_DIR}/embeddings.parquet",
+        filters=[("vec_id", "=", 0)]).column("embedding")[0].as_py()]
+    exact = [r.id for r in similarity.cosine_topk(
+        emb, "embedding", "vec_id", q, k=10).collect()]
+    quant = similarity.quantize_embeddings(emb, "embedding")
+    approx = [r.id for r in similarity.quantized_cosine_topk(
+        quant.withColumnRenamed("vec_id", "vid"), "vid", q, k=10).collect()]
+    assert approx[0] == 0                      # query vector itself
+    assert len(set(exact) & set(approx)) >= 8
