@@ -122,7 +122,7 @@ def default_pipeline(node: JexlNode) -> JexlNode:
 OPTION_FUNCS = {
     "groupby", "unique", "most_recent_unique", "sum", "min", "max",
     "average", "count", "rename", "excerpt_fields", "limit_fields",
-    "noexpansion", "lenient", "strict",
+    "noexpansion", "lenient", "strict", "options",
 }
 
 
@@ -140,6 +140,10 @@ class QueryOptions:
     noexpansion: list[str] = dc_field(default_factory=list)  # fields exempt from model expansion
     lenient: bool = False
     strict: bool = False
+    # f:options key/value pairs (Options.java / QueryFunctions
+    # OPTIONS_FUNCTION) — free-form query parameters; recognized keys
+    # are folded into the typed fields above, the rest kept here.
+    extra: dict[str, str] = dc_field(default_factory=dict)
 
 
 def _arg_str(a: JexlNode) -> str:
@@ -187,6 +191,26 @@ def extract_options(node: JexlNode) -> tuple[JexlNode, QueryOptions]:
                 opts.lenient = True
             elif n.name == "strict":
                 opts.strict = True
+            elif n.name == "options":
+                # #OPTIONS key/value pairs; known keys map onto the
+                # typed option fields (the reference folds them into
+                # the query's parameter map the same way).
+                for k, v in zip(args[0::2], args[1::2]):
+                    key = k.lower()
+                    if key in ("group.fields", "groupby"):
+                        opts.groupby.extend(v.split(","))
+                    elif key in ("unique.fields", "unique"):
+                        for raw in v.split(","):
+                            f, g = _parse_unique_arg(raw)
+                            opts.unique[f] = g
+                    elif key == "limit.fields":
+                        for raw in v.split(","):
+                            f, lim = raw.split("=", 1)
+                            opts.limit_fields[f] = int(lim)
+                    elif key == "excerpt.fields":
+                        opts.excerpt_fields.extend(v.split(","))
+                    else:
+                        opts.extra[k] = v
             return TRUE
         if isinstance(n, (AndNode, OrNode)):
             return type(n)(tuple(walk(t) for t in n.terms))

@@ -894,6 +894,47 @@ def q_lucene_unique(spark, sf_dir):
     return res.df.select("user_id", "event_type")
 
 
+@register("lucene_date_function", f"""
+SELECT event_id, strftime(ts, '{_TS_FMT_DUCK}') AS ts_s FROM events
+WHERE event_type = 'click'
+  AND ts >= TIMESTAMP '2024-01-05 00:00:00'
+  AND ts <= TIMESTAMP '2024-01-10 00:00:00'
+""")
+def q_lucene_date_function(spark, sf_dir):
+    """#DATE through the LUCENE front-end (DateFunction.java:52-71 —
+    #DATE(FIELD, between, a, b) → filter:betweenDates), composed with a
+    fielded equality term.  The equality still pushes to parquet; the
+    date window evaluates post-scan like the reference's
+    evaluation-phase filter."""
+    from datawave_spark.plans import QueryPlanner
+    ev = _t(spark, sf_dir, "events")
+    res = QueryPlanner(ev).plan(
+        "event_type:click #DATE(TS, between, '2024-01-05', '2024-01-10')",
+        syntax="LUCENE")
+    return res.df.select("event_id", F.date_format("ts", _TS_FMT).alias("ts_s"))
+
+
+@register("lucene_geowave_intersects", """
+SELECT event_id FROM events
+WHERE (user_id % 180 - 90) BETWEEN -10 AND 40
+  AND (event_id % 360 - 180) BETWEEN -20 AND 60
+""")
+def q_lucene_geowave_intersects(spark, sf_dir):
+    """#INTERSECTS through the LUCENE front-end (Geowave.java:60-96 —
+    LUCENE geowave predicates translate to geowave:<op>(FIELD, wkt));
+    same synthetic point column and rectangle as geowave_polygon, so the
+    two entries cross-check front-end parity."""
+    from datawave_spark.plans import QueryPlanner
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "GEO", F.concat_ws(",",
+                           (F.col("user_id") % 180 - 90).cast("double"),
+                           (F.col("event_id") % 360 - 180).cast("double")))
+    res = QueryPlanner(ev).plan(
+        '#INTERSECTS(GEO, "POLYGON((-20 -10, 60 -10, 60 40, -20 40, -20 -10))")',
+        syntax="LUCENE")
+    return res.df.select("event_id")
+
+
 # --------------------------------- §2.2/§2.5 content functions + excerpts
 
 _DUCK_DOCTOKS = ("SELECT doc_id, list_filter(regexp_split_to_array(lower(text), "

@@ -10,11 +10,15 @@ AccumuloSyntaxParser.java:45).  The LUCENE dialect DataWave accepts:
 - ``FIELD:"a b c"`` quoted phrase → content:phrase(FIELD, ...);
 - ``AND`` / ``OR`` / ``NOT`` (and symbolic &&/||/!), implicit AND for
   adjacent terms (DataWave configures implicit-AND), parentheses;
-- ``#FUNC(args)`` post-filters/options — the `language/functions/jexl/`
-  class list: #INCLUDE, #EXCLUDE, #ISNULL, #ISNOTNULL, #TEXT,
-  #GROUPBY, #UNIQUE, #UNIQUE_BY_DAY (etc.), #SUM/#MIN/#MAX/#AVERAGE/
-  #COUNT, #EXCERPT_FIELDS, #LIMIT_FIELDS, #NOEXPANSION, #LENIENT,
-  #STRICT, #RENAME, #MATCHES_IN_GROUP, #OCCURRENCE, #JEXL.
+- ``#FUNC(args)`` post-filters/options — the full `language/functions/
+  jexl/` class list: #INCLUDE, #EXCLUDE, #ISNULL, #ISNOTNULL, #TEXT,
+  #GROUPBY, #UNIQUE, #UNIQUE_BY_DAY (etc., incl. TENTH_OF_HOUR),
+  #SUM/#MIN/#MAX/#AVERAGE/#COUNT, #EXCERPT_FIELDS, #LIMIT_FIELDS,
+  #NOEXPANSION, #LENIENT, #STRICT, #RENAME, #MATCHES_IN_GROUP[_LEFT],
+  #OCCURRENCE, #JEXL, #COMPARE, #MATCHES, #GET_ALL_MATCHES, #DATE,
+  #LOADED, #TIME_FUNCTION, #ATOM_VALUES_MATCH, #EVALUATION_ONLY,
+  #OPTIONS, #GEO, and the geowave predicates #CONTAINS/#COVERED_BY/
+  #COVERS/#CROSSES/#INTERSECTS/#OVERLAPS/#WITHIN.
 
 Everything compiles onto the same JEXL AST the JEXL parser produces, so
 downstream (rewrites, options extraction, Column compiler) is shared.
@@ -86,7 +90,26 @@ _HASH_EVAL = {
     "TEXT": ("f", "includeText"),
     "MATCHES_IN_GROUP": ("grouping", "matchesInGroup"),
     "MATCHES_IN_GROUP_LEFT": ("grouping", "matchesInGroupLeft"),
+    # TimeFunction.java:20 ("time_function") → filter:timeFunction
+    "TIME_FUNCTION": ("filter", "timeFunction"),
+    # Matches.java:14 emits "f:matchesRegex" — the QueryFunctions method
+    # is matchRegex (QueryFunctions.java:33 MATCH_REGEX); same function.
+    "MATCHES": ("f", "matchRegex"),
+    # AtomValuesMatchFunction.java:17 → grouping:atomValuesMatch
+    "ATOM_VALUES_MATCH": ("grouping", "atomValuesMatch"),
 }
+
+# Geowave.java:60-96 subclasses: #CONTAINS(FIELD, wkt) etc. →
+# geowave:<name>(FIELD, 'wkt')
+_GEOWAVE_OPS = {
+    "CONTAINS": "contains", "COVERED_BY": "covered_by",
+    "COVERS": "covers", "CROSSES": "crosses",
+    "INTERSECTS": "intersects", "OVERLAPS": "overlaps",
+    "WITHIN": "within",
+}
+
+# DateFunction.java:15 / Loaded.java COMMANDS
+_DATE_COMMANDS = {"after", "before", "between"}
 
 # #FUNC options → f: namespace option functions (QueryOptionsFromQuery
 # recognizes f:groupby, f:unique, f:unique_by_*, f:sum..., :58-64).
@@ -98,7 +121,7 @@ _HASH_OPTIONS = {
     "EXCERPT_FIELDS": "excerpt_fields", "LIMIT_FIELDS": "limit_fields",
     "NOEXPANSION": "noexpansion", "LENIENT": "lenient", "STRICT": "strict",
 }
-_UNIQUE_BY = re.compile(r"UNIQUE_BY_([A-Z]+)$")
+_UNIQUE_BY = re.compile(r"UNIQUE_BY_([A-Z_]+)$")
 
 
 class _Parser:
@@ -220,6 +243,78 @@ class _Parser:
             # non-leading args to literals (fields stay identifiers only
             # in positions the functions expect).
             return FuncNode(ns, fn, tuple(args))
+        if name in _GEOWAVE_OPS:
+            # Geowave.java:31-44: first arg is the field, the rest are
+            # escaped strings (the WKT geometry).
+            return FuncNode("geowave", _GEOWAVE_OPS[name],
+                            (args[0], *(self._lit(a) for a in args[1:])))
+        if name == "GEO":
+            # GeoFunction.java:51-66: #GEO(bounding_box|circle, FIELD
+            # [, FIELD2], args...) → geo:within_<command>(...)
+            if not args:
+                raise LuceneParseError("#GEO requires a command argument")
+            cmd = self._str(args[0]).lower()
+            if cmd not in ("bounding_box", "circle"):
+                raise LuceneParseError(
+                    f"#GEO command must be bounding_box or circle, got {cmd!r}")
+            rest = list(args[1:])
+            # field name(s) lead; coordinate args become literals.  The
+            # 7-arg bounding_box form has two leading fields (lon, lat).
+            n_fields = 2 if (cmd == "bounding_box" and len(rest) == 6) else 1
+            out = rest[:n_fields] + [self._lit(a) for a in rest[n_fields:]]
+            return FuncNode("geo", f"within_{cmd}", tuple(out))
+        if name == "DATE":
+            # DateFunction.java:52-71: #DATE(FIELD[, after|before|
+            # between], args...) → filter:afterDate/beforeDate/
+            # betweenDates; an unrecognized second arg means "between"
+            # with that arg as the first date value.
+            if len(args) < 2:
+                raise LuceneParseError("#DATE requires a field and dates")
+            field, cmd = args[0], self._str(args[1]).lower()
+            known = cmd in _DATE_COMMANDS
+            fn = (cmd if known else "between") + "Date" \
+                + ("s" if (not known or cmd == "between") else "")
+            rest = args[1:] if not known else args[2:]
+            return FuncNode("filter", fn,
+                            (field, *(self._lit(a) for a in rest)))
+        if name == "LOADED":
+            # Loaded.java:55-73: #LOADED([after|before|between,] args...)
+            # → filter:*LoadDate(LOAD_DATE, args...)
+            if not args:
+                raise LuceneParseError("#LOADED requires date arguments")
+            cmd = self._str(args[0]).lower()
+            known = cmd in _DATE_COMMANDS
+            fn = (cmd if known else "between") + "LoadDate" \
+                + ("s" if (not known or cmd == "between") else "")
+            rest = args if not known else args[1:]
+            return FuncNode("filter", fn,
+                            (Identifier("LOAD_DATE"),
+                             *(self._lit(a) for a in rest)))
+        if name == "GET_ALL_MATCHES":
+            # GetAllMatches.java:70-90: (field, regex) pairs ANDed.
+            if not args or len(args) % 2:
+                raise LuceneParseError(
+                    "#GET_ALL_MATCHES takes (field, regex) pairs")
+            terms = tuple(
+                FuncNode("filter", "getAllMatches",
+                         (args[i], self._lit(args[i + 1])))
+                for i in range(0, len(args), 2))
+            return terms[0] if len(terms) == 1 else AndNode(terms)
+        if name == "EVALUATION_ONLY":
+            # EvaluationOnly.java:34-51 wraps the re-parsed subquery in
+            # ((_Eval_ = true) && (...)); the marker is a planner hint
+            # that compiles to TRUE here (jexl/parser.py marker rule),
+            # so the wrapped expression is all that remains.
+            if len(args) != 1 or not isinstance(args[0], Literal):
+                raise LuceneParseError(
+                    "#EVALUATION_ONLY takes one quoted subquery")
+            return parse_lucene(str(args[0].value))
+        if name == "OPTIONS":
+            # Options.java:32-47 → f:options(key, value, ...)
+            if len(args) % 2:
+                raise LuceneParseError("#OPTIONS takes key/value pairs")
+            return FuncNode("f", "options",
+                            tuple(self._lit(a) for a in args))
         m = _UNIQUE_BY.match(name)
         if m:
             gran = m.group(1)
@@ -238,6 +333,22 @@ class _Parser:
     @staticmethod
     def _unquote(s: str) -> str:
         return re.sub(r"\\(.)", r"\1", s[1:-1])
+
+    @staticmethod
+    def _str(a: JexlNode) -> str:
+        """Argument node → its raw string (identifier name or literal)."""
+        v = a.name if isinstance(a, Identifier) else str(a.value)
+        if len(v) >= 2 and v[0] == v[-1] and v[0] in "'\"":
+            v = v[1:-1]
+        return v
+
+    @classmethod
+    def _lit(cls, a: JexlNode) -> Literal:
+        """Force a value-position argument to a literal (bare terms lex
+        as Identifiers; dates like 2024-01-01 must stay strings)."""
+        if isinstance(a, Literal):
+            return a
+        return Literal(cls._str(a))
 
     def parse_term(self) -> JexlNode:
         kind, v = self.next()

@@ -37,6 +37,13 @@ def _unique_key(field: str, granularity: str) -> Column:
         return F.dayofweek(F.col(field))
     if g == "HOUR_OF_DAY":
         return F.hour(F.col(field))
+    if g == "TENTH_OF_HOUR":
+        # UniqueGranularity TRUNCATE_TEMPORAL_TO_TENTH_OF_HOUR
+        # (UniqueByTenthOfHour.java): 6-minute buckets.
+        ts = F.date_trunc("hour", F.col(field).cast("timestamp"))
+        return ts + F.make_interval(
+            mins=(F.floor(F.minute(F.col(field).cast("timestamp")) / 6) * 6
+                  ).cast("int"))
     unit = _TRUNC.get(g)
     if unit is None:
         raise ValueError(f"unknown #UNIQUE granularity {granularity!r}")

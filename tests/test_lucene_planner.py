@@ -69,6 +69,59 @@ class TestLucene:
     def test_hash_jexl_passthrough(self):
         assert parse_lucene('#JEXL("A == \'1\'")') == jexl("A == '1'")
 
+    def test_hash_date_loaded(self):
+        # DateFunction.java:52-71 / Loaded.java:55-73 translations
+        assert parse_lucene("#DATE(TS, after, '2024-01-01')") == FuncNode(
+            "filter", "afterDate", (Identifier("TS"), Literal("2024-01-01")))
+        assert parse_lucene("#DATE(TS, '2024-01-01', '2024-02-01')") == \
+            FuncNode("filter", "betweenDates",
+                     (Identifier("TS"), Literal("2024-01-01"),
+                      Literal("2024-02-01")))
+        assert parse_lucene("#LOADED(before, '2024-01-01')") == FuncNode(
+            "filter", "beforeLoadDate",
+            (Identifier("LOAD_DATE"), Literal("2024-01-01")))
+
+    def test_hash_matches_and_get_all(self):
+        assert parse_lucene('#MATCHES(PROPS, "x.*")') == FuncNode(
+            "f", "matchRegex", (Identifier("PROPS"), Literal("x.*")))
+        node = parse_lucene('#GET_ALL_MATCHES(NAME, "a.*", TYPE, "b.*")')
+        assert isinstance(node, AndNode) and len(node.terms) == 2
+        assert node.terms[0] == FuncNode(
+            "filter", "getAllMatches", (Identifier("NAME"), Literal("a.*")))
+
+    def test_hash_evaluation_only_unwraps(self):
+        # EvaluationOnly.java wraps in ((_Eval_ = true) && ...) — the
+        # marker is a planner no-op here, the subquery remains.
+        assert parse_lucene('#EVALUATION_ONLY("CITY:rome")') == \
+            jexl("CITY == 'rome'")
+
+    def test_hash_options_extraction(self):
+        node = parse_lucene(
+            'CITY:rome #OPTIONS("limit.fields", "NAME=2", "hit.list", "true")')
+        _, opts = extract_options(node)
+        assert opts.limit_fields == {"NAME": 2}
+        assert opts.extra == {"hit.list": "true"}
+
+    def test_hash_geo_and_geowave(self):
+        assert parse_lucene('#GEO(bounding_box, PT, "-10_-10", "10_10")') == \
+            FuncNode("geo", "within_bounding_box",
+                     (Identifier("PT"), Literal("-10_-10"), Literal("10_10")))
+        assert parse_lucene(
+            '#INTERSECTS(GEOM, "POLYGON((0 0, 1 0, 1 1, 0 0))")') == \
+            FuncNode("geowave", "intersects",
+                     (Identifier("GEOM"),
+                      Literal("POLYGON((0 0, 1 0, 1 1, 0 0))")))
+
+    def test_hash_unique_by_tenth_of_hour(self):
+        node = parse_lucene("CITY:rome #UNIQUE_BY_TENTH_OF_HOUR(TS)")
+        assert node.terms[1] == FuncNode(
+            "f", "unique", (Identifier("TS[TENTH_OF_HOUR]"),))
+
+    def test_hash_atom_values_match(self):
+        assert parse_lucene("#ATOM_VALUES_MATCH(NAME, ALIAS)") == FuncNode(
+            "grouping", "atomValuesMatch",
+            (Identifier("NAME"), Identifier("ALIAS")))
+
 
 class TestRewrites:
     def test_flatten(self):
