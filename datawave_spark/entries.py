@@ -783,6 +783,103 @@ def q_curation_pack(spark, sf_dir):
     return pack_sequences(docs, "doc_id", "source", "n_sub", budget=2048)
 
 
+# synthesized PII suffix shared by the Spark entry and the oracle: the
+# documents fixture is word salad, so both engines append the same
+# deterministic contact block before redaction runs.
+def _pii_text():
+    did = F.col("doc_id").cast("string")
+    last4 = F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0")
+    return F.concat(
+        F.substring("text", 1, 40),
+        F.lit(" mail user"), did, F.lit("@ex.org ip 10.1."),
+        (F.col("doc_id") % 200).cast("string"), F.lit(".7 ssn 123-45-"),
+        last4, F.lit(" card 4111 1111 1111 1111 call (555) 867-"), last4)
+
+
+_PII_DUCK = ("substr(text, 1, 40) || ' mail user' || doc_id || '@ex.org ip 10.1.'"
+             " || (doc_id % 200) || '.7 ssn 123-45-'"
+             " || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')"
+             " || ' card 4111 1111 1111 1111 call (555) 867-'"
+             " || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')")
+_PII_RE = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "ip": r"\b(\d{1,3}\.){3}\d{1,3}\b",
+    "ssn": r"\b\d{3}-\d{2}-\d{4}\b",
+    "card": r"\b\d{4}[ -]\d{4}[ -]\d{4}[ -]\d{2,4}\b",
+    "phone": r"(\+\d{1,2}[ .-]?)?\(?\d{3}\)?[ .-]\d{3}[ .-]\d{4}\b",
+}
+
+
+@register("curation_redact_pii", f"""
+WITH raw AS (SELECT doc_id, {_PII_DUCK} AS t FROM documents)
+SELECT doc_id,
+  regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+    t, '{_PII_RE["email"]}', '<EMAIL>', 'g'),
+       '{_PII_RE["ip"]}', '<IP>', 'g'),
+       '{_PII_RE["ssn"]}', '<SSN>', 'g'),
+       '{_PII_RE["card"]}', '<CARD>', 'g'),
+       '{_PII_RE["phone"]}', '<PHONE>', 'g') AS redacted,
+  len(regexp_extract_all(t, '{_PII_RE["email"]}')) AS n_email,
+  len(regexp_extract_all(t, '{_PII_RE["ip"]}')) AS n_ip,
+  len(regexp_extract_all(t, '{_PII_RE["ssn"]}')) AS n_ssn,
+  len(regexp_extract_all(t, '{_PII_RE["card"]}')) AS n_card,
+  len(regexp_extract_all(t, '{_PII_RE["phone"]}')) AS n_phone
+FROM raw
+""")
+def q_curation_redact_pii(spark, sf_dir):
+    """PII redaction before training (operators/curation.redact_pii):
+    emails/IPs/SSNs/cards/phones → typed mask tokens + per-category
+    counts, as one codegen'd regexp chain (the content-level analog of
+    the reference's field masking, visibility.py).  The fixture text
+    carries no PII, so both engines append the same deterministic
+    contact block first — the redaction itself is what's compared."""
+    from datawave_spark.operators.curation import redact_pii
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", _pii_text().alias("t"))
+    return redact_pii(docs, "t", "doc_id")
+
+
+@register("curation_url_canonical", """
+WITH raw AS (SELECT doc_id,
+  'HTTPS://WWW.Example' || (doc_id % 50) || '.COM/Path' || (doc_id % 7) ||
+  CASE WHEN doc_id % 3 = 0 THEN '/?utm_source=x&id=' || (doc_id % 11)
+       WHEN doc_id % 3 = 1 THEN '/page?gclid=abc123'
+       ELSE '/' END || CASE WHEN doc_id % 2 = 0 THEN '#frag' ELSE '' END AS u
+  FROM documents),
+canon AS (SELECT doc_id,
+  regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+  regexp_replace(regexp_replace(
+    lower(regexp_extract(u, '^([A-Za-z][A-Za-z0-9+.-]*://[^/?#]*)', 1)) ||
+      regexp_replace(u, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*', ''),
+    '^(https?://)www\\.', '\\1'),
+    '#.*$', ''),
+    '([?&])(utm_[a-z]+|gclid|fbclid|ref|mc_eid)=[^&#]*', '\\1', 'g'),
+    '\\?&+', '?'), '&&+', '&', 'g'), '[?&]$', ''), '/$', '') AS cu
+  FROM raw)
+SELECT doc_id, cu AS canonical_url, md5(cu) AS url_key FROM canon
+""")
+def q_curation_url_canonical(spark, sf_dir):
+    """Crawl URL canonicalization → stable dedup key
+    (operators/curation.canonicalize_urls): lowercased authority,
+    www./fragment/tracking-param stripping, md5 key.  URLs are
+    synthesized deterministically from doc_id (mixed-case host,
+    utm/gclid decorations, fragments) so every rule fires."""
+    from datawave_spark.operators.curation import canonicalize_urls
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.lit("HTTPS://WWW.Example"), (F.col("doc_id") % 50).cast("string"),
+            F.lit(".COM/Path"), (F.col("doc_id") % 7).cast("string"),
+            F.when(F.col("doc_id") % 3 == 0,
+                   F.concat(F.lit("/?utm_source=x&id="),
+                            (F.col("doc_id") % 11).cast("string")))
+             .when(F.col("doc_id") % 3 == 1, F.lit("/page?gclid=abc123"))
+             .otherwise(F.lit("/")),
+            F.when(F.col("doc_id") % 2 == 0, F.lit("#frag")).otherwise(F.lit(""))
+        ).alias("u"))
+    return canonicalize_urls(docs, "u", "doc_id")
+
+
 @register("curation_pipeline", f"""
 WITH RECURSIVE {_DUCK_LSH_CTES},
 edges AS (SELECT id_a AS s, id_b AS d FROM lshpairs

@@ -159,3 +159,75 @@ def pack_sequences(df: DataFrame, id_col: str, strata_col: str,
     return df.select(F.col(id_col), F.col(strata_col),
                      F.col(size_col).cast("long").alias("size"),
                      bin_id.cast("long").alias("bin"))
+
+
+# PII categories, applied IN ORDER (earlier patterns must not leave
+# fragments later ones would mangle: email before phone so the local
+# part's digits survive, IP before phone so dotted quads aren't eaten
+# by the phone separator class).  Patterns stay inside the syntax
+# intersection of Java regex (Spark) and RE2 (DuckDB/oracle): no
+# backrefs, no lookaround.
+PII_PATTERNS: tuple[tuple[str, str], ...] = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"),
+    ("ip", r"\b(?:\d{1,3}\.){3}\d{1,3}\b"),
+    ("ssn", r"\b\d{3}-\d{2}-\d{4}\b"),
+    ("card", r"\b\d{4}[ -]\d{4}[ -]\d{4}[ -]\d{2,4}\b"),
+    # no leading \b: it cannot assert before an optional "(" (space→"("
+    # is a non-word/non-word position, so \b\(? would reject "(555) ..")
+    ("phone", r"(?:\+\d{1,2}[ .-]?)?\(?\d{3}\)?[ .-]\d{3}[ .-]\d{4}\b"),
+)
+
+
+def redact_pii(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Content-level masking for training corpora: replace emails / IPs
+    / SSNs / card numbers / phone numbers with ``<CATEGORY>`` tokens and
+    count replacements per category — the LLM-pipeline analog of the
+    reference's field-level masking (visibility.py field masking /
+    ColumnVisibility), applied inside free text before it can reach a
+    training set.
+
+    Pure ``regexp_replace``/``regexp_count`` column chain — codegen'd,
+    zero shuffle, linear scan at any scale.  Counts are taken against
+    the ORIGINAL text per category (order-independent), replacements
+    cascade in PII_PATTERNS order."""
+    out = df.select(F.col(id_col), F.col(text_col).alias("__text"))
+    red = F.col("__text")
+    cols = []
+    for cat, pat in PII_PATTERNS:
+        cols.append(F.regexp_count(F.col("__text"), F.lit(pat))
+                    .alias(f"n_{cat}"))
+        red = F.regexp_replace(red, pat, f"<{cat.upper()}>")
+    return out.select(F.col(id_col), red.alias("redacted"), *cols)
+
+
+# tracking query parameters stripped by canonicalize_urls (the CCNet/
+# C4-style crawl-dedup normalization set)
+_TRACKING_PARAMS = ("utm_[a-z]+", "gclid", "fbclid", "ref", "mc_eid")
+
+
+def canonicalize_urls(df: DataFrame, url_col: str, id_col: str) -> DataFrame:
+    """Web-crawl URL canonicalization → exact-dedup key: lowercase the
+    scheme+host, drop ``www.``, strip fragments, strip tracking query
+    parameters (utm_*, gclid, fbclid, ref, mc_eid), drop an emptied
+    ``?``, and trim a trailing slash.  Emits the canonical form and its
+    md5 — the join/groupBy key for crawl dedup, so two fetches of the
+    same logical page collapse regardless of tracker decoration.
+
+    All regexp_replace column expressions (RE2-safe, oracle-matched in
+    DuckDB), no shuffle; the downstream dedup shuffles on the 32-char
+    md5, never the raw URL."""
+    # scheme+host lowercase (path stays case-sensitive): split on the
+    # first /?# after the authority and reassemble
+    _AUTH = r"^([A-Za-z][A-Za-z0-9+.-]*://[^/?#]*)"
+    u = F.concat(F.lower(F.regexp_extract(F.col(url_col), _AUTH, 1)),
+                 F.regexp_replace(F.col(url_col), _AUTH, ""))
+    u = F.regexp_replace(u, r"^(https?://)www\.", r"$1")
+    u = F.regexp_replace(u, r"#.*$", "")
+    for p in _TRACKING_PARAMS:
+        u = F.regexp_replace(u, rf"([?&]){p}=[^&#]*", r"$1")
+    u = F.regexp_replace(u, r"\?&+", "?")           # "?&id" → "?id"
+    u = F.regexp_replace(u, r"&&+", "&")            # "&&"  → "&"
+    u = F.regexp_replace(u, r"[?&]$", "")           # emptied query
+    u = F.regexp_replace(u, r"/$", "")
+    return df.select(F.col(id_col), u.alias("canonical_url"),
+                     F.md5(u).alias("url_key"))

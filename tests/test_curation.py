@@ -121,3 +121,52 @@ class TestPackSequences:
         b = sorted(map(tuple, curation.pack_sequences(
             df.repartition(11), "id", "s", "n", 500).collect()))
         assert a == b
+
+
+class TestRedactPII:
+    def test_all_categories_masked(self, spark):
+        df = spark.createDataFrame(
+            [(1, "mail bob@x.org ip 10.1.2.7 ssn 123-45-6789 "
+                 "card 4111 1111 1111 1111 call (555) 867-5309")],
+            ["id", "t"])
+        row = curation.redact_pii(df, "t", "id").collect()[0]
+        assert "<EMAIL>" in row.redacted and "<IP>" in row.redacted
+        assert "<SSN>" in row.redacted and "<CARD>" in row.redacted
+        assert "<PHONE>" in row.redacted
+        assert (row.n_email, row.n_ip, row.n_ssn, row.n_card,
+                row.n_phone) == (1, 1, 1, 1, 1)
+
+    def test_clean_text_untouched(self, spark):
+        df = spark.createDataFrame([(1, "just plain words here")], ["id", "t"])
+        row = curation.redact_pii(df, "t", "id").collect()[0]
+        assert row.redacted == "just plain words here"
+        assert row.n_email == row.n_phone == 0
+
+    def test_order_ip_not_eaten_by_phone(self, spark):
+        # the dotted quad must become <IP>, never a partial <PHONE>
+        df = spark.createDataFrame([(1, "server at 192.168.100.200 up")],
+                                   ["id", "t"])
+        row = curation.redact_pii(df, "t", "id").collect()[0]
+        assert "<IP>" in row.redacted and "PHONE" not in row.redacted
+
+
+class TestCanonicalizeUrls:
+    def test_full_normalization(self, spark):
+        df = spark.createDataFrame(
+            [(1, "HTTPS://WWW.Example.COM/Path/?utm_source=x&id=2#frag"),
+             (2, "https://example.com/Path?id=2"),
+             (3, "http://site.org/a/?gclid=z")],
+            ["id", "u"])
+        got = {r.id: r.canonical_url
+               for r in curation.canonicalize_urls(df, "u", "id").collect()}
+        assert got[1] == "https://example.com/Path/?id=2"
+        assert got[2] == "https://example.com/Path?id=2"
+        assert got[3] == "http://site.org/a"
+
+    def test_same_page_same_key(self, spark):
+        df = spark.createDataFrame(
+            [(1, "HTTP://WWW.A.COM/x?utm_campaign=spring"),
+             (2, "http://a.com/x")], ["id", "u"])
+        keys = [r.url_key
+                for r in curation.canonicalize_urls(df, "u", "id").collect()]
+        assert keys[0] == keys[1]
