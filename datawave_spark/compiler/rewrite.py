@@ -407,3 +407,63 @@ def order_by_cost(node: JexlNode, stats: dict[str, int]) -> JexlNode:
         return n
 
     return walk(node)
+
+
+def expand_regex_from_index(node: JexlNode, index, *,
+                            max_expansion: int = 50) -> JexlNode:
+    """Regex→index expansion (RegexIndexExpansionVisitor /
+    ExpandMultiNormalizedTerms parity, wired at DefaultQueryPlanner's
+    regex-expansion stage): each positive ``FIELD =~ 're'`` whose field
+    is present in the stored global-index frame is replaced by the OR
+    of the concrete indexed values matching the regex — turning an
+    unpushable full-scan regex into an IN-shaped disjunction Catalyst
+    pushes into the parquet scan.
+
+    The index lookup is a bounded plan-time read (``max_expansion + 1``
+    rows max — the reference's ScannerStream against shardIndex with
+    MAX_UNFIELDED_EXPANSION); a regex matching more values than the
+    threshold stays an evaluation-phase regex, exactly the reference's
+    ExceededValueThresholdMarker fallback.  Negated regexes (under
+    ``!``/NOT) are left for evaluation: expanding them against the
+    index would change semantics for unindexed values.
+
+    A regex matching ZERO indexed values compiles to FALSE — the index
+    is authoritative for indexed fields (an empty global-index range
+    returns no documents in the reference, RangeStream.java:106).
+    """
+    from pyspark.sql import functions as F
+
+    fields_in_index = None  # lazy: only read when a regex term exists
+
+    def lookup(field: str, regex: str) -> list[str] | None:
+        nonlocal fields_in_index
+        if fields_in_index is None:
+            fields_in_index = {
+                r[0] for r in index.select("field").distinct().collect()}
+        if field.upper() not in fields_in_index:
+            return None
+        rows = (index.filter((F.col("field") == field.upper())
+                             & F.col("value").rlike(f"^(?:{regex})$"))
+                .select("value").distinct()
+                .limit(max_expansion + 1).collect())
+        if len(rows) > max_expansion:
+            return None
+        return sorted(r.value for r in rows)
+
+    def walk(n: JexlNode, positive: bool) -> JexlNode:
+        if isinstance(n, CmpNode) and n.op == "=~" and positive:
+            vals = lookup(n.field.name, str(n.value.value))
+            if vals is None:
+                return n
+            if not vals:
+                return Literal(False)
+            terms = tuple(CmpNode("==", Identifier(n.field.name), Literal(v))
+                          for v in vals)
+            return terms[0] if len(terms) == 1 else OrNode(terms)
+        if isinstance(n, (AndNode, OrNode)):
+            return type(n)(tuple(walk(t, positive) for t in n.terms))
+        if isinstance(n, NotNode):
+            return NotNode(walk(n.term, not positive))
+        return n
+
+    return walk(node, True)

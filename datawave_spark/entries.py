@@ -1691,6 +1691,28 @@ def q_index_driven(spark, sf_dir):
     return out.select("event_id", "user_id", "value")
 
 
+@register("regex_index_expansion", """
+SELECT event_id, event_type FROM events
+WHERE regexp_full_match(event_type, 's.*|v.*') AND value > 250
+""")
+def q_regex_index_expansion(spark, sf_dir):
+    """Regex→index expansion (RegexIndexExpansionVisitor parity): the
+    planner looks the regex up in the STORED global-index frame and
+    rewrites ``EVENT_TYPE =~ 's.*'`` into the OR of the concrete
+    indexed values — the scan then receives a pushable In() filter
+    instead of evaluating a regex per row (plan asserted in
+    tests/test_plan_quality.py).  The index read is bounded
+    (max_expansion + 1 rows), mirroring the reference's ScannerStream
+    + MAX_UNFIELDED_EXPANSION guard."""
+    from datawave_spark.plans import QueryPlanner
+    from datawave_spark.sources.prepared import index_frame
+    ev = _t(spark, sf_dir, "events")
+    idx = index_frame(spark, sf_dir)
+    res = QueryPlanner(ev, index=idx).plan(
+        "EVENT_TYPE =~ 's.*|v.*' && VALUE > 250")
+    return res.df.select("event_id", "event_type")
+
+
 @register("limit_fields_cap", """
 SELECT user_id,
        array_to_string(list_sort(list_distinct(list(event_type)))[1:2], ',')

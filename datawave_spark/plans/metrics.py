@@ -40,7 +40,9 @@ class QueryMetrics:
 
 def plan_counters(df: DataFrame) -> dict[str, int | list[str]]:
     plan = df._jdf.queryExecution().executedPlan().toString()
-    pushed = re.findall(r"PushedFilters: \[([^\]]*)\]", plan)
+    # FileScan.toString truncates long lists ("..., GreaterThan(value,250...")
+    # without a closing bracket — capture to the first ] OR end-of-line
+    pushed = re.findall(r"PushedFilters: \[([^\]\n]*)", plan)
     return {
         "n_scans": len(re.findall(r"FileScan|Scan parquet|BatchScan", plan)),
         "n_shuffles": len(re.findall(r"Exchange (?:hashpartitioning|rangepartitioning|SinglePartition)", plan)),

@@ -77,6 +77,8 @@ class QueryPlanner:
                  whindex_mappings: dict[tuple[str, object], str] | None = None,
                  composites: dict[tuple[str, ...], str] | None = None,
                  stats: dict[str, int] | None = None,
+                 index: DataFrame | None = None,
+                 max_value_expansion: int = 50,
                  max_terms: int = 2500, max_depth: int = 2500):
         self.df = df
         self.field_types = field_types
@@ -90,6 +92,12 @@ class QueryPlanner:
         # OrderByCostVisitor config: FIELD → distinct-value cardinality
         # (the index-stats table; DefaultQueryPlanner stage 28)
         self.stats = {k.upper(): v for k, v in stats.items()} if stats else None
+        # RegexIndexExpansionVisitor config: the stored global-index
+        # frame (sources.prepared.index_frame); positive regex terms on
+        # indexed fields expand to pushable value disjunctions, capped
+        # at max_value_expansion (MAX_UNFIELDED_EXPANSION analog)
+        self.index = index
+        self.max_value_expansion = max_value_expansion
         self.max_terms = max_terms
         self.max_depth = max_depth
 
@@ -146,6 +154,11 @@ class QueryPlanner:
         if self.stats:
             from datawave_spark.compiler.rewrite import order_by_cost
             node = order_by_cost(node, self.stats)
+        if self.index is not None:
+            from datawave_spark.compiler.rewrite import (
+                expand_regex_from_index)
+            node = default_pipeline(expand_regex_from_index(
+                node, self.index, max_expansion=self.max_value_expansion))
         node, opts = extract_options(node)
         validate_thresholds(node, self.max_terms, self.max_depth)
 

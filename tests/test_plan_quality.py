@@ -197,3 +197,52 @@ class TestSkewAndBuckets:
         c = plan_counters(joined)
         assert c["n_shuffles"] == 0, "bucketed equi-join must not shuffle"
         assert joined.count() == 1000
+
+
+class TestRegexIndexExpansion:
+    def test_regex_becomes_pushable_in_filter(self, spark):
+        # the regex must be gone from the scan: expansion produced
+        # concrete equality values the parquet scan can push (In/Or)
+        df = entrymod.queries()["regex_index_expansion"](spark, SF)
+        c = plan_counters(df)
+        pushed = " ".join(c["pushed_filters"])
+        assert "event_type" in pushed
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "RLike" not in plan       # no evaluation-phase regex left
+
+    def test_threshold_overflow_keeps_regex(self, spark):
+        from datawave_spark.compiler.rewrite import expand_regex_from_index
+        from datawave_spark.jexl.parser import parse as jexl
+        from datawave_spark.sources.prepared import index_frame
+        idx = index_frame(spark, SF)
+        # user_id has far more than 3 distinct values → stays a regex
+        node = expand_regex_from_index(jexl("USER_ID =~ '.*'"), idx,
+                                       max_expansion=3)
+        assert node == jexl("USER_ID =~ '.*'")
+
+    def test_negated_regex_not_expanded(self, spark):
+        from datawave_spark.compiler.rewrite import expand_regex_from_index
+        from datawave_spark.jexl.parser import parse as jexl
+        from datawave_spark.sources.prepared import index_frame
+        idx = index_frame(spark, SF)
+        node = expand_regex_from_index(jexl("!(EVENT_TYPE =~ 's.*')"), idx)
+        assert node == jexl("!(EVENT_TYPE =~ 's.*')")
+
+    def test_zero_match_regex_compiles_false(self, spark):
+        from datawave_spark.compiler.rewrite import (
+            expand_regex_from_index, prune)
+        from datawave_spark.jexl.ast import Literal
+        from datawave_spark.jexl.parser import parse as jexl
+        from datawave_spark.sources.prepared import index_frame
+        idx = index_frame(spark, SF)
+        node = prune(expand_regex_from_index(
+            jexl("EVENT_TYPE =~ 'zzz.*'"), idx))
+        assert node == Literal(False)
+
+    def test_unindexed_field_left_alone(self, spark):
+        from datawave_spark.compiler.rewrite import expand_regex_from_index
+        from datawave_spark.jexl.parser import parse as jexl
+        from datawave_spark.sources.prepared import index_frame
+        idx = index_frame(spark, SF)
+        node = expand_regex_from_index(jexl("PROPS =~ 'x.*'"), idx)
+        assert node == jexl("PROPS =~ 'x.*'")
