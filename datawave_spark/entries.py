@@ -1026,7 +1026,7 @@ def q_lucene_geowave_intersects(spark, sf_dir):
         "GEO", F.concat_ws(",",
                            (F.col("user_id") % 180 - 90).cast("double"),
                            (F.col("event_id") % 360 - 180).cast("double")))
-    res = QueryPlanner(ev).plan(
+    res = QueryPlanner(ev, field_types={"GEO": "geo"}).plan(
         '#INTERSECTS(GEO, "POLYGON((-20 -10, 60 -10, 60 40, -20 40, -20 -10))")',
         syntax="LUCENE")
     return res.df.select("event_id")
@@ -2076,7 +2076,10 @@ def q_geowave_polygon(spark, sf_dir):
                            (F.col("event_id") % 360 - 180).cast("double")))
     q = ("geowave:intersects(GEO, "
          "'POLYGON((-20 -10, 60 -10, 60 40, -20 40, -20 -10))')")
-    return compile_query(ev, q).select("event_id")
+    # GEO declared point-typed (GeoType): the axis-rect query compiles
+    # to a pure JVM bbox predicate — no pandas UDF in the plan
+    return compile_query(ev, q, field_types={"GEO": "geo"}) \
+        .select("event_id")
 
 
 @register("geowave_polygon_data", """

@@ -69,6 +69,32 @@ def parse_wkt(wkt: str):
         f"unsupported WKT (POINT/POLYGON/LINESTRING/MULTIPOLYGON): {wkt[:60]}")
 
 
+def _is_point_typed(ctx, fname: str) -> bool:
+    """True when the metadata registry declares the field a POINT type
+    (normalizer 'geo' — the GeoType z-order normalizer).  The reference
+    distinguishes GeoType (lat,lon points) from GeometryType (arbitrary
+    WKT) in GeoWaveFunctionsDescriptor; only point-typed fields may
+    take the rectangle short-circuit, because a polygon-valued row can
+    bbox-overlap a rectangle it does not truly intersect."""
+    spec = getattr(ctx, "fields", {}).get(fname.upper())
+    return spec is not None and getattr(spec, "normalizer", None) == "geo"
+
+
+def _is_axis_rect(ring: list[tuple[float, float]]) -> bool:
+    """True iff the ring is an axis-aligned rectangle (the dominant
+    query shape — bbox queries stated as POLYGON WKT).  For such a
+    query, point-in-polygon IS the bbox test, so point-typed rows can
+    skip the exact pandas-UDF stage entirely (GeoWavePruningVisitor's
+    envelope==geometry short-circuit)."""
+    pts = set(ring)
+    if len(pts) != 4:
+        return False
+    xs = {p[0] for p in pts}
+    ys = {p[1] for p in pts}
+    return len(xs) == 2 and len(ys) == 2 and \
+        pts == {(x, y) for x in xs for y in ys}
+
+
 def point_in_polygon(x: float, y: float, ring: list[tuple[float, float]]) -> bool:
     """Ray casting; boundary points count as inside (JTS 'covers'
     semantics — adequate for the intersects/contains point case)."""
@@ -511,6 +537,17 @@ def compile_geowave(ctx, op: str, args):
         else:                               # intersects / overlaps / crosses
             coarse = (d_minx <= q_maxx) & (d_maxx >= q_minx) \
                 & (d_miny <= q_maxy) & (d_maxy >= q_miny)
+        # Rectangle short-circuit for POINT-TYPED fields: when the
+        # query polygon is an axis-aligned rectangle AND the field is
+        # declared a point type in the metadata registry (GeoType, as
+        # opposed to GeometryType — the reference draws exactly this
+        # distinction in GeoWaveFunctionsDescriptor), the bbox test IS
+        # the exact test, so the predicate is pure codegen'd JVM — no
+        # pandas UDF, no Arrow transfer, no Python workers.
+        if (qk == "polygon" and _is_axis_rect(qg)
+                and op in ("intersects", "within", "covered_by")
+                and _is_point_typed(ctx, fname)):
+            return coarse
         return exact(vs, is_wkt, coarse, nums)
 
     return field_pred(ctx, fname, leaf)

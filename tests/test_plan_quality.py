@@ -246,3 +246,29 @@ class TestRegexIndexExpansion:
         idx = index_frame(spark, SF)
         node = expand_regex_from_index(jexl("PROPS =~ 'x.*'"), idx)
         assert node == jexl("PROPS =~ 'x.*'")
+
+
+class TestGeowaveRectFastPath:
+    def test_point_typed_rect_query_has_no_python_udf(self, spark):
+        # GeoType field × axis-rect POLYGON → pure JVM bbox predicate
+        df = entrymod.queries()["geowave_polygon"](spark, SF)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+    def test_geometry_rows_still_use_exact_udf(self, spark):
+        # polygon-valued rows cannot take the bbox shortcut
+        df = entrymod.queries()["geowave_polygon_data"](spark, SF)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "ArrowEvalPython" in plan
+
+    def test_axis_rect_detection(self):
+        from datawave_spark.functions._geowave_purepy import _is_axis_rect
+        rect = [(-20.0, -10.0), (60.0, -10.0), (60.0, 40.0), (-20.0, 40.0),
+                (-20.0, -10.0)]
+        assert _is_axis_rect(rect)
+        tri = [(0.0, 0.0), (4.0, 0.0), (2.0, 3.0), (0.0, 0.0)]
+        assert not _is_axis_rect(tri)
+        # 4 unique points, right x/y sets, but not the 4 corners
+        diamond = [(0.0, -1.0), (1.0, 0.0), (0.0, 1.0), (-1.0, 0.0),
+                   (0.0, -1.0)]
+        assert not _is_axis_rect(diamond)
