@@ -1713,6 +1713,32 @@ def q_regex_index_expansion(spark, sf_dir):
     return res.df.select("event_id", "event_type")
 
 
+@register("date_index_range", """
+SELECT event_type, count(*) AS n
+FROM events
+WHERE CAST(ts AS DATE) + (event_id % 3)::int
+      BETWEEN DATE '2024-01-10' AND DATE '2024-01-14'
+GROUP BY event_type
+""")
+def q_date_index_range(spark, sf_dir):
+    """Date-index query (DateIndexDataTypeHandler.java:79 +
+    DateIndexHelper parity): a range on LOAD_DATE — a semantic date
+    that is NOT the shard date — consults the tiny ingest-built date
+    index for the shard dates that actually contain those load dates,
+    and the scan receives ``event_date IN (hint)`` as a hive
+    partition-prune (PartitionFilters asserted in
+    tests/test_plan_quality.py) plus the exact residual predicate.
+    Without the index this query reads all 30 date partitions; with it,
+    7."""
+    from datawave_spark.sources.date_index import prune_by_date_index
+    from datawave_spark.sources.prepared import date_index, sharded_events
+    ev = spark.read.parquet(sharded_events(spark, sf_dir))
+    didx = date_index(spark, sf_dir)
+    out = prune_by_date_index(ev, didx, "LOAD_DATE", "load_date",
+                              "2024-01-10", "2024-01-14")
+    return out.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+
+
 @register("limit_fields_cap", """
 SELECT user_id,
        array_to_string(list_sort(list_distinct(list(event_type)))[1:2], ',')

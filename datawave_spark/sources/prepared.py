@@ -342,6 +342,43 @@ def normalized_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
                         range_by="source")
 
 
+def sharded_events(spark: SparkSession, sf_dir: str) -> str:
+    """The events table stored in the canonical sharded layout:
+    partitioned by ``event_date`` (= date(ts), the shard date) with a
+    deterministic ``load_date`` arrival column (ingest lag of 0-2 days
+    derived from event_id, so the DuckDB oracle reproduces it exactly).
+    Returns the PATH — callers read it so the scan carries the hive
+    partition columns for pruning."""
+    from datawave_spark.sources.parquet import read_parquet
+
+    path = prepared_path(sf_dir, "sharded_events")
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        from pyspark.sql import functions as F
+        ev = read_parquet(spark, os.path.join(sf_dir, "events.parquet"))
+        ev = (ev.withColumn("event_date", F.to_date("ts"))
+              .withColumn("load_date",
+                          F.date_add(F.to_date("ts"),
+                                     F.pmod(F.col("event_id"), F.lit(3))
+                                     .cast("int"))))
+        ev.repartition("event_date").write.mode("overwrite") \
+            .partitionBy("event_date").parquet(path)
+    return path
+
+
+def date_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ingest-built date-index frame (field, date, shards) over the
+    sharded events layout — DateIndexDataTypeHandler.java:79 parity.
+    O(fields × days) rows; the planner's bounded metadata fetch."""
+    from datawave_spark.sources.date_index import build_date_index
+
+    def build():
+        ev = spark.read.parquet(sharded_events(spark, sf_dir))
+        return build_date_index(ev, {"LOAD_DATE": "load_date"})
+
+    return get_or_build(spark, sf_dir, "date_index", build,
+                        partition_by="field", sort_by="date")
+
+
 def embedding_ivf_centroids(spark: SparkSession, sf_dir: str,
                             n_centroids: int = 8) -> DataFrame:
     """The IVF codebook as a stored ingest asset: (cluster, centroid).

@@ -117,6 +117,28 @@ class TestPreparedAssets:
         assert "EqualTo(source,src7)" in plan
         assert "lower" not in plan
 
+    def test_date_index_hint_partition_prunes_shards(self, spark):
+        # a range on the semantic LOAD_DATE (not the shard date) must
+        # consult the date index and land as event_date IN (...) in the
+        # scan's PartitionFilters — RangeStream's shards-and-days hint
+        df = entrymod.queries()["date_index_range"](spark, SF)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert ".prepared" in plan
+        assert "PartitionFilters" in plan
+        import re
+        pf = re.search(r"PartitionFilters: \[([^\]]*)", plan).group(1)
+        assert "event_date" in pf and (" IN " in pf or "event_date#" in pf)
+
+    def test_date_index_empty_hint_short_circuits(self, spark):
+        from datawave_spark.sources.date_index import prune_by_date_index
+        from datawave_spark.sources.prepared import (date_index,
+                                                     sharded_events)
+        ev = spark.read.parquet(sharded_events(spark, SF))
+        didx = date_index(spark, SF)
+        out = prune_by_date_index(ev, didx, "LOAD_DATE", "load_date",
+                                  "2031-01-01", "2031-01-02")
+        assert out.count() == 0
+
     def test_ssdeep_reads_stored_hash_asset(self, spark):
         # the similarity entry must read the ingest-materialized hash
         # table, not tokenize the corpus: no posexplode/generator and
