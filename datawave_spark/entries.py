@@ -140,6 +140,30 @@ def q_jexl_marker_query(spark, sf_dir):
     return out.select("event_id", "value")
 
 
+@register("normalize_ipv4_query", """
+SELECT event_id, ip FROM (
+  SELECT event_id,
+         '10.0.' || (user_id % 256)::int || '.' || (event_id % 256)::int AS ip
+  FROM events)
+WHERE ip = '10.0.3.7'
+""")
+def q_normalize_ipv4(spark, sf_dir):
+    """normalize: namespace (NormalizationFunctions.java:23-52,
+    registered at JexlFunctionNamespaceRegistry.java:13-21):
+    ``normalize:ipv4`` folds its literal to the canonical dotted-quad
+    at parse time, so the equality compiles to a plain comparison
+    against the ipAddress-typed field — the padded query form
+    '010.000.003.007' matches stored '10.0.3.7'."""
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "ip", F.concat_ws(
+            ".", F.lit("10"), F.lit("0"),
+            (F.col("user_id") % 256).cast("int").cast("string"),
+            (F.col("event_id") % 256).cast("int").cast("string")))
+    out = compile_query(ev, "IP == normalize:ipv4('010.000.003.007')",
+                        field_types={"IP": "ipAddress"})
+    return out.select("event_id", "ip")
+
+
 @register("filter_include_regex", """
 SELECT event_id, props FROM events
 WHERE regexp_full_match(props, '.*"k": 6[0-9].*')

@@ -135,6 +135,11 @@ class _Parser:
                 self.i = mark
                 return self.parse_comparison()
         if kind == "ident" and self.tokens[self.i + 1][0] == "colon":
+            if tok == "normalize":
+                # normalize:* folds to a literal at parse time; it can
+                # open a comparison ('x' == F inverted form).
+                lit = self._fold_normalize(self.parse_funcall())
+                return self.parse_comparison(lit)
             return self.parse_funcall()
         return self.parse_comparison()
 
@@ -169,8 +174,9 @@ class _Parser:
 
     _MARKER_RE = re.compile(r"_[A-Za-z]+_$")
 
-    def parse_comparison(self) -> JexlNode:
-        left = self.parse_additive()
+    def parse_comparison(self, left: JexlNode | None = None) -> JexlNode:
+        if left is None:
+            left = self.parse_additive()
         kind, tok = self.peek()
         if tok == "=":
             # QueryPropertyMarker assignment (QueryPropertyMarker.java;
@@ -270,9 +276,29 @@ class _Parser:
             self.expect(")")
             return inner
         if kind == "ident" and tok not in _KEYWORDS:
+            if tok == "normalize" and self.tokens[self.i + 1][0] == "colon":
+                # value position: IP == normalize:ipv4('010.000.001.002')
+                return self._fold_normalize(self.parse_funcall())
             self.next()
             return Identifier(tok)
         return Literal(self._literal_value())
+
+    @staticmethod
+    def _fold_normalize(fn: FuncNode) -> Literal:
+        """Fold a ``normalize:*`` call over literal args into its
+        canonical literal (NormalizationFunctions.java parity — the
+        reference resolves these during query normalization)."""
+        from datawave_spark.normalizers import normalize_function
+        vals = []
+        for a in fn.args:
+            if not isinstance(a, Literal):
+                raise JexlParseError(
+                    f"normalize:{fn.name} requires literal args, got {a!r}")
+            vals.append(a.value)
+        try:
+            return Literal(normalize_function(fn.name, *vals))
+        except (KeyError, ValueError) as e:
+            raise JexlParseError(str(e)) from None
 
     # retained name: operand parsing for comparisons pre-arithmetic
     parse_atom = parse_operand

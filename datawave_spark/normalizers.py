@@ -122,3 +122,40 @@ def get_normalizer(name: str) -> Normalizer:
         return NORMALIZERS[name]
     except KeyError:
         raise KeyError(f"unknown normalizer {name!r}; known: {sorted(NORMALIZERS)}") from None
+
+
+def _normalize_ipv4_literal(value: Any) -> str:
+    """``normalize:ipv4`` literal canonicalization — parity with
+    NormalizationFunctions.java:23-52 (namespace registered at
+    JexlFunctionNamespaceRegistry.java:13-21).  The reference zero-pads
+    octets because its at-rest index encoding is the padded form; our
+    at-rest canon is the stripped dotted-quad (see ``_ip_py``), so the
+    literal folds to THAT form — same invariant (literal canon ==
+    stored canon), different byte encoding.  Wildcard queries
+    (``'192.168.1..*'``) canonicalize the octet prefix and keep the
+    trailing ``..*`` for the regex comparison, as the reference does."""
+    s = str(value).strip()
+    i = s.find("..*")
+    if i != -1:
+        prefix = s[:i]
+        octets = [str(int(p)) for p in prefix.split(".") if p != ""]
+        return ".".join(octets) + "..*"
+    return _ip_py(s)
+
+
+# normalize: namespace — literal-folding functions applied at parse
+# time (the reference resolves them during query normalization, before
+# index lookup).
+NORMALIZE_FUNCTIONS: dict[str, Any] = {
+    "ipv4": _normalize_ipv4_literal,
+}
+
+
+def normalize_function(name: str, *args: Any) -> Any:
+    try:
+        fn = NORMALIZE_FUNCTIONS[name]
+    except KeyError:
+        raise KeyError(
+            f"unknown normalize function {name!r}; "
+            f"known: {sorted(NORMALIZE_FUNCTIONS)}") from None
+    return fn(*args)

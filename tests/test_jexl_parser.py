@@ -143,3 +143,29 @@ class TestQueryPropertyMarkers:
         from datawave_spark.jexl.parser import JexlParseError, parse
         with pytest.raises(JexlParseError, match="non-marker"):
             parse("FIELD = 'x'")
+
+
+class TestNormalizeNamespace:
+    """normalize:* folds to a canonical literal at parse time
+    (NormalizationFunctions.java:23-52)."""
+
+    def test_ipv4_literal_folds(self):
+        node = parse_jexl("IP == normalize:ipv4('010.000.003.007')")
+        assert node == CmpNode("==", Identifier("IP"), Literal("10.0.3.7"))
+
+    def test_ipv4_wildcard_keeps_suffix(self):
+        node = parse_jexl("IP =~ normalize:ipv4('192.168.001..*')")
+        assert node == CmpNode("=~", Identifier("IP"),
+                               Literal("192.168.1..*"))
+
+    def test_ipv4_inverted_literal_position(self):
+        node = parse_jexl("normalize:ipv4('08.09.010.011') == IP")
+        assert node == CmpNode("==", Identifier("IP"), Literal("8.9.10.11"))
+
+    def test_unknown_normalize_function_rejected(self):
+        with pytest.raises(JexlParseError, match="unknown normalize"):
+            parse_jexl("IP == normalize:ipv6('::1')")
+
+    def test_non_literal_arg_rejected(self):
+        with pytest.raises(JexlParseError, match="literal args"):
+            parse_jexl("IP == normalize:ipv4(OTHER_FIELD)")
