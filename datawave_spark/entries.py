@@ -904,6 +904,35 @@ def q_curation_url_canonical(spark, sf_dir):
     return canonicalize_urls(docs, "u", "doc_id")
 
 
+@register("curation_span_dedup", f"""
+WITH toks AS ({_DUCK_TOKS}),
+sp AS (SELECT doc_id,
+         [array_to_string(t[(i-1)*10+1:i*10], ' ')
+          for i in range(1, CAST(ceil(len(t)/10.0) AS INT)+1)] AS spans
+       FROM toks),
+ex AS (SELECT doc_id, unnest(spans) AS span,
+              unnest(range(1, len(spans)+1)) AS pos FROM sp),
+keep AS (SELECT doc_id, pos, span,
+                row_number() OVER (PARTITION BY span
+                                   ORDER BY doc_id, pos) AS rn
+         FROM ex)
+SELECT doc_id, array_to_string(list(span ORDER BY pos), ' ') AS text
+FROM keep WHERE rn = 1 GROUP BY doc_id
+""")
+def q_curation_span_dedup(spark, sf_dir):
+    """Corpus-wide duplicate-span removal, keep-first (C4 §2.2 /
+    RefinedWeb line dedup over 10-token windows): spans seen earlier in
+    the corpus are deleted from later docs and the survivors are
+    reassembled.  The Spark side is the skew-immune
+    min(struct(id, pos)) aggregation (map-side combine absorbs
+    boilerplate spans); the oracle states the same keep-first rule as a
+    row_number window."""
+    from datawave_spark.operators.curation import remove_duplicate_spans
+    docs = _t(spark, sf_dir, "documents")
+    out = remove_duplicate_spans(docs, "text", "doc_id", span_tokens=10)
+    return out.select(F.col("id").alias("doc_id"), "text")
+
+
 @register("curation_pipeline", f"""
 WITH RECURSIVE {_DUCK_LSH_CTES},
 edges AS (SELECT id_a AS s, id_b AS d FROM lshpairs

@@ -231,3 +231,42 @@ def canonicalize_urls(df: DataFrame, url_col: str, id_col: str) -> DataFrame:
     u = F.regexp_replace(u, r"/$", "")
     return df.select(F.col(id_col), u.alias("canonical_url"),
                      F.md5(u).alias("url_key"))
+
+
+def remove_duplicate_spans(df: DataFrame, text_col: str, id_col: str,
+                           span_tokens: int = 10) -> DataFrame:
+    """Corpus-WIDE duplicate-span removal with keep-first semantics —
+    the C4 (Raffel et al. '20 §2.2) / RefinedWeb line-dedup stage,
+    restated over fixed ``span_tokens`` token windows (the synthetic
+    corpus has no newline structure; on real data the span split is
+    the line split).  Every span that appeared earlier in the corpus
+    (earlier = smaller (id, position)) is deleted from later documents;
+    documents are reassembled from their surviving spans, and documents
+    whose every span was seen before disappear (C4 drops emptied docs).
+
+    Scale shape: spans explode row-wise, then ONE map-side-combinable
+    aggregation ``groupBy(span).agg(min(struct(id, pos)))`` picks each
+    span's first occurrence — the winner row already carries everything
+    needed, so there is no join back, and a boilerplate span repeated
+    in millions of documents is absorbed by partial aggregation instead
+    of melting one reducer (the row_number()-window formulation has
+    exactly that hot-partition failure at 100 TB).  Reassembly is one
+    groupBy(id).  Total: 2 shuffles, both on short keys.
+    """
+    toks = _tokens(F.col(text_col))
+    n_spans = F.ceil(F.size(toks) / F.lit(float(span_tokens))).cast("int")
+    spans = F.when(n_spans >= 1, F.transform(
+        F.sequence(F.lit(1), n_spans),
+        lambda i: F.concat_ws(" ", F.slice(
+            toks, (i - 1) * span_tokens + 1, span_tokens)))
+    ).otherwise(F.array().cast("array<string>"))
+    ex = df.select(F.col(id_col).alias("id"),
+                   F.posexplode(spans).alias("pos", "span"))
+    firsts = (ex.groupBy("span")
+              .agg(F.min(F.struct("id", "pos")).alias("first")))
+    return (firsts.select(F.col("first.id").alias("id"),
+                          F.col("first.pos").alias("pos"), "span")
+            .groupBy("id")
+            .agg(F.concat_ws(" ", F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "span"))),
+                lambda s: s["span"])).alias("text")))

@@ -170,3 +170,33 @@ class TestCanonicalizeUrls:
         keys = [r.url_key
                 for r in curation.canonicalize_urls(df, "u", "id").collect()]
         assert keys[0] == keys[1]
+
+
+class TestRemoveDuplicateSpans:
+    def test_keep_first_across_docs(self, spark):
+        # 4-token spans: doc 2 repeats doc 1's first span and adds one
+        df = spark.createDataFrame(
+            [(1, "a b c d e f"), (2, "a b c d x y")], ["id", "t"])
+        got = {r.id: r.text for r in curation.remove_duplicate_spans(
+            df, "t", "id", span_tokens=4).collect()}
+        assert got[1] == "a b c d e f"
+        assert got[2] == "x y"
+
+    def test_fully_duplicated_doc_dropped(self, spark):
+        df = spark.createDataFrame(
+            [(1, "a b c d"), (2, "a b c d")], ["id", "t"])
+        got = curation.remove_duplicate_spans(df, "t", "id",
+                                              span_tokens=4).collect()
+        assert {r.id for r in got} == {1}
+
+    def test_within_doc_repeat_removed(self, spark):
+        df = spark.createDataFrame([(1, "a b a b")], ["id", "t"])
+        got = curation.remove_duplicate_spans(df, "t", "id",
+                                              span_tokens=2).collect()
+        assert got[0].text == "a b"
+
+    def test_empty_text_yields_no_row(self, spark):
+        df = spark.createDataFrame([(1, ""), (2, "q r")], ["id", "t"])
+        got = curation.remove_duplicate_spans(df, "t", "id",
+                                              span_tokens=2).collect()
+        assert {r.id for r in got} == {2}
