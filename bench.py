@@ -47,6 +47,9 @@ def main() -> None:
         prepared.embedding_lsh(spark, SF_DIR).count()
         prepared.embedding_ivf(spark, SF_DIR).count()
         prepared.embedding_int8(spark, SF_DIR).count()
+        prepared.sharded_events(spark, SF_DIR)
+        prepared.date_index(spark, SF_DIR).count()
+        prepared.capped_index(spark, SF_DIR).count()
     except Exception as e:
         print(f"bench: prepare failed: {e}", file=sys.stderr)
 

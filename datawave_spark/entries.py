@@ -1766,6 +1766,30 @@ def q_regex_index_expansion(spark, sf_dir):
     return res.df.select("event_id", "event_type")
 
 
+@register("capped_index_query", """
+SELECT event_id, event_type, user_id, value FROM events
+WHERE event_type = 'purchase' AND user_id = 42
+""")
+def q_capped_index_query(spark, sf_dir):
+    """Uid.List cardinality-cap planning
+    (GlobalIndexUidAggregator.java:25 + IndexInfo.java:48): the stored
+    index keeps explicit uids per (field, value, shard) only below the
+    cap, so the hot term (EVENT_TYPE, thousands of uids per shard)
+    plans as SHARD ranges while the selective term (USER_ID == 42)
+    plans as document ranges; their intersection keeps the explicit
+    uids on surviving shards (RangeStream.java:425), the fetch
+    re-evaluates the full predicate, and the answer is cap-invariant
+    by construction."""
+    from datawave_spark.sources.index_frame import capped_index_query
+    from datawave_spark.sources.prepared import capped_index
+    ev = _t(spark, sf_dir, "events")
+    cidx = capped_index(spark, sf_dir, max_uids=20)
+    out = capped_index_query(
+        ev, cidx, "EVENT_TYPE == 'purchase' && USER_ID == 42",
+        "event_id", "ts")
+    return out.select("event_id", "event_type", "user_id", "value")
+
+
 @register("date_index_range", """
 SELECT event_type, count(*) AS n
 FROM events

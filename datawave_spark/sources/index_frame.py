@@ -165,3 +165,174 @@ def index_query(events: DataFrame, index: DataFrame, jexl: str,
     cands = candidate_uids(index, node, universe, field_types)
     return events.join(
         cands, events[id_col].cast("string") == cands["uid"], "left_semi")
+
+
+# --------------------------------------------------------------- Uid.List cap
+#
+# Reference: the global index's Uid.List value keeps explicit uids only
+# below a cardinality cap, merged by a server-side combiner
+# (GlobalIndexUidAggregator.java:25); above the cap it stores a count
+# only, and RangeStream then emits a SHARD range (scan the whole shard,
+# re-evaluate) instead of document ranges (IndexInfo.java:48,
+# Intersection/Union streams at RangeStream.java:377,425).  This block
+# restates that planning IR as a DataFrame of candidate rows
+#
+#     (event_date, uid)        uid NULL ⇒ "whole shard" range
+#
+# with intersect/union implemented exactly as IndexInfo's stream merge:
+# explicit∩explicit matches on (shard, uid), explicit∩shard keeps the
+# explicit side where its shard survives, shard∩shard stays a shard
+# range.  Negated terms are never index-served (the reference marks
+# them _Delayed_ / evaluation-only); the fetch phase re-evaluates the
+# FULL predicate, so the cap changes plan shape, never answers.
+
+
+def build_capped_index(events: DataFrame, fields: list[str], id_col: str,
+                       date_col: str | None = None,
+                       field_types: dict[str, str] | None = None,
+                       max_uids: int = 20) -> DataFrame:
+    """The capped global index: one row per (field, value, event_date)
+    with ``uid_count`` and ``uids`` (NULL above ``max_uids`` — the
+    Uid.List overflow form).
+
+    Ingest shape: counts first (map-side combinable), then uids are
+    collected ONLY for under-cap groups (semi-join before collect), so
+    no aggregation buffer ever holds a hot value's full uid set — the
+    incremental-merge-and-drop discipline of the reference's combiner,
+    restated as two aggregations.
+    """
+    long = build_index(events, fields, id_col, date_col, field_types)
+    key = ["field", "value", "event_date"]
+    counts = long.groupBy(*key).agg(F.count(F.lit(1)).alias("uid_count"))
+    small = counts.filter(F.col("uid_count") <= max_uids).select(*key)
+    uids_small = (long.join(small, key, "left_semi")
+                  .groupBy(*key)
+                  .agg(F.sort_array(F.collect_set("uid")).alias("uids")))
+    return counts.join(uids_small, key, "left")
+
+
+def _capped_term_info(cidx: DataFrame, node: CmpNode,
+                      field_types: dict[str, str] | None) -> DataFrame:
+    """One EQ/range/regex leaf → candidate (event_date, uid) rows;
+    overflow index rows surface as uid-NULL shard rows."""
+    ft = {k.upper(): v for k, v in (field_types or {}).items()}
+    norm = get_normalizer(ft.get(node.field.name.upper(), "noop"))
+    value = node.value.value
+    v = F.col("value")
+    if node.op == "==":
+        lit = norm.normalize_literal(value)
+        if isinstance(lit, (int, float)) and not isinstance(lit, bool):
+            pred = v.cast("double") == float(lit)
+        else:
+            pred = v == str(lit)
+    elif node.op == "=~":
+        pred = v.rlike("^(?:" + str(value) + ")$")
+    elif node.op in ("<", ">", "<=", ">="):
+        lit = norm.normalize_literal(value)
+        cmp_col = v.cast("double") if isinstance(lit, (int, float)) else v
+        lit_c = F.lit(lit)
+        pred = {"<": cmp_col < lit_c, ">": cmp_col > lit_c,
+                "<=": cmp_col <= lit_c, ">=": cmp_col >= lit_c}[node.op]
+    else:
+        raise ValueError(f"capped index cannot serve op {node.op!r}")
+    rows = cidx.filter((F.col("field") == node.field.name.upper()) & pred)
+    # explode_outer: explicit rows fan out per uid; overflow rows
+    # (uids NULL) emit one uid-NULL row = shard range
+    return (rows.select("event_date",
+                        F.explode_outer("uids").alias("uid"))
+            .distinct())
+
+
+def _info_shards(info: DataFrame) -> DataFrame:
+    return info.filter(F.col("uid").isNull()).select("event_date")
+
+
+def info_intersect(a: DataFrame, b: DataFrame) -> DataFrame:
+    """IndexInfo.intersect (RangeStream.java:425): document ranges
+    intersect on (shard, uid); a shard range on one side passes the
+    other side's rows for that shard; two shard ranges stay one."""
+    ae = a.filter(F.col("uid").isNotNull())
+    be = b.filter(F.col("uid").isNotNull())
+    parts = [
+        ae.join(be, ["event_date", "uid"]),
+        ae.join(_info_shards(b), "event_date", "left_semi"),
+        be.join(_info_shards(a), "event_date", "left_semi"),
+        _info_shards(a).join(_info_shards(b), "event_date")
+        .select("event_date", F.lit(None).cast("string").alias("uid")),
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.distinct()
+
+
+def info_union(a: DataFrame, b: DataFrame) -> DataFrame:
+    """IndexInfo.union (RangeStream.java:377): k-way merge = union;
+    a shard range absorbs same-shard document ranges at fetch time, so
+    no explicit absorption pass is needed for correctness."""
+    return a.unionByName(b).distinct()
+
+
+def capped_candidates(cidx: DataFrame, node: JexlNode,
+                      field_types: dict[str, str] | None = None
+                      ) -> DataFrame | None:
+    """AST → candidate (event_date, uid) frame, or None when the index
+    cannot serve the subtree (negation under OR, unsupported leaf) —
+    the ExecutableDeterminationVisitor outcome that forces a full-table
+    scan (DefaultQueryPlanner getFullScanRange:2624)."""
+    if isinstance(node, CmpNode):
+        if node.op in ("!=", "!~"):
+            return None
+        try:
+            return _capped_term_info(cidx, node, field_types)
+        except ValueError:
+            return None
+    if isinstance(node, NotNode):
+        return None
+    if isinstance(node, AndNode):
+        out = None
+        for t in node.terms:
+            info = capped_candidates(cidx, t, field_types)
+            if info is None:
+                continue          # negated/unservable term only narrows
+            out = info if out is None else info_intersect(out, info)
+        return out
+    if isinstance(node, OrNode):
+        out = None
+        for t in node.terms:
+            info = capped_candidates(cidx, t, field_types)
+            if info is None:
+                return None       # an unservable OR branch taints the union
+            out = info if out is None else info_union(out, info)
+        return out
+    return None
+
+
+def capped_index_query(events: DataFrame, cidx: DataFrame, jexl: str,
+                       id_col: str, date_col: str,
+                       field_types: dict[str, str] | None = None
+                       ) -> DataFrame:
+    """Index-driven fetch honoring the Uid.List cap: explicit rows
+    become document lookups (semi-join on (shard, uid)), overflow rows
+    become shard scans (semi-join on shard date), and the FULL JEXL
+    predicate re-evaluates over the fetched events — exactly
+    QueryIterator's two-phase shape, so results are cap-invariant."""
+    from datawave_spark.compiler import compile_query
+    from datawave_spark.jexl.parser import parse
+    node = parse(jexl)
+    info = capped_candidates(cidx, node, field_types)
+    ev = events.withColumn("__uid", F.col(id_col).cast("string")) \
+               .withColumn("__shard", F.to_date(F.col(date_col)))
+    if info is not None:
+        explicit = (info.filter(F.col("uid").isNotNull())
+                    .withColumnRenamed("event_date", "__shard")
+                    .withColumnRenamed("uid", "__uid"))
+        shards = _info_shards(info).withColumnRenamed("event_date",
+                                                      "__shard")
+        fetched = (ev.join(explicit, ["__shard", "__uid"], "left_semi")
+                   .unionByName(ev.join(shards, "__shard", "left_semi"))
+                   .dropDuplicates([id_col]))
+    else:
+        fetched = ev
+    return compile_query(fetched, node, field_types=field_types) \
+        .drop("__uid", "__shard")

@@ -287,6 +287,25 @@ def index_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
                         partition_by="field", sort_by="value")
 
 
+def capped_index(spark: SparkSession, sf_dir: str,
+                 max_uids: int = 20) -> DataFrame:
+    """The Uid.List-capped global index (GlobalIndexUidAggregator.java:25
+    parity): per (field, value, shard) explicit uids below the cap,
+    count-only above — the asset behind shard-vs-document range
+    planning.  Partitioned by field."""
+    from datawave_spark.sources.index_frame import build_capped_index
+    from datawave_spark.sources.parquet import read_parquet
+
+    def build():
+        ev = read_parquet(spark, os.path.join(sf_dir, "events.parquet"))
+        return build_capped_index(ev, ["event_type", "value", "user_id"],
+                                  "event_id", date_col="ts",
+                                  max_uids=max_uids)
+
+    return get_or_build(spark, sf_dir, f"capped_index_m{max_uids}", build,
+                        partition_by="field", sort_by="value")
+
+
 def reverse_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The STORED reverse index (shardReverseIndex parity,
     ShardedDataTypeHandler.java:60-116 writes it at ingest alongside the

@@ -1,0 +1,119 @@
+"""Uid.List cardinality-cap planning (GlobalIndexUidAggregator.java:25,
+IndexInfo.java:48, RangeStream.java:377,425): the capped index stores
+explicit uids below the cap and count-only above; intersection/union
+follow the reference's stream-merge semantics; answers are
+cap-invariant because the fetch re-evaluates the full predicate."""
+
+import datetime
+
+import pytest
+from pyspark.sql import functions as F
+
+from datawave_spark.sources.index_frame import (
+    build_capped_index, capped_candidates, capped_index_query,
+    info_intersect, info_union,
+)
+from datawave_spark.jexl.parser import parse
+
+
+D1, D2 = datetime.date(2024, 1, 1), datetime.date(2024, 1, 2)
+
+
+@pytest.fixture(scope="module")
+def events(spark):
+    rows = []
+    for i in range(30):
+        # 'hot' appears 15x per day (over cap 5); 'cold' 2x per day
+        ts = f"2024-01-0{1 + i % 2} 10:00:00"
+        rows.append((i, ts, "hot" if i % 10 != 0 else "cold", i % 3))
+    return spark.createDataFrame(
+        rows, "event_id int, ts string, event_type string, grp int")
+
+
+@pytest.fixture(scope="module")
+def cidx(events):
+    return build_capped_index(events, ["event_type", "grp"], "event_id",
+                              date_col="ts", max_uids=5).cache()
+
+
+class TestBuild:
+    def test_overflow_rows_have_null_uids(self, cidx):
+        hot = cidx.filter((F.col("field") == "EVENT_TYPE")
+                          & (F.col("value") == "hot")).collect()
+        assert hot and all(r.uids is None and r.uid_count > 5 for r in hot)
+
+    def test_under_cap_rows_keep_sorted_uids(self, cidx):
+        cold = cidx.filter((F.col("field") == "EVENT_TYPE")
+                           & (F.col("value") == "cold")).collect()
+        assert cold and all(r.uids == sorted(r.uids) and
+                            r.uid_count == len(r.uids) for r in cold)
+
+
+class TestInfoMerge:
+    def mk(self, spark, rows):
+        return spark.createDataFrame(rows, "event_date date, uid string")
+
+    def test_explicit_intersect_explicit(self, spark):
+        a = self.mk(spark, [(D1, "1"), (D1, "2")])
+        b = self.mk(spark, [(D1, "2"), (D2, "2")])
+        got = {(r.event_date, r.uid) for r in info_intersect(a, b).collect()}
+        assert got == {(D1, "2")}
+
+    def test_shard_intersect_keeps_other_sides_uids(self, spark):
+        a = self.mk(spark, [(D1, None), (D2, None)])
+        b = self.mk(spark, [(D1, "7"), (D2, "8")])
+        got = {(r.event_date, r.uid) for r in info_intersect(a, b).collect()}
+        assert got == {(D1, "7"), (D2, "8")}
+
+    def test_shard_intersect_shard_stays_shard(self, spark):
+        a = self.mk(spark, [(D1, None)])
+        b = self.mk(spark, [(D1, None), (D2, None)])
+        got = {(r.event_date, r.uid) for r in info_intersect(a, b).collect()}
+        assert got == {(D1, None)}
+
+    def test_union_merges(self, spark):
+        a = self.mk(spark, [(D1, "1")])
+        b = self.mk(spark, [(D1, None)])
+        got = {(r.event_date, r.uid) for r in info_union(a, b).collect()}
+        assert got == {(D1, "1"), (D1, None)}
+
+
+class TestPlanningOutcomes:
+    def test_negation_not_index_served(self, cidx):
+        assert capped_candidates(cidx, parse("!(GRP == 1)")) is None
+
+    def test_negated_or_branch_taints_union(self, cidx):
+        assert capped_candidates(
+            cidx, parse("GRP == 1 || !(GRP == 2)")) is None
+
+    def test_and_ignores_unservable_term(self, cidx):
+        info = capped_candidates(cidx, parse("GRP == 1 && !(GRP == 2)"))
+        assert info is not None
+
+    def test_hot_term_yields_shard_rows(self, cidx):
+        info = capped_candidates(cidx, parse("EVENT_TYPE == 'hot'"))
+        rows = info.collect()
+        assert rows and all(r.uid is None for r in rows)
+
+    def test_cold_term_yields_document_rows(self, cidx):
+        info = capped_candidates(cidx, parse("EVENT_TYPE == 'cold'"))
+        rows = info.collect()
+        assert rows and all(r.uid is not None for r in rows)
+
+
+class TestCapInvariance:
+    QUERIES = ["EVENT_TYPE == 'hot' && GRP == 1",
+               "EVENT_TYPE == 'cold' || GRP == 2",
+               "EVENT_TYPE == 'hot' && !(GRP == 0)"]
+
+    @pytest.mark.parametrize("q", QUERIES)
+    def test_same_answer_any_cap(self, spark, events, q):
+        from datawave_spark.compiler import compile_query
+        want = {r.event_id for r in compile_query(events, q).collect()}
+        for cap in (1, 5, 1000):
+            ci = build_capped_index(events, ["event_type", "grp"],
+                                    "event_id", date_col="ts",
+                                    max_uids=cap)
+            got = {r.event_id for r in capped_index_query(
+                events, ci, q, "event_id", "ts").collect()}
+            assert got == want, f"cap={cap}"
