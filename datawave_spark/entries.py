@@ -1385,6 +1385,63 @@ def q_ancestor_match(spark, sf_dir):
     return out.select("event_id", "uid")
 
 
+@register("parent_query", """
+WITH u AS (SELECT event_id, value,
+  CAST(event_id % 1000 AS VARCHAR) || '.a.b' ||
+  (CASE WHEN event_id % 3 = 1 THEN '.c1'
+        WHEN event_id % 3 = 2 THEN '.c1.c2' ELSE '' END) AS uid
+  FROM events),
+parents AS (SELECT DISTINCT CASE
+    WHEN len(string_split(uid, '.')) > 3
+    THEN array_to_string(
+        string_split(uid, '.')[1:len(string_split(uid, '.')) - 1], '.')
+    ELSE uid END AS p
+  FROM u WHERE value > 490)
+SELECT event_id, uid FROM u WHERE uid IN (SELECT p FROM parents)
+""")
+def q_parent_query(spark, sf_dir):
+    """ParentQueryLogic (ParentQueryLogic.java:20): children carry the
+    same derived dotted uids as ancestor_match; matches return their
+    immediate PARENT document (floored at the TLD; a matching TLD
+    returns itself), deduplicated — the complement of ancestor
+    semantics."""
+    from datawave_spark.operators.tld import parent_query
+    ev = _t(spark, sf_dir, "events").select("event_id", "value")
+    uid = F.concat(
+        F.concat_ws(".", (F.col("event_id") % 1000).cast("string"),
+                    F.lit("a"), F.lit("b")),
+        F.when(F.col("event_id") % 3 == 1, F.lit(".c1"))
+         .when(F.col("event_id") % 3 == 2, F.lit(".c1.c2"))
+         .otherwise(F.lit("")))
+    ev = ev.withColumn("uid", uid)
+    out = parent_query(ev, "VALUE > 490", uid_col="uid")
+    return out.select("event_id", "uid")
+
+
+@register("term_frequency_lookup", f"""
+WITH toks AS ({_DUCK_TOKS}),
+ex AS (SELECT doc_id, unnest(t) AS tok,
+              unnest(range(0, len(t))) AS pos FROM toks)
+SELECT doc_id, tok AS term, count(*) AS n, min(pos) AS first_pos
+FROM ex WHERE tok IN ('spark', 'shuffle') GROUP BY doc_id, tok
+""")
+def q_term_frequency_lookup(spark, sf_dir):
+    """TermFrequencyQueryTable (query/tables/term/
+    TermFrequencyQueryTable.java:36): direct lookup against the STORED
+    tf column family — per (document, term) occurrence count and first
+    offset, read from the ingest-materialized offset maps
+    (prepared.doc_tf), no text re-tokenization in the plan."""
+    from datawave_spark.sources.prepared import doc_tf
+    tf = doc_tf(spark, sf_dir)
+    ex = tf.select("doc_id",
+                   F.explode("text_tf").alias("term", "__positions"))
+    return (ex.filter(F.col("term").isin("spark", "shuffle"))
+            .select("doc_id", "term",
+                    F.size("__positions").cast("long").alias("n"),
+                    F.element_at("__positions", 1).cast("long")
+                    .alias("first_pos")))
+
+
 # --------------------------- §2.3 chained query / §2.1 CachedResults SQL
 
 @register("chained_query", """

@@ -65,3 +65,25 @@ def ancestors_match(df: DataFrame, jexl: str, uid_col: str = "uid",
                             expanded["__prefix"] == hit_uids["__hit"],
                             "left_semi")
     return matched.select(df.columns).distinct()
+
+
+def parent_query(df: DataFrame, jexl: str, uid_col: str = "uid",
+                 parts: int = TLD_PARTS) -> DataFrame:
+    """ParentQueryLogic (query/tables/ParentQueryLogic.java:20 —
+    ParentQueryIterator + DedupeColumnFamilies): evaluate the predicate
+    against every family member, then return the PARENT document of
+    each match (one dotted segment up, floored at the top-level
+    document; a matching TLD returns itself), deduplicated.
+
+    Scale shape: one semi-join on the derived parent uid — the match
+    set projects to distinct parent uids (small), then a broadcast-able
+    semi-join fetches the parent documents."""
+    hits = compile_query(df, jexl)
+    segs = F.split(F.col(uid_col), r"\.")
+    n = F.size(segs)
+    parent = F.when(
+        n > parts,
+        F.concat_ws(".", F.slice(segs, 1, F.greatest(n - 1, F.lit(parts))))
+    ).otherwise(F.col(uid_col))
+    parent_uids = hits.select(parent.alias("__p")).distinct()
+    return df.join(parent_uids, df[uid_col] == F.col("__p"), "left_semi")

@@ -109,3 +109,22 @@ class TestTLD:
         got = ancestors_match(docs, "NAME == 'childA'")
         assert sorted(r.uid for r in got.collect()) == [
             "h1.h2.h3.1", "h1.h2.h3.1.1"]
+
+    def test_parent_query_returns_parent_of_match(self, docs):
+        from datawave_spark.operators.tld import parent_query
+        # grandchild matches → its immediate parent (childA) returned
+        got = parent_query(docs, "NAME == 'grandchild'")
+        assert sorted(r.uid for r in got.collect()) == ["h1.h2.h3.1"]
+
+    def test_parent_query_tld_match_returns_itself(self, docs):
+        from datawave_spark.operators.tld import parent_query
+        got = parent_query(docs, "V == 3")
+        assert sorted(r.uid for r in got.collect()) == ["x1.x2.x3"]
+
+    def test_parent_query_dedupes_parents(self, spark):
+        from datawave_spark.operators.tld import parent_query
+        df = spark.createDataFrame(
+            [("f.a.b", 0.0), ("f.a.b.1", 9.0), ("f.a.b.2", 9.0)],
+            "uid string, V double")
+        got = parent_query(df, "V == 9")
+        assert sorted(r.uid for r in got.collect()) == ["f.a.b"]
