@@ -1418,6 +1418,23 @@ def q_parent_query(spark, sf_dir):
     return out.select("event_id", "uid")
 
 
+@register("query_macro", """
+SELECT event_id, value FROM events
+WHERE (value > 100 AND value < 150) AND NOT event_type = 'error'
+""")
+def q_query_macro(spark, sf_dir):
+    """Query macros (QueryMacroFunction.java:12): the deployment
+    registers named templates; ``RANGE(F, a, b)`` expands positionally
+    ($0,$1,$2) before parsing — including nested macro output — and the
+    expanded JEXL compiles normally."""
+    from datawave_spark.compiler.macros import expand_macros
+    ev = _t(spark, sf_dir, "events")
+    macros = {"RANGE": "($0 > $1 && $0 < $2)",
+              "CLEAN": "RANGE($0, $1, $2) && !(EVENT_TYPE == 'error')"}
+    jexl = expand_macros("CLEAN(VALUE, 100, 150)", macros)
+    return compile_query(ev, jexl).select("event_id", "value")
+
+
 @register("term_frequency_lookup", f"""
 WITH toks AS ({_DUCK_TOKS}),
 ex AS (SELECT doc_id, unnest(t) AS tok,

@@ -169,3 +169,35 @@ class TestNormalizeNamespace:
     def test_non_literal_arg_rejected(self):
         with pytest.raises(JexlParseError, match="literal args"):
             parse_jexl("IP == normalize:ipv4(OTHER_FIELD)")
+
+
+class TestQueryMacros:
+    """QueryMacroFunction.java:12 parity."""
+
+    def test_positional_substitution(self):
+        from datawave_spark.compiler.macros import expand_macros
+        got = expand_macros("M(A, 'x')", {"M": "$0 == $1"})
+        assert got == "A == 'x'"
+
+    def test_nested_macro_expansion(self):
+        from datawave_spark.compiler.macros import expand_macros
+        got = expand_macros("OUTER(F)", {"OUTER": "INNER($0) || B == '2'",
+                                         "INNER": "$0 == '1'"})
+        assert got == "F == '1' || B == '2'"
+
+    def test_double_digit_placeholders(self):
+        from datawave_spark.compiler.macros import expand_macros
+        args = ", ".join(f"a{i}" for i in range(12))
+        got = expand_macros(f"M({args})", {"M": "$11 $1"})
+        assert got == "a11 a1"
+
+    def test_runaway_recursion_fails_fast(self):
+        import pytest
+        from datawave_spark.compiler.macros import MacroError, expand_macros
+        with pytest.raises(MacroError):
+            expand_macros("A(x)", {"A": "B($0)", "B": "A($0)"})
+
+    def test_no_macros_is_identity(self):
+        from datawave_spark.compiler.macros import expand_macros
+        q = "F == 'v' && G > 2"
+        assert expand_macros(q, {}) == q
