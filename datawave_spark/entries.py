@@ -2846,6 +2846,59 @@ def q_streaming_window_counts(spark, sf_dir):
         "event_type", "n", "sum_value")
 
 
+@register("streaming_interval_join", """
+SELECT c.event_id AS click_id, p.event_id AS buy_id
+FROM events c, events p
+WHERE c.event_type = 'click' AND p.event_type = 'purchase'
+  AND p.user_id = c.user_id
+  AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR
+""")
+def q_streaming_interval_join(spark, sf_dir):
+    """Watermarked stream-stream interval join (streaming/joins.py —
+    a capability the reference's micro-batch MR ingest cannot express,
+    SURVEY §2.7): clicks and purchases consumed as two file streams,
+    paired per user when the purchase lands within 1 hour of the
+    click; both sides watermarked so join state expires.  The final
+    result is value-equal to the batch interval join — the
+    streaming/batch unification guarantee, driver-checked."""
+    import os as _os
+    from pyspark.sql import types as T
+    from datawave_spark.streaming.joins import interval_join
+    sch = spark.read.parquet(_os.path.join(sf_dir, "events.parquet")).schema
+
+    def src():
+        raw = (spark.readStream.schema(sch)
+               .option("pathGlobFilter", "events.parquet").parquet(sf_dir))
+        if isinstance(sch["ts"].dataType, T.LongType):
+            return raw.withColumn("__ts", F.timestamp_micros(
+                F.expr("`ts` div 1000")))
+        return raw.withColumn("__ts", F.col("ts").cast("timestamp"))
+
+    clicks = (src().filter(F.col("event_type") == "click")
+              .select("user_id", F.col("event_id").alias("click_id"),
+                      F.col("__ts").alias("cts")))
+    buys = (src().filter(F.col("event_type") == "purchase")
+            .select("user_id", F.col("event_id").alias("buy_id"),
+                    F.col("__ts").alias("pts")))
+    j = interval_join(clicks, buys, "user_id", left_ts="cts",
+                      right_ts="pts", within="1 hour")
+    _STREAM_SEQ[0] += 1
+    name = f"stream_ij_{_STREAM_SEQ[0]}"
+    # A stream-stream join runs TWO state stores per shuffle partition;
+    # empty-partition fixed cost dominates when partitions ≫ state.
+    # Size state partitions down for the join (5x measured; on a real
+    # cluster this is sized to key cardinality / executor count).
+    old_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = (j.writeStream.format("memory").queryName(name)
+             .outputMode("append").trigger(availableNow=True).start())
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_parts)
+    return spark.table(name).select("click_id", "buy_id")
+
+
 # --------------------------------------------- §2.3 SSDeep similarity join
 
 _DUCK_SSDEEP = f"""

@@ -269,3 +269,41 @@ class TestStatefulStreaming:
             .collect()
         got = {r.k: r.t for r in rows}
         assert got == {"a": 3, "b": 2}  # cumulative across batches
+
+
+class TestStreamStreamJoin:
+    def test_interval_join_attribution(self, spark, tmp_path_factory):
+        from datawave_spark.streaming.joins import interval_join
+        clicks_dir = str(tmp_path_factory.mktemp("ssj_clicks"))
+        buys_dir = str(tmp_path_factory.mktemp("ssj_buys"))
+        spark.createDataFrame(
+            [(1, "2024-01-01 00:00:00"), (2, "2024-01-01 01:00:00")],
+            "user long, cts string") \
+            .withColumn("cts", F.to_timestamp("cts")) \
+            .write.mode("overwrite").parquet(clicks_dir)
+        # user 1 buys 5 min after click (inside window); user 2 buys
+        # 30 min after (outside the 10-minute interval)
+        spark.createDataFrame(
+            [(1, "2024-01-01 00:05:00"), (2, "2024-01-01 01:30:00")],
+            "user long, pts string") \
+            .withColumn("pts", F.to_timestamp("pts")) \
+            .write.mode("overwrite").parquet(buys_dir)
+        clicks = spark.readStream.schema(
+            spark.read.parquet(clicks_dir).schema).parquet(clicks_dir)
+        buys = spark.readStream.schema(
+            spark.read.parquet(buys_dir).schema).parquet(buys_dir)
+        joined = interval_join(clicks, buys, "user",
+                               left_ts="cts", right_ts="pts",
+                               within="10 minutes")
+        q = (joined.writeStream.outputMode("append").format("memory")
+             .queryName("ssj_out").trigger(availableNow=True).start())
+        q.awaitTermination(120)
+        rows = spark.sql("SELECT user FROM ssj_out").collect()
+        assert sorted(r.user for r in rows) == [1]
+
+    def test_same_ts_name_rejected(self, spark):
+        import pytest as _pytest
+        from datawave_spark.streaming.joins import interval_join
+        df = spark.createDataFrame([(1,)], "user long")
+        with _pytest.raises(ValueError, match="distinct"):
+            interval_join(df, df, "user", left_ts="ts", right_ts="ts")
