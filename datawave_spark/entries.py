@@ -933,6 +933,33 @@ def q_curation_span_dedup(spark, sf_dir):
     return out.select(F.col("id").alias("doc_id"), "text")
 
 
+@register("curation_mix_rebalance", """
+WITH tgt(source, t) AS (VALUES ('src0', 0.5), ('src1', 0.25),
+                               ('src2', 0.15), ('src3', 0.10)),
+w AS (SELECT source, CAST(sum(n_chars) AS DOUBLE) AS w
+      FROM documents GROUP BY source),
+j AS (SELECT w.source, w.w, tgt.t FROM w JOIN tgt USING (source)),
+c AS (SELECT min(w / t) AS c FROM j),
+r AS (SELECT source, (SELECT c FROM c) * t / w AS rate FROM j)
+SELECT d.doc_id, d.source, d.n_chars FROM documents d JOIN r USING (source)
+WHERE CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+           AS UBIGINT) / 4294967296.0 < rate
+""")
+def q_curation_mix_rebalance(spark, sf_dir):
+    """Mixture rebalancing (curation.rebalance_mix): per-source
+    keep-rates derived IN-PLAN from the target weight shares
+    (50/25/15/10 over four sources) — the binding source keeps
+    everything, the rest downsample via the deterministic md5 coin;
+    the oracle recomputes the same rates from the same integer sums,
+    so every keep decision matches bit-for-bit."""
+    from datawave_spark.operators.curation import rebalance_mix
+    docs = _t(spark, sf_dir, "documents")
+    out = rebalance_mix(docs, "doc_id", "source", "n_chars",
+                        {"src0": 0.5, "src1": 0.25,
+                         "src2": 0.15, "src3": 0.10})
+    return out.select("doc_id", "source", "n_chars")
+
+
 @register("curation_pipeline", f"""
 WITH RECURSIVE {_DUCK_LSH_CTES},
 edges AS (SELECT id_a AS s, id_b AS d FROM lshpairs

@@ -270,3 +270,40 @@ def remove_duplicate_spans(df: DataFrame, text_col: str, id_col: str,
             .agg(F.concat_ws(" ", F.transform(
                 F.array_sort(F.collect_list(F.struct("pos", "span"))),
                 lambda s: s["span"])).alias("text")))
+
+
+def rebalance_mix(df: DataFrame, id_col: str, strata_col: str,
+                  weight_col: str, targets: dict[str, float]) -> DataFrame:
+    """Mixture rebalancing: compute per-stratum keep-rates so the
+    sampled corpus's WEIGHT shares (tokens/chars) match a target
+    distribution, then apply the deterministic md5 coin — the
+    data-mixing stage that turns "we want 50% web / 30% books / 20%
+    code" into per-source sampling, downsampling only (no duplication).
+
+    Math: with stratum weights W_s and target shares t_s, the largest
+    achievable corpus keeps ``c = min_s(W_s / t_s)`` total weight, so
+    stratum s keeps rate ``r_s = c * t_s / W_s`` (the binding stratum
+    keeps everything).  Strata absent from ``targets`` are dropped.
+
+    Everything stays in-plan: one tiny aggregation (map-side combined)
+    broadcast back over the corpus — no driver collect, so the same
+    code runs at 100 TB.  ``weight_col`` must be integral: integer sums
+    are order-exact, which keeps the derived rates bit-identical across
+    engines and partitionings (the oracle recomputes them).  The coin
+    compares the md5 prefix NUMERICALLY (hex→int/2^32) against the
+    derived double rate."""
+    tgt = df.sparkSession.createDataFrame(
+        [(k, float(v)) for k, v in sorted(targets.items())],
+        f"{strata_col} string, __target double")
+    w = df.groupBy(strata_col).agg(
+        F.sum(F.col(weight_col)).cast("double").alias("__w"))
+    j = w.join(F.broadcast(tgt), strata_col)
+    c = j.select(F.min(F.col("__w") / F.col("__target")).alias("__c"))
+    rates = (j.join(F.broadcast(c))
+             .withColumn("__rate",
+                         F.col("__c") * F.col("__target") / F.col("__w"))
+             .select(strata_col, "__rate"))
+    coin = F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 8),
+                  16, 10).cast("double") / F.lit(4294967296.0)
+    return (df.join(F.broadcast(rates), strata_col)
+            .filter(coin < F.col("__rate")).drop("__rate"))

@@ -200,3 +200,42 @@ class TestRemoveDuplicateSpans:
         got = curation.remove_duplicate_spans(df, "t", "id",
                                               span_tokens=2).collect()
         assert {r.id for r in got} == {2}
+
+
+class TestRebalanceMix:
+    def test_binding_stratum_keeps_all(self, spark):
+        # equal weights, targets 0.5/0.5 → both binding, all rows kept
+        rows = [(i, "a" if i < 50 else "b", 10) for i in range(100)]
+        df = spark.createDataFrame(rows, "id long, src string, w long")
+        out = curation.rebalance_mix(df, "id", "src", "w",
+                                     {"a": 0.5, "b": 0.5})
+        assert out.count() == 100
+
+    def test_shares_approach_targets(self, spark):
+        # a: 900 weight, b: 100 weight, target 50/50 → b binding,
+        # a downsampled to ~100 weight
+        rows = [(i, "a", 1) for i in range(900)] + \
+               [(1000 + i, "b", 1) for i in range(100)]
+        df = spark.createDataFrame(rows, "id long, src string, w long")
+        out = curation.rebalance_mix(df, "id", "src", "w",
+                                     {"a": 0.5, "b": 0.5}).collect()
+        n_a = sum(1 for r in out if r.src == "a")
+        n_b = sum(1 for r in out if r.src == "b")
+        assert n_b == 100
+        assert 70 <= n_a <= 130  # ~100 expected from the md5 coin
+
+    def test_absent_stratum_dropped(self, spark):
+        df = spark.createDataFrame([(1, "a", 5), (2, "zzz", 5)],
+                                   "id long, src string, w long")
+        out = curation.rebalance_mix(df, "id", "src", "w", {"a": 1.0})
+        assert [r.src for r in out.collect()] == ["a"]
+
+    def test_deterministic_across_runs(self, spark):
+        rows = [(i, "a" if i % 2 else "b", i % 7 + 1) for i in range(200)]
+        df = spark.createDataFrame(rows, "id long, src string, w long")
+        r1 = {r.id for r in curation.rebalance_mix(
+            df, "id", "src", "w", {"a": 0.7, "b": 0.3}).collect()}
+        r2 = {r.id for r in curation.rebalance_mix(
+            df.repartition(7), "id", "src", "w",
+            {"a": 0.7, "b": 0.3}).collect()}
+        assert r1 == r2
