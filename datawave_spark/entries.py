@@ -2226,6 +2226,60 @@ def q_dedup_clusters(spark, sf_dir):
     return dedup_clusters(docs, "doc_id", pairs)
 
 
+@register("dedup_canonical_quality", f"""
+WITH RECURSIVE {_DUCK_LSH_CTES},
+edges AS (SELECT id_a AS s, id_b AS d FROM lshpairs
+          UNION SELECT id_b, id_a FROM lshpairs),
+reach(v, r) AS (
+  SELECT s, s FROM edges
+  UNION
+  SELECT e.d, reach.r FROM reach JOIN edges e ON e.s = reach.v),
+comp AS (SELECT v AS id, min(r) AS component FROM reach GROUP BY v),
+cl AS (SELECT d.doc_id AS id, COALESCE(c.component, d.doc_id) AS cluster
+       FROM documents d LEFT JOIN comp c ON c.id = d.doc_id),
+qual AS (SELECT doc_id,
+  round(0.4 * least((CASE WHEN len(t) > 0 THEN list_sum(list_transform(t, x -> length(x))) / len(t) ELSE 0.0 END) / 8, 1.0)
+      + 0.3 * least((CASE WHEN len(t) > 0 THEN len(list_filter(t, x -> list_contains(['the','a','of','and','to','in','is','that','it','for'], x))) / len(t) ELSE 0.0 END) * 4, 1.0)
+      + 0.3 * (CASE WHEN length(text) > 0 THEN length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) / length(text) ELSE 0.0 END), 4) AS quality
+  FROM (SELECT doc_id, text,
+               list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                           x -> x != '') AS t FROM documents)),
+j AS (SELECT cl.cluster, cl.id, qual.quality,
+             row_number() OVER (PARTITION BY cl.cluster
+                                ORDER BY qual.quality DESC, cl.id) AS rn,
+             count(*) OVER (PARTITION BY cl.cluster) AS n_docs
+      FROM cl JOIN qual ON qual.doc_id = cl.id)
+SELECT cluster, id AS keep_id, quality, n_docs FROM j WHERE rn = 1
+""")
+def q_dedup_canonical_quality(spark, sf_dir):
+    """Canonical selection by QUALITY: near-dup clusters (stored LSH
+    pairs → components) keep their highest-quality member instead of
+    the min-id — the real curation decision (RefinedWeb keeps the
+    longest/cleanest member, not an arbitrary one).  Rounded quality +
+    id tie-break keeps the argmax deterministic across engines; the
+    per-cluster window is bounded by cluster size (capped upstream by
+    the LSH bucket cap)."""
+    from datawave_spark.operators.components import dedup_clusters
+    from datawave_spark.operators.text import quality_score
+    from datawave_spark.sources import prepared
+    from pyspark.sql import Window
+    docs = _t(spark, sf_dir, "documents")
+    pairs = prepared.lsh_pairs(spark, sf_dir, k=2, num_hashes=16, bands=8,
+                               threshold=0.3, max_bucket=_LSH_MAXB)
+    cl = dedup_clusters(docs, "doc_id", pairs) \
+        .select("id", F.col("canonical_id").alias("cluster"))
+    qual = quality_score(docs, "text").select(
+        F.col("doc_id").alias("id"), "quality")
+    j = cl.join(qual, "id")
+    w = Window.partitionBy("cluster").orderBy(F.desc("quality"), "id")
+    wc = Window.partitionBy("cluster")
+    return (j.withColumn("rn", F.row_number().over(w))
+            .withColumn("n_docs", F.count(F.lit(1)).over(wc))
+            .filter(F.col("rn") == 1)
+            .select("cluster", F.col("id").alias("keep_id"),
+                    "quality", "n_docs"))
+
+
 @register("ann_ivf_topk")  # approximate (IVF probe): rows-only; recall in tests
 def q_ann_ivf_topk(spark, sf_dir):
     """IVF ANN over STORED ingest assets: the codebook and the
