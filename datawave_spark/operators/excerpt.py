@@ -26,29 +26,43 @@ def _tokens(col: Column) -> Column:
 
 
 def excerpts(df: DataFrame, text_col: str, id_col: str, term: str,
-             window: int = 5, out_col: str = "excerpts") -> DataFrame:
-    """Add ``out_col``: array of ``±window``-token excerpt strings, one
-    per occurrence of ``term`` (empty array when absent)."""
+             window: int = 5, out_col: str = "excerpts",
+             direction: str = "both") -> DataFrame:
+    """Add ``out_col``: array of ``window``-token excerpt strings, one
+    per occurrence of ``term`` (empty array when absent); ``direction``
+    trims the window to before/after the hit (see excerpts_from_tf)."""
     zone = "__excerpt"
     tokened = tokenize(df, text_col, id_col, zone=zone, emit_tokens=True)
     out = excerpts_from_tf(tokened, f"{zone}_tf", f"{zone}_tokens",
-                           term, window, out_col)
+                           term, window, out_col, direction=direction)
     return out.drop(f"{zone}_tf", f"{zone}_tokens")
 
 
 def excerpts_from_tf(df: DataFrame, tf_col: str, tokens_col: str,
                      term: str, window: int = 5,
-                     out_col: str = "excerpts") -> DataFrame:
+                     out_col: str = "excerpts",
+                     direction: str = "both") -> DataFrame:
     """Excerpts from ingest-materialized tf/token columns (the stored
-    tf column family — queries slice, never re-tokenize)."""
+    tf column family — queries slice, never re-tokenize).
+
+    ``direction`` mirrors the reference's excerpt offset directions
+    (TermFrequencyExcerptIterator / ExcerptFields START_OFFSET..
+    direction trimming): ``both`` (±window, default), ``before``
+    (window tokens up to and including the hit), ``after`` (the hit
+    and window tokens following it)."""
+    if direction not in ("both", "before", "after"):
+        raise ValueError(f"direction must be both/before/after, "
+                         f"got {direction!r}")
     tf = F.col(tf_col)
     toks = F.col(tokens_col)
     positions = F.coalesce(tf.getItem(term.lower()), F.array().cast("array<int>"))
     n = F.size(toks)
 
     def win(p: Column) -> Column:
-        start0 = F.greatest(p - window, F.lit(0))
-        end0 = F.least(p + window, n - 1)
+        lo = p - window if direction in ("both", "before") else p
+        hi = p + window if direction in ("both", "after") else p
+        start0 = F.greatest(lo, F.lit(0))
+        end0 = F.least(hi, n - 1)
         return F.concat_ws(" ", F.slice(toks, start0 + 1, end0 - start0 + 1))
 
     return df.withColumn(out_col, F.transform(positions, win))

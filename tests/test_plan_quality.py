@@ -117,6 +117,14 @@ class TestPreparedAssets:
         assert "EqualTo(source,src7)" in plan
         assert "lower" not in plan
 
+    def test_capped_index_partition_prunes_on_field(self, spark):
+        # term lookups against the capped global index prune to the
+        # field's hive directory (the index-organized-table read)
+        df = entrymod.queries()["capped_index_query"](spark, SF)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert ".prepared" in plan
+        assert "PartitionFilters: [isnotnull(field" in plan
+
     def test_date_index_hint_partition_prunes_shards(self, spark):
         # a range on the semantic LOAD_DATE (not the shard date) must
         # consult the date index and land as event_date IN (...) in the
