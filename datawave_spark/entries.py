@@ -1891,6 +1891,28 @@ def q_capped_index_query(spark, sf_dir):
     return out.select("event_id", "event_type", "user_id", "value")
 
 
+@register("index_hole_query", """
+SELECT event_id, user_id, value FROM events
+WHERE event_type = 'purchase' AND value > 300
+""")
+def q_index_hole_query(spark, sf_dir):
+    """Index-hole planning (PushdownMissingIndexRangeNodesVisitor,
+    DefaultQueryPlanner stage 20): the stored index is treated as
+    covering shard dates only through 2024-01-20 — the incremental
+    steady state — so the plan unions index-driven candidates over the
+    covered range with a partition-pruned predicate scan over the
+    uncovered hole; both branches re-evaluate, answers are
+    coverage-invariant."""
+    from datawave_spark.sources.index_frame import index_hole_query
+    from datawave_spark.sources.prepared import index_frame
+    ev = _t(spark, sf_dir, "events")
+    idx = index_frame(spark, sf_dir)
+    out = index_hole_query(ev, idx,
+                           "EVENT_TYPE == 'purchase' && VALUE > 300",
+                           "event_id", "ts", "2024-01-20")
+    return out.select("event_id", "user_id", "value")
+
+
 @register("date_index_range", """
 SELECT event_type, count(*) AS n
 FROM events

@@ -336,3 +336,35 @@ def capped_index_query(events: DataFrame, cidx: DataFrame, jexl: str,
         fetched = ev
     return compile_query(fetched, node, field_types=field_types) \
         .drop("__uid", "__shard")
+
+
+def index_hole_query(events: DataFrame, index: DataFrame, jexl: str,
+                     id_col: str, date_col: str,
+                     covered_until,
+                     field_types: dict[str, str] | None = None
+                     ) -> DataFrame:
+    """Partial-index (index-hole) planning — PushdownMissingIndexRange
+    NodesVisitor + IndexHoleMarkerJexlNode parity (DefaultQueryPlanner
+    stage 20): when the stored index covers only shard dates up to a
+    frontier (the steady state of an incremental ingest: index built
+    through yesterday, today's partitions still raw), the plan is the
+    UNION of
+
+    - index-driven candidate fetch over the covered date range, and
+    - a straight predicate scan over the uncovered partitions (the
+      reference's full-scan range for the hole),
+
+    both re-evaluating the full predicate.  The uncovered branch's
+    date bound is a literal, so it partition-prunes to the hole —
+    at 100 TB the hole is a day or two of partitions, not the corpus.
+    """
+    from datawave_spark.compiler import compile_query
+    frontier = F.lit(covered_until).cast("date")
+    shard = F.to_date(F.col(date_col))
+    covered = events.filter(shard <= frontier)
+    uncovered = events.filter(shard > frontier)
+    idx_branch = index_query(
+        covered, index.filter(F.col("event_date") <= frontier),
+        jexl, id_col, field_types)
+    scan_branch = compile_query(uncovered, jexl, field_types=field_types)
+    return idx_branch.unionByName(scan_branch)

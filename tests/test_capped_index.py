@@ -117,3 +117,20 @@ class TestCapInvariance:
             got = {r.event_id for r in capped_index_query(
                 events, ci, q, "event_id", "ts").collect()}
             assert got == want, f"cap={cap}"
+
+
+class TestIndexHoles:
+    def test_answers_coverage_invariant(self, spark, events):
+        from datawave_spark.compiler import compile_query
+        from datawave_spark.sources.index_frame import (build_index,
+                                                        index_hole_query)
+        idx = build_index(events, ["event_type", "grp"], "event_id",
+                          date_col="ts")
+        q = "EVENT_TYPE == 'hot' && GRP == 2"
+        want = {r.event_id for r in compile_query(events, q).collect()}
+        for frontier in ("2023-12-31",   # nothing covered: pure scan
+                         "2024-01-01",   # half covered
+                         "2024-01-02"):  # fully covered: pure index
+            got = {r.event_id for r in index_hole_query(
+                events, idx, q, "event_id", "ts", frontier).collect()}
+            assert got == want, frontier
