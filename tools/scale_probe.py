@@ -29,7 +29,8 @@ SCRATCH = os.path.join(REPO, ".scratch")
 SMALL = "/root/testdata/sf0.1"
 
 OPS = ["jexl_filter", "groupby", "tokenize_tf", "minhash_sig", "simhash",
-       "lsh_pairs", "ssdeep_join", "repetition", "decontaminate", "pack"]
+       "lsh_pairs", "ssdeep_join", "repetition", "decontaminate", "pack",
+       "span_dedup", "rebalance"]
 
 
 def generate(spark):
@@ -124,6 +125,14 @@ def run_one(op: str, events_path: str, docs_path: str) -> None:
             d.select("doc_id", F.lit("s").alias("src"),
                      F.length("text").alias("n")),
             "doc_id", "src", "n", 2048)),
+        "span_dedup": lambda d: noop(curation.remove_duplicate_spans(
+            d, "text", "doc_id", span_tokens=10)),
+        "rebalance": lambda d: noop(curation.rebalance_mix(
+            d.withColumn("src", F.concat(F.lit("s"),
+                         (F.col("doc_id") % 4).cast("string")))
+             .withColumn("w", F.length("text").cast("long")),
+            "doc_id", "src", "w",
+            {"s0": 0.4, "s1": 0.3, "s2": 0.2, "s3": 0.1})),
     }
     src = ev if op in ("jexl_filter", "groupby") else docs
     ops[op](src.limit(1000))          # codegen warm-up, untimed
