@@ -1274,6 +1274,41 @@ def q_visibility_mask(spark, sf_dir):
     return out.select("event_id", "props", "user_id")
 
 
+@register("visibility_combine_agg", """
+WITH v AS (SELECT event_type, value,
+  CASE WHEN user_id % 3 = 0 THEN 'A'
+       WHEN user_id % 3 = 1 THEN 'A&B' ELSE 'C|D' END AS visibility
+  FROM events),
+d AS (SELECT DISTINCT event_type, visibility AS raw,
+             CASE WHEN visibility LIKE '%|%'
+                  THEN '(' || visibility || ')' ELSE visibility END AS w
+      FROM v),
+labels AS (SELECT event_type, string_agg(w, '&' ORDER BY raw) AS visibility
+           FROM d GROUP BY event_type),
+sums AS (SELECT event_type, count(*) AS n, round(sum(value), 4) AS sum_value
+         FROM v GROUP BY event_type)
+SELECT s.event_type, s.n, s.sum_value, l.visibility
+FROM sums s JOIN labels l USING (event_type)
+""")
+def q_visibility_combine_agg(spark, sf_dir):
+    """Marking combination under aggregation
+    (GroupingUtils.combineVisibilities, query/common/grouping/
+    GroupingUtils.java:45): each group's result row carries the
+    CONJUNCTION of its members' distinct visibilities (disjunctive
+    members parenthesized) — you may see the aggregate only if you
+    could see every contributing row."""
+    from datawave_spark.visibility import combined_visibility
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "visibility",
+        F.when(F.col("user_id") % 3 == 0, "A")
+         .when(F.col("user_id") % 3 == 1, "A&B")
+         .otherwise("C|D"))
+    return (ev.groupBy("event_type")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.round(F.sum("value"), 4).alias("sum_value"),
+                 combined_visibility().alias("visibility")))
+
+
 @register("query_metrics_record")  # wall-time inside: rows-only check
 def q_query_metrics_record(spark, sf_dir):
     """Query-metrics record (reference query/metrics/ service +

@@ -23,7 +23,7 @@ from __future__ import annotations
 import re
 from collections.abc import Iterable
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import Column, DataFrame, functions as F
 
 
 class VisibilityParseError(ValueError):
@@ -137,3 +137,21 @@ def mask_fields(df: DataFrame, field_visibility: dict[str, str],
         if fname in out.columns and not _evaluate_fail_closed(vis, auth_set):
             out = out.withColumn(fname, F.lit(mask_value))
     return out
+
+
+def combined_visibility(vis_col: str = "visibility") -> Column:
+    """Aggregation expression for the marking of an AGGREGATED row —
+    GroupingUtils.combineVisibilities (query/common/grouping/
+    GroupingUtils.java:45) / MarkingFunctions.combine parity: a group's
+    visibility is the CONJUNCTION of its members' distinct labels, so
+    a user may see the aggregate only if they could see every
+    contributing row.  Members are deduped and sorted (stable across
+    partitionings); a member containing a disjunction is parenthesized
+    before joining with ``&`` (Accumulo's ColumnVisibility quoting
+    rule).  Use inside ``groupBy().agg(...)``."""
+    distinct = F.array_sort(F.collect_set(F.col(vis_col)))
+    wrapped = F.transform(
+        distinct,
+        lambda v: F.when(v.contains("|"),
+                         F.concat(F.lit("("), v, F.lit(")"))).otherwise(v))
+    return F.concat_ws("&", wrapped)

@@ -307,3 +307,30 @@ class TestStreamStreamJoin:
         df = spark.createDataFrame([(1,)], "user long")
         with _pytest.raises(ValueError, match="distinct"):
             interval_join(df, df, "user", left_ts="ts", right_ts="ts")
+
+
+class TestCombinedVisibility:
+    def test_conjunction_of_distinct_labels(self, spark):
+        from datawave_spark.visibility import combined_visibility
+        df = spark.createDataFrame(
+            [(1, "A"), (1, "A&B"), (1, "A")], "g long, visibility string")
+        got = df.groupBy("g").agg(
+            combined_visibility().alias("v")).first().v
+        assert got == "A&A&B"
+
+    def test_disjunctive_member_parenthesized(self, spark):
+        from datawave_spark.visibility import combined_visibility
+        df = spark.createDataFrame(
+            [(1, "A"), (1, "C|D")], "g long, visibility string")
+        got = df.groupBy("g").agg(
+            combined_visibility().alias("v")).first().v
+        assert got == "A&(C|D)"
+
+    def test_stable_under_repartition(self, spark):
+        from datawave_spark.visibility import combined_visibility
+        rows = [(1, v) for v in ("Z", "A", "M|N", "B&C")]
+        df = spark.createDataFrame(rows, "g long, visibility string")
+        a = df.groupBy("g").agg(combined_visibility().alias("v")).first().v
+        b = df.repartition(7).groupBy("g").agg(
+            combined_visibility().alias("v")).first().v
+        assert a == b == "A&B&C&(M|N)&Z"
