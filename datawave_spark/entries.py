@@ -1274,6 +1274,22 @@ def q_visibility_mask(spark, sf_dir):
     return out.select("event_id", "props", "user_id")
 
 
+@register("projection_query", """
+SELECT event_id, value FROM events WHERE event_type = 'view'
+""")
+def q_projection_query(spark, sf_dir):
+    """Result projection (ShardQueryLogic returnFields / QueryIterator
+    projection:864): the page returns ONLY the requested fields, and
+    because the whitelist is a plan-level select, Catalyst prunes the
+    parquet scan to exactly those columns + the filter column
+    (ReadSchema asserted in tests/test_plan_quality.py)."""
+    from datawave_spark.plans import QueryPlanner
+    ev = _t(spark, sf_dir, "events")
+    res = QueryPlanner(ev).plan("EVENT_TYPE == 'view'",
+                                return_fields=["EVENT_ID", "VALUE"])
+    return res.df
+
+
 @register("visibility_combine_agg", """
 WITH v AS (SELECT event_type, value,
   CASE WHEN user_id % 3 = 0 THEN 'A'

@@ -135,7 +135,9 @@ class QueryPlanner:
             return parse_jexl(query)
         raise ValueError(f"unknown syntax {syntax!r} (JEXL or LUCENE)")
 
-    def plan(self, query: str, syntax: str = "JEXL") -> QueryResult:
+    def plan(self, query: str, syntax: str = "JEXL",
+             return_fields: list[str] | None = None,
+             disallowed_fields: list[str] | None = None) -> QueryResult:
         import datawave_spark.functions  # noqa: F401  (register compilers)
         from pyspark.sql import types as T
         from datawave_spark.compiler.rewrite import (expand_composites,
@@ -199,6 +201,19 @@ class QueryPlanner:
                     out = out.withColumnRenamed(old, new)
         if model:
             out = self._apply_reverse_model(out, model)
+        # Projection (QueryIterator.java:864 + ShardQueryLogic
+        # returnFields / disallowlistedFields): a whitelist keeps listed
+        # columns, a disallowlist drops listed columns — expressed as a
+        # select so Catalyst prunes the parquet scan down to what the
+        # page actually returns (ReadSchema shrinks; asserted in
+        # tests/test_plan_quality.py).
+        if return_fields:
+            want = {f.upper() for f in return_fields}
+            out = out.select(*[c for c in out.columns if c.upper() in want])
+        if disallowed_fields:
+            deny = {f.upper() for f in disallowed_fields}
+            out = out.select(*[c for c in out.columns
+                               if c.upper() not in deny])
 
         return QueryResult(df=out, options=opts, plan_string=str(node))
 

@@ -31,6 +31,25 @@ class TestPushdown:
         assert "props" not in schema and "ts" not in schema
         assert "event_type" in schema and "value" in schema
 
+    def test_return_fields_prune_scan(self, spark):
+        # the returnFields whitelist must reach the scan: ReadSchema
+        # holds only the projected columns + the filter column
+        df = entrymod.queries()["projection_query"](spark, SF)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        import re
+        schema = re.search(r"ReadSchema: struct<([^>]*)>", plan).group(1)
+        assert "event_id" in schema and "value" in schema
+        assert "props" not in schema and "user_id" not in schema
+
+    def test_disallowed_fields_dropped(self, spark):
+        from datawave_spark.plans import QueryPlanner
+        from datawave_spark.sources.parquet import read_parquet
+        ev = read_parquet(spark, f"{SF}/events.parquet")
+        res = QueryPlanner(ev).plan("EVENT_TYPE == 'view'",
+                                    disallowed_fields=["PROPS"])
+        assert "props" not in res.df.columns
+        assert "event_id" in res.df.columns
+
     def test_negated_leaf_does_not_break_pushdown_of_siblings(self, spark):
         from datawave_spark.compiler import compile_query
         from datawave_spark.sources.parquet import read_parquet
