@@ -79,7 +79,8 @@ class QueryPlanner:
                  stats: dict[str, int] | None = None,
                  index: DataFrame | None = None,
                  max_value_expansion: int = 50,
-                 max_terms: int = 2500, max_depth: int = 2500):
+                 max_terms: int = 2500, max_depth: int = 2500,
+                 rules: list | None = None):
         self.df = df
         self.field_types = field_types
         self.model = model
@@ -100,6 +101,11 @@ class QueryPlanner:
         self.max_value_expansion = max_value_expansion
         self.max_terms = max_terms
         self.max_depth = max_depth
+        # Pluggable AST→AST transforms — the configurable pushdown-rule
+        # hook (DefaultQueryPlanner.applyRules:2174, planner/rules/ +
+        # planner/pushdown/rules/): deployment-specific rewrites run
+        # after the default pipeline, in list order.
+        self.rules = list(rules or [])
 
     @classmethod
     def from_metadata(cls, df: DataFrame, metadata: DataFrame,
@@ -144,6 +150,8 @@ class QueryPlanner:
                                                      whindex)
         node = self.parse(query, syntax)
         node = default_pipeline(node)
+        for rule in self.rules:
+            node = rule(node)
         # Reference pass order: whindex (1384) before composite
         # expansion (1550) — a whindex remap may complete a composite.
         if self.whindex_mappings:

@@ -211,6 +211,31 @@ class TestPlanner:
         # flatten + dedup applied
         assert res.plan_string == "(CITY == 'rome' && NUM == 5)"
 
+    def test_pluggable_rewrite_rule(self, events):
+        # applyRules hook (DefaultQueryPlanner.java:2174): a custom
+        # AST->AST rule runs after the default pipeline and its effect
+        # shows in the plan string — a deployment rule mapping the
+        # legacy POP field onto the stored NUM column
+        from datawave_spark.jexl import (AndNode, CmpNode, Identifier,
+                                         NotNode, OrNode)
+
+        def walk(node):
+            if isinstance(node, CmpNode) and node.field.name == "POP":
+                return CmpNode(node.op, Identifier("NUM"), node.value)
+            if isinstance(node, (AndNode, OrNode)):
+                return type(node)(tuple(walk(t) for t in node.terms))
+            if isinstance(node, NotNode):
+                return NotNode(walk(node.term))
+            return node
+
+        qp = QueryPlanner(events, rules=[walk])
+        res = qp.plan("POP == 5", syntax="JEXL")
+        assert "NUM == 5" in res.plan_string
+        want = QueryPlanner(events).plan("NUM == 5").df.count()
+        assert res.df.count() == want
+
+    
+
 
 class TestExcerptOption:
     def test_excerpt_fields_through_planner(self, spark):
