@@ -1874,6 +1874,29 @@ def q_geo_bbox_accel(spark, sf_dir):
     return out.select("event_id", "lat", "lon")
 
 
+@register("geo_circle_accelerated", """
+SELECT event_id,
+       CAST(user_id % 160 - 80 AS DOUBLE) AS lat,
+       CAST(event_id % 360 - 180 AS DOUBLE) AS lon
+FROM events
+WHERE power(CAST(user_id % 160 - 80 AS DOUBLE) - 20, 2)
+      + power(CAST(event_id % 360 - 180 AS DOUBLE) - 40, 2) <= power(12, 2)
+""")
+def q_geo_circle_accel(spark, sf_dir):
+    """Geohash-accelerated geo:within_circle over the stored
+    geohash-clustered table: the circle's bounding square becomes
+    pushable StartsWith prefixes (the GeoWave envelope decomposition),
+    the exact planar-distance check (GeoFunctions.within_circle:149)
+    runs on survivors; must equal the plain circle filter (the
+    oracle)."""
+    from datawave_spark.functions.geohash import circle_filter_accelerated
+    from datawave_spark.sources.prepared import geo_events
+    ev = geo_events(spark, sf_dir)
+    out = circle_filter_accelerated(ev, "lat", "lon", 20.0, 40.0, 12.0,
+                                    stored=True)
+    return out.select("event_id", "lat", "lon")
+
+
 @register("index_driven_query", """
 SELECT event_id, user_id, value FROM events
 WHERE event_type = 'purchase' AND value > 300 AND NOT user_id = 5

@@ -132,15 +132,41 @@ def bbox_filter_accelerated(df: DataFrame, lat_col: str, lon_col: str,
     there the coarse test is ONE substring + isin instead."""
     prefixes = bbox_prefixes(min_lat, min_lon, max_lat, max_lon,
                              prefix_precision)
+    coarse = _coarse_prefix_pred(prefixes, geohash_col_name, stored)
+    exact = (F.col(lat_col) >= min_lat) & (F.col(lat_col) <= max_lat) \
+        & (F.col(lon_col) >= min_lon) & (F.col(lon_col) <= max_lon)
+    return df.filter(coarse & exact)
+
+
+def _coarse_prefix_pred(prefixes: list[str], geohash_col_name: str,
+                        stored: bool):
     gh = F.col(geohash_col_name)
     if stored:
         coarse = gh.startswith(prefixes[0])
         for p in prefixes[1:]:
             coarse = coarse | gh.startswith(p)
-    else:
-        # All covering cells share one precision → one substring + isin.
-        plen = len(prefixes[0])
-        coarse = F.substring(gh, 1, plen).isin(*prefixes)
-    exact = (F.col(lat_col) >= min_lat) & (F.col(lat_col) <= max_lat) \
-        & (F.col(lon_col) >= min_lon) & (F.col(lon_col) <= max_lon)
+        return coarse
+    # All covering cells share one precision → one substring + isin.
+    plen = len(prefixes[0])
+    return F.substring(gh, 1, plen).isin(*prefixes)
+
+
+def circle_filter_accelerated(df: DataFrame, lat_col: str, lon_col: str,
+                              center_lat: float, center_lon: float,
+                              radius: float,
+                              geohash_col_name: str = "geohash",
+                              prefix_precision: int = 4,
+                              stored: bool = False) -> DataFrame:
+    """geo:within_circle with geohash prefix acceleration: the coarse
+    cover is the circle's bounding square (GeoWave decomposes circles
+    the same way — tiered ranges over the envelope,
+    GeoWaveFunctionsDescriptor), pushed as StartsWith on the stored
+    geohash; the exact planar-distance check (GeoFunctions.
+    within_circle:149 semantics) runs on survivors only."""
+    prefixes = bbox_prefixes(center_lat - radius, center_lon - radius,
+                             center_lat + radius, center_lon + radius,
+                             prefix_precision)
+    coarse = _coarse_prefix_pred(prefixes, geohash_col_name, stored)
+    exact = ((F.col(lat_col) - center_lat) ** 2
+             + (F.col(lon_col) - center_lon) ** 2) <= radius ** 2
     return df.filter(coarse & exact)

@@ -68,6 +68,12 @@ class TestPreparedAssets:
         assert "StartsWith(geohash" in plan
         assert ".prepared" in plan  # reads the materialized asset
 
+    def test_circle_prefix_predicates_push_to_stored_table(self, spark):
+        df = entrymod.queries()["geo_circle_accelerated"](spark, SF)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "StartsWith(geohash" in plan
+        assert ".prepared" in plan
+
     def test_index_frame_partition_prunes_on_field(self, spark):
         df = entrymod.queries()["index_driven_query"](spark, SF)
         plan = df._jdf.queryExecution().executedPlan().toString()
