@@ -24,7 +24,7 @@ from __future__ import annotations
 import os
 import shutil
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, functions as F
 
 DEFAULT_TARGET_BYTES = 128 * 1024 * 1024
 
@@ -74,3 +74,51 @@ def compact(spark: SparkSession, path: str,
     os.rename(tmp, path)
     shutil.rmtree(old)
     return parquet_file_count(path)
+
+
+def merge_events(spark: SparkSession, table_path: str, updates: DataFrame,
+                 id_col: str = "uid",
+                 partition_col: str = "event_date") -> int:
+    """Upsert a batch into a date-partitioned event store — the
+    re-ingest overwrite semantics the reference gets for free from
+    Accumulo's KV model (re-ingesting an event writes the same key, and
+    compaction drops the older version).  Parquet is immutable, so the
+    merge is per-partition copy-on-write:
+
+    1. the update batch names the partitions it touches (tiny distinct);
+    2. ONLY those partition directories are read back (partition-pruned
+       scan — at 100 TB a re-ingest touches a handful of dates, not the
+       corpus);
+    3. existing rows losing to an update on ``id_col`` are anti-joined
+       away, the union is rewritten, and each partition directory is
+       swapped atomically (write-then-swap, as ``compact``).
+
+    Returns the number of rewritten partitions.  (With Delta this whole
+    function is ``MERGE INTO`` — this is the dependency-free analog.)
+    """
+    import datetime
+
+    parts = [r[0] for r in updates.select(partition_col).distinct().collect()]
+    for p in parts:
+        pval = p.isoformat() if isinstance(p, (datetime.date,)) else str(p)
+        pdir = os.path.join(table_path, f"{partition_col}={pval}")
+        batch = updates.filter(F.col(partition_col) == F.lit(p)) \
+            .drop(partition_col)
+        if os.path.exists(pdir):
+            existing = spark.read.parquet(pdir)
+            keep = existing.join(batch.select(id_col), id_col, "left_anti")
+            merged = keep.unionByName(batch)
+        else:
+            merged = batch
+        tmp = pdir.rstrip("/") + ".merge.tmp"
+        merged.write.mode("overwrite").parquet(tmp)
+        if not os.path.exists(os.path.join(tmp, "_SUCCESS")):
+            raise RuntimeError(f"merge write did not commit: {tmp}")
+        if os.path.exists(pdir):
+            old = pdir.rstrip("/") + ".merge.old"
+            os.rename(pdir, old)
+            os.rename(tmp, pdir)
+            shutil.rmtree(old)
+        else:
+            os.rename(tmp, pdir)
+    return len(parts)

@@ -48,3 +48,55 @@ def test_compact_with_sort_restores_clustering(spark, tmp_path):
     assert len(ranges) >= 2
     for (a_lo, a_hi), (b_lo, b_hi) in zip(ranges, ranges[1:]):
         assert a_hi <= b_lo            # disjoint consecutive ranges
+
+
+class TestMergeEvents:
+    def _write(self, spark, path):
+        import pyspark.sql.functions as F
+        df = spark.createDataFrame(
+            [("u1", "2024-01-01", 1.0), ("u2", "2024-01-01", 2.0),
+             ("u3", "2024-01-02", 3.0)],
+            "uid string, event_date string, value double")
+        df.write.partitionBy("event_date").mode("overwrite") \
+            .parquet(str(path))
+
+    def test_upsert_replaces_matching_uid(self, spark, tmp_path):
+        from datawave_spark.sources.maintenance import merge_events
+        path = tmp_path / "events"
+        self._write(spark, path)
+        updates = spark.createDataFrame(
+            [("u2", "2024-01-01", 20.0), ("u9", "2024-01-01", 9.0)],
+            "uid string, event_date string, value double")
+        n = merge_events(spark, str(path), updates)
+        assert n == 1
+        got = {r.uid: r.value
+               for r in spark.read.parquet(str(path)).collect()}
+        assert got == {"u1": 1.0, "u2": 20.0, "u9": 9.0, "u3": 3.0}
+
+    def test_untouched_partitions_not_rewritten(self, spark, tmp_path):
+        import os
+        from datawave_spark.sources.maintenance import merge_events
+        path = tmp_path / "events"
+        self._write(spark, path)
+        p2 = str(path / "event_date=2024-01-02")
+        mtimes = {f: os.path.getmtime(os.path.join(p2, f))
+                  for f in os.listdir(p2)}
+        updates = spark.createDataFrame(
+            [("u1", "2024-01-01", 11.0)],
+            "uid string, event_date string, value double")
+        merge_events(spark, str(path), updates)
+        after = {f: os.path.getmtime(os.path.join(p2, f))
+                 for f in os.listdir(p2)}
+        assert mtimes == after  # 01-02 untouched
+
+    def test_new_partition_created(self, spark, tmp_path):
+        from datawave_spark.sources.maintenance import merge_events
+        path = tmp_path / "events"
+        self._write(spark, path)
+        updates = spark.createDataFrame(
+            [("u7", "2024-02-07", 7.0)],
+            "uid string, event_date string, value double")
+        merge_events(spark, str(path), updates)
+        got = spark.read.parquet(str(path)) \
+            .filter("event_date = '2024-02-07'").collect()
+        assert [r.uid for r in got] == ["u7"]
