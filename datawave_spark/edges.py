@@ -49,7 +49,8 @@ def _as_array(df: DataFrame, col: str) -> F.Column:
 
 
 def build_edges(events: DataFrame, defs: list[EdgeDefinition],
-                date_col: str | None = None) -> DataFrame:
+                date_col: str | None = None,
+                ts_col: str | None = None) -> DataFrame:
     """Materialize the edge frame: one row per (source value, sink
     value) pair per event per definition — STANDARD format.  Multi-value
     fields fan out (explode), preconditions filter events first."""
@@ -65,14 +66,16 @@ def build_edges(events: DataFrame, defs: list[EdgeDefinition],
                if d.attribute1 else [F.lit(None).cast("string").alias("attribute1")] ),
             *( [F.to_date(F.col(date_col)).alias("edge_date")]
                if date_col else [F.lit(None).cast("date").alias("edge_date")] ),
+            *( [F.hour(F.col(ts_col)).alias("edge_hour")]
+               if ts_col else [F.lit(None).cast("int").alias("edge_hour")] ),
         ).select(
             "source", F.explode("__sinks").alias("sink"),
-            "attribute1", "edge_date",
+            "attribute1", "edge_date", "edge_hour",
         ).select(
             "source", "sink",
             F.lit(d.edge_type).alias("edge_type"),
             F.lit(d.relationship).alias("relationship"),
-            "attribute1", "edge_date",
+            "attribute1", "edge_date", "edge_hour",
         )
         outs.append(pairs)
         if d.bidirectional:
@@ -80,7 +83,7 @@ def build_edges(events: DataFrame, defs: list[EdgeDefinition],
                 F.col("sink").alias("source"), F.col("source").alias("sink"),
                 "edge_type",
                 F.lit(d.relationship[::-1] if d.relationship else "").alias("relationship"),
-                "attribute1", "edge_date"))
+                "attribute1", "edge_date", "edge_hour"))
     out = outs[0]
     for o in outs[1:]:
         out = out.union(o)
@@ -93,6 +96,17 @@ def stats_edges(edges: DataFrame) -> DataFrame:
     at pair cardinality."""
     return (edges.groupBy("source", "sink", "edge_type", "relationship")
             .agg(F.count(F.lit(1)).alias("weight")))
+
+
+def activity_stats_edges(edges: DataFrame) -> DataFrame:
+    """STATS/ACTIVITY format (EdgeKey STATS_TYPE:496 ACTIVITY): per
+    (vertex pair, type, day) the hourly activity histogram the
+    reference packs into a protobuf value — restated long-form as one
+    row per active hour with its count (relational, still one
+    map-side-combinable aggregation at pair×24 cardinality)."""
+    return (edges.groupBy("source", "sink", "edge_type", "edge_date",
+                          F.col("edge_hour").alias("hour"))
+            .agg(F.count(F.lit(1)).alias("n")))
 
 
 # Virtual-field model for edge JEXL queries (EdgeQueryLogic fields);

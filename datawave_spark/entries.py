@@ -1382,6 +1382,28 @@ def q_edge_build_stats(spark, sf_dir):
         .select("source", "sink", "edge_type", "relationship", "weight")
 
 
+@register("edge_activity_stats", """
+SELECT CAST(user_id AS VARCHAR) AS source, event_type AS sink,
+       'user_event' AS edge_type,
+       CAST(ts AS DATE) AS edge_date, hour(ts) AS hour, count(*) AS n
+FROM events WHERE value > 50
+GROUP BY 1, 2, 3, 4, 5
+""")
+def q_edge_activity_stats(spark, sf_dir):
+    """STATS/ACTIVITY edges (EdgeKey STATS_TYPE:496 ACTIVITY): per
+    vertex pair per day, the hourly activity histogram — long-form one
+    row per active hour (the relational restatement of the protobuf
+    histogram value), one map-side-combinable aggregation."""
+    from datawave_spark.edges import (EdgeDefinition, activity_stats_edges,
+                                      build_edges)
+    ev = _t(spark, sf_dir, "events")
+    defs = [EdgeDefinition("user_id", "event_type", "user_event", "did",
+                           precondition="VALUE > 50")]
+    edges = build_edges(ev, defs, date_col="ts", ts_col="ts")
+    return activity_stats_edges(edges) \
+        .select("source", "sink", "edge_type", "edge_date", "hour", "n")
+
+
 @register("edge_query_virtual", f"""
 SELECT source, sink FROM ({_EDGE_DEFS_SQL})
 WHERE sink = 'purchase' AND NOT source = '7'
