@@ -225,6 +225,61 @@ class QueryPlanner:
 
         return QueryResult(df=out, options=opts, plan_string=str(node))
 
+    def predict(self, query: str, syntax: str = "JEXL",
+                total_rows: int | None = None) -> dict:
+        """Pre-execution cost prediction (QueryExecutorBean.predict:993
+        — the reference estimates a query's cost from table stats
+        before running it).  Selectivity model over the stats table
+        (per-field distinct counts, ``prepared.index_stats``):
+
+        - ``F == v``   → 1/cardinality(F) (uniform-values assumption)
+        - range/regex  → fixed fractions (1/3, 1/10)
+        - AND → product (independence), OR → inclusion-exclusion,
+          NOT → complement
+
+        Returns {"estimated_rows", "selectivity", "total_rows",
+        "plan_string"}.  A heuristic, not a promise — the reference's
+        predictor is the same kind of stats lookup."""
+        from datawave_spark.jexl.ast import (AndNode, CmpNode, FieldCmpNode,
+                                             FuncNode, NotNode, OrNode)
+        node = default_pipeline(self.parse(query, syntax))
+
+        def sel(n) -> float:
+            if isinstance(n, CmpNode):
+                if n.op in ("!=", "!~"):
+                    pos = CmpNode("==" if n.op == "!=" else "=~",
+                                  n.field, n.value)
+                    return 1.0 - sel(pos)
+                if n.op == "==":
+                    card = (self.stats or {}).get(n.field.name.upper())
+                    return 1.0 / card if card else 0.1
+                if n.op == "=~":
+                    return 0.1
+                return 1.0 / 3.0          # range ops
+            if isinstance(n, AndNode):
+                out = 1.0
+                for t in n.terms:
+                    out *= sel(t)
+                return out
+            if isinstance(n, OrNode):
+                miss = 1.0
+                for t in n.terms:
+                    miss *= 1.0 - sel(t)
+                return 1.0 - miss
+            if isinstance(n, NotNode):
+                return 1.0 - sel(n.term)
+            if isinstance(n, (FuncNode, FieldCmpNode)):
+                return 0.5                # evaluation-only terms
+            return 1.0
+
+        if total_rows is None:
+            total_rows = self.df.count()
+        s = max(0.0, min(1.0, sel(node)))
+        return {"estimated_rows": int(round(s * total_rows)),
+                "selectivity": round(s, 6),
+                "total_rows": total_rows,
+                "plan_string": str(node)}
+
     @staticmethod
     def _apply_reverse_model(df: DataFrame,
                              model: dict[str, list[str]]) -> DataFrame:

@@ -458,3 +458,36 @@ class TestCompareFunction:
         from datawave_spark.lucene.parser import LuceneParseError, parse_lucene
         with pytest.raises(LuceneParseError, match="ANY only"):
             parse_lucene("#COMPARE(A, '<', 'ALL', B)")
+
+
+class TestPredict:
+    """QueryExecutorBean.predict:993 parity: stats-driven cost
+    prediction before execution."""
+
+    @pytest.fixture(scope="class")
+    def planner(self, spark):
+        from datawave_spark.plans import QueryPlanner
+        df = spark.createDataFrame(
+            [("a", "rome", 1.0), ("b", "paris", 2.0),
+             ("c", "rome", 3.0), ("d", "rome", 4.0)],
+            "uid string, CITY string, NUM double")
+        return QueryPlanner(df, stats={"CITY": 2, "NUM": 4})
+
+    def test_eq_uses_stats_cardinality(self, planner):
+        p = planner.predict("CITY == 'rome'")
+        assert p["selectivity"] == 0.5
+        assert p["estimated_rows"] == round(0.5 * p["total_rows"])
+
+    def test_and_multiplies_or_unions(self, planner):
+        a = planner.predict("CITY == 'rome' && NUM == 5")["selectivity"]
+        o = planner.predict("CITY == 'rome' || NUM == 5")["selectivity"]
+        assert a == pytest.approx(0.5 * 0.25)
+        assert o == pytest.approx(1 - 0.5 * 0.75)
+
+    def test_negation_complements(self, planner):
+        p = planner.predict("!(CITY == 'rome')")
+        assert p["selectivity"] == pytest.approx(0.5)
+
+    def test_unknown_field_defaults(self, planner):
+        p = planner.predict("MYSTERY == 'x'")
+        assert p["selectivity"] == pytest.approx(0.1)
