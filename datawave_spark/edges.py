@@ -109,6 +109,22 @@ def activity_stats_edges(edges: DataFrame) -> DataFrame:
             .agg(F.count(F.lit(1)).alias("n")))
 
 
+def duration_stats_edges(edges: DataFrame,
+                         elapsed_col: str = "elapsed") -> DataFrame:
+    """STATS/DURATION format (EdgeKey STATS_TYPE:496 DURATION): per
+    vertex pair per type, counts over the reference's SEVEN fixed
+    elapsed-seconds buckets (EdgeValueHelper.getLongListForDuration:
+    148-169 — <10s, 10-30s, 30-60s, 1-5m, 5-10m, 10-30m, >30m),
+    long-form one row per occupied bucket."""
+    e = F.col(elapsed_col)
+    bucket = (F.when(e < 10, 0).when(e < 30, 1).when(e < 60, 2)
+              .when(e < 5 * 60, 3).when(e < 10 * 60, 4)
+              .when(e < 30 * 60, 5).otherwise(6))
+    return (edges.withColumn("duration_bucket", bucket)
+            .groupBy("source", "sink", "edge_type", "duration_bucket")
+            .agg(F.count(F.lit(1)).alias("n")))
+
+
 # Virtual-field model for edge JEXL queries (EdgeQueryLogic fields);
 # SOURCE/SINK/ATTRIBUTE1 resolve directly (case-insensitive).
 EDGE_MODEL = {"TYPE": ["EDGE_TYPE"], "RELATION": ["RELATIONSHIP"]}

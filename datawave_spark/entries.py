@@ -1404,6 +1404,33 @@ def q_edge_activity_stats(spark, sf_dir):
         .select("source", "sink", "edge_type", "edge_date", "hour", "n")
 
 
+@register("edge_duration_stats", """
+SELECT CAST(user_id AS VARCHAR) AS source, event_type AS sink,
+       'user_event' AS edge_type,
+       CASE WHEN value < 10 THEN 0 WHEN value < 30 THEN 1
+            WHEN value < 60 THEN 2 WHEN value < 300 THEN 3
+            WHEN value < 600 THEN 4 WHEN value < 1800 THEN 5
+            ELSE 6 END AS duration_bucket,
+       count(*) AS n
+FROM events WHERE value > 50
+GROUP BY 1, 2, 3, 4
+""")
+def q_edge_duration_stats(spark, sf_dir):
+    """STATS/DURATION edges (EdgeKey STATS_TYPE:496; bucket boundaries
+    EdgeValueHelper.getLongListForDuration:148-169): per vertex pair,
+    counts over the reference's seven fixed elapsed-seconds buckets —
+    the event's value column stands in for elapsed seconds."""
+    from datawave_spark.edges import (EdgeDefinition, build_edges,
+                                      duration_stats_edges)
+    ev = _t(spark, sf_dir, "events")
+    defs = [EdgeDefinition("user_id", "event_type", "user_event", "did",
+                           attribute1="value", precondition="VALUE > 50")]
+    edges = build_edges(ev, defs) \
+        .withColumn("elapsed", F.col("attribute1").cast("double"))
+    return duration_stats_edges(edges) \
+        .select("source", "sink", "edge_type", "duration_bucket", "n")
+
+
 @register("edge_query_virtual", f"""
 SELECT source, sink FROM ({_EDGE_DEFS_SQL})
 WHERE sink = 'purchase' AND NOT source = '7'
