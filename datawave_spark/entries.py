@@ -140,6 +140,27 @@ def q_jexl_marker_query(spark, sf_dir):
     return out.select("event_id", "value")
 
 
+@register("jexl_multivalue_eq", """
+SELECT event_id, value FROM events
+WHERE list_contains(['t_' || event_type,
+                     'u_' || CAST((user_id % 10)::int AS VARCHAR)],
+                    't_click')
+  AND value > 100
+""")
+def q_jexl_multivalue_eq(spark, sf_dir):
+    """Multi-valued field set semantics through the DRIVER gate
+    (DatawaveArithmetic.java:24,50-120: ``FIELD == 'x'`` means ANY
+    value of the set equals): a derived array column queried with
+    plain equality compiles to an EXISTS over the array."""
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "TAGS", F.array(
+            F.concat(F.lit("t_"), F.col("event_type")),
+            F.concat(F.lit("u_"),
+                     (F.col("user_id") % 10).cast("int").cast("string"))))
+    out = compile_query(ev, "TAGS == 't_click' && VALUE > 100")
+    return out.select("event_id", "value")
+
+
 @register("normalize_ipv4_query", """
 SELECT event_id, ip FROM (
   SELECT event_id,
