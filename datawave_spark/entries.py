@@ -140,6 +140,34 @@ def q_jexl_marker_query(spark, sf_dir):
     return out.select("event_id", "value")
 
 
+@register("data_dictionary", """
+SELECT * FROM (
+  SELECT 'EVENT_ID' AS field, 'event' AS datatype, 'bigint' AS spark_type,
+         'noop' AS normalizer, count(event_id) AS n_values FROM events
+  UNION ALL
+  SELECT 'EVENT_TYPE', 'event', 'string', 'lc', count(event_type) FROM events
+  UNION ALL
+  SELECT 'USER_ID', 'event', 'bigint', 'noop', count(user_id) FROM events
+  UNION ALL
+  SELECT 'VALUE', 'event', 'double', 'number', count(value) FROM events
+  UNION ALL
+  SELECT 'PROPS', 'event', 'string', 'noop', count(props) FROM events)
+""")
+def q_data_dictionary(spark, sf_dir):
+    """Data dictionary (web-services/dictionary + data-dictionary-core;
+    metadata table SURVEY §1.4): the queryable field registry — per
+    field its datatype binding, engine type, bound normalizer and
+    non-null count, served from the ingest-built metadata frame, the
+    same rows MetadataHelper reads for planning."""
+    from datawave_spark.sources.ingest import IngestConfig, field_metadata
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id", "event_type", "user_id", "value", "props")
+    cfg = IngestConfig(datatype="event", date_field="ts",
+                       field_types={"event_type": "lc", "value": "number"})
+    return field_metadata(ev, cfg).select(
+        "field", "datatype", "spark_type", "normalizer", "n_values")
+
+
 @register("jexl_multivalue_eq", """
 SELECT event_id, value FROM events
 WHERE list_contains(['t_' || event_type,
