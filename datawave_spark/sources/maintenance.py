@@ -122,3 +122,61 @@ def merge_events(spark: SparkSession, table_path: str, updates: DataFrame,
         else:
             os.rename(tmp, pdir)
     return len(parts)
+
+
+def modify_field(spark: SparkSession, table_path: str, uid: str,
+                 field: str, mode: str, value=None,
+                 id_col: str = "uid",
+                 partition_col: str = "event_date") -> int:
+    """Field-level modification of a STORED event — the modification
+    service (web-services/modification ModificationBean →
+    core/modification/MutableMetadataHandler.java:76: INSERT / UPDATE /
+    DELETE of a field value on one event, addressed by uid).
+
+    Accumulo mutates the KV in place; parquet is immutable, so this is
+    the same per-partition copy-on-write as :func:`merge_events`:
+    locate the partitions holding the uid (a pushed-filter scan that
+    prunes to row groups), rewrite ONLY those directories with the
+    field edited, swap atomically.  Multi-valued (array) fields treat
+    INSERT as set-add and DELETE as value-remove — the reference's
+    multi-value field semantics; scalars set/clear the single value.
+    Returns the number of rewritten partitions.
+    """
+    import datetime
+    mode = mode.upper()
+    if mode not in ("INSERT", "UPDATE", "DELETE"):
+        raise ValueError(f"mode must be INSERT/UPDATE/DELETE, got {mode!r}")
+    table = spark.read.parquet(table_path)
+    parts = [r[0] for r in table.filter(F.col(id_col) == uid)
+             .select(partition_col).distinct().collect()]
+    for p in parts:
+        pval = p.isoformat() if isinstance(p, datetime.date) else str(p)
+        pdir = os.path.join(table_path, f"{partition_col}={pval}")
+        df = spark.read.parquet(pdir)
+        ftype = dict(df.dtypes)[field]
+        is_arr = ftype.startswith("array")
+        if mode == "INSERT":
+            new = F.array_union(
+                F.coalesce(F.col(field), F.array().cast(ftype)),
+                F.array(F.lit(value))) if is_arr else F.lit(value)
+        elif mode == "UPDATE":
+            new = F.array(F.lit(value)) if is_arr else F.lit(value)
+        else:  # DELETE
+            if is_arr:
+                new = F.array_remove(F.col(field), value)
+            elif value is not None:
+                new = F.when(F.col(field) == F.lit(value),
+                             F.lit(None).cast(ftype)).otherwise(F.col(field))
+            else:
+                new = F.lit(None).cast(ftype)
+        df2 = df.withColumn(field, F.when(F.col(id_col) == uid, new)
+                            .otherwise(F.col(field)))
+        tmp = pdir.rstrip("/") + ".modify.tmp"
+        df2.write.mode("overwrite").parquet(tmp)
+        if not os.path.exists(os.path.join(tmp, "_SUCCESS")):
+            raise RuntimeError(f"modification write did not commit: {tmp}")
+        old = pdir.rstrip("/") + ".modify.old"
+        os.rename(pdir, old)
+        os.rename(tmp, pdir)
+        shutil.rmtree(old)
+    return len(parts)

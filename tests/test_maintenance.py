@@ -100,3 +100,52 @@ class TestMergeEvents:
         got = spark.read.parquet(str(path)) \
             .filter("event_date = '2024-02-07'").collect()
         assert [r.uid for r in got] == ["u7"]
+
+
+class TestModifyField:
+    def _write(self, spark, path):
+        df = spark.createDataFrame(
+            [("u1", "2024-01-01", ["a", "b"], 1.0),
+             ("u2", "2024-01-01", ["c"], 2.0),
+             ("u3", "2024-01-02", ["d"], 3.0)],
+            "uid string, event_date string, tags array<string>, value double")
+        df.write.partitionBy("event_date").mode("overwrite") \
+            .parquet(str(path))
+
+    def test_insert_adds_array_value(self, spark, tmp_path):
+        from datawave_spark.sources.maintenance import modify_field
+        path = tmp_path / "t"
+        self._write(spark, path)
+        n = modify_field(spark, str(path), "u1", "tags", "INSERT", "z")
+        assert n == 1
+        got = {r.uid: sorted(r.tags)
+               for r in spark.read.parquet(str(path)).collect()}
+        assert got["u1"] == ["a", "b", "z"] and got["u2"] == ["c"]
+
+    def test_delete_removes_array_value(self, spark, tmp_path):
+        from datawave_spark.sources.maintenance import modify_field
+        path = tmp_path / "t"
+        self._write(spark, path)
+        modify_field(spark, str(path), "u1", "tags", "DELETE", "a")
+        got = {r.uid: list(r.tags)
+               for r in spark.read.parquet(str(path)).collect()}
+        assert got["u1"] == ["b"]
+
+    def test_update_scalar_and_targeted_delete(self, spark, tmp_path):
+        from datawave_spark.sources.maintenance import modify_field
+        path = tmp_path / "t"
+        self._write(spark, path)
+        modify_field(spark, str(path), "u3", "value", "UPDATE", 30.0)
+        got = {r.uid: r.value
+               for r in spark.read.parquet(str(path)).collect()}
+        assert got["u3"] == 30.0 and got["u1"] == 1.0
+        modify_field(spark, str(path), "u3", "value", "DELETE")
+        got = {r.uid: r.value
+               for r in spark.read.parquet(str(path)).collect()}
+        assert got["u3"] is None
+
+    def test_bad_mode_rejected(self, spark, tmp_path):
+        import pytest as _pytest
+        from datawave_spark.sources.maintenance import modify_field
+        with _pytest.raises(ValueError, match="INSERT/UPDATE/DELETE"):
+            modify_field(spark, "x", "u", "f", "UPSERT")
