@@ -2111,6 +2111,29 @@ def q_date_index_range(spark, sf_dir):
     return out.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
 
 
+@register("date_index_planned", """
+SELECT event_id, event_type FROM events
+WHERE CAST(ts AS DATE) + (event_id % 3)::int
+      BETWEEN DATE '2024-01-10' AND DATE '2024-01-14'
+  AND event_type = 'click'
+""")
+def q_date_index_planned(spark, sf_dir):
+    """Date-index consultation INSIDE the planner (DateIndexHelper
+    wired at DefaultQueryPlanner stage 5): a
+    ``filter:betweenLoadDates`` conjunct makes QueryPlanner look the
+    range up in the date index and inject the ``event_date IN``
+    partition-prune automatically — the user writes only the load-date
+    predicate."""
+    from datawave_spark.plans import QueryPlanner
+    from datawave_spark.sources.prepared import date_index, sharded_events
+    ev = spark.read.parquet(sharded_events(spark, sf_dir))
+    didx = date_index(spark, sf_dir)
+    res = QueryPlanner(ev, date_index=didx).plan(
+        "filter:betweenLoadDates(LOAD_DATE, '2024-01-10', '2024-01-14')"
+        " && EVENT_TYPE == 'click'")
+    return res.df.select("event_id", "event_type")
+
+
 @register("limit_fields_cap", """
 SELECT user_id,
        array_to_string(list_sort(list_distinct(list(event_type)))[1:2], ',')

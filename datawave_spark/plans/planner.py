@@ -80,7 +80,9 @@ class QueryPlanner:
                  index: DataFrame | None = None,
                  max_value_expansion: int = 50,
                  max_terms: int = 2500, max_depth: int = 2500,
-                 rules: list | None = None):
+                 rules: list | None = None,
+                 date_index: DataFrame | None = None,
+                 shard_col: str = "event_date"):
         self.df = df
         self.field_types = field_types
         self.model = model
@@ -106,6 +108,11 @@ class QueryPlanner:
         # planner/pushdown/rules/): deployment-specific rewrites run
         # after the default pipeline, in list order.
         self.rules = list(rules or [])
+        # Date-index hint source (DateIndexHelper; stage 5 of the
+        # rewrite pipeline): load-date conjuncts consult this frame and
+        # inject a shard_col partition-prune next to the exact filter.
+        self.date_index = date_index
+        self.shard_col = shard_col
 
     @classmethod
     def from_metadata(cls, df: DataFrame, metadata: DataFrame,
@@ -173,6 +180,12 @@ class QueryPlanner:
         validate_thresholds(node, self.max_terms, self.max_depth)
 
         src = self._ensure_tf_columns(self.df, node)
+        if self.date_index is not None:
+            hint = self._date_index_hint(node)
+            if hint is not None:
+                src = src.filter(
+                    F.col(self.shard_col).cast("date").isin(hint)
+                    if hint else F.lit(False))
         model = self.model
         if opts.noexpansion and model:
             # #NOEXPANSION(fields): listed aliases bypass query-model
@@ -224,6 +237,66 @@ class QueryPlanner:
                                if c.upper() not in deny])
 
         return QueryResult(df=out, options=opts, plan_string=str(node))
+
+    _LOAD_DATE_FNS = {"betweenLoadDates": "between",
+                      "afterLoadDate": "after",
+                      "beforeLoadDate": "before"}
+
+    def _date_index_hint(self, node) -> list | None:
+        """Shards-and-days hint (DateIndexHelper parity, wired at
+        DefaultQueryPlanner stage 5): walk the query's REQUIRED
+        conjuncts for load-date filter functions with literal ISO /
+        yyyyMMdd bounds, look each range up in the date index, and
+        intersect the hints.  Returns None when no conjunct constrains
+        a load date (no pruning), else the sorted shard-date list
+        (possibly empty → always-false)."""
+        import datetime
+        from datawave_spark.jexl.ast import (AndNode, FuncNode, Identifier,
+                                             Literal)
+        from datawave_spark.sources.date_index import shards_for_range
+
+        def parse_date(v):
+            s = str(v)
+            for fmt in ("%Y-%m-%d", "%Y%m%d"):
+                try:
+                    return datetime.datetime.strptime(s, fmt).date()
+                except ValueError:
+                    continue
+            return None
+
+        def conjuncts(n):
+            if isinstance(n, AndNode):
+                for t in n.terms:
+                    yield from conjuncts(t)
+            else:
+                yield n
+
+        hint: set | None = None
+        for term in conjuncts(node):
+            if not (isinstance(term, FuncNode)
+                    and term.namespace == "filter"
+                    and term.name in self._LOAD_DATE_FNS):
+                continue
+            args = list(term.args)
+            field = "LOAD_DATE"
+            if args and isinstance(args[0], Identifier):
+                field = args[0].name.upper()
+                args = args[1:]
+            lits = [a.value for a in args if isinstance(a, Literal)]
+            kind = self._LOAD_DATE_FNS[term.name]
+            if kind == "between" and len(lits) >= 2:
+                lo, hi = parse_date(lits[0]), parse_date(lits[1])
+            elif kind == "after" and lits:
+                lo, hi = parse_date(lits[0]), datetime.date(9999, 12, 31)
+            elif kind == "before" and lits:
+                lo, hi = datetime.date(1970, 1, 1), parse_date(lits[0])
+            else:
+                continue
+            if lo is None or hi is None:
+                continue          # unparseable pattern → no hint, stay safe
+            shards = set(shards_for_range(self.date_index, field, lo, hi))
+            hint = shards if hint is None else hint & shards
+        return sorted(hint) if hint is not None else None
 
     def predict(self, query: str, syntax: str = "JEXL",
                 total_rows: int | None = None) -> dict:

@@ -162,6 +162,30 @@ class TestPreparedAssets:
         pf = re.search(r"PartitionFilters: \[([^\]]*)", plan).group(1)
         assert "event_date" in pf and (" IN " in pf or "event_date#" in pf)
 
+    def test_planner_injects_date_index_hint(self, spark):
+        # the planner itself must consult the date index for load-date
+        # conjuncts and emit the partition filter
+        df = entrymod.queries()["date_index_planned"](spark, SF)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        import re
+        pf = re.search(r"PartitionFilters: \[([^\]]*)", plan)
+        assert pf and "event_date" in pf.group(1)
+
+    def test_planner_date_hint_ignores_or_branches(self, spark):
+        # a load-date term under OR must NOT prune (it doesn't
+        # constrain all results)
+        from datawave_spark.plans import QueryPlanner
+        from datawave_spark.sources.prepared import (date_index,
+                                                     sharded_events)
+        ev = spark.read.parquet(sharded_events(spark, SF))
+        didx = date_index(spark, SF)
+        qp = QueryPlanner(ev, date_index=didx)
+        res = qp.plan(
+            "filter:betweenLoadDates(LOAD_DATE, '2024-01-10', "
+            "'2024-01-11') || EVENT_TYPE == 'click'")
+        clicks = ev.filter("event_type = 'click'").count()
+        assert res.df.count() >= clicks
+
     def test_date_index_empty_hint_short_circuits(self, spark):
         from datawave_spark.sources.date_index import prune_by_date_index
         from datawave_spark.sources.prepared import (date_index,
