@@ -140,9 +140,13 @@ def minhash_signatures_from_sets(sets: DataFrame,
     return sets.select("id", F.array(*sig_cols).alias("sig"))
 
 
-def sets_to_shingles(sets: DataFrame) -> DataFrame:
+def sets_to_shingles(sets: DataFrame, with_n: bool = False) -> DataFrame:
     """Explode a (id, shingles, n) set frame back to (id, shingle) rows
-    for the equi-join-shaped pipelines."""
+    for the equi-join-shaped pipelines.  ``with_n=True`` carries the
+    stored set size on every gram row — free in the explode, and it
+    lets the pair join length-filter BEFORE the counting shuffle."""
+    if with_n:
+        return sets.select("id", "n", F.explode("shingles").alias("shingle"))
     return sets.select("id", F.explode("shingles").alias("shingle"))
 
 
@@ -354,7 +358,7 @@ def ngram_jaccard_pairs_from_sets(sets: DataFrame, threshold: float = 0.5,
     """All-pairs n-gram Jaccard from the prepared (id, shingles, n)
     set frame: sizes come free (no groupBy) and the gram rows are a
     row-wise explode of stored arrays instead of re-tokenizing text."""
-    sh = sets_to_shingles(sets)
+    sh = sets_to_shingles(sets, with_n=not prefix_filter)
     sizes = sets.select("id", "n")
     return _ngram_jaccard_core(sh, sizes, threshold, prefix_filter,
                                sets=sets)
@@ -374,6 +378,28 @@ def _ngram_jaccard_core(sh: DataFrame, sizes: DataFrame, threshold: float,
         cand_src = ranked.select("id", "shingle")
     else:
         cand_src = sh
+    if not prefix_filter and "n" in cand_src.columns:
+        # fastest path (sets input): gram rows carry their set size, so
+        # the LENGTH FILTER runs inside the gram join — J ≤ min/max, so
+        # any pair with min(n) < t·max(n) cannot reach the threshold
+        # and is dropped BEFORE the pair-counting shuffle (boilerplate
+        # gram fan-out shrinks by the size-ratio selectivity), and the
+        # sizes ride through the groupBy as keys — no post-joins.
+        a = cand_src.select(F.col("id").alias("id_a"),
+                            F.col("n").alias("n_a"), "shingle")
+        b = cand_src.select(F.col("id").alias("id_b"),
+                            F.col("n").alias("n_b"), "shingle")
+        inter = (a.join(b, "shingle")
+                 .filter((F.col("id_a") < F.col("id_b"))
+                         & (F.least("n_a", "n_b")
+                            >= threshold * F.greatest("n_a", "n_b")))
+                 .groupBy("id_a", "id_b", "n_a", "n_b")
+                 .agg(F.count(F.lit(1)).alias("n_inter")))
+        return (inter
+                .withColumn("jaccard", F.round(
+                    F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter")), 4))
+                .filter(F.col("jaccard") >= threshold)
+                .select("id_a", "id_b", "jaccard"))
     a = cand_src.select(F.col("id").alias("id_a"), "shingle")
     b = cand_src.select(F.col("id").alias("id_b"), "shingle")
     if not prefix_filter:
