@@ -32,24 +32,7 @@ def main() -> None:
     # written by the ingest job; queries only read them.
     try:
         from datawave_spark.sources import prepared
-        prepared.geo_events(spark, SF_DIR).count()
-        prepared.index_frame(spark, SF_DIR).count()
-        prepared.reverse_index(spark, SF_DIR).count()
-        prepared.doc_shingle_sets(spark, SF_DIR).count()
-        prepared.doc_minhash(spark, SF_DIR).count()
-        prepared.lsh_pairs(spark, SF_DIR).count()
-        prepared.doc_tf(spark, SF_DIR).count()
-        prepared.facet_table(spark, SF_DIR).count()
-        prepared.rollup_hourly(spark, SF_DIR).count()
-        prepared.index_stats(spark, SF_DIR).count()
-        prepared.ssdeep_hashes(spark, SF_DIR).count()
-        prepared.normalized_documents(spark, SF_DIR).count()
-        prepared.embedding_lsh(spark, SF_DIR).count()
-        prepared.embedding_ivf(spark, SF_DIR).count()
-        prepared.embedding_int8(spark, SF_DIR).count()
-        prepared.sharded_events(spark, SF_DIR)
-        prepared.date_index(spark, SF_DIR).count()
-        prepared.capped_index(spark, SF_DIR).count()
+        prepared.build_all(spark, SF_DIR)
     except Exception as e:
         print(f"bench: prepare failed: {e}", file=sys.stderr)
 

@@ -66,6 +66,37 @@ def get_or_build(spark: SparkSession, sf_dir: str, name: str, build_fn,
     return spark.read.parquet(path)
 
 
+def build_all(spark: SparkSession, sf_dir: str) -> dict[str, int]:
+    """Run the full ingest-side asset build for a scale-factor
+    directory — the one-call "ingest job" that materializes every
+    derived table queries read (geo events, forward/reverse/capped
+    index, date index + sharded layout, tf maps, shingle sets +
+    signatures + LSH pairs, ssdeep hashes, facet/stats tables,
+    rollups, normalized-at-rest copies, embedding LSH/IVF/int8).
+    Returns {asset: row_count}.  Each asset is an independent
+    get_or_build (skip-if-present), so re-running after a partial
+    failure resumes where it stopped — the FlagMaker-job idempotence
+    discipline."""
+    out: dict[str, int] = {}
+    builders = {
+        "geo_events": geo_events, "index_frame": index_frame,
+        "reverse_index": reverse_index, "capped_index": capped_index,
+        "date_index": date_index, "doc_shingle_sets": doc_shingle_sets,
+        "doc_minhash": doc_minhash, "lsh_pairs": lsh_pairs,
+        "doc_tf": doc_tf, "facet_table": facet_table,
+        "rollup_hourly": rollup_hourly, "index_stats": index_stats,
+        "ssdeep_hashes": ssdeep_hashes,
+        "normalized_documents": normalized_documents,
+        "embedding_lsh": embedding_lsh, "embedding_ivf": embedding_ivf,
+        "embedding_int8": embedding_int8,
+    }
+    sharded_events(spark, sf_dir)
+    out["sharded_events"] = -1   # path-returning asset; not counted
+    for name, fn in builders.items():
+        out[name] = fn(spark, sf_dir).count()
+    return out
+
+
 def geo_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Events with a stored geohash column, clustered by geohash."""
     from pyspark.sql import functions as F
