@@ -19,20 +19,30 @@ class MacroError(ValueError):
 
 
 def expand_macros(query: str, macros: dict[str, str],
-                  max_rounds: int = 25) -> str:
+                  max_expansions: int = 100) -> str:
     """Expand ``NAME(a, b, ...)`` macro calls using the template map.
 
     Selectors are comma-split and trimmed (empty selectors dropped,
     matching the reference's Splitter.omitEmptyStrings); ``$i``
-    placeholders substitute positionally.  ``max_rounds`` bounds
-    mutually-recursive macro definitions (the reference would loop
-    forever; we fail fast)."""
-    for _ in range(max_rounds):
+    placeholders substitute positionally.  A macro name only matches at
+    a token boundary (``GRANGE(...)`` is never rewritten by a ``RANGE``
+    macro — the reference's bare substring match silently corrupts such
+    queries).  ``max_expansions`` bounds TOTAL substitutions, so both
+    direct (A→A) and mutual (A→B→A) macro recursion fail fast instead
+    of looping forever as the reference would."""
+    expansions = 0
+    while True:
         changed = False
         for key, template in macros.items():
-            pat = re.compile(re.escape(key) + r"\(([^()]*)\)")
+            pat = re.compile(r"(?<![A-Za-z0-9_])"
+                             + re.escape(key) + r"\(([^()]*)\)")
             m = pat.search(query)
             while m is not None:
+                expansions += 1
+                if expansions > max_expansions:
+                    raise MacroError(
+                        f"macro expansion exceeded {max_expansions} "
+                        "substitutions (recursive macro definition?)")
                 selectors = [s.strip() for s in m.group(1).split(",")
                              if s.strip()]
                 repl = template
@@ -44,6 +54,3 @@ def expand_macros(query: str, macros: dict[str, str],
                 m = pat.search(query)
         if not changed:
             return query
-    raise MacroError(
-        f"macro expansion did not terminate in {max_rounds} rounds "
-        "(mutually recursive macros?)")

@@ -194,7 +194,14 @@ def extract_options(node: JexlNode) -> tuple[JexlNode, QueryOptions]:
             elif n.name == "options":
                 # #OPTIONS key/value pairs; known keys map onto the
                 # typed option fields (the reference folds them into
-                # the query's parameter map the same way).
+                # the query's parameter map the same way).  An odd
+                # argument count means a dangling key — reject it (the
+                # LUCENE front-end does; silently dropping the key
+                # would make a typo'd option vanish without error).
+                if len(args) % 2:
+                    raise ValueError(
+                        f"f:options takes key/value PAIRS; got odd "
+                        f"argument count {len(args)}: {args!r}")
                 for k, v in zip(args[0::2], args[1::2]):
                     key = k.lower()
                     if key in ("group.fields", "groupby"):

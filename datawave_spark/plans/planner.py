@@ -294,9 +294,24 @@ class QueryPlanner:
                 continue
             if lo is None or hi is None:
                 continue          # unparseable pattern → no hint, stay safe
+            if field not in self._date_index_fields():
+                # The index was not built over this date field — absence
+                # of index rows means "unknown", never "no shards"
+                # (mirrors expand_regex_from_index's fields_in_index
+                # guard).  Skip: the exact predicate still evaluates.
+                continue
             shards = set(shards_for_range(self.date_index, field, lo, hi))
             hint = shards if hint is None else hint & shards
         return sorted(hint) if hint is not None else None
+
+    def _date_index_fields(self) -> set[str]:
+        """Distinct FIELD values the date index covers — one bounded
+        metadata read, cached per planner."""
+        if not hasattr(self, "_didx_fields"):
+            self._didx_fields = {
+                r.field for r in
+                self.date_index.select("field").distinct().collect()}
+        return self._didx_fields
 
     def predict(self, query: str, syntax: str = "JEXL",
                 total_rows: int | None = None) -> dict:

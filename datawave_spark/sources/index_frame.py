@@ -88,8 +88,13 @@ def build_index(events: DataFrame, fields: list[str], id_col: str,
     return out
 
 
-def _term_uids(index: DataFrame, node: CmpNode,
-               field_types: dict[str, str] | None) -> DataFrame:
+def _index_value_pred(node: CmpNode,
+                      field_types: dict[str, str] | None):
+    """Predicate over the index frame's stored ``value`` column for one
+    comparison leaf — shared by the plain and Uid.List-capped lookups
+    (they MUST stay semantically identical for cap-invariance to
+    hold).  Index values are stringified; numeric terms compare
+    numerically ("25" must match stored "25.0")."""
     ft = {k.upper(): v for k, v in (field_types or {}).items()}
     norm = get_normalizer(ft.get(node.field.name.upper(), "noop"))
     value = node.value.value
@@ -97,21 +102,22 @@ def _term_uids(index: DataFrame, node: CmpNode,
     if node.op == "==":
         lit = norm.normalize_literal(value)
         if isinstance(lit, (int, float)) and not isinstance(lit, bool):
-            # index values are stringified; numeric terms compare
-            # numerically ("25" must match stored "25.0")
-            pred = v.cast("double") == float(lit)
-        else:
-            pred = v == str(lit)
-    elif node.op == "=~":
-        pred = v.rlike("^(?:" + str(value) + ")$")
-    elif node.op in ("<", ">", "<=", ">="):
+            return v.cast("double") == float(lit)
+        return v == str(lit)
+    if node.op == "=~":
+        return v.rlike("^(?:" + str(value) + ")$")
+    if node.op in ("<", ">", "<=", ">="):
         lit = norm.normalize_literal(value)
         cmp_col = v.cast("double") if isinstance(lit, (int, float)) else v
         lit_c = F.lit(lit)
-        pred = {"<": cmp_col < lit_c, ">": cmp_col > lit_c,
+        return {"<": cmp_col < lit_c, ">": cmp_col > lit_c,
                 "<=": cmp_col <= lit_c, ">=": cmp_col >= lit_c}[node.op]
-    else:
-        raise ValueError(f"index lookup cannot serve op {node.op!r}")
+    raise ValueError(f"index lookup cannot serve op {node.op!r}")
+
+
+def _term_uids(index: DataFrame, node: CmpNode,
+               field_types: dict[str, str] | None) -> DataFrame:
+    pred = _index_value_pred(node, field_types)
     return (index.filter((F.col("field") == node.field.name.upper()) & pred)
             .select("uid").distinct())
 
@@ -215,26 +221,7 @@ def _capped_term_info(cidx: DataFrame, node: CmpNode,
                       field_types: dict[str, str] | None) -> DataFrame:
     """One EQ/range/regex leaf → candidate (event_date, uid) rows;
     overflow index rows surface as uid-NULL shard rows."""
-    ft = {k.upper(): v for k, v in (field_types or {}).items()}
-    norm = get_normalizer(ft.get(node.field.name.upper(), "noop"))
-    value = node.value.value
-    v = F.col("value")
-    if node.op == "==":
-        lit = norm.normalize_literal(value)
-        if isinstance(lit, (int, float)) and not isinstance(lit, bool):
-            pred = v.cast("double") == float(lit)
-        else:
-            pred = v == str(lit)
-    elif node.op == "=~":
-        pred = v.rlike("^(?:" + str(value) + ")$")
-    elif node.op in ("<", ">", "<=", ">="):
-        lit = norm.normalize_literal(value)
-        cmp_col = v.cast("double") if isinstance(lit, (int, float)) else v
-        lit_c = F.lit(lit)
-        pred = {"<": cmp_col < lit_c, ">": cmp_col > lit_c,
-                "<=": cmp_col <= lit_c, ">=": cmp_col >= lit_c}[node.op]
-    else:
-        raise ValueError(f"capped index cannot serve op {node.op!r}")
+    pred = _index_value_pred(node, field_types)
     rows = cidx.filter((F.col("field") == node.field.name.upper()) & pred)
     # explode_outer: explicit rows fan out per uid; overflow rows
     # (uids NULL) emit one uid-NULL row = shard range

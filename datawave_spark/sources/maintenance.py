@@ -110,12 +110,16 @@ def merge_events(spark: SparkSession, table_path: str, updates: DataFrame,
             merged = keep.unionByName(batch)
         else:
             merged = batch
-        tmp = pdir.rstrip("/") + ".merge.tmp"
+        # tmp/old live as SIBLINGS of the table root, never inside it:
+        # a crash mid-swap must not leave a directory that partition
+        # discovery would read as a bogus partition (the compact()
+        # discipline).
+        tmp = table_path.rstrip("/") + f".merge.tmp.{pval}"
         merged.write.mode("overwrite").parquet(tmp)
         if not os.path.exists(os.path.join(tmp, "_SUCCESS")):
             raise RuntimeError(f"merge write did not commit: {tmp}")
         if os.path.exists(pdir):
-            old = pdir.rstrip("/") + ".merge.old"
+            old = table_path.rstrip("/") + f".merge.old.{pval}"
             os.rename(pdir, old)
             os.rename(tmp, pdir)
             shutil.rmtree(old)
@@ -171,11 +175,12 @@ def modify_field(spark: SparkSession, table_path: str, uid: str,
                 new = F.lit(None).cast(ftype)
         df2 = df.withColumn(field, F.when(F.col(id_col) == uid, new)
                             .otherwise(F.col(field)))
-        tmp = pdir.rstrip("/") + ".modify.tmp"
+        # sibling-of-table-root placement, as in merge_events/compact
+        tmp = table_path.rstrip("/") + f".modify.tmp.{pval}"
         df2.write.mode("overwrite").parquet(tmp)
         if not os.path.exists(os.path.join(tmp, "_SUCCESS")):
             raise RuntimeError(f"modification write did not commit: {tmp}")
-        old = pdir.rstrip("/") + ".modify.old"
+        old = table_path.rstrip("/") + f".modify.old.{pval}"
         os.rename(pdir, old)
         os.rename(tmp, pdir)
         shutil.rmtree(old)

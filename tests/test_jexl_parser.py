@@ -201,3 +201,14 @@ class TestQueryMacros:
         from datawave_spark.compiler.macros import expand_macros
         q = "F == 'v' && G > 2"
         assert expand_macros(q, {}) == q
+
+    def test_direct_self_recursion_fails_fast(self):
+        from datawave_spark.compiler.macros import MacroError, expand_macros
+        with pytest.raises(MacroError):
+            expand_macros("A(1)", {"A": "A($0) && B == '2'"})
+
+    def test_macro_name_requires_token_boundary(self):
+        from datawave_spark.compiler.macros import expand_macros
+        got = expand_macros("GRANGE(VALUE, 1, 2)",
+                            {"RANGE": "($0 > $1 && $0 < $2)"})
+        assert got == "GRANGE(VALUE, 1, 2)"  # untouched

@@ -149,3 +149,33 @@ class TestModifyField:
         from datawave_spark.sources.maintenance import modify_field
         with _pytest.raises(ValueError, match="INSERT/UPDATE/DELETE"):
             modify_field(spark, "x", "u", "f", "UPSERT")
+
+
+def test_merge_tmp_dirs_outside_table_root(spark, tmp_path, monkeypatch):
+    # a crash between write and swap must not leave a directory that
+    # partition discovery reads as a bogus partition
+    import os
+    from datawave_spark.sources import maintenance
+    path = tmp_path / "t"
+    spark.createDataFrame([("u1", "2024-01-01", 1.0)],
+                          "uid string, event_date string, value double") \
+        .write.partitionBy("event_date").parquet(str(path))
+    calls = {}
+    real_rename = os.rename
+
+    def crashing_rename(a, b):
+        calls["tmp"] = a
+        raise RuntimeError("simulated crash at swap")
+
+    monkeypatch.setattr(os, "rename", crashing_rename)
+    updates = spark.createDataFrame([("u1", "2024-01-01", 9.0)],
+                                    "uid string, event_date string, value double")
+    try:
+        maintenance.merge_events(spark, str(path), updates)
+    except RuntimeError:
+        pass
+    monkeypatch.setattr(os, "rename", real_rename)
+    # leftover tmp is a SIBLING of the table, so the table still reads
+    # exactly its original rows
+    got = spark.read.parquet(str(path)).collect()
+    assert [r.value for r in got] == [1.0]

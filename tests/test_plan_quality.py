@@ -351,3 +351,22 @@ class TestGeowaveRectFastPath:
         diamond = [(0.0, -1.0), (1.0, 0.0), (0.0, 1.0), (-1.0, 0.0),
                    (0.0, -1.0)]
         assert not _is_axis_rect(diamond)
+
+
+class TestDateIndexGuards:
+    def test_uncovered_date_field_means_no_pruning(self, spark):
+        # a load-date conjunct over a field the index was NOT built for
+        # must not produce an empty hint (which would zero the result)
+        from datawave_spark.plans import QueryPlanner
+        from datawave_spark.sources.prepared import (date_index,
+                                                     sharded_events)
+        ev = spark.read.parquet(sharded_events(spark, SF))
+        didx = date_index(spark, SF)
+        ev2 = ev.withColumn("activity_date", F.col("load_date"))
+        qp = QueryPlanner(ev2, date_index=didx)
+        res = qp.plan("filter:betweenLoadDates(ACTIVITY_DATE, "
+                      "'2024-01-10', '2024-01-14') && EVENT_TYPE == 'click'")
+        want = ev2.filter(
+            "activity_date between '2024-01-10' and '2024-01-14' "
+            "and event_type = 'click'").count()
+        assert res.df.count() == want > 0
