@@ -562,6 +562,47 @@ def q_dedup_minhash_lsh(spark, sf_dir):
                                                max_bucket=_LSH_MAXB)
 
 
+@register("dedup_incremental_lsh", f"""
+WITH sh AS ({_DUCK_SHINGLES2}),
+sig AS (SELECT id, {", ".join(f"min(md5('s{i}:' || shingle)) AS h{i}"
+                              for i in range(16))}
+        FROM sh WHERE shingle != '' GROUP BY id),
+banded AS ({" UNION ALL ".join(
+    f"SELECT id, {b} AS band, md5(concat_ws('|', '{b}', h{2*b}, h{2*b+1})) AS bucket FROM sig"
+    for b in range(8))}),
+newb AS (SELECT * FROM banded WHERE id % 10 = 0),
+corpb AS (SELECT * FROM banded WHERE id % 10 != 0),
+ok AS (SELECT band, bucket FROM corpb GROUP BY band, bucket
+       HAVING count(*) <= {_LSH_MAXB}),
+corpok AS (SELECT corpb.* FROM corpb JOIN ok USING (band, bucket)),
+cand AS (SELECT DISTINCT n.id AS id_new, c.id AS id_old
+         FROM newb n JOIN corpok c
+           ON n.band = c.band AND n.bucket = c.bucket),
+sizes AS (SELECT id, count(*) AS n FROM sh GROUP BY id),
+inter AS (SELECT cand.id_new, cand.id_old, count(*) AS ni
+          FROM cand JOIN sh a ON a.id = cand.id_new
+          JOIN sh b ON b.id = cand.id_old AND a.shingle = b.shingle
+          GROUP BY 1, 2)
+SELECT id_new, id_old, round(ni / (sa.n + sb.n - ni), 4) AS jaccard
+FROM inter JOIN sizes sa ON sa.id = id_new JOIN sizes sb ON sb.id = id_old
+WHERE round(ni / (sa.n + sb.n - ni), 4) >= 0.3
+""")
+def q_dedup_incremental_lsh(spark, sf_dir):
+    """INCREMENTAL LSH dedup — the daily-crawl shape: only the new
+    batch (doc_id % 10 == 0 stands in for today's increment) probes the
+    stored corpus signatures; pair generation is ONE equi-join on
+    (band, bucket) with the corpus-side bucket cap, never an all-pairs
+    pass over the whole corpus.  Signatures on both sides come from the
+    stored ingest asset (prepared.doc_minhash)."""
+    from datawave_spark.operators.dedup import incremental_lsh_pairs
+    from datawave_spark.sources import prepared
+    signed = prepared.doc_minhash(spark, sf_dir, k=2, num_hashes=16)
+    new = signed.filter(F.col("id") % 10 == 0)
+    corp = signed.filter(F.col("id") % 10 != 0)
+    return incremental_lsh_pairs(new, corp, num_hashes=16, bands=8,
+                                 threshold=0.3, max_bucket=_LSH_MAXB)
+
+
 # ------------------------------------------ training-data ops: similarity
 
 def _query_vec(sf_dir: str, vec_id: int = 0) -> list[float]:

@@ -456,3 +456,57 @@ def embedding_dedup_pairs(df: DataFrame, vec_col: str, id_col: str,
     return (joined
             .select("id_a", "id_b", F.round(cos, 4).alias("cos"))
             .filter(F.col("cos") >= threshold))
+
+
+def _band_frame(signed: DataFrame, num_hashes: int,
+                bands: int) -> DataFrame:
+    """(id, band, bucket) band keys from a stored-signature frame
+    (same md5 band construction as _lsh_pairs_from_sig)."""
+    rows = num_hashes // bands
+    sig = [F.element_at(F.col("sig"), i + 1).alias(f"h{i}")
+           for i in range(num_hashes)]
+    tmp = signed.select("id", *sig)
+    band_cols = [F.md5(F.concat_ws("|", F.lit(str(b)),
+                                   *[F.col(f"h{b * rows + r}")
+                                     for r in range(rows)]))
+                 for b in range(bands)]
+    return tmp.select(
+        "id", F.posexplode(F.array(*band_cols)).alias("band", "bucket"))
+
+
+def incremental_lsh_pairs(new_signed: DataFrame, corpus_signed: DataFrame,
+                          num_hashes: int = 16, bands: int = 8,
+                          threshold: float = 0.5,
+                          max_bucket: int | None = None) -> DataFrame:
+    """INCREMENTAL near-dup detection: pairs between a NEW batch and the
+    stored corpus only — the daily-crawl shape, where re-running the
+    all-pairs LSH over the whole corpus per increment would multiply
+    the dominant cost by corpus/batch.
+
+    Both inputs are ingest-signed set frames (id, shingles, n, sig —
+    sources/prepared.doc_minhash layout; ids must be disjoint).  The
+    new batch's band keys probe the corpus band frame with ONE
+    equi-join on (band, bucket); ``max_bucket`` drops boilerplate
+    corpus buckets (the Uid.List cap analog — a bucket matching
+    everything identifies nothing).  Candidates verify with exact
+    Jaccard against the union of the two set frames.  Output:
+    (id_new, id_old, jaccard).
+    """
+    new_b = _band_frame(new_signed, num_hashes, bands)
+    corp_b = _band_frame(corpus_signed, num_hashes, bands)
+    if max_bucket is not None:
+        ok = (corp_b.groupBy("band", "bucket")
+              .agg(F.count(F.lit(1)).alias("__n"))
+              .filter(F.col("__n") <= max_bucket)
+              .select("band", "bucket"))
+        corp_b = corp_b.join(ok, ["band", "bucket"], "left_semi")
+    cand = (new_b.join(corp_b.withColumnRenamed("id", "__old"),
+                       ["band", "bucket"])
+            .select(F.col("id").alias("id_a"),
+                    F.col("__old").alias("id_b"))
+            .distinct())
+    sets = new_signed.select("id", "shingles", "n").unionByName(
+        corpus_signed.select("id", "shingles", "n"))
+    out = verify_jaccard_pairs_from_sets(sets, cand, threshold)
+    return out.select(F.col("id_a").alias("id_new"),
+                      F.col("id_b").alias("id_old"), "jaccard")

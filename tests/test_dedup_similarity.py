@@ -190,3 +190,38 @@ def test_quantized_topk_high_recall(spark, emb):
         quant.withColumnRenamed("vec_id", "vid"), "vid", q, k=10).collect()]
     assert approx[0] == 0                      # query vector itself
     assert len(set(exact) & set(approx)) >= 8
+
+
+class TestIncrementalLsh:
+    def test_finds_cross_batch_dup_only(self, spark):
+        from datawave_spark.operators.dedup import (
+            attach_minhash_signatures, incremental_lsh_pairs, shingle_sets)
+        docs = spark.createDataFrame(
+            [(10, "alpha beta gamma delta epsilon zeta eta theta"),
+             (1, "alpha beta gamma delta epsilon zeta eta theta"),
+             (2, "one two three four five six seven eight"),
+             (3, "one two three four five six seven eight")],
+            "doc_id long, text string")
+        signed = attach_minhash_signatures(
+            shingle_sets(docs, "text", "doc_id", 2), 16)
+        new = signed.filter("id = 10")
+        corp = signed.filter("id != 10")
+        got = incremental_lsh_pairs(new, corp, 16, 8, 0.3).collect()
+        # only the (new=10, old=1) pair; the 2-3 corpus-internal dup
+        # must NOT appear (it was found when 2/3 were themselves new)
+        assert [(r.id_new, r.id_old) for r in got] == [(10, 1)]
+        assert got[0].jaccard == 1.0
+
+    def test_capped_corpus_bucket_suppressed(self, spark):
+        from datawave_spark.operators.dedup import (
+            attach_minhash_signatures, incremental_lsh_pairs, shingle_sets)
+        same = "common words repeated in every corpus document here"
+        rows = [(100, same)] + [(i, same) for i in range(5)]
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+        signed = attach_minhash_signatures(
+            shingle_sets(docs, "text", "doc_id", 2), 16)
+        new = signed.filter("id = 100")
+        corp = signed.filter("id != 100")
+        got = incremental_lsh_pairs(new, corp, 16, 8, 0.3,
+                                    max_bucket=3).collect()
+        assert got == []  # all corpus buckets exceed the cap
