@@ -487,6 +487,46 @@ def q_dedup_simhash(spark, sf_dir):
                                  "text", "doc_id", bits=8)
 
 
+_DUCK_SIMHASH16 = "concat(" + ", ".join(
+    "CASE WHEN list_sum(list_transform(t, t_ -> CASE WHEN "
+    f"substr(md5(t_), {i + 1}, 1) IN ('8','9','a','b','c','d','e','f') "
+    "THEN 1 ELSE -1 END)) > 0 THEN '1' ELSE '0' END" for i in range(16)) + ")"
+
+
+@register("dedup_simhash_pairs", f"""
+WITH toks AS ({_DUCK_TOKS}),
+sig AS (SELECT doc_id AS id, {_DUCK_SIMHASH16} AS s FROM toks),
+b0 AS (SELECT id, s,
+             unnest([substr(s, 1, 6), substr(s, 7, 5), substr(s, 12, 5)]) AS val,
+             unnest([0, 1, 2]) AS block FROM sig),
+ok AS (SELECT block, val FROM b0 GROUP BY block, val
+       HAVING count(*) <= 200),
+b AS (SELECT b0.* FROM b0 JOIN ok USING (block, val)),
+cand AS (SELECT DISTINCT l.id AS id_a, r.id AS id_b, l.s AS sa, r.s AS sb
+         FROM b l JOIN b r
+           ON l.block = r.block AND l.val = r.val AND l.id < r.id),
+h AS (SELECT id_a, id_b,
+        ({" + ".join(f"CASE WHEN substr(sa, {i + 1}, 1) != substr(sb, {i + 1}, 1) THEN 1 ELSE 0 END"
+                     for i in range(16))}) AS hamming
+      FROM cand)
+SELECT DISTINCT id_a, id_b, hamming FROM h WHERE hamming <= 2
+""")
+def q_dedup_simhash_pairs(spark, sf_dir):
+    """SimHash pairs within Hamming distance 2 via block permutation
+    (Manku et al. '07 — the production simhash dedup): signatures
+    within distance d must agree on one of d+1 blocks (pigeonhole), so
+    candidates come from ONE equi-join on (block, value) and only
+    survivors pay the exact 16-bit Hamming verify — never an all-pairs
+    pass.  ``max_bucket`` drops degenerate blocks (near-uniform corpora
+    concentrate in a few block values; an uncapped hot block is a
+    single-reducer straggler — the same skew guard as the LSH bucket
+    cap)."""
+    from datawave_spark.operators.dedup import simhash_hamming_pairs
+    docs = _t(spark, sf_dir, "documents")
+    return simhash_hamming_pairs(docs, "text", "doc_id", bits=16,
+                                 max_dist=2, max_bucket=200)
+
+
 @register("dedup_ngram_pairs", f"""
 WITH sh AS ({_DUCK_SHINGLES2}),
 sizes AS (SELECT id, count(*) AS n FROM sh GROUP BY id),

@@ -300,13 +300,12 @@ def verify_jaccard_pairs_from_sets(sets: DataFrame, cand: DataFrame,
             .select("id_a", "id_b", "jaccard"))
 
 
-def simhash_buckets(df: DataFrame, text_col: str, id_col: str,
-                    bits: int = 16) -> DataFrame:
-    """SimHash near-dup buckets: (simhash, n_docs, keep_id).
+def simhash_signatures(df: DataFrame, text_col: str, id_col: str,
+                       bits: int = 16) -> DataFrame:
+    """Per-document SimHash signature bitstring: (id, simhash).
 
     Signature bit i = majority vote over tokens of bit i of
     md5(token); bit i is the high bit of hex nibble i (≤ 32 bits).
-    Documents sharing a full signature are near-dup candidates.
     """
     # Explode tokens and let the codegen'd hash aggregate do the bit
     # voting (one conditional SUM per bit) — much faster than a
@@ -320,9 +319,63 @@ def simhash_buckets(df: DataFrame, text_col: str, id_col: str,
     per_doc = tok.groupBy("id").agg(*votes)
     bit_cols = [F.when(F.col(f"v{i}") > 0, F.lit("1")).otherwise(F.lit("0"))
                 for i in range(bits)]
-    return (per_doc.select("id", F.concat(*bit_cols).alias("simhash"))
+    return per_doc.select("id", F.concat(*bit_cols).alias("simhash"))
+
+
+def simhash_buckets(df: DataFrame, text_col: str, id_col: str,
+                    bits: int = 16) -> DataFrame:
+    """SimHash near-dup buckets: (simhash, n_docs, keep_id) —
+    documents sharing a FULL signature; see
+    :func:`simhash_hamming_pairs` for the within-distance variant."""
+    return (simhash_signatures(df, text_col, id_col, bits)
             .groupBy("simhash")
             .agg(F.count(F.lit(1)).alias("n_docs"), F.min("id").alias("keep_id")))
+
+
+def simhash_hamming_pairs(df: DataFrame, text_col: str, id_col: str,
+                          bits: int = 16, max_dist: int = 2,
+                          max_bucket: int | None = None) -> DataFrame:
+    """SimHash near-dup PAIRS within Hamming distance ``max_dist`` —
+    the block-permutation trick (Manku et al. '07, the production
+    simhash dedup algorithm): split each signature into
+    ``max_dist + 1`` blocks; two signatures within distance d MUST
+    agree on at least one block (pigeonhole), so candidate generation
+    is ONE equi-join on (block index, block value), then an exact
+    Hamming verify on survivors — never an all-pairs comparison.
+    Output: (id_a, id_b, hamming), id_a < id_b.  ``max_bucket`` drops
+    degenerate blocks shared by more than that many docs (boilerplate
+    guard, as in LSH)."""
+    n_blocks = max_dist + 1
+    sig = simhash_signatures(df, text_col, id_col, bits)
+    base = bits // n_blocks
+    bounds = []
+    start = 1
+    for i in range(n_blocks):
+        ln = base + (1 if i < bits % n_blocks else 0)
+        bounds.append((start, ln))
+        start += ln
+    blocks = F.array(*[F.substring("simhash", s, ln) for s, ln in bounds])
+    b = sig.select("id", "simhash",
+                   F.posexplode(blocks).alias("block", "val"))
+    if max_bucket is not None:
+        ok = (b.groupBy("block", "val")
+              .agg(F.count(F.lit(1)).alias("__n"))
+              .filter(F.col("__n") <= max_bucket).select("block", "val"))
+        b = b.join(ok, ["block", "val"], "left_semi")
+    left = b.select(F.col("id").alias("id_a"),
+                    F.col("simhash").alias("__sa"), "block", "val")
+    right = b.select(F.col("id").alias("id_b"),
+                     F.col("simhash").alias("__sb"), "block", "val")
+    ham = None
+    for i in range(bits):
+        term = (F.substring("__sa", i + 1, 1)
+                != F.substring("__sb", i + 1, 1)).cast("int")
+        ham = term if ham is None else ham + term
+    return (left.join(right, ["block", "val"])
+            .filter(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b", ham.alias("hamming"))
+            .filter(F.col("hamming") <= max_dist)
+            .distinct())
 
 
 def ngram_jaccard_pairs(df: DataFrame, text_col: str, id_col: str,

@@ -225,3 +225,36 @@ class TestIncrementalLsh:
         got = incremental_lsh_pairs(new, corp, 16, 8, 0.3,
                                     max_bucket=3).collect()
         assert got == []  # all corpus buckets exceed the cap
+
+
+class TestSimhashHamming:
+    def test_near_dup_within_distance_found(self, spark):
+        from datawave_spark.operators.dedup import simhash_hamming_pairs
+        base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+        docs = spark.createDataFrame(
+            [(1, base), (2, base + " lambda"),      # tiny perturbation
+             (3, "completely different words here about other topics")],
+            "doc_id long, text string")
+        got = simhash_hamming_pairs(docs, "text", "doc_id",
+                                    bits=16, max_dist=4).collect()
+        pairs = {(r.id_a, r.id_b) for r in got}
+        assert (1, 2) in pairs
+        assert all(r.hamming <= 4 for r in got)
+
+    def test_identical_docs_distance_zero(self, spark):
+        from datawave_spark.operators.dedup import simhash_hamming_pairs
+        docs = spark.createDataFrame(
+            [(1, "same words here"), (2, "same words here")],
+            "doc_id long, text string")
+        got = simhash_hamming_pairs(docs, "text", "doc_id",
+                                    bits=16, max_dist=0).collect()
+        assert [(r.id_a, r.id_b, r.hamming) for r in got] == [(1, 2, 0)]
+
+    def test_bucket_cap_suppresses_degenerate_block(self, spark):
+        from datawave_spark.operators.dedup import simhash_hamming_pairs
+        docs = spark.createDataFrame(
+            [(i, "identical content every time") for i in range(6)],
+            "doc_id long, text string")
+        got = simhash_hamming_pairs(docs, "text", "doc_id", bits=16,
+                                    max_dist=2, max_bucket=3).collect()
+        assert got == []
