@@ -314,11 +314,21 @@ def capped_index_query(events: DataFrame, cidx: DataFrame, jexl: str,
         explicit = (info.filter(F.col("uid").isNotNull())
                     .withColumnRenamed("event_date", "__shard")
                     .withColumnRenamed("uid", "__uid"))
-        shards = _info_shards(info).withColumnRenamed("event_date",
-                                                      "__shard")
-        fetched = (ev.join(explicit, ["__shard", "__uid"], "left_semi")
-                   .unionByName(ev.join(shards, "__shard", "left_semi"))
-                   .dropDuplicates([id_col]))
+        # The shard-range list is bounded by the number of shard DATES,
+        # so collecting it at plan time is the same bounded read as
+        # RangeStream materializing its ranges — and it lets the plan
+        # drop the whole shard-scan branch (a second pass over events)
+        # when every term resolved to explicit uids, and emit the shard
+        # branch as a partition-prunable IN literal otherwise.
+        shard_dates = sorted(
+            r[0] for r in _info_shards(info).distinct().collect())
+        doc_branch = ev.join(explicit, ["__shard", "__uid"], "left_semi")
+        if shard_dates:
+            shard_branch = ev.filter(F.col("__shard").isin(shard_dates))
+            fetched = doc_branch.unionByName(shard_branch) \
+                .dropDuplicates([id_col])
+        else:
+            fetched = doc_branch
     else:
         fetched = ev
     return compile_query(fetched, node, field_types=field_types) \
