@@ -788,6 +788,32 @@ def q_text_quality(spark, sf_dir):
                       "alpha_ratio", "quality")
 
 
+@register("text_perplexity", f"""
+WITH toks AS ({_DUCK_TOKS}),
+ex AS (SELECT doc_id, unnest(t) AS token FROM toks),
+lm AS (SELECT token, count(*) AS n FROM ex GROUP BY token),
+tot AS (SELECT sum(n) AS total FROM lm),
+j AS (SELECT doc_id, -ln(n / (SELECT total FROM tot)) AS nlp
+      FROM ex JOIN lm USING (token))
+SELECT doc_id, count(*) AS n_tokens,
+       round(sum(nlp) / count(*), 4) AS cross_entropy,
+       round(exp(sum(nlp) / count(*)), 4) AS perplexity
+FROM j GROUP BY doc_id
+""")
+def q_text_perplexity(spark, sf_dir):
+    """Unigram-LM perplexity quality scoring (CCNet-style LM filtering,
+    Wenzek et al. '19; unigram model stands in for KenLM): per document
+    the mean ``-ln p(token)`` and its exp under the corpus unigram
+    table — the stored ingest asset (prepared.unigram_lm), so the
+    query is one broadcast token join + one mean.  High perplexity =
+    distribution-surprising text (gibberish / wrong language)."""
+    from datawave_spark.operators.text import perplexity_score
+    from datawave_spark.sources.prepared import unigram_lm
+    docs = _t(spark, sf_dir, "documents")
+    lm = unigram_lm(spark, sf_dir)
+    return perplexity_score(docs, "text", "doc_id", lm)
+
+
 @register("text_langid", """
 SELECT doc_id,
   CASE WHEN h_en > 0 AND h_en = s THEN 'en'

@@ -119,3 +119,57 @@ def fingerprint(df: DataFrame, text_col: str, mod: int = 1_000_000_007) -> DataF
         lambda acc, t: (acc * 131 + F.length(t) * 7
                         + F.ascii(F.substring(t, 1, 1))) % mod)
     return df.withColumn("fingerprint", fp)
+
+
+def unigram_counts(df: DataFrame, text_col: str) -> DataFrame:
+    """Corpus unigram table (token, n) + the corpus total as a column —
+    the ingest-built language-model asset behind perplexity scoring
+    (CCNet-style LM quality filtering, Wenzek et al. '19, with a
+    unigram model standing in for KenLM).  One map-side-combinable
+    aggregation."""
+    tok = spread(df).select(F.explode(tokens(F.col(text_col))).alias("token"))
+    counts = tok.groupBy("token").agg(F.count(F.lit(1)).alias("n"))
+    total = counts.agg(F.sum("n").alias("total"))
+    return counts.join(F.broadcast(total))
+
+
+def perplexity_score(df: DataFrame, text_col: str, id_col: str,
+                     lm: DataFrame) -> DataFrame:
+    """Per-document unigram cross-entropy (mean ``-ln p(token)``) and
+    perplexity under a corpus unigram model ``lm`` (token, n, total —
+    from :func:`unigram_counts`): the classic LM quality signal — high
+    perplexity = tokens the corpus distribution finds surprising
+    (gibberish, boilerplate soup, wrong language).  OOV tokens take an
+    add-half smoothed probability ``0.5 / total``.
+
+    Shape: explode tokens → ONE join against the unigram table
+    (broadcast when the vocabulary is small; at web scale the LM table
+    shuffles on the token, bounded by vocabulary not corpus size) →
+    one mean per doc.  Rounded to 4 decimals for engine-exact
+    comparison."""
+    tok = spread(df).select(F.col(id_col).alias("__id"),
+                            F.explode(tokens(F.col(text_col))).alias("token"))
+    # the total rides in on a 1-row broadcast (NOT taken from matched
+    # lm rows — a document of entirely-OOV tokens would otherwise see a
+    # NULL total and score NULL)
+    tot = lm.select("total").limit(1)
+    joined = tok.join(F.broadcast(lm.drop("total")), "token", "left")                 .join(F.broadcast(tot))
+    neglogp = F.when(
+        F.col("n").isNotNull(),
+        -F.log(F.col("n").cast("double") / F.col("total"))
+    ).otherwise(None)
+    per_doc = (joined
+               .withColumn("__nlp", neglogp)
+               .groupBy("__id")
+               .agg(F.count(F.lit(1)).alias("n_tokens"),
+                    F.sum("__nlp").alias("__known_nlp"),
+                    F.sum(F.when(F.col("n").isNull(), 1).otherwise(0))
+                    .alias("__oov"),
+                    F.first("total").alias("__total")))
+    oov_nlp = F.col("__oov") * -F.log(F.lit(0.5) / F.col("__total"))
+    ce = (F.coalesce(F.col("__known_nlp"), F.lit(0.0)) + oov_nlp) \
+        / F.col("n_tokens")
+    return per_doc.select(
+        F.col("__id").alias(id_col), "n_tokens",
+        F.round(ce, 4).alias("cross_entropy"),
+        F.round(F.exp(ce), 4).alias("perplexity"))

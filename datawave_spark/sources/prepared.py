@@ -85,7 +85,7 @@ def build_all(spark: SparkSession, sf_dir: str) -> dict[str, int]:
         "doc_minhash": doc_minhash, "lsh_pairs": lsh_pairs,
         "doc_tf": doc_tf, "facet_table": facet_table,
         "rollup_hourly": rollup_hourly, "index_stats": index_stats,
-        "ssdeep_hashes": ssdeep_hashes,
+        "ssdeep_hashes": ssdeep_hashes, "unigram_lm": unigram_lm,
         "normalized_documents": normalized_documents,
         "embedding_lsh": embedding_lsh, "embedding_ivf": embedding_ivf,
         "embedding_int8": embedding_int8,
@@ -239,6 +239,20 @@ def doc_tf(spark: SparkSession, sf_dir: str) -> DataFrame:
                         emit_tokens=True, emit_scores=True)
 
     return get_or_build(spark, sf_dir, "doc_tf", build, range_by="doc_id")
+
+
+def unigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus unigram language-model table (token, n, total) — the
+    ingest-built asset behind perplexity quality scoring (CCNet-style
+    LM filtering; the table is vocabulary-sized, not corpus-sized)."""
+    from datawave_spark.operators.text import unigram_counts
+    from datawave_spark.sources.parquet import read_parquet
+
+    def build():
+        docs = read_parquet(spark, os.path.join(sf_dir, "documents.parquet"))
+        return unigram_counts(docs, "text")
+
+    return get_or_build(spark, sf_dir, "unigram_lm", build, sort_by="token")
 
 
 def rollup_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:

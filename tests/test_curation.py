@@ -239,3 +239,41 @@ class TestRebalanceMix:
             df.repartition(7), "id", "src", "w",
             {"a": 0.7, "b": 0.3}).collect()}
         assert r1 == r2
+
+
+class TestPerplexity:
+    def test_oov_tokens_use_smoothed_probability(self, spark):
+        from datawave_spark.operators.text import (perplexity_score,
+                                                   unigram_counts)
+        corpus = spark.createDataFrame(
+            [(1, "aa bb aa bb"), (2, "aa aa bb cc")], "id long, t string")
+        lm = unigram_counts(corpus, "t")
+        scored = spark.createDataFrame([(9, "aa zz")], "id long, t string")
+        row = perplexity_score(scored, "t", "id", lm).first()
+        import math
+        # total=8: aa has n=4 -> -ln(0.5); zz OOV -> -ln(0.5/8)
+        want = (-math.log(4 / 8) + -math.log(0.5 / 8)) / 2
+        assert row.cross_entropy == round(want, 4)
+        assert row.n_tokens == 2
+
+    def test_common_text_scores_lower_than_rare(self, spark):
+        from datawave_spark.operators.text import (perplexity_score,
+                                                   unigram_counts)
+        rows = [(i, "the common words appear often") for i in range(9)]
+        rows.append((100, "zyx qwv rare tokens entirely"))
+        corpus = spark.createDataFrame(rows, "id long, t string")
+        lm = unigram_counts(corpus, "t")
+        got = {r.id: r.perplexity
+               for r in perplexity_score(corpus, "t", "id", lm).collect()}
+        assert got[0] < got[100]
+
+    def test_all_oov_document_still_scores(self, spark):
+        from datawave_spark.operators.text import (perplexity_score,
+                                                   unigram_counts)
+        corpus = spark.createDataFrame([(1, "aa bb")], "id long, t string")
+        lm = unigram_counts(corpus, "t")
+        row = perplexity_score(
+            spark.createDataFrame([(9, "zz yy")], "id long, t string"),
+            "t", "id", lm).first()
+        import math
+        assert row.cross_entropy == round(-math.log(0.5 / 2), 4)
