@@ -1446,6 +1446,65 @@ def q_projection_query(spark, sf_dir):
     return res.df
 
 
+@register("checkpointed_query", """
+SELECT event_id, value FROM events WHERE value > 150
+""")
+def q_checkpointed_query(spark, sf_dir):
+    """Query-level checkpoint/resume (CheckpointableQueryLogic,
+    ShardQueryLogic.java:174) through the DRIVER gate: the planned
+    result spools to parquet once with a persisted cursor, a FRESH
+    CheckpointedQuery instance (the new-web-server resume) pages the
+    first 50 rows — advancing the durable cursor — and ``remaining()``
+    finishes the result set; pages ∪ remaining must equal the plain
+    query."""
+    import shutil
+    from datawave_spark.plans.checkpoint import CheckpointedQuery
+    from datawave_spark.sources.prepared import prepared_path
+    ev = _t(spark, sf_dir, "events")
+    df = compile_query(ev, "VALUE > 150").select("event_id", "value")
+    path = prepared_path(sf_dir, "checkpoint_entry_spool")
+    shutil.rmtree(path, ignore_errors=True)
+    CheckpointedQuery.create(df, path, query="VALUE > 150")
+    resumed = CheckpointedQuery.load(spark, path)
+    first = resumed.next_page(50)
+    rest = CheckpointedQuery.load(spark, path).remaining()
+    head = spark.createDataFrame(
+        [(int(r[0]), float(r[1])) for r in first],
+        "event_id long, value double")
+    return head.unionByName(rest.select("event_id", "value"))
+
+
+@register("streaming_stateful_dedup", """
+SELECT DISTINCT user_id, event_type FROM events
+""")
+def q_streaming_stateful_dedup(spark, sf_dir):
+    """Custom stateful streaming operator through the DRIVER gate
+    (applyInPandasWithState — SURVEY §2.7's custom-operator slot): the
+    events stream dedups on (user_id, event_type) with state that
+    spans micro-batches; with Trigger.AvailableNow the emitted set
+    equals batch DISTINCT — streaming/batch unification for the
+    stateful path."""
+    import os as _os
+    from pyspark.sql import types as T
+    from datawave_spark.streaming.stateful import streaming_unique
+    sch = spark.read.parquet(_os.path.join(sf_dir, "events.parquet")).schema
+    raw = (spark.readStream.schema(sch)
+           .option("pathGlobFilter", "events.parquet").parquet(sf_dir))
+    keyed = raw.select("user_id", "event_type")
+    out = streaming_unique(keyed, ["user_id", "event_type"])
+    _STREAM_SEQ[0] += 1
+    name = f"stream_sd_{_STREAM_SEQ[0]}"
+    old_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = (out.writeStream.format("memory").queryName(name)
+             .outputMode("append").trigger(availableNow=True).start())
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_parts)
+    return spark.table(name).select("user_id", "event_type")
+
+
 @register("visibility_combine_agg", """
 WITH v AS (SELECT event_type, value,
   CASE WHEN user_id % 3 = 0 THEN 'A'
