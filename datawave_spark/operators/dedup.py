@@ -218,18 +218,13 @@ def _lsh_pairs_from_sig(sets: DataFrame, sig: DataFrame, num_hashes: int,
     """Shared LSH tail: band keys over an (id, h0..hN) signature frame →
     bucket aggregation → candidate pairs → exact-Jaccard verify against
     the (id, shingles, n) set frame."""
-    rows = num_hashes // bands
-    band_cols = [F.md5(F.concat_ws("|", F.lit(str(b)),
-                                   *[F.col(f"h{b * rows + r}") for r in range(rows)]))
-                 for b in range(bands)]
     # One long frame (id, band, bucket); with a bucket cap the pair
     # generation is ONE shuffle: groupBy (band, bucket) collecting the
     # member ids (arrays bounded by max_bucket), then in-array
     # combinations exploded JVM-side — replacing the sizes-groupBy +
     # broadcast + self-join + wide pre-distinct of the join formulation
     # (3 shuffles and a pairs-sized exchange) with a single aggregation.
-    banded = sig.select(
-        "id", F.posexplode(F.array(*band_cols)).alias("band", "bucket"))
+    banded = _band_frame_from_cols(sig, num_hashes, bands)
     if max_bucket is not None:
         buckets = (banded.groupBy("band", "bucket")
                    .agg(F.collect_list("id").alias("ids"))
@@ -273,7 +268,9 @@ def verify_jaccard_pairs_from(sh: DataFrame, cand: DataFrame,
 
 
 def verify_jaccard_pairs_from_sets(sets: DataFrame, cand: DataFrame,
-                                   threshold: float) -> DataFrame:
+                                   threshold: float,
+                                   sets_b: DataFrame | None = None
+                                   ) -> DataFrame:
     """Exact Jaccard for candidate pairs given a prebuilt
     (id, shingles array, n) set frame.
 
@@ -282,15 +279,19 @@ def verify_jaccard_pairs_from_sets(sets: DataFrame, cand: DataFrame,
     equi-joins of pair-count × doc-count rows — Spark broadcasts the
     array frame when it is small — instead of shuffling an exploded
     pairs×shingles row set (~50× more rows) through a two-column join;
-    measured 5× faster on the LSH verify at sf0.1."""
-    arrays = sets.select("id", F.col("shingles").alias("__shs"),
-                         F.col("n").alias("__n"))
-    a = arrays.select(F.col("id").alias("id_a"),
-                      F.col("__shs").alias("__shs_a"),
-                      F.col("__n").alias("__n_a"))
-    b = arrays.select(F.col("id").alias("id_b"),
-                      F.col("__shs").alias("__shs_b"),
-                      F.col("__n").alias("__n_b"))
+    measured 5× faster on the LSH verify at sf0.1.
+
+    ``sets_b`` supplies the id_b side from a DIFFERENT frame (the
+    incremental shape: id_a is batch-sized, id_b corpus-sized — joining
+    the a-side against the union would shuffle corpus shingle arrays
+    for no reason)."""
+    a = sets.select(F.col("id").alias("id_a"),
+                    F.col("shingles").alias("__shs_a"),
+                    F.col("n").alias("__n_a"))
+    b = (sets_b if sets_b is not None else sets).select(
+        F.col("id").alias("id_b"),
+        F.col("shingles").alias("__shs_b"),
+        F.col("n").alias("__n_b"))
     inter = F.size(F.array_intersect("__shs_a", "__shs_b"))
     return (cand.join(a, "id_a").join(b, "id_b")
             .withColumn("__i", inter)
@@ -346,7 +347,11 @@ def simhash_hamming_pairs(df: DataFrame, text_col: str, id_col: str,
     degenerate blocks shared by more than that many docs (boilerplate
     guard, as in LSH)."""
     n_blocks = max_dist + 1
-    sig = simhash_signatures(df, text_col, id_col, bits)
+    # the signature pipeline (corpus tokenize + md5 + bit-vote agg)
+    # would otherwise execute three times: once for the cap aggregation
+    # and once per self-join side — persist is the lineage barrier
+    # (same reason shingles() persists its token arrays)
+    sig = simhash_signatures(df, text_col, id_col, bits).persist()
     base = bits // n_blocks
     bounds = []
     start = 1
@@ -511,20 +516,29 @@ def embedding_dedup_pairs(df: DataFrame, vec_col: str, id_col: str,
             .filter(F.col("cos") >= threshold))
 
 
-def _band_frame(signed: DataFrame, num_hashes: int,
-                bands: int) -> DataFrame:
-    """(id, band, bucket) band keys from a stored-signature frame
-    (same md5 band construction as _lsh_pairs_from_sig)."""
+def _band_frame_from_cols(sig: DataFrame, num_hashes: int,
+                          bands: int) -> DataFrame:
+    """(id, band, bucket) band keys from an (id, h0..hN) signature
+    frame — THE band-key layout (md5 over 'band|h…|h…'); every LSH
+    path and the DuckDB oracle strings must agree on it, so it exists
+    exactly once."""
     rows = num_hashes // bands
-    sig = [F.element_at(F.col("sig"), i + 1).alias(f"h{i}")
-           for i in range(num_hashes)]
-    tmp = signed.select("id", *sig)
     band_cols = [F.md5(F.concat_ws("|", F.lit(str(b)),
                                    *[F.col(f"h{b * rows + r}")
                                      for r in range(rows)]))
                  for b in range(bands)]
-    return tmp.select(
+    return sig.select(
         "id", F.posexplode(F.array(*band_cols)).alias("band", "bucket"))
+
+
+def _band_frame(signed: DataFrame, num_hashes: int,
+                bands: int) -> DataFrame:
+    """(id, band, bucket) band keys from a stored-signature frame
+    (sig array column)."""
+    cols = [F.element_at(F.col("sig"), i + 1).alias(f"h{i}")
+            for i in range(num_hashes)]
+    return _band_frame_from_cols(signed.select("id", *cols),
+                                 num_hashes, bands)
 
 
 def incremental_lsh_pairs(new_signed: DataFrame, corpus_signed: DataFrame,
@@ -558,8 +572,8 @@ def incremental_lsh_pairs(new_signed: DataFrame, corpus_signed: DataFrame,
             .select(F.col("id").alias("id_a"),
                     F.col("__old").alias("id_b"))
             .distinct())
-    sets = new_signed.select("id", "shingles", "n").unionByName(
-        corpus_signed.select("id", "shingles", "n"))
-    out = verify_jaccard_pairs_from_sets(sets, cand, threshold)
+    out = verify_jaccard_pairs_from_sets(
+        new_signed.select("id", "shingles", "n"), cand, threshold,
+        sets_b=corpus_signed.select("id", "shingles", "n"))
     return out.select(F.col("id_a").alias("id_new"),
                       F.col("id_b").alias("id_old"), "jaccard")

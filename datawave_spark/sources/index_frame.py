@@ -320,15 +320,23 @@ def capped_index_query(events: DataFrame, cidx: DataFrame, jexl: str,
         # drop the whole shard-scan branch (a second pass over events)
         # when every term resolved to explicit uids, and emit the shard
         # branch as a partition-prunable IN literal otherwise.
+        # NULL shard dates (index built without a date column) carry
+        # no range information — drop them, as the semi-join formulation
+        # silently did.
         shard_dates = sorted(
-            r[0] for r in _info_shards(info).distinct().collect())
+            d for d in
+            (r[0] for r in _info_shards(info).distinct().collect())
+            if d is not None)
         doc_branch = ev.join(explicit, ["__shard", "__uid"], "left_semi")
         if shard_dates:
-            shard_branch = ev.filter(F.col("__shard").isin(shard_dates))
-            fetched = doc_branch.unionByName(shard_branch) \
-                .dropDuplicates([id_col])
+            fetched = doc_branch.unionByName(
+                ev.filter(F.col("__shard").isin(shard_dates)))
         else:
             fetched = doc_branch
+        # dedup UNCONDITIONALLY: results must be cap-invariant even for
+        # non-unique ids (a doc matched by both branches, or duplicate
+        # id rows, must not double under one cap and not another)
+        fetched = fetched.dropDuplicates([id_col])
     else:
         fetched = ev
     return compile_query(fetched, node, field_types=field_types) \
