@@ -1446,6 +1446,31 @@ def q_projection_query(spark, sf_dir):
     return res.df
 
 
+@register("query_predict", """
+WITH card AS (SELECT count(DISTINCT event_type) AS c FROM events),
+tot AS (SELECT count(*) AS n FROM events)
+SELECT CAST(round((1.0 / c) * (1.0 / 3) * n) AS BIGINT) AS estimated_rows,
+       round((1.0 / c) * (1.0 / 3), 6) AS selectivity,
+       n AS total_rows
+FROM card, tot
+""")
+def q_query_predict(spark, sf_dir):
+    """Query cost prediction through the DRIVER gate
+    (QueryExecutorBean.predict:993): the planner estimates result
+    cardinality from the ingest-built stats table BEFORE executing —
+    EQ terms take 1/cardinality(field), ranges 1/3, AND multiplies —
+    and the oracle recomputes the same arithmetic from the same exact
+    distinct counts."""
+    from datawave_spark.plans import QueryPlanner
+    from datawave_spark.sources.prepared import index_stats
+    ev = _t(spark, sf_dir, "events")
+    qp = QueryPlanner.from_stats(ev, index_stats(spark, sf_dir))
+    p = qp.predict("EVENT_TYPE == 'click' && VALUE > 250")
+    return spark.createDataFrame(
+        [(p["estimated_rows"], p["selectivity"], p["total_rows"])],
+        "estimated_rows long, selectivity double, total_rows long")
+
+
 @register("checkpointed_query", """
 SELECT event_id, value FROM events WHERE value > 150
 """)
