@@ -168,3 +168,52 @@ def k_hop(edges: DataFrame, start_jexl: str, hops: int = 2,
         seen = seen.union(nxt)
         frontier = nxt
     return seen
+
+
+def dated_edges(events: DataFrame, defs: list[EdgeDefinition],
+                event_date_col: str,
+                activity_date_col: str | None = None) -> DataFrame:
+    """Edges under the reference's DATE_TYPE discipline (EdgeKey
+    DATE_TYPE:533 — ACTIVITY_ONLY "C" / EVENT_ONLY "A" /
+    ACTIVITY_AND_EVENT "B"): every edge row is dated, and the
+    ``date_type`` column records WHICH semantic date stamped it, so
+    date-bounded edge queries can ask for activity-dated or
+    event-dated rows explicitly (the reference writes separate keys
+    per date type).
+
+    When both dates are given: rows where they fall on the same day
+    are written once as ACTIVITY_AND_EVENT; differing days produce one
+    EVENT_ONLY row (event date) and one ACTIVITY_ONLY row (activity
+    date) — the reference's dual-write collapsed the same way."""
+    outs = []
+    for d in defs:
+        src = events
+        if d.precondition:
+            src = compile_query(src, d.precondition)
+        ed = F.to_date(F.col(event_date_col))
+        ad = F.to_date(F.col(activity_date_col)) if activity_date_col else ed
+        pairs = src.select(
+            F.explode(_as_array(src, d.source_field)).alias("source"),
+            _as_array(src, d.sink_field).alias("__sinks"),
+            ed.alias("__ed"), ad.alias("__ad"),
+        ).select("source", F.explode("__sinks").alias("sink"),
+                 "__ed", "__ad") \
+         .select("source", "sink", F.lit(d.edge_type).alias("edge_type"),
+                 "__ed", "__ad")
+        same = pairs.filter(F.col("__ed") == F.col("__ad")).select(
+            "source", "sink", "edge_type",
+            F.col("__ed").alias("edge_date"),
+            F.lit("ACTIVITY_AND_EVENT").alias("date_type"))
+        ev_only = pairs.filter(F.col("__ed") != F.col("__ad")).select(
+            "source", "sink", "edge_type",
+            F.col("__ed").alias("edge_date"),
+            F.lit("EVENT_ONLY").alias("date_type"))
+        act_only = pairs.filter(F.col("__ed") != F.col("__ad")).select(
+            "source", "sink", "edge_type",
+            F.col("__ad").alias("edge_date"),
+            F.lit("ACTIVITY_ONLY").alias("date_type"))
+        outs += [same, ev_only, act_only]
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out

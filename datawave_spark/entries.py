@@ -1671,6 +1671,37 @@ def q_edge_duration_stats(spark, sf_dir):
         .select("source", "sink", "edge_type", "duration_bucket", "n")
 
 
+@register("edge_date_types", """
+WITH p AS (SELECT CAST(user_id AS VARCHAR) AS source, event_type AS sink,
+                  'user_event' AS edge_type,
+                  CAST(ts AS DATE) AS ed,
+                  CAST(ts AS DATE) + (event_id % 3)::int AS ad
+           FROM events WHERE value > 50)
+SELECT source, sink, edge_type, ed AS edge_date,
+       'ACTIVITY_AND_EVENT' AS date_type FROM p WHERE ed = ad
+UNION ALL
+SELECT source, sink, edge_type, ed, 'EVENT_ONLY' FROM p WHERE ed != ad
+UNION ALL
+SELECT source, sink, edge_type, ad, 'ACTIVITY_ONLY' FROM p WHERE ed != ad
+""")
+def q_edge_date_types(spark, sf_dir):
+    """Edge DATE_TYPE discipline (EdgeKey DATE_TYPE:533 — edges are
+    written under the EVENT date, the ACTIVITY date, or once as
+    ACTIVITY_AND_EVENT when both fall on the same day): the synthetic
+    activity date is the load-date derivation (event date + 0-2 days),
+    so about a third of edges collapse to the combined type."""
+    from datawave_spark.edges import EdgeDefinition, dated_edges
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "activity_ts",
+        F.date_add(F.to_date("ts"),
+                   F.pmod(F.col("event_id"), F.lit(3)).cast("int")))
+    defs = [EdgeDefinition("user_id", "event_type", "user_event", "did",
+                           precondition="VALUE > 50")]
+    out = dated_edges(ev, defs, "ts", "activity_ts")
+    return out.select("source", "sink", "edge_type", "edge_date",
+                      "date_type")
+
+
 @register("edge_query_virtual", f"""
 SELECT source, sink FROM ({_EDGE_DEFS_SQL})
 WHERE sink = 'purchase' AND NOT source = '7'

@@ -128,3 +128,26 @@ class TestTLD:
             "uid string, V double")
         got = parent_query(df, "V == 9")
         assert sorted(r.uid for r in got.collect()) == ["f.a.b"]
+
+
+class TestDatedEdges:
+    def test_same_day_collapses_to_combined(self, spark):
+        from datawave_spark.edges import EdgeDefinition, dated_edges
+        ev = spark.createDataFrame(
+            [(1, 2, "2024-01-01", "2024-01-01"),
+             (3, 4, "2024-01-01", "2024-01-03")],
+            "a long, b long, ed string, ad string")
+        out = dated_edges(ev, [EdgeDefinition("a", "b", "t")], "ed", "ad")
+        rows = {(r.source, r.date_type, str(r.edge_date))
+                for r in out.collect()}
+        assert ("1", "ACTIVITY_AND_EVENT", "2024-01-01") in rows
+        assert ("3", "EVENT_ONLY", "2024-01-01") in rows
+        assert ("3", "ACTIVITY_ONLY", "2024-01-03") in rows
+        assert len(rows) == 3
+
+    def test_no_activity_date_means_all_combined(self, spark):
+        from datawave_spark.edges import EdgeDefinition, dated_edges
+        ev = spark.createDataFrame([(1, 2, "2024-01-01")],
+                                   "a long, b long, ed string")
+        out = dated_edges(ev, [EdgeDefinition("a", "b", "t")], "ed")
+        assert [r.date_type for r in out.collect()] == ["ACTIVITY_AND_EVENT"]
