@@ -528,7 +528,9 @@ def q_dedup_simhash_pairs(spark, sf_dir):
 
 
 @register("dedup_ngram_pairs", f"""
-WITH sh AS ({_DUCK_SHINGLES2}),
+WITH sh0 AS ({_DUCK_SHINGLES2}),
+ok AS (SELECT shingle FROM sh0 GROUP BY shingle HAVING count(*) <= 100),
+sh AS (SELECT sh0.* FROM sh0 JOIN ok USING (shingle)),
 sizes AS (SELECT id, count(*) AS n FROM sh GROUP BY id),
 inter AS (
   SELECT a.id AS id_a, b.id AS id_b, count(*) AS n_inter
@@ -542,10 +544,16 @@ def q_dedup_ngram_pairs(spark, sf_dir):
     """SSDeep-similarity-join shape (ngram explode -> equi-join -> score;
     reference: query/tables/ssdeep/SSDeepSimilarityQueryLogic.java) as
     near-dup pair detection on documents, reading the ingest-time
-    shingle-set asset (sizes come free; grams are a row-wise explode)."""
+    shingle-set asset (sizes come free; grams are a row-wise explode).
+    ``max_df=100`` is the hot-gram cap (the Uid.List cardinality-cap
+    analog, GlobalIndexUidAggregator.java:25): boilerplate grams are
+    dropped from the shingle universe before the self-join so no
+    single gram's posting list can land O(df²) pairs in one reducer;
+    the oracle mirrors the cap exactly."""
     from datawave_spark.sources import prepared
     sets = prepared.doc_shingle_sets(spark, sf_dir, k=2)
-    return dedup.ngram_jaccard_pairs_from_sets(sets, threshold=0.3)
+    return dedup.ngram_jaccard_pairs_from_sets(sets, threshold=0.3,
+                                               max_df=100)
 
 
 # MinHash-LSH is md5-based and fully deterministic, so DuckDB can
@@ -3507,3 +3515,69 @@ def q_ssdeep_similarity(spark, sf_dir):
     queries = hashes.filter(F.col("doc_id") < 100)
     return ssdeep_similarity_join(queries, hashes, "ssdeep", "doc_id",
                                   max_repeated=0)
+
+
+# ------------------------------------------------- round-4 additions
+# (registered at the END of the module so the driver-gate rotation in
+# __spark_entry__.queries() surfaces the round-3 never-checked keys
+# before these new ones)
+
+_KNN_COS = ("round(list_dot_product(qv, c.v) / (qn * "
+            "sqrt(list_dot_product(c.v, c.v))), 4)")
+
+
+@register("ann_knn_join_blocked", f"""
+WITH base AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+qs AS (SELECT vec_id AS query_id, label, v AS qv,
+              sqrt(list_dot_product(v, v)) AS qn
+       FROM base WHERE vec_id < 50),
+scored AS (
+  SELECT query_id, c.vec_id AS corpus_id, {_KNN_COS} AS cos
+  FROM qs JOIN base c ON c.label = qs.label AND c.vec_id != query_id)
+SELECT query_id, corpus_id, cos FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY cos DESC, corpus_id) AS rn
+  FROM scored) WHERE rn <= 3
+""")
+def q_ann_knn_join_blocked(spark, sf_dir):
+    """Corpus-scale k-NN join: candidates restricted to the query's
+    block (here the stored label; an IVF cluster id at scale) — ONE
+    equi-join on the block key, never a cartesian (the fix for the
+    knn_join crossJoin flagged in round 3).  Plan asserted
+    cartesian-free in tests/test_plan_quality.py."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return similarity.knn_join_blocked(
+        emb.filter(F.col("vec_id") < 50), emb, "embedding", "vec_id",
+        block_col="label", k=3)
+
+
+@register("ann_knn_join_lsh", f"""
+WITH sigs AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v, {_duck_lsh_sig('embedding')} AS sig
+  FROM embeddings),
+qs AS (SELECT vec_id AS query_id, v AS qv, sig AS qsig,
+              sqrt(list_dot_product(v, v)) AS qn
+       FROM sigs WHERE vec_id < 20),
+scored AS (
+  SELECT query_id, c.vec_id AS corpus_id, {_KNN_COS} AS cos
+  FROM qs JOIN sigs c
+    ON c.vec_id != query_id
+   AND bit_count(xor(qsig::BIGINT, c.sig::BIGINT)) <= 1)
+SELECT query_id, corpus_id, cos FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY cos DESC, corpus_id) AS rn
+  FROM scored) WHERE rn <= 3
+""")
+def q_ann_knn_join_lsh(spark, sf_dir):
+    """Approximate k-NN JOIN over the stored LSH signature asset
+    (sources.prepared.embedding_lsh): each query row explodes its
+    radius-1 probe signatures and equi-joins them against the stored
+    corpus signatures; only candidates pay the exact cosine re-score.
+    Per-query cost ~(1+bits)/2^bits of the corpus — the scale path for
+    bulk retrieval, vs knn_join_blocked's exact-within-block and
+    knn_join's exact-but-cartesian eval path."""
+    from datawave_spark.sources import prepared
+    signed = prepared.embedding_lsh(spark, sf_dir, bits=8, seed=42)
+    return similarity.knn_join_lsh(
+        signed.filter(F.col("vec_id") < 20), signed, "embedding",
+        "vec_id", sig_col="sig", bits=8, k=3, probe_radius=1)

@@ -385,7 +385,8 @@ def simhash_hamming_pairs(df: DataFrame, text_col: str, id_col: str,
 
 def ngram_jaccard_pairs(df: DataFrame, text_col: str, id_col: str,
                         k: int = 3, threshold: float = 0.5,
-                        prefix_filter: bool = False) -> DataFrame:
+                        prefix_filter: bool = False,
+                        max_df: int | None = None) -> DataFrame:
     """All-pairs n-gram Jaccard ≥ threshold via gram equi-join (the
     SSDeep-similarity-join shape: explode n-grams, join on gram, score
     pairs): (id_a, id_b, jaccard).
@@ -405,26 +406,55 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str, id_col: str,
     materialization costs more than the direct-count join it replaces.
     The direct path counts intersections inside the gram join itself
     (no candidate-pair materialization) and is the right default.
+
+    ``max_df`` is the HOT-GRAM CAP: shingles appearing in more than
+    ``max_df`` documents are dropped from the shingle universe before
+    the self-join, and Jaccard is computed over the reduced universe
+    (stopword-removal semantics — deterministic, oracle-mirrorable).
+    Without it a boilerplate gram ("of the") lands its whole posting
+    list in ONE reducer and produces O(df²) candidate rows there — the
+    same skew failure the LSH ``max_bucket`` and the reference's
+    Uid.List cardinality cap (GlobalIndexUidAggregator.java:25) guard
+    against.  Always set it at corpus scale.
     """
     sh = shingles(df, text_col, id_col, k).persist()
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n"))
-    return _ngram_jaccard_core(sh, sizes, threshold, prefix_filter)
+    return _ngram_jaccard_core(sh, sizes, threshold, prefix_filter,
+                               max_df=max_df)
 
 
 def ngram_jaccard_pairs_from_sets(sets: DataFrame, threshold: float = 0.5,
-                                  prefix_filter: bool = False) -> DataFrame:
+                                  prefix_filter: bool = False,
+                                  max_df: int | None = None) -> DataFrame:
     """All-pairs n-gram Jaccard from the prepared (id, shingles, n)
     set frame: sizes come free (no groupBy) and the gram rows are a
-    row-wise explode of stored arrays instead of re-tokenizing text."""
+    row-wise explode of stored arrays instead of re-tokenizing text.
+    ``max_df``: hot-gram cap, see ``ngram_jaccard_pairs``."""
     sh = sets_to_shingles(sets, with_n=not prefix_filter)
     sizes = sets.select("id", "n")
     return _ngram_jaccard_core(sh, sizes, threshold, prefix_filter,
-                               sets=sets)
+                               sets=sets, max_df=max_df)
 
 
 def _ngram_jaccard_core(sh: DataFrame, sizes: DataFrame, threshold: float,
                         prefix_filter: bool,
-                        sets: DataFrame | None = None) -> DataFrame:
+                        sets: DataFrame | None = None,
+                        max_df: int | None = None) -> DataFrame:
+    if max_df is not None:
+        # Hot-gram cap: restrict the shingle universe to grams with
+        # document frequency ≤ max_df, then RECOMPUTE set sizes over
+        # the reduced universe so Jaccard stays internally consistent
+        # (both |A∩B| and |A∪B| exclude the dropped grams).  The df
+        # aggregation is map-side combinable; re-attaching n to gram
+        # rows costs one id-shuffle but restores the in-join length
+        # filter, which is what keeps the pair count down.
+        ok = (sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("__df"))
+              .filter(F.col("__df") <= max_df).select("shingle"))
+        sh = sh.select("id", "shingle").join(ok, "shingle", "left_semi")
+        sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n"))
+        if not prefix_filter:
+            sh = sh.join(sizes, "id")
+        sets = None  # stored sets no longer match the reduced universe
     if prefix_filter:
         w_rank = Window.partitionBy("id").orderBy("df", "shingle")
         gram_df = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))

@@ -157,10 +157,12 @@ def lsh_cosine_topk_stored(signed: DataFrame, vec_col: str, id_col: str,
 
 def knn_join(queries: DataFrame, corpus: DataFrame, vec_col: str,
              id_col: str, k: int = 5, round_to: int = 4) -> DataFrame:
-    """For each query row, the k nearest corpus rows by cosine:
-    (query_id, corpus_id, cos).  The corpus side of the cross join is
-    broadcast when small; per-query top-k via window row_number (one
-    shuffle on query_id)."""
+    """EXACT k-NN for every query row against the full corpus:
+    (query_id, corpus_id, cos).  This is inherently a cartesian — use
+    it ONLY for small eval sets (bounded query side); the corpus-scale
+    paths are ``knn_join_blocked`` (equi-join on a stored block) and
+    ``knn_join_lsh`` (stored-signature multiprobe).  Per-query top-k
+    via window row_number (one shuffle on query_id)."""
     qs = queries.select(F.col(id_col).alias("query_id"),
                         F.col(vec_col).cast("array<double>").alias("__qv"))
     cs = corpus.select(F.col(id_col).alias("corpus_id"),
@@ -172,6 +174,107 @@ def knn_join(queries: DataFrame, corpus: DataFrame, vec_col: str,
     w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("corpus_id"))
     return (scored.withColumn("__rn", F.row_number().over(w))
             .filter(F.col("__rn") <= k).drop("__rn"))
+
+
+def _sides(queries: DataFrame, corpus: DataFrame, vec_col: str,
+           id_col: str, key_col: str) -> tuple[DataFrame, DataFrame]:
+    """Shared prep for the blocked kNN joins: per-side (id, key, vec,
+    norm) frames — norms computed ONCE per row before the join, never
+    per candidate pair."""
+    qv = F.col(vec_col).cast("array<double>")
+    qs = queries.select(F.col(id_col).alias("query_id"),
+                        F.col(key_col).alias("__key"),
+                        qv.alias("__qv"), _norm(qv).alias("__qn"))
+    cs = corpus.select(F.col(id_col).alias("corpus_id"),
+                       F.col(key_col).alias("__key"),
+                       qv.alias("__cv"), _norm(qv).alias("__cn"))
+    return qs, cs
+
+
+def _topk(scored: DataFrame, k: int) -> DataFrame:
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(),
+                                               F.col("corpus_id"))
+    return (scored.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") <= k)
+            .select("query_id", "corpus_id", "cos"))
+
+
+def knn_join_blocked(queries: DataFrame, corpus: DataFrame, vec_col: str,
+                     id_col: str, block_col: str, k: int = 5,
+                     round_to: int = 4) -> DataFrame:
+    """Blocked k-NN join — candidates come from the query's block (a
+    label, an IVF cluster id from ``ivf_assign``, or any stored
+    partition key), so the pair generation is ONE equi-join on the
+    block key instead of a cartesian: (query_id, corpus_id, cos),
+    top-k within block.  This is the corpus-scale default: cost is
+    Σ_b |Q_b|·|C_b| instead of |Q|·|C|, and the join co-partitions on
+    the block key (cluster-assigned tables written partitioned by the
+    key shuffle only the query side).  Exact within the block;
+    cross-block neighbors are the accepted approximation (IVF
+    semantics — raise recall by assigning multiple probe clusters per
+    query upstream, e.g. via ``knn_join_lsh``)."""
+    qs, cs = _sides(queries, corpus, vec_col, id_col, block_col)
+    scored = (qs.join(cs, "__key")
+              .filter(F.col("query_id") != F.col("corpus_id"))
+              .select("query_id", "corpus_id",
+                      F.round(_dot(F.col("__qv"), F.col("__cv"))
+                              / (F.col("__qn") * F.col("__cn")),
+                              round_to).alias("cos")))
+    return _topk(scored, k)
+
+
+def _probe_expr(sig: Column, idxs: tuple[int, ...], bits: int) -> Column:
+    """Signature with the bits at ``idxs`` flipped — built FLAT from the
+    original column (one substring per position), never by nesting
+    flip-expressions: nesting multiplies the expression tree per flip
+    and blows past the JVM method-size limit at probe_radius ≥ 3."""
+    parts = []
+    for i in range(bits):
+        c = F.substring(sig, i + 1, 1)
+        if i in idxs:
+            c = F.when(c == "1", F.lit("0")).otherwise(F.lit("1"))
+        parts.append(c)
+    return F.concat(*parts)
+
+
+def knn_join_lsh(signed_queries: DataFrame, signed_corpus: DataFrame,
+                 vec_col: str, id_col: str, sig_col: str = "sig",
+                 bits: int = 8, k: int = 5, probe_radius: int = 1,
+                 round_to: int = 4) -> DataFrame:
+    """Approximate k-NN join over STORED LSH signatures
+    (sources.prepared.embedding_lsh): every query row probes the
+    buckets within Hamming distance ≤ probe_radius of its own stored
+    signature — probe keys are built row-wise by bit-flip expressions
+    and exploded, candidates come from ONE equi-join probe-key =
+    corpus-signature, and only candidates pay the exact cosine
+    re-score.  Cost per query is ~(1+bits·radius)/2^bits of the
+    corpus, never a cartesian.  (Reference analog: the global-index
+    bucket probe before document evaluation —
+    query-core ShardQueryLogic's index lookup discipline.)"""
+    probes = [F.col("__sig")]
+    from itertools import combinations
+    for r in range(1, probe_radius + 1):
+        for idxs in combinations(range(bits), r):
+            probes.append(_probe_expr(F.col("__sig"), idxs, bits))
+    qv = F.col(vec_col).cast("array<double>")
+    qs = (signed_queries.select(F.col(id_col).alias("query_id"),
+                                F.col(sig_col).alias("__sig"),
+                                qv.alias("__qv"), _norm(qv).alias("__qn"))
+          .select("query_id", "__qv", "__qn",
+                  F.explode(F.array(*probes)).alias("__key")))
+    cs = signed_corpus.select(F.col(id_col).alias("corpus_id"),
+                              F.col(sig_col).alias("__key"),
+                              qv.alias("__cv"), _norm(qv).alias("__cn"))
+    scored = (qs.join(cs, "__key")
+              .filter(F.col("query_id") != F.col("corpus_id"))
+              .select("query_id", "corpus_id",
+                      F.round(_dot(F.col("__qv"), F.col("__cv"))
+                              / (F.col("__qn") * F.col("__cn")),
+                              round_to).alias("cos")))
+    # no distinct needed: probe keys differ pairwise (each flips a
+    # different index set), so a corpus signature matches ≤1 probe key
+    # per query — no duplicate candidate pairs exist to drop.
+    return _topk(scored, k)
 
 
 def quantize_embeddings(df: DataFrame, vec_col: str) -> DataFrame:

@@ -258,3 +258,107 @@ class TestSimhashHamming:
         got = simhash_hamming_pairs(docs, "text", "doc_id", bits=16,
                                     max_dist=2, max_bucket=3).collect()
         assert got == []
+
+
+class TestKnnJoinBlocked:
+    def test_blocked_matches_exact_within_block(self, spark, emb):
+        """Within one block, the blocked join must equal the exact
+        knn_join run on that block alone."""
+        from pyspark.sql import functions as F
+        blk = emb.filter(F.col("label") == 0)
+        exact = {(r.query_id, r.corpus_id, r.cos) for r in similarity.knn_join(
+            blk, blk, "embedding", "vec_id", k=3).collect()}
+        blocked = {(r.query_id, r.corpus_id, r.cos)
+                   for r in similarity.knn_join_blocked(
+                       blk, emb, "embedding", "vec_id",
+                       block_col="label", k=3).collect()}
+        assert blocked == exact and exact
+
+    def test_candidates_never_cross_blocks(self, spark, emb):
+        out = similarity.knn_join_blocked(emb, emb, "embedding", "vec_id",
+                                          block_col="label", k=3)
+        labels = emb.select("vec_id", "label")
+        joined = (out.join(labels.withColumnRenamed("vec_id", "query_id")
+                           .withColumnRenamed("label", "ql"), "query_id")
+                  .join(labels.withColumnRenamed("vec_id", "corpus_id")
+                        .withColumnRenamed("label", "cl"), "corpus_id"))
+        from pyspark.sql import functions as F
+        assert joined.filter(F.col("ql") != F.col("cl")).count() == 0
+
+
+class TestKnnJoinLsh:
+    def test_candidates_within_probe_radius(self, spark, emb):
+        """Every returned neighbor's stored signature is within Hamming
+        ≤ probe_radius of its query's signature."""
+        from pyspark.sql import functions as F
+        planes = similarity.hyperplanes(
+            len(emb.select("embedding").head()[0]), 8)
+        signed = emb.select(
+            "vec_id", "embedding",
+            similarity.lsh_signature(
+                F.col("embedding").cast("array<double>"), planes).alias("sig"))
+        out = similarity.knn_join_lsh(
+            signed.filter(F.col("vec_id") < 5), signed, "embedding",
+            "vec_id", bits=8, k=3, probe_radius=1)
+        sigs = {r.vec_id: r.sig for r in signed.select("vec_id", "sig").collect()}
+        for r in out.collect():
+            ham = sum(a != b for a, b in
+                      zip(sigs[r.query_id], sigs[r.corpus_id]))
+            assert ham <= 1
+
+    def test_recall_improves_with_radius(self, spark, emb):
+        """Recall against the exact top-3 must grow with probe_radius
+        (the recall/cost dial) and be non-trivial at radius 2 on the
+        random fixture corpus — random embeddings are LSH's worst case,
+        so the bar is deliberately modest."""
+        from pyspark.sql import functions as F
+        planes = similarity.hyperplanes(
+            len(emb.select("embedding").head()[0]), 8)
+        signed = emb.select(
+            "vec_id", "embedding",
+            similarity.lsh_signature(
+                F.col("embedding").cast("array<double>"), planes).alias("sig"))
+        qs = signed.filter(F.col("vec_id") < 10)
+        exact = {(r.query_id, r.corpus_id) for r in similarity.knn_join(
+            qs, signed, "embedding", "vec_id", k=3).collect()}
+        recalls = []
+        for rad in (1, 2):
+            approx = {(r.query_id, r.corpus_id)
+                      for r in similarity.knn_join_lsh(
+                          qs, signed, "embedding", "vec_id", bits=8, k=3,
+                          probe_radius=rad).collect()}
+            recalls.append(len(approx & exact) / len(exact))
+        assert recalls[1] >= recalls[0]
+        assert recalls[1] >= 0.25
+
+
+class TestNgramMaxDf:
+    def test_cap_drops_hot_gram_pairs_only(self, spark):
+        """With the cap above every gram's df the result equals the
+        uncapped path; with a tight cap, pairs supported only by hot
+        grams disappear."""
+        rows = [(i, "alpha beta common") for i in range(5)] + \
+               [(10, "zeta eta common"), (11, "zeta eta common")]
+        df = spark.createDataFrame(rows, ["doc_id", "text"])
+        uncapped = {(r.id_a, r.id_b) for r in dedup.ngram_jaccard_pairs(
+            df, "text", "doc_id", k=2, threshold=0.5).collect()}
+        loose = {(r.id_a, r.id_b) for r in dedup.ngram_jaccard_pairs(
+            df, "text", "doc_id", k=2, threshold=0.5, max_df=100).collect()}
+        assert loose == uncapped
+        # cap=3 removes the "beta common"-ish grams shared by the 5-dup
+        # group? no — those have df=5 > 3, so the alpha-group pairs must
+        # vanish while the df=2 zeta pair survives
+        tight = {(r.id_a, r.id_b) for r in dedup.ngram_jaccard_pairs(
+            df, "text", "doc_id", k=2, threshold=0.5, max_df=3).collect()}
+        assert (10, 11) in tight
+        assert all(a >= 10 for a, _ in tight)
+
+    def test_cap_consistent_between_paths(self, spark, docs):
+        """sets path and raw path agree under the cap."""
+        raw = {(r.id_a, r.id_b, r.jaccard) for r in dedup.ngram_jaccard_pairs(
+            docs, "text", "doc_id", k=2, threshold=0.3, max_df=50).collect()}
+        sets = dedup.shingle_sets(docs, "text", "doc_id", k=2)
+        from_sets = {(r.id_a, r.id_b, r.jaccard)
+                     for r in dedup.ngram_jaccard_pairs_from_sets(
+                         sets, threshold=0.3, max_df=50).collect()}
+        assert from_sets == raw

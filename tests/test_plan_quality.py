@@ -122,6 +122,23 @@ class TestPreparedAssets:
         assert "BroadcastNestedLoopJoin" not in plan
         assert c["n_shuffles"] <= 5
 
+    def test_knn_join_blocked_has_no_cartesian(self, spark):
+        # round-3 verdict flagged knn_join's crossJoin: the blocked and
+        # LSH-probe variants must candidate-generate via equi-joins only
+        for key in ("ann_knn_join_blocked", "ann_knn_join_lsh"):
+            df = entrymod.queries()[key](spark, SF)
+            plan = df._jdf.queryExecution().executedPlan().toString()
+            assert "CartesianProduct" not in plan, key
+            assert "BroadcastNestedLoopJoin" not in plan, key
+
+    def test_ngram_pairs_hot_gram_cap_in_plan(self, spark):
+        # the registered entry must run the df-capped path (the skew
+        # guard): the gram self-join input carries the df<=cap semi-join
+        df = entrymod.queries()["dedup_ngram_pairs"](spark, SF)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "LeftSemi" in plan
+        assert "CartesianProduct" not in plan
+
     def test_reverse_index_pushes_startswith(self, spark):
         # trailing-wildcard terms read the STORED reverse index
         # (shardReverseIndex parity): the prefix test must reach parquet
