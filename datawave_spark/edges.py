@@ -184,7 +184,14 @@ def dated_edges(events: DataFrame, defs: list[EdgeDefinition],
     When both dates are given: rows where they fall on the same day
     are written once as ACTIVITY_AND_EVENT; differing days produce one
     EVENT_ONLY row (event date) and one ACTIVITY_ONLY row (activity
-    date) — the reference's dual-write collapsed the same way."""
+    date) — the reference's dual-write collapsed the same way.
+
+    NULL dates: branch routing is null-SAFE (plain ``==``/``!=`` are
+    both null-false, which would silently drop any row with a NULL
+    date from every branch).  A row with one NULL date still writes
+    its dated side (e.g. NULL event date + real activity date → one
+    ACTIVITY_ONLY row); rows where the branch's own date is NULL are
+    dropped at the end — an edge key cannot exist without a date."""
     outs = []
     for d in defs:
         src = events
@@ -200,15 +207,16 @@ def dated_edges(events: DataFrame, defs: list[EdgeDefinition],
                  "__ed", "__ad") \
          .select("source", "sink", F.lit(d.edge_type).alias("edge_type"),
                  "__ed", "__ad")
-        same = pairs.filter(F.col("__ed") == F.col("__ad")).select(
+        same_day = F.col("__ed").eqNullSafe(F.col("__ad"))
+        same = pairs.filter(same_day).select(
             "source", "sink", "edge_type",
             F.col("__ed").alias("edge_date"),
             F.lit("ACTIVITY_AND_EVENT").alias("date_type"))
-        ev_only = pairs.filter(F.col("__ed") != F.col("__ad")).select(
+        ev_only = pairs.filter(~same_day).select(
             "source", "sink", "edge_type",
             F.col("__ed").alias("edge_date"),
             F.lit("EVENT_ONLY").alias("date_type"))
-        act_only = pairs.filter(F.col("__ed") != F.col("__ad")).select(
+        act_only = pairs.filter(~same_day).select(
             "source", "sink", "edge_type",
             F.col("__ad").alias("edge_date"),
             F.lit("ACTIVITY_ONLY").alias("date_type"))
@@ -216,4 +224,4 @@ def dated_edges(events: DataFrame, defs: list[EdgeDefinition],
     out = outs[0]
     for o in outs[1:]:
         out = out.unionByName(o)
-    return out
+    return out.filter(F.col("edge_date").isNotNull())

@@ -285,8 +285,16 @@ def rebalance_mix(df: DataFrame, id_col: str, strata_col: str,
     stratum s keeps rate ``r_s = c * t_s / W_s`` (the binding stratum
     keeps everything).  Strata absent from ``targets`` are dropped.
 
-    Everything stays in-plan: one tiny aggregation (map-side combined)
-    broadcast back over the corpus — no driver collect, so the same
+    A ``targets`` key with no data (stratum absent, or present with
+    zero total weight) RAISES instead of degrading: absent keys would
+    silently skew the realized shares away from the request, and a
+    zero-weight stratum would drive ``c`` to 0 and drop every row of
+    every stratum.  The guard is a bounded read — at most
+    ``len(targets)`` aggregate rows, never the corpus.
+
+    The heavy work stays in-plan: one tiny aggregation (map-side
+    combined, persisted) broadcast back over the corpus — the only
+    driver read is the stratum-count-bounded guard above, so the same
     code runs at 100 TB.  ``weight_col`` must be integral: integer sums
     are order-exact, which keeps the derived rates bit-identical across
     engines and partitionings (the oracle recomputes them).  The coin
@@ -295,8 +303,18 @@ def rebalance_mix(df: DataFrame, id_col: str, strata_col: str,
     tgt = df.sparkSession.createDataFrame(
         [(k, float(v)) for k, v in sorted(targets.items())],
         f"{strata_col} string, __target double")
+    # persist: the guard's bounded collect and the in-plan rate join
+    # both read this aggregate — without the barrier the full-corpus
+    # scan behind it would run twice
     w = df.groupBy(strata_col).agg(
-        F.sum(F.col(weight_col)).cast("double").alias("__w"))
+        F.sum(F.col(weight_col)).cast("double").alias("__w")).persist()
+    have = {r[0]: r[1] for r in
+            w.filter(F.col(strata_col).isin(list(targets))).collect()}
+    bad = sorted(k for k in targets if have.get(k, 0.0) <= 0.0)
+    if bad:
+        raise ValueError(
+            f"rebalance_mix: targets name strata with no weight in the "
+            f"data: {bad} — realized shares cannot match the request")
     j = w.join(F.broadcast(tgt), strata_col)
     c = j.select(F.min(F.col("__w") / F.col("__target")).alias("__c"))
     rates = (j.join(F.broadcast(c))

@@ -35,9 +35,9 @@ driven by bucket collisions on self-similar corpora — cap it with
 ``max_bucket`` (trading recall for bounded worst-case skew, the same
 cardinality-cap tradeoff as the reference's Uid.List MAX); the
 unpruned all-pairs ``ngram_jaccard_pairs`` join explodes quadratically
-on boilerplate-heavy data and is for modest corpora / eval sets —
-at scale use ``minhash_lsh_pairs`` or ``prefix_filter=True`` with a
-high threshold.
+on boilerplate-heavy data — at scale ALWAYS set its ``max_df`` hot-gram
+cap (or use ``minhash_lsh_pairs`` / ``prefix_filter=True`` with a high
+threshold).
 """
 
 from __future__ import annotations
@@ -47,6 +47,25 @@ from pyspark.sql import Column, DataFrame, Window, functions as F
 from datawave_spark.util import spread
 
 TOKEN_RE = "[^a-z0-9]+"
+
+# Lineage-barrier caches, scoped per call site: each new call through
+# _persist_scoped unpersists the PREVIOUS frame registered under the
+# same key, so repeated invocations (bench loops, incremental runs)
+# hold at most one cached signature frame per operator instead of
+# accumulating them for the session lifetime.
+_SCOPED_CACHE: dict[str, DataFrame] = {}
+
+
+def _persist_scoped(df: DataFrame, key: str) -> DataFrame:
+    prev = _SCOPED_CACHE.get(key)
+    if prev is not None:
+        try:
+            prev.unpersist(blocking=False)
+        except Exception:
+            pass                    # session of prev may be stopped
+    out = df.persist()
+    _SCOPED_CACHE[key] = out
+    return out
 
 
 def _tokens(col) -> Column:
@@ -65,8 +84,10 @@ def shingles(df: DataFrame, text_col: str, id_col: str, k: int = 3) -> DataFrame
     column data — O(k) per gram — with no shuffle at all (the previous
     formulation paid a posexplode + groupBy round-trip for the same
     barrier)."""
-    arr = spread(df).select(F.col(id_col).alias("id"),
-                            _tokens(F.col(text_col)).alias("toks")).persist()
+    arr = _persist_scoped(
+        spread(df).select(F.col(id_col).alias("id"),
+                          _tokens(F.col(text_col)).alias("toks")),
+        "shingles")
     toks = F.col("toks")
     grams = F.transform(
         F.sequence(F.lit(0), F.greatest(F.size(toks) - k, F.lit(0))),
@@ -350,8 +371,10 @@ def simhash_hamming_pairs(df: DataFrame, text_col: str, id_col: str,
     # the signature pipeline (corpus tokenize + md5 + bit-vote agg)
     # would otherwise execute three times: once for the cap aggregation
     # and once per self-join side — persist is the lineage barrier
-    # (same reason shingles() persists its token arrays)
-    sig = simhash_signatures(df, text_col, id_col, bits).persist()
+    # (same reason shingles() persists its token arrays); scoped so
+    # repeated calls don't accumulate cached copies
+    sig = _persist_scoped(simhash_signatures(df, text_col, id_col, bits),
+                          "simhash_hamming_pairs")
     base = bits // n_blocks
     bounds = []
     start = 1
@@ -417,7 +440,8 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str, id_col: str,
     Uid.List cardinality cap (GlobalIndexUidAggregator.java:25) guard
     against.  Always set it at corpus scale.
     """
-    sh = shingles(df, text_col, id_col, k).persist()
+    sh = _persist_scoped(shingles(df, text_col, id_col, k),
+                         "ngram_jaccard_pairs.sh")
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n"))
     return _ngram_jaccard_core(sh, sizes, threshold, prefix_filter,
                                max_df=max_df)

@@ -122,39 +122,72 @@ def _term_uids(index: DataFrame, node: CmpNode,
             .select("uid").distinct())
 
 
+def _unindexed_terms(node: JexlNode, fields: set[str]) -> bool:
+    """True when the subtree holds a comparison on a field the index
+    does not cover — the fetch phase must then re-evaluate the full
+    predicate (the reference's evaluation-only/_Delayed_ terms)."""
+    if isinstance(node, CmpNode):
+        return node.field.name.upper() not in fields
+    if isinstance(node, (AndNode, OrNode)):
+        return any(_unindexed_terms(t, fields) for t in node.terms)
+    if isinstance(node, NotNode):
+        return _unindexed_terms(node.term, fields)
+    return True
+
+
 def candidate_uids(index: DataFrame, node: JexlNode,
                    universe: DataFrame | None = None,
-                   field_types: dict[str, str] | None = None) -> DataFrame:
-    """RangeStream: AST → candidate uid frame.
+                   field_types: dict[str, str] | None = None,
+                   fields: set[str] | None = None) -> DataFrame | None:
+    """RangeStream: AST → candidate uid frame, or None when the index
+    cannot serve the subtree.
 
     AND → inner join (index intersection), OR → union+distinct (index
     union), NOT → anti join vs the uid universe (context-required
     branch — the reference marks these _Delayed_ and evaluates lazily;
     with a universe frame we can resolve them in-plan).
-    """
+
+    A term on a field the index does not cover is UNSERVABLE (None) —
+    never an empty uid frame, which ANDed with an indexed term would
+    wrongly empty the candidate set (the reference marks such terms
+    evaluation-only instead; callers must re-evaluate the predicate
+    over the fetched events).  Under AND the unservable term is simply
+    skipped (siblings still narrow); under OR or NOT it taints the
+    whole subtree."""
+    if fields is None:
+        fields = {r.field for r in index.select("field").distinct().collect()}
     if isinstance(node, CmpNode):
+        if node.field.name.upper() not in fields:
+            return None           # evaluation-only: field not indexed
         if node.op in ("!=", "!~"):
             pos = CmpNode("==" if node.op == "!=" else "=~",
                           node.field, node.value)
-            return candidate_uids(index, NotNode(pos), universe, field_types)
+            return candidate_uids(index, NotNode(pos), universe,
+                                  field_types, fields)
         return _term_uids(index, node, field_types)
     if isinstance(node, AndNode):
         out = None
         for t in node.terms:
-            uids = candidate_uids(index, t, universe, field_types)
+            uids = candidate_uids(index, t, universe, field_types, fields)
+            if uids is None:
+                continue          # evaluation-only term: siblings narrow
             out = uids if out is None else out.join(uids, "uid", "inner")
         return out
     if isinstance(node, OrNode):
         out = None
         for t in node.terms:
-            uids = candidate_uids(index, t, universe, field_types)
+            uids = candidate_uids(index, t, universe, field_types, fields)
+            if uids is None:
+                return None       # an unservable OR branch taints the union
             out = uids if out is None else out.union(uids)
         return out.distinct()
     if isinstance(node, NotNode):
         if universe is None:
             raise ValueError(
                 "negation needs a uid universe (context-required branch)")
-        pos = candidate_uids(index, node.term, universe, field_types)
+        pos = candidate_uids(index, node.term, universe, field_types, fields)
+        if pos is None:
+            return None
         return universe.select("uid").distinct().join(pos, "uid", "left_anti")
     raise TypeError(f"index lookup cannot serve node {node!r}")
 
@@ -164,13 +197,24 @@ def index_query(events: DataFrame, index: DataFrame, jexl: str,
                 field_types: dict[str, str] | None = None) -> DataFrame:
     """Full index-driven query: candidate uids from the index frame,
     then fetch + (re)evaluate against the events — the two-phase
-    index-then-evaluate shape of QueryIterator, as one Catalyst plan."""
+    index-then-evaluate shape of QueryIterator, as one Catalyst plan.
+    Terms on unindexed fields never touch the index (evaluation-only):
+    the semi-join narrows by the indexed siblings and the full JEXL
+    predicate re-evaluates over the fetched rows; a query with no
+    index-servable conjunct falls back to the full predicate scan."""
+    from datawave_spark.compiler import compile_query
     from datawave_spark.jexl.parser import parse
     node = parse(jexl)
+    fields = {r.field for r in index.select("field").distinct().collect()}
     universe = events.select(F.col(id_col).cast("string").alias("uid"))
-    cands = candidate_uids(index, node, universe, field_types)
-    return events.join(
+    cands = candidate_uids(index, node, universe, field_types, fields)
+    if cands is None:
+        return compile_query(events, jexl, field_types=field_types)
+    fetched = events.join(
         cands, events[id_col].cast("string") == cands["uid"], "left_semi")
+    if _unindexed_terms(node, fields):
+        fetched = compile_query(fetched, jexl, field_types=field_types)
+    return fetched
 
 
 # --------------------------------------------------------------- Uid.List cap
@@ -260,16 +304,36 @@ def info_union(a: DataFrame, b: DataFrame) -> DataFrame:
     return a.unionByName(b).distinct()
 
 
+def indexed_fields(cidx: DataFrame) -> set[str]:
+    """The capped index's field set — a bounded metadata read (one
+    distinct over the small index frame, the same discipline as
+    date_index._date_index_fields).  Compute ONCE per plan and pass to
+    ``capped_candidates``."""
+    return {r.field for r in cidx.select("field").distinct().collect()}
+
+
 def capped_candidates(cidx: DataFrame, node: JexlNode,
-                      field_types: dict[str, str] | None = None
+                      field_types: dict[str, str] | None = None,
+                      fields: set[str] | None = None
                       ) -> DataFrame | None:
     """AST → candidate (event_date, uid) frame, or None when the index
     cannot serve the subtree (negation under OR, unsupported leaf) —
     the ExecutableDeterminationVisitor outcome that forces a full-table
-    scan (DefaultQueryPlanner getFullScanRange:2624)."""
+    scan (DefaultQueryPlanner getFullScanRange:2624).
+
+    A comparison on a field ABSENT from the index is unservable
+    (None), never an empty candidate frame: the reference marks
+    non-indexed terms evaluation-only (delayed) rather than letting
+    them emit empty index ranges — an empty frame ANDed with an
+    indexed term would wrongly empty the whole candidate set and break
+    the cap-invariance promise (the term still evaluates in phase 2)."""
+    if fields is None:
+        fields = indexed_fields(cidx)
     if isinstance(node, CmpNode):
         if node.op in ("!=", "!~"):
             return None
+        if node.field.name.upper() not in fields:
+            return None           # evaluation-only: field not indexed
         try:
             return _capped_term_info(cidx, node, field_types)
         except ValueError:
@@ -279,7 +343,7 @@ def capped_candidates(cidx: DataFrame, node: JexlNode,
     if isinstance(node, AndNode):
         out = None
         for t in node.terms:
-            info = capped_candidates(cidx, t, field_types)
+            info = capped_candidates(cidx, t, field_types, fields)
             if info is None:
                 continue          # negated/unservable term only narrows
             out = info if out is None else info_intersect(out, info)
@@ -287,7 +351,7 @@ def capped_candidates(cidx: DataFrame, node: JexlNode,
     if isinstance(node, OrNode):
         out = None
         for t in node.terms:
-            info = capped_candidates(cidx, t, field_types)
+            info = capped_candidates(cidx, t, field_types, fields)
             if info is None:
                 return None       # an unservable OR branch taints the union
             out = info if out is None else info_union(out, info)
@@ -367,7 +431,11 @@ def index_hole_query(events: DataFrame, index: DataFrame, jexl: str,
     frontier = F.lit(covered_until).cast("date")
     shard = F.to_date(F.col(date_col))
     covered = events.filter(shard <= frontier)
-    uncovered = events.filter(shard > frontier)
+    # NULL-dated rows fail BOTH date comparisons (null-false), so they
+    # must be routed explicitly: an unsharded row cannot be in the
+    # index (the index is keyed by shard date) — send it to the
+    # predicate-scan branch so coverage stays invariant.
+    uncovered = events.filter((shard > frontier) | shard.isNull())
     idx_branch = index_query(
         covered, index.filter(F.col("event_date") <= frontier),
         jexl, id_col, field_types)

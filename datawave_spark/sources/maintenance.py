@@ -46,6 +46,55 @@ def parquet_file_count(path: str) -> int:
     return n
 
 
+def _recover_swap(target: str, old: str, tmp: str) -> None:
+    """Crash recovery for the write-then-swap discipline, run BEFORE a
+    new swap of the same target: a crash between ``rename(target, old)``
+    and ``rename(tmp, target)`` leaves the live data stranded in
+    ``old`` with ``target`` missing — without this, a re-run would take
+    the 'target does not exist' branch and silently write the update
+    batch alone, discarding every pre-existing row.  Recovery order:
+
+    - ``old`` exists and ``target`` missing → roll BACK (restore old);
+      the interrupted run's tmp (if any) is stale and removed.
+    - ``old`` and ``target`` both exist → the swap completed but the
+      old-dir cleanup didn't; drop ``old``.
+    - a leftover ``tmp`` alone → an interrupted write; drop it (the
+      writer re-creates it with mode=overwrite anyway).
+    """
+    if os.path.exists(old):
+        if os.path.exists(target):
+            shutil.rmtree(old)      # swap finished; cleanup didn't
+        else:
+            os.rename(old, target)  # swap half-done; roll back
+    if os.path.exists(tmp):
+        shutil.rmtree(tmp)
+
+
+def recover_table(table_path: str, partition_col: str = "event_date") -> int:
+    """Sweep ALL stranded swap siblings of a partitioned table (any
+    ``<base>.{merge,modify}.old.<pval>`` left by a crash) and repair
+    them.  Must run before any operation that DISCOVERS partitions by
+    reading the table (``modify_field``): a stranded partition is
+    invisible to partition discovery, so per-partition recovery alone
+    would never reach it.  Returns the number of repairs."""
+    base = os.path.basename(table_path.rstrip("/"))
+    parent = os.path.dirname(table_path.rstrip("/")) or "."
+    n = 0
+    if not os.path.isdir(parent):
+        return 0
+    for name in os.listdir(parent):
+        for op in ("merge", "modify"):
+            prefix = f"{base}.{op}.old."
+            if name.startswith(prefix):
+                pval = name[len(prefix):]
+                _recover_swap(
+                    os.path.join(table_path, f"{partition_col}={pval}"),
+                    os.path.join(parent, name),
+                    os.path.join(parent, f"{base}.{op}.tmp.{pval}"))
+                n += 1
+    return n
+
+
 def compact(spark: SparkSession, path: str,
             target_file_bytes: int = DEFAULT_TARGET_BYTES,
             sort_by: str | None = None) -> int:
@@ -57,6 +106,8 @@ def compact(spark: SparkSession, path: str,
     On a cluster this runs per date-partition directory (the unit the
     reference's major compaction works in); sizing by on-disk bytes
     keeps output files near the target regardless of row width."""
+    _recover_swap(path, path.rstrip("/") + ".compact.old",
+                  path.rstrip("/") + ".compact.tmp")
     total = _dir_bytes(path)
     n_files = max(1, -(-total // target_file_bytes))
     df: DataFrame = spark.read.parquet(path)
@@ -102,6 +153,10 @@ def merge_events(spark: SparkSession, table_path: str, updates: DataFrame,
     for p in parts:
         pval = p.isoformat() if isinstance(p, (datetime.date,)) else str(p)
         pdir = os.path.join(table_path, f"{partition_col}={pval}")
+        # a prior crashed run of THIS partition must be repaired before
+        # the exists-check below, or its rows are silently lost
+        _recover_swap(pdir, table_path.rstrip("/") + f".merge.old.{pval}",
+                      table_path.rstrip("/") + f".merge.tmp.{pval}")
         batch = updates.filter(F.col(partition_col) == F.lit(p)) \
             .drop(partition_col)
         if os.path.exists(pdir):
@@ -150,12 +205,17 @@ def modify_field(spark: SparkSession, table_path: str, uid: str,
     mode = mode.upper()
     if mode not in ("INSERT", "UPDATE", "DELETE"):
         raise ValueError(f"mode must be INSERT/UPDATE/DELETE, got {mode!r}")
+    # partitions are DISCOVERED from the table below, so stranded
+    # partitions must be restored first or they are simply never seen
+    recover_table(table_path, partition_col)
     table = spark.read.parquet(table_path)
     parts = [r[0] for r in table.filter(F.col(id_col) == uid)
              .select(partition_col).distinct().collect()]
     for p in parts:
         pval = p.isoformat() if isinstance(p, datetime.date) else str(p)
         pdir = os.path.join(table_path, f"{partition_col}={pval}")
+        _recover_swap(pdir, table_path.rstrip("/") + f".modify.old.{pval}",
+                      table_path.rstrip("/") + f".modify.tmp.{pval}")
         df = spark.read.parquet(pdir)
         ftype = dict(df.dtypes)[field]
         is_arr = ftype.startswith("array")

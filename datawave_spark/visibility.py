@@ -109,21 +109,62 @@ def _evaluate_fail_closed(expr: str, auths: set[str]) -> bool:
         return False
 
 
+#: Largest distinct-visibility vocabulary the driver will pull.  Label
+#: vocabularies are config-bounded in a sane deployment (combinations
+#: of a few dozen auth labels), so the fast path almost always wins;
+#: the cap exists so a hostile/corrupt corpus with a data-sized
+#: visibility column cannot OOM the driver.
+VIS_DISTINCT_CAP = 10_000
+
+
 def filter_by_auths(df: DataFrame, auths: Iterable[str],
-                    vis_col: str = "visibility") -> DataFrame:
-    """Row-filter a frame by user authorizations.  Distinct labels are
-    collected (label vocabulary is config-bounded, not data-sized) and
-    the verdict pushed down as an ``isin`` predicate."""
+                    vis_col: str = "visibility",
+                    distinct_cap: int = VIS_DISTINCT_CAP) -> DataFrame:
+    """Row-filter a frame by user authorizations.
+
+    Fast path: distinct labels are collected (bounded probe: at most
+    ``distinct_cap + 1`` rows leave the cluster) and the verdict pushed
+    down as an ``isin`` predicate — pure JVM, parquet-pushable.
+
+    If the vocabulary exceeds the cap, the filter degrades to an
+    Arrow-batched pandas UDF that evaluates each batch's (few) distinct
+    expressions with memoization — still correct on an unbounded
+    column, never a driver-sized collect and never fail-closed-drop-
+    everything."""
     auth_set = set(auths)
     if vis_col not in df.columns:
         return df
-    distinct = [r[0] for r in df.select(vis_col).distinct().collect()]
-    allowed = [v for v in distinct
-               if v is not None and _evaluate_fail_closed(v, auth_set)]
-    pred = F.col(vis_col).isNull() | (F.col(vis_col) == "")
-    if allowed:
-        pred = pred | F.col(vis_col).isin(allowed)
-    return df.filter(pred)
+    distinct = [r[0] for r in
+                df.select(vis_col).distinct().limit(distinct_cap + 1)
+                .collect()]
+    if len(distinct) <= distinct_cap:
+        allowed = [v for v in distinct
+                   if v is not None and _evaluate_fail_closed(v, auth_set)]
+        pred = F.col(vis_col).isNull() | (F.col(vis_col) == "")
+        if allowed:
+            pred = pred | F.col(vis_col).isin(allowed)
+        return df.filter(pred)
+
+    import pandas  # noqa: F401 — resolves the UDF's type hints
+    from pyspark.sql.functions import pandas_udf
+
+    def _visible(vs: "pandas.Series") -> "pandas.Series":
+        memo: dict[str, bool] = {}
+
+        def ev(v):
+            if v is None or v == "":
+                return True
+            got = memo.get(v)
+            if got is None:
+                got = memo[v] = _evaluate_fail_closed(v, auth_set)
+            return got
+
+        return vs.map(ev)
+
+    _visible.__annotations__ = {"vs": pandas.Series,
+                                "return": pandas.Series}
+    visible = pandas_udf(_visible, "boolean")
+    return df.filter(visible(F.col(vis_col)))
 
 
 def mask_fields(df: DataFrame, field_visibility: dict[str, str],

@@ -134,3 +134,79 @@ class TestIndexHoles:
             got = {r.event_id for r in index_hole_query(
                 events, idx, q, "event_id", "ts", frontier).collect()}
             assert got == want, frontier
+
+
+class TestUnindexedField:
+    def test_and_with_unindexed_term_falls_back_to_evaluation(
+            self, spark, events, cidx):
+        """A field absent from the capped index is evaluation-only
+        (_Delayed_), never an empty candidate frame: ANDing it with an
+        indexed term must narrow by the indexed term and re-evaluate —
+        not return zero rows.  (round-3 ADVICE, index_frame.py)"""
+        jexl = "EVENT_TYPE == 'cold' && UNINDEXED_NUM == 0"
+        ev = events.withColumn("unindexed_num", F.col("event_id") % 2)
+        expected = {r.event_id for r in ev.filter(
+            (F.col("event_type") == "cold")
+            & (F.col("unindexed_num") == 0)).collect()}
+        got = {r.event_id for r in capped_index_query(
+            ev, cidx, jexl, "event_id", "ts").collect()}
+        assert got == expected and got
+
+    def test_all_unindexed_or_returns_full_scan_result(
+            self, spark, events, cidx):
+        ev = events.withColumn("unindexed_num", F.col("event_id") % 2)
+        jexl = "EVENT_TYPE == 'cold' || UNINDEXED_NUM == 1"
+        expected = {r.event_id for r in ev.filter(
+            (F.col("event_type") == "cold")
+            | (F.col("unindexed_num") == 1)).collect()}
+        got = {r.event_id for r in capped_index_query(
+            ev, cidx, jexl, "event_id", "ts").collect()}
+        assert got == expected and got
+
+    def test_capped_candidates_unindexed_is_none(self, spark, cidx):
+        assert capped_candidates(cidx, parse("NOPE == 'x'")) is None
+
+
+class TestPlainIndexUnindexed:
+    def test_index_query_reevaluates_unindexed_term(self, spark, events):
+        from datawave_spark.sources.index_frame import build_index, index_query
+        ev = events.withColumn("unindexed_num", F.col("event_id") % 2)
+        idx = build_index(ev, ["event_type"], "event_id", date_col="ts")
+        expected = {r.event_id for r in ev.filter(
+            (F.col("event_type") == "cold")
+            & (F.col("unindexed_num") == 0)).collect()}
+        got = {r.event_id for r in index_query(
+            ev, idx, "EVENT_TYPE == 'cold' && UNINDEXED_NUM == 0",
+            "event_id").collect()}
+        assert got == expected and got
+
+    def test_index_query_full_fallback_when_nothing_servable(
+            self, spark, events):
+        from datawave_spark.sources.index_frame import build_index, index_query
+        ev = events.withColumn("unindexed_num", F.col("event_id") % 2)
+        idx = build_index(ev, ["event_type"], "event_id", date_col="ts")
+        got = {r.event_id for r in index_query(
+            ev, idx, "UNINDEXED_NUM == 0", "event_id").collect()}
+        expected = {r.event_id
+                    for r in ev.filter(F.col("unindexed_num") == 0).collect()}
+        assert got == expected and got
+
+
+class TestNullShardRouting:
+    def test_index_hole_keeps_null_dated_rows(self, spark, events):
+        """NULL-dated rows fail both frontier comparisons; they must
+        land in the predicate-scan branch, not vanish."""
+        from datawave_spark.sources.index_frame import (build_index,
+                                                        index_hole_query)
+        ev = events.withColumn(
+            "ts", F.when(F.col("event_id") == 0, F.lit(None)).otherwise(
+                F.col("ts")))
+        idx = build_index(ev.filter(F.col("ts").isNotNull()),
+                          ["event_type"], "event_id", date_col="ts")
+        got = {r.event_id for r in index_hole_query(
+            ev, idx, "EVENT_TYPE == 'cold'", "event_id", "ts",
+            covered_until=datetime.date(2024, 1, 1)).collect()}
+        expected = {r.event_id for r in
+                    ev.filter(F.col("event_type") == "cold").collect()}
+        assert 0 in expected          # fixture: event 0 is 'cold'
+        assert got == expected

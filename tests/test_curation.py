@@ -277,3 +277,19 @@ class TestPerplexity:
             "t", "id", lm).first()
         import math
         assert row.cross_entropy == round(-math.log(0.5 / 2), 4)
+
+
+class TestRebalanceGuards:
+    def test_missing_target_stratum_raises(self, spark):
+        df = spark.createDataFrame([(1, "a", 5)],
+                                   "id long, src string, w long")
+        with pytest.raises(ValueError, match="no weight"):
+            curation.rebalance_mix(df, "id", "src", "w",
+                                   {"a": 0.5, "ghost": 0.5})
+
+    def test_zero_weight_stratum_raises_not_empties(self, spark):
+        df = spark.createDataFrame([(1, "a", 5), (2, "b", 0)],
+                                   "id long, src string, w long")
+        with pytest.raises(ValueError, match="no weight"):
+            curation.rebalance_mix(df, "id", "src", "w",
+                                   {"a": 0.5, "b": 0.5})

@@ -151,3 +151,21 @@ class TestDatedEdges:
                                    "a long, b long, ed string")
         out = dated_edges(ev, [EdgeDefinition("a", "b", "t")], "ed")
         assert [r.date_type for r in out.collect()] == ["ACTIVITY_AND_EVENT"]
+
+    def test_null_dates_route_null_safe(self, spark):
+        """Rows with one NULL date must not vanish (== and != are both
+        null-false): the dated side still writes; rows whose branch
+        date is NULL are dropped — an edge key needs a date."""
+        from datawave_spark.edges import EdgeDefinition, dated_edges
+        ev = spark.createDataFrame(
+            [(1, 2, None, "2024-01-05"),    # null event date
+             (3, 4, "2024-01-06", None),    # null activity date
+             (5, 6, None, None)],           # fully undated: no edge
+            "a long, b long, ed string, ad string")
+        out = dated_edges(ev, [EdgeDefinition("a", "b", "t")], "ed", "ad")
+        rows = {(r.source, r.date_type, str(r.edge_date))
+                for r in out.collect()}
+        assert rows == {
+            ("1", "ACTIVITY_ONLY", "2024-01-05"),
+            ("3", "EVENT_ONLY", "2024-01-06"),
+        }

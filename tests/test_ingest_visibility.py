@@ -334,3 +334,26 @@ class TestCombinedVisibility:
         b = df.repartition(7).groupBy("g").agg(
             combined_visibility().alias("v")).first().v
         assert a == b == "A&B&C&(M|N)&Z"
+
+
+class TestVisibilityCap:
+    def test_over_cap_degrades_to_batch_eval(self, spark):
+        """Vocabulary above distinct_cap: no driver-sized collect; the
+        pandas-UDF path must produce the same rows as the isin path."""
+        from datawave_spark.visibility import filter_by_auths
+        rows = [(i, f"L{i}") for i in range(50)] + [(999, "A&B")]
+        df = spark.createDataFrame(rows, "id long, visibility string")
+        fast = {r.id for r in
+                filter_by_auths(df, {"A", "B", "L3"}).collect()}
+        capped = {r.id for r in
+                  filter_by_auths(df, {"A", "B", "L3"},
+                                  distinct_cap=5).collect()}
+        assert capped == fast == {3, 999}
+
+    def test_over_cap_null_and_empty_visible(self, spark):
+        from datawave_spark.visibility import filter_by_auths
+        rows = [(i, f"L{i}") for i in range(20)] + [(100, None), (101, "")]
+        df = spark.createDataFrame(rows, "id long, visibility string")
+        got = {r.id for r in
+               filter_by_auths(df, set(), distinct_cap=3).collect()}
+        assert got == {100, 101}

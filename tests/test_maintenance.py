@@ -179,3 +179,69 @@ def test_merge_tmp_dirs_outside_table_root(spark, tmp_path, monkeypatch):
     # exactly its original rows
     got = spark.read.parquet(str(path)).collect()
     assert [r.value for r in got] == [1.0]
+
+
+class TestCrashRecovery:
+    def _write(self, spark, path):
+        df = spark.createDataFrame(
+            [("u1", "2024-01-01", 1.0), ("u2", "2024-01-01", 2.0),
+             ("u3", "2024-01-02", 3.0)],
+            "uid string, event_date string, value double")
+        df.write.partitionBy("event_date").mode("overwrite") \
+            .parquet(str(path))
+
+    def test_merge_resumes_after_half_swap(self, spark, tmp_path):
+        """Simulated crash between rename(pdir, old) and rename(tmp,
+        pdir): pdir missing, live rows stranded in .merge.old.  A
+        re-run must restore them before merging — NOT write the update
+        batch alone."""
+        import os
+        from datawave_spark.sources.maintenance import merge_events
+        path = tmp_path / "events"
+        self._write(spark, path)
+        pdir = str(path / "event_date=2024-01-01")
+        old = str(path) + ".merge.old.2024-01-01"
+        os.rename(pdir, old)          # the crash window state
+        updates = spark.createDataFrame(
+            [("u2", "2024-01-01", 20.0)],
+            "uid string, event_date string, value double")
+        merge_events(spark, str(path), updates)
+        got = {r.uid: r.value
+               for r in spark.read.parquet(str(path)).collect()}
+        assert got == {"u1": 1.0, "u2": 20.0, "u3": 3.0}
+        assert not os.path.exists(old)
+
+    def test_merge_cleans_completed_swap_leftover(self, spark, tmp_path):
+        """old-dir left AFTER a completed swap (crash during cleanup):
+        the live pdir wins; the stale old is dropped, not restored."""
+        import os
+        import shutil
+        from datawave_spark.sources.maintenance import merge_events
+        path = tmp_path / "events"
+        self._write(spark, path)
+        pdir = str(path / "event_date=2024-01-01")
+        old = str(path) + ".merge.old.2024-01-01"
+        shutil.copytree(pdir, old)    # stale copy; pdir is live
+        updates = spark.createDataFrame(
+            [("u9", "2024-01-01", 9.0)],
+            "uid string, event_date string, value double")
+        merge_events(spark, str(path), updates)
+        got = {r.uid for r in spark.read.parquet(str(path)).collect()}
+        assert got == {"u1", "u2", "u3", "u9"}
+        assert not os.path.exists(old)
+
+    def test_modify_field_recovers_stranded_partition(self, spark, tmp_path):
+        """modify_field discovers partitions by reading the table: a
+        stranded partition is invisible, so the table-level sweep must
+        restore it first."""
+        import os
+        from datawave_spark.sources.maintenance import modify_field
+        path = tmp_path / "events"
+        self._write(spark, path)
+        pdir = str(path / "event_date=2024-01-01")
+        old = str(path) + ".modify.old.2024-01-01"
+        os.rename(pdir, old)
+        modify_field(spark, str(path), "u1", "value", "UPDATE", 99.0)
+        got = {r.uid: r.value
+               for r in spark.read.parquet(str(path)).collect()}
+        assert got["u1"] == 99.0 and got["u2"] == 2.0
