@@ -3581,3 +3581,68 @@ def q_ann_knn_join_lsh(spark, sf_dir):
     return similarity.knn_join_lsh(
         signed.filter(F.col("vec_id") < 20), signed, "embedding",
         "vec_id", sig_col="sig", bits=8, k=3, probe_radius=1)
+
+
+@register("lucene_phrase_slop", f"""
+WITH toks AS ({_DUCK_DOCTOKS}),
+pos AS (
+  SELECT doc_id,
+         [i for i in range(1, len(t)+1) if t[i] = 'spark'] AS p1,
+         flatten([range(j-2, j+3) for j in
+                  [i for i in range(1, len(t)+1) if t[i] = 'window']]) AS p2w
+  FROM toks)
+SELECT doc_id FROM pos WHERE len(p1) > 0 AND list_has_any(p1, p2w)
+""")
+def q_lucene_phrase_slop(spark, sf_dir):
+    """LUCENE proximity phrase ``FIELD:"a b"~N`` → content:within
+    (SlopQueryNodeBuilder.java:46 → JexlWithinNode.java:24): the slop
+    becomes the within-window distance over the stored term-frequency
+    offset maps.  Front-end-only — the within evaluation is the
+    existing content:within path over prepared.doc_tf."""
+    from datawave_spark.plans import QueryPlanner
+    from datawave_spark.sources import prepared
+    docs = prepared.doc_tf(spark, sf_dir)
+    res = QueryPlanner(docs).plan('TEXT:"spark window"~2', syntax="LUCENE")
+    return res.df.select("doc_id")
+
+
+@register("controlled_query", """
+SELECT event_id, event_type, value FROM events
+WHERE event_type = 'purchase' AND value > 200
+  AND regexp_matches(CAST(user_id AS VARCHAR), '^[0-9]+$')
+""")
+def q_controlled_query(spark, sf_dir):
+    """Controlled query parsing (LuceneToJexlControlledQueryParser.java):
+    the deployment pins an allowed-field list and a required #INCLUDE
+    clause that is appended to EVERY query before parsing; a query
+    naming a field outside the list is rejected at parse time (see
+    tests/test_lucene_planner.py for the rejection path)."""
+    from datawave_spark.plans import QueryPlanner
+    ev = _t(spark, sf_dir, "events")
+    planner = QueryPlanner(
+        ev, allowed_fields=["EVENT_TYPE", "VALUE"],
+        included_values={"USER_ID": ['"^[0-9]+$"']})
+    res = planner.plan('event_type:purchase AND #JEXL("VALUE > 200")',
+                       syntax="LUCENE-CONTROLLED")
+    return res.df.select("event_id", "event_type", "value")
+
+
+@register("uuid_lookup_query", """
+SELECT event_id, user_id FROM events
+WHERE CAST(event_id AS VARCHAR) = '77'
+   OR regexp_full_match(CAST(event_id AS VARCHAR), '10.*')
+""")
+def q_uuid_lookup_query(spark, sf_dir):
+    """UUID-restricted parsing (LuceneToJexlUUIDQueryParser.java): only
+    registered UUID fields may be queried, equality or a wildcard at/
+    after the type's allowed position; ranges and unregistered fields
+    raise at parse time."""
+    from datawave_spark.lucene.controlled import UUIDType
+    from datawave_spark.plans import QueryPlanner
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "event_uuid", F.col("event_id").cast("string"))
+    planner = QueryPlanner(
+        ev, uuid_types=[UUIDType("EVENT_UUID", allow_wildcard_after=2)])
+    res = planner.plan("event_uuid:77 OR event_uuid:10*",
+                       syntax="LUCENE-UUID")
+    return res.df.select("event_id", "user_id")

@@ -358,13 +358,29 @@ class _Parser:
             kind, v = self.next()
         if kind == "phrase":
             words = self._unquote(v).split()
+            # proximity suffix "a b"~N → content:within(field, N, terms)
+            # (SlopQueryNodeBuilder.java:46 wraps the AdjNode in a
+            # WithinNode with the slop as the distance → JexlWithinNode
+            # .java:24 emits content:within).  A single-word phrase
+            # ignores the slop — the reference's SelectorNode branch:
+            # "within makes no sense" for one term.
+            slop = None
+            nk, nv = self.peek()
+            if nk == "term" and re.fullmatch(r"~\d+", nv):
+                self.next()
+                slop = int(nv[1:])
             if len(words) == 1:
                 return CmpNode("==", Identifier(field), Literal(words[0]))
             args = [Literal(w) for w in words]
+            if slop is not None:
+                args = [Literal(slop), *args]
+                fn = "within"
+            else:
+                fn = "phrase"
             if field != "_ANYFIELD_":
-                return FuncNode("content", "phrase",
+                return FuncNode("content", fn,
                                 (Identifier(field), *args))
-            return FuncNode("content", "phrase", tuple(args))
+            return FuncNode("content", fn, tuple(args))
         if kind in ("lbracket", "lbrace"):
             lo_incl = kind == "lbracket"
             lo = self.expect("term")

@@ -82,7 +82,11 @@ class QueryPlanner:
                  max_terms: int = 2500, max_depth: int = 2500,
                  rules: list | None = None,
                  date_index: DataFrame | None = None,
-                 shard_col: str = "event_date"):
+                 shard_col: str = "event_date",
+                 allowed_fields: list[str] | None = None,
+                 included_values: dict[str, list[str]] | None = None,
+                 excluded_values: dict[str, list[str]] | None = None,
+                 uuid_types: list | None = None):
         self.df = df
         self.field_types = field_types
         self.model = model
@@ -113,6 +117,13 @@ class QueryPlanner:
         # inject a shard_col partition-prune next to the exact filter.
         self.date_index = date_index
         self.shard_col = shard_col
+        # Restricted-parser config (syntax="LUCENE-CONTROLLED" /
+        # "LUCENE-UUID"): parse-time field allow-list, deployment
+        # include/exclude value clauses, registered UUID lookup types.
+        self.allowed_fields = allowed_fields
+        self.included_values = included_values
+        self.excluded_values = excluded_values
+        self.uuid_types = list(uuid_types or [])
 
     @classmethod
     def from_metadata(cls, df: DataFrame, metadata: DataFrame,
@@ -139,14 +150,33 @@ class QueryPlanner:
                    **kwargs)
 
     def parse(self, query: str, syntax: str = "JEXL") -> JexlNode:
+        """Dialects: JEXL, LUCENE, and the reference's restricted
+        parser variants — LUCENE-CONTROLLED (parse-time field
+        allow-list + deployment include/exclude value clauses,
+        LuceneToJexlControlledQueryParser.java; configure via planner
+        attrs ``allowed_fields`` / ``included_values`` /
+        ``excluded_values``) and LUCENE-UUID (fielded lookups on
+        registered ``uuid_types`` only,
+        LuceneToJexlUUIDQueryParser.java)."""
         syntax = syntax.upper()
         if syntax == "LUCENE":
             from datawave_spark.lucene.parser import parse_lucene
             return parse_lucene(query)
+        if syntax == "LUCENE-CONTROLLED":
+            from datawave_spark.lucene.controlled import parse_controlled
+            return parse_controlled(
+                query, allowed_fields=getattr(self, "allowed_fields", None),
+                included_values=getattr(self, "included_values", None),
+                excluded_values=getattr(self, "excluded_values", None))
+        if syntax == "LUCENE-UUID":
+            from datawave_spark.lucene.controlled import parse_uuid_query
+            return parse_uuid_query(query,
+                                    getattr(self, "uuid_types", []) or [])
         if syntax == "JEXL":
             from datawave_spark.jexl.parser import parse as parse_jexl
             return parse_jexl(query)
-        raise ValueError(f"unknown syntax {syntax!r} (JEXL or LUCENE)")
+        raise ValueError(f"unknown syntax {syntax!r} (JEXL, LUCENE, "
+                         "LUCENE-CONTROLLED or LUCENE-UUID)")
 
     def plan(self, query: str, syntax: str = "JEXL",
              return_fields: list[str] | None = None,

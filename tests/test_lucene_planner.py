@@ -491,3 +491,95 @@ class TestPredict:
     def test_unknown_field_defaults(self, planner):
         p = planner.predict("MYSTERY == 'x'")
         assert p["selectivity"] == pytest.approx(0.1)
+
+
+class TestPhraseSlop:
+    def test_slop_becomes_within(self):
+        # SlopQueryNodeBuilder.java:46 → JexlWithinNode.java:24
+        node = parse_lucene('TEXT:"hello world"~3')
+        assert node == FuncNode("content", "within",
+                                (Identifier("TEXT"), Literal(3),
+                                 Literal("hello"), Literal("world")))
+
+    def test_unfielded_slop(self):
+        node = parse_lucene('"a b"~2')
+        assert node == FuncNode("content", "within",
+                                (Literal(2), Literal("a"), Literal("b")))
+
+    def test_single_word_slop_ignored(self):
+        # reference SelectorNode branch: within of one term is nonsense
+        node = parse_lucene('TEXT:"solo"~5')
+        assert node == CmpNode("==", Identifier("TEXT"), Literal("solo"))
+
+    def test_slop_combines_with_boolean(self):
+        node = parse_lucene('TEXT:"a b"~1 AND CITY:rome')
+        assert isinstance(node, AndNode)
+        assert node.terms[0].name == "within"
+
+
+class TestControlledParser:
+    def test_disallowed_field_rejected(self):
+        from datawave_spark.lucene.controlled import (ControlledQueryError,
+                                                      parse_controlled)
+        with pytest.raises(ControlledQueryError, match="SECRET"):
+            parse_controlled("SECRET:x AND CITY:rome",
+                             allowed_fields=["CITY"])
+
+    def test_allowed_and_unfielded_pass(self):
+        from datawave_spark.lucene.controlled import parse_controlled
+        node = parse_controlled("CITY:rome AND bare", allowed_fields=["CITY"])
+        assert isinstance(node, AndNode)
+
+    def test_function_field_args_checked(self):
+        from datawave_spark.lucene.controlled import (ControlledQueryError,
+                                                      parse_controlled)
+        with pytest.raises(ControlledQueryError):
+            parse_controlled("#ISNOTNULL(HIDDEN)", allowed_fields=["CITY"])
+
+    def test_include_exclude_rewrite(self):
+        from datawave_spark.lucene.controlled import controlled_rewrite
+        q = controlled_rewrite("CITY:rome",
+                               included_values={"K": ["a", "b"]},
+                               excluded_values={"X": ["c"]})
+        assert q == ("(CITY:rome) AND (#INCLUDE(K, a) OR #INCLUDE(K, b)"
+                     " AND #EXCLUDE(X, c))")
+
+    def test_rewrite_fields_implicitly_allowed(self):
+        from datawave_spark.lucene.controlled import parse_controlled
+        node = parse_controlled("CITY:rome", allowed_fields=["CITY"],
+                                included_values={"STATE": ["laz.*"]})
+        assert isinstance(node, AndNode)
+
+
+class TestUUIDParser:
+    def _types(self):
+        from datawave_spark.lucene.controlled import UUIDType
+        return [UUIDType("PAGE_ID", allow_wildcard_after=3),
+                UUIDType("EVENT_UUID")]
+
+    def test_equality_on_registered_field(self):
+        from datawave_spark.lucene.controlled import parse_uuid_query
+        node = parse_uuid_query("PAGE_ID:abc123 OR EVENT_UUID:9",
+                                self._types())
+        assert isinstance(node, OrNode)
+
+    def test_unregistered_field_rejected(self):
+        from datawave_spark.lucene.controlled import (ControlledQueryError,
+                                                      parse_uuid_query)
+        with pytest.raises(ControlledQueryError, match="not a registered"):
+            parse_uuid_query("OTHER:1", self._types())
+
+    def test_wildcard_position_enforced(self):
+        from datawave_spark.lucene.controlled import (ControlledQueryError,
+                                                      parse_uuid_query)
+        parse_uuid_query("PAGE_ID:abc*", self._types())      # pos 3: ok
+        with pytest.raises(ControlledQueryError, match="wildcard"):
+            parse_uuid_query("PAGE_ID:ab*", self._types())   # pos 2: no
+        with pytest.raises(ControlledQueryError, match="wildcard"):
+            parse_uuid_query("EVENT_UUID:9*", self._types())  # never
+
+    def test_range_rejected(self):
+        from datawave_spark.lucene.controlled import (ControlledQueryError,
+                                                      parse_uuid_query)
+        with pytest.raises(ControlledQueryError):
+            parse_uuid_query("PAGE_ID:[a TO b]", self._types())
