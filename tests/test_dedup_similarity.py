@@ -362,3 +362,26 @@ class TestNgramMaxDf:
                      for r in dedup.ngram_jaccard_pairs_from_sets(
                          sets, threshold=0.3, max_df=50).collect()}
         assert from_sets == raw
+
+
+class TestStarComponents:
+    def test_long_chain_converges_in_log_rounds(self, spark):
+        """A 64-node chain needs 63 propagation rounds but only ~log2
+        star rounds — max_iter=8 must suffice and label every node with
+        the chain minimum."""
+        from datawave_spark.operators.components import connected_components
+        pairs = spark.createDataFrame([(i, i + 1) for i in range(64)],
+                                      "id_a long, id_b long")
+        out = {(r.id, r.component) for r in connected_components(
+            pairs, driver_threshold=0, max_iter=8).collect()}
+        assert out == {(i, 0) for i in range(65)}
+
+    def test_mixed_components(self, spark):
+        from datawave_spark.operators.components import connected_components
+        pairs = spark.createDataFrame(
+            [(5, 3), (3, 9), (20, 21), (21, 22), (40, 41)],
+            "id_a long, id_b long")
+        got = dict((r.id, r.component) for r in connected_components(
+            pairs, driver_threshold=0).collect())
+        assert got == {3: 3, 5: 3, 9: 3, 20: 20, 21: 20, 22: 20,
+                       40: 40, 41: 40}
