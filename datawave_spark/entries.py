@@ -3646,3 +3646,32 @@ def q_uuid_lookup_query(spark, sf_dir):
     res = planner.plan("event_uuid:77 OR event_uuid:10*",
                        syntax="LUCENE-UUID")
     return res.df.select("event_id", "user_id")
+
+
+@register("wikipedia_ingest", """
+SELECT doc_id AS page_id, 'Doc ' || CAST(doc_id AS VARCHAR) AS page_title,
+       '0' AS page_namespace, doc_id + 1000000 AS revision_id,
+       TIMESTAMP '2024-01-05 10:00:00' AS revision_timestamp,
+       source AS contributor_username, doc_id % 97 AS contributor_id,
+       trim(text) AS text, 'ENGLISH' AS language,
+       '2024-01-05' AS event_date
+FROM documents
+""")
+def q_wikipedia_ingest(spark, sf_dir):
+    """Wikipedia-dump-specific ingest (ingest-wikipedia
+    WikipediaContentHandler/WikipediaIngestHelper/WikipediaRecordReader):
+    depth-prefixed field naming (PAGE_ID vs REVISION_ID vs
+    CONTRIBUTOR_ID), PAGE_NS→PAGE_NAMESPACE rename, revision text
+    diverted to the content column, LANGUAGE from the datatype name and
+    event_date from the dump file name — all value-hashed against the
+    source documents table."""
+    from datawave_spark.sources.prepared import wiki_dump_path
+    from datawave_spark.sources.readers import read_wikipedia_dump
+    df = read_wikipedia_dump(spark, wiki_dump_path(spark, sf_dir),
+                             datatype_name="enwiki")
+    return df.select(
+        "page_id", "page_title", "page_namespace", "revision_id",
+        "revision_timestamp", "contributor_username", "contributor_id",
+        F.trim("text").alias("text"),
+        F.element_at("language", 1).alias("language"),
+        F.col("event_date").cast("string").alias("event_date"))

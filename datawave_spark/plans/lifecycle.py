@@ -1,0 +1,133 @@
+"""Async query lifecycle: create / poll / page / cancel / close.
+
+Reference: the web-tier query lifecycle (web-services/query
+QueryExecutorBean.java:1058 createQueryAndNext + cancel:1574 /
+close:1686, and the microservices' RunningQuery state machine):
+a query is CREATED, runs asynchronously, pages stream back while it
+RUNS, and cancel/close interrupt the running scan cooperatively.
+
+Spark restatement: the async unit is a Spark JOB GROUP.  ``submit``
+runs the plan's first materialization on a worker thread under
+``setJobGroup(<query id>, interruptOnCancel=True)``; ``cancel`` calls
+``SparkContext.cancelJobGroup`` — Spark's real cooperative-cancel
+primitive, which interrupts every task of every job the query has
+launched (the tserver scan-session teardown analog).  Pages come from
+the planner's existing ``QueryResult.pages`` cursor; ``close`` releases
+the page cursor but lets in-flight work finish, exactly the
+cancel-vs-close distinction the reference draws (cancel kills the
+scan, close releases the resources).
+"""
+
+from __future__ import annotations
+
+import threading
+import uuid
+from dataclasses import dataclass, field
+from enum import Enum
+
+from pyspark.sql import DataFrame
+
+
+class QueryState(str, Enum):
+    CREATED = "CREATED"
+    RUNNING = "RUNNING"
+    FINISHED = "FINISHED"
+    CANCELED = "CANCELED"
+    CLOSED = "CLOSED"
+    FAILED = "FAILED"
+
+
+@dataclass
+class AsyncQuery:
+    """Handle for one submitted query (the RunningQuery analog)."""
+    query_id: str
+    df: DataFrame
+    state: QueryState = QueryState.CREATED
+    error: Exception | None = None
+    _thread: threading.Thread | None = None
+    _lock: threading.Lock = field(default_factory=threading.Lock)
+    _rows: list | None = None
+    _cursor: int = 0
+
+    # -- lifecycle ---------------------------------------------------
+
+    def start(self) -> "AsyncQuery":
+        """Begin async materialization under this query's job group."""
+        sc = self.df.sparkSession.sparkContext
+
+        def run():
+            sc.setJobGroup(self.query_id, f"query {self.query_id}",
+                           interruptOnCancel=True)
+            try:
+                rows = self.df.collect()
+                with self._lock:
+                    if self.state == QueryState.RUNNING:
+                        self._rows = rows
+                        self.state = QueryState.FINISHED
+            except Exception as e:  # canceled jobs surface here
+                with self._lock:
+                    if self.state == QueryState.RUNNING:
+                        self.state = QueryState.FAILED
+                        self.error = e
+            finally:
+                sc.setJobGroup("", "")
+
+        with self._lock:
+            if self.state != QueryState.CREATED:
+                raise RuntimeError(f"cannot start from {self.state}")
+            self.state = QueryState.RUNNING
+        self._thread = threading.Thread(target=run, daemon=True)
+        self._thread.start()
+        return self
+
+    def cancel(self) -> None:
+        """Cooperative cancel (QueryExecutorBean.cancel): interrupt
+        every running task of this query's job group."""
+        with self._lock:
+            if self.state in (QueryState.FINISHED, QueryState.CLOSED):
+                return
+            self.state = QueryState.CANCELED
+        self.df.sparkSession.sparkContext.cancelJobGroup(self.query_id)
+
+    def close(self) -> None:
+        """Release the result cursor; in-flight work may finish
+        (QueryExecutorBean.close — resources, not the scan)."""
+        with self._lock:
+            if self.state == QueryState.RUNNING:
+                self._thread_join(0.0)
+            self._rows = None
+            self.state = QueryState.CLOSED
+
+    # -- results -----------------------------------------------------
+
+    def wait(self, timeout: float | None = None) -> QueryState:
+        self._thread_join(timeout)
+        return self.state
+
+    def _thread_join(self, timeout: float | None) -> None:
+        if self._thread is not None:
+            self._thread.join(timeout)
+
+    def next_page(self, page_size: int = 100) -> list | None:
+        """Next page of results, None when exhausted — blocks until the
+        async materialization completes (createQueryAndNext's 'next'
+        half)."""
+        self.wait()
+        with self._lock:
+            if self.state != QueryState.FINISHED:
+                raise RuntimeError(
+                    f"query {self.query_id} is {self.state}"
+                    + (f": {self.error}" if self.error else ""))
+            assert self._rows is not None
+            if self._cursor >= len(self._rows):
+                return None
+            page = self._rows[self._cursor:self._cursor + page_size]
+            self._cursor += page_size
+            return page
+
+
+def submit(df: DataFrame, query_id: str | None = None) -> AsyncQuery:
+    """Create + start an async query over an already-planned frame
+    (QueryExecutorBean.createQueryAndNext): returns immediately with a
+    RUNNING handle."""
+    return AsyncQuery(query_id or f"q-{uuid.uuid4().hex[:12]}", df).start()

@@ -92,6 +92,14 @@ def build_all(spark: SparkSession, sf_dir: str) -> dict[str, int]:
     }
     sharded_events(spark, sf_dir)
     out["sharded_events"] = -1   # path-returning asset; not counted
+    csv_events_path(spark, sf_dir)
+    out["csv_events"] = -1
+    json_events_path(spark, sf_dir)
+    out["json_events"] = -1
+    xml_docs_path(spark, sf_dir)
+    out["xml_docs"] = -1
+    wiki_dump_path(spark, sf_dir)
+    out["wiki_dump"] = -1
     for name, fn in builders.items():
         out[name] = fn(spark, sf_dir).count()
     return out
@@ -525,3 +533,42 @@ def embedding_lsh(spark: SparkSession, sf_dir: str, bits: int = 8,
 
     return get_or_build(spark, sf_dir, f"embedding_lsh_b{bits}", build,
                         range_by="sig")
+
+
+def wiki_dump_path(spark: SparkSession, sf_dir: str) -> str:
+    """A MediaWiki-dump-shaped XML copy of the documents table —
+    <page> records with the real dump nesting (title/ns/id + revision/
+    contributor structure) and a dump-style FILE NAME carrying the date
+    token (``enwiki-20240105-pages.xml``), so the Wikipedia reader's
+    field-depth naming, PAGE_NS rename, content diversion and
+    filename-date extraction are all exercised end-to-end."""
+    import glob as _glob
+    import os as _os
+    from pyspark.sql import functions as F
+    path = prepared_path(sf_dir, "wiki_dump")
+    if not _os.path.exists(_os.path.join(path, "_SUCCESS")):
+        d = spark.read.parquet(_os.path.join(sf_dir, "documents.parquet"))
+
+        def esc(c):
+            c = F.replace(c, F.lit("&"), F.lit("&amp;"))
+            c = F.replace(c, F.lit("<"), F.lit("&lt;"))
+            return F.replace(c, F.lit(">"), F.lit("&gt;"))
+
+        row = F.concat(
+            F.lit("<page><title>Doc "), F.col("doc_id").cast("string"),
+            F.lit("</title><ns>0</ns><id>"), F.col("doc_id").cast("string"),
+            F.lit("</id><revision><id>"),
+            (F.col("doc_id") + 1000000).cast("string"),
+            F.lit("</id><timestamp>2024-01-05T10:00:00Z</timestamp>"
+                  "<contributor><username>"), esc(F.col("source")),
+            F.lit("</username><id>"),
+            (F.col("doc_id") % 97).cast("string"),
+            F.lit("</id></contributor><comment>import</comment><text>"),
+            esc(F.col("text")),
+            F.lit("</text></revision></page>"))
+        d.select(row.alias("value")).coalesce(1) \
+            .write.mode("overwrite").text(path)
+        for part in _glob.glob(_os.path.join(path, "part-*.txt")):
+            _os.rename(part, _os.path.join(
+                _os.path.dirname(part), "enwiki-20240105-pages.xml"))
+    return path

@@ -101,3 +101,171 @@ def read_xml_events(spark: SparkSession, path: str, record_tag: str,
             yield pd.DataFrame(rows)
 
     return raw.mapInPandas(parse, out_schema)
+
+
+# ------------------------------------------------ Wikipedia-dump ingest
+
+# ISO 639-1 prefix → language name(s) — the dump-name language guess
+# (reference: ingest-wikipedia ISO_639_Codes.java; representative
+# subset, same keying: the code before "wiki" in the datatype name).
+ISO_639_1 = {
+    "en": ["ENGLISH"], "de": ["GERMAN"], "fr": ["FRENCH"],
+    "es": ["SPANISH", "CASTILIAN"], "it": ["ITALIAN"],
+    "pt": ["PORTUGUESE"], "ru": ["RUSSIAN"], "ja": ["JAPANESE"],
+    "zh": ["CHINESE"], "ar": ["ARABIC"], "nl": ["DUTCH", "FLEMISH"],
+    "pl": ["POLISH"], "sv": ["SWEDISH"], "ko": ["KOREAN"],
+    "hi": ["HINDI"], "tr": ["TURKISH"], "vi": ["VIETNAMESE"],
+}
+
+# WikipediaIngestHelper.fieldNameReplacements
+_WIKI_RENAMES = {"PAGE_NS": "PAGE_NAMESPACE"}
+# WikipediaIngestHelper.ignoreFields: revision text is CONTENT (the
+# d-column/term-frequency path), never an event field
+_WIKI_IGNORE = {"REVISION_TEXT"}
+# WikipediaContentHandler.Depth: elements that move the naming prefix
+_WIKI_DEPTHS = ("page", "revision", "contributor")
+
+
+def wiki_language(datatype_name: str) -> list[str]:
+    """LANGUAGE values guessed from the datatype/dump name — the text
+    before 'wiki' (up to an underscore) as an ISO 639-1 code
+    (WikipediaIngestHelper.extractWikipediaTypeInformation:87)."""
+    idx = datatype_name.find("wiki")
+    if idx < 0:
+        return []
+    dump = datatype_name[:idx]
+    code = dump.split("_", 1)[0]
+    return ISO_639_1.get(code, [])
+
+
+def wiki_event_date(file_name: str) -> str | None:
+    """Event date from the dump FILENAME's second dash-token
+    (WikipediaRecordReader:320-345: enwiki-20130305-pages-articles →
+    2013-03-05); None when the name has no date token."""
+    import os
+    import re as _re
+    base = os.path.basename(file_name)
+    m = _re.match(r"[^-]+-(\d{8})-", base)
+    if not m:
+        return None
+    d = m.group(1)
+    return f"{d[:4]}-{d[4:6]}-{d[6:8]}"
+
+
+def read_wikipedia_dump(spark: SparkSession, path: str,
+                        datatype_name: str = "enwiki") -> DataFrame:
+    """MediaWiki dump ingest with the reference's field discipline
+    (ingest-wikipedia WikipediaContentHandler + WikipediaIngestHelper +
+    WikipediaRecordReader):
+
+    - record = ``<page>``; fields named ``<DEPTH>_<ELEMENT>`` uppercase
+      with depth ∈ {PAGE, REVISION, CONTRIBUTOR} (nested ids stay
+      distinct: PAGE_ID vs REVISION_ID vs CONTRIBUTOR_ID); element
+      attributes become ``<DEPTH>_<ELEM>_<ATTR>``;
+    - ``PAGE_NS`` renames to ``PAGE_NAMESPACE``;
+    - ``REVISION_TEXT`` is NOT an event field — it lands in the
+      ``text`` content column (the d-column / term-frequency path);
+    - ``language`` (multi-value) guessed from the datatype name;
+    - ``event_date`` parsed from the dump file name.
+
+    Output: one row per page revision with the fixed columns plus a
+    ``fields`` map of every extracted field (multimap-shaped:
+    map<string, array<string>>) for JEXL queries over dump-specific
+    extras.  Scale shape: ``wholetext`` per dump file split into pages
+    inside Arrow-batched ``mapInPandas`` — one task per dump file (the
+    reference's WikipediaInputFormat is likewise file-per-split); shard
+    real multi-GB dumps into per-file chunks upstream as the reference
+    does."""
+    import xml.etree.ElementTree as ET
+
+    raw = (spark.read.text(path, wholetext=True)
+           .withColumn("__file", F.input_file_name()))
+    langs = wiki_language(datatype_name)
+
+    out_schema = ("page_id long, page_title string, page_namespace string, "
+                  "revision_id long, revision_timestamp string, "
+                  "contributor_username string, contributor_id long, "
+                  "revision_comment string, text string, "
+                  "fields map<string, array<string>>, "
+                  "language array<string>, event_date string")
+
+    def _local(tag: str) -> str:
+        return tag.rsplit("}", 1)[-1]
+
+    def extract_page(page) -> tuple[dict[str, list[str]], str]:
+        """One <page> → (field multimap, revision text) — the
+        WikipediaContentHandler walk: depth-prefixed names, attributes
+        as extra fields, REVISION_TEXT diverted to content."""
+        fields: dict[str, list[str]] = {}
+        text_out: list[str] = [""]
+
+        def put(name: str, value: str | None) -> None:
+            name = _WIKI_RENAMES.get(name, name)
+            if name in _WIKI_IGNORE or value is None:
+                return
+            value = value.strip()
+            if value:
+                fields.setdefault(name, []).append(value)
+
+        def walk(el, depth: str) -> None:
+            local = _local(el.tag)
+            if local in _WIKI_DEPTHS:
+                depth = local.upper()
+            name = f"{depth}_{local.upper()}"
+            if depth == "REVISION" and local == "text":
+                text_out[0] = (el.text or "")
+            elif el.text and not list(el):
+                put(name, el.text)
+            for attr, aval in el.attrib.items():
+                put(f"{name}_{_local(attr).upper()}", aval)
+            for child in el:
+                walk(child, depth)
+
+        for child in page:
+            walk(child, "PAGE")
+        return fields, text_out[0]
+
+    def parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = ["page_id", "page_title", "page_namespace", "revision_id",
+                "revision_timestamp", "contributor_username",
+                "contributor_id", "revision_comment", "text", "fields",
+                "language", "event_date"]
+        for pdf in batches:
+            rows: dict[str, list] = {c: [] for c in cols}
+            for blob, fname in zip(pdf["value"], pdf["__file"]):
+                try:
+                    root = ET.fromstring(blob)
+                except ET.ParseError:
+                    root = ET.fromstring(f"<__root__>{blob}</__root__>")
+                ed = wiki_event_date(fname)
+                pages = ([root] if _local(root.tag) == "page"
+                         else [p for p in root.iter() if _local(p.tag) == "page"])
+                for pg in pages:
+                    f_map, text = extract_page(pg)
+
+                    def one(name, cast=None):
+                        vs = f_map.get(name)
+                        if not vs:
+                            return None
+                        return cast(vs[0]) if cast else vs[0]
+
+                    rows["page_id"].append(one("PAGE_ID", int))
+                    rows["page_title"].append(one("PAGE_TITLE"))
+                    rows["page_namespace"].append(one("PAGE_NAMESPACE"))
+                    rows["revision_id"].append(one("REVISION_ID", int))
+                    rows["revision_timestamp"].append(one("REVISION_TIMESTAMP"))
+                    rows["contributor_username"].append(
+                        one("CONTRIBUTOR_USERNAME"))
+                    rows["contributor_id"].append(one("CONTRIBUTOR_ID", int))
+                    rows["revision_comment"].append(one("REVISION_COMMENT"))
+                    rows["text"].append(text)
+                    rows["fields"].append(f_map)
+                    rows["language"].append(langs)
+                    rows["event_date"].append(ed)
+            yield pd.DataFrame(rows)
+
+    out = raw.mapInPandas(parse, out_schema)
+    return (out.withColumn("revision_timestamp",
+                           F.to_timestamp("revision_timestamp",
+                                          "yyyy-MM-dd'T'HH:mm:ss'Z'"))
+            .withColumn("event_date", F.col("event_date").cast("date")))

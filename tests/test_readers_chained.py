@@ -122,3 +122,70 @@ class TestNestedCorpus:
         out = group_by_context(books, "AUTHORS", ["ROLE"])
         roles = {r.ROLE: r.record_count for r in out.collect()}
         assert roles == {"author": 4, "artist": 1}
+
+
+class TestWikipediaIngest:
+    def _dump(self, tmp_path_factory):
+        d = tmp_path_factory.mktemp("wiki")
+        xml = """<mediawiki>
+<page>
+  <title>Alpha</title><ns>4</ns><id>10</id>
+  <revision>
+    <id>500</id>
+    <timestamp>2013-03-01T09:00:00Z</timestamp>
+    <contributor><username>alice</username><id>7</id></contributor>
+    <comment>first</comment>
+    <text bytes="11">hello world</text>
+    <sha1>abc</sha1>
+  </revision>
+</page>
+<page>
+  <title>Beta</title><ns>0</ns><id>11</id>
+  <revision>
+    <id>501</id>
+    <timestamp>2013-03-02T09:00:00Z</timestamp>
+    <contributor><username>bob</username><id>8</id></contributor>
+    <text>beta text</text>
+  </revision>
+</page>
+</mediawiki>"""
+        f = d / "frwiki-20130305-pages-articles.xml"
+        f.write_text(xml)
+        return str(d)
+
+    def test_depth_prefixed_fields_and_renames(self, spark,
+                                               tmp_path_factory):
+        from datawave_spark.sources.readers import read_wikipedia_dump
+        df = read_wikipedia_dump(spark, self._dump(tmp_path_factory),
+                                 datatype_name="frwiki")
+        rows = {r.page_id: r for r in df.collect()}
+        assert set(rows) == {10, 11}
+        a = rows[10]
+        # nested ids stay distinct; PAGE_NS renamed
+        assert a.page_title == "Alpha" and a.page_namespace == "4"
+        assert a.revision_id == 500 and a.contributor_id == 7
+        assert a.contributor_username == "alice"
+        # revision text is CONTENT, not an event field
+        assert a.text == "hello world"
+        assert "REVISION_TEXT" not in a.fields
+        # attributes become DEPTH_ELEM_ATTR fields
+        assert a.fields["REVISION_TEXT_BYTES"] == ["11"]
+        assert a.fields["REVISION_SHA1"] == ["abc"]
+
+    def test_language_and_event_date(self, spark, tmp_path_factory):
+        from datawave_spark.sources.readers import read_wikipedia_dump
+        df = read_wikipedia_dump(spark, self._dump(tmp_path_factory),
+                                 datatype_name="frwiki")
+        r = df.collect()[0]
+        assert list(r.language) == ["FRENCH"]
+        assert str(r.event_date) == "2013-03-05"
+
+    def test_language_helpers(self):
+        from datawave_spark.sources.readers import (wiki_event_date,
+                                                    wiki_language)
+        assert wiki_language("enwiki") == ["ENGLISH"]
+        assert wiki_language("de_somewiki") == ["GERMAN"]
+        assert wiki_language("nowikihere"[3:]) == []  # no code match
+        assert wiki_language("plain") == []
+        assert wiki_event_date("enwiki-20130305-pages.xml") == "2013-03-05"
+        assert wiki_event_date("nodate.xml") is None
