@@ -29,8 +29,8 @@ SCRATCH = os.path.join(REPO, ".scratch")
 SMALL = "/root/testdata/sf0.1"
 
 OPS = ["jexl_filter", "groupby", "tokenize_tf", "minhash_sig", "simhash",
-       "lsh_pairs", "ssdeep_join", "repetition", "decontaminate", "pack",
-       "span_dedup", "rebalance"]
+       "lsh_pairs", "ngram_capped", "simhash_pairs", "ssdeep_join",
+       "repetition", "decontaminate", "pack", "span_dedup", "rebalance"]
 
 
 def generate(spark):
@@ -116,6 +116,10 @@ def run_one(op: str, events_path: str, docs_path: str) -> None:
         "lsh_pairs": lambda d: noop(dedup.minhash_lsh_pairs(
             d, "text", "doc_id", k=2, num_hashes=16, bands=8,
             threshold=0.3, max_bucket=100)),
+        "ngram_capped": lambda d: noop(dedup.ngram_jaccard_pairs(
+            d, "text", "doc_id", k=2, threshold=0.3, max_df=100)),
+        "simhash_pairs": lambda d: noop(dedup.simhash_hamming_pairs(
+            d, "text", "doc_id", bits=16, max_dist=2, max_bucket=200)),
         "ssdeep_join": ssdeep_join,
         "repetition": lambda d: noop(curation.repetition_ratios(
             d, "text", "doc_id")),
