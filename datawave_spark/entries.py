@@ -3675,3 +3675,42 @@ def q_wikipedia_ingest(spark, sf_dir):
         F.trim("text").alias("text"),
         F.element_at("language", 1).alias("language"),
         F.col("event_date").cast("string").alias("event_date"))
+
+
+@register("ann_pq_topk")  # approximate (PQ/ADC): rows-only; recall in tests
+def q_ann_pq_topk(spark, sf_dir):
+    """Product-quantization ANN (Jégou et al. '11) over STORED ingest
+    assets: codebooks + 32×-compressed code column are materialized at
+    ingest (sources.prepared.embedding_pq); the query builds its ADC
+    lookup table driver-side and the scan is m element_at fetches + a
+    sum per row — whole-stage-codegen, no vector math, and it never
+    touches the float32 table."""
+    import numpy as np
+    from datawave_spark.operators import similarity
+    from datawave_spark.sources import prepared
+    bdf = prepared.embedding_pq_codebooks(spark, sf_dir)
+    rows = bdf.orderBy("subspace", "centroid_id").collect()
+    sub = len(rows[0].centroid)
+    books = np.array([r.centroid for r in rows]).reshape(16, 16, sub)
+    encoded = prepared.embedding_pq(spark, sf_dir)
+    return similarity.pq_topk(encoded, "vec_id", books,
+                              _query_vec(sf_dir), k=10)
+
+
+@register("ann_pq_rerank")  # approximate shortlist + exact re-rank: rows-only
+def q_ann_pq_rerank(spark, sf_dir):
+    """PQ-ADC shortlist + exact re-rank — the production ANN shape: the
+    compressed-code scan nominates a 100-row shortlist, and only those
+    rows touch the float table (semi-join prune) for exact cosine."""
+    import numpy as np
+    from datawave_spark.operators import similarity
+    from datawave_spark.sources import prepared
+    bdf = prepared.embedding_pq_codebooks(spark, sf_dir)
+    rows = bdf.orderBy("subspace", "centroid_id").collect()
+    sub = len(rows[0].centroid)
+    books = np.array([r.centroid for r in rows]).reshape(16, 16, sub)
+    encoded = prepared.embedding_pq(spark, sf_dir)
+    raw = _t(spark, sf_dir, "embeddings")
+    return similarity.pq_topk_rerank(encoded, raw, "embedding", "vec_id",
+                                     books, _query_vec(sf_dir), k=10,
+                                     shortlist=100)

@@ -375,3 +375,111 @@ def ivf_cosine_topk(assigned: DataFrame, vec_col: str, id_col: str,
         F.round(cosine(F.col(vec_col).cast("array<double>"), qcol),
                 round_to).alias("cos"))
     return scored.orderBy(F.col("cos").desc(), F.col("id")).limit(k)
+
+
+# ------------------------------------------------- product quantization
+
+def pq_codebooks(df: DataFrame, vec_col: str, id_col: str,
+                 n_subspaces: int = 16, n_centroids: int = 16,
+                 refine_iters: int = 3,
+                 sample_cap: int = 4096) -> np.ndarray:
+    """Product-quantization codebooks (Jégou et al. '11): the vector
+    space splits into ``n_subspaces`` contiguous sub-vectors, each with
+    its own ``n_centroids``-entry codebook learned by a few Lloyd
+    iterations over a fixed id-ordered sample (driver-side numpy — the
+    codebook is tiny; the data never leaves the cluster except this
+    bounded sample, the same discipline as ``ivf_centroids``).
+    Returns array [n_subspaces, n_centroids, sub_dim], L2-normalized
+    input rows so PQ dot products approximate cosine."""
+    sample = np.array(
+        [r[0] for r in df.select(vec_col).orderBy(id_col)
+         .limit(sample_cap).collect()], dtype=float)
+    sample /= np.maximum(np.linalg.norm(sample, axis=1, keepdims=True), 1e-12)
+    dim = sample.shape[1]
+    if dim % n_subspaces:
+        raise ValueError(f"dim {dim} not divisible by {n_subspaces}")
+    sub = dim // n_subspaces
+    books = np.zeros((n_subspaces, n_centroids, sub))
+    for j in range(n_subspaces):
+        s = sample[:, j * sub:(j + 1) * sub]
+        cents = s[:n_centroids].copy()
+        for _ in range(refine_iters):
+            d2 = ((s[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+            assign = d2.argmin(axis=1)
+            for c in range(n_centroids):
+                members = s[assign == c]
+                if len(members):
+                    cents[c] = members.mean(axis=0)
+        books[j] = cents
+    return books
+
+
+def pq_encode(df: DataFrame, vec_col: str, id_col: str,
+              codebooks: np.ndarray,
+              out_col: str = "pq_code") -> DataFrame:
+    """Encode each (L2-normalized) vector as ``n_subspaces`` small
+    codes — nearest centroid per subspace, vectorized per Arrow batch.
+    At dim=64, m=8 the at-rest footprint is 8 bytes/vector vs 256
+    (float32): a 32× compression, the memory rung below int8.  Run at
+    ingest; store the code column clustered so ADC scans are
+    sequential."""
+    from pyspark.sql.functions import pandas_udf
+
+    books = codebooks
+    m, kc, sub = books.shape
+
+    @pandas_udf("array<int>")
+    def encode(vecs: pd.Series) -> pd.Series:
+        x = np.array(vecs.tolist(), dtype=float)
+        x /= np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+        codes = np.empty((len(x), m), dtype=np.int32)
+        for j in range(m):
+            s = x[:, j * sub:(j + 1) * sub]
+            d2 = ((s[:, None, :] - books[j][None, :, :]) ** 2).sum(axis=2)
+            codes[:, j] = d2.argmin(axis=1)
+        return pd.Series(list(codes))
+
+    return df.withColumn(out_col,
+                         encode(F.col(vec_col).cast("array<double>")))
+
+
+def pq_topk(encoded: DataFrame, id_col: str, codebooks: np.ndarray,
+            query: list[float], k: int = 10, code_col: str = "pq_code",
+            round_to: int = 4) -> DataFrame:
+    """Approximate top-k by asymmetric distance computation (ADC): the
+    query's dot product with every centroid is a driver-side
+    [n_subspaces × n_centroids] lookup table, inlined as array
+    literals; each row's score is m ``element_at`` fetches + a sum —
+    pure JVM whole-stage-codegen, no vector math in the scan.  Score ≈
+    cosine(query, vector) for normalized corpora."""
+    q = np.asarray(query, dtype=float)
+    qn = q / max(np.linalg.norm(q), 1e-12)
+    m, kc, sub = codebooks.shape
+    lut = np.einsum("mkd,md->mk",
+                    codebooks, qn.reshape(m, sub))
+    score = None
+    for j in range(m):
+        tbl = F.array(*[F.lit(round(float(v), 6)) for v in lut[j]])
+        term = F.element_at(tbl, F.element_at(F.col(code_col), j + 1) + 1)
+        score = term if score is None else score + term
+    return (encoded.select(F.col(id_col).alias("id"),
+                           F.round(score, round_to).alias("score"))
+            .orderBy(F.col("score").desc(), F.col("id")).limit(k))
+
+
+def pq_topk_rerank(encoded: DataFrame, raw: DataFrame, vec_col: str,
+                   id_col: str, codebooks: np.ndarray,
+                   query: list[float], k: int = 10, shortlist: int = 100,
+                   code_col: str = "pq_code",
+                   round_to: int = 4) -> DataFrame:
+    """PQ with exact re-ranking — the production ANN shape: the ADC
+    scan over the compressed codes produces a ``shortlist`` of
+    candidates (bandwidth-bound, 32× fewer bytes), and ONLY those rows
+    touch the float table for an exact cosine re-score (a semi-join
+    that prunes the heavy scan to `shortlist` rows).  Recall ≈ exact
+    for shortlist ≫ k; compute ≈ compressed scan + k-sized join."""
+    cand = pq_topk(encoded, id_col, codebooks, query, k=shortlist,
+                   code_col=code_col, round_to=6).select("id")
+    pruned = raw.join(cand, raw[id_col] == cand["id"], "left_semi")
+    return cosine_topk(pruned, vec_col, id_col, query, k=k,
+                       round_to=round_to)

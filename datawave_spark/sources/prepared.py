@@ -88,7 +88,7 @@ def build_all(spark: SparkSession, sf_dir: str) -> dict[str, int]:
         "ssdeep_hashes": ssdeep_hashes, "unigram_lm": unigram_lm,
         "normalized_documents": normalized_documents,
         "embedding_lsh": embedding_lsh, "embedding_ivf": embedding_ivf,
-        "embedding_int8": embedding_int8,
+        "embedding_int8": embedding_int8, "embedding_pq": embedding_pq,
     }
     sharded_events(spark, sf_dir)
     out["sharded_events"] = -1   # path-returning asset; not counted
@@ -572,3 +572,51 @@ def wiki_dump_path(spark: SparkSession, sf_dir: str) -> str:
             _os.rename(part, _os.path.join(
                 _os.path.dirname(part), "enwiki-20240105-pages.xml"))
     return path
+
+
+def embedding_pq_codebooks(spark: SparkSession, sf_dir: str,
+                           n_subspaces: int = 16,
+                           n_centroids: int = 16) -> DataFrame:
+    """The PQ codebooks as a stored ingest asset: (subspace, centroid_id,
+    centroid) — m·k rows of sub_dim floats; the query-time read is a
+    bounded metadata fetch (same discipline as the IVF codebook)."""
+    from datawave_spark.operators.similarity import pq_codebooks
+    from datawave_spark.sources.parquet import read_parquet
+
+    def build():
+        emb = read_parquet(spark, os.path.join(sf_dir, "embeddings.parquet"))
+        books = pq_codebooks(emb, "embedding", "vec_id",
+                             n_subspaces=n_subspaces,
+                             n_centroids=n_centroids)
+        rows = [(j, c, [float(x) for x in books[j][c]])
+                for j in range(n_subspaces) for c in range(n_centroids)]
+        return spark.createDataFrame(
+            rows, "subspace int, centroid_id int, centroid array<double>")
+
+    return get_or_build(
+        spark, sf_dir, f"embedding_pq_books_m{n_subspaces}_k{n_centroids}",
+        build)
+
+
+def embedding_pq(spark: SparkSession, sf_dir: str,
+                 n_subspaces: int = 16, n_centroids: int = 16) -> DataFrame:
+    """PQ-encoded embeddings as a stored ingest asset (vec_id, label,
+    pq_code) — at dim=64/m=16 the codes are 16× smaller at rest than
+    float32; ADC queries scan ONLY this table plus the tiny codebook,
+    never the raw vectors."""
+    import numpy as np
+    from datawave_spark.operators.similarity import pq_encode
+    from datawave_spark.sources.parquet import read_parquet
+
+    def build():
+        emb = read_parquet(spark, os.path.join(sf_dir, "embeddings.parquet"))
+        bdf = embedding_pq_codebooks(spark, sf_dir, n_subspaces, n_centroids)
+        rows = bdf.orderBy("subspace", "centroid_id").collect()
+        sub = len(rows[0].centroid)
+        books = np.array([r.centroid for r in rows]).reshape(
+            n_subspaces, n_centroids, sub)
+        return pq_encode(emb, "embedding", "vec_id", books) \
+            .select("vec_id", "label", "pq_code")
+
+    return get_or_build(
+        spark, sf_dir, f"embedding_pq_m{n_subspaces}_k{n_centroids}", build)

@@ -385,3 +385,39 @@ class TestStarComponents:
             pairs, driver_threshold=0).collect())
         assert got == {3: 3, 5: 3, 9: 3, 20: 20, 21: 20, 22: 20,
                        40: 40, 41: 40}
+
+
+class TestPQ:
+    def test_pq_recall_vs_bruteforce(self, spark, emb):
+        import numpy as np
+        import pyarrow.parquet as pq
+        books = similarity.pq_codebooks(emb, "embedding", "vec_id",
+                                        n_subspaces=16, n_centroids=16)
+        assert books.shape == (16, 16, 4)
+        enc = similarity.pq_encode(emb, "embedding", "vec_id", books)
+        codes = enc.select("pq_code").head(3)
+        assert all(len(r.pq_code) == 16 for r in codes)
+        assert all(0 <= c < 16 for r in codes for c in r.pq_code)
+        q = [float(x) for x in pq.read_table(
+            f"{SF_DIR}/embeddings.parquet",
+            filters=[("vec_id", "=", 0)]).column("embedding")[0].as_py()]
+        exact = [r.id for r in similarity.cosine_topk(
+            emb, "embedding", "vec_id", q, k=10).collect()]
+        approx = [r.id for r in similarity.pq_topk(
+            enc, "vec_id", books, q, k=10).collect()]
+        # the query vector itself must rank first even through 32×
+        # compression; a majority of the true top-10 should survive
+        assert approx[0] == 0
+        overlap = len(set(exact) & set(approx))
+        assert overlap >= 5, f"PQ top-10 overlap {overlap}/10"
+        # ADC shortlist + exact re-rank: near-exact recall
+        rer = [r.id for r in similarity.pq_topk_rerank(
+            enc, emb, "embedding", "vec_id", books, q, k=10,
+            shortlist=100).collect()]
+        assert len(set(exact) & set(rer)) >= 9
+
+    def test_pq_dim_mismatch_raises(self, spark, emb):
+        import pytest as _pytest
+        with _pytest.raises(ValueError, match="divisible"):
+            similarity.pq_codebooks(emb, "embedding", "vec_id",
+                                    n_subspaces=7)

@@ -387,3 +387,17 @@ class TestDateIndexGuards:
             "activity_date between '2024-01-10' and '2024-01-14' "
             "and event_type = 'click'").count()
         assert res.df.count() == want > 0
+
+
+class TestPQPlans:
+    def test_pq_scan_has_no_python_and_rerank_prunes(self, spark):
+        # ADC scoring must be pure JVM (no BatchEvalPython / ArrowEval
+        # in the scan), and the rerank's float-table access must be a
+        # semi join on the shortlist, never a full-scan sort
+        df = entrymod.queries()["ann_pq_topk"](spark, SF)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+        rr = entrymod.queries()["ann_pq_rerank"](spark, SF)
+        rplan = rr._jdf.queryExecution().executedPlan().toString()
+        assert "LeftSemi" in rplan
+        assert "CartesianProduct" not in rplan
