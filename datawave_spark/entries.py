@@ -3714,3 +3714,49 @@ def q_ann_pq_rerank(spark, sf_dir):
     return similarity.pq_topk_rerank(encoded, raw, "embedding", "vec_id",
                                      books, _query_vec(sf_dir), k=10,
                                      shortlist=100)
+
+
+@register("streaming_session_windows", f"""
+WITH o AS (
+  SELECT user_id, ts, value,
+         CASE WHEN lag(ts) OVER w IS NULL
+              OR ts >= lag(ts) OVER w + INTERVAL 1 HOUR
+              THEN 1 ELSE 0 END AS brk
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+s AS (SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+                               ROWS UNBOUNDED PRECEDING) AS sid FROM o)
+SELECT user_id, strftime(min(ts), '{_TS_FMT_DUCK}') AS session_start,
+       count(*) AS n_events, round(sum(value), 4) AS sum_value
+FROM s GROUP BY user_id, sid
+""")
+def q_streaming_session_windows(spark, sf_dir):
+    """Stateful event-time SESSIONIZATION on the live-ingest path
+    (streaming/ingest.sessionized_counts — F.session_window, a NEW
+    capability vs the reference's micro-batch MR): events consumed via
+    the file stream source (Trigger.AvailableNow), per-user sessions
+    closed after 1 hour of inactivity.  Spark merges an event into the
+    open session iff its time is < previous-event + gap, so the oracle
+    is the classic gaps-and-islands SQL with the SAME >= break rule —
+    value-equality is the streaming/batch unification check."""
+    import os as _os
+    from pyspark.sql import types as T
+    sch = spark.read.parquet(_os.path.join(sf_dir, "events.parquet")).schema
+    raw = (spark.readStream.schema(sch)
+           .option("pathGlobFilter", "events.parquet").parquet(sf_dir))
+    if isinstance(sch["ts"].dataType, T.LongType):
+        ev = raw.withColumn("__ts",
+                            F.timestamp_micros(F.expr("`ts` div 1000")))
+    else:
+        ev = raw.withColumn("__ts", F.col("ts").cast("timestamp"))
+    agg = (ev.groupBy(F.session_window("__ts", "1 hour"), "user_id")
+           .agg(F.count(F.lit(1)).alias("n_events"),
+                F.round(F.sum("value"), 4).alias("sum_value")))
+    _STREAM_SEQ[0] += 1
+    name = f"stream_sess_{_STREAM_SEQ[0]}"
+    q = (agg.writeStream.format("memory").queryName(name)
+         .outputMode("complete").trigger(availableNow=True).start())
+    q.awaitTermination()
+    return spark.table(name).select(
+        "user_id",
+        F.date_format(F.col("session_window.start"), _TS_FMT)
+        .alias("session_start"), "n_events", "sum_value")
