@@ -201,7 +201,8 @@ def _topk(scored: DataFrame, k: int) -> DataFrame:
 
 def knn_join_blocked(queries: DataFrame, corpus: DataFrame, vec_col: str,
                      id_col: str, block_col: str, k: int = 5,
-                     round_to: int = 4) -> DataFrame:
+                     round_to: int = 4,
+                     max_block: int | None = None) -> DataFrame:
     """Blocked k-NN join — candidates come from the query's block (a
     label, an IVF cluster id from ``ivf_assign``, or any stored
     partition key), so the pair generation is ONE equi-join on the
@@ -212,8 +213,20 @@ def knn_join_blocked(queries: DataFrame, corpus: DataFrame, vec_col: str,
     key shuffle only the query side).  Exact within the block;
     cross-block neighbors are the accepted approximation (IVF
     semantics — raise recall by assigning multiple probe clusters per
-    query upstream, e.g. via ``knn_join_lsh``)."""
+    query upstream, e.g. via ``knn_join_lsh``).
+
+    ``max_block`` drops corpus blocks above that size before the join
+    (the Uid.List cardinality-cap discipline): one skewed block —
+    a dominant label, an over-full cluster — otherwise owns a
+    quadratic reducer.  Queries in a dropped block return no
+    neighbors; re-cluster or raise the cap rather than leaving a
+    hot block in the join."""
     qs, cs = _sides(queries, corpus, vec_col, id_col, block_col)
+    if max_block is not None:
+        ok = (cs.groupBy("__key")
+              .agg(F.count(F.lit(1)).alias("__n"))
+              .filter(F.col("__n") <= max_block).select("__key"))
+        cs = cs.join(ok, "__key", "left_semi")
     scored = (qs.join(cs, "__key")
               .filter(F.col("query_id") != F.col("corpus_id"))
               .select("query_id", "corpus_id",
@@ -240,7 +253,8 @@ def _probe_expr(sig: Column, idxs: tuple[int, ...], bits: int) -> Column:
 def knn_join_lsh(signed_queries: DataFrame, signed_corpus: DataFrame,
                  vec_col: str, id_col: str, sig_col: str = "sig",
                  bits: int = 8, k: int = 5, probe_radius: int = 1,
-                 round_to: int = 4) -> DataFrame:
+                 round_to: int = 4,
+                 max_bucket: int | None = None) -> DataFrame:
     """Approximate k-NN join over STORED LSH signatures
     (sources.prepared.embedding_lsh): every query row probes the
     buckets within Hamming distance ≤ probe_radius of its own stored
@@ -250,7 +264,13 @@ def knn_join_lsh(signed_queries: DataFrame, signed_corpus: DataFrame,
     re-score.  Cost per query is ~(1+bits·radius)/2^bits of the
     corpus, never a cartesian.  (Reference analog: the global-index
     bucket probe before document evaluation —
-    query-core ShardQueryLogic's index lookup discipline.)"""
+    query-core ShardQueryLogic's index lookup discipline.)
+
+    ``max_bucket`` drops corpus signature buckets holding more than
+    that many rows before the probe join — the same skew guard as
+    every other LSH path (a degenerate bucket matching most of the
+    corpus turns the equi-join quadratic in one reducer and
+    identifies nothing).  Set it at corpus scale."""
     probes = [F.col("__sig")]
     from itertools import combinations
     for r in range(1, probe_radius + 1):
@@ -265,6 +285,11 @@ def knn_join_lsh(signed_queries: DataFrame, signed_corpus: DataFrame,
     cs = signed_corpus.select(F.col(id_col).alias("corpus_id"),
                               F.col(sig_col).alias("__key"),
                               qv.alias("__cv"), _norm(qv).alias("__cn"))
+    if max_bucket is not None:
+        ok = (cs.groupBy("__key")
+              .agg(F.count(F.lit(1)).alias("__n"))
+              .filter(F.col("__n") <= max_bucket).select("__key"))
+        cs = cs.join(ok, "__key", "left_semi")
     scored = (qs.join(cs, "__key")
               .filter(F.col("query_id") != F.col("corpus_id"))
               .select("query_id", "corpus_id",

@@ -421,3 +421,32 @@ class TestPQ:
         with _pytest.raises(ValueError, match="divisible"):
             similarity.pq_codebooks(emb, "embedding", "vec_id",
                                     n_subspaces=7)
+
+
+class TestKnnSkewGuards:
+    def test_lsh_bucket_cap_suppresses_hot_bucket(self, spark, emb):
+        from pyspark.sql import functions as F
+        planes = similarity.hyperplanes(
+            len(emb.select("embedding").head()[0]), 8)
+        signed = emb.select(
+            "vec_id", "embedding",
+            similarity.lsh_signature(
+                F.col("embedding").cast("array<double>"), planes).alias("sig"))
+        # degenerate corpus: force every row into ONE bucket
+        hot = signed.withColumn("sig", F.lit("00000000"))
+        qs = hot.filter(F.col("vec_id") < 3)
+        uncapped = similarity.knn_join_lsh(qs, hot, "embedding", "vec_id",
+                                           bits=8, k=3, probe_radius=0)
+        capped = similarity.knn_join_lsh(qs, hot, "embedding", "vec_id",
+                                         bits=8, k=3, probe_radius=0,
+                                         max_bucket=10)
+        assert uncapped.count() == 9     # 3 queries × k
+        assert capped.count() == 0       # hot bucket suppressed
+
+    def test_blocked_max_block_drops_dominant_label(self, spark, emb):
+        from pyspark.sql import functions as F
+        skew = emb.withColumn("label", F.lit(0))
+        out = similarity.knn_join_blocked(
+            skew.filter(F.col("vec_id") < 3), skew, "embedding",
+            "vec_id", block_col="label", k=3, max_block=100)
+        assert out.count() == 0
