@@ -3760,3 +3760,25 @@ def q_streaming_session_windows(spark, sf_dir):
         "user_id",
         F.date_format(F.col("session_window.start"), _TS_FMT)
         .alias("session_start"), "n_events", "sum_value")
+
+
+@register("paged_query", """
+SELECT event_id, value FROM events WHERE event_type = 'view'
+ORDER BY event_id LIMIT 100 OFFSET 100
+""")
+def q_paged_query(spark, sf_dir):
+    """REST result paging (RunningQuery.next, RunningQuery.java:408)
+    as a DRIVER-CHECKED entry: the planned result pages through
+    ``QueryResult.pages`` (toLocalIterator — never a full driver
+    collect), and the SECOND page must value-match the oracle's
+    LIMIT/OFFSET window over the same deterministic order."""
+    from datawave_spark.plans import QueryPlanner
+    ev = _t(spark, sf_dir, "events")
+    res = QueryPlanner(ev).plan("EVENT_TYPE == 'view'")
+    res.df = res.df.orderBy("event_id").select("event_id", "value")
+    pages = res.pages(100)
+    next(pages)                      # page 1 consumed
+    page2 = next(pages)
+    return spark.createDataFrame(
+        [(int(r.event_id), float(r.value)) for r in page2],
+        "event_id long, value double")

@@ -30,7 +30,8 @@ SMALL = "/root/testdata/sf0.1"
 
 OPS = ["jexl_filter", "groupby", "tokenize_tf", "minhash_sig", "simhash",
        "lsh_pairs", "ngram_capped", "simhash_pairs", "ssdeep_join",
-       "repetition", "decontaminate", "pack", "span_dedup", "rebalance"]
+       "knn_lsh", "knn_blocked", "repetition", "decontaminate", "pack",
+       "span_dedup", "rebalance"]
 
 
 def generate(spark):
@@ -75,9 +76,19 @@ def generate(spark):
                            .alias("text")))
         (base.filter(F.col("doc_id") < 49500).union(planted)
          .repartition(8).write.mode("overwrite").parquet(doc_out))
+    emb_out = f"{SCRATCH}/embeddings_sf1.parquet"
+    if not os.path.exists(emb_out):
+        comps = [((F.pmod(F.xxhash64(F.col("id"), F.lit(j)), 2001)
+                   - 1000) / 1000.0).cast("double") for j in range(64)]
+        (spark.range(50000).select(
+            F.col("id").alias("vec_id"),
+            (F.col("id") % 10).cast("int").alias("label"),
+            F.array(*comps).alias("embedding"))
+         .repartition(8).write.mode("overwrite").parquet(emb_out))
 
 
-def run_one(op: str, events_path: str, docs_path: str) -> None:
+def run_one(op: str, events_path: str, docs_path: str,
+            emb_path: str | None = None) -> None:
     """Measure one operator once in this (fresh) process; prints the
     wall seconds of the timed run (after one untimed codegen warm-up on
     a 1k-row slice)."""
@@ -91,6 +102,7 @@ def run_one(op: str, events_path: str, docs_path: str) -> None:
     spark = get_spark("scale_probe_one")
     ev = spark.read.parquet(events_path)
     docs = spark.read.parquet(docs_path)
+    emb = spark.read.parquet(emb_path) if emb_path else None
 
     def noop(df):
         df.write.format("noop").mode("overwrite").save()
@@ -116,6 +128,11 @@ def run_one(op: str, events_path: str, docs_path: str) -> None:
         "lsh_pairs": lambda d: noop(dedup.minhash_lsh_pairs(
             d, "text", "doc_id", k=2, num_hashes=16, bands=8,
             threshold=0.3, max_bucket=100)),
+        "knn_lsh": lambda d: _knn_lsh(d),
+        "knn_blocked": lambda d: noop(__import__(
+            "datawave_spark.operators.similarity", fromlist=["x"])
+            .knn_join_blocked(d.limit(1000), d, "embedding", "vec_id",
+                              block_col="label", k=5, max_block=20000)),
         "ngram_capped": lambda d: noop(dedup.ngram_jaccard_pairs(
             d, "text", "doc_id", k=2, threshold=0.3, max_df=100)),
         "simhash_pairs": lambda d: noop(dedup.simhash_hamming_pairs(
@@ -138,7 +155,24 @@ def run_one(op: str, events_path: str, docs_path: str) -> None:
             "doc_id", "src", "w",
             {"s0": 0.4, "s1": 0.3, "s2": 0.2, "s3": 0.1})),
     }
-    src = ev if op in ("jexl_filter", "groupby") else docs
+    def _knn_lsh(d):
+        from datawave_spark.operators import similarity as sim
+        dim = len(d.select("embedding").head()[0])
+        planes = sim.hyperplanes(dim, 8)
+        signed = d.select(
+            "vec_id", "embedding",
+            sim.lsh_signature(F.col("embedding").cast("array<double>"),
+                              planes).alias("sig"))
+        noop(sim.knn_join_lsh(signed.limit(1000), signed, "embedding",
+                              "vec_id", bits=8, k=5, probe_radius=1,
+                              max_bucket=2000))
+
+    if op in ("jexl_filter", "groupby"):
+        src = ev
+    elif op in ("knn_lsh", "knn_blocked"):
+        src = emb
+    else:
+        src = docs
     ops[op](src.limit(1000))          # codegen warm-up, untimed
     spark.catalog.clearCache()
     t0 = time.perf_counter()
@@ -149,7 +183,8 @@ def run_one(op: str, events_path: str, docs_path: str) -> None:
 def main() -> None:
     if "--one" in sys.argv:
         i = sys.argv.index("--one")
-        run_one(sys.argv[i + 1], sys.argv[i + 2], sys.argv[i + 3])
+        run_one(sys.argv[i + 1], sys.argv[i + 2], sys.argv[i + 3],
+                sys.argv[i + 4] if len(sys.argv) > i + 4 else None)
         return
 
     from datawave_spark.session import get_spark
@@ -162,10 +197,11 @@ def main() -> None:
         if a.startswith("--ops"):
             wanted = a.split("=", 1)[1].split(",")
 
-    def measure(op: str, ev_path: str, doc_path: str) -> float:
+    def measure(op: str, ev_path: str, doc_path: str,
+                emb_path: str) -> float:
         out = subprocess.run(
             [sys.executable, os.path.abspath(__file__), "--one", op,
-             ev_path, doc_path],
+             ev_path, doc_path, emb_path],
             capture_output=True, text=True, cwd=REPO,
             env={**os.environ, "PYTHONPATH": REPO})
         for line in out.stdout.splitlines():
@@ -176,9 +212,12 @@ def main() -> None:
 
     print(f"{'op':12} {'1x':>7} {'10x':>8} {'ratio':>6}", flush=True)
     for op in wanted:
-        s = measure(op, f"{SMALL}/events.parquet", f"{SMALL}/documents.parquet")
+        s = measure(op, f"{SMALL}/events.parquet",
+                    f"{SMALL}/documents.parquet",
+                    f"{SMALL}/embeddings.parquet")
         b = measure(op, f"{SCRATCH}/events_sf1.parquet",
-                    f"{SCRATCH}/documents_sf1.parquet")
+                    f"{SCRATCH}/documents_sf1.parquet",
+                    f"{SCRATCH}/embeddings_sf1.parquet")
         print(f"{op:12} {s:7.1f} {b:8.1f} {b / max(s, 0.01):6.1f}", flush=True)
 
     if "--keep" not in sys.argv:
