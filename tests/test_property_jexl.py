@@ -165,3 +165,55 @@ class TestLuceneJexlEquivalence:
         got_j = {r.uid for r in
                  compile_query(df, parse_jexl(jexl(tree))).collect()}
         assert got_l == got_j
+
+
+# ------------------- round-4 parser properties (no Spark session used)
+
+class TestLuceneSlopProperties:
+    @given(st.lists(st.text(alphabet="abcdefgh", min_size=1, max_size=6),
+                    min_size=2, max_size=5),
+           st.integers(min_value=0, max_value=20))
+    def test_slop_phrase_roundtrip(self, words, slop):
+        from datawave_spark.jexl.ast import FuncNode
+        from datawave_spark.lucene.parser import parse_lucene
+        node = parse_lucene(f'F:"{" ".join(words)}"~{slop}')
+        assert node == FuncNode("content", "within",
+                                (Identifier("F"), Literal(slop),
+                                 *[Literal(w) for w in words]))
+
+    @given(st.text(alphabet="abcdefgh", min_size=1, max_size=8))
+    def test_single_word_slop_is_equality(self, word):
+        from datawave_spark.lucene.parser import parse_lucene
+        node = parse_lucene(f'F:"{word}"~4')
+        assert node == CmpNode("==", Identifier("F"), Literal(word))
+
+
+class TestUUIDWildcardProperties:
+    @given(st.text(alphabet="abcdef123", min_size=1, max_size=12),
+           st.integers(min_value=0, max_value=12))
+    def test_first_wildcard_index_inverse(self, selector, pos):
+        """Inserting '*' at position i in a plain selector must be
+        located at exactly i through the regex translation."""
+        from datawave_spark.lucene.controlled import _first_wildcard_index
+        from datawave_spark.lucene.parser import _wildcard_to_regex
+        pos = min(pos, len(selector))
+        wild = selector[:pos] + "*" + selector[pos:]
+        assert _first_wildcard_index(_wildcard_to_regex(wild)) == pos
+
+    @given(st.integers(min_value=1, max_value=8),
+           st.integers(min_value=0, max_value=8))
+    def test_wildcard_position_policy(self, allow_after, pos):
+        """A wildcard at position p parses iff p >= allow_wildcard_after
+        — the UUIDType policy, for every (policy, position) pair."""
+        from datawave_spark.lucene.controlled import (
+            ControlledQueryError, UUIDType, parse_uuid_query)
+        sel = "abcdefgh"[:max(pos, 1)]
+        q = f"U:{sel[:pos]}*{sel[pos:]}" if pos <= len(sel) else None
+        if q is None:
+            return
+        types = [UUIDType("U", allow_wildcard_after=allow_after)]
+        if pos >= allow_after:
+            parse_uuid_query(q, types)
+        else:
+            with pytest.raises(ControlledQueryError):
+                parse_uuid_query(q, types)
