@@ -401,3 +401,32 @@ class TestPQPlans:
         rplan = rr._jdf.queryExecution().executedPlan().toString()
         assert "LeftSemi" in rplan
         assert "CartesianProduct" not in rplan
+
+
+class TestVisibilityPushdown:
+    def test_fast_path_isin_reaches_parquet(self, spark, tmp_path_factory):
+        from datawave_spark.visibility import filter_by_auths
+        d = tmp_path_factory.mktemp("vis")
+        spark.createDataFrame(
+            [(i, "A&B" if i % 2 else "C") for i in range(100)],
+            "id long, visibility string").write.parquet(str(d / "t"))
+        df = filter_by_auths(spark.read.parquet(str(d / "t")), {"A", "B"})
+        c = plan_counters(df)
+        pushed = " ".join(c["pushed_filters"])
+        assert "visibility" in pushed
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+    def test_degraded_path_stays_distributed(self, spark, tmp_path_factory):
+        # above the cap the filter is an Arrow-batched UDF — still a
+        # scan+filter, no collect-shaped plan (no Sort/GlobalLimit)
+        from datawave_spark.visibility import filter_by_auths
+        d = tmp_path_factory.mktemp("vis2")
+        spark.createDataFrame(
+            [(i, f"L{i}") for i in range(100)],
+            "id long, visibility string").write.parquet(str(d / "t"))
+        df = filter_by_auths(spark.read.parquet(str(d / "t")), {"L3"},
+                             distinct_cap=5)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "ArrowEvalPython" in plan or "BatchEvalPython" in plan
+        assert df.count() == 1
