@@ -3782,3 +3782,29 @@ def q_paged_query(spark, sf_dir):
     return spark.createDataFrame(
         [(int(r.event_id), float(r.value)) for r in page2],
         "event_id long, value double")
+
+
+@register("geowave_polygon_accelerated", """
+WITH g AS (
+  SELECT event_id,
+         CAST(user_id % 160 - 80 AS DOUBLE) AS lat,
+         CAST(event_id % 360 - 180 AS DOUBLE) AS lon
+  FROM events)
+SELECT event_id, lat, lon FROM g
+WHERE (40 - 0) * (lat - 0) - (10 - 0) * (lon - 0) >= 0
+  AND (10 - 40) * (lat - 10) - (35 - 10) * (lon - 40) >= 0
+  AND (0 - 10) * (lat - 35) - (0 - 35) * (lon - 10) >= 0
+""")
+def q_geowave_polygon_accel(spark, sf_dir):
+    """Convex-polygon geo query with geohash-prefix acceleration over
+    the STORED geohash-clustered table (the GeoWave tiered-range
+    decomposition: coarse StartsWith prefixes cover the envelope and
+    push to parquet; the exact test is one half-plane sign per edge —
+    all JVM, no Python in the plan; oracle = the same half-plane
+    arithmetic)."""
+    from datawave_spark.functions.geohash import polygon_filter_accelerated
+    from datawave_spark.sources.prepared import geo_events
+    ev = geo_events(spark, sf_dir)
+    out = polygon_filter_accelerated(
+        ev, "lat", "lon", [(0.0, 0.0), (40.0, 10.0), (10.0, 35.0)])
+    return out.select("event_id", "lat", "lon")

@@ -170,3 +170,49 @@ def circle_filter_accelerated(df: DataFrame, lat_col: str, lon_col: str,
     exact = ((F.col(lat_col) - center_lat) ** 2
              + (F.col(lon_col) - center_lon) ** 2) <= radius ** 2
     return df.filter(coarse & exact)
+
+
+def polygon_filter_accelerated(df: DataFrame, lat_col: str, lon_col: str,
+                               vertices: list[tuple[float, float]],
+                               geohash_col_name: str = "geohash",
+                               prefix_precision: int = 4,
+                               stored: bool = True) -> DataFrame:
+    """geowave:intersects-style POLYGON query with geohash prefix
+    acceleration over a stored geohash column: the coarse cover is the
+    polygon's ENVELOPE decomposed to prefixes (exactly GeoWave's
+    tiered-range decomposition — ranges cover the envelope, the exact
+    geometry test runs on survivors), pushed as StartsWith.
+
+    ``vertices``: the ring as (lon, lat) pairs, first != last (closed
+    implicitly).  CONVEX rings get an all-JVM exact test — one
+    half-plane sign per edge, whole-stage-codegen, boundary inclusive —
+    so no Python appears anywhere in the plan.  Non-convex rings raise:
+    route those through functions/geo.py's vectorized ray-cast path."""
+    xs = [float(v[0]) for v in vertices]
+    ys = [float(v[1]) for v in vertices]
+    n = len(vertices)
+    if n < 3:
+        raise ValueError("polygon needs >= 3 vertices")
+    crosses = []
+    for i in range(n):
+        x1, y1 = xs[i], ys[i]
+        x2, y2 = xs[(i + 1) % n], ys[(i + 1) % n]
+        x3, y3 = xs[(i + 2) % n], ys[(i + 2) % n]
+        crosses.append((x2 - x1) * (y3 - y2) - (y2 - y1) * (x3 - x2))
+    if not (all(c >= 0 for c in crosses) or all(c <= 0 for c in crosses)):
+        raise ValueError(
+            "non-convex ring: use the exact ray-cast path "
+            "(functions/geo.py geowave:intersects) instead")
+    sign = 1.0 if sum(crosses) >= 0 else -1.0
+    prefixes = bbox_prefixes(min(ys), min(xs), max(ys), max(xs),
+                             prefix_precision)
+    coarse = _coarse_prefix_pred(prefixes, geohash_col_name, stored)
+    x, y = F.col(lon_col), F.col(lat_col)
+    exact = None
+    for i in range(n):
+        x1, y1 = xs[i], ys[i]
+        x2, y2 = xs[(i + 1) % n], ys[(i + 1) % n]
+        half = (F.lit(sign) * ((F.lit(x2 - x1) * (y - F.lit(y1)))
+                               - (F.lit(y2 - y1) * (x - F.lit(x1))))) >= 0
+        exact = half if exact is None else exact & half
+    return df.filter(coarse & exact)

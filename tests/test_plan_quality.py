@@ -430,3 +430,43 @@ class TestVisibilityPushdown:
         plan = df._jdf.queryExecution().executedPlan().toString()
         assert "ArrowEvalPython" in plan or "BatchEvalPython" in plan
         assert df.count() == 1
+
+
+class TestPolygonAccel:
+    def test_convex_polygon_pushes_prefixes_no_python(self, spark):
+        df = entrymod.queries()["geowave_polygon_accelerated"](spark, SF)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "StartsWith(geohash" in plan
+        assert ".prepared" in plan
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+    def test_non_convex_ring_raises(self, spark):
+        from datawave_spark.functions.geohash import (
+            polygon_filter_accelerated)
+        from datawave_spark.sources.prepared import geo_events
+        ev = geo_events(spark, SF)
+        with pytest.raises(ValueError, match="non-convex"):
+            polygon_filter_accelerated(
+                ev, "lat", "lon",
+                [(0, 0), (10, 0), (5, 5), (10, 10), (0, 10)])
+
+    def test_matches_exact_ray_cast(self, spark):
+        """The accelerated convex path must agree with the generic
+        geowave ray-cast evaluation on the same triangle."""
+        from pyspark.sql import functions as F
+        from datawave_spark.compiler import compile_query
+        from datawave_spark.functions.geohash import (
+            polygon_filter_accelerated)
+        from datawave_spark.sources.prepared import geo_events
+        ev = geo_events(spark, SF)
+        # sf0.001 lat values live in [-80, -66] — pick a triangle
+        # that actually covers that band
+        tri = [(-170.0, -80.0), (170.0, -80.0), (0.0, -60.0)]
+        accel = {r.event_id for r in polygon_filter_accelerated(
+            ev, "lat", "lon", tri).collect()}
+        pts = ev.withColumn("GEO", F.concat_ws(
+            ",", F.col("lat"), F.col("lon")))
+        exact = {r.event_id for r in compile_query(
+            pts, "geowave:intersects(GEO, "
+            "'POLYGON((-170 -80, 170 -80, 0 -60, -170 -80))')").collect()}
+        assert accel == exact and accel
