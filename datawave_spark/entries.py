@@ -3808,3 +3808,21 @@ def q_geowave_polygon_accel(spark, sf_dir):
     out = polygon_filter_accelerated(
         ev, "lat", "lon", [(0.0, 0.0), (40.0, 10.0), (10.0, 35.0)])
     return out.select("event_id", "lat", "lon")
+
+
+@register("text_bpe_tokens", r"""
+SELECT doc_id,
+       len(regexp_extract_all(text,
+           '''(?:[sdmt]|ll|ve|re)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s'']+|\s+',
+           0))::BIGINT AS n_bpe_pretokens
+FROM documents
+""")
+def q_text_bpe_tokens(spark, sf_dir):
+    """BPE pre-tokenization count (the GPT-2 regex split; merges only
+    fuse within a pre-token, so this is the deterministic token-count
+    bound a data pipeline budgets with).  The pattern is restricted to
+    constructs Java regex and RE2 interpret identically, so the oracle
+    runs the SAME regex."""
+    from datawave_spark.operators.text import bpe_token_count
+    docs = _t(spark, sf_dir, "documents")
+    return bpe_token_count(docs, "text").select("doc_id", "n_bpe_pretokens")

@@ -173,3 +173,36 @@ def perplexity_score(df: DataFrame, text_col: str, id_col: str,
         F.col("__id").alias(id_col), "n_tokens",
         F.round(ce, 4).alias("cross_entropy"),
         F.round(F.exp(ce), 4).alias("perplexity"))
+
+
+# GPT-2-style pre-tokenizer pattern, restricted to constructs Java
+# regex and RE2 (DuckDB) interpret IDENTICALLY: no lookahead (RE2 has
+# none — the original's \\s+(?!\\S) trailing-space rule is dropped, a
+# documented simplification), ASCII classes (\\p{L} Unicode-property
+# semantics differ between engines).  Order matters: contractions,
+# space-prefixed letter runs, digit runs, punctuation runs, whitespace.
+BPE_PRETOKEN_RE = (r"'(?:[sdmt]|ll|ve|re)"
+                   r"| ?[A-Za-z]+"
+                   r"| ?[0-9]+"
+                   r"| ?[^A-Za-z0-9\s']+"
+                   r"|\s+")
+
+
+def bpe_pretokenize(df: DataFrame, text_col: str,
+                    out_col: str = "bpe_pretokens") -> DataFrame:
+    """BPE PRE-tokenization (the GPT-2 regex split that precedes merge
+    lookup): the token array every byte-pair tokenizer starts from.
+    Pure JVM ``regexp_extract_all`` — no UDF; the count is the standard
+    deterministic upper bound on real BPE token count (merges only
+    fuse within a pre-token)."""
+    return spread(df).withColumn(
+        out_col, F.regexp_extract_all(F.col(text_col),
+                                      F.lit(BPE_PRETOKEN_RE), F.lit(0)))
+
+
+def bpe_token_count(df: DataFrame, text_col: str) -> DataFrame:
+    """Per-document BPE pre-token count (n_bpe_pretokens) — replaces
+    chars/4 guessing with the actual regex split count."""
+    return bpe_pretokenize(df, text_col).withColumn(
+        "n_bpe_pretokens", F.size(F.col("bpe_pretokens")).cast("bigint")) \
+        .drop("bpe_pretokens")
