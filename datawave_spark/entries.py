@@ -2289,7 +2289,9 @@ def q_capped_index_query(spark, sf_dir):
     cidx = capped_index(spark, sf_dir, max_uids=20)
     out = capped_index_query(
         ev, cidx, "EVENT_TYPE == 'purchase' && USER_ID == 42",
-        "event_id", "ts")
+        "event_id", "ts",
+        # ingest config knows the indexed fields — no metadata job
+        fields={"EVENT_TYPE", "VALUE", "USER_ID"})
     return out.select("event_id", "event_type", "user_id", "value")
 
 

@@ -361,17 +361,21 @@ def capped_candidates(cidx: DataFrame, node: JexlNode,
 
 def capped_index_query(events: DataFrame, cidx: DataFrame, jexl: str,
                        id_col: str, date_col: str,
-                       field_types: dict[str, str] | None = None
-                       ) -> DataFrame:
+                       field_types: dict[str, str] | None = None,
+                       fields: set[str] | None = None) -> DataFrame:
     """Index-driven fetch honoring the Uid.List cap: explicit rows
     become document lookups (semi-join on (shard, uid)), overflow rows
     become shard scans (semi-join on shard date), and the FULL JEXL
     predicate re-evaluates over the fetched events — exactly
-    QueryIterator's two-phase shape, so results are cap-invariant."""
+    QueryIterator's two-phase shape, so results are cap-invariant.
+
+    ``fields``: the index's field set when the caller already knows it
+    (ingest config / a cached metadata read) — skips the per-plan
+    distinct job, the reference's MetadataHelper-cache discipline."""
     from datawave_spark.compiler import compile_query
     from datawave_spark.jexl.parser import parse
     node = parse(jexl)
-    info = capped_candidates(cidx, node, field_types)
+    info = capped_candidates(cidx, node, field_types, fields)
     ev = events.withColumn("__uid", F.col(id_col).cast("string")) \
                .withColumn("__shard", F.to_date(F.col(date_col)))
     if info is not None:
