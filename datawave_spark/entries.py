@@ -2243,7 +2243,7 @@ def q_index_driven(spark, sf_dir):
     idx = index_frame(spark, sf_dir)
     out = index_query(
         ev, idx, "EVENT_TYPE == 'purchase' && VALUE > 300 && !(USER_ID == 5)",
-        "event_id")
+        "event_id", fields={"EVENT_TYPE", "VALUE", "USER_ID"})
     return out.select("event_id", "user_id", "value")
 
 

@@ -194,18 +194,22 @@ def candidate_uids(index: DataFrame, node: JexlNode,
 
 def index_query(events: DataFrame, index: DataFrame, jexl: str,
                 id_col: str,
-                field_types: dict[str, str] | None = None) -> DataFrame:
+                field_types: dict[str, str] | None = None,
+                fields: set[str] | None = None) -> DataFrame:
     """Full index-driven query: candidate uids from the index frame,
     then fetch + (re)evaluate against the events — the two-phase
     index-then-evaluate shape of QueryIterator, as one Catalyst plan.
     Terms on unindexed fields never touch the index (evaluation-only):
     the semi-join narrows by the indexed siblings and the full JEXL
     predicate re-evaluates over the fetched rows; a query with no
-    index-servable conjunct falls back to the full predicate scan."""
+    index-servable conjunct falls back to the full predicate scan.
+    ``fields``: pass the indexed-field set when known (ingest config /
+    cached metadata) to skip the per-plan distinct job."""
     from datawave_spark.compiler import compile_query
     from datawave_spark.jexl.parser import parse
     node = parse(jexl)
-    fields = {r.field for r in index.select("field").distinct().collect()}
+    if fields is None:
+        fields = {r.field for r in index.select("field").distinct().collect()}
     universe = events.select(F.col(id_col).cast("string").alias("uid"))
     cands = candidate_uids(index, node, universe, field_types, fields)
     if cands is None:
