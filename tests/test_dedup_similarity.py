@@ -450,3 +450,14 @@ class TestKnnSkewGuards:
             skew.filter(F.col("vec_id") < 3), skew, "embedding",
             "vec_id", block_col="label", k=3, max_block=100)
         assert out.count() == 0
+
+
+def test_prefix_filter_exact_under_max_df(spark, docs):
+    """The prefix-filter theorem must still hold within the REDUCED
+    shingle universe: prefix+cap == direct+cap."""
+    direct = {(r.id_a, r.id_b, r.jaccard) for r in dedup.ngram_jaccard_pairs(
+        docs, "text", "doc_id", k=2, threshold=0.3, max_df=50).collect()}
+    pref = {(r.id_a, r.id_b, r.jaccard) for r in dedup.ngram_jaccard_pairs(
+        docs, "text", "doc_id", k=2, threshold=0.3, max_df=50,
+        prefix_filter=True).collect()}
+    assert pref == direct and direct
