@@ -245,3 +245,50 @@ class TestCrashRecovery:
         got = {r.uid: r.value
                for r in spark.read.parquet(str(path)).collect()}
         assert got["u1"] == 99.0 and got["u2"] == 2.0
+
+
+class TestIncrementalIndex:
+    def test_append_equals_full_rebuild(self, spark, tmp_path):
+        from pyspark.sql import functions as F
+        from datawave_spark.sources.index_frame import (build_index,
+                                                        index_query)
+        from datawave_spark.sources.maintenance import append_index
+        rows = [(i, "click" if i % 2 else "view", i % 5)
+                for i in range(40)]
+        ev = spark.createDataFrame(rows, "event_id int, event_type string, grp int")
+        old, new = ev.filter("event_id < 20"), ev.filter("event_id >= 20")
+        path = str(tmp_path / "idx")
+        build_index(old, ["event_type", "grp"], "event_id") \
+            .write.partitionBy("field").parquet(path)
+        n = append_index(spark, path, new, ["event_type", "grp"],
+                         "event_id")
+        assert n > 0
+        merged = spark.read.parquet(path)
+        full = build_index(ev, ["event_type", "grp"], "event_id")
+        jexl = "EVENT_TYPE == 'click' && GRP == 3"
+        got = {r.event_id for r in index_query(
+            ev, merged, jexl, "event_id").collect()}
+        want = {r.event_id for r in index_query(
+            ev, full, jexl, "event_id").collect()}
+        assert got == want and got
+        # events from BOTH halves must be index-visible
+        assert any(e < 20 for e in got) and any(e >= 20 for e in got)
+
+    def test_compact_restores_clustering_per_field(self, spark, tmp_path):
+        import os
+        from datawave_spark.sources.index_frame import build_index
+        from datawave_spark.sources.maintenance import (append_index,
+                                                        compact)
+        ev = spark.createDataFrame(
+            [(i, f"t{i % 7}") for i in range(50)],
+            "event_id int, event_type string")
+        path = str(tmp_path / "idx")
+        build_index(ev.filter("event_id < 25"), ["event_type"],
+                    "event_id").write.partitionBy("field").parquet(path)
+        append_index(spark, path, ev.filter("event_id >= 25"),
+                     ["event_type"], "event_id")
+        fdir = os.path.join(path, "field=EVENT_TYPE")
+        n = compact(spark, fdir, sort_by="value")
+        assert n >= 1
+        got = spark.read.parquet(fdir).count()
+        assert got == 50  # every (value, uid) survived the rewrite
