@@ -54,3 +54,50 @@ def write_bucketed(df: DataFrame, table: str, key: str, buckets: int = 32,
     if sort_by:
         w = w.sortBy(sort_by)
     w.saveAsTable(table)
+
+
+def z_value(cols: list, bits: int = 16) -> "Column":
+    """Morton/Z-order interleave of N pre-normalized integer columns
+    (each in [0, 2^bits)): bit b of column i lands at position
+    b·N + i.  Pure shift/or chain — whole-stage-codegen, no UDF.
+    The geohash column is the hand-rolled 2-d special case of this;
+    ``z_order_write`` is the general multi-column clustering."""
+    from pyspark.sql import functions as F
+    out = F.lit(0).cast("long")
+    n = len(cols)
+    for b in range(bits):
+        for i, c in enumerate(cols):
+            bit = F.shiftright(c.cast("long"), b).bitwiseAND(F.lit(1))
+            out = out.bitwiseOR(F.shiftleft(bit, b * n + i))
+    return out
+
+
+def z_order_write(df: DataFrame, path: str, cols: list[str],
+                  bits: int = 16, num_parts: int = 8) -> None:
+    """Write ``df`` Z-ORDER clustered on ``cols`` (Delta's OPTIMIZE
+    ZORDER BY analog, dependency-free): each column min/max-normalizes
+    to ``bits`` bits (one bounded agg), rows cluster by the interleaved
+    Morton value (repartitionByRange + sort), and the z column is
+    dropped before writing.  Effect: parquet row-group min/max stats
+    stay selective on EVERY listed column simultaneously — a filter on
+    any of them row-group-skips, where a linear sort only serves its
+    leading column.  The multi-dimensional pruning story for tables
+    queried by more than one axis (e.g. (value, ts), (user, date))."""
+    from pyspark.sql import functions as F
+    aggs = []
+    for c in cols:
+        aggs += [F.min(c).alias(f"__mn_{c}"), F.max(c).alias(f"__mx_{c}")]
+    r = df.agg(*aggs).collect()[0]
+    scale = (1 << bits) - 1
+    norm = []
+    for c in cols:
+        mn, mx = float(r[f"__mn_{c}"]), float(r[f"__mx_{c}"])
+        span = (mx - mn) or 1.0
+        norm.append(F.least(
+            F.lit(scale),
+            F.floor((F.col(c).cast("double") - mn) / span * scale)
+            .cast("long")))
+    zed = df.withColumn("__z", z_value(norm, bits))
+    (zed.repartitionByRange(num_parts, "__z")
+        .sortWithinPartitions("__z").drop("__z")
+        .write.mode("overwrite").parquet(path))
