@@ -3828,3 +3828,48 @@ def q_text_bpe_tokens(spark, sf_dir):
     from datawave_spark.operators.text import bpe_token_count
     docs = _t(spark, sf_dir, "documents")
     return bpe_token_count(docs, "text").select("doc_id", "n_bpe_pretokens")
+
+
+@register("streaming_flagmaker_ingest", """
+SELECT event_type, count(*) AS n,
+       count(DISTINCT CAST(event_id AS VARCHAR)) AS n_uid
+FROM events GROUP BY event_type
+""")
+def q_streaming_flagmaker_ingest(spark, sf_dir):
+    """The FULL live-ingest write path as a DRIVER-CHECKED entry
+    (FlagMaker.java:60 poll → IngestJob micro-batch): the events table
+    streams through ``stream_ingest`` (file source, AvailableNow,
+    foreachBatch running the SAME transform as batch ingest) into a
+    date-partitioned store with uid/shard/tf columns, and the
+    aggregation over the STORED output must value-match the batch
+    aggregation over the source — ingest loses and duplicates
+    nothing."""
+    import os as _os
+    import shutil as _sh
+    from pyspark.sql import types as T
+    from datawave_spark.sources.ingest import IngestConfig
+    from datawave_spark.sources.prepared import prepared_path
+    from datawave_spark.streaming.ingest import stream_ingest
+    src = _os.path.join(sf_dir, "events.parquet")
+    sch = spark.read.parquet(src).schema
+    src_opts = {"pathGlobFilter": "events.parquet"}
+    out = prepared_path(sf_dir, "flagmaker_out")
+    ckpt = prepared_path(sf_dir, "flagmaker_ckpt")
+    _sh.rmtree(out, ignore_errors=True)
+    _sh.rmtree(ckpt, ignore_errors=True)
+    if isinstance(sch["ts"].dataType, T.LongType):
+        def pre(df):
+            return df.withColumn(
+                "__ts", F.timestamp_micros(F.expr("`ts` div 1000")))
+    else:
+        def pre(df):
+            return df.withColumn("__ts", F.col("ts").cast("timestamp"))
+    cfg = IngestConfig("events", date_field="__ts",
+                       uid_fields=["event_id"])
+    q = stream_ingest(spark, sf_dir, sch, cfg, out, ckpt, pre=pre,
+                      options=src_opts)
+    q.awaitTermination()
+    stored = spark.read.parquet(out)
+    return (stored.groupBy("event_type")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.countDistinct("uid").alias("n_uid")))

@@ -33,12 +33,23 @@ from datawave_spark.sources.ingest import IngestConfig, ingest_events
 def stream_ingest(spark: SparkSession, input_path: str, schema: T.StructType,
                   config: IngestConfig, output_path: str,
                   checkpoint_path: str, fmt: str = "parquet",
-                  available_now: bool = True) -> StreamingQuery:
+                  available_now: bool = True,
+                  pre=None,
+                  options: dict[str, str] | None = None) -> StreamingQuery:
     """File-arrival ingest: watch ``input_path``, run the batch ingest
     transform per micro-batch, append to the date-partitioned event
     table.  ``available_now=True`` processes the backlog and stops
-    (FlagMaker one-shot); False runs continuously."""
-    raw = spark.readStream.format(fmt).schema(schema).load(input_path)
+    (FlagMaker one-shot); False runs continuously.  ``pre`` is an
+    optional raw-record adapter DataFrame→DataFrame applied before the
+    ingest transform — the reader/helper separation of the reference's
+    per-datatype record readers (e.g. decode a nanos-long timestamp
+    column into a real timestamp)."""
+    reader = spark.readStream.format(fmt).schema(schema)
+    for k, v in (options or {}).items():
+        reader = reader.option(k, v)
+    raw = reader.load(input_path)
+    if pre is not None:
+        raw = pre(raw)
 
     # foreachBatch so each micro-batch runs the FULL batch ingest
     # transform (tokenize aggregates per batch — a streaming
