@@ -3873,3 +3873,20 @@ def q_streaming_flagmaker_ingest(spark, sf_dir):
     return (stored.groupBy("event_type")
             .agg(F.count(F.lit(1)).alias("n"),
                  F.countDistinct("uid").alias("n_uid")))
+
+
+@register("zorder_two_axis_query", """
+SELECT event_id, value, user_id FROM events
+WHERE value BETWEEN 100 AND 140 AND user_id BETWEEN 10 AND 60
+""")
+def q_zorder_two_axis_query(spark, sf_dir):
+    """Two-axis range query over the Z-ORDER clustered asset
+    (prepared.events_zorder): both range predicates push to parquet and
+    BOTH row-group-skip on the Morton-clustered layout — the
+    multi-dimensional pruning story (Delta OPTIMIZE ZORDER analog) a
+    single-column sort cannot give its trailing axis."""
+    from datawave_spark.sources.prepared import events_zorder
+    ev = events_zorder(spark, sf_dir)
+    return (ev.filter((F.col("value") >= 100) & (F.col("value") <= 140)
+                      & (F.col("user_id") >= 10) & (F.col("user_id") <= 60))
+            .select("event_id", "value", "user_id"))

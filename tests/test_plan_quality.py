@@ -470,3 +470,14 @@ class TestPolygonAccel:
             pts, "geowave:intersects(GEO, "
             "'POLYGON((-170 -80, 170 -80, 0 -60, -170 -80))')").collect()}
         assert accel == exact and accel
+
+
+class TestZOrderQuery:
+    def test_both_range_predicates_push_to_stored_zorder(self, spark):
+        df = entrymod.queries()["zorder_two_axis_query"](spark, SF)
+        c = plan_counters(df)
+        pushed = " ".join(c["pushed_filters"])
+        assert "value" in pushed and "user_id" in pushed
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert ".prepared" in plan
+        assert c["n_shuffles"] == 0
