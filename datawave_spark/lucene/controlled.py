@@ -86,19 +86,28 @@ def controlled_rewrite(query: str,
                        ) -> str:
     """The reference's string rewrite (LuceneToJexlControlledQueryParser
     .parse:20-55): deployment-required value filters are appended as
-    ``(query) AND (#INCLUDE... OR ... AND #EXCLUDE...)`` before
-    parsing, so the clauses go through the ordinary #FUNC pipeline."""
+    ``(query) AND ((#INCLUDE... OR ...) AND #EXCLUDE...)`` before
+    parsing, so the clauses go through the ordinary #FUNC pipeline.
+
+    Deviation from the reference's literal string build: the OR-joined
+    include alternatives are PARENTHESIZED.  The reference concatenates
+    ``inc1 OR inc2 AND exc`` bare, which (AND binds tighter than OR)
+    parses as ``inc1 OR (inc2 AND exc)`` — any row matching the first
+    include alternative bypasses every mandated exclude.  That defeats
+    the restriction the class exists to enforce, so here the intent
+    wins over string-level parity: every exclude applies regardless of
+    which include alternative matched."""
     parts = []
     inc = [f"#INCLUDE({f}, {v})"
            for f, vs in sorted((included_values or {}).items())
            for v in vs]
     if inc:
-        parts.append(" OR ".join(inc))
+        joined = " OR ".join(inc)
+        parts.append(f"({joined})" if len(inc) > 1 else joined)
     exc = [f"#EXCLUDE({f}, {v})"
            for f, vs in sorted((excluded_values or {}).items())
            for v in vs]
-    if exc:
-        parts.append(" AND ".join(exc))
+    parts.extend(exc)
     if not parts:
         return query
     return f"({query}) AND ({' AND '.join(parts)})"

@@ -94,8 +94,14 @@ def _star_components(edges: DataFrame, max_iter: int) -> DataFrame:
     near round 6 even on a 64-edge graph.  Truncating lineage per round
     is what makes the iteration O(rounds), the standard discipline for
     iterative DataFrame algorithms."""
+    # vertices appearing ONLY in self-loops have no real edges but are
+    # still vertices — the driver union-find keeps them; the star
+    # iteration must too (they are their own component)
+    loops_only = (edges.filter(F.col("src") == F.col("dst"))
+                  .select(F.col("src").alias("id")).distinct())
     e = edges.filter(F.col("src") != F.col("dst"))
     prev = None
+    converged = False
     for _ in range(max_iter):
         e = _small_star(_large_star(e)).localCheckpoint(eager=True)
         n = e.count()
@@ -104,8 +110,19 @@ def _star_components(edges: DataFrame, max_iter: int) -> DataFrame:
         # once sizes match)
         if prev is not None and n == prev[1] \
                 and e.exceptAll(prev[0]).limit(1).count() == 0:
+            converged = True
             break
         prev = (e, n)
+    if not converged:
+        # a non-fixpoint edge frame is NOT a star forest: one vertex
+        # can still carry edges to different minima, and reading labels
+        # off it would emit conflicting (id, component) rows — silent
+        # corruption downstream.  Fail loudly instead; the bound is
+        # O(log n) rounds, so hitting it means max_iter is set far too
+        # low for the graph, not that the data is bad.
+        raise RuntimeError(
+            f"connected components did not converge in {max_iter} "
+            f"star rounds (graph needs ~log2(n); raise max_iter)")
     # final forest: every non-root u carries (u, root); roots appear
     # only on the dst side — label them with themselves
     labels = e.select(F.col("src").alias("id"),
@@ -113,7 +130,11 @@ def _star_components(edges: DataFrame, max_iter: int) -> DataFrame:
     roots = e.select(F.col("dst").alias("id")) \
         .join(e.select(F.col("src").alias("id")), "id", "left_anti") \
         .distinct().withColumn("component", F.col("id"))
-    return labels.union(roots)
+    singles = (loops_only
+               .join(labels.select("id"), "id", "left_anti")
+               .join(roots.select("id"), "id", "left_anti")
+               .withColumn("component", F.col("id")))
+    return labels.union(roots).union(singles)
 
 
 def _driver_union_find(edges: DataFrame) -> DataFrame:

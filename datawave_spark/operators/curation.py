@@ -305,9 +305,14 @@ def rebalance_mix(df: DataFrame, id_col: str, strata_col: str,
         f"{strata_col} string, __target double")
     # persist: the guard's bounded collect and the in-plan rate join
     # both read this aggregate — without the barrier the full-corpus
-    # scan behind it would run twice
-    w = df.groupBy(strata_col).agg(
-        F.sum(F.col(weight_col)).cast("double").alias("__w")).persist()
+    # scan behind it would run twice.  Scoped so repeated calls don't
+    # accumulate cached frames (same discipline as dedup's signature
+    # caches).
+    from datawave_spark.operators.dedup import _persist_scoped
+    w = _persist_scoped(
+        df.groupBy(strata_col).agg(
+            F.sum(F.col(weight_col)).cast("double").alias("__w")),
+        "curation.rebalance_mix.w")
     have = {r[0]: r[1] for r in
             w.filter(F.col(strata_col).isin(list(targets))).collect()}
     bad = sorted(k for k in targets if have.get(k, 0.0) <= 0.0)

@@ -52,19 +52,29 @@ TOKEN_RE = "[^a-z0-9]+"
 # _persist_scoped unpersists the PREVIOUS frame registered under the
 # same key, so repeated invocations (bench loops, incremental runs)
 # hold at most one cached signature frame per operator instead of
-# accumulating them for the session lifetime.
+# accumulating them for the session lifetime.  The registry is
+# lock-guarded so concurrent callers cannot interleave get/persist/
+# store and strand an unowned persisted frame; note that under true
+# concurrency the replaced frame may be unpersisted while another
+# caller's job still reads it — Spark then recomputes those partitions
+# (correct, just uncached), so concurrent same-operator runs lose the
+# cache benefit, never correctness.
+import threading as _threading
+
 _SCOPED_CACHE: dict[str, DataFrame] = {}
+_SCOPED_LOCK = _threading.Lock()
 
 
 def _persist_scoped(df: DataFrame, key: str) -> DataFrame:
-    prev = _SCOPED_CACHE.get(key)
-    if prev is not None:
+    out = df.persist()
+    with _SCOPED_LOCK:
+        prev = _SCOPED_CACHE.get(key)
+        _SCOPED_CACHE[key] = out
+    if prev is not None and prev is not out:
         try:
             prev.unpersist(blocking=False)
         except Exception:
             pass                    # session of prev may be stopped
-    out = df.persist()
-    _SCOPED_CACHE[key] = out
     return out
 
 

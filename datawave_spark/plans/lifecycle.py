@@ -76,7 +76,14 @@ class AsyncQuery:
             if self.state != QueryState.CREATED:
                 raise RuntimeError(f"cannot start from {self.state}")
             self.state = QueryState.RUNNING
-        self._thread = threading.Thread(target=run, daemon=True)
+        # InheritableThread, not threading.Thread: in non-pinned-thread
+        # sessions all Python threads share one JVM thread, so a plain
+        # thread's setJobGroup would leak onto concurrent queries and
+        # cancel() could kill an unrelated query's jobs.
+        from pyspark import InheritableThread
+        self._thread = InheritableThread(
+            target=run, daemon=True,
+            session=self.df.sparkSession)
         self._thread.start()
         return self
 

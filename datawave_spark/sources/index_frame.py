@@ -185,6 +185,13 @@ def candidate_uids(index: DataFrame, node: JexlNode,
         if universe is None:
             raise ValueError(
                 "negation needs a uid universe (context-required branch)")
+        # An unindexed term ANYWHERE under the negation poisons it: the
+        # inner candidate set would be a SUPERSET of true inner matches
+        # (AND skips unindexed conjuncts), so universe-minus-superset
+        # UNDER-includes — and the fetch-phase re-evaluation cannot
+        # resurrect rows the anti-join already dropped.  Unservable.
+        if _unindexed_terms(node.term, fields):
+            return None
         pos = candidate_uids(index, node.term, universe, field_types, fields)
         if pos is None:
             return None

@@ -268,7 +268,12 @@ def append_index(spark: SparkSession, index_path: str, new_events,
     from datawave_spark.sources.index_frame import build_index
     rows = build_index(new_events, fields, id_col, date_col=date_col,
                        field_types=field_types)
-    rows = rows.sortWithinPartitions("value")
-    n = rows.count()
-    rows.write.mode("append").partitionBy("field").parquet(index_path)
+    # persist before count+write: without the barrier the full
+    # explode/normalize derivation would execute twice per increment
+    rows = rows.sortWithinPartitions("value").persist()
+    try:
+        n = rows.count()
+        rows.write.mode("append").partitionBy("field").parquet(index_path)
+    finally:
+        rows.unpersist(blocking=False)
     return n

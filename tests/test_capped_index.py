@@ -210,3 +210,31 @@ class TestNullShardRouting:
                     ev.filter(F.col("event_type") == "cold").collect()}
         assert 0 in expected          # fixture: event 0 is 'cold'
         assert got == expected
+
+
+class TestNegatedUnindexed:
+    def test_negation_over_unindexed_conjunct_not_underinclusive(
+            self, spark, events):
+        """!(B == 1 && C == 'x') with C unindexed: the inner AND's
+        candidate superset must NOT be anti-joined (it would drop rows
+        where B matches but C doesn't); the negation becomes
+        evaluation-only instead."""
+        from datawave_spark.sources.index_frame import (build_index,
+                                                        index_query)
+        ev = events.withColumn("unindexed_num", F.col("event_id") % 2)
+        idx = build_index(ev, ["event_type", "grp"], "event_id",
+                          date_col="ts")
+        jexl = ("EVENT_TYPE == 'hot' && "
+                "!(GRP == 1 && UNINDEXED_NUM == 0)")
+        expected = {r.event_id for r in ev.filter(
+            (F.col("event_type") == "hot")
+            & ~((F.col("grp") == 1) & (F.col("unindexed_num") == 0))
+        ).collect()}
+        got = {r.event_id for r in index_query(
+            ev, idx, jexl, "event_id").collect()}
+        assert got == expected and got
+        # specifically: a row with grp==1 but unindexed_num==1 matches
+        # the query and must be present
+        assert any(r.event_id in got for r in ev.filter(
+            (F.col("event_type") == "hot") & (F.col("grp") == 1)
+            & (F.col("unindexed_num") == 1)).collect())

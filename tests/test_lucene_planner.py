@@ -541,8 +541,32 @@ class TestControlledParser:
         q = controlled_rewrite("CITY:rome",
                                included_values={"K": ["a", "b"]},
                                excluded_values={"X": ["c"]})
-        assert q == ("(CITY:rome) AND (#INCLUDE(K, a) OR #INCLUDE(K, b)"
+        # the include group is parenthesized so EVERY exclude applies
+        # regardless of which include alternative matched (bare
+        # concatenation would parse as inc1 OR (inc2 AND exc))
+        assert q == ("(CITY:rome) AND ((#INCLUDE(K, a) OR #INCLUDE(K, b))"
                      " AND #EXCLUDE(X, c))")
+
+    def test_excludes_apply_to_every_include_alternative(self):
+        """Semantic regression for the precedence trap: with two
+        include alternatives and one exclude, the parsed tree must
+        apply the exclude on BOTH paths."""
+        from datawave_spark.jexl.ast import AndNode, FuncNode, OrNode
+        from datawave_spark.lucene.controlled import parse_controlled
+        node = parse_controlled("CITY:rome",
+                                included_values={"K": ["a", "b"]},
+                                excluded_values={"X": ["c"]})
+        # shape: AND(base, AND(OR(inc,inc), exc)) modulo flattening —
+        # the exclude must NOT live under the OR
+        def or_contains_exclude(n):
+            if isinstance(n, OrNode):
+                return any(isinstance(t, FuncNode) and t.name == "excludeRegex"
+                           for t in n.terms) or any(
+                    or_contains_exclude(t) for t in n.terms)
+            if isinstance(n, AndNode):
+                return any(or_contains_exclude(t) for t in n.terms)
+            return False
+        assert not or_contains_exclude(node)
 
     def test_rewrite_fields_implicitly_allowed(self):
         from datawave_spark.lucene.controlled import parse_controlled
