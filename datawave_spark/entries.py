@@ -3890,3 +3890,29 @@ def q_zorder_two_axis_query(spark, sf_dir):
     return (ev.filter((F.col("value") >= 100) & (F.col("value") <= 140)
                       & (F.col("user_id") >= 10) & (F.col("user_id") <= 60))
             .select("event_id", "value", "user_id"))
+
+
+@register("composite_logic_union", """
+SELECT event_id, user_id, value, 'purchases' AS logic_name FROM events
+WHERE event_type = 'purchase' AND value > 250
+UNION ALL
+SELECT event_id, user_id, value, 'errors' AS logic_name FROM events
+WHERE event_type = 'error' AND value > 250
+""")
+def q_composite_logic_union(spark, sf_dir):
+    """CompositeQueryLogic (core/query/.../composite/
+    CompositeQueryLogic.java:51): one query fanned across multiple
+    configured logics, results schema-aligned and merged with the
+    originating logic's name on each row.  The reference spends a
+    thread + shared queue per logic to drive separate scanners; here
+    each logic is a DataFrame and the merge is a unionByName."""
+    from datawave_spark.plans.composite import composite_query
+    ev = _t(spark, sf_dir, "events")
+    return composite_query({
+        "purchases": lambda: compile_query(
+            ev, "EVENT_TYPE == 'purchase' && VALUE > 250")
+            .select("event_id", "user_id", "value"),
+        "errors": lambda: compile_query(
+            ev, "EVENT_TYPE == 'error' && VALUE > 250")
+            .select("event_id", "user_id", "value"),
+    })

@@ -1,0 +1,87 @@
+"""CompositeQueryLogic analog: one query fanned across several query
+logics, results merged into a single stream.
+
+Reference: core/query/.../logic/composite/CompositeQueryLogic.java:51 —
+each configured logic runs in its own thread pushing into a shared
+results queue; ``allMustInitialize`` decides whether one logic's
+initialization failure fails the whole query, and
+``shortCircuitExecution`` stops after the first logic that yields
+results.  The reference needs the thread/queue machinery because each
+logic drives its own Accumulo scanners; on Spark each logic is a
+DataFrame, so the merge is a schema-aligned union and the parallelism
+comes from the scheduler — the composite dissolves into plan algebra.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def _align(frames: list[DataFrame]) -> list[DataFrame]:
+    """Pad every frame to the union of all output columns (missing →
+    typed NULL) — the reference's common-response-schema transform."""
+    cols: dict[str, str] = {}
+    for df in frames:
+        for name, dtype in df.dtypes:
+            cols.setdefault(name, dtype)
+    order = list(cols)
+    out = []
+    for df in frames:
+        have = set(df.columns)
+        sel = [F.col(c) if c in have
+               else F.lit(None).cast(cols[c]).alias(c)
+               for c in order]
+        out.append(df.select(*sel))
+    return out
+
+
+def composite_query(logics: dict[str, Callable[[], DataFrame]],
+                    all_must_initialize: bool = False,
+                    short_circuit: bool = False,
+                    logic_col: str | None = "logic_name") -> DataFrame:
+    """Run every logic and merge results (CompositeQueryLogic.java):
+
+    - ``logics``: name → zero-arg factory returning that logic's
+      planned DataFrame.  Factories (not frames) so initialization
+      errors are observable per logic, matching the reference's
+      per-logic setup phase.
+    - ``all_must_initialize=False`` (reference default): a logic whose
+      factory raises is skipped; True re-raises.  If NO logic
+      initializes, always raises (CompositeQueryLogic.initialize's
+      "all logics failed" CompositeLogicException).
+    - ``short_circuit=True``: logics are tried in dict order and the
+      first one producing any rows wins — the reference's sequential
+      shortCircuitExecution mode (used when logics are
+      redundant/tiered, e.g. a fast lookup falling back to a scan).
+    - ``logic_col``: adds the originating logic's name to each row
+      (the reference tags results with getLogicName()); None omits.
+    """
+    planned: list[tuple[str, DataFrame]] = []
+    errors: list[str] = []
+    for name, factory in logics.items():
+        try:
+            planned.append((name, factory()))
+        except Exception as e:
+            if all_must_initialize:
+                raise
+            errors.append(f"{name}: {e}")
+    if not planned:
+        raise RuntimeError(
+            f"no composite logic initialized: {'; '.join(errors)}")
+    frames = []
+    for name, df in planned:
+        if logic_col:
+            df = df.withColumn(logic_col, F.lit(name))
+        frames.append(df)
+    frames = _align(frames)
+    if short_circuit:
+        for df in frames:
+            if df.limit(1).count() > 0:
+                return df
+        return frames[-1]
+    out = frames[0]
+    for df in frames[1:]:
+        out = out.unionByName(df)
+    return out
