@@ -3916,3 +3916,43 @@ def q_composite_logic_union(spark, sf_dir):
             ev, "EVENT_TYPE == 'error' && VALUE > 250")
             .select("event_id", "user_id", "value"),
     })
+
+
+@register("ssdeep_chained_discovery", f"""
+WITH hashes AS ({_DUCK_SSDEEP}),
+parsed AS (SELECT doc_id AS id,
+  CAST(split_part(ssdeep, ':', 1) AS INT) AS chunk_size,
+  split_part(ssdeep, ':', 2) AS chunk,
+  split_part(ssdeep, ':', 3) AS double_chunk FROM hashes),
+sized AS (SELECT * FROM parsed WHERE chunk_size * len(chunk) >= 64),
+ng AS (
+  SELECT DISTINCT id, chunk_size AS cs,
+         unnest([substr(chunk, i, 7)
+                 for i in range(1, greatest(len(chunk)-6, 0)+1)]) AS ngram
+  FROM sized
+  UNION
+  SELECT DISTINCT id, chunk_size * 2,
+         unnest([substr(double_chunk, i, 7)
+                 for i in range(1, greatest(len(double_chunk)-6, 0)+1)])
+  FROM sized),
+matched AS (
+  SELECT DISTINCT tn.id
+  FROM (SELECT * FROM ng WHERE id < 100) qn
+  JOIN ng tn ON qn.cs = tn.cs AND qn.ngram = tn.ngram AND tn.id != qn.id),
+mh AS (SELECT DISTINCT h.ssdeep FROM hashes h JOIN matched m ON h.doc_id = m.id)
+SELECT h.ssdeep, count(*) AS n_docs, min(h.doc_id) AS first_doc
+FROM hashes h JOIN mh ON h.ssdeep = mh.ssdeep
+GROUP BY h.ssdeep
+""")
+def q_ssdeep_chained_discovery(spark, sf_dir):
+    """SSDeep chained discovery (SSDeepChainedDiscoveryQueryLogic +
+    FullSSDeepDiscoveryChainStrategy): the similarity stage's matched
+    hashes feed an exact discovery lookup for per-hash occurrence info
+    — the 'how widespread is each similar hash' pivot, over the stored
+    ssdeep asset."""
+    from datawave_spark.operators.ssdeep import ssdeep_chained_discovery
+    from datawave_spark.sources import prepared
+    hashes = prepared.ssdeep_hashes(spark, sf_dir)
+    queries = hashes.filter(F.col("doc_id") < 100)
+    return ssdeep_chained_discovery(queries, hashes, "ssdeep", "doc_id",
+                                    max_repeated=0)

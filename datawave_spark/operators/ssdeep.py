@@ -226,3 +226,38 @@ def ssdeep_similarity_join(queries: DataFrame, targets: DataFrame,
     if min_score > 0:
         out = out.filter(F.col("weighted_score") >= min_score)
     return out
+
+
+def ssdeep_discovery(corpus: DataFrame, hash_col: str, id_col: str,
+                     query_hashes: DataFrame,
+                     qh_col: str = "ssdeep") -> DataFrame:
+    """SSDeepDiscoveryQueryLogic (query/tables/ssdeep/
+    SSDeepDiscoveryQueryLogic.java): EXACT lookup of query hashes in
+    the stored ssdeep column — per matching hash, its occurrence count
+    and first carrier: (ssdeep, n_docs, first_doc).  One semi-shaped
+    equi-join on the hash string, aggregation on the (short) hash key."""
+    qh = query_hashes.select(F.col(qh_col).alias("__qh")).distinct()
+    return (corpus.join(qh, corpus[hash_col] == qh["__qh"], "left_semi")
+            .groupBy(F.col(hash_col).alias("ssdeep"))
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.min(F.col(id_col)).alias("first_doc")))
+
+
+def ssdeep_chained_discovery(queries: DataFrame, corpus: DataFrame,
+                             hash_col: str, id_col: str,
+                             max_repeated: int = DEFAULT_MAX_REPEATED,
+                             max_bucket: int | None = None) -> DataFrame:
+    """SSDeepChainedDiscoveryQueryLogic + FullSSDeepDiscoveryChainStrategy
+    (same dir): stage 1 runs the similarity join (fuzzy — ngram-tuple
+    candidates), stage 2 feeds every MATCHED hash into the exact
+    discovery lookup for its corpus occurrence info — 'what similar
+    hashes exist, and how widespread is each'."""
+    sim = ssdeep_similarity_join(queries, corpus, hash_col, id_col,
+                                 max_repeated=max_repeated,
+                                 max_bucket=max_bucket)
+    matched = sim.select(F.col("match_id").alias("__mid")).distinct()
+    matched_hashes = (corpus
+                      .join(matched, corpus[id_col] == matched["__mid"],
+                            "left_semi")
+                      .select(F.col(hash_col).alias("ssdeep")).distinct())
+    return ssdeep_discovery(corpus, hash_col, id_col, matched_hashes)
