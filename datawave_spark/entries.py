@@ -3699,11 +3699,22 @@ def q_ann_pq_topk(spark, sf_dir):
                               _query_vec(sf_dir), k=10)
 
 
-@register("ann_pq_rerank")  # approximate shortlist + exact re-rank: rows-only
+@register("ann_pq_rerank", """
+WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0)
+SELECT vec_id AS id,
+       round(list_dot_product(embedding::DOUBLE[], qv) /
+             (sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))
+              * sqrt(list_dot_product(qv, qv))), 4) AS cos
+FROM embeddings, q ORDER BY cos DESC, id LIMIT 10
+""")
 def q_ann_pq_rerank(spark, sf_dir):
     """PQ-ADC shortlist + exact re-rank — the production ANN shape: the
     compressed-code scan nominates a 100-row shortlist, and only those
-    rows touch the float table (semi-join prune) for exact cosine."""
+    rows touch the float table (semi-join prune) for exact cosine.
+    Oracle = the EXACT brute-force top-10: on the pinned corpora the
+    100-row shortlist contains the full true top-10 (verified at
+    sf0.01 and sf0.1), so the hash check asserts end-to-end recall,
+    not merely row counts."""
     import numpy as np
     from datawave_spark.operators import similarity
     from datawave_spark.sources import prepared
