@@ -2729,14 +2729,24 @@ def q_dedup_canonical_quality(spark, sf_dir):
                     "quality", "n_docs"))
 
 
-@register("ann_ivf_topk")  # approximate (IVF probe): rows-only; recall in tests
+@register("ann_ivf_topk", """
+WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0)
+SELECT vec_id AS id,
+       round(list_dot_product(embedding::DOUBLE[], qv) /
+             (sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))
+              * sqrt(list_dot_product(qv, qv))), 4) AS cos
+FROM embeddings, q ORDER BY cos DESC, id LIMIT 10
+""")
 def q_ann_ivf_topk(spark, sf_dir):
     """IVF ANN over STORED ingest assets: the codebook and the
     cluster-assigned corpus are both materialized at ingest
     (sources.prepared.embedding_ivf — cluster is a hive partition, so
     the n_probe probe prunes to those directories); the query ranks
     centroids driver-side (a bounded codebook read) and scans only the
-    probed clusters."""
+    probed clusters.  Oracle = the EXACT brute-force top-10: at
+    n_probe=5 of 8 the probed clusters contain the full true top-10 on
+    the pinned corpora (verified at sf0.01 and sf0.1), so the hash
+    check asserts end-to-end recall."""
     import numpy as np
     from datawave_spark.operators import similarity
     from datawave_spark.sources import prepared
@@ -2745,7 +2755,8 @@ def q_ann_ivf_topk(spark, sf_dir):
                       cents_df.orderBy("cluster").collect()])
     assigned = prepared.embedding_ivf(spark, sf_dir, n_centroids=8)
     return similarity.ivf_cosine_topk(assigned, "embedding", "vec_id",
-                                      cents, _query_vec(sf_dir), k=10, n_probe=4)
+                                      cents, _query_vec(sf_dir), k=10,
+                                      n_probe=5)
 
 
 @register("dedup_embedding_pairs", """
