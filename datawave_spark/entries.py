@@ -3978,3 +3978,38 @@ def q_ssdeep_chained_discovery(spark, sf_dir):
     queries = hashes.filter(F.col("doc_id") < 100)
     return ssdeep_chained_discovery(queries, hashes, "ssdeep", "doc_id",
                                     max_repeated=0)
+
+
+@register("text_classifier_score", f"""
+WITH toks AS ({_DUCK_TOKS}),
+feat AS (
+  SELECT doc_id AS id,
+         CAST(concat('0x', substr(md5('f:' || unnest(t)), 1, 8)) AS UBIGINT)
+           % 1024 AS bucket
+  FROM toks),
+wt AS (SELECT bucket,
+              CAST(CAST(concat('0x', substr(md5('w:' || CAST(bucket AS VARCHAR)), 1, 8))
+                   AS UBIGINT) % 2001 AS BIGINT) - 1000 AS weight
+       FROM (SELECT unnest(range(0, 1024)) AS bucket)),
+s AS (SELECT id, count(*) AS n_feats, sum(weight) AS sw
+      FROM feat JOIN wt USING (bucket) GROUP BY id)
+SELECT id, n_feats,
+       floor(sw / (1000.0 * n_feats) * 10000 + 0.5) / 10000 AS score,
+       floor(sw / (1000.0 * n_feats) * 10000 + 0.5) / 10000 >= 0 AS label
+FROM s
+""")
+def q_text_classifier_score(spark, sf_dir):
+    """Linear text-classifier inference as plan algebra (the
+    fasttext-shaped quality/langid filter of production pipelines):
+    hashed token features join a STORED weight table
+    (prepared.classifier_weights — model-as-table, swap weights =
+    swap a tiny table), integer weight sums keep the score
+    addition-order-exact, and the oracle recomputes the whole model
+    bit-for-bit."""
+    from datawave_spark.operators.text import linear_classifier_score
+    from datawave_spark.sources.prepared import classifier_weights
+    docs = _t(spark, sf_dir, "documents")
+    w = classifier_weights(spark, sf_dir, n_buckets=1024)
+    out = linear_classifier_score(docs, "text", "doc_id", w,
+                                  n_buckets=1024)
+    return out

@@ -206,3 +206,47 @@ def bpe_token_count(df: DataFrame, text_col: str) -> DataFrame:
     return bpe_pretokenize(df, text_col).withColumn(
         "n_bpe_pretokens", F.size(F.col("bpe_pretokens")).cast("bigint")) \
         .drop("bpe_pretokens")
+
+
+def hashed_bucket(col: Column, n_buckets: int, salt: str = "f") -> Column:
+    """Deterministic feature-hash bucket for a token column:
+    md5-derived (not Spark's hash()) so an external engine reproduces
+    every bucket id bit-for-bit."""
+    return (F.conv(F.substring(F.md5(F.concat(F.lit(f"{salt}:"), col)),
+                               1, 8), 16, 10)
+            .cast("long") % n_buckets)
+
+
+def linear_classifier_score(df: DataFrame, text_col: str, id_col: str,
+                            weights: DataFrame, n_buckets: int,
+                            bias: float = 0.0,
+                            weight_scale: float = 1000.0) -> DataFrame:
+    """MODEL-AS-TABLE inference — the fasttext-style linear text
+    classifier (quality/langid filters in production data pipelines)
+    restated as plan algebra: features are hashed token buckets, the
+    trained weight vector is a STORED (bucket, weight) table, and
+    scoring is explode → bucket → broadcast weight join → per-doc sum.
+    No UDF, no model runtime in the scan; swapping models = swapping a
+    tiny table.
+
+    Weights are INTEGER (scaled by ``weight_scale``): integer sums are
+    addition-order-exact, so the score is bit-identical across engines
+    and partitionings (the rebalance_mix discipline); the single
+    float division happens once per document at the end.
+    Output: (id, n_feats, score, label) with
+    score = round(bias + Σw/(scale·n), 4), label = score ≥ 0."""
+    toks = (spread(df).select(F.col(id_col).alias("id"),
+                              F.explode(tokens(F.col(text_col))).alias("t")))
+    feat = toks.withColumn("bucket", hashed_bucket(F.col("t"), n_buckets))
+    scored = (feat.join(F.broadcast(weights), "bucket")
+              .groupBy("id")
+              .agg(F.count(F.lit(1)).alias("n_feats"),
+                   F.sum("weight").alias("__sw")))
+    # explicit round-half-up (floor(x·1e4 + 0.5)/1e4), NOT round():
+    # Spark rounds half up, DuckDB half to even — a score landing on a
+    # half-boundary (possible: the divisor is scale·n) would diverge
+    # (the quantize_embeddings discipline)
+    raw = F.lit(bias) + F.col("__sw") / (weight_scale * F.col("n_feats"))
+    score = F.floor(raw * 10000 + F.lit(0.5)) / 10000.0
+    return scored.select("id", "n_feats", score.alias("score"),
+                         (score >= 0).alias("label"))

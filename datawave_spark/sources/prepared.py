@@ -90,6 +90,7 @@ def build_all(spark: SparkSession, sf_dir: str) -> dict[str, int]:
         "embedding_lsh": embedding_lsh, "embedding_ivf": embedding_ivf,
         "embedding_int8": embedding_int8, "embedding_pq": embedding_pq,
         "events_zorder": events_zorder,
+        "classifier_weights": classifier_weights,
     }
     sharded_events(spark, sf_dir)
     out["sharded_events"] = -1   # path-returning asset; not counted
@@ -637,3 +638,24 @@ def events_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("event_id", "value", "user_id", "event_type")
         z_order_write(ev, path, ["value", "user_id"], bits=12)
     return spark.read.parquet(path)
+
+
+def classifier_weights(spark: SparkSession, sf_dir: str,
+                       n_buckets: int = 1024) -> DataFrame:
+    """Stored linear-classifier weight table (bucket, weight) — the
+    model-as-table asset behind text.linear_classifier_score.  Weights
+    here are md5-derived integer stand-ins in [-1000, 1000] (the
+    codec-injection discipline: a REAL trained model drops in as the
+    same two-column table; every query/oracle shape is unchanged)."""
+    from pyspark.sql import functions as F
+
+    def build():
+        b = spark.range(n_buckets).select(F.col("id").alias("bucket"))
+        w = (F.conv(F.substring(F.md5(F.concat(F.lit("w:"),
+                                               F.col("bucket").cast("string"))),
+                                1, 8), 16, 10)
+             .cast("long") % 2001 - 1000)
+        return b.withColumn("weight", w)
+
+    return get_or_build(spark, sf_dir, f"classifier_weights_b{n_buckets}",
+                        build)
