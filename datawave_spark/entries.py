@@ -4013,3 +4013,48 @@ def q_text_classifier_score(spark, sf_dir):
     out = linear_classifier_score(docs, "text", "doc_id", w,
                                   n_buckets=1024)
     return out
+
+
+@register("multimodal_wav_decode", """
+WITH p AS (
+  SELECT doc_id,
+         8000 + (doc_id % 4) * 4000 AS sample_rate,
+         50 + doc_id % 20 AS n_samples
+  FROM documents)
+SELECT doc_id AS id, sample_rate, 1 AS n_channels, n_samples,
+       list_sum([CAST((doc_id * 31 + i * 7) % 2001 - 1000 AS BIGINT)
+                 * CAST((doc_id * 31 + i * 7) % 2001 - 1000 AS BIGINT)
+                 for i in range(0, n_samples)])::BIGINT AS sum_sq
+FROM p
+""")
+def q_multimodal_wav_decode(spark, sf_dir):
+    """REAL audio codec end-to-end (not the injection stub): WAV/PCM
+    payloads are synthesized per document (samples are a deterministic
+    function of doc_id), round-tripped through the binary media column,
+    and genuinely PARSED back (RIFF chunk walk + 16-bit PCM unpack)
+    inside Arrow mapInPandas; the oracle recomputes the expected
+    sample count and energy arithmetically — a decoder bug cannot
+    hash-match."""
+    import pandas as pd
+    from datawave_spark.operators.multimodal import (attach_media,
+                                                     decode_wav,
+                                                     wav_encode)
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+
+    def synth(batches):
+        for pdf in batches:
+            payloads = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                rate = 8000 + (d % 4) * 4000
+                n = 50 + d % 20
+                samples = [((d * 31 + i * 7) % 2001) - 1000
+                           for i in range(n)]
+                payloads.append(wav_encode(rate, samples))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"],
+                                "payload": payloads})
+
+    wavs = docs.mapInPandas(synth, "doc_id long, payload binary")
+    media = attach_media(wavs.withColumnRenamed("doc_id", "id"),
+                         "payload", "audio/wav")
+    return decode_wav(media, "id", "media")

@@ -129,3 +129,80 @@ def frame_sample_stub(df: DataFrame, id_col: str = "id",
 
     return df.select(id_col, media_col).mapInPandas(
         run, "id long, frame_idx int, ts_ms long")
+
+
+# ------------------------------------------------- real codec: WAV/PCM
+#
+# One REAL end-to-end codec so the multimodal path is not stub-only:
+# RIFF/WAVE 16-bit PCM needs nothing beyond struct — the encoder builds
+# the fixture payloads, the decoder genuinely parses container headers
+# and samples inside the same Arrow-batched mapInPandas shape every
+# other (injected) codec uses.
+
+import struct
+
+
+def wav_encode(sample_rate: int, samples: list[int],
+               n_channels: int = 1) -> bytes:
+    """Minimal RIFF/WAVE writer: 16-bit little-endian PCM."""
+    data = struct.pack(f"<{len(samples)}h", *samples)
+    byte_rate = sample_rate * n_channels * 2
+    block_align = n_channels * 2
+    hdr = (b"RIFF" + struct.pack("<I", 36 + len(data)) + b"WAVE"
+           + b"fmt " + struct.pack("<IHHIIHH", 16, 1, n_channels,
+                                   sample_rate, byte_rate, block_align, 16)
+           + b"data" + struct.pack("<I", len(data)))
+    return hdr + data
+
+
+def wav_decode(payload: bytes) -> tuple[int, int, int, int]:
+    """Parse a RIFF/WAVE PCM payload → (sample_rate, n_channels,
+    n_samples, sum_sq).  ``sum_sq`` (exact integer sum of squared
+    samples) is the energy feature — integer so downstream checks are
+    addition-order-exact.  Walks the chunk list properly (fmt/data may
+    be preceded by LIST etc. in real files)."""
+    if payload is None or len(payload) < 12 or payload[:4] != b"RIFF" \
+            or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos, rate, chans, bits = 12, None, None, None
+    samples = None
+    while pos + 8 <= len(payload):
+        cid = payload[pos:pos + 4]
+        (clen,) = struct.unpack_from("<I", payload, pos + 4)
+        body = payload[pos + 8:pos + 8 + clen]
+        if cid == b"fmt ":
+            fmt_code, chans, rate = struct.unpack_from("<HHI", body, 0)
+            (bits,) = struct.unpack_from("<H", body, 14)
+            if fmt_code != 1 or bits != 16:
+                raise ValueError(f"only 16-bit PCM supported "
+                                 f"(fmt={fmt_code}, bits={bits})")
+        elif cid == b"data":
+            samples = struct.unpack(f"<{len(body) // 2}h", body)
+        pos += 8 + clen + (clen & 1)   # chunks are word-aligned
+    if rate is None or samples is None:
+        raise ValueError("missing fmt /data chunk")
+    return (rate, chans, len(samples) // chans,
+            sum(int(s) * int(s) for s in samples))
+
+
+def decode_wav(df: DataFrame, id_col: str = "id",
+               media_col: str = "media") -> DataFrame:
+    """Real audio decode via mapInPandas: (id, sample_rate, n_channels,
+    n_samples, sum_sq) — the audio analog of decode_media with the WAV
+    codec built in."""
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"id": [], "sample_rate": [], "n_channels": [],
+                   "n_samples": [], "sum_sq": []}
+            for i, b in zip(pdf[id_col], pdf[media_col]):
+                rate, chans, n, ss = wav_decode(bytes(b))
+                out["id"].append(i)
+                out["sample_rate"].append(rate)
+                out["n_channels"].append(chans)
+                out["n_samples"].append(n)
+                out["sum_sq"].append(ss)
+            yield pd.DataFrame(out)
+
+    return df.select(id_col, media_col).mapInPandas(
+        run, "id long, sample_rate int, n_channels int, "
+             "n_samples long, sum_sq long")

@@ -52,3 +52,46 @@ def test_frame_sample_fanout(media_df):
     assert all(1 <= r["count"] <= 4 for r in agg)
     ts = [r.ts_ms for r in out.filter(F.col("id") == 3).orderBy("frame_idx").collect()]
     assert ts == [i * 500 for i in range(len(ts))]
+
+
+class TestWavCodec:
+    def test_roundtrip_exact(self):
+        from datawave_spark.operators.multimodal import (wav_decode,
+                                                         wav_encode)
+        samples = [0, 1000, -1000, 32767, -32768, 7]
+        payload = wav_encode(16000, samples)
+        rate, chans, n, ss = wav_decode(payload)
+        assert (rate, chans, n) == (16000, 1, 6)
+        assert ss == sum(s * s for s in samples)
+
+    def test_chunk_walk_skips_extra_chunks(self):
+        import struct
+        from datawave_spark.operators.multimodal import (wav_decode,
+                                                         wav_encode)
+        base = wav_encode(8000, [1, 2, 3])
+        # splice a LIST chunk between fmt and data (real encoders do)
+        fmt_end = 12 + 8 + 16
+        extra = b"LIST" + struct.pack("<I", 4) + b"INFO"
+        spliced = base[:fmt_end] + extra + base[fmt_end:]
+        spliced = spliced[:4] + struct.pack(
+            "<I", len(spliced) - 8) + spliced[8:]
+        rate, chans, n, ss = wav_decode(spliced)
+        assert (rate, n, ss) == (8000, 3, 14)
+
+    def test_rejects_non_wav(self):
+        import pytest as _pytest
+        from datawave_spark.operators.multimodal import wav_decode
+        with _pytest.raises(ValueError, match="RIFF"):
+            wav_decode(b"not audio at all")
+
+    def test_decode_wav_dataframe_path(self, spark):
+        from datawave_spark.operators.multimodal import (attach_media,
+                                                         decode_wav,
+                                                         wav_encode)
+        rows = [(1, wav_encode(8000, [10, -10])),
+                (2, wav_encode(12000, [5, 5, 5]))]
+        df = spark.createDataFrame(rows, "id long, payload binary")
+        out = {r.id: (r.sample_rate, r.n_samples, r.sum_sq)
+               for r in decode_wav(
+                   attach_media(df, "payload", "audio/wav")).collect()}
+        assert out == {1: (8000, 2, 200), 2: (12000, 3, 75)}
