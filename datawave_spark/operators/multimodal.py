@@ -166,19 +166,31 @@ def wav_decode(payload: bytes) -> tuple[int, int, int, int]:
         raise ValueError("not a RIFF/WAVE payload")
     pos, rate, chans, bits = 12, None, None, None
     samples = None
-    while pos + 8 <= len(payload):
-        cid = payload[pos:pos + 4]
-        (clen,) = struct.unpack_from("<I", payload, pos + 4)
-        body = payload[pos + 8:pos + 8 + clen]
-        if cid == b"fmt ":
-            fmt_code, chans, rate = struct.unpack_from("<HHI", body, 0)
-            (bits,) = struct.unpack_from("<H", body, 14)
-            if fmt_code != 1 or bits != 16:
-                raise ValueError(f"only 16-bit PCM supported "
-                                 f"(fmt={fmt_code}, bits={bits})")
-        elif cid == b"data":
-            samples = struct.unpack(f"<{len(body) // 2}h", body)
-        pos += 8 + clen + (clen & 1)   # chunks are word-aligned
+    # every malformed-container failure surfaces as ValueError (the
+    # documented contract) — struct.error from truncated/odd chunks
+    # must not escape as-is into executor task death
+    try:
+        while pos + 8 <= len(payload):
+            cid = payload[pos:pos + 4]
+            (clen,) = struct.unpack_from("<I", payload, pos + 4)
+            body = payload[pos + 8:pos + 8 + clen]
+            if cid == b"fmt ":
+                if len(body) < 16:
+                    raise ValueError(
+                        f"fmt chunk truncated ({len(body)} bytes)")
+                fmt_code, chans, rate = struct.unpack_from("<HHI", body, 0)
+                (bits,) = struct.unpack_from("<H", body, 14)
+                if fmt_code != 1 or bits != 16:
+                    raise ValueError(f"only 16-bit PCM supported "
+                                     f"(fmt={fmt_code}, bits={bits})")
+            elif cid == b"data":
+                if len(body) % 2:
+                    raise ValueError(
+                        f"data chunk has odd byte length {len(body)}")
+                samples = struct.unpack(f"<{len(body) // 2}h", body)
+            pos += 8 + clen + (clen & 1)   # chunks are word-aligned
+    except struct.error as e:
+        raise ValueError(f"malformed RIFF chunk structure: {e}") from e
     if rate is None or samples is None:
         raise ValueError("missing fmt /data chunk")
     return (rate, chans, len(samples) // chans,
@@ -195,7 +207,10 @@ def decode_wav(df: DataFrame, id_col: str = "id",
             out = {"id": [], "sample_rate": [], "n_channels": [],
                    "n_samples": [], "sum_sq": []}
             for i, b in zip(pdf[id_col], pdf[media_col]):
-                rate, chans, n, ss = wav_decode(bytes(b))
+                # NULL media must hit wav_decode's None guard (a
+                # ValueError), not die in bytes(None)
+                rate, chans, n, ss = wav_decode(
+                    bytes(b) if b is not None else None)
                 out["id"].append(i)
                 out["sample_rate"].append(rate)
                 out["n_channels"].append(chans)

@@ -252,10 +252,21 @@ def ssdeep_chained_discovery(queries: DataFrame, corpus: DataFrame,
     candidates), stage 2 feeds every MATCHED hash into the exact
     discovery lookup for its corpus occurrence info — 'what similar
     hashes exist, and how widespread is each'."""
-    sim = ssdeep_similarity_join(queries, corpus, hash_col, id_col,
-                                 max_repeated=max_repeated,
-                                 max_bucket=max_bucket)
-    matched = sim.select(F.col("match_id").alias("__mid")).distinct()
+    # candidate generation ONLY — the chained logic discards scores, so
+    # running the full similarity join would drag every candidate pair
+    # through the two scoring joins (parsed query + parsed target)
+    # whose outputs are thrown away
+    pq = parse_hashes(queries, hash_col, id_col, max_repeated)
+    pt = parse_hashes(corpus, hash_col, id_col, max_repeated)
+    qn = hash_ngrams(pq).withColumnRenamed("id", "query_id")
+    tn = hash_ngrams(pt).withColumnRenamed("id", "match_id")
+    if max_bucket is not None:
+        sizes = (tn.groupBy("chunk_size", "ngram").count()
+                 .filter(F.col("count") <= max_bucket).drop("count"))
+        tn = tn.join(F.broadcast(sizes), ["chunk_size", "ngram"])
+    matched = (qn.join(tn, ["chunk_size", "ngram"])
+               .filter(F.col("query_id") != F.col("match_id"))
+               .select(F.col("match_id").alias("__mid")).distinct())
     matched_hashes = (corpus
                       .join(matched, corpus[id_col] == matched["__mid"],
                             "left_semi")

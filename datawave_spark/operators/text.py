@@ -218,7 +218,7 @@ def hashed_bucket(col: Column, n_buckets: int, salt: str = "f") -> Column:
 
 
 def linear_classifier_score(df: DataFrame, text_col: str, id_col: str,
-                            weights: DataFrame, n_buckets: int,
+                            weights: DataFrame, n_buckets: int | None = None,
                             bias: float = 0.0,
                             weight_scale: float = 1000.0) -> DataFrame:
     """MODEL-AS-TABLE inference — the fasttext-style linear text
@@ -234,7 +234,14 @@ def linear_classifier_score(df: DataFrame, text_col: str, id_col: str,
     and partitionings (the rebalance_mix discipline); the single
     float division happens once per document at the end.
     Output: (id, n_feats, score, label) with
-    score = round(bias + Σw/(scale·n), 4), label = score ≥ 0."""
+    score = round(bias + Σw/(scale·n), 4), label = score ≥ 0.
+
+    ``n_buckets`` defaults to the weight table's row count (a bounded
+    read — the table IS the model): passing a mismatching value would
+    silently drop every feature hashed into a bucket the table lacks,
+    skewing n_feats and score with no error."""
+    if n_buckets is None:
+        n_buckets = weights.count()
     toks = (spread(df).select(F.col(id_col).alias("id"),
                               F.explode(tokens(F.col(text_col))).alias("t")))
     feat = toks.withColumn("bucket", hashed_bucket(F.col("t"), n_buckets))

@@ -21,11 +21,19 @@ from pyspark.sql import DataFrame, functions as F
 
 def _align(frames: list[DataFrame]) -> list[DataFrame]:
     """Pad every frame to the union of all output columns (missing →
-    typed NULL) — the reference's common-response-schema transform."""
+    typed NULL) — the reference's common-response-schema transform.
+    A column present in two logics with DIFFERENT types raises: the
+    composite contract is a shared response schema, and silently
+    widening (long∪string → string) would corrupt downstream typing."""
     cols: dict[str, str] = {}
     for df in frames:
         for name, dtype in df.dtypes:
-            cols.setdefault(name, dtype)
+            prev = cols.setdefault(name, dtype)
+            if prev != dtype:
+                raise ValueError(
+                    f"composite logics disagree on column {name!r} type: "
+                    f"{prev} vs {dtype} — logics must share a response "
+                    f"schema")
     order = list(cols)
     out = []
     for df in frames:
@@ -77,10 +85,18 @@ def composite_query(logics: dict[str, Callable[[], DataFrame]],
         frames.append(df)
     frames = _align(frames)
     if short_circuit:
+        # persist each probed frame so the winner's plan is NOT
+        # executed twice (once for the emptiness probe, once by the
+        # caller) — losers' caches are dropped immediately; the
+        # winner's cache serves the caller's materialization.
         for df in frames:
-            if df.limit(1).count() > 0:
-                return df
+            p = df.persist()
+            if p.limit(1).count() > 0:
+                return p
+            p.unpersist(blocking=False)
         return frames[-1]
+    # NB: _align already padded every frame to the shared schema (and
+    # type-checked it); unionByName here needs no allowMissingColumns.
     out = frames[0]
     for df in frames[1:]:
         out = out.unionByName(df)
