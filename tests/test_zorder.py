@@ -59,3 +59,24 @@ def test_zorder_roundtrip_content(spark, tmp_path):
     back = spark.read.parquet(p)
     assert back.count() == 1000
     assert back.agg(F.sum("a")).collect()[0][0] == sum(range(1000))
+
+
+def test_z_value_interleave_inverse(spark):
+    """De-interleaving the Morton value must recover both inputs
+    exactly for every pair — the bit layout (bit b of col i at
+    position b·N+i) checked against a Python reference."""
+    import random
+    rnd = random.Random(7)
+    pairs = [(rnd.randrange(1 << 10), rnd.randrange(1 << 10))
+             for _ in range(200)]
+    from datawave_spark.util import z_value
+    df = spark.createDataFrame(pairs, "a long, b long")
+    rows = df.select("a", "b",
+                     z_value([F.col("a"), F.col("b")], bits=10)
+                     .alias("z")).collect()
+    for r in rows:
+        a = b = 0
+        for bit in range(10):
+            a |= ((r.z >> (bit * 2)) & 1) << bit
+            b |= ((r.z >> (bit * 2 + 1)) & 1) << bit
+        assert (a, b) == (r.a, r.b)
