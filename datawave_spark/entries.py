@@ -4058,3 +4058,126 @@ def q_multimodal_wav_decode(spark, sf_dir):
     media = attach_media(wavs.withColumnRenamed("doc_id", "id"),
                          "payload", "audio/wav")
     return decode_wav(media, "id", "media")
+
+
+@register("dedup_semantic_prune", """
+SELECT a.vec_id, a.label FROM embeddings a
+WHERE NOT EXISTS (
+  SELECT 1 FROM embeddings b
+  WHERE b.label = a.label AND b.vec_id < a.vec_id
+    AND round(list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) /
+              (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))
+               * sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))),
+              4) >= 0.35)
+""")
+def q_dedup_semantic_prune(spark, sf_dir):
+    """SemDeDup pruning (arXiv:2303.09540): keep-first survivors after
+    dropping every doc with an earlier above-threshold cosine neighbor
+    in its block.  The entry blocks on the deterministic ``label``
+    column so the oracle is exact at EVERY scale factor; the scale
+    deployment blocks on the stored IVF k-means assignment instead
+    (prepared.embedding_ivf — same operator, different block column;
+    tests/test_dedup_similarity.py exercises that path)."""
+    from datawave_spark.operators.dedup import semantic_dedup
+    emb = _t(spark, sf_dir, "embeddings")
+    return semantic_dedup(emb, "embedding", "vec_id",
+                          threshold=0.35, block_col="label") \
+        .select("vec_id", "label")
+
+
+@register("embedding_kmeans_step", """
+WITH seeds AS (
+  SELECT CAST(vec_id AS INT) AS cluster, embedding::DOUBLE[] AS c
+  FROM embeddings WHERE vec_id < 8),
+scored AS (
+  SELECT e.vec_id, e.embedding::DOUBLE[] AS v, s.cluster,
+         list_dot_product(e.embedding::DOUBLE[], s.c) /
+         (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))
+          * sqrt(list_dot_product(s.c, s.c))) AS cos
+  FROM embeddings e CROSS JOIN seeds s),
+best AS (
+  SELECT vec_id, v, cluster,
+         row_number() OVER (PARTITION BY vec_id
+                            ORDER BY cos DESC, cluster) AS rn
+  FROM scored),
+asg AS (SELECT vec_id, v, cluster FROM best WHERE rn = 1),
+ex AS (SELECT cluster, CAST(d.dim AS INT) AS dim, v[d.dim + 1] AS val
+       FROM asg CROSS JOIN (SELECT unnest(range(0, 64)) AS dim) d)
+SELECT cluster, dim,
+       floor(avg(val) * 10000 + 0.5) / 10000 AS centroid_val,
+       count(*) AS n_members
+FROM ex GROUP BY cluster, dim
+""")
+def q_embedding_kmeans_step(spark, sf_dir):
+    """One DISTRIBUTED Lloyd iteration (similarity.kmeans_step) from
+    deterministic seeds (first 8 vectors): nearest-centroid assignment
+    as a pure JVM cosine-argmax expression, centroid update as one
+    posexplode + partial-aggregated groupBy — the full-corpus k-means
+    training path (contrast ivf_centroids' bounded driver sample).
+    The oracle replays assignment + mean in SQL; the argmax is safe to
+    hash-check because the min top1-top2 cosine gap on the pinned
+    corpora is ~4e-5, dwarfing FP summation-order noise."""
+    from datawave_spark.operators.similarity import kmeans_step
+    emb = _t(spark, sf_dir, "embeddings")
+    seeds = [list(map(float, r[0])) for r in
+             emb.select(F.col("embedding").cast("array<double>"))
+             .orderBy("vec_id").limit(8).collect()]
+    out = kmeans_step(emb, "embedding", seeds)
+    return out.select(
+        "cluster", "dim",
+        (F.floor(F.col("centroid_val") * 10000 + F.lit(0.5)) / 10000)
+        .alias("centroid_val"),
+        "n_members")
+
+
+@register("stats_quantile_summary", """
+SELECT event_type,
+       count(*) AS n,
+       floor(quantile_cont(value, 0.25) * 10000 + 0.5) / 10000 AS p25,
+       floor(quantile_cont(value, 0.50) * 10000 + 0.5) / 10000 AS p50,
+       floor(quantile_cont(value, 0.75) * 10000 + 0.5) / 10000 AS p75,
+       floor(quantile_cont(value, 0.90) * 10000 + 0.5) / 10000 AS p90
+FROM events GROUP BY event_type
+""")
+def q_stats_quantile_summary(spark, sf_dir):
+    """EXACT per-group quantile summary (Spark ``percentile``, linear
+    interpolation — the same definition as DuckDB ``quantile_cont``):
+    the distribution-profiling stats a curation pipeline reports per
+    slice.  At 100 TB swap ``percentile`` for ``percentile_approx``
+    (t-digest sketch, map-side combinable, no full sort) — exact here
+    so the oracle can hash-check the interpolation arithmetic."""
+    ev = _t(spark, sf_dir, "events")
+
+    def pq(p, name):
+        return (F.floor(F.percentile("value", F.lit(p)) * 10000
+                        + F.lit(0.5)) / 10000).alias(name)
+
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        pq(0.25, "p25"), pq(0.50, "p50"), pq(0.75, "p75"), pq(0.90, "p90"))
+
+
+@register("skew_salted_join", """
+WITH dim AS (SELECT event_type, count(*) AS type_count
+             FROM events GROUP BY event_type)
+SELECT e.event_id, e.event_type, d.type_count
+FROM events e JOIN dim d ON e.event_type = d.event_type
+WHERE e.value > 250
+""")
+def q_skew_salted_join(spark, sf_dir):
+    """Skew-mitigated equi-join (util.salted_join): the fact side's
+    low-cardinality hot key (5 event types across every row — the
+    pathological skew case) is salted into ``salt`` sub-keys and the
+    dim side replicated across them, so no single reducer owns a whole
+    hot key.  The salt is internal — the result is provably
+    salt-invariant, which is exactly what the plain-join oracle
+    checks.  (AQE skew-split handles moderate skew on its own; this is
+    the explicit fix for one-key-per-task blowups.)"""
+    from datawave_spark.util import salted_join
+    ev = _t(spark, sf_dir, "events")
+    dim = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("type_count"))
+    fact = ev.filter(F.col("value") > 250) \
+        .select("event_id", "event_type")
+    return salted_join(fact, dim, "event_type", salt=8) \
+        .select("event_id", "event_type", "type_count")

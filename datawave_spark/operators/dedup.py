@@ -643,3 +643,47 @@ def incremental_lsh_pairs(new_signed: DataFrame, corpus_signed: DataFrame,
         sets_b=corpus_signed.select("id", "shingles", "n"))
     return out.select(F.col("id_a").alias("id_new"),
                       F.col("id_b").alias("id_old"), "jaccard")
+
+
+def semantic_dedup(df: DataFrame, vec_col: str, id_col: str,
+                   threshold: float = 0.9,
+                   block_col: str | None = None,
+                   keep_col: str | None = None) -> DataFrame:
+    """SemDeDup-style semantic pruning (Abbas et al. 2023,
+    arXiv:2303.09540): drop every document whose embedding is within
+    cosine ``threshold`` of an EARLIER (lower-id) document in the same
+    block; keep the first member of each near-duplicate neighborhood.
+
+    ``block_col`` is the cluster column that bounds the pair join —
+    at scale this is the stored IVF assignment
+    (sources.prepared.embedding_ivf: k-means clusters as a hive
+    partition), which is exactly the SemDeDup recipe: cluster the
+    corpus once at ingest, then prune within clusters only.  Without a
+    block the comparison is exact all-pairs (eval sets only).
+
+    Keep-first semantics are deterministic and non-iterative: a row is
+    dropped iff ANY lower-id row in its block clears the threshold
+    (one anti-join over the pair frame — no transitive chasing, no
+    convergence loop).  This is the same keep-first discipline as
+    ``curation.span_dedup``.
+
+    With ``keep_col`` set, returns ALL rows with a boolean flag
+    instead of filtering — the shape downstream rebalance/reporting
+    steps want.
+
+    Scale: pair generation is ``embedding_dedup_pairs`` (within-block
+    join, norms precomputed); the drop set is distinct ids (short
+    rows); survivors come from a broadcast-able left-anti join when
+    the drop set is small, or a shuffled anti-join otherwise — either
+    way one pass over the corpus, no driver collect.
+    """
+    pairs = embedding_dedup_pairs(df, vec_col, id_col,
+                                  threshold=threshold, block_col=block_col)
+    # id_a < id_b in the pair frame, so id_b always has an earlier
+    # above-threshold neighbor -> id_b is the dropped side.
+    dropped = pairs.select(F.col("id_b").alias(id_col)).distinct()
+    if keep_col:
+        flag = dropped.withColumn(keep_col, F.lit(False))
+        return (df.join(flag, id_col, "left")
+                .fillna({keep_col: True}))
+    return df.join(dropped, id_col, "left_anti")

@@ -508,3 +508,69 @@ def pq_topk_rerank(encoded: DataFrame, raw: DataFrame, vec_col: str,
     pruned = raw.join(cand, raw[id_col] == cand["id"], "left_semi")
     return cosine_topk(pruned, vec_col, id_col, query, k=k,
                        round_to=round_to)
+
+
+def kmeans_assign_expr(vec: Column, centroids) -> Column:
+    """Nearest-centroid (cosine) assignment as a pure JVM expression:
+    one ``cosine`` column per centroid (codegen'd fold over the array,
+    no Python), argmax with FIRST-index tie-break via
+    ``array_position(arr, array_max(arr))``.  The codebook rides into
+    the plan as literals — broadcast with the task binary, no join."""
+    cos = [cosine(vec, F.array(*[F.lit(float(x)) for x in c]))
+           for c in centroids]
+    arr = F.array(*cos)
+    return (F.array_position(arr, F.array_max(arr)) - 1).cast("int")
+
+
+def kmeans_step(df: DataFrame, vec_col: str, centroids) -> DataFrame:
+    """One distributed Lloyd iteration over the FULL corpus:
+    (cluster, dim, centroid_val, n_members).
+
+    Assignment is ``kmeans_assign_expr`` (JVM-side, no UDF); the
+    centroid update is ``posexplode`` to (cluster, dim, val) skinny
+    rows and a single ``groupBy(cluster, dim).avg`` — partial (map-side)
+    aggregation collapses every task's output to at most k*dim rows
+    before the one shuffle, so a 100 TB corpus moves k*dim*tasks tiny
+    rows per iteration, never the vectors.  Contrast
+    ``ivf_centroids``, which trains on a bounded driver-side sample:
+    this path trains on everything and never collects data rows.
+    """
+    v = F.col(vec_col).cast("array<double>")
+    # Two projections on purpose: `select(assign, posexplode(v))` parks
+    # the assignment expression in the Project ABOVE the Generate, so
+    # the k cosine folds re-run once per EXPLODED row (dim× the work —
+    # measured 6.4s vs 0.15s at sf0.1).  Evaluating it in a child
+    # projection runs it once per input row; Catalyst has no rule that
+    # collapses a Project through a Generate, so the split is stable.
+    pre = df.select(kmeans_assign_expr(v, centroids).alias("cluster"),
+                    v.alias("__v"))
+    assigned = pre.select("cluster", F.posexplode("__v").alias("dim", "val"))
+    return (assigned.groupBy("cluster", "dim")
+            .agg(F.avg("val").alias("centroid_val"),
+                 F.count(F.lit(1)).alias("n_members")))
+
+
+def kmeans_fit(df: DataFrame, vec_col: str, id_col: str, k: int = 8,
+               iters: int = 2) -> list[list[float]]:
+    """Distributed k-means (Lloyd's): seeds are the first ``k`` vectors
+    in id order (deterministic), then ``iters`` full-corpus
+    ``kmeans_step`` rounds.  Per round only k*dim aggregated doubles
+    come back to the driver (the codebook — same bounded-metadata
+    footprint as the reference's metadata-table reads); the next
+    round's assignment re-reads the source, so the lineage stays flat
+    and no checkpoint is needed.  Empty clusters keep their previous
+    centroid (standard Lloyd's fallback)."""
+    seeds = [list(map(float, r[0])) for r in
+             df.select(F.col(vec_col).cast("array<double>"))
+             .orderBy(id_col).limit(k).collect()]
+    cents = seeds
+    for _ in range(iters):
+        rows = kmeans_step(df, vec_col, cents).collect()
+        nxt = [list(c) for c in cents]
+        by_cluster: dict[int, dict[int, float]] = {}
+        for r in rows:
+            by_cluster.setdefault(r.cluster, {})[r.dim] = r.centroid_val
+        for c, dims in by_cluster.items():
+            nxt[c] = [dims[d] for d in range(len(dims))]
+        cents = nxt
+    return cents

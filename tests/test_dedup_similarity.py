@@ -461,3 +461,89 @@ def test_prefix_filter_exact_under_max_df(spark, docs):
         docs, "text", "doc_id", k=2, threshold=0.3, max_df=50,
         prefix_filter=True).collect()}
     assert pref == direct and direct
+
+
+# ------------------------------------------------- semantic dedup / k-means
+
+def test_semantic_dedup_keep_first_matches_bruteforce(spark, emb):
+    """Survivors = rows with no earlier above-threshold neighbor in
+    their block, computed independently in numpy."""
+    import numpy as np
+    rows = sorted(emb.select("vec_id", "label", "embedding").collect(),
+                  key=lambda r: r.vec_id)
+    V = np.array([r.embedding for r in rows], dtype=float)
+    V /= np.linalg.norm(V, axis=1, keepdims=True)
+    C = V @ V.T
+    expected = set()
+    for i, ri in enumerate(rows):
+        dominated = any(
+            rows[j].label == ri.label and round(C[i, j], 4) >= 0.35
+            for j in range(i))
+        if not dominated:
+            expected.add(ri.vec_id)
+    got = {r.vec_id for r in dedup.semantic_dedup(
+        emb, "embedding", "vec_id", threshold=0.35,
+        block_col="label").collect()}
+    assert got == expected
+    assert 0 < len(got) < len(rows)
+
+
+def test_semantic_dedup_keep_col_flags_match_filtered(spark, emb):
+    flagged = dedup.semantic_dedup(emb, "embedding", "vec_id",
+                                   threshold=0.35, block_col="label",
+                                   keep_col="keep")
+    assert flagged.count() == emb.count()
+    kept = {r.vec_id for r in flagged.filter("keep").collect()}
+    filtered = {r.vec_id for r in dedup.semantic_dedup(
+        emb, "embedding", "vec_id", threshold=0.35,
+        block_col="label").collect()}
+    assert kept == filtered
+
+
+def test_semantic_dedup_over_ivf_blocks(spark, emb):
+    """The scale deployment: block on the stored IVF k-means
+    assignment.  Block-restricted survivors must be a superset of the
+    unblocked-exact survivors (blocking only removes comparisons)."""
+    from datawave_spark.operators.similarity import ivf_centroids, ivf_assign
+    cents = ivf_centroids(emb, "embedding", "vec_id", n_centroids=4)
+    assigned = ivf_assign(emb, "embedding", cents)
+    blocked = {r.vec_id for r in dedup.semantic_dedup(
+        assigned, "embedding", "vec_id", threshold=0.35,
+        block_col="ivf_cluster").collect()}
+    exact = {r.vec_id for r in dedup.semantic_dedup(
+        emb, "embedding", "vec_id", threshold=0.35).collect()}
+    assert exact <= blocked
+    assert len(blocked) < emb.count()
+
+
+def test_kmeans_fit_matches_numpy_lloyd(spark, emb):
+    """Distributed Lloyd's == numpy Lloyd's from the same seeds (cosine
+    assignment, mean update), to float tolerance."""
+    import numpy as np
+    rows = sorted(emb.select("vec_id", "embedding").collect(),
+                  key=lambda r: r.vec_id)
+    V = np.array([r.embedding for r in rows], dtype=float)
+    k, iters = 4, 2
+    cents = V[:k].copy()
+    for _ in range(iters):
+        Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
+        Cn = cents / np.linalg.norm(cents, axis=1, keepdims=True)
+        assign = (Vn @ Cn.T).argmax(axis=1)
+        for c in range(k):
+            m = V[assign == c]
+            if len(m):
+                cents[c] = m.mean(axis=0)
+    got = np.array(similarity.kmeans_fit(emb, "embedding", "vec_id",
+                                         k=k, iters=iters))
+    assert np.allclose(got, cents, atol=1e-9)
+
+
+def test_kmeans_step_no_python_udf_in_plan(spark, emb):
+    """Assignment must stay JVM-side: no BatchEvalPython / ArrowEval
+    in the physical plan (the posexplode+agg path is codegen'd)."""
+    seeds = [list(map(float, r.embedding)) for r in
+             emb.orderBy("vec_id").limit(4).collect()]
+    plan = similarity.kmeans_step(emb, "embedding", seeds) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
