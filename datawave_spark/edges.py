@@ -59,8 +59,11 @@ def build_edges(events: DataFrame, defs: list[EdgeDefinition],
         src = events
         if d.precondition:
             src = compile_query(src, d.precondition)
+        # Compute sibling expressions in a projection BELOW the
+        # explode: siblings written next to a generator land in the
+        # Project ABOVE it and re-run once per exploded element.
         pairs = src.select(
-            F.explode(_as_array(src, d.source_field)).alias("source"),
+            _as_array(src, d.source_field).alias("__sources"),
             _as_array(src, d.sink_field).alias("__sinks"),
             *( [F.col(d.attribute1).cast("string").alias("attribute1")]
                if d.attribute1 else [F.lit(None).cast("string").alias("attribute1")] ),
@@ -68,6 +71,9 @@ def build_edges(events: DataFrame, defs: list[EdgeDefinition],
                if date_col else [F.lit(None).cast("date").alias("edge_date")] ),
             *( [F.hour(F.col(ts_col)).alias("edge_hour")]
                if ts_col else [F.lit(None).cast("int").alias("edge_hour")] ),
+        ).select(
+            F.explode("__sources").alias("source"),
+            "__sinks", "attribute1", "edge_date", "edge_hour",
         ).select(
             "source", F.explode("__sinks").alias("sink"),
             "attribute1", "edge_date", "edge_hour",
@@ -200,9 +206,11 @@ def dated_edges(events: DataFrame, defs: list[EdgeDefinition],
         ed = F.to_date(F.col(event_date_col))
         ad = F.to_date(F.col(activity_date_col)) if activity_date_col else ed
         pairs = src.select(
-            F.explode(_as_array(src, d.source_field)).alias("source"),
+            _as_array(src, d.source_field).alias("__sources"),
             _as_array(src, d.sink_field).alias("__sinks"),
             ed.alias("__ed"), ad.alias("__ad"),
+        ).select(F.explode("__sources").alias("source"),
+                 "__sinks", "__ed", "__ad",
         ).select("source", F.explode("__sinks").alias("sink"),
                  "__ed", "__ad") \
          .select("source", "sink", F.lit(d.edge_type).alias("edge_type"),

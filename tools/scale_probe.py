@@ -31,7 +31,7 @@ SMALL = "/root/testdata/sf0.1"
 OPS = ["jexl_filter", "groupby", "tokenize_tf", "minhash_sig", "simhash",
        "lsh_pairs", "ngram_capped", "simhash_pairs", "ssdeep_join",
        "knn_lsh", "knn_blocked", "repetition", "decontaminate", "pack",
-       "span_dedup", "rebalance"]
+       "span_dedup", "rebalance", "semantic_dedup", "kmeans_step"]
 
 
 def generate(spark):
@@ -148,6 +148,16 @@ def run_one(op: str, events_path: str, docs_path: str,
             "doc_id", "src", "n", 2048)),
         "span_dedup": lambda d: noop(curation.remove_duplicate_spans(
             d, "text", "doc_id", span_tokens=10)),
+        # Blocked on IVF clusters sized so the mean block stays ~250
+        # rows at EITHER scale — the bounded-block discipline that keeps
+        # semantic dedup near-linear (cluster count grows with the
+        # corpus; per-cluster pair work stays constant).
+        "semantic_dedup": lambda d: _semantic_dedup(d),
+        "kmeans_step": lambda d: noop(__import__(
+            "datawave_spark.operators.similarity", fromlist=["x"])
+            .kmeans_step(d, "embedding",
+                         [r.embedding for r in
+                          d.orderBy("vec_id").limit(8).collect()])),
         "rebalance": lambda d: noop(curation.rebalance_mix(
             d.withColumn("src", F.concat(F.lit("s"),
                          (F.col("doc_id") % 4).cast("string")))
@@ -155,6 +165,15 @@ def run_one(op: str, events_path: str, docs_path: str,
             "doc_id", "src", "w",
             {"s0": 0.4, "s1": 0.3, "s2": 0.2, "s3": 0.1})),
     }
+    def _semantic_dedup(d):
+        from datawave_spark.operators import similarity as sim
+        n = d.count()
+        k = max(4, n // 250)
+        cents = sim.ivf_centroids(d, "embedding", "vec_id", n_centroids=k)
+        assigned = sim.ivf_assign(d, "embedding", cents)
+        noop(dedup.semantic_dedup(assigned, "embedding", "vec_id",
+                                  threshold=0.5, block_col="ivf_cluster"))
+
     def _knn_lsh(d):
         from datawave_spark.operators import similarity as sim
         dim = len(d.select("embedding").head()[0])
@@ -169,7 +188,7 @@ def run_one(op: str, events_path: str, docs_path: str,
 
     if op in ("jexl_filter", "groupby"):
         src = ev
-    elif op in ("knn_lsh", "knn_blocked"):
+    elif op in ("knn_lsh", "knn_blocked", "semantic_dedup", "kmeans_step"):
         src = emb
     else:
         src = docs
