@@ -4181,3 +4181,45 @@ def q_skew_salted_join(spark, sf_dir):
         .select("event_id", "event_type")
     return salted_join(fact, dim, "event_type", salt=8) \
         .select("event_id", "event_type", "type_count")
+
+
+@register("curation_hash_split", """
+SELECT doc_id, source,
+       CASE WHEN substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 8)
+                 < '19999999' THEN 'test'
+            WHEN substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 8)
+                 < 'e6666666' THEN 'train'
+            ELSE 'val' END AS split
+FROM documents
+""")
+def q_curation_hash_split(spark, sf_dir):
+    """Deterministic train/val/test carve-out (curation.hash_split):
+    md5(salt, id) binned into cumulative-fraction intervals — the
+    reproducible-split property randomSplit lacks (its assignment
+    shifts with partitioning).  Zero shuffle; the oracle replays the
+    coin bit-for-bit (thresholds 0.1→0x19999999, 0.9→0xe6666666)."""
+    from datawave_spark.operators.curation import hash_split
+    docs = _t(spark, sf_dir, "documents")
+    return hash_split(docs, "doc_id",
+                      {"train": 0.8, "val": 0.1, "test": 0.1}) \
+        .select("doc_id", "source", "split")
+
+
+@register("curation_domain_cap", """
+SELECT doc_id, source, n_chars FROM (
+  SELECT doc_id, source, n_chars,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY n_chars DESC, doc_id) AS rn
+  FROM documents) WHERE rn <= 20
+""")
+def q_curation_domain_cap(spark, sf_dir):
+    """Per-domain quota (curation.domain_cap): keep the 20 longest
+    docs per source — the hot-domain downsampling step of crawl
+    curation, as one windowed rank cut (no collect, no join; for
+    billion-row domains compose with stratified_sample as a two-phase
+    cap)."""
+    from datawave_spark.operators.curation import domain_cap
+    docs = _t(spark, sf_dir, "documents")
+    return domain_cap(docs, "doc_id", "source", 20,
+                      order_col="n_chars", descending=True) \
+        .select("doc_id", "source", "n_chars")

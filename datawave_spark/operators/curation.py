@@ -330,3 +330,65 @@ def rebalance_mix(df: DataFrame, id_col: str, strata_col: str,
                   16, 10).cast("double") / F.lit(4294967296.0)
     return (df.join(F.broadcast(rates), strata_col)
             .filter(coin < F.col("__rate")).drop("__rate"))
+
+
+def hash_split(df: DataFrame, id_col: str,
+               fractions: dict[str, float],
+               out_col: str = "split",
+               salt: str = "split") -> DataFrame:
+    """Deterministic train/val/test assignment: the md5 coin of
+    (salt, id) is binned into cumulative-fraction intervals, so every
+    row lands in exactly one split, assignment is reproducible across
+    runs/engines, and adding a new split only moves rows at the new
+    boundary (consistent hashing — the property random `randomSplit`
+    lacks: its assignment changes with partitioning).  The salt keeps
+    independent splitting decisions (e.g. a second eval carve-out)
+    uncorrelated with each other and with ``stratified_sample`` coins.
+
+    Fractions must sum to ≤ 1; a remainder falls into the LAST named
+    split (intervals are [lo, hi) with the final hi forced to the max
+    hex so the sum-to-1 case has no unassigned sliver).  Zero shuffle:
+    one codegen'd CASE over an md5 prefix, pushable below any
+    downstream operator."""
+    total = sum(fractions.values())
+    if not 0 < total <= 1 + 1e-9:
+        raise ValueError(f"fractions must sum to (0, 1], got {total}")
+    coin = F.substring(
+        F.md5(F.concat(F.lit(salt + ":"), F.col(id_col).cast("string"))),
+        1, 8)
+    expr = None
+    cum = 0.0
+    items = sorted(fractions.items())
+    for i, (name, frac) in enumerate(items):
+        cum += frac
+        hi = "ffffffff" if i == len(items) - 1 else _hex_threshold(cum)
+        cond = coin <= F.lit(hi) if i == len(items) - 1 \
+            else coin < F.lit(hi)
+        expr = F.when(cond, F.lit(name)) if expr is None \
+            else expr.when(cond, F.lit(name))
+    return df.withColumn(out_col, expr)
+
+
+def domain_cap(df: DataFrame, id_col: str, domain_col: str,
+               max_per_domain: int,
+               order_col: str | None = None,
+               descending: bool = False) -> DataFrame:
+    """Per-domain quota: keep at most ``max_per_domain`` rows per
+    domain, preferring the best by ``order_col`` (ties and the default
+    use ascending id — deterministic).  The hot-domain downsampling
+    step of crawl curation (a handful of domains dominate a crawl the
+    way hot keys dominate a shuffle).
+
+    One window over (domain) with a rank cut: Spark computes it as a
+    single hash-partitioned sort per domain — no driver collect, no
+    join.  A domain with billions of rows is itself a skew hazard:
+    for those, pre-filter with ``stratified_sample`` on the domain to
+    near the cap first (two-phase cap), which this function composes
+    with."""
+    from pyspark.sql import Window
+    order = [F.col(order_col).desc() if descending else F.col(order_col),
+             F.col(id_col)] if order_col else [F.col(id_col)]
+    w = Window.partitionBy(domain_col).orderBy(*order)
+    return (df.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") <= max_per_domain)
+            .drop("__rn"))

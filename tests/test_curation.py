@@ -293,3 +293,64 @@ class TestRebalanceGuards:
         with pytest.raises(ValueError, match="no weight"):
             curation.rebalance_mix(df, "id", "src", "w",
                                    {"a": 0.5, "b": 0.5})
+
+
+# ------------------------------------------------- hash_split / domain_cap
+
+def test_hash_split_partitions_every_row_once(spark, docs):
+    from datawave_spark.operators.curation import hash_split
+    out = hash_split(docs, "doc_id", {"train": 0.8, "val": 0.1,
+                                      "test": 0.1})
+    assert out.count() == docs.count()
+    assert out.filter(F.col("split").isNull()).count() == 0
+    shares = {r.split: r.n for r in
+              out.groupBy("split").agg(F.count("*").alias("n")).collect()}
+    n = docs.count()
+    assert set(shares) <= {"train", "val", "test"}
+    assert abs(shares.get("train", 0) / n - 0.8) < 0.1
+
+
+def test_hash_split_is_stable_and_consistent(spark, docs):
+    """Same ids -> same assignment; widening a split keeps prior
+    members (consistent-hashing property)."""
+    from datawave_spark.operators.curation import hash_split
+    a = {r.doc_id: r.split for r in
+         hash_split(docs, "doc_id", {"train": 0.8, "val": 0.2}).collect()}
+    b = {r.doc_id: r.split for r in
+         hash_split(docs, "doc_id", {"train": 0.8, "val": 0.2}).collect()}
+    assert a == b
+    wide = {r.doc_id: r.split for r in
+            hash_split(docs, "doc_id", {"train": 0.9, "val": 0.1}).collect()}
+    # train interval [t-boundary, 0.9+boundary) is a superset: nobody
+    # leaves train when its fraction grows (fractions sorted: train
+    # after test/val alphabetically? here keys are train/val only —
+    # 'train' < 'val', so train owns the low interval and widening it
+    # moves the boundary up)
+    for k, v in a.items():
+        if v == "train":
+            assert wide[k] == "train"
+
+
+def test_hash_split_rejects_bad_fractions(spark, docs):
+    from datawave_spark.operators.curation import hash_split
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        hash_split(docs, "doc_id", {"a": 0.7, "b": 0.7})
+
+
+def test_domain_cap_bounds_and_prefers_order(spark, docs):
+    from datawave_spark.operators.curation import domain_cap
+    out = domain_cap(docs, "doc_id", "source", 5,
+                     order_col="n_chars", descending=True)
+    per = out.groupBy("source").agg(F.count("*").alias("n")).collect()
+    assert all(r.n <= 5 for r in per)
+    # kept docs per source are the longest ones
+    kept = {(r.source, r.doc_id) for r in out.collect()}
+    rows = docs.select("doc_id", "source", "n_chars").collect()
+    by_src = {}
+    for r in rows:
+        by_src.setdefault(r.source, []).append(r)
+    for src, members in by_src.items():
+        best = sorted(members, key=lambda r: (-r.n_chars, r.doc_id))[:5]
+        assert {(src, r.doc_id) for r in best} == {
+            k for k in kept if k[0] == src}
