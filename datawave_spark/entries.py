@@ -4223,3 +4223,49 @@ def q_curation_domain_cap(spark, sf_dir):
     return domain_cap(docs, "doc_id", "source", 20,
                       order_col="n_chars", descending=True) \
         .select("doc_id", "source", "n_chars")
+
+
+@register("cardinality_hll_sketch", """
+WITH vals AS (
+  SELECT 'event_type' AS field, event_type AS v FROM events WHERE event_type IS NOT NULL
+  UNION ALL
+  SELECT 'props', props FROM events WHERE props IS NOT NULL
+  UNION ALL
+  SELECT 'user_id', CAST(user_id AS VARCHAR) FROM events WHERE user_id IS NOT NULL),
+h AS (SELECT field,
+        CAST(CAST(concat('0x', substr(md5(v), 1, 8)) AS UBIGINT) AS BIGINT) AS hi,
+        CAST(CAST(concat('0x', substr(md5(v), 9, 8)) AS UBIGINT) AS BIGINT) AS lo
+      FROM vals),
+r AS (SELECT field, hi >> 24 AS b,
+             ((hi & 16777215) * 1073741824) + (lo >> 2) AS w FROM h),
+rr AS (SELECT field, b, 55 - len(bin(w)) AS rho FROM r),
+mb AS (SELECT field, b, max(rho) AS mr FROM rr GROUP BY field, b),
+agg AS (SELECT field,
+               CAST(sum(1::BIGINT << CAST(54 - least(mr, 54) AS INT)) AS BIGINT)
+                 AS present_sum,
+               count(*) AS present
+        FROM mb GROUP BY field),
+raw AS (SELECT field,
+               present_sum + (256 - present) * 18014398509481984 AS sketch_sum,
+               CAST(present AS INT) AS nonzero_buckets,
+               8.479866049813793e+20 /
+                 (present_sum + (256 - present) * 18014398509481984) AS r,
+               256 - present AS zeros
+        FROM agg)
+SELECT field, sketch_sum, nonzero_buckets,
+       floor((CASE WHEN r <= 640.0 AND zeros > 0
+                   THEN 256.0 * ln(256.0 / zeros) ELSE r END) * 100 + 0.5)
+         / 100 AS estimate
+FROM raw
+""")
+def q_cardinality_hll_sketch(spark, sf_dir):
+    """Index-stats HLL with a FULL hash oracle (upgrade of the
+    rows-only `cardinality_hll`): a from-scratch md5-bit HyperLogLog
+    whose registers, harmonic sum (exact 2^54-scaled integers) and
+    estimate are replayed bit-for-bit in DuckDB
+    (operators/sketches.py; StatsHyperLogMapper.java parity).  The
+    register groupBy IS the sketch merge — map-side partial max means
+    a 100 TB scan ships ≤ m rows per task."""
+    from datawave_spark.operators.sketches import hll_estimate
+    ev = _t(spark, sf_dir, "events")
+    return hll_estimate(ev, ["user_id", "event_type", "props"], b=8)

@@ -1,0 +1,116 @@
+"""Deterministic distributed sketches.
+
+The reference's index-stats job builds per-field HyperLogLog sketches
+at ingest (warehouse/index-stats/.../StatsHyperLogMapper.java,
+HyperLogFieldSummary) and merges them server-side.  Spark's native
+``approx_count_distinct`` is the same idea (HLL++), but its sketch is
+engine-private — no cross-engine oracle can check it, so the driver
+gate can only do a rows-only check on that path.
+
+``hll_estimate`` is a from-scratch HLL whose every step is exact
+integer arithmetic on md5 bits, identical in Spark SQL and DuckDB SQL:
+
+- hash     = md5(value): top 32 bits ``hi``, next 32 ``lo`` (both
+             engines agree on md5 bit-for-bit);
+- bucket   = top ``b`` bits of ``hi`` (m = 2^b registers);
+- w        = the next 54 bits; rho = leading-zero count of w + 1 =
+             55 - bitlen(w), where bitlen is the LENGTH OF THE BINARY
+             STRING (Spark ``conv(w,10,2)`` ↔ DuckDB ``bin(w)`` — both
+             render without leading zeros, so their lengths agree; no
+             log2, whose FP rounding differs across engines near
+             power-of-two boundaries; w = 0 renders "0" on both, so
+             rho caps at wbits rather than wbits+1 — a spec choice
+             applied identically on both sides);
+- register = max(rho) per bucket — this groupBy IS the sketch merge:
+             partial aggregation merges per-task sketches map-side,
+             so a 100 TB scan ships at most m rows per task, and
+             incremental ingest unions new data then re-maxes;
+- sum      = Σ 2^(54-rho) held as a 64-bit INTEGER (scaled by 2^54, so
+             the harmonic-mean denominator is exact — a double sum
+             would be partition-order-dependent);
+- estimate = alpha_m·m²·2^54 / sum, one double division from identical
+             integers → bit-identical, then half-up-rounded.
+
+The small-range LinearCounting correction (raw ≤ 2.5m and empty
+registers exist → m·ln(m/zeros), Flajolet et al. '07) IS applied —
+without it the raw estimate floors at ~0.72·m for tiny n.  Its ln()
+runs on an identical double ratio on both engines and the result is
+rounded to 2 decimals, so a sub-ulp libm difference cannot flip the
+hash check except on a measure-zero boundary (the same acceptance
+every rounded float aggregate in entries.py already makes).  The
+large-range (2^32) correction is irrelevant at a 54-bit hash width.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+_POW54 = 1 << 54
+
+
+def hll_constant(b: int) -> float:
+    """alpha_m * m^2 * 2^54 as ONE Python float — embed this exact
+    literal on both engine sides so the final division is the only FP
+    op and is performed on identical operands."""
+    m = 1 << b
+    if b >= 7:
+        alpha = 0.7213 / (1 + 1.079 / m)
+    elif b == 6:
+        alpha = 0.709
+    elif b == 5:
+        alpha = 0.697
+    else:
+        alpha = 0.673
+    return float(alpha * m * m * _POW54)
+
+
+def hll_estimate(df: DataFrame, value_cols: list[str],
+                 b: int = 8) -> DataFrame:
+    """Per-field deterministic HLL: (field, sketch_sum, nonzero_buckets,
+    estimate).  ``value_cols`` are melted to (field, value) rows first
+    (the generator input is computed once per row), so one pass sketches
+    every field — the index-stats job shape."""
+    m = 1 << b
+    c = hll_constant(b)
+    pairs = F.array(*[
+        F.struct(F.lit(f).alias("field"),
+                 F.col(f).cast("string").alias("v"))
+        for f in value_cols])
+    melted = (df.select(F.explode(pairs).alias("p"))
+              .select("p.field", "p.v")
+              .filter(F.col("v").isNotNull()))
+    hi = F.conv(F.substring(F.md5("v"), 1, 8), 16, 10).cast("long")
+    lo = F.conv(F.substring(F.md5("v"), 9, 8), 16, 10).cast("long")
+    w = ((hi.bitwiseAND(F.lit((1 << (32 - b)) - 1))
+          * F.lit(1 << 30)) + F.shiftright(lo, 2)).alias("w")
+    # leading-run length: 55-b of the window's bits... the window is
+    # (54-b+30) bits wide for general b; keep the classic 54-bit window
+    # only for b=8 (the register count the entries use).  For other b
+    # the window is (32-b)+30 bits.
+    wbits = (32 - b) + 30
+    bitlen = F.length(F.conv(F.col("w").cast("string"), 10, 2))
+    rho = (F.lit(wbits + 1) - bitlen).alias("rho")
+    hashed = melted.select("field", F.shiftright(hi, 32 - b).alias("b"), w)
+    regs = (hashed.select("field", "b", rho)
+            .groupBy("field", "b").agg(F.max("rho").alias("mr")))
+    scale = F.lit(1 << wbits).cast("long")
+    term = F.pow(F.lit(2.0),
+                 (F.lit(wbits) - F.least(F.col("mr"), F.lit(wbits)))
+                 .cast("double")).cast("long")
+    aggd = (regs.groupBy("field")
+            .agg(F.sum(term).alias("present_sum"),
+                 F.count(F.lit(1)).alias("present")))
+    # constant rescaled to the actual window width
+    c_w = c * (float(1 << wbits) / float(_POW54))
+    total = (F.col("present_sum")
+             + (F.lit(m) - F.col("present")) * scale)
+    raw = F.lit(c_w) / total
+    zeros = F.lit(m) - F.col("present")
+    corrected = F.when(
+        (raw <= F.lit(2.5 * m)) & (zeros > 0),
+        F.lit(float(m)) * F.log(F.lit(float(m)) / zeros)).otherwise(raw)
+    est = F.floor(corrected * 100 + F.lit(0.5)) / 100
+    return aggd.select(
+        "field", total.alias("sketch_sum"),
+        F.col("present").cast("int").alias("nonzero_buckets"),
+        est.alias("estimate"))
