@@ -4269,3 +4269,72 @@ def q_cardinality_hll_sketch(spark, sf_dir):
     from datawave_spark.operators.sketches import hll_estimate
     ev = _t(spark, sf_dir, "events")
     return hll_estimate(ev, ["user_id", "event_type", "props"], b=8)
+
+
+@register("cms_frequency_probe", """
+WITH js AS (SELECT CAST(unnest(range(0, 4)) AS INT) AS j),
+cells AS (
+  SELECT j,
+         CAST(CAST(concat('0x', substr(md5('cms' || CAST(j AS VARCHAR) || ':'
+                                           || event_type), 1, 8))
+              AS UBIGINT) AS BIGINT) % 1024 AS bucket,
+         count(*) AS cnt
+  FROM events, js WHERE event_type IS NOT NULL GROUP BY 1, 2),
+probes(v) AS (VALUES ('click'), ('view'), ('purchase'), ('error'),
+                     ('signup'), ('absent_type')),
+pk AS (
+  SELECT v, j,
+         CAST(CAST(concat('0x', substr(md5('cms' || CAST(j AS VARCHAR) || ':'
+                                           || v), 1, 8))
+              AS UBIGINT) AS BIGINT) % 1024 AS bucket
+  FROM probes, js)
+SELECT v, min(coalesce(cnt, 0)) AS est
+FROM pk LEFT JOIN cells USING (j, bucket) GROUP BY v
+""")
+def q_cms_frequency_probe(spark, sf_dir):
+    """Count-Min frequency estimation (sketches.cms_sketch/cms_lookup):
+    the d*w-cell sketch is built once (cell counts are sums, so the
+    sketch is partitioning-invariant and mergeable cell-wise — per-day
+    sketches at ingest, added for any date range), then point-queried
+    for five hot values and one absent value.  The oracle replays
+    sketch cells AND lookups bit-for-bit, collisions included."""
+    from datawave_spark.operators.sketches import cms_sketch, cms_lookup
+    ev = _t(spark, sf_dir, "events")
+    sk = cms_sketch(ev, "event_type", w=1024, d=4)
+    return cms_lookup(sk, ["click", "view", "purchase", "error",
+                           "signup", "absent_type"], w=1024, d=4)
+
+
+@register("cardinality_kmv", """
+WITH vals AS (
+  SELECT 'user_id' AS field, CAST(user_id AS VARCHAR) AS v
+  FROM events WHERE user_id IS NOT NULL
+  UNION ALL
+  SELECT 'event_id', CAST(event_id AS VARCHAR)
+  FROM events WHERE event_id IS NOT NULL),
+hh AS (SELECT DISTINCT field,
+         CAST(CAST(concat('0x', substr(md5(v), 1, 8)) AS UBIGINT) AS BIGINT)
+           AS h
+       FROM vals),
+rk AS (SELECT field, h,
+              row_number() OVER (PARTITION BY field ORDER BY h) AS rn
+       FROM hh),
+agg AS (SELECT field, count(*) AS n_kept, max(h) AS threshold
+        FROM rk WHERE rn <= 64 GROUP BY field)
+SELECT field, n_kept, threshold,
+       CASE WHEN n_kept < 64 THEN CAST(n_kept AS DOUBLE)
+            ELSE floor(63.0 * 4294967296.0 / threshold * 100 + 0.5) / 100
+       END AS estimate
+FROM agg
+""")
+def q_cardinality_kmv(spark, sf_dir):
+    """KMV bottom-k distinct sketch (sketches.kmv_cardinality): the k
+    smallest md5 hashes of the distinct values; mergeable by re-minning
+    the combined bottom-k sets, which also gives set-operation
+    cardinality estimates HLL registers cannot.  user_id exercises the
+    exact below-k branch; event_id the (k-1)*2^32/threshold estimator.
+    Deterministic integers until one final division -> full hash
+    oracle."""
+    from datawave_spark.operators.sketches import kmv_cardinality
+    ev = _t(spark, sf_dir, "events")
+    return kmv_cardinality(ev, ["user_id", "event_id"], k=64)

@@ -83,10 +83,8 @@ def hll_estimate(df: DataFrame, value_cols: list[str],
     lo = F.conv(F.substring(F.md5("v"), 9, 8), 16, 10).cast("long")
     w = ((hi.bitwiseAND(F.lit((1 << (32 - b)) - 1))
           * F.lit(1 << 30)) + F.shiftright(lo, 2)).alias("w")
-    # leading-run length: 55-b of the window's bits... the window is
-    # (54-b+30) bits wide for general b; keep the classic 54-bit window
-    # only for b=8 (the register count the entries use).  For other b
-    # the window is (32-b)+30 bits.
+    # window width: (32-b) remaining hi bits + 30 lo bits — 54 for the
+    # b=8 the entries use; the constant below rescales for other b
     wbits = (32 - b) + 30
     bitlen = F.length(F.conv(F.col("w").cast("string"), 10, 2))
     rho = (F.lit(wbits + 1) - bitlen).alias("rho")
@@ -114,3 +112,88 @@ def hll_estimate(df: DataFrame, value_cols: list[str],
         "field", total.alias("sketch_sum"),
         F.col("present").cast("int").alias("nonzero_buckets"),
         est.alias("estimate"))
+
+
+def cms_sketch(df: DataFrame, value_col: str, w: int = 1024,
+               d: int = 4) -> DataFrame:
+    """Count-Min sketch (Cormode & Muthukrishnan '05) as a DataFrame:
+    (row j, bucket, cnt) — d·w cells regardless of input size.  Unlike
+    Misra-Gries, CMS cell counts are SUMS, so the sketch is
+    partitioning/order-invariant (deterministic across engines) and
+    mergeable by cell-wise addition — build per-day sketches at ingest,
+    add them for any date range.  Hashes are md5-salted per row so the
+    DuckDB oracle replays cells bit-for-bit."""
+    v = F.col(value_col).cast("string")
+    rows = F.array(*[
+        F.struct(F.lit(j).alias("j"),
+                 F.pmod(F.conv(F.substring(
+                     F.md5(F.concat(F.lit(f"cms{j}:"), v)), 1, 8),
+                     16, 10).cast("long"), F.lit(w)).alias("bucket"))
+        for j in range(d)])
+    return (df.filter(v.isNotNull())
+            .select(F.explode(rows).alias("c"))
+            .groupBy(F.col("c.j").alias("j"),
+                     F.col("c.bucket").alias("bucket"))
+            .agg(F.count(F.lit(1)).alias("cnt")))
+
+
+def cms_lookup(sketch: DataFrame, values: list[str], w: int = 1024,
+               d: int = 4) -> DataFrame:
+    """Point-query the sketch: est(v) = min over rows j of
+    cell[j, h_j(v)] (0 when the cell is absent).  The probe set is a
+    tiny literal frame joined against the d·w-row sketch — broadcast
+    either way; never touches the raw data."""
+    spark = sketch.sparkSession
+    probes = spark.createDataFrame([(x,) for x in values], "v string")
+    cells = F.array(*[
+        F.struct(F.lit(j).alias("j"),
+                 F.pmod(F.conv(F.substring(
+                     F.md5(F.concat(F.lit(f"cms{j}:"), F.col("v"))), 1, 8),
+                     16, 10).cast("long"), F.lit(w)).alias("bucket"))
+        for j in range(d)])
+    keyed = probes.select("v", F.explode(cells).alias("c")) \
+        .select("v", F.col("c.j").alias("j"),
+                F.col("c.bucket").alias("bucket"))
+    joined = keyed.join(sketch, ["j", "bucket"], "left") \
+        .fillna({"cnt": 0})
+    return joined.groupBy("v").agg(F.min("cnt").alias("est"))
+
+
+def kmv_cardinality(df: DataFrame, value_cols: list[str],
+                    k: int = 64) -> DataFrame:
+    """KMV (k-minimum-values / bottom-k) distinct sketch: keep the k
+    smallest 32-bit md5 hashes of the DISTINCT values; the kth smallest
+    t estimates cardinality as (k-1)·2^32/t (Bar-Yossef et al. '02).
+    Deterministic (mins of a fixed hash), mergeable (union = min-k of
+    the combined bottom-k sets — supports set-operation estimates HLL
+    registers cannot), and exact below k (fewer than k distinct hashes
+    → report the count itself).  Output: (field, n_kept, threshold,
+    estimate).
+
+    Scale: the distinct is per (field, hash-prefix) — Spark's partial
+    aggregation dedups map-side; the bottom-k per field is a windowed
+    rank over at most the distinct-hash count, and only k rows per
+    field survive to the driver-visible result."""
+    pairs = F.array(*[
+        F.struct(F.lit(f).alias("field"),
+                 F.col(f).cast("string").alias("v"))
+        for f in value_cols])
+    melted = (df.select(F.explode(pairs).alias("p"))
+              .select("p.field", "p.v")
+              .filter(F.col("v").isNotNull()))
+    h = F.conv(F.substring(F.md5("v"), 1, 8), 16, 10).cast("long")
+    from pyspark.sql import Window
+    w = Window.partitionBy("field").orderBy("h")
+    botk = (melted.select("field", h.alias("h")).distinct()
+            .withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") <= k))
+    agg = botk.groupBy("field").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.max("h").alias("threshold"))
+    est = F.when(
+        F.col("n_kept") < k, F.col("n_kept").cast("double")
+    ).otherwise(
+        F.floor(F.lit(float(k - 1)) * F.lit(float(1 << 32))
+                / F.col("threshold") * 100 + F.lit(0.5)) / 100)
+    return agg.select("field", "n_kept", "threshold",
+                      est.alias("estimate"))

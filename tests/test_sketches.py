@@ -57,3 +57,58 @@ def test_hll_other_register_counts(spark, ev):
                for r in hll_estimate(ev, ["user_id"], b=b).collect()}
         true = ev.select("user_id").distinct().count()
         assert abs(est["user_id"] - true) / true < 0.35
+
+
+# ------------------------------------------------------------- CMS / KMV
+
+def test_cms_estimates_upper_bound_exact_counts(spark, ev):
+    """CMS never underestimates; with d*w >> distinct it is exact."""
+    from datawave_spark.operators.sketches import cms_sketch, cms_lookup
+    exact = {r.event_type: r.n for r in
+             ev.groupBy("event_type").agg(F.count("*").alias("n"))
+             .collect()}
+    sk = cms_sketch(ev, "event_type", w=1024, d=4)
+    got = {r.v: r.est for r in
+           cms_lookup(sk, list(exact) + ["nope"], w=1024, d=4).collect()}
+    for v, n in exact.items():
+        assert got[v] >= n
+        assert got[v] <= n + max(exact.values())  # collision slack
+    assert got["nope"] >= 0
+
+
+def test_cms_merge_is_cellwise_addition(spark, ev):
+    from datawave_spark.operators.sketches import cms_sketch
+    lo = ev.filter(F.col("event_id") % 2 == 0)
+    hi = ev.filter(F.col("event_id") % 2 == 1)
+    merged = (cms_sketch(lo, "event_type").unionByName(
+        cms_sketch(hi, "event_type"))
+        .groupBy("j", "bucket").agg(F.sum("cnt").alias("cnt")))
+    whole = cms_sketch(ev, "event_type")
+    a = sorted((r.j, r.bucket, r.cnt) for r in merged.collect())
+    b = sorted((r.j, r.bucket, r.cnt) for r in whole.collect())
+    assert a == b
+
+
+def test_kmv_exact_below_k_and_estimate_above(spark, ev):
+    from datawave_spark.operators.sketches import kmv_cardinality
+    out = {r.field: r for r in
+           kmv_cardinality(ev, ["user_id", "event_id"], k=64).collect()}
+    true_u = ev.select("user_id").distinct().count()
+    true_e = ev.select("event_id").distinct().count()
+    if true_u < 64:
+        assert out["user_id"].estimate == float(true_u)
+    if true_e >= 64:
+        rel = abs(out["event_id"].estimate - true_e) / true_e
+        assert rel < 0.5, f"KMV est {out['event_id'].estimate} vs {true_e}"
+
+
+def test_kmv_union_merge(spark, ev):
+    """Union of two KMV sketches (re-min of combined bottom-k) equals
+    the sketch of the union."""
+    from datawave_spark.operators.sketches import kmv_cardinality
+    lo = ev.filter(F.col("event_id") % 2 == 0)
+    hi = ev.filter(F.col("event_id") % 2 == 1)
+    merged = sorted(kmv_cardinality(lo.unionByName(hi), ["event_id"],
+                                    k=32).collect())
+    whole = sorted(kmv_cardinality(ev, ["event_id"], k=32).collect())
+    assert merged == whole
