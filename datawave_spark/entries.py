@@ -4338,3 +4338,43 @@ def q_cardinality_kmv(spark, sf_dir):
     from datawave_spark.operators.sketches import kmv_cardinality
     ev = _t(spark, sf_dir, "events")
     return kmv_cardinality(ev, ["user_id", "event_id"], k=64)
+
+
+@register("streaming_dedup_watermark", """
+SELECT event_id, event_type FROM events
+""")
+def q_streaming_dedup_watermark(spark, sf_dir):
+    """NATIVE watermarked streaming dedup (dropDuplicatesWithinWatermark
+    — the built-in counterpart of the applyInPandasWithState path in
+    `streaming_stateful_dedup`): every source row is doubled in-stream,
+    then deduped on event_id with watermark-bounded state, so state
+    expires with event time instead of growing with all-time key
+    cardinality — the managed-state knob an unbounded 100 TB/day
+    stream needs.  With AvailableNow the emitted set must equal the
+    single-copy batch relation, which is exactly what the oracle
+    checks."""
+    import os as _os
+    from pyspark.sql import types as T
+    sch = spark.read.parquet(_os.path.join(sf_dir, "events.parquet")).schema
+    raw = (spark.readStream.schema(sch)
+           .option("pathGlobFilter", "events.parquet").parquet(sf_dir))
+    if isinstance(sch["ts"].dataType, T.LongType):
+        ts = F.timestamp_micros(F.expr("`ts` div 1000"))
+    else:
+        ts = F.col("ts").cast("timestamp")
+    doubled = (raw.select("event_id", "event_type", ts.alias("__ts"))
+               .withColumn("__copy", F.explode(F.array(F.lit(1), F.lit(2))))
+               .withWatermark("__ts", "10 days"))
+    out = doubled.dropDuplicatesWithinWatermark(["event_id"]) \
+        .select("event_id", "event_type")
+    _STREAM_SEQ[0] += 1
+    name = f"stream_wm_{_STREAM_SEQ[0]}"
+    old_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = (out.writeStream.format("memory").queryName(name)
+             .outputMode("append").trigger(availableNow=True).start())
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_parts)
+    return spark.table(name)

@@ -481,3 +481,43 @@ class TestZOrderQuery:
         plan = df._jdf.queryExecution().executedPlan().toString()
         assert ".prepared" in plan
         assert c["n_shuffles"] == 0
+
+
+class TestSketchAndSplitPlans:
+    def test_hash_split_zero_shuffle(self, spark):
+        """The split column is a codegen'd CASE over an md5 prefix —
+        no exchange may appear."""
+        from datawave_spark.operators.curation import hash_split
+        docs = spark.read.parquet(f"{SF}/documents.parquet")
+        out = hash_split(docs, "doc_id", {"train": 0.8, "val": 0.2})
+        assert plan_counters(out)["n_shuffles"] == 0
+
+    def test_hll_sketch_two_shuffles_no_udf(self, spark):
+        """melt -> (field,bucket) register max -> field rollup: two
+        exchanges, all JVM (no Python eval nodes)."""
+        from datawave_spark.operators.sketches import hll_estimate
+        ev = spark.read.parquet(f"{SF}/events.parquet")
+        out = hll_estimate(ev, ["user_id", "event_type"], b=8)
+        c = plan_counters(out)
+        assert c["n_shuffles"] <= 2
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "BatchEvalPython" not in plan
+        assert "ArrowEvalPython" not in plan
+
+    def test_cms_lookup_broadcasts_probes(self, spark):
+        """Probe set is tiny: the sketch join must not be a cartesian
+        and the whole lookup stays JVM-side."""
+        from datawave_spark.operators.sketches import cms_sketch, cms_lookup
+        ev = spark.read.parquet(f"{SF}/events.parquet")
+        out = cms_lookup(cms_sketch(ev, "event_type"), ["click", "x"])
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "CartesianProduct" not in plan
+        assert "BatchEvalPython" not in plan
+
+    def test_semantic_dedup_no_cartesian_when_blocked(self, spark):
+        from datawave_spark.operators.dedup import semantic_dedup
+        emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+        out = semantic_dedup(emb, "embedding", "vec_id",
+                             threshold=0.35, block_col="label")
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "CartesianProduct" not in plan
