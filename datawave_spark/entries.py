@@ -4186,18 +4186,19 @@ def q_skew_salted_join(spark, sf_dir):
 @register("curation_hash_split", """
 SELECT doc_id, source,
        CASE WHEN substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 8)
-                 < '19999999' THEN 'test'
+                 < 'cccccccc' THEN 'train'
             WHEN substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 8)
-                 < 'e6666666' THEN 'train'
-            ELSE 'val' END AS split
+                 < 'e6666666' THEN 'val'
+            ELSE 'test' END AS split
 FROM documents
 """)
 def q_curation_hash_split(spark, sf_dir):
     """Deterministic train/val/test carve-out (curation.hash_split):
-    md5(salt, id) binned into cumulative-fraction intervals — the
-    reproducible-split property randomSplit lacks (its assignment
-    shifts with partitioning).  Zero shuffle; the oracle replays the
-    coin bit-for-bit (thresholds 0.1→0x19999999, 0.9→0xe6666666)."""
+    md5(salt, id) binned into cumulative-fraction intervals in dict
+    insertion order — the reproducible-split property randomSplit
+    lacks (its assignment shifts with partitioning).  Zero shuffle;
+    the oracle replays the coin bit-for-bit (cumulative thresholds
+    0.8→0xcccccccc, 0.9→0xe6666666)."""
     from datawave_spark.operators.curation import hash_split
     docs = _t(spark, sf_dir, "documents")
     return hash_split(docs, "doc_id",

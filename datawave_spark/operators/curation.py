@@ -337,13 +337,18 @@ def hash_split(df: DataFrame, id_col: str,
                out_col: str = "split",
                salt: str = "split") -> DataFrame:
     """Deterministic train/val/test assignment: the md5 coin of
-    (salt, id) is binned into cumulative-fraction intervals, so every
-    row lands in exactly one split, assignment is reproducible across
-    runs/engines, and adding a new split only moves rows at the new
-    boundary (consistent hashing — the property random `randomSplit`
-    lacks: its assignment changes with partitioning).  The salt keeps
-    independent splitting decisions (e.g. a second eval carve-out)
-    uncorrelated with each other and with ``stratified_sample`` coins.
+    (salt, id) is binned into cumulative-fraction intervals IN THE
+    DICT'S INSERTION ORDER, so every row lands in exactly one split and
+    assignment is reproducible across runs/engines.  Interval order
+    matters for the consistent-hashing property: an existing split
+    keeps exactly its rows as long as the splits BEFORE it keep their
+    names and fractions — so carve a new split by APPENDING it (and
+    shrinking the last split), never by inserting it earlier, or rows
+    silently migrate between existing splits (held-out contamination).
+    `randomSplit` has no such property at all: its assignment changes
+    with partitioning.  The salt keeps independent splitting decisions
+    (e.g. a second eval carve-out) uncorrelated with each other and
+    with ``stratified_sample`` coins.
 
     Fractions must sum to ≤ 1; a remainder falls into the LAST named
     split (intervals are [lo, hi) with the final hi forced to the max
@@ -358,7 +363,7 @@ def hash_split(df: DataFrame, id_col: str,
         1, 8)
     expr = None
     cum = 0.0
-    items = sorted(fractions.items())
+    items = list(fractions.items())
     for i, (name, frac) in enumerate(items):
         cum += frac
         hi = "ffffffff" if i == len(items) - 1 else _hex_threshold(cum)
@@ -386,6 +391,8 @@ def domain_cap(df: DataFrame, id_col: str, domain_col: str,
     near the cap first (two-phase cap), which this function composes
     with."""
     from pyspark.sql import Window
+    if order_col is None and descending:
+        raise ValueError("descending=True requires order_col")
     order = [F.col(order_col).desc() if descending else F.col(order_col),
              F.col(id_col)] if order_col else [F.col(id_col)]
     w = Window.partitionBy(domain_col).orderBy(*order)

@@ -515,8 +515,13 @@ def kmeans_assign_expr(vec: Column, centroids) -> Column:
     one ``cosine`` column per centroid (codegen'd fold over the array,
     no Python), argmax with FIRST-index tie-break via
     ``array_position(arr, array_max(arr))``.  The codebook rides into
-    the plan as literals — broadcast with the task binary, no join."""
-    cos = [cosine(vec, F.array(*[F.lit(float(x)) for x in c]))
+    the plan as literals — broadcast with the task binary, no join.
+    ``try_divide`` keeps a zero-norm (degenerate) vector a NULL
+    assignment instead of an ANSI-mode divide-by-zero error; callers
+    drop NULL clusters."""
+    cos = [F.try_divide(_dot(vec, F.array(*[F.lit(float(x)) for x in c])),
+                        _norm(vec)
+                        * _norm(F.array(*[F.lit(float(x)) for x in c])))
            for c in centroids]
     arr = F.array(*cos)
     return (F.array_position(arr, F.array_max(arr)) - 1).cast("int")
@@ -544,6 +549,10 @@ def kmeans_step(df: DataFrame, vec_col: str, centroids) -> DataFrame:
     # collapses a Project through a Generate, so the split is stable.
     pre = df.select(kmeans_assign_expr(v, centroids).alias("cluster"),
                     v.alias("__v"))
+    # a NULL or zero-norm vector yields 0/0 = NULL cosines -> NULL
+    # cluster; drop such degenerate rows instead of crashing the
+    # driver-side codebook rebuild on a None key
+    pre = pre.filter(F.col("cluster").isNotNull())
     assigned = pre.select("cluster", F.posexplode("__v").alias("dim", "val"))
     return (assigned.groupBy("cluster", "dim")
             .agg(F.avg("val").alias("centroid_val"),

@@ -43,9 +43,32 @@ large-range (2^32) correction is irrelevant at a 54-bit hash width.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 
 _POW54 = 1 << 54
+
+
+def _melt(df: DataFrame, value_cols: list[str]) -> DataFrame:
+    """(field, v) rows from the named columns, cast to string, nulls
+    dropped — the shared per-field fan-out every sketch builds on (the
+    struct array is the generator input, computed once per row)."""
+    pairs = F.array(*[
+        F.struct(F.lit(f).alias("field"),
+                 F.col(f).cast("string").alias("v"))
+        for f in value_cols])
+    return (df.select(F.explode(pairs).alias("p"))
+            .select("p.field", "p.v")
+            .filter(F.col("v").isNotNull()))
+
+
+def _cms_bucket(j: int, v, w: int):
+    """CMS row-j bucket of value column ``v`` — exists exactly ONCE so
+    sketch build and lookup cannot drift on salt format / prefix width
+    / modulus (a drift would make lookups return silent collision
+    garbage, not an error)."""
+    return F.pmod(F.conv(F.substring(
+        F.md5(F.concat(F.lit(f"cms{j}:"), v)), 1, 8),
+        16, 10).cast("long"), F.lit(w))
 
 
 def hll_constant(b: int) -> float:
@@ -72,13 +95,7 @@ def hll_estimate(df: DataFrame, value_cols: list[str],
     every field — the index-stats job shape."""
     m = 1 << b
     c = hll_constant(b)
-    pairs = F.array(*[
-        F.struct(F.lit(f).alias("field"),
-                 F.col(f).cast("string").alias("v"))
-        for f in value_cols])
-    melted = (df.select(F.explode(pairs).alias("p"))
-              .select("p.field", "p.v")
-              .filter(F.col("v").isNotNull()))
+    melted = _melt(df, value_cols)
     hi = F.conv(F.substring(F.md5("v"), 1, 8), 16, 10).cast("long")
     lo = F.conv(F.substring(F.md5("v"), 9, 8), 16, 10).cast("long")
     w = ((hi.bitwiseAND(F.lit((1 << (32 - b)) - 1))
@@ -125,10 +142,7 @@ def cms_sketch(df: DataFrame, value_col: str, w: int = 1024,
     DuckDB oracle replays cells bit-for-bit."""
     v = F.col(value_col).cast("string")
     rows = F.array(*[
-        F.struct(F.lit(j).alias("j"),
-                 F.pmod(F.conv(F.substring(
-                     F.md5(F.concat(F.lit(f"cms{j}:"), v)), 1, 8),
-                     16, 10).cast("long"), F.lit(w)).alias("bucket"))
+        F.struct(F.lit(j).alias("j"), _cms_bucket(j, v, w).alias("bucket"))
         for j in range(d)])
     return (df.filter(v.isNotNull())
             .select(F.explode(rows).alias("c"))
@@ -147,9 +161,7 @@ def cms_lookup(sketch: DataFrame, values: list[str], w: int = 1024,
     probes = spark.createDataFrame([(x,) for x in values], "v string")
     cells = F.array(*[
         F.struct(F.lit(j).alias("j"),
-                 F.pmod(F.conv(F.substring(
-                     F.md5(F.concat(F.lit(f"cms{j}:"), F.col("v"))), 1, 8),
-                     16, 10).cast("long"), F.lit(w)).alias("bucket"))
+                 _cms_bucket(j, F.col("v"), w).alias("bucket"))
         for j in range(d)])
     keyed = probes.select("v", F.explode(cells).alias("c")) \
         .select("v", F.col("c.j").alias("j"),
@@ -170,22 +182,29 @@ def kmv_cardinality(df: DataFrame, value_cols: list[str],
     → report the count itself).  Output: (field, n_kept, threshold,
     estimate).
 
-    Scale: the distinct is per (field, hash-prefix) — Spark's partial
-    aggregation dedups map-side; the bottom-k per field is a windowed
-    rank over at most the distinct-hash count, and only k rows per
-    field survive to the driver-visible result."""
-    pairs = F.array(*[
-        F.struct(F.lit(f).alias("field"),
-                 F.col(f).cast("string").alias("v"))
-        for f in value_cols])
-    melted = (df.select(F.explode(pairs).alias("p"))
-              .select("p.field", "p.v")
-              .filter(F.col("v").isNotNull()))
+    Scale: the distinct dedups map-side via partial aggregation; the
+    per-field bottom-k is TWO-PHASE (salted sub-partition rank, then a
+    rank over the surviving n_salts·k rows) so no reducer ever sorts a
+    whole field's distinct hashes, and only k rows per field survive
+    to the result."""
+    melted = _melt(df, value_cols)
     h = F.conv(F.substring(F.md5("v"), 1, 8), 16, 10).cast("long")
-    from pyspark.sql import Window
-    w = Window.partitionBy("field").orderBy("h")
-    botk = (melted.select("field", h.alias("h")).distinct()
-            .withColumn("__rn", F.row_number().over(w))
+    # two-phase bottom-k: a single Window.partitionBy(field) would
+    # funnel EVERY distinct hash of a field through one reducer (the
+    # hot-key blowup this repo avoids everywhere else).  Phase 1 takes
+    # the bottom-k within (field, hash-salt) sub-partitions — each
+    # bounded and parallel; phase 2 re-ranks the surviving
+    # n_salts*k rows per field.  min-of-mins is exact, so the result
+    # is identical to the global sort.
+    n_salts = 64
+    distinct_h = melted.select("field", h.alias("h")).distinct()
+    w1 = Window.partitionBy("field", "__s").orderBy("h")
+    partial = (distinct_h
+               .withColumn("__s", F.pmod(F.col("h"), F.lit(n_salts)))
+               .withColumn("__rn", F.row_number().over(w1))
+               .filter(F.col("__rn") <= k).drop("__rn"))
+    w2 = Window.partitionBy("field").orderBy("h")
+    botk = (partial.withColumn("__rn", F.row_number().over(w2))
             .filter(F.col("__rn") <= k))
     agg = botk.groupBy("field").agg(
         F.count(F.lit(1)).alias("n_kept"),

@@ -321,14 +321,38 @@ def test_hash_split_is_stable_and_consistent(spark, docs):
     assert a == b
     wide = {r.doc_id: r.split for r in
             hash_split(docs, "doc_id", {"train": 0.9, "val": 0.1}).collect()}
-    # train interval [t-boundary, 0.9+boundary) is a superset: nobody
-    # leaves train when its fraction grows (fractions sorted: train
-    # after test/val alphabetically? here keys are train/val only —
-    # 'train' < 'val', so train owns the low interval and widening it
-    # moves the boundary up)
+    # intervals follow dict INSERTION order: train owns the low
+    # interval in both dicts, so widening it only moves the upper
+    # boundary — nobody leaves train
     for k, v in a.items():
         if v == "train":
             assert wide[k] == "train"
+
+
+def test_hash_split_appending_a_split_preserves_earlier_ones(spark, docs):
+    """The consistent-hashing contract: carving a new split by
+    APPENDING it (shrinking the last split) keeps every earlier
+    split's membership exactly."""
+    from datawave_spark.operators.curation import hash_split
+    before = {r.doc_id: r.split for r in
+              hash_split(docs, "doc_id",
+                         {"train": 0.8, "val": 0.2}).collect()}
+    after = {r.doc_id: r.split for r in
+             hash_split(docs, "doc_id",
+                        {"train": 0.8, "val": 0.1,
+                         "eval": 0.1}).collect()}
+    for k, v in before.items():
+        if v == "train":
+            assert after[k] == "train"
+        else:
+            assert after[k] in ("val", "eval")
+
+
+def test_domain_cap_descending_requires_order_col(spark, docs):
+    from datawave_spark.operators.curation import domain_cap
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        domain_cap(docs, "doc_id", "source", 5, descending=True)
 
 
 def test_hash_split_rejects_bad_fractions(spark, docs):

@@ -547,3 +547,26 @@ def test_kmeans_step_no_python_udf_in_plan(spark, emb):
         ._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan
     assert "ArrowEvalPython" not in plan
+
+
+def test_kmeans_step_drops_degenerate_vectors(spark, emb):
+    """NULL / zero-norm embeddings yield NULL cosines and a NULL
+    cluster — they must be dropped, not crash the codebook rebuild."""
+    from pyspark.sql import functions as F
+    seeds = [list(map(float, r.embedding)) for r in
+             emb.orderBy("vec_id").limit(4).collect()]
+    dim = len(seeds[0])
+    bad = emb.limit(1).select(
+        (F.col("vec_id") + 10_000_000).alias("vec_id"),
+        F.col("label"),
+        F.array(*[F.lit(0.0)] * dim).alias("embedding"))
+    with_bad = emb.select("vec_id", "label",
+                          F.col("embedding").cast("array<double>")
+                          .alias("embedding")).unionByName(bad)
+    rows = similarity.kmeans_step(with_bad, "embedding", seeds).collect()
+    assert all(r.cluster is not None for r in rows)
+    clean = similarity.kmeans_step(emb, "embedding", seeds).collect()
+    assert sorted((r.cluster, r.dim, r.n_members) for r in rows) == \
+        sorted((r.cluster, r.dim, r.n_members) for r in clean)
+    # fit over the degenerate frame must not raise
+    similarity.kmeans_fit(with_bad, "embedding", "vec_id", k=4, iters=1)

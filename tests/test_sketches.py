@@ -95,11 +95,11 @@ def test_kmv_exact_below_k_and_estimate_above(spark, ev):
            kmv_cardinality(ev, ["user_id", "event_id"], k=64).collect()}
     true_u = ev.select("user_id").distinct().count()
     true_e = ev.select("event_id").distinct().count()
-    if true_u < 64:
-        assert out["user_id"].estimate == float(true_u)
-    if true_e >= 64:
-        rel = abs(out["event_id"].estimate - true_e) / true_e
-        assert rel < 0.5, f"KMV est {out['event_id'].estimate} vs {true_e}"
+    # the fixture must pin BOTH branches or this test checks nothing
+    assert true_u < 64 <= true_e, "fixture no longer exercises both paths"
+    assert out["user_id"].estimate == float(true_u)
+    rel = abs(out["event_id"].estimate - true_e) / true_e
+    assert rel < 0.5, f"KMV est {out['event_id'].estimate} vs {true_e}"
 
 
 def test_kmv_union_merge(spark, ev):
