@@ -4379,3 +4379,63 @@ def q_streaming_dedup_watermark(spark, sf_dir):
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", old_parts)
     return spark.table(name)
+
+
+@register("partitioned_selector_query", """
+SELECT event_id, user_id FROM events
+WHERE user_id % 3 = 0 AND user_id >= 0 AND user_id < 6000
+""")
+def q_partitioned_selector_query(spark, sf_dir):
+    """Large selector-list query (PartitionedQueryLogic.java:20 +
+    Chunker): 2000 selectors, forced down the semi-join path
+    (in_threshold=100) — the reference runs N sequential chunk
+    queries; here the selector set broadcasts once and the scan makes
+    ONE distributed pass.  The oracle states the same membership as
+    arithmetic."""
+    from datawave_spark.plans.selectors import selector_query
+    ev = _t(spark, sf_dir, "events")
+    selectors = list(range(0, 6000, 3))
+    return selector_query(ev, "user_id", selectors, in_threshold=100) \
+        .select("event_id", "user_id")
+
+
+@register("dashboard_metrics_summary", """
+WITH q AS (SELECT CAST(floor(value * 200) AS BIGINT) AS latency_ms,
+                  event_type = 'error' AS error,
+                  user_id * 50 AS result_count,
+                  1 + event_id % 40 AS selector_count
+           FROM events)
+SELECT count(*) AS query_count,
+       CAST(sum(result_count) AS BIGINT) AS result_count,
+       CAST(sum(selector_count) AS BIGINT) AS selector_count,
+       CAST(sum(CASE WHEN error THEN 1 ELSE 0 END) AS BIGINT) AS error_count,
+       CAST(sum(CASE WHEN latency_ms <= 3000 THEN 1 ELSE 0 END) AS BIGINT) AS up_to_3sec,
+       CAST(sum(CASE WHEN latency_ms > 3000 AND latency_ms <= 10000 THEN 1 ELSE 0 END) AS BIGINT) AS up_to_10sec,
+       CAST(sum(CASE WHEN latency_ms > 10000 AND latency_ms <= 60000 THEN 1 ELSE 0 END) AS BIGINT) AS up_to_60sec,
+       CAST(sum(CASE WHEN latency_ms > 60000 THEN 1 ELSE 0 END) AS BIGINT) AS more_than_60sec,
+       CAST(sum(CASE WHEN result_count = 0 THEN 1 ELSE 0 END) AS BIGINT) AS zero_results,
+       CAST(sum(CASE WHEN result_count > 0 AND result_count <= 10000 THEN 1 ELSE 0 END) AS BIGINT) AS up_to_10k_results,
+       CAST(sum(CASE WHEN result_count > 10000 AND result_count <= 1000000 THEN 1 ELSE 0 END) AS BIGINT) AS up_to_1m_results,
+       CAST(sum(CASE WHEN result_count > 1000000 THEN 1 ELSE 0 END) AS BIGINT) AS up_to_inf_results,
+       CAST(sum(CASE WHEN selector_count = 1 THEN 1 ELSE 0 END) AS BIGINT) AS one_term,
+       CAST(sum(CASE WHEN selector_count > 1 AND selector_count <= 16 THEN 1 ELSE 0 END) AS BIGINT) AS up_to_16_terms,
+       CAST(sum(CASE WHEN selector_count > 16 AND selector_count <= 100 THEN 1 ELSE 0 END) AS BIGINT) AS up_to_100_terms,
+       CAST(sum(CASE WHEN selector_count > 100 AND selector_count <= 1000 THEN 1 ELSE 0 END) AS BIGINT) AS up_to_1000_terms,
+       CAST(sum(CASE WHEN selector_count > 1000 THEN 1 ELSE 0 END) AS BIGINT) AS up_to_inf_terms
+FROM q
+""")
+def q_dashboard_metrics_summary(spark, sf_dir):
+    """Dashboard rollup of a query-metrics log (DashboardQueryLogic +
+    DashboardSummary.java: latency/result/term buckets + totals).
+    Real metric rows carry wall times the gate can't reproduce, so the
+    entry derives a DETERMINISTIC query log from events and checks the
+    bucketing aggregation itself — one map-side-combinable groupBy of
+    CASE sums (plans/metrics.py:dashboard_summary)."""
+    from datawave_spark.plans.metrics import dashboard_summary
+    ev = _t(spark, sf_dir, "events")
+    log = ev.select(
+        F.floor(F.col("value") * 200).cast("long").alias("latency_ms"),
+        (F.col("event_type") == "error").alias("error"),
+        (F.col("user_id") * 50).alias("result_count"),
+        (1 + F.col("event_id") % 40).alias("selector_count"))
+    return dashboard_summary(log)

@@ -18,7 +18,7 @@ import re
 import time
 from dataclasses import dataclass, field as dc_field
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, functions as F
 
 
 @dataclass
@@ -71,3 +71,45 @@ def run_with_metrics(df: DataFrame) -> tuple[int, QueryMetrics]:
         n_broadcasts=c["n_broadcasts"],
         n_codegen_spans=c["n_codegen_spans"],
         pushed_filters=c["pushed_filters"])
+
+
+def dashboard_summary(metrics: DataFrame,
+                      latency_col: str = "latency_ms",
+                      error_col: str = "error",
+                      results_col: str = "result_count",
+                      terms_col: str = "selector_count",
+                      group_cols: list[str] | None = None) -> DataFrame:
+    """DashboardQueryLogic parity (query/dashboard/DashboardFields.java,
+    DashboardSummary.java): aggregate a frame of per-query metric rows
+    into the dashboard's bucketed summary — latency buckets (≤3 s,
+    ≤10 s, ≤60 s, >60 s), result-count buckets (0, ≤10K, ≤1M, >1M),
+    term-count buckets (1, ≤16, ≤100, ≤1000, >1000), plus query /
+    result / selector / error totals.  One groupBy of CASE sums —
+    map-side combinable, so a metrics store of any size rolls up in a
+    single shuffle of (groups × 1) rows."""
+    g = group_cols or []
+    lat, res, trm = (F.col(latency_col), F.col(results_col),
+                     F.col(terms_col))
+
+    def bucket(cond, name):
+        return F.sum(F.when(cond, 1).otherwise(0)).alias(name)
+
+    return metrics.groupBy(*g).agg(
+        F.count(F.lit(1)).alias("query_count"),
+        F.sum(res).alias("result_count"),
+        F.sum(trm).alias("selector_count"),
+        F.sum(F.when(F.col(error_col), 1).otherwise(0))
+         .alias("error_count"),
+        bucket(lat <= 3000, "up_to_3sec"),
+        bucket((lat > 3000) & (lat <= 10_000), "up_to_10sec"),
+        bucket((lat > 10_000) & (lat <= 60_000), "up_to_60sec"),
+        bucket(lat > 60_000, "more_than_60sec"),
+        bucket(res == 0, "zero_results"),
+        bucket((res > 0) & (res <= 10_000), "up_to_10k_results"),
+        bucket((res > 10_000) & (res <= 1_000_000), "up_to_1m_results"),
+        bucket(res > 1_000_000, "up_to_inf_results"),
+        bucket(trm == 1, "one_term"),
+        bucket((trm > 1) & (trm <= 16), "up_to_16_terms"),
+        bucket((trm > 16) & (trm <= 100), "up_to_100_terms"),
+        bucket((trm > 100) & (trm <= 1000), "up_to_1000_terms"),
+        bucket(trm > 1000, "up_to_inf_terms"))

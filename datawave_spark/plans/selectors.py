@@ -1,0 +1,43 @@
+"""Large selector-list queries (PartitionedQueryLogic parity).
+
+The reference's PartitionedQueryLogic
+(warehouse/query-core/.../tables/PartitionedQueryLogic.java:20) takes a
+query that is a long OR-list of selectors and runs it as sequential
+chunks via a Chunker — Accumulo can't evaluate a 100k-term OR in one
+scanner.  Spark needs no chunking: a small list compiles to an IN
+predicate (pushed to the parquet scan as an In filter), and a large
+list becomes a BROADCAST SEMI-JOIN against a selector frame — one
+distributed pass instead of N sequential chunk queries, with the
+selector set shipped once per executor.
+
+The threshold matters at both ends: a giant IN literal bloats the plan
+and codegen (and falls off the pushdown fast path), while a semi-join
+on a ten-element list wastes a broadcast.  Above ``broadcast_limit``
+selectors the selector frame may exceed executor memory as a broadcast
+— fall back to a shuffled semi-join (still one pass; co-partitions
+both sides on the selector value).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def selector_query(df: DataFrame, field: str, selectors: Sequence,
+                   in_threshold: int = 1000,
+                   broadcast_limit: int = 10_000_000) -> DataFrame:
+    """Rows of ``df`` whose ``field`` is in ``selectors`` — IN predicate
+    below ``in_threshold``, semi-join above (broadcast up to
+    ``broadcast_limit`` selectors, shuffled beyond)."""
+    sels = list(selectors)
+    if len(sels) <= in_threshold:
+        return df.filter(F.col(field).isin(sels))
+    spark = df.sparkSession
+    dtype = df.schema[field].dataType.simpleString()
+    sel = spark.createDataFrame([(s,) for s in sels],
+                                f"`{field}` {dtype}").distinct()
+    if len(sels) <= broadcast_limit:
+        sel = F.broadcast(sel)
+    return df.join(sel, field, "left_semi")

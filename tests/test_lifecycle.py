@@ -47,3 +47,51 @@ class TestLifecycle:
         q.wait(30)
         q.cancel()
         assert q.state == QueryState.FINISHED
+
+
+# -------------------------------------------- selector chunking / dashboard
+
+def test_selector_query_in_vs_join_paths_agree(spark):
+    from datawave_spark.plans.selectors import selector_query
+    from datawave_spark.sources.parquet import read_parquet
+    ev = read_parquet(spark, "/root/testdata/sf0.001/events.parquet")
+    sels = list(range(0, 300, 3))
+    via_in = selector_query(ev, "user_id", sels, in_threshold=10_000)
+    via_join = selector_query(ev, "user_id", sels, in_threshold=10)
+    assert sorted(r.event_id for r in via_in.collect()) == \
+        sorted(r.event_id for r in via_join.collect())
+    # small path pushes an In filter to the scan
+    plan = via_in._jdf.queryExecution().executedPlan().toString()
+    assert "In(user_id" in plan or "in(user_id" in plan.lower()
+    # large path broadcasts the selector frame (no cartesian)
+    jplan = via_join._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in jplan and "CartesianProduct" not in jplan
+
+
+def test_selector_query_duplicate_selectors_no_row_dup(spark):
+    from datawave_spark.plans.selectors import selector_query
+    from datawave_spark.sources.parquet import read_parquet
+    ev = read_parquet(spark, "/root/testdata/sf0.001/events.parquet")
+    out = selector_query(ev, "user_id", [1, 1, 1, 2], in_threshold=1)
+    base = ev.filter(F.col("user_id").isin([1, 2]))
+    assert out.count() == base.count()
+
+
+def test_dashboard_summary_buckets_partition_rows(spark):
+    """Every query lands in exactly one bucket per dimension."""
+    from datawave_spark.plans.metrics import dashboard_summary
+    rows = [(500, False, 0, 1), (5000, True, 50, 8),
+            (30_000, False, 20_000, 40), (90_000, False, 2_000_000, 2000)]
+    log = spark.createDataFrame(
+        rows, "latency_ms long, error boolean, result_count long, "
+              "selector_count long")
+    s = dashboard_summary(log).collect()[0]
+    assert s.query_count == 4
+    assert (s.up_to_3sec + s.up_to_10sec + s.up_to_60sec
+            + s.more_than_60sec) == 4
+    assert (s.zero_results + s.up_to_10k_results + s.up_to_1m_results
+            + s.up_to_inf_results) == 4
+    assert (s.one_term + s.up_to_16_terms + s.up_to_100_terms
+            + s.up_to_1000_terms + s.up_to_inf_terms) == 4
+    assert s.error_count == 1 and s.more_than_60sec == 1
+    assert s.up_to_inf_results == 1 and s.up_to_inf_terms == 1
