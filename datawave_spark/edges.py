@@ -131,6 +131,43 @@ def duration_stats_edges(edges: DataFrame,
             .agg(F.count(F.lit(1)).alias("n")))
 
 
+def edge_dictionary(events: DataFrame,
+                    defs: list[EdgeDefinition],
+                    date_col: str | None = None) -> DataFrame:
+    """Edge dictionary (EdgeDictionary service parity:
+    warehouse/edge-dictionary-core/.../edgedictionary/,
+    web-services/dictionary/.../EdgeDictionaryBean.java): one row per
+    configured edge definition describing WHAT the edge table contains
+    — the type/relationship labels, the event fields that generate the
+    vertices, whether a JEXL precondition gates it — plus observed
+    corpus stats (edge count, distinct vertex counts, first/last edge
+    date).  The reference derives this from DataWaveMetadata "edge"
+    rows written at ingest; here it is ONE aggregation per definition
+    over the same config the edge build uses, so dictionary and table
+    can never drift.
+
+    Scale: each definition aggregates to a single row (map-side
+    partial); the unioned result is defs-sized, never data-sized."""
+    rows = []
+    for d in defs:
+        e = build_edges(events, [d], date_col=date_col)
+        rows.append(e.agg(
+            F.lit(d.edge_type).alias("edge_type"),
+            F.lit(d.relationship).alias("relationship"),
+            F.lit(d.source_field).alias("source_field"),
+            F.lit(d.sink_field).alias("sink_field"),
+            F.lit(d.precondition is not None).alias("has_precondition"),
+            F.count(F.lit(1)).alias("n_edges"),
+            F.countDistinct("source").alias("n_sources"),
+            F.countDistinct("sink").alias("n_sinks"),
+            F.min("edge_date").cast("string").alias("first_day"),
+            F.max("edge_date").cast("string").alias("last_day")))
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.union(r)
+    return out
+
+
 # Virtual-field model for edge JEXL queries (EdgeQueryLogic fields);
 # SOURCE/SINK/ATTRIBUTE1 resolve directly (case-insensitive).
 EDGE_MODEL = {"TYPE": ["EDGE_TYPE"], "RELATION": ["RELATIONSHIP"]}

@@ -4439,3 +4439,92 @@ def q_dashboard_metrics_summary(spark, sf_dir):
         (F.col("user_id") * 50).alias("result_count"),
         (1 + F.col("event_id") % 40).alias("selector_count"))
     return dashboard_summary(log)
+
+
+@register("edge_dictionary", """
+WITH e1 AS (SELECT CAST(user_id AS VARCHAR) AS source, event_type AS sink,
+                   CAST(ts AS DATE) AS d
+            FROM events WHERE value > 50),
+e2 AS (SELECT event_type AS source, CAST(user_id AS VARCHAR) AS sink,
+              CAST(ts AS DATE) AS d
+       FROM events)
+SELECT 'user_event' AS edge_type, 'did' AS relationship,
+       'user_id' AS source_field, 'event_type' AS sink_field,
+       TRUE AS has_precondition,
+       count(*) AS n_edges, count(DISTINCT source) AS n_sources,
+       count(DISTINCT sink) AS n_sinks,
+       CAST(min(d) AS VARCHAR) AS first_day,
+       CAST(max(d) AS VARCHAR) AS last_day
+FROM e1
+UNION ALL
+SELECT 'event_user', 'to', 'event_type', 'user_id', FALSE,
+       count(*), count(DISTINCT source), count(DISTINCT sink),
+       CAST(min(d) AS VARCHAR), CAST(max(d) AS VARCHAR)
+FROM e2
+""")
+def q_edge_dictionary(spark, sf_dir):
+    """Edge dictionary (EdgeDictionaryBean.java + warehouse/
+    edge-dictionary-core): per configured edge definition, the
+    generating fields + labels + observed corpus stats.  Derived from
+    the SAME EdgeDefinition config the edge builds use (edges.py:
+    edge_dictionary), one single-row aggregation per definition."""
+    from datawave_spark.edges import EdgeDefinition, edge_dictionary
+    ev = _t(spark, sf_dir, "events")
+    defs = [EdgeDefinition("user_id", "event_type", "user_event", "did",
+                           precondition="VALUE > 50"),
+            EdgeDefinition("event_type", "user_id", "event_user", "to")]
+    return edge_dictionary(ev, defs, date_col="ts")
+
+
+@register("audit_selector_query", """
+WITH sel AS (SELECT 'purchase' AS selector UNION ALL SELECT 'click'),
+c AS (SELECT event_type AS selector, count(*) AS n
+      FROM events GROUP BY event_type)
+SELECT sel.selector, 'EventQuery' AS logic_class, 'ACTIVE' AS audit_type,
+       'cn=analyst' AS user_dn, COALESCE(c.n, 0) AS n_hits
+FROM sel LEFT JOIN c USING (selector)
+""")
+def q_audit_selector_query(spark, sf_dir):
+    """Query audit with selector extraction
+    (DatawaveSelectorExtractor.java:22 — positive-EQ literals of the
+    parsed query; PrivateAuditConstants.java:13-17 record fields): the
+    audited selectors come from walking the SAME JEXL AST the compiler
+    executes, so the negated term ('refund') must NOT appear; each
+    selector row carries its observed corpus hit count.  The oracle
+    hardcodes the expected parse — a selector-extraction bug changes
+    the row set and fails the hash."""
+    from datawave_spark.plans.audit import audit_record
+    q = ("EVENT_TYPE == 'purchase' || "
+         "(EVENT_TYPE == 'click' && VALUE > 300) || "
+         "!(EVENT_TYPE == 'refund')")
+    rec = audit_record(q, "EventQuery", "cn=analyst", "A,B")
+    ev = _t(spark, sf_dir, "events")
+    sel = spark.createDataFrame([(s,) for s in rec.selectors],
+                                "selector string")
+    counts = (ev.groupBy(F.col("event_type").alias("selector"))
+              .agg(F.count(F.lit(1)).alias("n")))
+    return (sel.join(counts, "selector", "left")
+            .select("selector",
+                    F.lit(rec.logic_class).alias("logic_class"),
+                    F.lit(rec.audit_type).alias("audit_type"),
+                    F.lit(rec.user_dn).alias("user_dn"),
+                    F.coalesce("n", F.lit(0)).alias("n_hits")))
+
+
+@register("bulk_export_query", """
+SELECT event_id, user_id, event_type, value
+FROM events WHERE event_type = 'purchase' AND value > 250
+""")
+def q_bulk_export_query(spark, sf_dir):
+    """Bulk results export round trip (BulkResultsJobConfiguration.java
+    + BulkResultsFileOutputMapper.java): the query result is WRITTEN as
+    a distributed parquet export (each task = one mapper's split, no
+    driver funnel) and read back — what an MR-over-results consumer
+    sees.  The returned frame comes from the export files, so a broken
+    write/read path fails the hash, not just the row count."""
+    from datawave_spark.plans.export import export_query_results
+    ev = _t(spark, sf_dir, "events")
+    hits = compile_query(ev, "EVENT_TYPE == 'purchase' && VALUE > 250") \
+        .select("event_id", "user_id", "event_type", "value")
+    return export_query_results(hits, sf_dir, "bulk_purchase",
+                                partitions=4)
