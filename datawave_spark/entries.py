@@ -4548,3 +4548,39 @@ def q_bulk_export_query(spark, sf_dir):
         .select("event_id", "user_id", "event_type", "value")
     return export_query_results(hits, sf_dir, "bulk_purchase",
                                 partitions=4)
+
+
+@register("bm25_ranked_search", f"""
+WITH toks AS ({_DUCK_TOKS}),
+stats AS (SELECT count(*) AS n, sum(len(t)) AS sl FROM toks),
+ex AS (SELECT doc_id, unnest(t) AS tok, len(t) AS dl FROM toks),
+post AS (SELECT doc_id, tok AS term, count(*) AS tf, max(dl) AS dl
+         FROM ex WHERE tok IN ('spark', 'shuffle', 'merge')
+         GROUP BY doc_id, tok),
+dfreq AS (SELECT term, count(*) AS df FROM post GROUP BY term)
+SELECT p.doc_id, count(*) AS n_terms,
+       floor(sum(ln((s.n - d.df + 0.5)/(d.df + 0.5) + 1)
+                 * p.tf * 2.2
+                 / (p.tf + 1.2*(1 - 0.75 + 0.75 * p.dl / (s.sl / s.n))))
+             * 10000 + 0.5)/10000 AS score
+FROM post p JOIN dfreq d USING (term) CROSS JOIN stats s
+GROUP BY p.doc_id
+ORDER BY score DESC, p.doc_id LIMIT 10
+""")
+def q_bm25_ranked_search(spark, sf_dir):
+    """BM25-ranked top-10 retrieval over the STORED inverted postings
+    (prepared.term_postings) — the ranked full-text search the
+    reference approximates with content:scoredPhrase TermWeight sums
+    (ContentFunctions.java:214), done properly: term IN-filter prunes
+    the range-clustered postings, per-term df is a tiny broadcast, and
+    top-k is TakeOrderedAndProject (per-partition heap, never a global
+    sort).  Corpus stats are a one-pass map-side aggregate here; at
+    100 TB they are the ingest job's stored one-row stats asset."""
+    from datawave_spark.operators.text import bm25_topk
+    from datawave_spark.sources import prepared
+    post = prepared.term_postings(spark, sf_dir)
+    tfd = prepared.doc_tf(spark, sf_dir)
+    n, sl = tfd.agg(F.count(F.lit(1)),
+                    F.sum(F.size("text_tokens"))).first()
+    return bm25_topk(post, ["spark", "shuffle", "merge"],
+                     n_docs=n, total_len=sl, k=10)

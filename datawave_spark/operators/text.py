@@ -257,3 +257,41 @@ def linear_classifier_score(df: DataFrame, text_col: str, id_col: str,
     score = F.floor(raw * 10000 + F.lit(0.5)) / 10000.0
     return scored.select("id", "n_feats", score.alias("score"),
                          (score >= 0).alias("label"))
+
+
+def bm25_topk(postings: DataFrame, query_terms: list[str],
+              n_docs: int, total_len: int, k: int = 10,
+              k1: float = 1.2, b: float = 0.75) -> DataFrame:
+    """BM25-ranked top-k documents for a bag-of-terms query over the
+    stored postings asset (sources/prepared.term_postings): the ranked
+    full-text retrieval the reference approximates with
+    content:scoredPhrase TermWeight sums (ContentFunctions.java:214),
+    restated with the standard Okapi/Lucene scoring function.
+
+    Shape: the term IN-filter prunes the range-clustered postings to
+    the query's rows; per-term document frequencies are a tiny groupBy
+    broadcast back; one groupBy doc_id sums contributions; top-k via
+    ORDER BY ... LIMIT (Spark's TakeOrderedAndProject — a per-partition
+    heap + driver merge of k rows, never a global sort materialization).
+
+    Corpus stats (``n_docs``, ``total_len``) come from the ingest-side
+    stats row; idf = ln((N - df + 0.5)/(df + 0.5) + 1) (Lucene's
+    non-negative variant).  Scores round half-up at 4dp so the DuckDB
+    oracle matches bit-for-bit (round() half-even would diverge)."""
+    if not query_terms:
+        raise ValueError("bm25_topk needs at least one query term")
+    avgdl = F.lit(float(total_len) / float(n_docs))
+    p = postings.filter(F.col("term").isin(list(query_terms)))
+    dfreq = p.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    idf = F.log((F.lit(float(n_docs)) - F.col("df") + 0.5)
+                / (F.col("df") + 0.5) + 1.0)
+    tf = F.col("tf").cast("double")
+    norm = tf + k1 * (1.0 - b + b * F.col("doc_len") / avgdl)
+    contrib = idf * tf * (k1 + 1.0) / norm
+    scored = (p.join(F.broadcast(dfreq), "term")
+              .groupBy("doc_id")
+              .agg(F.sum(contrib).alias("__s"),
+                   F.count(F.lit(1)).alias("n_terms")))
+    score = F.floor(F.col("__s") * 10000 + F.lit(0.5)) / 10000.0
+    return (scored.select("doc_id", "n_terms", score.alias("score"))
+            .orderBy(F.desc("score"), "doc_id").limit(k))

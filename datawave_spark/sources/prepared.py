@@ -83,7 +83,8 @@ def build_all(spark: SparkSession, sf_dir: str) -> dict[str, int]:
         "reverse_index": reverse_index, "capped_index": capped_index,
         "date_index": date_index, "doc_shingle_sets": doc_shingle_sets,
         "doc_minhash": doc_minhash, "lsh_pairs": lsh_pairs,
-        "doc_tf": doc_tf, "facet_table": facet_table,
+        "doc_tf": doc_tf, "term_postings": term_postings,
+        "facet_table": facet_table,
         "rollup_hourly": rollup_hourly, "index_stats": index_stats,
         "ssdeep_hashes": ssdeep_hashes, "unigram_lm": unigram_lm,
         "normalized_documents": normalized_documents,
@@ -249,6 +250,30 @@ def doc_tf(spark: SparkSession, sf_dir: str) -> DataFrame:
                         emit_tokens=True, emit_scores=True)
 
     return get_or_build(spark, sf_dir, "doc_tf", build, range_by="doc_id")
+
+
+def term_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted postings for ranked retrieval: (term, doc_id, tf,
+    doc_len), one row per distinct (term, document), derived from the
+    stored tf maps (doc_tf) — a map-side explode, no re-tokenization.
+    Range-clustered by ``term`` so a query's term IN-filter prunes to
+    the row groups holding those postings (the shardIndex discipline
+    applied to ranking: RangeStream reads the term-organized table the
+    same way).  At 100 TB the corpus stats BM25 needs (N, total token
+    count) live in a one-row stats asset maintained by the same ingest
+    job; locally they are a one-pass aggregate."""
+    def build():
+        tf = doc_tf(spark, sf_dir)
+        from pyspark.sql import functions as F
+        return (tf.select("doc_id",
+                          F.size("text_tokens").cast("long").alias("doc_len"),
+                          F.explode("text_tf").alias("term", "__pos"))
+                .select("term", "doc_id",
+                        F.size("__pos").cast("long").alias("tf"),
+                        "doc_len"))
+
+    return get_or_build(spark, sf_dir, "term_postings", build,
+                        range_by="term")
 
 
 def unigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -378,3 +378,46 @@ def test_domain_cap_bounds_and_prefers_order(spark, docs):
         best = sorted(members, key=lambda r: (-r.n_chars, r.doc_id))[:5]
         assert {(src, r.doc_id) for r in best} == {
             k for k in kept if k[0] == src}
+
+
+class TestBM25:
+    def test_hand_computed_score(self, spark):
+        import math
+        from datawave_spark.operators.text import bm25_topk
+        from pyspark.sql import functions as F
+        # 3 docs; postings built by hand.  Query: ['a', 'b'].
+        post = spark.createDataFrame(
+            [("a", 1, 2, 4), ("a", 2, 1, 2), ("b", 1, 1, 4), ("c", 3, 3, 3)],
+            "term string, doc_id int, tf long, doc_len long")
+        out = {r["doc_id"]: r for r in
+               bm25_topk(post, ["a", "b"], n_docs=3, total_len=9,
+                         k=10).collect()}
+        assert set(out) == {1, 2}
+        assert out[1]["n_terms"] == 2 and out[2]["n_terms"] == 1
+        avgdl = 9 / 3
+        def s(tf, dl, df):
+            idf = math.log((3 - df + 0.5) / (df + 0.5) + 1)
+            return idf * tf * 2.2 / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))
+        exp1 = math.floor((s(2, 4, 2) + s(1, 4, 1)) * 10000 + 0.5) / 10000
+        assert out[1]["score"] == exp1
+        # doc 1 matches both terms -> outranks doc 2
+        assert out[1]["score"] > out[2]["score"]
+
+    def test_empty_query_rejected(self, spark):
+        import pytest as _pt
+        from datawave_spark.operators.text import bm25_topk
+        post = spark.createDataFrame([], "term string, doc_id int, tf long, doc_len long")
+        with _pt.raises(ValueError):
+            bm25_topk(post, [], n_docs=1, total_len=1)
+
+    def test_plan_prunes_and_heaps(self, spark):
+        # the term IN-filter must reach the postings scan, and top-k
+        # must be TakeOrderedAndProject, not a global Sort+Limit
+        from datawave_spark.operators.text import bm25_topk
+        from datawave_spark.sources import prepared
+        post = prepared.term_postings(spark, "/root/testdata/sf0.001")
+        df = bm25_topk(post, ["spark", "merge"], n_docs=100,
+                       total_len=5000, k=5)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "TakeOrderedAndProject" in plan
+        assert "PushedFilters" in plan and "In(term" in plan
