@@ -146,26 +146,39 @@ def edge_dictionary(events: DataFrame,
     over the same config the edge build uses, so dictionary and table
     can never drift.
 
-    Scale: each definition aggregates to a single row (map-side
-    partial); the unioned result is defs-sized, never data-sized."""
-    rows = []
-    for d in defs:
+    Scale: ONE aggregation over the def-tagged edge union — a union of
+    per-definition single-row aggregates plans each branch as its own
+    aggregation tree over the full corpus (N defs × N scans of
+    contention); tagging rows and grouping once keeps a single
+    Expand+shuffle pass whose output is defs-sized.  The tag is a
+    compact int ``def_id`` (the distinct-count Expand triples the row
+    stream, so every byte of group key is hashed three times per edge);
+    the definition metadata joins back onto the defs-sized result as a
+    broadcast."""
+    spark = events.sparkSession
+    tagged = []
+    for i, d in enumerate(defs):
         e = build_edges(events, [d], date_col=date_col)
-        rows.append(e.agg(
-            F.lit(d.edge_type).alias("edge_type"),
-            F.lit(d.relationship).alias("relationship"),
-            F.lit(d.source_field).alias("source_field"),
-            F.lit(d.sink_field).alias("sink_field"),
-            F.lit(d.precondition is not None).alias("has_precondition"),
-            F.count(F.lit(1)).alias("n_edges"),
-            F.countDistinct("source").alias("n_sources"),
-            F.countDistinct("sink").alias("n_sinks"),
-            F.min("edge_date").cast("string").alias("first_day"),
-            F.max("edge_date").cast("string").alias("last_day")))
-    out = rows[0]
-    for r in rows[1:]:
-        out = out.union(r)
-    return out
+        tagged.append(e.select(F.lit(i).alias("def_id"),
+                               "source", "sink", "edge_date"))
+    one = tagged[0]
+    for t in tagged[1:]:
+        one = one.union(t)
+    agg = (one.groupBy("def_id")
+           .agg(F.count(F.lit(1)).alias("n_edges"),
+                F.countDistinct("source").alias("n_sources"),
+                F.countDistinct("sink").alias("n_sinks"),
+                F.min("edge_date").cast("string").alias("first_day"),
+                F.max("edge_date").cast("string").alias("last_day")))
+    meta = spark.createDataFrame(
+        [(i, d.edge_type, d.relationship, d.source_field, d.sink_field,
+          d.precondition is not None) for i, d in enumerate(defs)],
+        "def_id int, edge_type string, relationship string, "
+        "source_field string, sink_field string, has_precondition boolean")
+    return (agg.join(F.broadcast(meta), "def_id")
+            .select("edge_type", "relationship", "source_field",
+                    "sink_field", "has_precondition", "n_edges",
+                    "n_sources", "n_sinks", "first_day", "last_day"))
 
 
 # Virtual-field model for edge JEXL queries (EdgeQueryLogic fields);

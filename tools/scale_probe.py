@@ -31,7 +31,8 @@ SMALL = "/root/testdata/sf0.1"
 OPS = ["jexl_filter", "groupby", "tokenize_tf", "minhash_sig", "simhash",
        "lsh_pairs", "ngram_capped", "simhash_pairs", "ssdeep_join",
        "knn_lsh", "knn_blocked", "repetition", "decontaminate", "pack",
-       "span_dedup", "rebalance", "semantic_dedup", "kmeans_step"]
+       "span_dedup", "rebalance", "semantic_dedup", "kmeans_step",
+       "bm25", "edge_dict"]
 
 
 def generate(spark):
@@ -158,6 +159,11 @@ def run_one(op: str, events_path: str, docs_path: str,
             .kmeans_step(d, "embedding",
                          [r.embedding for r in
                           d.orderBy("vec_id").limit(8).collect()])),
+        # Full tokenize -> postings -> score path (the ingest-side
+        # postings build dominates; the scoring itself touches only the
+        # query terms' rows).
+        "bm25": lambda d: _bm25(d),
+        "edge_dict": lambda d: _edge_dict(d),
         "rebalance": lambda d: noop(curation.rebalance_mix(
             d.withColumn("src", F.concat(F.lit("s"),
                          (F.col("doc_id") % 4).cast("string")))
@@ -174,6 +180,36 @@ def run_one(op: str, events_path: str, docs_path: str,
         noop(dedup.semantic_dedup(assigned, "embedding", "vec_id",
                                   threshold=0.5, block_col="ivf_cluster"))
 
+    def _bm25(d):
+        # postings built directly (split -> explode -> count), not via
+        # the tf-map detour, and persisted so the stats aggregate and
+        # the scoring pass don't re-tokenize (the entry reads STORED
+        # postings; this times one build + one scored query)
+        from datawave_spark.operators.text import bm25_topk, tokens
+        toks = d.select("doc_id", tokens(F.col("text")).alias("t"))
+        post = (toks.select("doc_id",
+                            F.size("t").cast("long").alias("doc_len"),
+                            F.explode("t").alias("term"))
+                .groupBy("term", "doc_id", "doc_len")
+                .agg(F.count(F.lit(1)).alias("tf"))
+                .select("term", "doc_id", "tf", "doc_len").persist())
+        try:
+            n, sl = post.groupBy("doc_id").agg(
+                F.max("doc_len").alias("dl")).agg(
+                F.count(F.lit(1)), F.sum("dl")).first()
+            noop(bm25_topk(post, ["spark", "merge", "batch"],
+                           n_docs=n, total_len=sl, k=10))
+        finally:
+            post.unpersist(blocking=False)
+
+    def _edge_dict(d):
+        from datawave_spark.edges import EdgeDefinition, edge_dictionary
+        noop(edge_dictionary(
+            d, [EdgeDefinition("user_id", "event_type", "t1", "r",
+                               precondition="VALUE > 50"),
+                EdgeDefinition("event_type", "user_id", "t2", "r2")],
+            date_col="ts"))
+
     def _knn_lsh(d):
         from datawave_spark.operators import similarity as sim
         dim = len(d.select("embedding").head()[0])
@@ -186,7 +222,7 @@ def run_one(op: str, events_path: str, docs_path: str,
                               "vec_id", bits=8, k=5, probe_radius=1,
                               max_bucket=2000))
 
-    if op in ("jexl_filter", "groupby"):
+    if op in ("jexl_filter", "groupby", "edge_dict"):
         src = ev
     elif op in ("knn_lsh", "knn_blocked", "semantic_dedup", "kmeans_step"):
         src = emb
