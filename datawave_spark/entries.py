@@ -4584,3 +4584,90 @@ def q_bm25_ranked_search(spark, sf_dir):
                     F.sum(F.size("text_tokens"))).first()
     return bm25_topk(post, ["spark", "shuffle", "merge"],
                      n_docs=n, total_len=sl, k=10)
+
+
+@register("text_collocations_pmi", f"""
+WITH toks AS ({_DUCK_TOKS}),
+uni AS (SELECT w, count(*) AS c
+        FROM (SELECT unnest(t) AS w FROM toks) GROUP BY w),
+tot AS (SELECT CAST(sum(c) AS DOUBLE) AS T FROM uni),
+btot AS (SELECT CAST(sum(greatest(len(t) - 1, 0)) AS DOUBLE) AS B FROM toks),
+bg AS (SELECT unnest([array_to_string(t[i:i+1], ' ')
+                      for i in range(1, len(t))]) AS b FROM toks),
+bc AS (SELECT b, count(*) AS cab FROM bg GROUP BY b HAVING count(*) >= 5),
+j AS (SELECT bc.b AS bigram, bc.cab AS n,
+             floor(ln(((bc.cab / bt.B) / (ua.c / t.T)) / (ub.c / t.T))
+                   * 10000 + 0.5)/10000 AS pmi
+      FROM bc
+      JOIN uni ua ON ua.w = split_part(bc.b, ' ', 1)
+      JOIN uni ub ON ub.w = split_part(bc.b, ' ', 2)
+      CROSS JOIN tot t CROSS JOIN btot bt)
+SELECT bigram, n, pmi FROM j ORDER BY pmi DESC, bigram LIMIT 20
+""")
+def q_text_collocations_pmi(spark, sf_dir):
+    """Top-20 bigram collocations by PMI over the documents corpus
+    (operators/text.collocations_pmi) — phrase mining / tokenizer-merge
+    candidates / boilerplate discovery for a training-data pipeline.
+    Two count groupBys + vocabulary-sized joins; corpus totals ride as
+    1-row cross joins (no driver collect); min_count=5 prunes the tail
+    before any join."""
+    from datawave_spark.operators.text import collocations_pmi
+    docs = _t(spark, sf_dir, "documents")
+    return collocations_pmi(docs, "text", "doc_id", min_count=5, k=20)
+
+
+@register("dn_limited_query", """
+SELECT least(25, (SELECT count(*) FROM events
+                  WHERE event_type = 'view' AND value > 450)) AS n_returned
+""")
+def q_dn_limited_query(spark, sf_dir):
+    """Per-caller result limits (QueryLogic.getResultLimit,
+    core/query/.../QueryLogic.java:412 + BaseQueryLogic
+    dnResultLimits:34): the caller's DN list selects the MINIMUM
+    configured cap (25 here, not the other DN's 500 or the 100k
+    baseline) and the planned result is truncated to it.  Truncation
+    picks partition-arbitrary rows (reference: stream-arbitrary), so
+    the driver-checked value is the returned COUNT."""
+    from datawave_spark.plans import QueryPlanner
+    ev = _t(spark, sf_dir, "events")
+    pl = QueryPlanner(ev, max_results=100_000,
+                      dn_result_limits={"cn=analyst,ou=r": 25,
+                                        "cn=ops,ou=r": 500})
+    res = pl.plan("EVENT_TYPE == 'view' && VALUE > 450",
+                  user_dns=["cn=analyst,ou=r", "cn=ops,ou=r"])
+    return res.df.agg(F.count(F.lit(1)).alias("n_returned"))
+
+
+@register("filtered_logic_query", """
+SELECT event_id, user_id, value, 'errors_logic' AS logic_name FROM events
+WHERE event_type = 'error' AND value > 250
+""")
+def q_filtered_logic_query(spark, sf_dir):
+    """FilteredQueryLogic inside a composite (core/query/.../filtered/
+    FilteredQueryLogic.java:47-105, QueryLogicFilterByParameter,
+    QueryLogicFilterByAuth): the errors logic runs because the
+    caller's auth set satisfies its A&B visibility filter; the claims
+    logic is FILTERED (its boolean trigger parameter is false) and
+    contributes a schema-preserving empty result, not an error —
+    exactly the reference's empty-iterator contract.  The oracle is
+    the surviving logic alone."""
+    from datawave_spark.plans.composite import (
+        FilterByAuth, FilterByParameter, composite_query, filtered_logic)
+    ev = _t(spark, sf_dir, "events")
+    params = {"include.claims": "false"}
+    auth_sets = [{"A", "B", "C"}]
+    cols = ("event_id", "user_id", "value")
+
+    def errors_logic():
+        return filtered_logic(
+            lambda: compile_query(ev, "EVENT_TYPE == 'error' && VALUE > 250")
+            .select(*cols),
+            [FilterByAuth("A&B")], params, auth_sets)
+
+    def claims_logic():
+        return filtered_logic(
+            lambda: ev.select(*cols),
+            [FilterByParameter("include.claims")], params, auth_sets)
+
+    return composite_query({"errors_logic": errors_logic,
+                            "claims_logic": claims_logic})

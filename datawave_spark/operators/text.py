@@ -295,3 +295,52 @@ def bm25_topk(postings: DataFrame, query_terms: list[str],
     score = F.floor(F.col("__s") * 10000 + F.lit(0.5)) / 10000.0
     return (scored.select("doc_id", "n_terms", score.alias("score"))
             .orderBy(F.desc("score"), "doc_id").limit(k))
+
+
+def collocations_pmi(df: DataFrame, text_col: str, id_col: str,
+                     min_count: int = 5, k: int = 20) -> DataFrame:
+    """Top-k bigram collocations by pointwise mutual information:
+    (bigram, n, pmi) — the corpus-analysis companion to the n-gram
+    repetition/decontamination operators (phrase mining, tokenizer-merge
+    candidates, boilerplate discovery).
+
+    PMI(a,b) = ln(P(ab) / (P(a)·P(b))) computed as
+    ``ln(((c_ab/B) / (c_a/T)) / (c_b/T))`` in that exact association
+    order so the DuckDB oracle replays the same IEEE operations;
+    rounded half-up at 4dp.
+
+    Shape: one bigram-count groupBy + one unigram-count groupBy; the
+    corpus totals ride along as 1-row cross joins (no driver collect);
+    unigram counts join back onto the bigram counts (vocabulary-sized —
+    AQE broadcasts when small).  ``min_count`` prunes the long tail
+    BEFORE the joins and the top-k heap.  At ingest the unigram/bigram
+    count tables are stored assets (the unigram_lm discipline); this
+    operator states the from-scratch plan."""
+    t = tokens(F.col(text_col))
+    toks = df.select(F.col(id_col).alias("id"), t.alias("t"))
+    uni = (toks.select(F.explode("t").alias("w"))
+           .groupBy("w").agg(F.count(F.lit(1)).alias("c")))
+    n_t = F.size("t")
+    bigrams = F.when(n_t >= 2, F.zip_with(
+        F.slice("t", 1, n_t - 1), F.slice("t", 2, n_t - 1),
+        lambda a, b: F.concat(a, F.lit(" "), b))
+    ).otherwise(F.array().cast("array<string>"))
+    bc = (toks.select(F.explode(bigrams).alias("b"))
+          .groupBy("b").agg(F.count(F.lit(1)).alias("cab"))
+          .filter(F.col("cab") >= min_count))
+    tot = uni.agg(F.sum("c").cast("double").alias("__tot_t"))
+    btot = toks.agg(F.sum(F.greatest(n_t - 1, F.lit(0)))
+                    .cast("double").alias("__tot_b"))
+    ua = uni.select(F.col("w").alias("__wa"), F.col("c").alias("ca"))
+    ub = uni.select(F.col("w").alias("__wb"), F.col("c").alias("cb"))
+    j = (bc.withColumn("__wa", F.split("b", " ").getItem(0))
+         .withColumn("__wb", F.split("b", " ").getItem(1))
+         .join(ua, "__wa").join(ub, "__wb")
+         .crossJoin(tot).crossJoin(btot))
+    pmi_raw = F.log(((F.col("cab") / F.col("__tot_b"))
+                     / (F.col("ca") / F.col("__tot_t")))
+                    / (F.col("cb") / F.col("__tot_t")))
+    pmi = F.floor(pmi_raw * 10000 + F.lit(0.5)) / 10000.0
+    return (j.select(F.col("b").alias("bigram"),
+                     F.col("cab").alias("n"), pmi.alias("pmi"))
+            .orderBy(F.desc("pmi"), "bigram").limit(k))

@@ -101,3 +101,69 @@ def composite_query(logics: dict[str, Callable[[], DataFrame]],
     for df in frames[1:]:
         out = out.unionByName(df)
     return out
+
+
+# --------------------------------------------------------- filtered logics
+#
+# FilteredQueryLogic (core/query/.../logic/filtered/
+# FilteredQueryLogic.java:47-105): a logic wrapped with predicates over
+# the query settings and the caller's authorizations; when any filter
+# says no, the logic is "filtered" and yields an EMPTY result instead
+# of an error.  Used standalone and as CompositeQueryLogic children so
+# one composite serves callers with different parameters/clearances.
+
+from dataclasses import dataclass
+
+
+@dataclass(frozen=True)
+class FilterByParameter:
+    """QueryLogicFilterByParameter.java:  no ``value`` -> the parameter
+    parses as a boolean; with ``value`` -> string equality."""
+    parameter: str
+    value: str | None = None
+    negated: bool = False
+
+    def can_run(self, parameters: dict | None,
+                auth_sets: list[set] | None = None) -> bool:
+        v = (parameters or {}).get(self.parameter)
+        if self.value is None:
+            ok = str(v).lower() == "true"
+        else:
+            ok = self.value == v
+        return not ok if self.negated else ok
+
+
+@dataclass(frozen=True)
+class FilterByAuth:
+    """QueryLogicFilterByAuth.java: a visibility expression every (ALL)
+    or any (ANY) of the caller's proxied auth sets must satisfy."""
+    visibility: str
+    match_type: str = "ALL"           # ALL | ANY
+    negated: bool = False
+
+    def can_run(self, parameters: dict | None,
+                auth_sets: list[set] | None = None) -> bool:
+        from datawave_spark.visibility import evaluate
+        sets = auth_sets or []
+        oks = [evaluate(self.visibility, set(s)) for s in sets]
+        if self.match_type == "ALL":
+            ok = bool(oks) and all(oks)
+        elif self.match_type == "ANY":
+            ok = any(oks)
+        else:
+            raise ValueError(f"unknown match type {self.match_type!r}")
+        return not ok if self.negated else ok
+
+
+def filtered_logic(logic: Callable[[], DataFrame], filters: list,
+                   parameters: dict | None = None,
+                   auth_sets: list[set] | None = None) -> DataFrame:
+    """Run ``logic`` only when every filter passes
+    (FilteredQueryLogic.canRunQuery:58 — filters AND together);
+    otherwise its schema-preserving EMPTY result (the reference's
+    empty iterator), so composite unions keep their shape."""
+    df = logic()
+    for f in filters:
+        if not f.can_run(parameters, auth_sets):
+            return df.limit(0)
+    return df

@@ -86,7 +86,10 @@ class QueryPlanner:
                  allowed_fields: list[str] | None = None,
                  included_values: dict[str, list[str]] | None = None,
                  excluded_values: dict[str, list[str]] | None = None,
-                 uuid_types: list | None = None):
+                 uuid_types: list | None = None,
+                 max_results: int | None = None,
+                 dn_result_limits: dict[str, int] | None = None,
+                 system_from_limits: dict[str, int] | None = None):
         self.df = df
         self.field_types = field_types
         self.model = model
@@ -124,6 +127,28 @@ class QueryPlanner:
         self.included_values = included_values
         self.excluded_values = excluded_values
         self.uuid_types = list(uuid_types or [])
+        # Result-limit config (QueryLogic.getResultLimit,
+        # core/query/.../logic/QueryLogic.java:412 + BaseQueryLogic
+        # dnResultLimits:34): baseline max_results, overridden by a
+        # systemFrom-keyed limit, then by the MINIMUM limit matching
+        # any of the caller's DNs.
+        self.max_results = max_results
+        self.dn_result_limits = dn_result_limits
+        self.system_from_limits = system_from_limits
+
+    def result_limit(self, user_dns: list[str] | None = None,
+                     system_from: str | None = None) -> int | None:
+        """The row cap for one caller (QueryLogic.java:412 semantics);
+        None = uncapped."""
+        mx = self.max_results
+        if self.system_from_limits and system_from is not None:
+            mx = self.system_from_limits.get(system_from, mx)
+        if self.dn_result_limits and user_dns:
+            caps = [self.dn_result_limits[d] for d in user_dns
+                    if d in self.dn_result_limits]
+            if caps:
+                mx = min(caps)
+        return mx
 
     @classmethod
     def from_metadata(cls, df: DataFrame, metadata: DataFrame,
@@ -180,7 +205,9 @@ class QueryPlanner:
 
     def plan(self, query: str, syntax: str = "JEXL",
              return_fields: list[str] | None = None,
-             disallowed_fields: list[str] | None = None) -> QueryResult:
+             disallowed_fields: list[str] | None = None,
+             user_dns: list[str] | None = None,
+             system_from: str | None = None) -> QueryResult:
         import datawave_spark.functions  # noqa: F401  (register compilers)
         from pyspark.sql import types as T
         from datawave_spark.compiler.rewrite import (expand_composites,
@@ -265,6 +292,12 @@ class QueryPlanner:
             deny = {f.upper() for f in disallowed_fields}
             out = out.select(*[c for c in out.columns
                                if c.upper() not in deny])
+        # Per-caller row cap (RunningQuery.java:159 applies
+        # logic.getResultLimit at query start; truncation order is
+        # stream-arbitrary there and partition-arbitrary here)
+        cap = self.result_limit(user_dns, system_from)
+        if cap is not None:
+            out = out.limit(cap)
 
         return QueryResult(df=out, options=opts, plan_string=str(node))
 

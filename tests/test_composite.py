@@ -64,3 +64,40 @@ class TestComposite:
         }, short_circuit=True).collect()
         assert {r.logic_name for r in out} == {"hit"}
         assert {r.id for r in out} == {1, 3}
+
+
+class TestFilteredLogic:
+    """FilteredQueryLogic + filter predicates (FilteredQueryLogic.java)."""
+
+    def test_filter_by_parameter_boolean_and_equality(self):
+        from datawave_spark.plans.composite import FilterByParameter
+        assert FilterByParameter("go").can_run({"go": "true"})
+        assert not FilterByParameter("go").can_run({"go": "false"})
+        assert not FilterByParameter("go").can_run({})
+        assert FilterByParameter("mode", "fast").can_run({"mode": "fast"})
+        assert not FilterByParameter("mode", "fast").can_run({"mode": "slow"})
+        assert FilterByParameter("mode", "fast", negated=True).can_run(
+            {"mode": "slow"})
+
+    def test_filter_by_auth_match_types(self):
+        from datawave_spark.plans.composite import FilterByAuth
+        two = [{"A", "B"}, {"A"}]
+        assert FilterByAuth("A").can_run(None, two)
+        assert not FilterByAuth("A&B").can_run(None, two)      # ALL fails
+        assert FilterByAuth("A&B", match_type="ANY").can_run(None, two)
+        assert FilterByAuth("A&B", negated=True).can_run(None, two)
+        assert not FilterByAuth("A", match_type="ALL").can_run(None, [])
+        import pytest as _pt
+        with _pt.raises(ValueError):
+            FilterByAuth("A", match_type="SOME").can_run(None, two)
+
+    def test_filtered_logic_empty_keeps_schema(self, spark):
+        from datawave_spark.plans.composite import (FilterByParameter,
+                                                    filtered_logic)
+        df = spark.createDataFrame([(1, "x")], "a int, b string")
+        out = filtered_logic(lambda: df, [FilterByParameter("go")], {}, [])
+        assert out.count() == 0
+        assert out.schema == df.schema
+        ok = filtered_logic(lambda: df, [FilterByParameter("go")],
+                            {"go": "true"}, [])
+        assert ok.count() == 1

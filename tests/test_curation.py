@@ -421,3 +421,25 @@ class TestBM25:
         plan = df._jdf.queryExecution().executedPlan().toString()
         assert "TakeOrderedAndProject" in plan
         assert "PushedFilters" in plan and "In(term" in plan
+
+
+class TestCollocations:
+    def test_pmi_hand_computed(self, spark):
+        import math
+        from datawave_spark.operators.text import collocations_pmi
+        # "x y" appears 3 times; unigrams: x=3, y=3, z=2; T=8, B=5
+        docs = spark.createDataFrame(
+            [(1, "x y z"), (2, "x y"), (3, "x y z")],
+            "doc_id int, text string")
+        out = {r["bigram"]: r for r in
+               collocations_pmi(docs, "text", "doc_id",
+                                min_count=2, k=10).collect()}
+        assert out["x y"]["n"] == 3
+        exp = ((3 / 5.0) / (3 / 8.0)) / (3 / 8.0)
+        assert out["x y"]["pmi"] == math.floor(
+            math.log(exp) * 10000 + 0.5) / 10000
+        assert out["y z"]["n"] == 2
+        # single-token doc contributes no bigrams
+        docs1 = spark.createDataFrame([(1, "solo")], "doc_id int, text string")
+        assert collocations_pmi(docs1, "text", "doc_id",
+                                min_count=1).count() == 0

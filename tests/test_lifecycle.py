@@ -95,3 +95,38 @@ def test_dashboard_summary_buckets_partition_rows(spark):
             + s.up_to_1000_terms + s.up_to_inf_terms) == 4
     assert s.error_count == 1 and s.more_than_60sec == 1
     assert s.up_to_inf_results == 1 and s.up_to_inf_terms == 1
+
+
+class TestResultLimit:
+    """QueryLogic.getResultLimit parity (QueryLogic.java:412)."""
+
+    def _planner(self, spark, **kw):
+        from datawave_spark.plans import QueryPlanner
+        df = spark.createDataFrame(
+            [(i, "view", float(i)) for i in range(100)],
+            "event_id int, event_type string, value double")
+        return QueryPlanner(df, **kw)
+
+    def test_min_over_matching_dns(self, spark):
+        pl = self._planner(spark, max_results=1000,
+                           dn_result_limits={"a": 30, "b": 10, "c": 5})
+        assert pl.result_limit(user_dns=["a", "b"]) == 10
+        assert pl.result_limit(user_dns=["zz"]) == 1000
+        assert pl.result_limit() == 1000
+
+    def test_system_from_override_then_dn_wins(self, spark):
+        pl = self._planner(spark, max_results=1000,
+                           system_from_limits={"feed1": 200},
+                           dn_result_limits={"a": 50})
+        assert pl.result_limit(system_from="feed1") == 200
+        assert pl.result_limit(system_from="other") == 1000
+        # DN minimum is applied AFTER the systemFrom override
+        assert pl.result_limit(user_dns=["a"], system_from="feed1") == 50
+
+    def test_plan_applies_cap(self, spark):
+        pl = self._planner(spark, dn_result_limits={"a": 7})
+        res = pl.plan("EVENT_TYPE == 'view'", user_dns=["a"])
+        assert res.df.count() == 7
+        # uncapped when no config matches
+        res2 = pl.plan("EVENT_TYPE == 'view'", user_dns=["x"])
+        assert res2.df.count() == 100
