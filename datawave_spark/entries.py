@@ -4671,3 +4671,31 @@ def q_filtered_logic_query(spark, sf_dir):
 
     return composite_query({"errors_logic": errors_logic,
                             "claims_logic": claims_logic})
+
+
+@register("decorated_query", """
+SELECT event_id, user_id,
+       CASE WHEN user_id % 3 = 0
+            THEN 'https://portal/u/' || CAST(user_id AS VARCHAR)
+            ELSE 'https://portal/e/' || CAST(event_id AS VARCHAR) END
+       AS view_url
+FROM events WHERE event_type = 'signup'
+""")
+def q_decorated_query(spark, sf_dir):
+    """Event data decoration (EventQueryDataDecorator.java:10): the
+    VIEW_URL response field is built by substituting a source field's
+    value into a configured pattern — first configured source WITH a
+    value wins (the preferred per-user link when present, the event
+    fallback otherwise), matching decorateData's first-pattern break.
+    One when-chain projection after the query; zero shuffle."""
+    from datawave_spark.operators.decorate import decorate_events
+    ev = _t(spark, sf_dir, "events")
+    hits = (compile_query(ev, "EVENT_TYPE == 'signup'")
+            .select("event_id", "user_id",
+                    F.when(F.col("user_id") % 3 == 0, F.col("user_id"))
+                    .alias("preferred_id")))
+    out = decorate_events(
+        hits, "view_url",
+        {"preferred_id": "https://portal/u/@field_value@",
+         "event_id": "https://portal/e/@field_value@"})
+    return out.select("event_id", "user_id", "view_url")

@@ -114,3 +114,33 @@ class TestBulkExport:
         df = entrymod.queries()["bulk_export_query"](spark, SF)
         plan = df._jdf.queryExecution().executedPlan().toString()
         assert "bulk_purchase" in plan
+
+
+class TestDecorate:
+    def test_first_source_with_value_wins(self, spark):
+        from datawave_spark.operators.decorate import decorate_events
+        df = spark.createDataFrame(
+            [(1, "a", None), (2, None, "b"), (3, None, None)],
+            "id int, s1 string, s2 string")
+        out = {r["id"]: r["u"] for r in decorate_events(
+            df, "u", {"s1": "1:@field_value@",
+                      "s2": "2:@field_value@"}).collect()}
+        assert out[1] == "1:a"          # first pattern wins
+        assert out[2] == "2:b"          # falls through to second
+        assert out[3] is None           # no source -> new field NULL
+
+    def test_existing_destination_kept_when_no_source(self, spark):
+        from datawave_spark.operators.decorate import decorate_events
+        df = spark.createDataFrame([(1, None, "old")],
+                                   "id int, s1 string, u string")
+        out = decorate_events(df, "u", {"s1": "x@field_value@"}).collect()
+        assert out[0]["u"] == "old"
+
+    def test_unknown_source_rejected(self, spark):
+        import pytest as _pt
+        from datawave_spark.operators.decorate import decorate_events
+        df = spark.createDataFrame([(1,)], "id int")
+        with _pt.raises(ValueError):
+            decorate_events(df, "u", {"nope": "x"})
+        with _pt.raises(ValueError):
+            decorate_events(df, "u", {})
