@@ -4699,3 +4699,45 @@ def q_decorated_query(spark, sf_dir):
         {"preferred_id": "https://portal/u/@field_value@",
          "event_id": "https://portal/e/@field_value@"})
     return out.select("event_id", "user_id", "view_url")
+
+
+@register("multimodal_png_decode", """
+WITH p AS (SELECT doc_id, 4 + doc_id % 5 AS w, 3 + doc_id % 4 AS h
+           FROM documents)
+SELECT doc_id AS id, CAST(w AS INTEGER) AS width, CAST(h AS INTEGER) AS height,
+       8 AS bit_depth, 0 AS color_type,
+       CAST(list_sum([(doc_id * 7 + (k // w) * 13 + (k % w) * 3) % 256
+                      for k in range(0, w * h)]) AS BIGINT) AS sum_px
+FROM p
+""")
+def q_multimodal_png_decode(spark, sf_dir):
+    """REAL image codec end-to-end (the WAV discipline applied to
+    images): 8-bit grayscale PNGs are synthesized per document
+    (pixels a deterministic function of doc_id), round-tripped through
+    the binary media column, and genuinely DECODED back — chunk walk,
+    per-chunk CRC verification, zlib inflate, scanline defilter, pixel
+    sum — inside Arrow mapInPandas (operators/multimodal.png_decode).
+    The oracle recomputes dimensions and pixel energy arithmetically;
+    a decoder bug cannot hash-match."""
+    import pandas as pd
+    from datawave_spark.operators.multimodal import (attach_media,
+                                                     decode_png,
+                                                     png_encode)
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+
+    def synth(batches):
+        for pdf in batches:
+            payloads = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                w, h = 4 + d % 5, 3 + d % 4
+                px = bytes((d * 7 + (k // w) * 13 + (k % w) * 3) % 256
+                           for k in range(w * h))
+                payloads.append(png_encode(w, h, px))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"],
+                                "payload": payloads})
+
+    pngs = docs.mapInPandas(synth, "doc_id long, payload binary")
+    media = attach_media(pngs.withColumnRenamed("doc_id", "id"),
+                         "payload", "image/png")
+    return decode_png(media, "id", "media")

@@ -221,3 +221,109 @@ def decode_wav(df: DataFrame, id_col: str = "id",
     return df.select(id_col, media_col).mapInPandas(
         run, "id long, sample_rate int, n_channels int, "
              "n_samples long, sum_sq long")
+
+
+# ------------------------------------------------------------- PNG codec
+
+PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def png_encode(width: int, height: int, pixels: bytes) -> bytes:
+    """Minimal REAL PNG writer (8-bit grayscale, filter-0 scanlines,
+    one zlib IDAT, CRC'd chunks) — stdlib-only, decodable by any PNG
+    reader.  ``pixels`` is row-major width×height bytes."""
+    import zlib
+    if len(pixels) != width * height:
+        raise ValueError(f"need {width * height} pixels, got {len(pixels)}")
+
+    def chunk(typ: bytes, data: bytes) -> bytes:
+        return (struct.pack(">I", len(data)) + typ + data
+                + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF))
+
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 0, 0, 0, 0)
+    raw = b"".join(b"\x00" + pixels[r * width:(r + 1) * width]
+                   for r in range(height))
+    return (PNG_SIG + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(raw)) + chunk(b"IEND", b""))
+
+
+def png_decode(payload: bytes) -> tuple[int, int, int, int, int]:
+    """FULL PNG decode for the 8-bit grayscale filter-0 subset →
+    (width, height, bit_depth, color_type, sum_px).  Walks the chunk
+    list, VERIFIES every chunk CRC, concatenates IDATs, inflates, and
+    sums the pixel bytes (the integer energy feature, addition-order
+    exact).  Interlace, other color types/depths, and filters != 0
+    raise ValueError — the documented subset, like wav_decode's 16-bit
+    PCM."""
+    import zlib
+    if payload is None or len(payload) < 8 or payload[:8] != PNG_SIG:
+        raise ValueError("not a PNG payload")
+    pos, width = 8, None
+    idat = b""
+    try:
+        while pos + 8 <= len(payload):
+            (clen,) = struct.unpack_from(">I", payload, pos)
+            typ = payload[pos + 4:pos + 8]
+            data = payload[pos + 8:pos + 8 + clen]
+            if len(data) != clen:
+                raise ValueError(f"truncated {typ!r} chunk")
+            (crc,) = struct.unpack_from(">I", payload, pos + 8 + clen)
+            if crc != (zlib.crc32(typ + data) & 0xFFFFFFFF):
+                raise ValueError(f"CRC mismatch in {typ!r} chunk")
+            if typ == b"IHDR":
+                width, height, depth, color, comp, flt, interlace = \
+                    struct.unpack(">IIBBBBB", data)
+                if depth != 8 or color != 0:
+                    raise ValueError(f"only 8-bit grayscale supported "
+                                     f"(depth={depth}, color={color})")
+                if interlace != 0:
+                    raise ValueError("interlaced PNG not supported")
+            elif typ == b"IDAT":
+                idat += data
+            elif typ == b"IEND":
+                break
+            pos += 12 + clen
+    except struct.error as e:
+        raise ValueError(f"malformed PNG chunk structure: {e}") from e
+    if width is None or not idat:
+        raise ValueError("missing IHDR/IDAT chunk")
+    try:
+        raw = zlib.decompress(idat)
+    except zlib.error as e:
+        raise ValueError(f"bad IDAT stream: {e}") from e
+    stride = width + 1
+    if len(raw) != height * stride:
+        raise ValueError(f"scanline data is {len(raw)} bytes, "
+                         f"expected {height * stride}")
+    total = 0
+    for r in range(height):
+        row = raw[r * stride:(r + 1) * stride]
+        if row[0] != 0:
+            raise ValueError(f"scanline filter {row[0]} not supported")
+        total += sum(row[1:])
+    return width, height, 8, 0, total
+
+
+def decode_png(df: DataFrame, id_col: str = "id",
+               media_col: str = "media") -> DataFrame:
+    """Real image decode via mapInPandas: (id, width, height,
+    bit_depth, color_type, sum_px) — the image analog of decode_wav
+    with the PNG codec built in."""
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"id": [], "width": [], "height": [], "bit_depth": [],
+                   "color_type": [], "sum_px": []}
+            for i, b in zip(pdf[id_col], pdf[media_col]):
+                w, h, d, c, s = png_decode(
+                    bytes(b) if b is not None else None)
+                out["id"].append(i)
+                out["width"].append(w)
+                out["height"].append(h)
+                out["bit_depth"].append(d)
+                out["color_type"].append(c)
+                out["sum_px"].append(s)
+            yield pd.DataFrame(out)
+
+    return df.select(id_col, media_col).mapInPandas(
+        run, "id long, width int, height int, bit_depth int, "
+             "color_type int, sum_px long")

@@ -95,3 +95,41 @@ class TestWavCodec:
                for r in decode_wav(
                    attach_media(df, "payload", "audio/wav")).collect()}
         assert out == {1: (8000, 2, 200), 2: (12000, 3, 75)}
+
+
+class TestPngCodec:
+    def test_round_trip(self):
+        from datawave_spark.operators.multimodal import png_decode, png_encode
+        px = bytes((i * 11) % 256 for i in range(20))
+        w, h, d, c, s = png_decode(png_encode(5, 4, px))
+        assert (w, h, d, c) == (5, 4, 8, 0)
+        assert s == sum(px)
+
+    def test_crc_and_truncation_rejected(self):
+        import pytest as _pt
+        from datawave_spark.operators.multimodal import png_decode, png_encode
+        p = bytearray(png_encode(3, 2, bytes(6)))
+        p[20] ^= 0xFF                       # corrupt IHDR body
+        with _pt.raises(ValueError, match="CRC"):
+            png_decode(bytes(p))
+        with _pt.raises(ValueError):
+            png_decode(png_encode(3, 2, bytes(6))[:20])
+        with _pt.raises(ValueError, match="not a PNG"):
+            png_decode(b"JUNK")
+        with _pt.raises(ValueError):
+            png_decode(None)
+
+    def test_pixel_count_mismatch_rejected(self):
+        import pytest as _pt
+        from datawave_spark.operators.multimodal import png_encode
+        with _pt.raises(ValueError):
+            png_encode(3, 3, bytes(8))
+
+    def test_decode_png_frame(self, spark):
+        from datawave_spark.operators.multimodal import (decode_png,
+                                                         png_encode)
+        rows = [(i, bytearray(png_encode(2, 2, bytes([i, 0, 1, 2]))))
+                for i in range(5)]
+        df = spark.createDataFrame(rows, "id long, media binary")
+        out = {r["id"]: r for r in decode_png(df).collect()}
+        assert out[3]["sum_px"] == 6 and out[3]["width"] == 2
