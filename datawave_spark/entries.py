@@ -4741,3 +4741,22 @@ def q_multimodal_png_decode(spark, sf_dir):
     media = attach_media(pngs.withColumnRenamed("doc_id", "id"),
                          "payload", "image/png")
     return decode_png(media, "id", "media")
+
+
+@register("shard_count_query", """
+SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS shard, count(*) AS n
+FROM events WHERE event_type = 'click' AND value > 200 GROUP BY 1
+""")
+def q_shard_count_query(spark, sf_dir):
+    """CountingShardQueryLogic (tables/CountingShardQueryLogic.java:29,
+    ResultCountingIterator stacked per range, CountAggregatingIterator
+    summing on the webserver): per-shard hit counts for a query.  In
+    Spark the per-range partial count IS the map-side partial of a
+    groupBy on the shard key — one aggregation, rows = active shards,
+    and the reference's webserver roll-up is `sum(n)` over this
+    result."""
+    ev = _t(spark, sf_dir, "events")
+    hits = compile_query(ev, "EVENT_TYPE == 'click' && VALUE > 200")
+    return (hits.groupBy(F.col("ts").cast("date").cast("string")
+                         .alias("shard"))
+            .agg(F.count(F.lit(1)).alias("n")))
