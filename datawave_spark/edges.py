@@ -155,6 +155,8 @@ def edge_dictionary(events: DataFrame,
     stream, so every byte of group key is hashed three times per edge);
     the definition metadata joins back onto the defs-sized result as a
     broadcast."""
+    if not defs:
+        raise ValueError("edge_dictionary needs at least one definition")
     spark = events.sparkSession
     tagged = []
     for i, d in enumerate(defs):
@@ -175,10 +177,17 @@ def edge_dictionary(events: DataFrame,
           d.precondition is not None) for i, d in enumerate(defs)],
         "def_id int, edge_type string, relationship string, "
         "source_field string, sink_field string, has_precondition boolean")
-    return (agg.join(F.broadcast(meta), "def_id")
+    # LEFT join from the metadata side: a definition whose precondition
+    # (or the corpus) produced zero edges still gets its dictionary row
+    # — n_*=0, NULL dates — instead of silently vanishing.
+    zero = F.lit(0).cast("long")
+    return (F.broadcast(meta).join(agg, "def_id", "left")
             .select("edge_type", "relationship", "source_field",
-                    "sink_field", "has_precondition", "n_edges",
-                    "n_sources", "n_sinks", "first_day", "last_day"))
+                    "sink_field", "has_precondition",
+                    F.coalesce("n_edges", zero).alias("n_edges"),
+                    F.coalesce("n_sources", zero).alias("n_sources"),
+                    F.coalesce("n_sinks", zero).alias("n_sinks"),
+                    "first_day", "last_day"))
 
 
 # Virtual-field model for edge JEXL queries (EdgeQueryLogic fields);

@@ -58,7 +58,14 @@ def extract_selectors(query: str) -> list[str]:
         ast = parse(query)
     except JexlParseError:
         from datawave_spark.lucene import parse_lucene
-        ast = parse_lucene(query)
+        from datawave_spark.lucene.parser import LuceneParseError
+        try:
+            ast = parse_lucene(query)
+        except LuceneParseError:
+            # DatawaveSelectorExtractor catches parse failures and
+            # audits with NO selectors — the audit record must still be
+            # produced for exactly the malformed queries a trail needs
+            return []
     out: list[str] = []
     _positive_eq_literals(ast, False, out)
     return out

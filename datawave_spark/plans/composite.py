@@ -157,13 +157,26 @@ class FilterByAuth:
 
 def filtered_logic(logic: Callable[[], DataFrame], filters: list,
                    parameters: dict | None = None,
-                   auth_sets: list[set] | None = None) -> DataFrame:
+                   auth_sets: list[set] | None = None,
+                   schema: str | None = None) -> DataFrame:
     """Run ``logic`` only when every filter passes
     (FilteredQueryLogic.canRunQuery:58 — filters AND together);
-    otherwise its schema-preserving EMPTY result (the reference's
-    empty iterator), so composite unions keep their shape."""
-    df = logic()
+    otherwise a schema-preserving EMPTY result (the reference's empty
+    iterator), so composite unions keep their shape.
+
+    Filters are checked BEFORE the factory runs — the reference gates
+    canRunQuery ahead of initialize, so a filtered caller never
+    triggers the delegate's setup (or its errors).  When filtered,
+    the empty frame comes from ``schema`` (the logic's configured
+    response schema, DDL string) if given, else from planning the
+    delegate with ``limit(0)`` — that fallback does run the factory,
+    so configure ``schema`` for logics whose setup can fail for gated
+    callers."""
     for f in filters:
         if not f.can_run(parameters, auth_sets):
-            return df.limit(0)
-    return df
+            if schema is not None:
+                from pyspark.sql import SparkSession
+                spark = SparkSession.getActiveSession()
+                return spark.createDataFrame([], schema)
+            return logic().limit(0)
+    return logic()

@@ -144,3 +144,43 @@ class TestDecorate:
             decorate_events(df, "u", {"nope": "x"})
         with _pt.raises(ValueError):
             decorate_events(df, "u", {})
+
+
+class TestReviewFixes:
+    def test_edge_dictionary_keeps_zero_edge_defs(self, spark):
+        from datawave_spark.edges import EdgeDefinition, edge_dictionary
+        ev = spark.createDataFrame([(1, "a", 5.0)],
+                                   "uid int, kind string, value double")
+        defs = [EdgeDefinition("uid", "kind", "live", "r"),
+                EdgeDefinition("uid", "kind", "dead", "r",
+                               precondition="VALUE > 1000000")]
+        rows = {r["edge_type"]: r for r in
+                edge_dictionary(ev, defs).collect()}
+        assert rows["live"]["n_edges"] == 1
+        assert rows["dead"]["n_edges"] == 0      # present, not dropped
+        assert rows["dead"]["n_sources"] == 0
+        assert rows["dead"]["first_day"] is None
+
+    def test_edge_dictionary_empty_defs_rejected(self, spark):
+        import pytest as _pt
+        from datawave_spark.edges import edge_dictionary
+        ev = spark.createDataFrame([(1,)], "uid int")
+        with _pt.raises(ValueError):
+            edge_dictionary(ev, [])
+
+    def test_filtered_logic_never_initializes_gated_delegate(self, spark):
+        from datawave_spark.plans.composite import (FilterByParameter,
+                                                    filtered_logic)
+
+        def exploding():
+            raise RuntimeError("delegate setup must not run when gated")
+
+        out = filtered_logic(exploding, [FilterByParameter("go")], {},
+                             [], schema="a int, b string")
+        assert out.count() == 0
+        assert [f.name for f in out.schema.fields] == ["a", "b"]
+
+    def test_unparseable_query_audits_with_no_selectors(self):
+        rec = audit_record("((broken", "EventQuery", "cn=u", "A")
+        assert rec.selectors == ()
+        assert rec.query == "((broken"
