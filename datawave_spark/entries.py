@@ -4760,3 +4760,35 @@ def q_shard_count_query(spark, sf_dir):
     return (hits.groupBy(F.col("ts").cast("date").cast("string")
                          .alias("shard"))
             .agg(F.count(F.lit(1)).alias("n")))
+
+
+@register("ingest_error_table", """
+WITH flags AS (
+  SELECT *,
+         NOT coalesce(value >= 0 AND value <= 450, FALSE) AS f_range,
+         NOT coalesce(user_id % 997 != 0, FALSE) AS f_uid
+  FROM events)
+SELECT CAST(event_id AS VARCHAR) AS event_uuid,
+       'ingest' AS job_name, 'j-2024' AS job_id,
+       concat_ws(',', CASE WHEN f_range THEN 'value_range' END,
+                      CASE WHEN f_uid THEN 'uid_blocklist' END) AS error,
+       'id=' || CAST(event_id AS VARCHAR) || ';type=' || event_type AS event
+FROM flags WHERE f_range OR f_uid
+""")
+def q_ingest_error_table(spark, sf_dir):
+    """Ingest dead-letter table (ErrorShardedDataTypeHandler.java:103):
+    rows failing validation land in the processingErrors analog with
+    the failed-rule list and raw content; valid rows continue to the
+    shard write untouched.  NULL rule results fail CLOSED.  One pass,
+    zero shuffles (sources/ingest.validate_events)."""
+    from datawave_spark.sources.ingest import validate_events
+    ev = _t(spark, sf_dir, "events")
+    rules = [("value_range",
+              (F.col("value") >= 0) & (F.col("value") <= 450)),
+             ("uid_blocklist", F.col("user_id") % 997 != 0)]
+    _good, bad = validate_events(
+        ev, rules, "event_id", job_name="ingest", job_id="j-2024",
+        event_expr=F.concat(F.lit("id="),
+                            F.col("event_id").cast("string"),
+                            F.lit(";type="), F.col("event_type")))
+    return bad

@@ -205,3 +205,41 @@ def composite_column(df: DataFrame, fields: list[str], out_col: str,
     contiguous scan range."""
     return df.withColumn(
         out_col, F.concat_ws(sep, *[F.col(f).cast("string") for f in fields]))
+
+
+def validate_events(df: DataFrame, rules: list[tuple[str, Column]],
+                    uid_col: str, job_name: str = "ingest",
+                    job_id: str = "0",
+                    event_expr: Column | None = None
+                    ) -> tuple[DataFrame, DataFrame]:
+    """Ingest dead-letter split (ErrorShardedDataTypeHandler.java:103,
+    field layout :107-115 — JOB_NAME/JOB_ID/EVENT_UUID/ERROR/
+    STACKTRACE/EVENT): rows failing any validation rule route to the
+    processingErrors-table analog instead of poisoning the shard
+    tables; the error rows carry WHICH rules failed plus the raw
+    event content, so they are queryable and re-ingestable after a
+    config fix (the reference's reprocessing loop).
+
+    ``rules``: (name, condition) pairs where the condition is TRUE for
+    a VALID row; a NULL condition (e.g. ``value > 0`` on a NULL value)
+    counts as a FAILURE — fail-closed, because an unevaluatable rule
+    is exactly the malformed-field case the error table exists for.
+    ``event_expr`` overrides the raw-content column (default: the full
+    row as JSON).  Returns (valid, errors); one pass, zero shuffles —
+    both sides are filters over the same tagged projection."""
+    if not rules:
+        raise ValueError("validate_events needs at least one rule")
+    fails = [F.when(~F.coalesce(cond, F.lit(False)), F.lit(name))
+             for name, cond in rules]
+    errs = F.filter(F.array(*fails), lambda x: x.isNotNull())
+    tagged = df.withColumn("__errors", errs)
+    good = tagged.filter(F.size("__errors") == 0).drop("__errors")
+    content = event_expr if event_expr is not None \
+        else F.to_json(F.struct(*[F.col(c) for c in df.columns]))
+    bad = (tagged.filter(F.size("__errors") > 0)
+           .select(F.col(uid_col).cast("string").alias("event_uuid"),
+                   F.lit(job_name).alias("job_name"),
+                   F.lit(job_id).alias("job_id"),
+                   F.concat_ws(",", "__errors").alias("error"),
+                   content.alias("event")))
+    return good, bad

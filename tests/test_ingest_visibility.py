@@ -357,3 +357,33 @@ class TestVisibilityCap:
         got = {r.id for r in
                filter_by_auths(df, set(), distinct_cap=3).collect()}
         assert got == {100, 101}
+
+
+class TestValidateEvents:
+    def test_split_and_fail_closed_on_null(self, spark):
+        from pyspark.sql import functions as F
+        from datawave_spark.sources.ingest import validate_events
+        df = spark.createDataFrame(
+            [(1, 10.0), (2, -5.0), (3, None)],
+            "id int, v double")
+        good, bad = validate_events(df, [("v_pos", F.col("v") > 0)], "id")
+        assert [r["id"] for r in good.orderBy("id").collect()] == [1]
+        rows = {r["event_uuid"]: r for r in bad.collect()}
+        assert set(rows) == {"2", "3"}          # NULL fails closed
+        assert rows["3"]["error"] == "v_pos"
+        assert '"id":3' in rows["3"]["event"]   # default raw JSON content
+
+    def test_multiple_failed_rules_listed_in_order(self, spark):
+        from pyspark.sql import functions as F
+        from datawave_spark.sources.ingest import validate_events
+        df = spark.createDataFrame([(1, -1.0)], "id int, v double")
+        _, bad = validate_events(
+            df, [("a", F.col("v") > 0), ("b", F.col("v") > 100)], "id")
+        assert bad.first()["error"] == "a,b"
+
+    def test_empty_rules_rejected(self, spark):
+        import pytest as _pt
+        from datawave_spark.sources.ingest import validate_events
+        df = spark.createDataFrame([(1,)], "id int")
+        with _pt.raises(ValueError):
+            validate_events(df, [], "id")
