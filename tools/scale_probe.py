@@ -32,7 +32,7 @@ OPS = ["jexl_filter", "groupby", "tokenize_tf", "minhash_sig", "simhash",
        "lsh_pairs", "ngram_capped", "simhash_pairs", "ssdeep_join",
        "knn_lsh", "knn_blocked", "repetition", "decontaminate", "pack",
        "span_dedup", "rebalance", "semantic_dedup", "kmeans_step",
-       "bm25", "edge_dict"]
+       "bm25", "edge_dict", "pmi", "validate", "png_decode"]
 
 
 def generate(spark):
@@ -164,6 +164,11 @@ def run_one(op: str, events_path: str, docs_path: str,
         # query terms' rows).
         "bm25": lambda d: _bm25(d),
         "edge_dict": lambda d: _edge_dict(d),
+        "pmi": lambda d: noop(__import__(
+            "datawave_spark.operators.text", fromlist=["x"])
+            .collocations_pmi(d, "text", "doc_id", min_count=5, k=20)),
+        "validate": lambda d: _validate(d),
+        "png_decode": lambda d: _png_decode(d),
         "rebalance": lambda d: noop(curation.rebalance_mix(
             d.withColumn("src", F.concat(F.lit("s"),
                          (F.col("doc_id") % 4).cast("string")))
@@ -210,6 +215,38 @@ def run_one(op: str, events_path: str, docs_path: str,
                 EdgeDefinition("event_type", "user_id", "t2", "r2")],
             date_col="ts"))
 
+    def _validate(d):
+        from datawave_spark.sources.ingest import validate_events
+        good, bad = validate_events(
+            d, [("value_range", (F.col("value") >= 0)
+                 & (F.col("value") <= 450)),
+                ("uid_block", F.col("user_id") % 997 != 0)], "event_id")
+        noop(good)
+        noop(bad)
+
+    def _png_decode(d):
+        # synthesize + decode a small PNG per document (the multimodal
+        # Arrow-batch path; payload work is per-row python, the scale
+        # question is whether mapInPandas batches stay flat)
+        import pandas as _pd
+        from datawave_spark.operators.multimodal import (attach_media,
+                                                         decode_png,
+                                                         png_encode)
+
+        def synth(batches):
+            for pdf in batches:
+                pays = []
+                for did in pdf["doc_id"]:
+                    did = int(did)
+                    w, h = 4 + did % 5, 3 + did % 4
+                    px = bytes((did * 7 + k) % 256 for k in range(w * h))
+                    pays.append(png_encode(w, h, px))
+                yield _pd.DataFrame({"id": pdf["doc_id"], "payload": pays})
+
+        pngs = d.select("doc_id").mapInPandas(
+            synth, "id long, payload binary")
+        noop(decode_png(attach_media(pngs, "payload", "image/png")))
+
     def _knn_lsh(d):
         from datawave_spark.operators import similarity as sim
         dim = len(d.select("embedding").head()[0])
@@ -222,7 +259,7 @@ def run_one(op: str, events_path: str, docs_path: str,
                               "vec_id", bits=8, k=5, probe_radius=1,
                               max_bucket=2000))
 
-    if op in ("jexl_filter", "groupby", "edge_dict"):
+    if op in ("jexl_filter", "groupby", "edge_dict", "validate"):
         src = ev
     elif op in ("knn_lsh", "knn_blocked", "semantic_dedup", "kmeans_step"):
         src = emb
