@@ -4792,3 +4792,42 @@ def q_ingest_error_table(spark, sf_dir):
                             F.col("event_id").cast("string"),
                             F.lit(";type="), F.col("event_type")))
     return bad
+
+
+@register("factory_event_query", """
+SELECT event_id, user_id, event_type, value FROM events
+WHERE CAST(ts AS DATE) >= DATE '2024-01-05'
+  AND CAST(ts AS DATE) <= DATE '2024-01-12'
+  AND event_type = 'purchase' AND value > 300
+""")
+def q_factory_event_query(spark, sf_dir):
+    """The REST create path end-to-end through the logic factory
+    (QueryExecutorBean.createQuery:664 → QueryLogicFactoryImpl →
+    RunningQuery): parameters validated, query audited (selector
+    extraction over the real AST), begin/end pruned on the shard
+    column, EventQuery planned by name — the surface a reference user
+    actually calls, never ShardQueryLogic directly."""
+    from datawave_spark.plans.factory import (QueryLogicFactory,
+                                              QueryParameters)
+    fac = QueryLogicFactory({"events": _t(spark, sf_dir, "events")})
+    rq = fac.create("EventQuery", QueryParameters(
+        query="EVENT_TYPE == 'purchase' && VALUE > 300",
+        begin="2024-01-05", end="2024-01-12",
+        auths="A,B", user_dns=("cn=analyst",)))
+    assert rq.audit.selectors == ("purchase",)
+    return rq.df.select("event_id", "user_id", "event_type", "value")
+
+
+@register("factory_count_query", """
+SELECT count(*) AS record_count FROM events
+WHERE CAST(ts AS DATE) >= DATE '2024-01-05' AND event_type = 'click'
+""")
+def q_factory_count_query(spark, sf_dir):
+    """CountQuery through the factory: same create path, count-only
+    logic (CountingShardQueryLogic by name)."""
+    from datawave_spark.plans.factory import (QueryLogicFactory,
+                                              QueryParameters)
+    fac = QueryLogicFactory({"events": _t(spark, sf_dir, "events")})
+    rq = fac.create("CountQuery", QueryParameters(
+        query="EVENT_TYPE == 'click'", begin="2024-01-05"))
+    return rq.df

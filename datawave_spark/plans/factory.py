@@ -1,0 +1,179 @@
+"""QueryLogicFactory — the REST create path as one callable surface.
+
+Reference: the reference's primary API is ``POST /Query/{logicName}/
+create`` with form parameters (query, querySyntax, begin, end, auths,
+pagesize, ...): QueryExecutorBean.createQuery
+(web-services/query/.../runner/QueryExecutorBean.java:664) validates
+parameters (QueryParametersImpl), audits, resolves the logic by name
+through QueryLogicFactoryImpl (core/query/.../logic/
+QueryLogicFactoryImpl.java), initializes it, and wraps the result in a
+RunningQuery for paging.  A reference user never touches ShardQueryLogic
+directly — they name a logic and pass parameters.
+
+Spark restatement: ``QueryLogicFactory`` binds logic names to builder
+functions over a table registry; ``create`` runs the same pipeline —
+parameter validation, audit-record construction (selector extraction
+over the real AST), date-range pruning on the shard column, the
+logic's plan, per-caller result caps — and returns a ``RunningQuery``
+whose ``pages()`` iterates without a driver collect.
+
+Built-in logics mirror the reference's stock deployment: EventQuery,
+CountQuery (CountingShardQueryLogic), DiscoveryQuery, FieldIndexCount
+(facets), EdgeQuery, LookupUUID.  Deployments register more with
+``factory.register`` (QueryLogicFactoryImpl's Spring bean list).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field as dc_field
+from typing import Callable
+
+from pyspark.sql import DataFrame, functions as F
+
+from datawave_spark.plans.audit import AuditRecord, audit_record
+
+
+@dataclass(frozen=True)
+class QueryParameters:
+    """QueryParametersImpl field set (the REST form params)."""
+    query: str
+    syntax: str = "JEXL"                  # JEXL | LUCENE | LUCENE-UUID...
+    begin: str | None = None              # ISO date, inclusive
+    end: str | None = None                # ISO date, inclusive
+    auths: str = ""
+    pagesize: int = 100
+    user_dns: tuple[str, ...] = ()
+    logic_params: dict = dc_field(default_factory=dict)
+
+    def validate(self) -> None:
+        """QueryParametersImpl.validate: required params present,
+        sane pagesize, begin <= end."""
+        if not self.query:
+            raise ValueError("query parameter is required")
+        if self.pagesize <= 0:
+            raise ValueError(f"invalid pagesize {self.pagesize}")
+        if self.begin and self.end and self.begin > self.end:
+            raise ValueError(f"begin {self.begin} after end {self.end}")
+
+
+@dataclass
+class RunningQuery:
+    """RunningQuery.java:56 — the created query: result plan, audit
+    record, page cursor."""
+    query_id: str
+    logic_name: str
+    df: DataFrame
+    audit: AuditRecord
+    pagesize: int = 100
+    _cursor: object = None
+
+    def pages(self):
+        """GET /Query/{id}/next loop — driver sees one page at a time."""
+        page = []
+        for row in self.df.toLocalIterator():
+            page.append(row)
+            if len(page) >= self.pagesize:
+                yield page
+                page = []
+        if page:
+            yield page
+
+
+class QueryLogicFactory:
+    """Logic-name → builder registry over a table registry
+    (QueryLogicFactoryImpl analog).
+
+    ``tables`` maps logical table names ("events", "documents",
+    "edges") to DataFrames; ``date_col`` is the shard column begin/end
+    prune against; ``planner_kwargs`` pass through to the EventQuery
+    planner (models, thresholds, dn_result_limits, ...)."""
+
+    def __init__(self, tables: dict[str, DataFrame], *,
+                 date_col: str = "ts",
+                 discovery_fields: list[str] | None = None,
+                 **planner_kwargs):
+        self.tables = tables
+        self.date_col = date_col
+        self.discovery_fields = discovery_fields or []
+        self.planner_kwargs = planner_kwargs
+        self._logics: dict[str, Callable] = {
+            "EventQuery": self._event_query,
+            "CountQuery": self._count_query,
+            "DiscoveryQuery": self._discovery_query,
+            "FieldIndexCountQuery": self._field_index_count,
+            "EdgeQuery": self._edge_query,
+            "LookupUUID": self._lookup_uuid,
+        }
+        self._seq = 0
+
+    def register(self, name: str,
+                 builder: Callable[["QueryLogicFactory", QueryParameters],
+                                   DataFrame]) -> None:
+        self._logics[name] = lambda qp, b=builder: b(self, qp)
+
+    def logic_names(self) -> list[str]:
+        """GET /Query/listQueryLogic."""
+        return sorted(self._logics)
+
+    def create(self, logic_name: str, qp: QueryParameters) -> RunningQuery:
+        """The create path: validate → audit → resolve logic → plan →
+        cap → RunningQuery (QueryExecutorBean.createQuery:664)."""
+        qp.validate()
+        if logic_name not in self._logics:
+            raise KeyError(f"unknown query logic {logic_name!r}; "
+                           f"known: {self.logic_names()}")
+        audit = audit_record(qp.query, logic_name,
+                             ",".join(qp.user_dns) or "unknown", qp.auths)
+        df = self._logics[logic_name](qp)
+        self._seq += 1
+        return RunningQuery(query_id=f"q-{self._seq}",
+                            logic_name=logic_name, df=df, audit=audit,
+                            pagesize=qp.pagesize)
+
+    # ----------------------------------------------------- built-ins
+
+    def _dated(self, df: DataFrame, qp: QueryParameters) -> DataFrame:
+        """begin/end date-range prune on the shard column — partition
+        pruning when the table is date-partitioned."""
+        c = F.col(self.date_col).cast("date")
+        if qp.begin:
+            df = df.filter(c >= F.lit(qp.begin).cast("date"))
+        if qp.end:
+            df = df.filter(c <= F.lit(qp.end).cast("date"))
+        return df
+
+    def _planner(self, df: DataFrame):
+        from datawave_spark.plans.planner import QueryPlanner
+        return QueryPlanner(df, **self.planner_kwargs)
+
+    def _event_query(self, qp: QueryParameters) -> DataFrame:
+        src = self._dated(self.tables["events"], qp)
+        res = self._planner(src).plan(
+            qp.query, syntax=qp.syntax,
+            user_dns=list(qp.user_dns) or None)
+        return res.df
+
+    def _count_query(self, qp: QueryParameters) -> DataFrame:
+        return self._event_query(qp).agg(
+            F.count(F.lit(1)).alias("record_count"))
+
+    def _discovery_query(self, qp: QueryParameters) -> DataFrame:
+        from datawave_spark.operators.discovery import discovery
+        src = self._dated(self.tables["events"], qp)
+        return discovery(src, self.discovery_fields, self.date_col)
+
+    def _field_index_count(self, qp: QueryParameters) -> DataFrame:
+        from datawave_spark.operators.discovery import facets
+        hits = self._event_query(qp)
+        return facets(hits, self.discovery_fields)
+
+    def _edge_query(self, qp: QueryParameters) -> DataFrame:
+        from datawave_spark.edges import edge_query
+        return edge_query(self.tables["edges"], qp.query)
+
+    def _lookup_uuid(self, qp: QueryParameters) -> DataFrame:
+        from datawave_spark.plans.lookup import lookup_uuid
+        field, _, value = qp.query.partition(":")
+        if not value:
+            raise ValueError("LookupUUID query must be FIELD:value")
+        return lookup_uuid(self.tables["events"], field.lower(), value)
