@@ -4831,3 +4831,51 @@ def q_factory_count_query(spark, sf_dir):
     rq = fac.create("CountQuery", QueryParameters(
         query="EVENT_TYPE == 'click'", begin="2024-01-05"))
     return rq.df
+
+
+@register("index_age_display", """
+WITH d AS (SELECT CAST(ts AS DATE) AS ed FROM events),
+b AS (SELECT CASE WHEN datediff('day', ed, DATE '2024-01-20') >= 14 THEN 14
+                  WHEN datediff('day', ed, DATE '2024-01-20') >= 7 THEN 7
+                  WHEN datediff('day', ed, DATE '2024-01-20') >= 2 THEN 2
+                  ELSE 0 END AS age_bucket_days
+      FROM d)
+SELECT age_bucket_days, count(*) * 3 AS n
+FROM b GROUP BY age_bucket_days
+""")
+def q_index_age_display(spark, sf_dir):
+    """Index age report (ops-tools/index-validation,
+    AccumuloIndexAgeDisplay.java:5): stored-index entries bucketed by
+    age against a fixed 'now', each entry in the OLDEST bucket
+    possible — the age-off planning view.  The oracle knows each event
+    contributes exactly 3 index entries (event_type/value/user_id),
+    so it re-derives the same histogram from the event dates."""
+    import datetime as dt
+    from datawave_spark.sources.index_frame import index_age_display
+    from datawave_spark.sources.prepared import index_frame
+    idx = index_frame(spark, sf_dir)
+    return index_age_display(idx, dt.date(2024, 1, 20),
+                             buckets=(14, 7, 2))
+
+
+@register("index_consistency_check", """
+WITH old AS (SELECT count(*) AS n FROM events
+             WHERE CAST(ts AS DATE) < DATE '2024-01-10')
+SELECT 'orphaned_index' AS issue, f.field, o.n
+FROM (VALUES ('EVENT_TYPE'), ('VALUE'), ('USER_ID')) f(field)
+CROSS JOIN old o
+""")
+def q_index_consistency_check(spark, sf_dir):
+    """Index-vs-data consistency (the drift ops-tools/index-validation
+    exists to catch): events were aged off at 2024-01-10 but the
+    stored index was not cleaned, so every pre-cutoff event leaves one
+    ORPHANED index entry per indexed field; nothing is missing.  Two
+    co-partitioned anti-joins on (field, value, uid)
+    (sources/index_frame.index_consistency)."""
+    from datawave_spark.sources.index_frame import index_consistency
+    from datawave_spark.sources.prepared import index_frame
+    ev = _t(spark, sf_dir, "events")
+    live = ev.filter(F.col("ts").cast("date") >= F.lit("2024-01-10"))
+    idx = index_frame(spark, sf_dir)
+    return index_consistency(idx, live, ["event_type", "value", "user_id"],
+                             "event_id", date_col="ts")

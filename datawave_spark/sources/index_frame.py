@@ -456,3 +456,54 @@ def index_hole_query(events: DataFrame, index: DataFrame, jexl: str,
         jexl, id_col, field_types)
     scan_branch = compile_query(uncovered, jexl, field_types=field_types)
     return idx_branch.unionByName(scan_branch)
+
+
+def index_age_display(index: DataFrame, now,
+                      buckets: tuple[int, ...] = (180, 90, 60, 30, 14, 7, 2)
+                      ) -> DataFrame:
+    """Index age report (ops-tools/index-validation
+    AccumuloIndexAgeDisplay.java:5): count index entries per age
+    bucket, each entry landing in the OLDEST bucket possible; bucket
+    values < 2 days are ignored (setBuckets:55).  The age-off planning
+    view — one map-side-combinable groupBy over the stored index."""
+    bs = sorted({b for b in buckets if b >= 2}, reverse=True)
+    if not bs:
+        raise ValueError("no valid age buckets (all < 2 days)")
+    age = F.datediff(F.lit(now).cast("date"), F.col("event_date"))
+    expr = None
+    for b in bs:                       # descending: oldest bucket wins
+        cond = age >= b
+        expr = F.when(cond, b) if expr is None else expr.when(cond, b)
+    expr = expr.otherwise(0)
+    return (index.groupBy(expr.alias("age_bucket_days"))
+            .agg(F.count(F.lit(1)).alias("n")))
+
+
+def index_consistency(index: DataFrame, events: DataFrame,
+                      fields: list[str], id_col: str,
+                      date_col: str | None = None,
+                      field_types: dict[str, str] | None = None
+                      ) -> DataFrame:
+    """Index-vs-data consistency report: (issue, field, n) where issue
+    is ``orphaned_index`` (index entries whose event no longer exists —
+    the age-off-ran-on-events-but-not-index drift the reference's
+    index-validation ops tooling exists for) or ``missing_index``
+    (event field values absent from the index — a failed ingest
+    append).  Two anti-joins on the (field, value, uid) key, both
+    co-partitioned on the same short columns; only nonzero issues
+    produce rows."""
+    expected = build_index(events, fields, id_col, date_col=date_col,
+                           field_types=field_types) \
+        .select("field", "value", "uid")
+    stored = index.select("field", "value", "uid")
+    orphaned = (stored.join(expected, ["field", "value", "uid"],
+                            "left_anti")
+                .groupBy("field").agg(F.count(F.lit(1)).alias("n"))
+                .select(F.lit("orphaned_index").alias("issue"),
+                        "field", "n"))
+    missing = (expected.join(stored, ["field", "value", "uid"],
+                             "left_anti")
+               .groupBy("field").agg(F.count(F.lit(1)).alias("n"))
+               .select(F.lit("missing_index").alias("issue"),
+                       "field", "n"))
+    return orphaned.union(missing)

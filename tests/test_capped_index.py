@@ -238,3 +238,46 @@ class TestNegatedUnindexed:
         assert any(r.event_id in got for r in ev.filter(
             (F.col("event_type") == "hot") & (F.col("grp") == 1)
             & (F.col("unindexed_num") == 1)).collect())
+
+
+class TestIndexOps:
+    def test_age_display_oldest_bucket_wins(self, spark):
+        import datetime as dt
+        from pyspark.sql import functions as F
+        from datawave_spark.sources.index_frame import index_age_display
+        idx = spark.createDataFrame(
+            [("F", "v", "1", "2024-01-01"),      # 19 days -> bucket 14
+             ("F", "v", "2", "2024-01-12"),      # 8 days  -> bucket 7
+             ("F", "v", "3", "2024-01-19"),      # 1 day   -> bucket 0
+             ("F", "v", "4", "2024-01-17")],     # 3 days  -> bucket 2
+            "field string, value string, uid string, event_date string"
+        ).withColumn("event_date", F.col("event_date").cast("date"))
+        out = {r["age_bucket_days"]: r["n"] for r in
+               index_age_display(idx, dt.date(2024, 1, 20),
+                                 buckets=(14, 7, 2)).collect()}
+        assert out == {14: 1, 7: 1, 2: 1, 0: 1}
+        import pytest as _pt
+        with _pt.raises(ValueError):
+            index_age_display(idx, dt.date(2024, 1, 20), buckets=(1,))
+
+    def test_consistency_detects_both_drifts(self, spark):
+        from pyspark.sql import functions as F
+        from datawave_spark.sources.index_frame import (build_index,
+                                                        index_consistency)
+        ev = spark.createDataFrame(
+            [(1, "a"), (2, "b"), (3, "c")], "id int, kind string")
+        # stored index built over events 1,2; live data is events 2,3:
+        # event 1 -> orphaned entry; event 3 -> missing entry
+        idx = build_index(ev.filter("id <= 2"), ["kind"], "id")
+        live = ev.filter("id >= 2")
+        rows = {(r["issue"], r["field"]): r["n"] for r in
+                index_consistency(idx, live, ["kind"], "id").collect()}
+        assert rows == {("orphaned_index", "KIND"): 1,
+                        ("missing_index", "KIND"): 1}
+
+    def test_consistency_clean_is_empty(self, spark):
+        from datawave_spark.sources.index_frame import (build_index,
+                                                        index_consistency)
+        ev = spark.createDataFrame([(1, "a")], "id int, kind string")
+        idx = build_index(ev, ["kind"], "id")
+        assert index_consistency(idx, ev, ["kind"], "id").count() == 0
