@@ -4879,3 +4879,19 @@ def q_index_consistency_check(spark, sf_dir):
     idx = index_frame(spark, sf_dir)
     return index_consistency(idx, live, ["event_type", "value", "user_id"],
                              "event_id", date_col="ts")
+
+
+@register("factory_content_query", """
+SELECT doc_id, text FROM documents WHERE doc_id IN (3, 7, 11)
+""")
+def q_factory_content_query(spark, sf_dir):
+    """ContentQueryLogic by name through the factory
+    (ContentQueryLogic.java:56 — raw stored content by document id,
+    the `d` column family read): the create path parses the id-list
+    query, prunes the scan to the listed ids (IN pushdown), and
+    returns the stored payload column."""
+    from datawave_spark.plans.factory import (QueryLogicFactory,
+                                              QueryParameters)
+    fac = QueryLogicFactory({"documents": _t(spark, sf_dir, "documents")})
+    rq = fac.create("ContentQuery", QueryParameters(query="3,7,11"))
+    return rq.df

@@ -91,18 +91,36 @@ class QueryLogicFactory:
     def __init__(self, tables: dict[str, DataFrame], *,
                  date_col: str = "ts",
                  discovery_fields: list[str] | None = None,
+                 uid_col: str = "uid",
+                 content_table: str = "documents",
+                 content_id: str = "doc_id",
+                 content_col: str = "text",
+                 edge_source_field: str | None = None,
+                 edge_sink_field: str | None = None,
                  **planner_kwargs):
         self.tables = tables
         self.date_col = date_col
         self.discovery_fields = discovery_fields or []
+        self.uid_col = uid_col
+        self.content_table = content_table
+        self.content_id = content_id
+        self.content_col = content_col
+        self.edge_source_field = edge_source_field
+        self.edge_sink_field = edge_sink_field
         self.planner_kwargs = planner_kwargs
         self._logics: dict[str, Callable] = {
             "EventQuery": self._event_query,
             "CountQuery": self._count_query,
             "DiscoveryQuery": self._discovery_query,
             "FieldIndexCountQuery": self._field_index_count,
+            "FacetedQuery": self._field_index_count,
             "EdgeQuery": self._edge_query,
+            "EdgeEventQuery": self._edge_event_query,
             "LookupUUID": self._lookup_uuid,
+            "ContentQuery": self._content_query,
+            "TLDEventQuery": self._tld_query,
+            "AncestorQuery": self._ancestor_query,
+            "ParentQuery": self._parent_query,
         }
         self._seq = 0
 
@@ -177,3 +195,45 @@ class QueryLogicFactory:
         if not value:
             raise ValueError("LookupUUID query must be FIELD:value")
         return lookup_uuid(self.tables["events"], field.lower(), value)
+
+    def _edge_event_query(self, qp: QueryParameters) -> DataFrame:
+        from datawave_spark.edges import edge_events, edge_query
+        if not (self.edge_source_field and self.edge_sink_field):
+            raise ValueError("EdgeEventQuery needs edge_source_field/"
+                             "edge_sink_field factory config")
+        sel = edge_query(self.tables["edges"], qp.query)
+        return edge_events(sel, self._dated(self.tables["events"], qp),
+                           self.edge_source_field, self.edge_sink_field)
+
+    def _content_query(self, qp: QueryParameters) -> DataFrame:
+        from datawave_spark.plans.lookup import fetch_content
+        ids = [s.strip() for s in qp.query.split(",") if s.strip()]
+        if not ids:
+            raise ValueError("ContentQuery query must be id[,id...]")
+        tbl = self.tables[self.content_table]
+        typed = [type(tbl.schema[self.content_id].dataType).__name__]
+        if typed[0] in ("LongType", "IntegerType"):
+            ids = [int(i) for i in ids]
+        return fetch_content(tbl, self.content_id, ids, self.content_col)
+
+    def _uid_frame(self, qp: QueryParameters) -> DataFrame:
+        df = self._dated(self.tables["events"], qp)
+        if self.uid_col not in df.columns:
+            raise ValueError(f"TLD-family logics need a {self.uid_col!r} "
+                             f"column (factory uid_col config)")
+        return df
+
+    def _tld_query(self, qp: QueryParameters) -> DataFrame:
+        from datawave_spark.operators.tld import tld_rollup
+        return tld_rollup(self._uid_frame(qp), qp.query,
+                          uid_col=self.uid_col)
+
+    def _ancestor_query(self, qp: QueryParameters) -> DataFrame:
+        from datawave_spark.operators.tld import ancestors_match
+        return ancestors_match(self._uid_frame(qp), qp.query,
+                               uid_col=self.uid_col)
+
+    def _parent_query(self, qp: QueryParameters) -> DataFrame:
+        from datawave_spark.operators.tld import parent_query
+        return parent_query(self._uid_frame(qp), qp.query,
+                            uid_col=self.uid_col)

@@ -81,3 +81,46 @@ class TestFactory:
         rq = factory.create("TopValues", QueryParameters(query="n/a"))
         assert rq.df.count() == 3
         assert "TopValues" in factory.logic_names()
+
+
+class TestFactoryExtendedLogics:
+    def test_content_query(self, spark):
+        from datawave_spark.sources.parquet import read_parquet
+        docs = read_parquet(spark, f"{SF}/documents.parquet")
+        fac = QueryLogicFactory({"documents": docs})
+        rq = fac.create("ContentQuery", QueryParameters(query="3, 7"))
+        rows = {r["doc_id"] for r in rq.df.collect()}
+        assert rows == {3, 7}
+        with pytest.raises(ValueError):
+            fac.create("ContentQuery", QueryParameters(query=" , "))
+
+    def test_tld_family_logics(self, spark):
+        ev = spark.createDataFrame(
+            [("h.1.x", "a", 10.0), ("h.1.x.c1", "b", 5.0),
+             ("h.2.y", "b", 1.0)],
+            "uid string, kind string, value double")
+        fac = QueryLogicFactory({"events": ev}, date_col="missing")
+        # child matches VALUE > 4 -> TLD rollup returns whole family
+        fam = fac.create("TLDEventQuery", QueryParameters(
+            query="VALUE > 4")).df
+        assert {r["uid"] for r in fam.collect()} == {"h.1.x", "h.1.x.c1"}
+        par = fac.create("ParentQuery", QueryParameters(
+            query="KIND == 'b' && VALUE > 4")).df
+        assert {r["uid"] for r in par.collect()} == {"h.1.x"}
+
+    def test_edge_event_query_requires_config(self, spark):
+        ev = spark.createDataFrame([(1, "x")], "user_id int, event_type string")
+        edges = spark.createDataFrame(
+            [("1", "x", "t", "r")],
+            "source string, sink string, edge_type string, relationship string")
+        fac = QueryLogicFactory({"events": ev, "edges": edges},
+                                date_col="missing")
+        with pytest.raises(ValueError, match="edge_source_field"):
+            fac.create("EdgeEventQuery", QueryParameters(query="TYPE == 't'"))
+        fac2 = QueryLogicFactory({"events": ev, "edges": edges},
+                                 date_col="missing",
+                                 edge_source_field="user_id",
+                                 edge_sink_field="event_type")
+        out = fac2.create("EdgeEventQuery",
+                          QueryParameters(query="TYPE == 't'")).df
+        assert out.count() == 1
