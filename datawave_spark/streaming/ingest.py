@@ -35,7 +35,10 @@ def stream_ingest(spark: SparkSession, input_path: str, schema: T.StructType,
                   checkpoint_path: str, fmt: str = "parquet",
                   available_now: bool = True,
                   pre=None,
-                  options: dict[str, str] | None = None) -> StreamingQuery:
+                  options: dict[str, str] | None = None,
+                  validation_rules: list | None = None,
+                  error_path: str | None = None,
+                  uid_col: str | None = None) -> StreamingQuery:
     """File-arrival ingest: watch ``input_path``, run the batch ingest
     transform per micro-batch, append to the date-partitioned event
     table.  ``available_now=True`` processes the backlog and stops
@@ -43,7 +46,14 @@ def stream_ingest(spark: SparkSession, input_path: str, schema: T.StructType,
     optional raw-record adapter DataFrame→DataFrame applied before the
     ingest transform — the reader/helper separation of the reference's
     per-datatype record readers (e.g. decode a nanos-long timestamp
-    column into a real timestamp)."""
+    column into a real timestamp).
+
+    ``validation_rules`` + ``error_path`` wire the dead-letter split
+    into the live path (ErrorShardedDataTypeHandler — the reference's
+    error handler runs INSIDE the same ingest job): per micro-batch,
+    rows failing a rule append to the error table and only valid rows
+    continue to the shard write.  ``uid_col`` names the raw-record id
+    for the error rows (defaults to the config's first uid field)."""
     reader = spark.readStream.format(fmt).schema(schema)
     for k, v in (options or {}).items():
         reader = reader.option(k, v)
@@ -58,6 +68,15 @@ def stream_ingest(spark: SparkSession, input_path: str, schema: T.StructType,
     # parquet append from foreachBatch is at-least-once on retry —
     # with Delta this becomes an idempotent txn-versioned MERGE.
     def write_batch(batch_df, epoch_id: int) -> None:
+        if validation_rules:
+            from datawave_spark.sources.ingest import validate_events
+            if error_path is None:
+                raise ValueError("validation_rules need an error_path")
+            uid = uid_col or (config.uid_fields or ["uid"])[0]
+            batch_df, bad = validate_events(
+                batch_df, validation_rules, uid,
+                job_name=config.datatype, job_id=str(epoch_id))
+            bad.write.mode("append").parquet(error_path)
         events = ingest_events(batch_df, config)
         (events.write.mode("append").partitionBy("event_date")
          .parquet(output_path))

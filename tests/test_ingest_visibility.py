@@ -387,3 +387,40 @@ class TestValidateEvents:
         df = spark.createDataFrame([(1,)], "id int")
         with _pt.raises(ValueError):
             validate_events(df, [], "id")
+
+
+class TestStreamingDeadLetter:
+    def test_stream_ingest_routes_invalid_rows(self, spark, raw,
+                                               tmp_path_factory):
+        src = str(tmp_path_factory.mktemp("dl_src"))
+        out = str(tmp_path_factory.mktemp("dl_out"))
+        err = str(tmp_path_factory.mktemp("dl_err"))
+        ckpt = str(tmp_path_factory.mktemp("dl_ckpt"))
+        raw.write.mode("overwrite").parquet(src)
+        from datawave_spark.streaming import stream_ingest
+        rules = [("tags_present", F.col("tags").isNotNull()),
+                 ("body_nonempty", F.length("body") > 0)]
+        q = stream_ingest(spark, src, raw.schema, CFG, out, ckpt,
+                          validation_rules=rules, error_path=err,
+                          uid_col="rid")
+        q.awaitTermination(120)
+        good = spark.read.parquet(out)
+        bad = spark.read.parquet(err)
+        assert good.count() == 2                 # row 3 dead-lettered
+        row = bad.collect()
+        assert len(row) == 1 and row[0]["event_uuid"] == "3"
+        assert row[0]["error"] == "tags_present,body_nonempty"
+        assert row[0]["job_name"] == CFG.datatype
+
+    def test_rules_without_error_path_rejected(self, spark, raw,
+                                               tmp_path_factory):
+        import pytest as _pt
+        src = str(tmp_path_factory.mktemp("dl2_src"))
+        out = str(tmp_path_factory.mktemp("dl2_out"))
+        ckpt = str(tmp_path_factory.mktemp("dl2_ckpt"))
+        raw.write.mode("overwrite").parquet(src)
+        from datawave_spark.streaming import stream_ingest
+        q = stream_ingest(spark, src, raw.schema, CFG, out, ckpt,
+                          validation_rules=[("x", F.lit(True))])
+        with _pt.raises(Exception):              # surfaces via the stream
+            q.awaitTermination(120)
