@@ -4895,3 +4895,35 @@ def q_factory_content_query(spark, sf_dir):
     fac = QueryLogicFactory({"documents": _t(spark, sf_dir, "documents")})
     rq = fac.create("ContentQuery", QueryParameters(query="3,7,11"))
     return rq.df
+
+
+@register("curation_dsir_select", f"""
+WITH toks AS ({_DUCK_TOKS}),
+ex AS (SELECT doc_id, unnest(t) AS token FROM toks),
+clm AS (SELECT token, count(*) AS nc FROM ex GROUP BY token),
+ctot AS (SELECT CAST(sum(nc) AS DOUBLE) AS tc,
+                CAST(count(*) AS DOUBLE) AS v FROM clm),
+tlm AS (SELECT token, count(*) AS nt FROM ex
+        WHERE doc_id % 10 = 0 GROUP BY token),
+ttot AS (SELECT CAST(coalesce(sum(nt), 0) AS DOUBLE) AS tt FROM tlm),
+j AS (SELECT ex.doc_id,
+             ln((coalesce(tlm.nt, 0) + 1) / (ttot.tt + ctot.v))
+           - ln(clm.nc / ctot.tc) AS lr
+      FROM ex JOIN clm USING (token) LEFT JOIN tlm USING (token)
+      CROSS JOIN ctot CROSS JOIN ttot)
+SELECT doc_id, count(*) AS n_tokens,
+       floor(sum(lr) / count(*) * 10000 + 0.5)/10000 AS avg_logratio
+FROM j GROUP BY doc_id
+ORDER BY avg_logratio DESC, doc_id LIMIT 100
+""")
+def q_curation_dsir_select(spark, sf_dir):
+    """DSIR data selection (arXiv:2302.03169, rank variant): the 100
+    corpus documents most like the target sample (docs with
+    doc_id % 10 == 0 stand in for the benchmark/domain set), scored by
+    mean per-token target-vs-corpus unigram log-ratio with add-1
+    smoothing over the corpus vocabulary
+    (operators/curation.dsir_topk)."""
+    from datawave_spark.operators.curation import dsir_topk
+    docs = _t(spark, sf_dir, "documents")
+    target = docs.filter(F.col("doc_id") % 10 == 0)
+    return dsir_topk(docs, target, "text", "doc_id", k=100)

@@ -399,3 +399,46 @@ def domain_cap(df: DataFrame, id_col: str, domain_col: str,
     return (df.withColumn("__rn", F.row_number().over(w))
             .filter(F.col("__rn") <= max_per_domain)
             .drop("__rn"))
+
+
+def dsir_topk(df: DataFrame, target: DataFrame, text_col: str,
+              id_col: str, k: int = 100) -> DataFrame:
+    """Data Selection via Importance Resampling, rank variant (DSIR,
+    Xie et al. 2023, arXiv:2302.03169): score each corpus document by
+    the mean per-token log-ratio of a TARGET unigram LM (the benchmark
+    / domain sample you want more of) to the CORPUS unigram LM, and
+    keep the top-k most target-like documents.
+
+    p_target is add-1 smoothed over the corpus vocabulary (a corpus
+    token absent from the target must score finitely, not -inf);
+    p_corpus needs no smoothing (every scored token occurs).  Rounded
+    half-up at 4dp with doc_id tie-break so the DuckDB oracle replays
+    the arithmetic bit-for-bit.
+
+    Shape: two vocabulary-sized count groupBys (the stored unigram_lm
+    discipline at ingest), totals as 1-row cross joins, one broadcast
+    token join, one per-doc mean, heap top-k.  Nothing is
+    corpus×corpus."""
+    from datawave_spark.operators.text import tokens
+    ex = df.select(F.col(id_col).alias("id"),
+                   F.explode(tokens(F.col(text_col))).alias("token"))
+    tex = target.select(F.explode(tokens(F.col(text_col))).alias("token"))
+    clm = ex.groupBy("token").agg(F.count(F.lit(1)).alias("nc"))
+    ctot = clm.agg(F.sum("nc").cast("double").alias("tc"),
+                   F.count(F.lit(1)).cast("double").alias("v"))
+    tlm = tex.groupBy("token").agg(F.count(F.lit(1)).alias("nt"))
+    ttot = tlm.agg(F.coalesce(F.sum("nt"), F.lit(0))
+                   .cast("double").alias("tt"))
+    j = (ex.join(clm, "token").join(tlm, "token", "left")
+         .crossJoin(ctot).crossJoin(ttot))
+    lr = (F.log((F.coalesce(F.col("nt"), F.lit(0)) + 1)
+                / (F.col("tt") + F.col("v")))
+          - F.log(F.col("nc") / F.col("tc")))
+    scored = (j.groupBy("id")
+              .agg(F.count(F.lit(1)).alias("n_tokens"),
+                   F.sum(lr).alias("__s")))
+    score = F.floor(F.col("__s") / F.col("n_tokens") * 10000
+                    + F.lit(0.5)) / 10000.0
+    return (scored.select(F.col("id").alias(id_col), "n_tokens",
+                          score.alias("avg_logratio"))
+            .orderBy(F.desc("avg_logratio"), id_col).limit(k))

@@ -443,3 +443,45 @@ class TestCollocations:
         docs1 = spark.createDataFrame([(1, "solo")], "doc_id int, text string")
         assert collocations_pmi(docs1, "text", "doc_id",
                                 min_count=1).count() == 0
+
+
+class TestDSIR:
+    def test_matches_python_referee(self, spark):
+        import math
+        from collections import Counter
+        from datawave_spark.operators.curation import dsir_topk
+        corpus = {1: "alpha beta alpha beta", 2: "alpha beta gamma gamma",
+                  3: "delta delta delta zeta"}
+        tgt = "alpha beta alpha"
+        docs = spark.createDataFrame(list(corpus.items()),
+                                     "doc_id int, text string")
+        target = spark.createDataFrame([(9, tgt)], "doc_id int, text string")
+        # pure-python referee with the same formula
+        ctok = [w for t in corpus.values() for w in t.split()]
+        cc, tc_ = Counter(ctok), Counter(tgt.split())
+        Tc, Tt, V = len(ctok), len(tgt.split()), len(cc)
+
+        def score(text):
+            toks = text.split()
+            s = sum(math.log((tc_.get(w, 0) + 1) / (Tt + V))
+                    - math.log(cc[w] / Tc) for w in toks)
+            return math.floor(s / len(toks) * 10000 + 0.5) / 10000
+
+        expected = {d: score(t) for d, t in corpus.items()}
+        out = {r["doc_id"]: r["avg_logratio"] for r in
+               dsir_topk(docs, target, "text", "doc_id", k=3).collect()}
+        assert out == expected
+        # the target-like doc outranks the fully-foreign one
+        assert expected[1] > expected[3]
+
+    def test_hand_computed_score(self, spark):
+        import math
+        from datawave_spark.operators.curation import dsir_topk
+        docs = spark.createDataFrame([(1, "a a b")], "doc_id int, text string")
+        target = spark.createDataFrame([(9, "a")], "doc_id int, text string")
+        # corpus: a=2, b=1, Tc=3, V=2; target: a=1, Tt=1
+        row = dsir_topk(docs, target, "text", "doc_id").first()
+        lr_a = math.log((1 + 1) / (1 + 2)) - math.log(2 / 3)
+        lr_b = math.log((0 + 1) / (1 + 2)) - math.log(1 / 3)
+        exp = math.floor((2 * lr_a + lr_b) / 3 * 10000 + 0.5) / 10000
+        assert row["avg_logratio"] == exp
