@@ -243,3 +243,36 @@ def validate_events(df: DataFrame, rules: list[tuple[str, Column]],
                    F.concat_ws(",", "__errors").alias("error"),
                    content.alias("event")))
     return good, bad
+
+
+def compare_configs(left: IngestConfig, right: IngestConfig
+                    ) -> dict[str, list[str]]:
+    """Datatype-config diff (ops-tools/config-compare
+    DataTypeConfigCompare.java + CompareResult.java): compare two
+    ingest configurations field-by-field ignoring the datatype name
+    (the reference strips the per-datatype prefix for the same
+    reason), reporting sorted ``same`` / ``diff`` / ``left_only`` /
+    ``right_only`` keys — the drift check before pointing a new
+    datatype at a shared deployment."""
+    def flat(cfg: IngestConfig) -> dict[str, object]:
+        out: dict[str, object] = {
+            "date_field": cfg.date_field,
+            "uid_fields": tuple(cfg.uid_fields) if cfg.uid_fields else None,
+            "tokenized_fields": tuple(cfg.tokenized_fields),
+            "visibility": cfg.visibility,
+            "num_shards": cfg.num_shards,
+            "normalize_at_rest": cfg.normalize_at_rest,
+        }
+        for f, t in cfg.field_types.items():
+            out[f"field_types.{f}"] = t
+        for f, d in cfg.multi_value_delim.items():
+            out[f"multi_value_delim.{f}"] = d
+        return out
+
+    lf, rf = flat(left), flat(right)
+    same = sorted(k for k in lf if k in rf and lf[k] == rf[k])
+    diff = sorted(k for k in lf if k in rf and lf[k] != rf[k])
+    left_only = sorted(k for k in lf if k not in rf)
+    right_only = sorted(k for k in rf if k not in lf)
+    return {"same": same, "diff": diff,
+            "left_only": left_only, "right_only": right_only}

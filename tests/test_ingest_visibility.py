@@ -424,3 +424,27 @@ class TestStreamingDeadLetter:
                           validation_rules=[("x", F.lit(True))])
         with _pt.raises(Exception):              # surfaces via the stream
             q.awaitTermination(120)
+
+
+class TestConfigCompare:
+    def test_same_diff_and_onesided_keys(self):
+        from datawave_spark.sources.ingest import IngestConfig, compare_configs
+        a = IngestConfig("dtA", date_field="ts", uid_fields=["id"],
+                         field_types={"CITY": "lc", "NUM": "number"},
+                         num_shards=32)
+        b = IngestConfig("dtB", date_field="ts", uid_fields=["id"],
+                         field_types={"CITY": "lcNoDiacritics"},
+                         num_shards=16)
+        r = compare_configs(a, b)
+        assert "date_field" in r["same"] and "uid_fields" in r["same"]
+        assert "field_types.CITY" in r["diff"] and "num_shards" in r["diff"]
+        assert r["left_only"] == ["field_types.NUM"]
+        assert r["right_only"] == []
+        # datatype NAME is excluded (prefix-stripping parity)
+        assert not any("datatype" in k for ks in r.values() for k in ks)
+
+    def test_identical_configs(self):
+        from datawave_spark.sources.ingest import IngestConfig, compare_configs
+        a = IngestConfig("x", date_field="ts")
+        r = compare_configs(a, IngestConfig("y", date_field="ts"))
+        assert r["diff"] == r["left_only"] == r["right_only"] == []
