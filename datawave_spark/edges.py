@@ -180,8 +180,11 @@ def edge_dictionary(events: DataFrame,
     # LEFT join from the metadata side: a definition whose precondition
     # (or the corpus) produced zero edges still gets its dictionary row
     # — n_*=0, NULL dates — instead of silently vanishing.
+    # broadcast the AGG side: for a left-outer join only the right
+    # side can be the broadcast build side (a hint on the stream side
+    # is silently ignored), and agg is the defs-sized frame anyway
     zero = F.lit(0).cast("long")
-    return (F.broadcast(meta).join(agg, "def_id", "left")
+    return (meta.join(F.broadcast(agg), "def_id", "left")
             .select("edge_type", "relationship", "source_field",
                     "sink_field", "has_precondition",
                     F.coalesce("n_edges", zero).alias("n_edges"),

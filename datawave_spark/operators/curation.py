@@ -419,18 +419,24 @@ def dsir_topk(df: DataFrame, target: DataFrame, text_col: str,
     discipline at ingest), totals as 1-row cross joins, one broadcast
     token join, one per-doc mean, heap top-k.  Nothing is
     corpus×corpus."""
-    from datawave_spark.operators.text import tokens
+    from datawave_spark.operators.text import tokens, unigram_counts
     ex = df.select(F.col(id_col).alias("id"),
                    F.explode(tokens(F.col(text_col))).alias("token"))
-    tex = target.select(F.explode(tokens(F.col(text_col))).alias("token"))
-    clm = ex.groupBy("token").agg(F.count(F.lit(1)).alias("nc"))
-    ctot = clm.agg(F.sum("nc").cast("double").alias("tc"),
-                   F.count(F.lit(1)).cast("double").alias("v"))
-    tlm = tex.groupBy("token").agg(F.count(F.lit(1)).alias("nt"))
-    ttot = tlm.agg(F.coalesce(F.sum("nt"), F.lit(0))
+    # corpus LM = the same (token, n, total) table unigram_counts
+    # builds for perplexity (the stored ingest asset); target LM is
+    # the same shape over the target sample.  Both are
+    # vocabulary-sized — broadcast onto the token explosion.
+    clm = unigram_counts(df, text_col).select(
+        "token", F.col("n").alias("nc"),
+        F.col("total").cast("double").alias("tc"))
+    vrow = clm.agg(F.count(F.lit(1)).cast("double").alias("v"))
+    tlm = unigram_counts(target, text_col).select(
+        "token", F.col("n").alias("nt"), F.col("total").alias("tt"))
+    ttot = tlm.agg(F.coalesce(F.max("tt"), F.lit(0))
                    .cast("double").alias("tt"))
-    j = (ex.join(clm, "token").join(tlm, "token", "left")
-         .crossJoin(ctot).crossJoin(ttot))
+    j = (ex.join(F.broadcast(clm), "token")
+         .join(F.broadcast(tlm.select("token", "nt")), "token", "left")
+         .crossJoin(F.broadcast(vrow)).crossJoin(F.broadcast(ttot)))
     lr = (F.log((F.coalesce(F.col("nt"), F.lit(0)) + 1)
                 / (F.col("tt") + F.col("v")))
           - F.log(F.col("nc") / F.col("tc")))

@@ -176,7 +176,8 @@ def filtered_logic(logic: Callable[[], DataFrame], filters: list,
         if not f.can_run(parameters, auth_sets):
             if schema is not None:
                 from pyspark.sql import SparkSession
-                spark = SparkSession.getActiveSession()
+                spark = (SparkSession.getActiveSession()
+                         or SparkSession.builder.getOrCreate())
                 return spark.createDataFrame([], schema)
             return logic().limit(0)
     return logic()

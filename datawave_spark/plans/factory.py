@@ -46,13 +46,24 @@ class QueryParameters:
     logic_params: dict = dc_field(default_factory=dict)
 
     def validate(self) -> None:
-        """QueryParametersImpl.validate: required params present,
-        sane pagesize, begin <= end."""
+        """QueryParametersImpl.validate: required params present, sane
+        pagesize, begin/end PARSE as ISO dates and order correctly —
+        a malformed date must be rejected here, not silently cast to
+        NULL downstream (which would filter every row)."""
+        import datetime as _dt
         if not self.query:
             raise ValueError("query parameter is required")
         if self.pagesize <= 0:
             raise ValueError(f"invalid pagesize {self.pagesize}")
-        if self.begin and self.end and self.begin > self.end:
+        b = e = None
+        try:
+            if self.begin:
+                b = _dt.date.fromisoformat(self.begin)
+            if self.end:
+                e = _dt.date.fromisoformat(self.end)
+        except ValueError as exc:
+            raise ValueError(f"invalid begin/end date: {exc}") from None
+        if b and e and b > e:
             raise ValueError(f"begin {self.begin} after end {self.end}")
 
 
@@ -175,15 +186,22 @@ class QueryLogicFactory:
         return self._event_query(qp).agg(
             F.count(F.lit(1)).alias("record_count"))
 
+    def _need_discovery_fields(self) -> list[str]:
+        if not self.discovery_fields:
+            raise ValueError("Discovery-family logics need the "
+                             "discovery_fields factory config")
+        return self.discovery_fields
+
     def _discovery_query(self, qp: QueryParameters) -> DataFrame:
         from datawave_spark.operators.discovery import discovery
         src = self._dated(self.tables["events"], qp)
-        return discovery(src, self.discovery_fields, self.date_col)
+        return discovery(src, self._need_discovery_fields(), self.date_col)
 
     def _field_index_count(self, qp: QueryParameters) -> DataFrame:
         from datawave_spark.operators.discovery import facets
+        fields = self._need_discovery_fields()
         hits = self._event_query(qp)
-        return facets(hits, self.discovery_fields)
+        return facets(hits, fields)
 
     def _edge_query(self, qp: QueryParameters) -> DataFrame:
         from datawave_spark.edges import edge_query

@@ -495,7 +495,11 @@ def index_consistency(index: DataFrame, events: DataFrame,
     expected = build_index(events, fields, id_col, date_col=date_col,
                            field_types=field_types) \
         .select("field", "value", "uid")
-    stored = index.select("field", "value", "uid")
+    # scope the stored side to the CHECKED fields — otherwise every
+    # entry of an unchecked field counts as phantom orphan drift
+    wanted = [f.upper() for f in fields]
+    stored = (index.filter(F.col("field").isin(wanted))
+              .select("field", "value", "uid"))
     orphaned = (stored.join(expected, ["field", "value", "uid"],
                             "left_anti")
                 .groupBy("field").agg(F.count(F.lit(1)).alias("n"))

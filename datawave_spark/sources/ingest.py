@@ -254,19 +254,25 @@ def compare_configs(left: IngestConfig, right: IngestConfig
     reason), reporting sorted ``same`` / ``diff`` / ``left_only`` /
     ``right_only`` keys — the drift check before pointing a new
     datatype at a shared deployment."""
+    import dataclasses as _dc
+
     def flat(cfg: IngestConfig) -> dict[str, object]:
-        out: dict[str, object] = {
-            "date_field": cfg.date_field,
-            "uid_fields": tuple(cfg.uid_fields) if cfg.uid_fields else None,
-            "tokenized_fields": tuple(cfg.tokenized_fields),
-            "visibility": cfg.visibility,
-            "num_shards": cfg.num_shards,
-            "normalize_at_rest": cfg.normalize_at_rest,
-        }
-        for f, t in cfg.field_types.items():
-            out[f"field_types.{f}"] = t
-        for f, d in cfg.multi_value_delim.items():
-            out[f"multi_value_delim.{f}"] = d
+        # iterate the dataclass fields so a future IngestConfig field
+        # is in the drift check by construction (the tool exists to
+        # catch drift — a hardcoded list would silently miss new keys);
+        # only the datatype NAME is excluded (prefix-strip parity)
+        out: dict[str, object] = {}
+        for f in _dc.fields(cfg):
+            if f.name == "datatype":
+                continue
+            v = getattr(cfg, f.name)
+            if isinstance(v, dict):
+                for k, dv in v.items():
+                    out[f"{f.name}.{k}"] = dv
+            elif isinstance(v, list):
+                out[f.name] = tuple(v)
+            else:
+                out[f.name] = v
         return out
 
     lf, rf = flat(left), flat(right)

@@ -54,6 +54,15 @@ def stream_ingest(spark: SparkSession, input_path: str, schema: T.StructType,
     rows failing a rule append to the error table and only valid rows
     continue to the shard write.  ``uid_col`` names the raw-record id
     for the error rows (defaults to the config's first uid field)."""
+    if validation_rules:
+        # fail at call time, not asynchronously inside the first
+        # micro-batch wrapped in a StreamingQueryException
+        if error_path is None:
+            raise ValueError("validation_rules need an error_path")
+        if uid_col is None and not config.uid_fields:
+            raise ValueError(
+                "validation_rules need uid_col (or config.uid_fields) "
+                "— the raw batch has no built uid column yet")
     reader = spark.readStream.format(fmt).schema(schema)
     for k, v in (options or {}).items():
         reader = reader.option(k, v)
@@ -70,13 +79,22 @@ def stream_ingest(spark: SparkSession, input_path: str, schema: T.StructType,
     def write_batch(batch_df, epoch_id: int) -> None:
         if validation_rules:
             from datawave_spark.sources.ingest import validate_events
-            if error_path is None:
-                raise ValueError("validation_rules need an error_path")
-            uid = uid_col or (config.uid_fields or ["uid"])[0]
-            batch_df, bad = validate_events(
-                batch_df, validation_rules, uid,
-                job_name=config.datatype, job_id=str(epoch_id))
-            bad.write.mode("append").parquet(error_path)
+            uid = uid_col or config.uid_fields[0]
+            # persist: the error write and the shard write are two
+            # actions over the same uncached batch — without this the
+            # source files (and the pre adapter) are scanned twice
+            cached = batch_df.persist()
+            try:
+                good, bad = validate_events(
+                    cached, validation_rules, uid,
+                    job_name=config.datatype, job_id=str(epoch_id))
+                bad.write.mode("append").parquet(error_path)
+                events = ingest_events(good, config)
+                (events.write.mode("append").partitionBy("event_date")
+                 .parquet(output_path))
+            finally:
+                cached.unpersist(blocking=False)
+            return
         events = ingest_events(batch_df, config)
         (events.write.mode("append").partitionBy("event_date")
          .parquet(output_path))

@@ -412,18 +412,25 @@ class TestStreamingDeadLetter:
         assert row[0]["error"] == "tags_present,body_nonempty"
         assert row[0]["job_name"] == CFG.datatype
 
-    def test_rules_without_error_path_rejected(self, spark, raw,
-                                               tmp_path_factory):
+    def test_bad_config_rejected_at_call_time(self, spark, raw,
+                                              tmp_path_factory):
         import pytest as _pt
         src = str(tmp_path_factory.mktemp("dl2_src"))
         out = str(tmp_path_factory.mktemp("dl2_out"))
         ckpt = str(tmp_path_factory.mktemp("dl2_ckpt"))
         raw.write.mode("overwrite").parquet(src)
         from datawave_spark.streaming import stream_ingest
-        q = stream_ingest(spark, src, raw.schema, CFG, out, ckpt,
+        # missing error_path and missing uid both fail EAGERLY, before
+        # any stream starts — not wrapped in a StreamingQueryException
+        with _pt.raises(ValueError, match="error_path"):
+            stream_ingest(spark, src, raw.schema, CFG, out, ckpt,
                           validation_rules=[("x", F.lit(True))])
-        with _pt.raises(Exception):              # surfaces via the stream
-            q.awaitTermination(120)
+        import dataclasses as _dc
+        no_uid = _dc.replace(CFG, uid_fields=None)
+        with _pt.raises(ValueError, match="uid_col"):
+            stream_ingest(spark, src, raw.schema, no_uid, out, ckpt,
+                          validation_rules=[("x", F.lit(True))],
+                          error_path=str(tmp_path_factory.mktemp("dl2_err")))
 
 
 class TestConfigCompare:
