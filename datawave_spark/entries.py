@@ -4927,3 +4927,113 @@ def q_curation_dsir_select(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     target = docs.filter(F.col("doc_id") % 10 == 0)
     return dsir_topk(docs, target, "text", "doc_id", k=100)
+
+
+@register("curation_gopher_rules", """
+WITH w AS (
+  SELECT doc_id, text,
+         list_filter(regexp_split_to_array(text, '\\s+'), x -> x != '') AS ws,
+         list_filter(regexp_split_to_array(text, '\\n'), x -> x != '') AS ls
+  FROM documents),
+m AS (
+  SELECT doc_id, len(ws) AS n_words,
+         CAST(list_sum(list_transform(ws, x -> len(x))) AS DOUBLE)
+           / len(ws) AS mean_len,
+         (len(text) - len(replace(text, '#', ''))
+          + (len(text) - len(replace(text, '...', ''))) / 3.0)
+           / len(ws) AS sym_ratio,
+         len(ls) AS n_lines,
+         CAST(len(list_filter(ls, l -> starts_with(l, '- ')
+                                    OR starts_with(l, '* '))) AS DOUBLE)
+           / len(ls) AS bullet_ratio,
+         CAST(len(list_filter(ls, l -> ends_with(l, '...'))) AS DOUBLE)
+           / len(ls) AS ell_ratio,
+         CAST(len(list_filter(ws, x -> regexp_matches(x, '[A-Za-z]')))
+              AS DOUBLE) / len(ws) AS alpha_ratio,
+         (SELECT count(*) FROM (SELECT unnest(['the','be','to','of',
+                                               'and','that','have','with']) AS s)
+          WHERE list_contains(list_transform(ws, x -> lower(x)), s))
+           AS n_stop
+  FROM w)
+SELECT doc_id, n_words,
+       floor(mean_len * 10000 + 0.5)/10000 AS mean_word_len,
+       floor(alpha_ratio * 10000 + 0.5)/10000 AS alpha_ratio,
+       n_words >= 50 AND n_words <= 100000 AS words_ok,
+       mean_len >= 3 AND mean_len <= 10 AS mean_len_ok,
+       sym_ratio <= 0.1 AS symbol_ok,
+       n_lines = 0 OR bullet_ratio <= 0.9 AS bullet_ok,
+       n_lines = 0 OR ell_ratio <= 0.3 AS ellipsis_ok,
+       alpha_ratio >= 0.8 AS alpha_ok,
+       n_stop >= 2 AS stopwords_ok,
+       (n_words >= 50 AND n_words <= 100000) AND (mean_len >= 3 AND mean_len <= 10)
+         AND sym_ratio <= 0.1 AND (n_lines = 0 OR bullet_ratio <= 0.9)
+         AND (n_lines = 0 OR ell_ratio <= 0.3) AND alpha_ratio >= 0.8
+         AND n_stop >= 2 AS gopher_pass
+FROM m
+""")
+def q_curation_gopher_rules(spark, sf_dir):
+    """The FULL Gopher document-quality rule set (Rae et al. 2021,
+    arXiv:2112.11446 §A1.1) as per-document flags + overall pass —
+    word-count bounds, mean word length, symbol ratio, bullet/ellipsis
+    line ratios, alphabetic-word ratio, required-stopword presence
+    (operators/curation.gopher_quality_flags).  Pure column
+    expressions, zero shuffle; flag comparisons run on unrounded
+    doubles with identical arithmetic both engines."""
+    from datawave_spark.operators.curation import gopher_quality_flags
+    docs = _t(spark, sf_dir, "documents")
+    return gopher_quality_flags(docs, "text", "doc_id")
+
+
+@register("curation_c4_clean", """
+WITH lined AS (
+  SELECT doc_id,
+         concat_ws(chr(10),
+           'alpha beta gamma ' || CAST(doc_id % 7 AS VARCHAR) || '.',
+           'short.',
+           'delta epsilon zeta ' || CAST(doc_id % 5 AS VARCHAR)
+             || CASE WHEN doc_id % 3 = 0 THEN '.' ELSE '' END,
+           'enable javascript to view this.',
+           CASE WHEN doc_id % 11 = 0 THEN 'config { x }' END) AS text
+  FROM documents),
+surv AS (SELECT * FROM lined
+         WHERE NOT contains(lower(text), 'lorem ipsum')
+           AND NOT contains(text, '{')),
+split AS (
+  SELECT doc_id,
+         list_filter(string_split(text, chr(10)), l -> l != '') AS ls
+  FROM surv),
+k AS (
+  SELECT doc_id, ls,
+         list_filter(ls, l ->
+            (ends_with(l, '.') OR ends_with(l, '!') OR ends_with(l, '?')
+             OR ends_with(l, '"'))
+            AND len(list_filter(regexp_split_to_array(l, '\\s+'),
+                                w -> w != '')) >= 3
+            AND NOT contains(lower(l), 'javascript')) AS kept
+  FROM split)
+SELECT doc_id, len(ls) AS n_lines_total, len(kept) AS n_lines_kept,
+       array_to_string(kept, chr(10)) AS text_clean
+FROM k
+""")
+def q_curation_c4_clean(spark, sf_dir):
+    """C4 cleaning rules end-to-end (arXiv:1910.10683 §2.2,
+    operators/curation.c4_clean_lines): multi-line text is synthesized
+    deterministically per document (terminal-punctuation lines, a
+    too-short line, a javascript boilerplate line, and a curly-brace
+    code line on every 11th doc), then the rules run — line-level
+    keep/drop AND whole-document code/boilerplate rejection.  The
+    oracle rebuilds the same text and applies the same rules in SQL;
+    the cleaned text itself is hash-checked, not just counts."""
+    from datawave_spark.operators.curation import c4_clean_lines
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    d = F.col("doc_id")
+    lined = docs.select("doc_id", F.concat_ws(
+        "\n",
+        F.concat(F.lit("alpha beta gamma "), (d % 7).cast("string"),
+                 F.lit(".")),
+        F.lit("short."),
+        F.concat(F.lit("delta epsilon zeta "), (d % 5).cast("string"),
+                 F.when(d % 3 == 0, ".").otherwise("")),
+        F.lit("enable javascript to view this."),
+        F.when(d % 11 == 0, "config { x }")).alias("text"))
+    return c4_clean_lines(lined, "text", "doc_id")

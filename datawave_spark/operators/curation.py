@@ -448,3 +448,96 @@ def dsir_topk(df: DataFrame, target: DataFrame, text_col: str,
     return (scored.select(F.col("id").alias(id_col), "n_tokens",
                           score.alias("avg_logratio"))
             .orderBy(F.desc("avg_logratio"), id_col).limit(k))
+
+
+# Gopher quality-rule stopword set (Rae et al. 2021, arXiv:2112.11446
+# §A1.1: a document must contain >= 2 of these 8 words).
+GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def gopher_quality_flags(df: DataFrame, text_col: str,
+                         id_col: str) -> DataFrame:
+    """The full Gopher document-quality rule set (arXiv:2112.11446
+    §A1.1) as per-document boolean flags + overall pass:
+
+    - 50 <= word count <= 100,000
+    - 3 <= mean word length <= 10
+    - symbol-to-word ratio (# and ...) <= 0.1
+    - <= 90% of lines start with a bullet; <= 30% end with an ellipsis
+    - >= 80% of words contain an alphabetic character
+    - >= 2 of the 8 required stopwords present
+
+    Words are whitespace-delimited (Gopher's definition — NOT the
+    lowercase-alnum tokenizer the LM ops use).  All pure column
+    expressions, zero shuffle; flag comparisons run on unrounded
+    doubles with identical arithmetic in the DuckDB oracle, reported
+    ratios round half-up at 4dp."""
+    text = F.col(text_col)
+    words = F.filter(F.split(text, r"\s+"), lambda w: w != "")
+    lines = F.filter(F.split(text, "\n"), lambda l: l != "")
+    n_w = F.size(words)
+    n_l = F.size(lines)
+    sum_len = F.aggregate(words, F.lit(0), lambda a, w: a + F.length(w))
+    mean_len = sum_len / n_w
+    n_hash = F.length(text) - F.length(F.replace(text, F.lit("#")))
+    n_ell = (F.length(text)
+             - F.length(F.replace(text, F.lit("...")))) / F.lit(3)
+    sym_ratio = (n_hash + n_ell) / n_w
+    bullet_ratio = F.size(F.filter(
+        lines, lambda l: l.startswith("- ") | l.startswith("* "))) / n_l
+    ell_ratio = F.size(F.filter(lines, lambda l: l.endswith("..."))) / n_l
+    alpha_ratio = F.size(F.filter(
+        words, lambda w: w.rlike("[A-Za-z]"))) / n_w
+    lw = F.transform(words, F.lower)
+    n_stop = sum(F.when(F.array_contains(lw, w), 1).otherwise(0)
+                 for w in GOPHER_STOPWORDS)
+    flags = {
+        "words_ok": (n_w >= 50) & (n_w <= 100_000),
+        "mean_len_ok": (mean_len >= 3) & (mean_len <= 10),
+        "symbol_ok": sym_ratio <= 0.1,
+        "bullet_ok": (n_l == 0) | (bullet_ratio <= 0.9),
+        "ellipsis_ok": (n_l == 0) | (ell_ratio <= 0.3),
+        "alpha_ok": alpha_ratio >= 0.8,
+        "stopwords_ok": n_stop >= 2,
+    }
+    r4 = lambda c: F.floor(c * 10000 + F.lit(0.5)) / 10000.0  # noqa: E731
+    out = df.select(
+        F.col(id_col), n_w.alias("n_words"),
+        r4(mean_len).alias("mean_word_len"),
+        r4(alpha_ratio).alias("alpha_ratio"),
+        *[v.alias(k) for k, v in flags.items()])
+    passed = F.col("words_ok")
+    for k in flags:
+        if k != "words_ok":
+            passed = passed & F.col(k)
+    return out.withColumn("gopher_pass", passed)
+
+
+def c4_clean_lines(df: DataFrame, text_col: str, id_col: str,
+                   min_words: int = 3) -> DataFrame:
+    """C4 cleaning rules (Raffel et al. 2020, arXiv:1910.10683 §2.2):
+    keep only lines that end in a terminal punctuation mark
+    (. ! ? ") AND have >= ``min_words`` whitespace words AND do not
+    mention javascript; DROP the whole document when it contains a
+    curly brace or the phrase "lorem ipsum" (code / boilerplate
+    markers).  Returns (id, n_lines_total, n_lines_kept, text_clean)
+    for surviving documents — all row-wise array expressions, zero
+    shuffle, pushable document filter."""
+    text = F.col(text_col)
+    doc_ok = (~F.lower(text).contains("lorem ipsum")) \
+        & (~text.contains("{"))
+    lines = F.filter(F.split(text, "\n"), lambda l: l != "")
+
+    def line_ok(l):
+        punct = (l.endswith(".") | l.endswith("!") | l.endswith("?")
+                 | l.endswith('"'))
+        words = F.size(F.filter(F.split(l, r"\s+"), lambda w: w != ""))
+        return punct & (words >= min_words) \
+            & ~F.lower(l).contains("javascript")
+
+    kept = F.filter(lines, line_ok)
+    return (df.filter(doc_ok)
+            .select(F.col(id_col),
+                    F.size(lines).alias("n_lines_total"),
+                    F.size(kept).alias("n_lines_kept"),
+                    F.concat_ws("\n", kept).alias("text_clean")))

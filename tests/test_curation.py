@@ -485,3 +485,46 @@ class TestDSIR:
         lr_b = math.log((0 + 1) / (1 + 2)) - math.log(1 / 3)
         exp = math.floor((2 * lr_a + lr_b) / 3 * 10000 + 0.5) / 10000
         assert row["avg_logratio"] == exp
+
+
+class TestGopherAndC4:
+    def test_gopher_flags(self, spark):
+        from datawave_spark.operators.curation import gopher_quality_flags
+        good = "the data and the table have rows with " + \
+            " ".join(f"col{i}" for i in range(50))
+        docs = spark.createDataFrame(
+            [(1, good),
+             (2, "short text"),                       # too few words
+             (3, "#### " * 60)],                      # symbol soup
+            "doc_id int, text string")
+        out = {r["doc_id"]: r for r in
+               gopher_quality_flags(docs, "text", "doc_id").collect()}
+        assert out[1]["gopher_pass"] is True
+        assert out[2]["words_ok"] is False and out[2]["gopher_pass"] is False
+        assert out[3]["symbol_ok"] is False
+        assert out[3]["alpha_ok"] is False            # '####' not alpha
+
+    def test_gopher_line_rules(self, spark):
+        from datawave_spark.operators.curation import gopher_quality_flags
+        body = "the data and " + " ".join(f"w{i}" for i in range(60))
+        bullets = "\n".join(f"- item {i}" for i in range(10))
+        docs = spark.createDataFrame([(1, body + "\n" + bullets)],
+                                     "doc_id int, text string")
+        r = gopher_quality_flags(docs, "text", "doc_id").first()
+        assert r["bullet_ok"] is False                # 10/11 lines bullets
+
+    def test_c4_line_and_doc_rules(self, spark):
+        from datawave_spark.operators.curation import c4_clean_lines
+        docs = spark.createDataFrame(
+            [(1, "good line stays here.\nno punct line\nok line two!\n"
+                 "enable javascript now."),
+             (2, "function f() { return 1; }"),       # brace -> doc drop
+             (3, "Lorem Ipsum dolor sit amet.")],     # boilerplate drop
+            "doc_id int, text string")
+        out = {r["doc_id"]: r for r in
+               c4_clean_lines(docs, "text", "doc_id").collect()}
+        assert set(out) == {1}
+        assert out[1]["n_lines_total"] == 4
+        assert out[1]["n_lines_kept"] == 2
+        assert out[1]["text_clean"] == \
+            "good line stays here.\nok line two!"
