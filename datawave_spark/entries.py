@@ -5037,3 +5037,40 @@ def q_curation_c4_clean(spark, sf_dir):
         F.lit("enable javascript to view this."),
         F.when(d % 11 == 0, "config { x }")).alias("text"))
     return c4_clean_lines(lined, "text", "doc_id")
+
+
+@register("ingest_metrics_summary", """
+WITH fl AS (
+  SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS day, event_type,
+         count(*) AS event_count,
+         CAST(sum(event_id % 1000) AS BIGINT) AS transform_ms,
+         count(*) * 7 AS ingest_ms,
+         CAST(max(user_id) AS BIGINT) AS loader_ms
+  FROM events GROUP BY 1, 2)
+SELECT day, count(*) AS n_files, CAST(sum(event_count) AS BIGINT) AS n_events,
+       CAST(sum(transform_ms + ingest_ms + loader_ms) AS BIGINT)
+         AS sum_latency_ms,
+       CAST(max(transform_ms + ingest_ms + loader_ms) AS BIGINT)
+         AS max_latency_ms,
+       floor(sum(event_count)
+             / (sum(transform_ms + ingest_ms + loader_ms) / 1000.0)
+             * 10000 + 0.5)/10000 AS events_per_sec
+FROM fl GROUP BY day
+""")
+def q_ingest_metrics_summary(spark, sf_dir):
+    """Ingest-metrics daily rollup (metrics-core
+    IngestMetricsSummaryLoader + MetricsDailySummaryReducer over the
+    FileLatency phase model): real latency rows carry wall times the
+    gate can't reproduce, so the entry derives a DETERMINISTIC
+    file-latency log from events (one 'file' per day × datatype, the
+    dashboard-entry discipline) and checks the rollup itself —
+    files/events per day, latency sums/max, events-per-second."""
+    from datawave_spark.plans.metrics import ingest_daily_summary
+    ev = _t(spark, sf_dir, "events")
+    fl = (ev.groupBy(F.col("ts").cast("date").cast("string").alias("day"),
+                     "event_type")
+          .agg(F.count(F.lit(1)).alias("event_count"),
+               F.sum(F.col("event_id") % 1000).alias("transform_ms"),
+               (F.count(F.lit(1)) * 7).alias("ingest_ms"),
+               F.max("user_id").alias("loader_ms")))
+    return ingest_daily_summary(fl)

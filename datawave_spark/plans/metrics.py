@@ -113,3 +113,24 @@ def dashboard_summary(metrics: DataFrame,
         bucket((trm > 16) & (trm <= 100), "up_to_100_terms"),
         bucket((trm > 100) & (trm <= 1000), "up_to_1000_terms"),
         bucket(trm > 1000, "up_to_inf_terms"))
+
+
+def ingest_daily_summary(file_latency: DataFrame,
+                         day_col: str = "day") -> DataFrame:
+    """Daily ingest-metrics rollup (warehouse/metrics-core
+    IngestMetricsSummaryLoader.java + MetricsDailySummaryReducer,
+    FileLatency.java:19-26 phase model): per day, how many files landed,
+    how many events they carried, and the latency profile of the
+    receive→transform→ingest→load pipeline.  One map-side-combinable
+    groupBy over the file-latency log; the log itself is file-count
+    sized, never event-sized."""
+    total = (F.col("transform_ms") + F.col("ingest_ms")
+             + F.col("loader_ms"))
+    return (file_latency.groupBy(day_col)
+            .agg(F.count(F.lit(1)).alias("n_files"),
+                 F.sum("event_count").alias("n_events"),
+                 F.sum(total).alias("sum_latency_ms"),
+                 F.max(total).alias("max_latency_ms"),
+                 (F.floor(F.sum("event_count")
+                          / (F.sum(total) / 1000.0) * 10000 + F.lit(0.5))
+                  / 10000.0).alias("events_per_sec")))
