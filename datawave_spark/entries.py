@@ -5074,3 +5074,26 @@ def q_ingest_metrics_summary(spark, sf_dir):
                (F.count(F.lit(1)) * 7).alias("ingest_ms"),
                F.max("user_id").alias("loader_ms")))
     return ingest_daily_summary(fl)
+
+
+@register("ageoff_field_view", """
+SELECT event_id, CAST(CAST(ts AS DATE) AS VARCHAR) AS day,
+       CASE WHEN datediff('day', CAST(ts AS DATE), DATE '2024-01-20') <= 12
+            THEN value END AS value,
+       CASE WHEN datediff('day', CAST(ts AS DATE), DATE '2024-01-20') <= 5
+            THEN props END AS props
+FROM events
+""")
+def q_ageoff_field_view(spark, sf_dir):
+    """Per-field age-off view (FieldAgeOffFilter.java — each field
+    expires on its own TTL while the event survives): props expire
+    after 5 days, value after 12, against a fixed 'now'; expired
+    fields read as NULL (operators/ageoff.field_age_off)."""
+    import datetime as dt
+    from datawave_spark.operators.ageoff import field_age_off
+    ev = _t(spark, sf_dir, "events")
+    out = field_age_off(ev, {"value": 12, "props": 5}, date_col="ts",
+                        now=dt.date(2024, 1, 20))
+    return out.select("event_id",
+                      F.col("ts").cast("date").cast("string").alias("day"),
+                      "value", "props")

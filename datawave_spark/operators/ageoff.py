@@ -69,3 +69,20 @@ def drop_expired_partitions(path: str, ttl_days: int,
             shutil.rmtree(os.path.join(path, name))
             dropped.append(name)
     return dropped
+
+
+def field_age_off(df: DataFrame, field_ttls: dict[str, int],
+                  date_col: str = "event_date",
+                  now: dt.date | None = None) -> DataFrame:
+    """Per-FIELD age-off (FieldAgeOffFilter.java: a field's values
+    expire on their own TTL while the event survives): expired fields
+    read as NULL.  A pure projection — at the storage tier this is the
+    column-chunk analog of the reference's per-KV filter, and a
+    compaction pass can rewrite old partitions with the column nulled
+    to reclaim space."""
+    today = F.lit((now or dt.date.today()).isoformat()).cast("date")
+    age = F.datediff(today, F.col(date_col).cast("date"))
+    out = df
+    for f, ttl in field_ttls.items():
+        out = out.withColumn(f, F.when(age <= ttl, F.col(f)))
+    return out
