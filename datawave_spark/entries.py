@@ -4937,19 +4937,24 @@ WITH w AS (
   FROM documents),
 m AS (
   SELECT doc_id, len(ws) AS n_words,
-         CAST(list_sum(list_transform(ws, x -> len(x))) AS DOUBLE)
-           / len(ws) AS mean_len,
-         (len(text) - len(replace(text, '#', ''))
-          + (len(text) - len(replace(text, '...', ''))) / 3.0)
-           / len(ws) AS sym_ratio,
+         CASE WHEN len(ws) > 0 THEN
+           CAST(list_sum(list_transform(ws, x -> len(x))) AS DOUBLE)
+             / len(ws) ELSE 0 END AS mean_len,
+         CASE WHEN len(ws) > 0 THEN
+           (len(text) - len(replace(text, '#', ''))
+            + (len(text) - len(replace(text, '...', ''))) / 3.0)
+             / len(ws) ELSE 0 END AS sym_ratio,
          len(ls) AS n_lines,
-         CAST(len(list_filter(ls, l -> starts_with(l, '- ')
-                                    OR starts_with(l, '* '))) AS DOUBLE)
-           / len(ls) AS bullet_ratio,
-         CAST(len(list_filter(ls, l -> ends_with(l, '...'))) AS DOUBLE)
-           / len(ls) AS ell_ratio,
-         CAST(len(list_filter(ws, x -> regexp_matches(x, '[A-Za-z]')))
-              AS DOUBLE) / len(ws) AS alpha_ratio,
+         CASE WHEN len(ls) > 0 THEN
+           CAST(len(list_filter(ls, l -> starts_with(l, '- ')
+                                      OR starts_with(l, '* '))) AS DOUBLE)
+             / len(ls) ELSE 0 END AS bullet_ratio,
+         CASE WHEN len(ls) > 0 THEN
+           CAST(len(list_filter(ls, l -> ends_with(l, '...'))) AS DOUBLE)
+             / len(ls) ELSE 0 END AS ell_ratio,
+         CASE WHEN len(ws) > 0 THEN
+           CAST(len(list_filter(ws, x -> regexp_matches(x, '[A-Za-z]')))
+                AS DOUBLE) / len(ws) ELSE 0 END AS alpha_ratio,
          (SELECT count(*) FROM (SELECT unnest(['the','be','to','of',
                                                'and','that','have','with']) AS s)
           WHERE list_contains(list_transform(ws, x -> lower(x)), s))
@@ -4961,13 +4966,13 @@ SELECT doc_id, n_words,
        n_words >= 50 AND n_words <= 100000 AS words_ok,
        mean_len >= 3 AND mean_len <= 10 AS mean_len_ok,
        sym_ratio <= 0.1 AS symbol_ok,
-       n_lines = 0 OR bullet_ratio <= 0.9 AS bullet_ok,
-       n_lines = 0 OR ell_ratio <= 0.3 AS ellipsis_ok,
+       bullet_ratio <= 0.9 AS bullet_ok,
+       ell_ratio <= 0.3 AS ellipsis_ok,
        alpha_ratio >= 0.8 AS alpha_ok,
        n_stop >= 2 AS stopwords_ok,
        (n_words >= 50 AND n_words <= 100000) AND (mean_len >= 3 AND mean_len <= 10)
-         AND sym_ratio <= 0.1 AND (n_lines = 0 OR bullet_ratio <= 0.9)
-         AND (n_lines = 0 OR ell_ratio <= 0.3) AND alpha_ratio >= 0.8
+         AND sym_ratio <= 0.1 AND bullet_ratio <= 0.9
+         AND ell_ratio <= 0.3 AND alpha_ratio >= 0.8
          AND n_stop >= 2 AS gopher_pass
 FROM m
 """)

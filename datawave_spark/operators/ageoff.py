@@ -82,7 +82,7 @@ def field_age_off(df: DataFrame, field_ttls: dict[str, int],
     to reclaim space."""
     today = F.lit((now or dt.date.today()).isoformat()).cast("date")
     age = F.datediff(today, F.col(date_col).cast("date"))
-    out = df
-    for f, ttl in field_ttls.items():
-        out = out.withColumn(f, F.when(age <= ttl, F.col(f)))
-    return out
+    # one withColumns call = one analyzer pass for the whole TTL map
+    # (a withColumn loop pays an analysis pass per field)
+    return df.withColumns({f: F.when(age <= ttl, F.col(f))
+                           for f, ttl in field_ttls.items()})

@@ -475,33 +475,51 @@ def gopher_quality_flags(df: DataFrame, text_col: str,
     text = F.col(text_col)
     words = F.filter(F.split(text, r"\s+"), lambda w: w != "")
     lines = F.filter(F.split(text, "\n"), lambda l: l != "")
-    n_w = F.size(words)
-    n_l = F.size(lines)
-    sum_len = F.aggregate(words, F.lit(0), lambda a, w: a + F.length(w))
-    mean_len = sum_len / n_w
-    n_hash = F.length(text) - F.length(F.replace(text, F.lit("#")))
-    n_ell = (F.length(text)
-             - F.length(F.replace(text, F.lit("...")))) / F.lit(3)
-    sym_ratio = (n_hash + n_ell) / n_w
-    bullet_ratio = F.size(F.filter(
-        lines, lambda l: l.startswith("- ") | l.startswith("* "))) / n_l
-    ell_ratio = F.size(F.filter(lines, lambda l: l.endswith("..."))) / n_l
-    alpha_ratio = F.size(F.filter(
-        words, lambda w: w.rlike("[A-Za-z]"))) / n_w
     lw = F.transform(words, F.lower)
-    n_stop = sum(F.when(F.array_contains(lw, w), 1).otherwise(0)
-                 for w in GOPHER_STOPWORDS)
+    # Generator barrier (the text.quality_score idiom): every count is
+    # computed ONCE and the flags below reference real attributes —
+    # plain aliases would re-embed the split/filter subtree into ~10
+    # projection columns (the documented ~8s plan-processing blowup).
+    feats = F.struct(
+        F.size(words).alias("__nw"),
+        F.size(lines).alias("__nl"),
+        F.aggregate(words, F.lit(0),
+                    lambda a, w: a + F.length(w)).alias("__sumlen"),
+        (F.length(text)
+         - F.length(F.replace(text, F.lit("#")))).alias("__nhash"),
+        ((F.length(text) - F.length(F.replace(text, F.lit("..."))))
+         / F.lit(3)).alias("__nell"),
+        F.size(F.filter(lines, lambda l: l.startswith("- ")
+                        | l.startswith("* "))).alias("__nbullet"),
+        F.size(F.filter(lines,
+                        lambda l: l.endswith("..."))).alias("__nellend"),
+        F.size(F.filter(words,
+                        lambda w: w.rlike("[A-Za-z]"))).alias("__nalpha"),
+        sum(F.when(F.array_contains(lw, w), 1).otherwise(0)
+            for w in GOPHER_STOPWORDS).alias("__nstop"))
+    base = df.select(F.col(id_col), F.inline(F.array(feats)))
+    n_w, n_l = F.col("__nw"), F.col("__nl")
+    # every ratio is 0-guarded: an empty/whitespace-only document is
+    # exactly what a quality filter must FLAG, not crash on (ANSI mode
+    # turns the bare division into a DIVIDE_BY_ZERO job abort)
+    mean_len = F.when(n_w > 0, F.col("__sumlen") / n_w).otherwise(0.0)
+    sym_ratio = F.when(n_w > 0, (F.col("__nhash") + F.col("__nell"))
+                       / n_w).otherwise(0.0)
+    bullet_ratio = F.when(n_l > 0,
+                          F.col("__nbullet") / n_l).otherwise(0.0)
+    ell_ratio = F.when(n_l > 0, F.col("__nellend") / n_l).otherwise(0.0)
+    alpha_ratio = F.when(n_w > 0, F.col("__nalpha") / n_w).otherwise(0.0)
     flags = {
         "words_ok": (n_w >= 50) & (n_w <= 100_000),
         "mean_len_ok": (mean_len >= 3) & (mean_len <= 10),
         "symbol_ok": sym_ratio <= 0.1,
-        "bullet_ok": (n_l == 0) | (bullet_ratio <= 0.9),
-        "ellipsis_ok": (n_l == 0) | (ell_ratio <= 0.3),
+        "bullet_ok": bullet_ratio <= 0.9,
+        "ellipsis_ok": ell_ratio <= 0.3,
         "alpha_ok": alpha_ratio >= 0.8,
-        "stopwords_ok": n_stop >= 2,
+        "stopwords_ok": F.col("__nstop") >= 2,
     }
     r4 = lambda c: F.floor(c * 10000 + F.lit(0.5)) / 10000.0  # noqa: E731
-    out = df.select(
+    out = base.select(
         F.col(id_col), n_w.alias("n_words"),
         r4(mean_len).alias("mean_word_len"),
         r4(alpha_ratio).alias("alpha_ratio"),

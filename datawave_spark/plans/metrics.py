@@ -131,6 +131,10 @@ def ingest_daily_summary(file_latency: DataFrame,
                  F.sum("event_count").alias("n_events"),
                  F.sum(total).alias("sum_latency_ms"),
                  F.max(total).alias("max_latency_ms"),
-                 (F.floor(F.sum("event_count")
-                          / (F.sum(total) / 1000.0) * 10000 + F.lit(0.5))
+                 # try_divide: a day whose phases all recorded 0 ms
+                 # (sub-ms granularity) must yield NULL, not abort the
+                 # whole rollup with an ANSI DIVIDE_BY_ZERO
+                 (F.floor(F.try_divide(F.sum("event_count"),
+                                       F.sum(total) / 1000.0)
+                          * 10000 + F.lit(0.5))
                   / 10000.0).alias("events_per_sec")))

@@ -270,7 +270,10 @@ def compare_configs(left: IngestConfig, right: IngestConfig
                 for k, dv in v.items():
                     out[f"{f.name}.{k}"] = dv
             elif isinstance(v, list):
-                out[f.name] = tuple(v)
+                # [] and None are the same config (uid_fields or
+                # df.columns in build_uid) — normalize so the drift
+                # check doesn't report a spurious diff
+                out[f.name] = tuple(v) if v else None
             else:
                 out[f.name] = v
         return out

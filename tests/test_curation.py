@@ -528,3 +528,17 @@ class TestGopherAndC4:
         assert out[1]["n_lines_kept"] == 2
         assert out[1]["text_clean"] == \
             "good line stays here.\nok line two!"
+
+
+class TestGopherEmptyDoc:
+    def test_empty_and_whitespace_docs_flag_not_crash(self, spark):
+        from datawave_spark.operators.curation import gopher_quality_flags
+        docs = spark.createDataFrame(
+            [(1, ""), (2, "   \n  \n"), (3, "the data and stuff.")],
+            "doc_id int, text string")
+        out = {r["doc_id"]: r for r in
+               gopher_quality_flags(docs, "text", "doc_id").collect()}
+        assert out[1]["n_words"] == 0
+        assert out[1]["gopher_pass"] is False
+        assert out[2]["gopher_pass"] is False
+        assert out[2]["mean_word_len"] == 0.0
