@@ -280,6 +280,11 @@ def bm25_topk(postings: DataFrame, query_terms: list[str],
     oracle matches bit-for-bit (round() half-even would diverge)."""
     if not query_terms:
         raise ValueError("bm25_topk needs at least one query term")
+    if n_docs <= 0 or total_len <= 0:
+        # avgdl=0 would put a literal 0 divisor in every row's norm
+        # (ANSI job abort); an empty corpus is a caller error
+        raise ValueError(f"bm25_topk needs positive corpus stats "
+                         f"(n_docs={n_docs}, total_len={total_len})")
     avgdl = F.lit(float(total_len) / float(n_docs))
     p = postings.filter(F.col("term").isin(list(query_terms)))
     dfreq = p.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
