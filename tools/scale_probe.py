@@ -32,7 +32,8 @@ OPS = ["jexl_filter", "groupby", "tokenize_tf", "minhash_sig", "simhash",
        "lsh_pairs", "ngram_capped", "simhash_pairs", "ssdeep_join",
        "knn_lsh", "knn_blocked", "repetition", "decontaminate", "pack",
        "span_dedup", "rebalance", "semantic_dedup", "kmeans_step",
-       "bm25", "edge_dict", "pmi", "validate", "png_decode"]
+       "bm25", "edge_dict", "pmi", "validate", "png_decode",
+       "gopher", "c4_clean", "dsir"]
 
 
 def generate(spark):
@@ -167,6 +168,13 @@ def run_one(op: str, events_path: str, docs_path: str,
         "pmi": lambda d: noop(__import__(
             "datawave_spark.operators.text", fromlist=["x"])
             .collocations_pmi(d, "text", "doc_id", min_count=5, k=20)),
+        "gopher": lambda d: noop(curation.gopher_quality_flags(
+            d, "text", "doc_id")),
+        "c4_clean": lambda d: noop(curation.c4_clean_lines(
+            d, "text", "doc_id")),
+        "dsir": lambda d: noop(curation.dsir_topk(
+            d, d.filter(F.col("doc_id") % 10 == 0), "text", "doc_id",
+            k=100)),
         "validate": lambda d: _validate(d),
         "png_decode": lambda d: _png_decode(d),
         "rebalance": lambda d: noop(curation.rebalance_mix(
