@@ -5102,3 +5102,71 @@ def q_ageoff_field_view(spark, sf_dir):
     return out.select("event_id",
                       F.col("ts").cast("date").cast("string").alias("day"),
                       "value", "props")
+
+
+@register("dedup_exact_substring", """
+WITH t AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '') AS toks
+  FROM documents
+), b AS (
+  SELECT doc_id, toks, len(toks) AS n_toks FROM t
+), w AS (
+  SELECT doc_id, unnest(range(1, greatest(n_toks - 10 + 2, 1))) AS start, toks
+  FROM b
+), h AS (
+  SELECT doc_id, start,
+         md5(array_to_string(toks[start:start+10-1], chr(31))) AS hh
+  FROM w
+), agg AS (
+  SELECT hh, count(*) AS cnt,
+         min(struct_pack(d := doc_id, s := start)) AS frst
+  FROM h GROUP BY hh HAVING count(*) >= 2
+), dupw AS (
+  SELECT h.doc_id, h.start AS s, h.start + 10 - 1 AS e
+  FROM h JOIN agg USING (hh)
+  WHERE NOT (h.doc_id = agg.frst.d AND h.start = agg.frst.s)
+), ow AS (
+  SELECT doc_id, s, e,
+         max(e) OVER (PARTITION BY doc_id ORDER BY s, e
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pmax
+  FROM dupw
+), isl AS (
+  SELECT doc_id, s, e,
+         sum(CASE WHEN pmax IS NULL OR s > pmax THEN 1 ELSE 0 END)
+           OVER (PARTITION BY doc_id ORDER BY s, e) AS gid
+  FROM ow
+), spans AS (
+  SELECT doc_id, gid, min(s) AS s, max(e) AS e FROM isl GROUP BY doc_id, gid
+), perdoc AS (
+  SELECT doc_id, count(*) AS n_spans,
+         list(struct_pack(s := s, e := e) ORDER BY s, e) AS spans
+  FROM spans GROUP BY doc_id
+), outj AS (
+  SELECT b.doc_id, b.toks, b.n_toks,
+         coalesce(perdoc.n_spans, 0) AS n_spans,
+         coalesce(perdoc.spans, []) AS spans
+  FROM b LEFT JOIN perdoc USING (doc_id)
+), kk AS (
+  SELECT doc_id, n_spans, n_toks,
+         list_filter(toks, (x, i) ->
+             len(list_filter(spans, sp -> i >= sp.s AND i <= sp.e)) = 0
+         ) AS kept
+  FROM outj
+)
+SELECT doc_id, n_spans,
+       n_toks - len(kept) AS removed_tokens,
+       len(kept) AS kept_tokens,
+       md5(coalesce(array_to_string(kept, ' '), '')) AS cleaned_md5
+FROM kk
+""")
+def q_dedup_exact_substring(spark, sf_dir):
+    """ExactSubstr corpus dedup (Lee et al. 2021, arXiv:2107.06499):
+    every 10-token window occurring >= 2 times in the corpus is a
+    duplicated span; the corpus-first occurrence is kept, all others
+    removed (overlaps merged gaps-and-islands first).  Per-doc summary
+    with an md5 of the cleaned text proves the whole removal path
+    (operators/dedup.exact_substring_dedup)."""
+    from datawave_spark.operators.dedup import exact_substring_dedup
+    docs = _t(spark, sf_dir, "documents")
+    return exact_substring_dedup(docs, k=10, min_count=2)

@@ -687,3 +687,102 @@ def semantic_dedup(df: DataFrame, vec_col: str, id_col: str,
         return (df.join(flag, id_col, "left")
                 .fillna({keep_col: True}))
     return df.join(dropped, id_col, "left_anti")
+
+
+def exact_substring_dedup(df: DataFrame, text_col: str = "text",
+                          id_col: str = "doc_id", k: int = 10,
+                          min_count: int = 2) -> DataFrame:
+    """Corpus-level EXACT substring deduplication (the ExactSubstr half
+    of Lee et al. 2021, arXiv:2107.06499 "Deduplicating Training Data
+    Makes Language Models Better"), hash-window formulation.
+
+    Every k-token window of every document is hashed; a window whose
+    exact token sequence occurs >= ``min_count`` times anywhere in the
+    corpus (across or within documents) is a duplicated span.  The
+    corpus-first occurrence — lexicographic min (doc_id, start) — is
+    kept; every other occurrence is removed.  Overlapping duplicated
+    windows merge into maximal spans (gaps-and-islands) before removal,
+    so a repeated region of length L >> k comes out as ONE span and the
+    first document containing it keeps it intact.
+
+    Returns one row per document:
+      doc_id, n_spans (merged duplicated spans removed),
+      removed_tokens, kept_tokens, cleaned_md5 (md5 of the space-joined
+      surviving tokens — whitespace-normalized so an external oracle
+      can replay it byte-for-byte).
+
+    Scale shape (100 TB): the window frame is |corpus tokens| rows of
+    (hash, doc, start) — text itself NEVER shuffles; spans come back to
+    the document frame via a doc_id join.  Shuffles: (1) groupBy on the
+    16-byte window hash with map-side partial agg (count + min-struct,
+    both combiner-friendly, so a hot boilerplate window costs one
+    partial row per task, not a skewed reducer), (2) the dup-hash join
+    back onto windows, (3) one per-doc window + groupBy for the island
+    merge (keyed on doc_id, bounded by spans-per-doc).  md5 keeps the
+    oracle bit-exact; on a cluster swap in xxhash64 to halve shuffle
+    width (engine-private — rows-only check).  Lee et al. build a
+    single suffix array, which does not distribute; rolling k-gram
+    windows are the Spark-shaped standard equivalent (cf. C4/Dolma
+    span-level dedupe) and find exactly the duplicated substrings of
+    length >= k.
+    """
+    sep = "\x1f"
+    toks = F.filter(F.split(F.col(text_col), r"\s+"),
+                    lambda x: x != F.lit(""))
+    base = (df.select(F.col(id_col).alias("doc_id"), toks.alias("toks"))
+              .withColumn("n_toks", F.size("toks")))
+
+    # Window generation: guard short docs — F.sequence(1, n) with n < 1
+    # would count DOWN, not produce an empty range.
+    starts = F.when(F.col("n_toks") >= k,
+                    F.sequence(F.lit(1), F.col("n_toks") - (k - 1))
+                    ).otherwise(F.array().cast("array<int>"))
+    w = (base.select("doc_id", "toks", F.explode(starts).alias("start"))
+             .select("doc_id", "start",
+                     F.md5(F.concat_ws(
+                         sep, F.slice("toks", F.col("start"), k))).alias("h")))
+
+    agg = (w.groupBy("h")
+            .agg(F.count(F.lit(1)).alias("cnt"),
+                 F.min(F.struct(F.col("doc_id").alias("d"),
+                                F.col("start").alias("s"))).alias("frst"))
+            .filter(F.col("cnt") >= min_count))
+    dupw = (w.join(agg, "h")
+             .filter(~((F.col("doc_id") == F.col("frst.d"))
+                       & (F.col("start") == F.col("frst.s"))))
+             .select("doc_id", F.col("start").alias("s"),
+                     (F.col("start") + (k - 1)).alias("e")))
+
+    # Gaps-and-islands merge of overlapping/adjacent spans per doc.
+    ow = Window.partitionBy("doc_id").orderBy("s", "e")
+    pmax = F.max("e").over(ow.rowsBetween(Window.unboundedPreceding, -1))
+    isl = (dupw.withColumn(
+               "new_isl",
+               F.when(pmax.isNull() | (F.col("s") > pmax), 1).otherwise(0))
+               .withColumn("gid", F.sum("new_isl").over(ow)))
+    spans = (isl.groupBy("doc_id", "gid")
+                .agg(F.min("s").alias("s"), F.max("e").alias("e")))
+    perdoc = (spans.groupBy("doc_id")
+                   .agg(F.count(F.lit(1)).alias("n_spans"),
+                        F.sort_array(F.collect_list(
+                            F.struct("s", "e"))).alias("spans")))
+
+    joined = base.join(perdoc, "doc_id", "left")
+    spans_arr = F.coalesce(
+        F.col("spans"), F.array().cast("array<struct<s:int,e:int>>"))
+    # F.filter's index is 0-based; spans are 1-based token positions.
+    kept = F.filter(
+        F.col("toks"),
+        lambda x, i: ~F.exists(
+            spans_arr,
+            lambda sp: (i + 1 >= sp["s"]) & (i + 1 <= sp["e"])))
+    return (joined
+            .withColumn("kept", kept)
+            .select(
+                "doc_id",
+                F.coalesce(F.col("n_spans"), F.lit(0)).cast("long")
+                 .alias("n_spans"),
+                (F.col("n_toks") - F.size("kept")).cast("long")
+                 .alias("removed_tokens"),
+                F.size("kept").cast("long").alias("kept_tokens"),
+                F.md5(F.concat_ws(" ", "kept")).alias("cleaned_md5")))

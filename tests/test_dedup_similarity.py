@@ -570,3 +570,50 @@ def test_kmeans_step_drops_degenerate_vectors(spark, emb):
         sorted((r.cluster, r.dim, r.n_members) for r in clean)
     # fit over the degenerate frame must not raise
     similarity.kmeans_fit(with_bad, "embedding", "vec_id", k=4, iters=1)
+
+
+# ---------------------------------------------------------------- ExactSubstr
+
+def _exsub_frame(spark):
+    w = "w x y z p q r s t u"          # a 10-token region
+    rows = [
+        (1, f"a b c {w} d e f"),       # first occurrence -> kept intact
+        (2, f"g h {w} i j"),           # later doc -> region removed
+        (3, f"{w} {w}"),               # within-doc repeat -> 2nd removed
+        (4, "unique tokens only here none repeat at all ok fine yes"),
+        (5, "short doc"),              # < k tokens -> no windows
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def test_exact_substring_keep_first_semantics(spark):
+    out = {r["doc_id"]: r for r in
+           dedup.exact_substring_dedup(
+               _exsub_frame(spark), k=10, min_count=2).collect()}
+    assert out[1]["removed_tokens"] == 0          # corpus-first kept
+    assert out[2]["n_spans"] == 1 and out[2]["removed_tokens"] == 10
+    assert out[2]["kept_tokens"] == 4             # 'g h i j' survive
+    # doc 3: tokens 1..10 are the corpus-2nd occurrence (doc 1 is
+    # first), tokens 11..20 the 3rd — two ADJACENT (not overlapping)
+    # duplicated spans, so the island merge keeps them distinct and
+    # the whole doc is removed.
+    assert out[3]["n_spans"] == 2 and out[3]["kept_tokens"] == 0
+    assert out[4]["removed_tokens"] == 0
+    assert out[5]["n_spans"] == 0 and out[5]["kept_tokens"] == 2
+
+
+def test_exact_substring_cleaned_md5_is_whitespace_normalized(spark):
+    import hashlib
+    rows = [(1, "  a   b  c d e f g h i j k  "),
+            (2, "a b c d e f g h i j k")]
+    out = {r["doc_id"]: r for r in
+           dedup.exact_substring_dedup(
+               spark.createDataFrame(rows, ["doc_id", "text"]),
+               k=10, min_count=2).collect()}
+    # identical token streams -> doc 1 is first (kept), doc 2 loses
+    # its windows; doc 1's md5 is over the normalized join.
+    assert out[1]["removed_tokens"] == 0
+    assert out[1]["cleaned_md5"] == hashlib.md5(
+        b"a b c d e f g h i j k").hexdigest()
+    assert out[2]["kept_tokens"] == 0
+    assert out[2]["cleaned_md5"] == hashlib.md5(b"").hexdigest()

@@ -521,3 +521,17 @@ class TestSketchAndSplitPlans:
                              threshold=0.35, block_col="label")
         plan = out._jdf.queryExecution().executedPlan().toString()
         assert "CartesianProduct" not in plan
+
+    def test_exact_substring_dedup_plan_shape(self, spark):
+        """Window agg + dup join + island merge, all JVM: no Python
+        eval nodes, no cartesian, and the final hash-key agg keeps a
+        partial (map-side) stage so hot boilerplate windows cannot
+        skew a reducer."""
+        from datawave_spark.operators.dedup import exact_substring_dedup
+        docs = spark.read.parquet(f"{SF}/documents.parquet")
+        out = exact_substring_dedup(docs, k=10, min_count=2)
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "CartesianProduct" not in plan
+        assert "BatchEvalPython" not in plan
+        assert "ArrowEvalPython" not in plan
+        assert "partial_count" in plan  # combiner on the window hash

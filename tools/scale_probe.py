@@ -33,7 +33,7 @@ OPS = ["jexl_filter", "groupby", "tokenize_tf", "minhash_sig", "simhash",
        "knn_lsh", "knn_blocked", "repetition", "decontaminate", "pack",
        "span_dedup", "rebalance", "semantic_dedup", "kmeans_step",
        "bm25", "edge_dict", "pmi", "validate", "png_decode",
-       "gopher", "c4_clean", "dsir"]
+       "gopher", "c4_clean", "dsir", "exsub"]
 
 
 def generate(spark):
@@ -175,6 +175,8 @@ def run_one(op: str, events_path: str, docs_path: str,
         "dsir": lambda d: noop(curation.dsir_topk(
             d, d.filter(F.col("doc_id") % 10 == 0), "text", "doc_id",
             k=100)),
+        "exsub": lambda d: noop(dedup.exact_substring_dedup(
+            d, "text", "doc_id", k=10, min_count=2)),
         "validate": lambda d: _validate(d),
         "png_decode": lambda d: _png_decode(d),
         "rebalance": lambda d: noop(curation.rebalance_mix(
