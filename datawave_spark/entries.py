@@ -5170,3 +5170,53 @@ def q_dedup_exact_substring(spark, sf_dir):
     from datawave_spark.operators.dedup import exact_substring_dedup
     docs = _t(spark, sf_dir, "documents")
     return exact_substring_dedup(docs, k=10, min_count=2)
+
+
+@register("text_bigram_backoff", f"""
+WITH toks AS ({_DUCK_TOKS}),
+it0 AS (SELECT doc_id, t, unnest(range(1, len(t) + 1)) AS i FROM toks),
+it AS (SELECT doc_id,
+              CASE WHEN i = 1 THEN NULL ELSE t[i - 1] END AS tp,
+              t[i] AS tk
+       FROM it0),
+ug AS (SELECT token, count(*) AS n
+       FROM (SELECT unnest(t) AS token FROM toks) GROUP BY token),
+tot AS (SELECT sum(n) AS total FROM ug),
+bg AS (SELECT tp AS t1, tk AS t2, count(*) AS n12
+       FROM it WHERE tp IS NOT NULL GROUP BY tp, tk),
+j AS (SELECT it.doc_id, it.tp, it.tk, bg.n12, up.n AS np, ut.n AS nt,
+             (SELECT total FROM tot) AS total
+      FROM it
+      LEFT JOIN bg ON it.tp = bg.t1 AND it.tk = bg.t2
+      LEFT JOIN ug up ON it.tp = up.token
+      LEFT JOIN ug ut ON it.tk = ut.token),
+s AS (SELECT doc_id,
+             -ln(CASE
+                 WHEN n12 IS NOT NULL THEN n12 / np
+                 WHEN tp IS NULL THEN
+                   CASE WHEN nt IS NOT NULL THEN nt / total
+                        ELSE 0.5 / total END
+                 ELSE 0.4 * (CASE WHEN nt IS NOT NULL THEN nt / total
+                                  ELSE 0.5 / total END)
+                 END) AS nlp
+      FROM j)
+SELECT doc_id, count(*) AS n_tokens,
+       round(sum(nlp) / count(*), 4) AS backoff_nll,
+       round(exp(sum(nlp) / count(*)), 4) AS backoff_ppl
+FROM s GROUP BY doc_id
+""")
+def q_text_bigram_backoff(spark, sf_dir):
+    """Bigram stupid-backoff fluency scoring (Brants et al. 2007):
+    observed-bigram relative frequency, else alpha=0.4 times the
+    unigram (add-half OOV floor); first token unigram-scored.  Both
+    count tables are stored ingest assets (prepared.unigram_lm /
+    prepared.bigram_lm), so the query is one explode + three
+    vocabulary-bounded broadcast joins + one per-doc mean — a sharper
+    quality signal than unigram perplexity (shuffled word-salad keeps
+    its unigram mix but loses its adjacent pairs)."""
+    from datawave_spark.operators.text import stupid_backoff_score
+    from datawave_spark.sources.prepared import bigram_lm, unigram_lm
+    docs = _t(spark, sf_dir, "documents")
+    return stupid_backoff_score(docs, "text", "doc_id",
+                                unigram_lm(spark, sf_dir),
+                                bigram_lm(spark, sf_dir))

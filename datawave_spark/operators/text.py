@@ -349,3 +349,86 @@ def collocations_pmi(df: DataFrame, text_col: str, id_col: str,
     return (j.select(F.col("b").alias("bigram"),
                      F.col("cab").alias("n"), pmi.alias("pmi"))
             .orderBy(F.desc("pmi"), "bigram").limit(k))
+
+
+def bigram_counts(df: DataFrame, text_col: str) -> DataFrame:
+    """Corpus bigram table (t1, t2, n): counts of ADJACENT token pairs
+    under the same tokenizer as :func:`unigram_counts`.  The companion
+    ingest-built asset for stupid-backoff scoring — bigram-type-bounded
+    (vocabulary², sparse), not corpus-bounded.  One map-side-combinable
+    aggregation; the pair array is built in-place per row (no
+    positional self-join, no window shuffle)."""
+    base = spread(df).select(tokens(F.col(text_col)).alias("__toks"))
+    pairs = F.when(
+        F.size("__toks") >= 2,
+        F.expr("""transform(sequence(1, size(__toks) - 1),
+                  i -> struct(element_at(__toks, i) AS t1,
+                              element_at(__toks, i + 1) AS t2))""")
+    ).otherwise(F.array().cast("array<struct<t1:string,t2:string>>"))
+    ex = base.select(F.explode(pairs).alias("p")).select("p.t1", "p.t2")
+    return ex.groupBy("t1", "t2").agg(F.count(F.lit(1)).alias("n12"))
+
+
+def stupid_backoff_score(df: DataFrame, text_col: str, id_col: str,
+                         lm: DataFrame, bigrams: DataFrame,
+                         alpha: float = 0.4) -> DataFrame:
+    """Per-document mean negative-log stupid-backoff bigram score
+    (Brants et al. 2007, "Large Language Models in Machine
+    Translation"): S(w_i | w_{i-1}) = count(w_{i-1} w_i) /
+    count(w_{i-1}) when the bigram was observed, else
+    alpha * S(w_i) with the unigram relative frequency (OOV tokens
+    take the add-half floor 0.5/total).  The document's first token is
+    scored by its unigram alone.  Stupid backoff skips the
+    normalization that makes Katz/Kneser-Ney hard to distribute — the
+    scores are not probabilities, which is exactly why it scales: both
+    tables are plain counts, built in one pass each.
+
+    A sharper fluency/quality signal than unigram perplexity: word-
+    salad with a natural unigram mix (boilerplate soup, shuffled text)
+    scores poorly because its ADJACENT pairs are unseen.
+
+    Shape: one in-array pair construction per row (no positional
+    self-join), one explode, three vocabulary-bounded joins (bigram
+    table on (t_prev, t), unigram on t_prev and on t), one per-doc
+    agg.  Rounded to 4 decimals for engine-exact comparison."""
+    toks = tokens(F.col(text_col))
+    base = df.select(F.col(id_col).alias("__id"), toks.alias("__toks"))
+    items = F.when(
+        F.size("__toks") >= 1,
+        F.expr("""transform(sequence(1, size(__toks)),
+                  i -> struct(
+                      IF(i = 1, CAST(NULL AS STRING),
+                         element_at(__toks, i - 1)) AS tp,
+                      element_at(__toks, i) AS tk))""")
+    ).otherwise(F.array().cast("array<struct<tp:string,tk:string>>"))
+    it = (base.select("__id", F.explode(items).alias("p"))
+              .select("__id", "p.tp", "p.tk"))
+
+    tot = lm.select("total").limit(1)
+    ug = lm.drop("total")
+    j = (it.join(F.broadcast(bigrams),
+                 (F.col("tp") == F.col("t1")) & (F.col("tk") == F.col("t2")),
+                 "left")
+           .join(F.broadcast(ug.select(F.col("token").alias("tp_tok"),
+                                       F.col("n").alias("np"))),
+                 F.col("tp") == F.col("tp_tok"), "left")
+           .join(F.broadcast(ug.select(F.col("token").alias("tk_tok"),
+                                       F.col("n").alias("nt"))),
+                 F.col("tk") == F.col("tk_tok"), "left")
+           .join(F.broadcast(tot)))
+    uni = F.when(F.col("nt").isNotNull(),
+                 F.col("nt").cast("double") / F.col("total")
+                 ).otherwise(F.lit(0.5) / F.col("total"))
+    score = (F.when(F.col("n12").isNotNull(),
+                    F.col("n12").cast("double") / F.col("np"))
+              .when(F.col("tp").isNull(), uni)
+              .otherwise(F.lit(alpha) * uni))
+    per_doc = (j.withColumn("__nlp", -F.log(score))
+                .groupBy("__id")
+                .agg(F.count(F.lit(1)).alias("n_tokens"),
+                     F.sum("__nlp").alias("__s")))
+    mean_nlp = F.col("__s") / F.col("n_tokens")
+    return per_doc.select(
+        F.col("__id").alias(id_col), "n_tokens",
+        F.round(mean_nlp, 4).alias("backoff_nll"),
+        F.round(F.exp(mean_nlp), 4).alias("backoff_ppl"))

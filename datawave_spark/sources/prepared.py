@@ -87,6 +87,7 @@ def build_all(spark: SparkSession, sf_dir: str) -> dict[str, int]:
         "facet_table": facet_table,
         "rollup_hourly": rollup_hourly, "index_stats": index_stats,
         "ssdeep_hashes": ssdeep_hashes, "unigram_lm": unigram_lm,
+        "bigram_lm": bigram_lm,
         "normalized_documents": normalized_documents,
         "embedding_lsh": embedding_lsh, "embedding_ivf": embedding_ivf,
         "embedding_int8": embedding_int8, "embedding_pq": embedding_pq,
@@ -288,6 +289,21 @@ def unigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
         return unigram_counts(docs, "text")
 
     return get_or_build(spark, sf_dir, "unigram_lm", build, sort_by="token")
+
+
+def bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus bigram count table (t1, t2, n12) — the companion asset to
+    :func:`unigram_lm` for stupid-backoff scoring (Brants et al. 2007).
+    Bigram-type-bounded (sparse vocabulary²), clustered by t1 so a
+    backoff join's build side reads contiguously."""
+    from datawave_spark.operators.text import bigram_counts
+    from datawave_spark.sources.parquet import read_parquet
+
+    def build():
+        docs = read_parquet(spark, os.path.join(sf_dir, "documents.parquet"))
+        return bigram_counts(docs, "text")
+
+    return get_or_build(spark, sf_dir, "bigram_lm", build, sort_by="t1")
 
 
 def rollup_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:

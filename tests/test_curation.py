@@ -542,3 +542,51 @@ class TestGopherEmptyDoc:
         assert out[1]["gopher_pass"] is False
         assert out[2]["gopher_pass"] is False
         assert out[2]["mean_word_len"] == 0.0
+
+
+class TestStupidBackoff:
+    def _lm(self, spark):
+        from datawave_spark.operators.text import (bigram_counts,
+                                                   unigram_counts)
+        corpus = spark.createDataFrame(
+            [(1, "the cat sat"), (2, "the cat ran"), (3, "sat the cat")],
+            "id long, t string")
+        return unigram_counts(corpus, "t"), bigram_counts(corpus, "t"), corpus
+
+    def test_observed_bigrams_score_by_conditional_frequency(self, spark):
+        import math
+        from datawave_spark.operators.text import stupid_backoff_score
+        lm, bg, corpus = self._lm(spark)
+        row = {r.id: r for r in stupid_backoff_score(
+            corpus, "t", "id", lm, bg).collect()}[1]
+        # doc 1 "the cat sat": first token unigram 3/9; (the,cat)=3/3;
+        # (cat,sat)=1/3
+        want = -(math.log(3 / 9) + math.log(3 / 3) + math.log(1 / 3)) / 3
+        assert row.backoff_nll == round(want, 4)
+        assert row.n_tokens == 3
+
+    def test_unseen_bigram_backs_off_to_alpha_unigram(self, spark):
+        import math
+        from datawave_spark.operators.text import stupid_backoff_score
+        lm, bg, _ = self._lm(spark)
+        new = spark.createDataFrame([(9, "zebra cat the")],
+                                    "id long, t string")
+        row = stupid_backoff_score(new, "t", "id", lm, bg).first()
+        # zebra OOV first token: 0.5/9; (zebra,cat) and (cat,the)
+        # unseen: 0.4 * 3/9 each
+        want = -(math.log(0.5 / 9) + 2 * math.log(0.4 * 3 / 9)) / 3
+        assert row.backoff_nll == round(want, 4)
+
+    def test_shuffled_text_scores_worse_than_natural(self, spark):
+        from datawave_spark.operators.text import (bigram_counts,
+                                                   stupid_backoff_score,
+                                                   unigram_counts)
+        rows = [(i, "one two three four five") for i in range(10)]
+        corpus = spark.createDataFrame(rows, "id long, t string")
+        lm, bg = unigram_counts(corpus, "t"), bigram_counts(corpus, "t")
+        probe = spark.createDataFrame(
+            [(1, "one two three four five"), (2, "five three one four two")],
+            "id long, t string")
+        got = {r.id: r.backoff_nll for r in stupid_backoff_score(
+            probe, "t", "id", lm, bg).collect()}
+        assert got[1] < got[2]  # same unigram mix, broken adjacency

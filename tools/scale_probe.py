@@ -33,7 +33,7 @@ OPS = ["jexl_filter", "groupby", "tokenize_tf", "minhash_sig", "simhash",
        "knn_lsh", "knn_blocked", "repetition", "decontaminate", "pack",
        "span_dedup", "rebalance", "semantic_dedup", "kmeans_step",
        "bm25", "edge_dict", "pmi", "validate", "png_decode",
-       "gopher", "c4_clean", "dsir", "exsub"]
+       "gopher", "c4_clean", "dsir", "exsub", "backoff"]
 
 
 def generate(spark):
@@ -177,6 +177,7 @@ def run_one(op: str, events_path: str, docs_path: str,
             k=100)),
         "exsub": lambda d: noop(dedup.exact_substring_dedup(
             d, "text", "doc_id", k=10, min_count=2)),
+        "backoff": lambda d: _backoff(d),
         "validate": lambda d: _validate(d),
         "png_decode": lambda d: _png_decode(d),
         "rebalance": lambda d: noop(curation.rebalance_mix(
@@ -186,6 +187,17 @@ def run_one(op: str, events_path: str, docs_path: str,
             "doc_id", "src", "w",
             {"s0": 0.4, "s1": 0.3, "s2": 0.2, "s3": 0.1})),
     }
+    def _backoff(d):
+        # LM build (two count aggs) + full-corpus scoring in one
+        # timing — the entry reads STORED count tables, so query-only
+        # cost is the three broadcast joins + per-doc mean.
+        from datawave_spark.operators import text as txt
+        lm = txt.unigram_counts(d, "text").persist()
+        bg = txt.bigram_counts(d, "text").persist()
+        lm.count(); bg.count()
+        noop(txt.stupid_backoff_score(d, "text", "doc_id", lm, bg))
+        lm.unpersist(); bg.unpersist()
+
     def _semantic_dedup(d):
         from datawave_spark.operators import similarity as sim
         n = d.count()
