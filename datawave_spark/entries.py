@@ -5220,3 +5220,51 @@ def q_text_bigram_backoff(spark, sf_dir):
     return stupid_backoff_score(docs, "text", "doc_id",
                                 unigram_lm(spark, sf_dir),
                                 bigram_lm(spark, sf_dir))
+
+
+@register("multimodal_resize", """
+WITH p AS (SELECT doc_id AS id, 4 + doc_id % 5 AS w, 3 + doc_id % 4 AS h,
+                  2 + doc_id % 3 AS th, 3 + doc_id % 3 AS tw
+           FROM documents)
+SELECT id, CAST(tw AS INTEGER) AS width, CAST(th AS INTEGER) AS height,
+       8 AS bit_depth, 0 AS color_type,
+       CAST(list_sum([(id * 7 + (((k // tw) * h) // th) * 13
+                              + (((k % tw) * w) // tw) * 3) % 256
+                      for k in range(0, th * tw)]) AS BIGINT) AS sum_px
+FROM p
+""")
+def q_multimodal_resize(spark, sf_dir):
+    """REAL image resize end-to-end: synthesized grayscale PNGs are
+    decoded, nearest-neighbor resampled to per-row target dims (floor
+    mapping src = (dst*src_dim)//dst_dim), RE-ENCODED as valid PNGs
+    (operators/multimodal.resize_png), then genuinely re-decoded —
+    CRC walk, inflate, defilter — so a resize or re-encode bug cannot
+    hash-match the oracle's arithmetic recompute of the resampled
+    pixel energy."""
+    import pandas as pd
+    from datawave_spark.operators.multimodal import (attach_media,
+                                                     decode_png,
+                                                     png_encode,
+                                                     resize_png)
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+
+    def synth(batches):
+        for pdf in batches:
+            payloads = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                w, h = 4 + d % 5, 3 + d % 4
+                px = bytes((d * 7 + (k // w) * 13 + (k % w) * 3) % 256
+                           for k in range(w * h))
+                payloads.append(png_encode(w, h, px))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"],
+                                "payload": payloads})
+
+    pngs = docs.mapInPandas(synth, "doc_id long, payload binary")
+    media = attach_media(pngs.withColumnRenamed("doc_id", "id"),
+                         "payload", "image/png")
+    media = (media
+             .withColumn("th", (F.lit(2) + F.col("id") % 3).cast("int"))
+             .withColumn("tw", (F.lit(3) + F.col("id") % 3).cast("int")))
+    resized = resize_png(media, "id", "media", th_col="th", tw_col="tw")
+    return decode_png(resized, "id", "media")

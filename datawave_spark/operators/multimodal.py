@@ -247,12 +247,11 @@ def png_encode(width: int, height: int, pixels: bytes) -> bytes:
             + chunk(b"IDAT", zlib.compress(raw)) + chunk(b"IEND", b""))
 
 
-def png_decode(payload: bytes) -> tuple[int, int, int, int, int]:
+def png_pixels(payload: bytes) -> tuple[int, int, bytes]:
     """FULL PNG decode for the 8-bit grayscale filter-0 subset →
-    (width, height, bit_depth, color_type, sum_px).  Walks the chunk
-    list, VERIFIES every chunk CRC, concatenates IDATs, inflates, and
-    sums the pixel bytes (the integer energy feature, addition-order
-    exact).  Interlace, other color types/depths, and filters != 0
+    (width, height, row-major pixel bytes).  Walks the chunk list,
+    VERIFIES every chunk CRC, concatenates IDATs, inflates, and
+    defilters.  Interlace, other color types/depths, and filters != 0
     raise ValueError — the documented subset, like wav_decode's 16-bit
     PCM."""
     import zlib
@@ -295,13 +294,21 @@ def png_decode(payload: bytes) -> tuple[int, int, int, int, int]:
     if len(raw) != height * stride:
         raise ValueError(f"scanline data is {len(raw)} bytes, "
                          f"expected {height * stride}")
-    total = 0
+    rows = []
     for r in range(height):
         row = raw[r * stride:(r + 1) * stride]
         if row[0] != 0:
             raise ValueError(f"scanline filter {row[0]} not supported")
-        total += sum(row[1:])
-    return width, height, 8, 0, total
+        rows.append(row[1:])
+    return width, height, b"".join(rows)
+
+
+def png_decode(payload: bytes) -> tuple[int, int, int, int, int]:
+    """(width, height, bit_depth, color_type, sum_px) over
+    :func:`png_pixels` — sum_px is the integer pixel-energy feature,
+    addition-order exact."""
+    width, height, px = png_pixels(payload)
+    return width, height, 8, 0, sum(px)
 
 
 def decode_png(df: DataFrame, id_col: str = "id",
@@ -327,3 +334,43 @@ def decode_png(df: DataFrame, id_col: str = "id",
     return df.select(id_col, media_col).mapInPandas(
         run, "id long, width int, height int, bit_depth int, "
              "color_type int, sum_px long")
+
+
+def resize_png(df: DataFrame, id_col: str = "id", media_col: str = "media",
+               target: tuple[int, int] = (8, 8),
+               th_col: str | None = None,
+               tw_col: str | None = None) -> DataFrame:
+    """REAL image resize (the op resize_stub stands in for elsewhere):
+    decode the grayscale PNG subset, nearest-neighbor resample to the
+    target dims (floor mapping src = (dst_idx * src_dim) // dst_dim —
+    the deterministic integer policy an oracle can replay), and
+    RE-ENCODE a valid PNG.  Per-row targets come from ``th_col`` /
+    ``tw_col`` when given, else the fixed ``target`` (height, width).
+
+    Same Arrow mapInPandas shape as every other codec op: batch in,
+    batch out, one row per image, payload bytes never leave the
+    executor.  Output media is a decodable PNG — downstream
+    decode_png round-trips it, CRCs and all."""
+    th0, tw0 = target
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"id": [], "media": [], "width": [], "height": []}
+            for _, r in pdf.iterrows():
+                w, h, px = png_pixels(
+                    bytes(r[media_col]) if r[media_col] is not None else None)
+                th = int(r[th_col]) if th_col else th0
+                tw = int(r[tw_col]) if tw_col else tw0
+                if th < 1 or tw < 1:
+                    raise ValueError(f"bad resize target {th}x{tw}")
+                rp = bytes(px[((rr * h) // th) * w + ((cc * w) // tw)]
+                           for rr in range(th) for cc in range(tw))
+                out["id"].append(r[id_col])
+                out["media"].append(png_encode(tw, th, rp))
+                out["width"].append(tw)
+                out["height"].append(th)
+            yield pd.DataFrame(out)
+
+    cols = [id_col, media_col] + [c for c in (th_col, tw_col) if c]
+    return df.select(*cols).mapInPandas(
+        run, "id long, media binary, width int, height int")

@@ -133,3 +133,47 @@ class TestPngCodec:
         df = spark.createDataFrame(rows, "id long, media binary")
         out = {r["id"]: r for r in decode_png(df).collect()}
         assert out[3]["sum_px"] == 6 and out[3]["width"] == 2
+
+
+class TestResizePng:
+    def test_upscale_nearest_duplicates_pixels(self, spark):
+        from datawave_spark.operators.multimodal import (png_encode,
+                                                         png_pixels,
+                                                         resize_png)
+        src = png_encode(2, 2, bytes([10, 20, 30, 40]))
+        df = spark.createDataFrame([(1, bytearray(src))],
+                                   "id long, media binary")
+        row = resize_png(df, target=(4, 4)).first()
+        w, h, px = png_pixels(bytes(row.media))
+        assert (w, h) == (4, 4)
+        # floor mapping: each source pixel covers a 2x2 block
+        assert list(px) == [10, 10, 20, 20,
+                            10, 10, 20, 20,
+                            30, 30, 40, 40,
+                            30, 30, 40, 40]
+
+    def test_identity_resize_preserves_pixels(self, spark):
+        from datawave_spark.operators.multimodal import (png_encode,
+                                                         png_pixels,
+                                                         resize_png)
+        pix = bytes(range(12))
+        src = png_encode(4, 3, pix)
+        df = spark.createDataFrame([(1, bytearray(src))],
+                                   "id long, media binary")
+        row = resize_png(df, target=(3, 4)).first()
+        assert png_pixels(bytes(row.media))[2] == pix
+
+    def test_per_row_targets_and_redecode(self, spark):
+        from datawave_spark.operators.multimodal import (decode_png,
+                                                         png_encode,
+                                                         resize_png)
+        rows = [(i, bytearray(png_encode(4, 4, bytes([i] * 16))),
+                 2 + i, 3 + i) for i in range(3)]
+        df = spark.createDataFrame(
+            rows, "id long, media binary, th int, tw int")
+        out = {r.id: r for r in decode_png(
+            resize_png(df, th_col="th", tw_col="tw")).collect()}
+        for i in range(3):
+            assert (out[i].height, out[i].width) == (2 + i, 3 + i)
+            # constant image: resized sum = value * th * tw
+            assert out[i].sum_px == i * (2 + i) * (3 + i)
