@@ -5268,3 +5268,27 @@ def q_multimodal_resize(spark, sf_dir):
              .withColumn("tw", (F.lit(3) + F.col("id") % 3).cast("int")))
     resized = resize_png(media, "id", "media", th_col="th", tw_col="tw")
     return decode_png(resized, "id", "media")
+
+
+@register("tiered_read_query", """
+SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS day,
+       count(*) AS n,
+       round(sum(value), 4) AS sum_value
+FROM events GROUP BY day
+""")
+def q_tiered_read_query(spark, sf_dir):
+    """Date-based storage tiering, coverage-invariant read
+    (ShardedTableDateBasedTieredVolumeChooser.java:58 — shard volumes
+    chosen by floorKey(shard age) over per-tier days-back thresholds):
+    the stored asset SPLITS the sharded events layout into hot/cold
+    roots by actually running maintenance.tier_partitions, and the
+    query reads the union view (maintenance.read_tiered, per-root
+    basePath so partition pruning survives).  The oracle aggregates
+    the untiered events table — tiering must not change any answer."""
+    from datawave_spark.sources.maintenance import read_tiered
+    from datawave_spark.sources.prepared import tiered_events
+    base, tiers = tiered_events(spark, sf_dir)
+    ev = read_tiered(spark, base, tiers)
+    return (ev.groupBy(F.col("event_date").cast("string").alias("day"))
+              .agg(F.count(F.lit(1)).alias("n"),
+                   F.round(F.sum("value"), 4).alias("sum_value")))

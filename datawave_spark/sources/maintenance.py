@@ -277,3 +277,90 @@ def append_index(spark: SparkSession, index_path: str, new_events,
     finally:
         rows.unpersist(blocking=False)
     return n
+
+
+def tier_partitions(table_path: str, tiers: dict[str, tuple[str, int]],
+                    now, partition_col: str = "event_date") -> list[tuple[str, str]]:
+    """Date-based storage tiering for a date-partitioned table —
+    the parquet-layout analog of the reference's
+    ShardedTableDateBasedTieredVolumeChooser.java:58 (each shard's
+    VOLUME chosen by floorKey(shard age) over per-tier ``days.back``
+    thresholds, so old shards land on cold storage and recent ones on
+    fast volumes).
+
+    ``tiers`` maps tier name -> (root_dir, days_back): a partition
+    whose age in days (relative to ``now``) is >= days_back belongs to
+    the tier with the GREATEST matching threshold (the TreeMap
+    floorKey); a partition younger than every threshold stays in the
+    base table (the implicit hot tier, = the chooser's default-options
+    fallback).  Partitions already in a tier root are re-evaluated too,
+    so a policy change or the passage of time migrates them onward —
+    age only grows, but the mechanism is direction-agnostic.
+
+    Moves are whole-directory renames (``os.rename`` when the roots
+    share a filesystem, ``shutil.move`` otherwise) — per-partition
+    atomic, no read sees a half-moved partition.  A partition present
+    at both source and destination raises (never silently merged).
+    Returns the (partition_value, tier_name) moves performed; 'base'
+    names the base table.  On object storage the same policy maps to
+    lifecycle rules / storage classes; this module gives the
+    HDFS-style explicit layout."""
+    import datetime as dt
+
+    thresholds = sorted(((db, name) for name, (_r, db) in tiers.items()),
+                        reverse=True)
+    for _db, name in thresholds:
+        if _db < 0:
+            raise ValueError(f"invalid days back for {name}: must be >= 0")
+
+    def target_for(age: int) -> str:
+        for db, name in thresholds:        # greatest threshold <= age
+            if age >= db:
+                return name
+        return "base"
+
+    roots = {"base": table_path, **{n: r for n, (r, _d) in tiers.items()}}
+    moves: list[tuple[str, str]] = []
+    prefix = f"{partition_col}="
+    for loc_name, root in list(roots.items()):
+        if not os.path.isdir(root):
+            continue
+        for d in sorted(os.listdir(root)):
+            if not d.startswith(prefix):
+                continue
+            pval = d[len(prefix):]
+            age = (now - dt.date.fromisoformat(pval)).days
+            tgt = target_for(max(age, 0))
+            if tgt == loc_name:
+                continue
+            src = os.path.join(root, d)
+            dst = os.path.join(roots[tgt], d)
+            if os.path.exists(dst):
+                raise ValueError(
+                    f"partition {pval} already exists in tier {tgt}")
+            os.makedirs(roots[tgt], exist_ok=True)
+            try:
+                os.rename(src, dst)
+            except OSError:
+                shutil.move(src, dst)
+            moves.append((pval, tgt))
+    return moves
+
+
+def read_tiered(spark: SparkSession, table_path: str,
+                tiers: dict[str, tuple[str, int]]) -> DataFrame:
+    """Unified view over a tiered table: union of the base root and
+    every tier root that holds data.  Each root is read with its own
+    ``basePath`` so the hive partition column survives and partition
+    pruning still works per root — a date-bounded query touches only
+    the tiers its range reaches, which is the point of tiering."""
+    out = None
+    for root in [table_path] + [r for r, _d in tiers.values()]:
+        if not os.path.isdir(root) or not any(
+                not e.startswith(("_", ".")) for e in os.listdir(root)):
+            continue
+        df = spark.read.option("basePath", root).parquet(root)
+        out = df if out is None else out.unionByName(df)
+    if out is None:
+        raise ValueError(f"no data under {table_path} or its tiers")
+    return out

@@ -700,3 +700,33 @@ def classifier_weights(spark: SparkSession, sf_dir: str,
 
     return get_or_build(spark, sf_dir, f"classifier_weights_b{n_buckets}",
                         build)
+
+
+def tiered_events(spark: SparkSession, sf_dir: str) -> tuple[str, dict]:
+    """The sharded events layout SPLIT across storage tiers by shard
+    age (ShardedTableDateBasedTieredVolumeChooser parity): partitions
+    7+ days old (against the fixture's fixed 'now' 2024-01-31) sit
+    under a cold root, younger ones under the hot/base root — built by
+    actually RUNNING maintenance.tier_partitions over a copy of the
+    sharded table, so the asset exercises the real move machinery.
+    Returns (base_root, tiers) ready for maintenance.read_tiered."""
+    import datetime as dt
+    import shutil as _sh
+
+    from datawave_spark.sources.maintenance import tier_partitions
+
+    root = prepared_path(sf_dir, "tiered_events")
+    base, cold = os.path.join(root, "hot"), os.path.join(root, "cold")
+    tiers = {"cold": (cold, 7)}
+    if not os.path.exists(os.path.join(root, "_SUCCESS")):
+        src = sharded_events(spark, sf_dir)
+        if os.path.isdir(root):
+            _sh.rmtree(root)
+        os.makedirs(base, exist_ok=True)
+        for d in os.listdir(src):
+            if d.startswith("event_date="):
+                _sh.copytree(os.path.join(src, d), os.path.join(base, d))
+        tier_partitions(base, tiers, now=dt.date(2024, 1, 31))
+        with open(os.path.join(root, "_SUCCESS"), "w"):
+            pass
+    return base, tiers

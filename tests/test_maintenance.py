@@ -292,3 +292,72 @@ class TestIncrementalIndex:
         assert n >= 1
         got = spark.read.parquet(fdir).count()
         assert got == 50  # every (value, uid) survived the rewrite
+
+
+class TestTiering:
+    def _mk(self, spark, tmp_path, days):
+        import datetime as dt
+        base = str(tmp_path / "events")
+        rows = [(i, dt.date(2024, 1, 31) - dt.timedelta(days=d), float(i))
+                for i, d in enumerate(days)]
+        df = spark.createDataFrame(rows, "id long, event_date date, v double")
+        df.write.partitionBy("event_date").parquet(base)
+        return base
+
+    def test_floorkey_policy_moves_by_greatest_threshold(self, spark,
+                                                         tmp_path):
+        import datetime as dt
+        from datawave_spark.sources.maintenance import tier_partitions
+        base = self._mk(spark, tmp_path, [0, 5, 10, 40])
+        tiers = {"warm": (str(tmp_path / "warm"), 7),
+                 "cold": (str(tmp_path / "cold"), 30)}
+        moves = dict(tier_partitions(base, tiers, now=dt.date(2024, 1, 31)))
+        assert moves == {"2024-01-21": "warm", "2023-12-22": "cold"}
+        assert os.path.isdir(
+            str(tmp_path / "warm" / "event_date=2024-01-21"))
+        assert os.path.isdir(
+            str(tmp_path / "cold" / "event_date=2023-12-22"))
+        # ages 0 and 5 stay in base
+        assert os.path.isdir(os.path.join(base, "event_date=2024-01-31"))
+
+    def test_idempotent_and_advances_with_time(self, spark, tmp_path):
+        import datetime as dt
+        from datawave_spark.sources.maintenance import tier_partitions
+        base = self._mk(spark, tmp_path, [10])
+        tiers = {"warm": (str(tmp_path / "warm"), 7),
+                 "cold": (str(tmp_path / "cold"), 30)}
+        assert len(tier_partitions(base, tiers,
+                                   now=dt.date(2024, 1, 31))) == 1
+        assert tier_partitions(base, tiers, now=dt.date(2024, 1, 31)) == []
+        # 25 days later the same partition ages warm -> cold
+        assert dict(tier_partitions(
+            base, tiers, now=dt.date(2024, 2, 25))) == {"2024-01-21": "cold"}
+
+    def test_conflict_raises_not_merges(self, spark, tmp_path):
+        import datetime as dt
+        import pytest
+        from datawave_spark.sources.maintenance import tier_partitions
+        base = self._mk(spark, tmp_path, [10])
+        cold = str(tmp_path / "cold")
+        os.makedirs(os.path.join(cold, "event_date=2024-01-21"))
+        with pytest.raises(ValueError, match="already exists"):
+            tier_partitions(base, {"cold": (cold, 7)},
+                            now=dt.date(2024, 1, 31))
+
+    def test_tiered_read_is_coverage_invariant_and_prunes(self, spark,
+                                                          tmp_path):
+        import datetime as dt
+        from datawave_spark.sources.maintenance import (read_tiered,
+                                                        tier_partitions)
+        base = self._mk(spark, tmp_path, [0, 5, 10, 40])
+        tiers = {"cold": (str(tmp_path / "cold"), 7)}
+        before = spark.read.option("basePath", base).parquet(base) \
+            .groupBy().sum("v").collect()[0][0]
+        tier_partitions(base, tiers, now=dt.date(2024, 1, 31))
+        view = read_tiered(spark, base, tiers)
+        assert view.groupBy().sum("v").collect()[0][0] == before
+        # date-bounded query partition-prunes within each root
+        recent = view.filter(F.col("event_date") >= "2024-01-26")
+        plan = recent._jdf.queryExecution().executedPlan().toString()
+        assert plan.count("PartitionFilters: [isnotnull(event_date") >= 1
+        assert recent.count() == 2
