@@ -5107,7 +5107,8 @@ def q_ageoff_field_view(spark, sf_dir):
 @register("dedup_exact_substring", """
 WITH t AS (
   SELECT doc_id,
-         list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '') AS toks
+         list_filter(regexp_split_to_array(text, '[ \\t\\n\\x0b\\f\\r]+'),
+                     x -> x <> '') AS toks
   FROM documents
 ), b AS (
   SELECT doc_id, toks, len(toks) AS n_toks FROM t

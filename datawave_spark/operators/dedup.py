@@ -727,10 +727,14 @@ def exact_substring_dedup(df: DataFrame, text_col: str = "text",
     length >= k.
     """
     sep = "\x1f"
-    toks = F.filter(F.split(F.col(text_col), r"\s+"),
+    # explicit whitespace class, NOT \s: Java \s includes \x0B but
+    # RE2 (the oracle engine) does not — the class below is the
+    # engine-identical intersection spelled out on both sides
+    toks = F.filter(F.split(F.col(text_col), r"[ \t\n\x0B\f\r]+"),
                     lambda x: x != F.lit(""))
-    base = (df.select(F.col(id_col).alias("doc_id"), toks.alias("toks"))
-              .withColumn("n_toks", F.size("toks")))
+    base = (spread(df)
+            .select(F.col(id_col).alias("doc_id"), toks.alias("toks"))
+            .withColumn("n_toks", F.size("toks")))
 
     # Window generation: guard short docs — F.sequence(1, n) with n < 1
     # would count DOWN, not produce an empty range.
@@ -753,7 +757,8 @@ def exact_substring_dedup(df: DataFrame, text_col: str = "text",
              .select("doc_id", F.col("start").alias("s"),
                      (F.col("start") + (k - 1)).alias("e")))
 
-    # Gaps-and-islands merge of overlapping/adjacent spans per doc.
+    # Gaps-and-islands merge of OVERLAPPING spans per doc (exactly
+    # adjacent spans start a new island and stay distinct in n_spans).
     ow = Window.partitionBy("doc_id").orderBy("s", "e")
     pmax = F.max("e").over(ow.rowsBetween(Window.unboundedPreceding, -1))
     isl = (dupw.withColumn(

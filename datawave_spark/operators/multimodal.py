@@ -356,16 +356,17 @@ def resize_png(df: DataFrame, id_col: str = "id", media_col: str = "media",
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out = {"id": [], "media": [], "width": [], "height": []}
-            for _, r in pdf.iterrows():
+            ths = pdf[th_col] if th_col else [th0] * len(pdf)
+            tws = pdf[tw_col] if tw_col else [tw0] * len(pdf)
+            for i, b, th, tw in zip(pdf[id_col], pdf[media_col], ths, tws):
                 w, h, px = png_pixels(
-                    bytes(r[media_col]) if r[media_col] is not None else None)
-                th = int(r[th_col]) if th_col else th0
-                tw = int(r[tw_col]) if tw_col else tw0
+                    bytes(b) if b is not None else None)
+                th, tw = int(th), int(tw)
                 if th < 1 or tw < 1:
                     raise ValueError(f"bad resize target {th}x{tw}")
                 rp = bytes(px[((rr * h) // th) * w + ((cc * w) // tw)]
                            for rr in range(th) for cc in range(tw))
-                out["id"].append(r[id_col])
+                out["id"].append(i)
                 out["media"].append(png_encode(tw, th, rp))
                 out["width"].append(tw)
                 out["height"].append(th)

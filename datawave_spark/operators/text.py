@@ -392,7 +392,8 @@ def stupid_backoff_score(df: DataFrame, text_col: str, id_col: str,
     table on (t_prev, t), unigram on t_prev and on t), one per-doc
     agg.  Rounded to 4 decimals for engine-exact comparison."""
     toks = tokens(F.col(text_col))
-    base = df.select(F.col(id_col).alias("__id"), toks.alias("__toks"))
+    base = spread(df).select(F.col(id_col).alias("__id"),
+                             toks.alias("__toks"))
     items = F.when(
         F.size("__toks") >= 1,
         F.expr("""transform(sequence(1, size(__toks)),

@@ -297,10 +297,23 @@ def tier_partitions(table_path: str, tiers: dict[str, tuple[str, int]],
     so a policy change or the passage of time migrates them onward —
     age only grows, but the mechanism is direction-agnostic.
 
-    Moves are whole-directory renames (``os.rename`` when the roots
-    share a filesystem, ``shutil.move`` otherwise) — per-partition
-    atomic, no read sees a half-moved partition.  A partition present
-    at both source and destination raises (never silently merged).
+    Same-filesystem moves are single ``os.rename`` calls (atomic).
+    Across filesystems (the normal tiering case — that is the point)
+    the move is STAGED: copy into a dot-prefixed ``.<dir>.tiertmp``
+    sibling of the destination (invisible to Spark readers), stamp a
+    ``_COMPLETE`` marker, remove the source, rename the stage into
+    place, drop the marker — every crash point is distinguishable and
+    :func:`recover_tiers` (run automatically on entry) resumes or
+    rolls back, mirroring this module's ``_recover_swap`` discipline.
+    A reader never sees a doubled or half-written partition; it may
+    briefly MISS one mid-move (between source removal and the stage
+    rename — the tablet-offline window of the reference's migrations).
+    A partition present at both source and destination with no stage
+    marker raises (never silently merged).  Two tiers sharing a
+    ``days_back`` raise up front (a TreeMap cannot even represent the
+    duplicate, and one tier would silently shadow the other); a
+    partition directory whose value does not parse as a date (e.g.
+    ``__HIVE_DEFAULT_PARTITION__``) is left where it is.
     Returns the (partition_value, tier_name) moves performed; 'base'
     names the base table.  On object storage the same policy maps to
     lifecycle rules / storage classes; this module gives the
@@ -309,9 +322,15 @@ def tier_partitions(table_path: str, tiers: dict[str, tuple[str, int]],
 
     thresholds = sorted(((db, name) for name, (_r, db) in tiers.items()),
                         reverse=True)
-    for _db, name in thresholds:
-        if _db < 0:
+    seen_db = {}
+    for db, name in thresholds:
+        if db < 0:
             raise ValueError(f"invalid days back for {name}: must be >= 0")
+        if db in seen_db:
+            raise ValueError(
+                f"tiers {seen_db[db]} and {name} share days_back={db}; "
+                "one would silently shadow the other")
+        seen_db[db] = name
 
     def target_for(age: int) -> str:
         for db, name in thresholds:        # greatest threshold <= age
@@ -319,6 +338,7 @@ def tier_partitions(table_path: str, tiers: dict[str, tuple[str, int]],
                 return name
         return "base"
 
+    recover_tiers(table_path, tiers, partition_col)
     roots = {"base": table_path, **{n: r for n, (r, _d) in tiers.items()}}
     moves: list[tuple[str, str]] = []
     prefix = f"{partition_col}="
@@ -328,9 +348,12 @@ def tier_partitions(table_path: str, tiers: dict[str, tuple[str, int]],
         for d in sorted(os.listdir(root)):
             if not d.startswith(prefix):
                 continue
+            try:
+                pdate = dt.date.fromisoformat(d[len(prefix):])
+            except ValueError:
+                continue               # null/odd partition: stays put
             pval = d[len(prefix):]
-            age = (now - dt.date.fromisoformat(pval)).days
-            tgt = target_for(max(age, 0))
+            tgt = target_for(max((now - pdate).days, 0))
             if tgt == loc_name:
                 continue
             src = os.path.join(root, d)
@@ -342,9 +365,73 @@ def tier_partitions(table_path: str, tiers: dict[str, tuple[str, int]],
             try:
                 os.rename(src, dst)
             except OSError:
-                shutil.move(src, dst)
+                _staged_move(src, dst)
             moves.append((pval, tgt))
     return moves
+
+
+def _staged_move(src: str, dst: str) -> None:
+    """Cross-filesystem partition move with distinguishable crash
+    states: (1) copy src into a dot-prefixed stage next to dst,
+    (2) stamp ``_COMPLETE`` in the stage, (3) remove src, (4) rename
+    stage -> dst (atomic, same fs as dst), (5) drop the marker.
+    The stage dir is invisible to Spark (leading dot); the marker file
+    is invisible inside a live partition (leading underscore)."""
+    tmp = os.path.join(os.path.dirname(dst),
+                       "." + os.path.basename(dst) + ".tiertmp")
+    if os.path.exists(tmp):
+        shutil.rmtree(tmp)             # partial stage from a prior crash
+    shutil.copytree(src, tmp)
+    with open(os.path.join(tmp, "_COMPLETE"), "w"):
+        pass
+    shutil.rmtree(src)
+    os.rename(tmp, dst)
+    os.remove(os.path.join(dst, "_COMPLETE"))
+
+
+def recover_tiers(table_path: str, tiers: dict[str, tuple[str, int]],
+                  partition_col: str = "event_date") -> int:
+    """Sweep every tier root for interrupted :func:`_staged_move`
+    states and repair them (run automatically by ``tier_partitions``):
+
+    - stage WITHOUT marker → the copy never finished and the source is
+      intact: drop the stage.
+    - stage WITH marker → the copy finished: remove a still-present
+      source (step 3 crashed), rename the stage into place (step 4),
+      drop the marker (step 5) — resuming wherever the move stopped.
+    - live partition holding a leftover ``_COMPLETE`` marker → only
+      step 5 crashed: drop the marker.
+
+    Returns the number of repairs."""
+    roots = [table_path] + [r for r, _d in tiers.values()]
+    prefix = f"{partition_col}="
+    n = 0
+    for root in roots:
+        if not os.path.isdir(root):
+            continue
+        for name in sorted(os.listdir(root)):
+            if name.startswith("." + prefix) and name.endswith(".tiertmp"):
+                tmp = os.path.join(root, name)
+                pdir = name[1:-len(".tiertmp")]
+                if os.path.exists(os.path.join(tmp, "_COMPLETE")):
+                    for other in roots:
+                        srcd = os.path.join(other, pdir)
+                        if other != root and os.path.isdir(srcd):
+                            shutil.rmtree(srcd)
+                    dst = os.path.join(root, pdir)
+                    if os.path.isdir(dst):   # defensive: stage is stale
+                        shutil.rmtree(tmp)
+                    else:
+                        os.rename(tmp, dst)
+                        os.remove(os.path.join(dst, "_COMPLETE"))
+                else:
+                    shutil.rmtree(tmp)
+                n += 1
+            elif name.startswith(prefix) and os.path.exists(
+                    os.path.join(root, name, "_COMPLETE")):
+                os.remove(os.path.join(root, name, "_COMPLETE"))
+                n += 1
+    return n
 
 
 def read_tiered(spark: SparkSession, table_path: str,

@@ -361,3 +361,59 @@ class TestTiering:
         plan = recent._jdf.queryExecution().executedPlan().toString()
         assert plan.count("PartitionFilters: [isnotnull(event_date") >= 1
         assert recent.count() == 2
+
+    def test_staged_move_recovery_states(self, spark, tmp_path):
+        import datetime as dt
+        from datawave_spark.sources.maintenance import (recover_tiers,
+                                                        tier_partitions)
+        base = self._mk(spark, tmp_path, [10, 40])
+        cold = str(tmp_path / "cold")
+        tiers = {"cold": (cold, 7)}
+        os.makedirs(cold)
+        pdir = "event_date=2024-01-21"
+
+        # state A: stage without marker (interrupted copy), src intact
+        os.makedirs(os.path.join(cold, f".{pdir}.tiertmp"))
+        assert recover_tiers(base, tiers) == 1
+        assert not os.path.exists(os.path.join(cold, f".{pdir}.tiertmp"))
+        assert os.path.isdir(os.path.join(base, pdir))
+
+        # state B: stage WITH marker (copy done, src not yet removed)
+        import shutil
+        stage = os.path.join(cold, f".{pdir}.tiertmp")
+        shutil.copytree(os.path.join(base, pdir), stage)
+        open(os.path.join(stage, "_COMPLETE"), "w").close()
+        assert recover_tiers(base, tiers) == 1
+        assert os.path.isdir(os.path.join(cold, pdir))
+        assert not os.path.exists(os.path.join(base, pdir))
+        assert not os.path.exists(os.path.join(cold, pdir, "_COMPLETE"))
+
+        # state C: live partition with a leftover marker (step 5 crash)
+        open(os.path.join(cold, pdir, "_COMPLETE"), "w").close()
+        assert recover_tiers(base, tiers) == 1
+        assert not os.path.exists(os.path.join(cold, pdir, "_COMPLETE"))
+
+        # after recovery the normal run still works and is idempotent
+        moves = tier_partitions(base, tiers, now=dt.date(2024, 1, 31))
+        assert dict(moves) == {"2023-12-22": "cold"}
+
+    def test_duplicate_days_back_raises(self, spark, tmp_path):
+        import datetime as dt
+        import pytest
+        from datawave_spark.sources.maintenance import tier_partitions
+        base = self._mk(spark, tmp_path, [10])
+        with pytest.raises(ValueError, match="share days_back"):
+            tier_partitions(base, {"warm": (str(tmp_path / "w"), 7),
+                                   "cold": (str(tmp_path / "c"), 7)},
+                            now=dt.date(2024, 1, 31))
+
+    def test_unparseable_partition_value_stays_put(self, spark, tmp_path):
+        import datetime as dt
+        from datawave_spark.sources.maintenance import tier_partitions
+        base = self._mk(spark, tmp_path, [40])
+        weird = os.path.join(base, "event_date=__HIVE_DEFAULT_PARTITION__")
+        os.makedirs(weird)
+        tiers = {"cold": (str(tmp_path / "cold"), 7)}
+        moves = tier_partitions(base, tiers, now=dt.date(2024, 1, 31))
+        assert dict(moves) == {"2023-12-22": "cold"}
+        assert os.path.isdir(weird)
