@@ -5293,3 +5293,52 @@ def q_tiered_read_query(spark, sf_dir):
     return (ev.groupBy(F.col("event_date").cast("string").alias("day"))
               .agg(F.count(F.lit(1)).alias("n"),
                    F.round(F.sum("value"), 4).alias("sum_value")))
+
+
+@register("curation_decontaminate_neardup", f"""
+WITH sh AS ({_DUCK_SHINGLES2}),
+sig AS (SELECT id, {", ".join(f"min(md5('s{i}:' || shingle)) AS h{i}"
+                              for i in range(16))}
+        FROM sh WHERE shingle != '' GROUP BY id),
+banded AS ({" UNION ALL ".join(
+    f"SELECT id, {b} AS band, md5(concat_ws('|', '{b}', h{2*b}, h{2*b+1})) AS bucket FROM sig"
+    for b in range(8))}),
+newb AS (SELECT * FROM banded WHERE id % 25 = 0),
+corpb AS (SELECT * FROM banded WHERE id % 25 != 0),
+ok AS (SELECT band, bucket FROM corpb GROUP BY band, bucket
+       HAVING count(*) <= {_LSH_MAXB}),
+corpok AS (SELECT corpb.* FROM corpb JOIN ok USING (band, bucket)),
+cand AS (SELECT DISTINCT n.id AS id_new, c.id AS id_old
+         FROM newb n JOIN corpok c
+           ON n.band = c.band AND n.bucket = c.bucket),
+sizes AS (SELECT id, count(*) AS n FROM sh GROUP BY id),
+inter AS (SELECT cand.id_new, cand.id_old, count(*) AS ni
+          FROM cand JOIN sh a ON a.id = cand.id_new
+          JOIN sh b ON b.id = cand.id_old AND a.shingle = b.shingle
+          GROUP BY 1, 2),
+contaminated AS (
+  SELECT DISTINCT id_old AS id
+  FROM inter JOIN sizes sa ON sa.id = id_new
+             JOIN sizes sb ON sb.id = id_old
+  WHERE round(ni / (sa.n + sb.n - ni), 4) >= 0.3)
+SELECT s.id, s.n FROM sizes s
+WHERE s.id % 25 != 0
+  AND NOT EXISTS (SELECT 1 FROM contaminated c WHERE c.id = s.id)
+""")
+def q_curation_decontaminate_neardup(spark, sf_dir):
+    """NEAR-DUP benchmark decontamination (fuzzy eval-leakage guard, the
+    companion to curation_decontaminate's verbatim k-gram check): the
+    tiny benchmark split (doc_id % 25 == 0) probes the STORED corpus
+    MinHash signatures (prepared.doc_minhash) via the incremental LSH
+    shape — one (band, bucket) equi-join + exact Jaccard verify on
+    candidates only — and every corpus doc clearing Jaccard 0.3 to a
+    benchmark doc is dropped (operators/curation.decontaminate_neardup).
+    Output: the surviving corpus docs."""
+    from datawave_spark.operators.curation import decontaminate_neardup
+    from datawave_spark.sources import prepared
+    signed = prepared.doc_minhash(spark, sf_dir, k=2, num_hashes=16)
+    bench = signed.filter(F.col("id") % 25 == 0)
+    corp = signed.filter(F.col("id") % 25 != 0)
+    out = decontaminate_neardup(corp, bench, num_hashes=16, bands=8,
+                                threshold=0.3, max_bucket=_LSH_MAXB)
+    return out.select("id", "n")

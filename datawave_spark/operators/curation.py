@@ -559,3 +559,41 @@ def c4_clean_lines(df: DataFrame, text_col: str, id_col: str,
                     F.size(lines).alias("n_lines_total"),
                     F.size(kept).alias("n_lines_kept"),
                     F.concat_ws("\n", kept).alias("text_clean")))
+
+
+def decontaminate_neardup(corpus_signed: DataFrame,
+                          benchmark_signed: DataFrame,
+                          num_hashes: int = 16, bands: int = 8,
+                          threshold: float = 0.5,
+                          max_bucket: int | None = None,
+                          keep_col: str | None = None) -> DataFrame:
+    """NEAR-DUPLICATE benchmark decontamination: where
+    :func:`decontaminate` catches verbatim k-gram leakage, this catches
+    paraphrased/reformatted eval contamination — any corpus document
+    whose shingle-set Jaccard to ANY benchmark document clears
+    ``threshold`` is contaminated (the Llama/GPT-style fuzzy-decontam
+    guard).
+
+    Both inputs are ingest-signed set frames (id, shingles, n, sig —
+    sources/prepared.doc_minhash layout; ids disjoint).  The TINY
+    benchmark side probes the stored corpus signatures through
+    ``dedup.incremental_lsh_pairs`` — one (band, bucket) equi-join,
+    corpus-side bucket cap, exact Jaccard verify on candidates only —
+    so the cost is benchmark-bucket-sized, never a corpus self-join.
+
+    Returns surviving corpus rows; with ``keep_col`` set, ALL corpus
+    rows with a boolean flag instead (the reporting shape).  The drop
+    set is distinct contaminated ids (short rows), so the anti-join
+    broadcasts when small."""
+    from datawave_spark.operators.dedup import incremental_lsh_pairs
+
+    pairs = incremental_lsh_pairs(benchmark_signed, corpus_signed,
+                                  num_hashes=num_hashes, bands=bands,
+                                  threshold=threshold,
+                                  max_bucket=max_bucket)
+    dropped = pairs.select(F.col("id_old").alias("id")).distinct()
+    if keep_col:
+        flag = dropped.withColumn(keep_col, F.lit(False))
+        return (corpus_signed.join(flag, "id", "left")
+                .fillna({keep_col: True}))
+    return corpus_signed.join(dropped, "id", "left_anti")

@@ -590,3 +590,24 @@ class TestStupidBackoff:
         got = {r.id: r.backoff_nll for r in stupid_backoff_score(
             probe, "t", "id", lm, bg).collect()}
         assert got[1] < got[2]  # same unigram mix, broken adjacency
+
+
+class TestNearDupDecontamination:
+    def test_contaminated_doc_dropped_flag_matches_filter(self, spark):
+        from datawave_spark.operators.curation import decontaminate_neardup
+        from datawave_spark.operators.dedup import (
+            attach_minhash_signatures, shingle_sets)
+        rows = [(1, "alpha beta gamma delta epsilon zeta eta theta"),
+                (2, "totally different tokens nothing shared here at all"),
+                (100, "alpha beta gamma delta epsilon zeta eta theta")]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        signed = attach_minhash_signatures(
+            shingle_sets(df, "text", "doc_id", k=2), num_hashes=16)
+        bench = signed.filter(F.col("id") >= 100)
+        corp = signed.filter(F.col("id") < 100)
+        surv = {r.id for r in decontaminate_neardup(
+            corp, bench, threshold=0.5).collect()}
+        assert surv == {2}  # doc 1 is a verbatim copy of benchmark 100
+        flags = {r.id: r.keep for r in decontaminate_neardup(
+            corp, bench, threshold=0.5, keep_col="keep").collect()}
+        assert flags == {1: False, 2: True}
