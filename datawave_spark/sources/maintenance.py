@@ -83,7 +83,7 @@ def recover_table(table_path: str, partition_col: str = "event_date") -> int:
     if not os.path.isdir(parent):
         return 0
     for name in os.listdir(parent):
-        for op in ("merge", "modify"):
+        for op in ("merge", "modify", "rollup"):
             prefix = f"{base}.{op}.old."
             if name.startswith(prefix):
                 pval = name[len(prefix):]
@@ -451,3 +451,63 @@ def read_tiered(spark: SparkSession, table_path: str,
     if out is None:
         raise ValueError(f"no data under {table_path} or its tiers")
     return out
+
+
+def refresh_rollup(spark: SparkSession, rollup_path: str,
+                   new_events: DataFrame,
+                   keys: tuple[str, ...] = ("hour", "event_type"),
+                   partition_col: str = "day") -> int:
+    """Incremental continuous-aggregate maintenance (the TimescaleDB
+    cagg-refresh / druid delta-ingest analog for the stored hourly
+    rollup): fold a NEW event batch into a day-partitioned rollup
+    table, rewriting ONLY the day partitions the batch touches.
+
+    The rollup's measures are decomposable (count adds, sum adds), so
+    the merge is a union + re-aggregate per affected partition — the
+    batch's partials combine with the stored partials exactly as
+    map-side partials combine in a shuffle.  Untouched days are never
+    read or written (at 100 TB, a late-arriving hour costs one
+    day-partition rewrite, not a full-table rebuild).
+
+    Layout: hive-partitioned by ``day`` (derived from ``hour``), hour-
+    sorted within each partition.  Each partition rewrite is
+    write-then-swap with the module's ``.rollup.old`` siblings, crash-
+    recoverable via :func:`_recover_swap` on entry.  Creates the table
+    on first call.  Returns the number of day partitions rewritten."""
+    new_partial = (new_events
+                   .groupBy(F.date_trunc("hour", F.col("ts")).alias("hour"),
+                            "event_type")
+                   .agg(F.count(F.lit(1)).alias("n"),
+                        F.sum("value").alias("sum_value"))
+                   .withColumn(partition_col,
+                               F.to_date("hour").cast("string")))
+    days = [r[0] for r in
+            new_partial.select(partition_col).distinct().collect()]
+    base = os.path.basename(rollup_path.rstrip("/"))
+    parent = os.path.dirname(rollup_path.rstrip("/")) or "."
+    n = 0
+    for day in sorted(days):
+        pdir = os.path.join(rollup_path, f"{partition_col}={day}")
+        old = os.path.join(parent, f"{base}.rollup.old.{day}")
+        tmp = os.path.join(parent, f"{base}.rollup.tmp.{day}")
+        _recover_swap(pdir, old, tmp)
+        batch_day = new_partial.filter(
+            F.col(partition_col) == day).drop(partition_col)
+        if os.path.isdir(pdir):
+            stored = spark.read.parquet(pdir)
+            merged = (stored.unionByName(batch_day)
+                      .groupBy(*keys)
+                      .agg(F.sum("n").alias("n"),
+                           F.sum("sum_value").alias("sum_value")))
+        else:
+            merged = batch_day
+        (merged.sortWithinPartitions("hour")
+               .write.mode("overwrite").parquet(tmp))
+        if os.path.isdir(pdir):
+            os.rename(pdir, old)
+        os.makedirs(rollup_path, exist_ok=True)
+        os.rename(tmp, pdir)
+        if os.path.isdir(old):
+            shutil.rmtree(old)
+        n += 1
+    return n

@@ -617,3 +617,59 @@ def test_exact_substring_cleaned_md5_is_whitespace_normalized(spark):
         b"a b c d e f g h i j k").hexdigest()
     assert out[2]["kept_tokens"] == 0
     assert out[2]["cleaned_md5"] == hashlib.md5(b"").hexdigest()
+
+
+def test_exact_substring_properties_vs_python_referee(spark):
+    """Dual-execution referee: a pure-Python implementation of the
+    keep-first window-dedup semantics over a randomized-ish fixed
+    corpus; the Spark result must agree on every doc's removal set."""
+    import hashlib
+    import random
+
+    rng = random.Random(7)
+    vocab = [f"w{i}" for i in range(12)]
+    shared = " ".join(rng.choice(vocab) for _ in range(9))
+    docs = []
+    for i in range(40):
+        n = rng.randint(0, 25)
+        body = " ".join(rng.choice(vocab) for _ in range(n))
+        if i % 3 == 0:          # plant the shared region in a third
+            body = f"{body} {shared}".strip()
+        docs.append((i, body))
+
+    K = 6
+
+    def referee():
+        toks = {i: [t for t in txt.split() if t] for i, txt in docs}
+        first: dict[str, tuple[int, int]] = {}
+        occs: dict[str, list[tuple[int, int]]] = {}
+        for i in sorted(toks):
+            ts = toks[i]
+            for s in range(len(ts) - K + 1):
+                key = "\x1f".join(ts[s:s + K])
+                occs.setdefault(key, []).append((i, s + 1))
+                first.setdefault(key, (i, s + 1))
+        removed: dict[int, set[int]] = {i: set() for i in toks}
+        for key, lst in occs.items():
+            if len(lst) < 2:
+                continue
+            for (i, s) in lst:
+                if (i, s) != first[key]:
+                    removed[i].update(range(s, s + K))
+        out = {}
+        for i, ts in toks.items():
+            kept = [t for p, t in enumerate(ts, 1)
+                    if p not in removed[i]]
+            out[i] = (len(ts) - len(kept), len(kept),
+                      hashlib.md5(" ".join(kept).encode()).hexdigest())
+        return out
+
+    want = referee()
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {r.doc_id: (r.removed_tokens, r.kept_tokens, r.cleaned_md5)
+           for r in dedup.exact_substring_dedup(
+               df, k=K, min_count=2).collect()}
+    assert got == want
+    # conservation: every doc accounted for, tokens never created
+    for i, (rm, kp, _h) in got.items():
+        assert rm + kp == len([t for t in dict(docs)[i].split() if t])

@@ -417,3 +417,53 @@ class TestTiering:
         moves = tier_partitions(base, tiers, now=dt.date(2024, 1, 31))
         assert dict(moves) == {"2023-12-22": "cold"}
         assert os.path.isdir(weird)
+
+
+class TestRollupRefresh:
+    def _events(self, spark, ids):
+        import datetime as dt
+        rows = [(i, dt.datetime(2024, 1, 1 + (i % 3), i % 24),
+                 "click" if i % 2 else "view", float(i)) for i in ids]
+        return spark.createDataFrame(
+            rows, "event_id long, ts timestamp, event_type string, "
+                  "value double")
+
+    def test_incremental_equals_scratch_and_touches_only_batch_days(
+            self, spark, tmp_path):
+        from datawave_spark.sources.maintenance import refresh_rollup
+        path = str(tmp_path / "rollup")
+        first = self._events(spark, range(40))
+        assert refresh_rollup(spark, path, first) == 3
+        # second batch touches only day 1 (i % 3 == 0 -> 2024-01-01)
+        second = self._events(spark, [300, 303, 306])
+        marker = os.path.getmtime(
+            os.path.join(path, "day=2024-01-02"))
+        assert refresh_rollup(spark, path, second) == 1
+        assert os.path.getmtime(
+            os.path.join(path, "day=2024-01-02")) == marker
+        got = spark.read.parquet(path)
+        want = (self._events(spark, list(range(40)) + [300, 303, 306])
+                .groupBy(F.date_trunc("hour", "ts").alias("hour"),
+                         "event_type")
+                .agg(F.count(F.lit(1)).alias("n"),
+                     F.sum("value").alias("sum_value")))
+        a = {(r.hour, r.event_type): (r.n, r.sum_value)
+             for r in got.collect()}
+        b = {(r.hour, r.event_type): (r.n, r.sum_value)
+             for r in want.collect()}
+        assert a == b
+
+    def test_crash_recovery_restores_stranded_day(self, spark, tmp_path):
+        import shutil
+        from datawave_spark.sources.maintenance import (recover_table,
+                                                        refresh_rollup)
+        path = str(tmp_path / "rollup")
+        refresh_rollup(spark, path, self._events(spark, range(40)))
+        pdir = os.path.join(path, "day=2024-01-01")
+        old = str(tmp_path / "rollup.rollup.old.2024-01-01")
+        n_before = spark.read.parquet(path).count()
+        # simulate a crash between rename(pdir, old) and rename(tmp, pdir)
+        shutil.move(pdir, old)
+        assert recover_table(path, partition_col="day") >= 1
+        assert os.path.isdir(pdir) and not os.path.exists(old)
+        assert spark.read.parquet(path).count() == n_before
