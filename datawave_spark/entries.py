@@ -5342,3 +5342,39 @@ def q_curation_decontaminate_neardup(spark, sf_dir):
     out = decontaminate_neardup(corp, bench, num_hashes=16, bands=8,
                                 threshold=0.3, max_bucket=_LSH_MAXB)
     return out.select("id", "n")
+
+
+@register("curation_budget_select", """
+WITH q AS (
+  SELECT doc_id, source, CAST(len(t) AS BIGINT) AS n_tokens,
+    round(0.4 * least((CASE WHEN len(t) > 0 THEN list_sum(list_transform(t, x -> length(x))) / len(t) ELSE 0.0 END) / 8, 1.0)
+        + 0.3 * least((CASE WHEN len(t) > 0 THEN len(list_filter(t, x -> list_contains(['the','a','of','and','to','in','is','that','it','for'], x))) / len(t) ELSE 0.0 END) * 4, 1.0)
+        + 0.3 * (CASE WHEN length(text) > 0 THEN length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) / length(text) ELSE 0.0 END), 4) AS quality
+  FROM (SELECT doc_id, source, text,
+               list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                           x -> x != '') AS t
+        FROM documents)),
+c AS (
+  SELECT doc_id, source, n_tokens, quality,
+         sum(n_tokens) OVER (PARTITION BY source
+                             ORDER BY quality DESC, doc_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                                      AND CURRENT ROW) AS cum
+  FROM q)
+SELECT doc_id, source, n_tokens, quality FROM c WHERE cum <= 800
+""")
+def q_curation_budget_select(spark, sf_dir):
+    """Budget-constrained selection: per SOURCE, the highest-quality
+    documents fill an 800-token budget (score DESC, doc_id tiebreak;
+    inclusive cumsum prefix — operators/curation.select_within_budget
+    over text.quality_score).  The per-stratum budget is the scale
+    shape: each source's window sorts only its own rows."""
+    from datawave_spark.operators.curation import select_within_budget
+    from datawave_spark.operators.text import quality_score, tokens
+    docs = _t(spark, sf_dir, "documents")
+    scored = (quality_score(docs, "text")
+              .withColumn("n_tokens",
+                          F.size(tokens(F.col("text"))).cast("long")))
+    sel = select_within_budget(scored, "doc_id", "quality", "n_tokens",
+                               budget=800, strata_col="source")
+    return sel.select("doc_id", "source", "n_tokens", "quality")

@@ -597,3 +597,29 @@ def decontaminate_neardup(corpus_signed: DataFrame,
         return (corpus_signed.join(flag, "id", "left")
                 .fillna({keep_col: True}))
     return corpus_signed.join(dropped, "id", "left_anti")
+
+
+def select_within_budget(df: DataFrame, id_col: str, score_col: str,
+                         size_col: str, budget: int,
+                         strata_col: str | None = None) -> DataFrame:
+    """Budget-constrained corpus selection — the "best documents under
+    a token cap" step of score-ranked curation (the selection half of
+    DSIR/DoReMi-style pipelines, after the scorer has run): documents
+    in (score DESC, id ASC) order fill the budget; membership is
+    decided by ONE inclusive running sum (the cumsum is monotone, so
+    `cum <= budget` is exactly the greedy prefix — no iterative
+    knapsack).  Deterministic tiebreak on id.
+
+    With ``strata_col`` the budget applies independently per stratum
+    (per-source / per-language caps) — the scale shape: each stratum
+    sorts only its own rows, one shuffle on the stratum key.  A single
+    global budget is a total order; at corpus scale pre-cut with an
+    approximate score quantile (percentile_approx) and run the exact
+    window over the survivors instead."""
+    part = [strata_col] if strata_col else []
+    w = (Window.partitionBy(*part)
+         .orderBy(F.col(score_col).desc(), F.col(id_col))
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    return (df.withColumn("__cum", F.sum(size_col).over(w))
+            .filter(F.col("__cum") <= budget)
+            .drop("__cum"))

@@ -129,3 +129,48 @@ def sessionized_counts(events: DataFrame, ts_col: str = "ts",
             .groupBy(F.session_window(F.col(ts_col), gap), F.col(key_col))
             .agg(F.count(F.lit(1)).alias("n_events"),
                  F.sum("value").alias("sum_value")))
+
+
+def stream_rollup(spark: SparkSession, input_path: str,
+                  schema: T.StructType, rollup_path: str,
+                  checkpoint_path: str, fmt: str = "parquet",
+                  available_now: bool = True,
+                  options: dict[str, str] | None = None) -> StreamingQuery:
+    """Streaming continuous-aggregate maintenance — the LIVE half of
+    the hypertable pattern (prepared.rollup_hourly is the ingest-built
+    table; rollup_daily_from_hourly composes it): each micro-batch of
+    raw events folds into the stored day-partitioned hourly rollup via
+    ``maintenance.refresh_rollup``, touching only the days the batch
+    contains.
+
+    Exactly-once: parquet has no transactional sink, so the refresh is
+    guarded by per-epoch markers (``_applied/epoch=N`` written after a
+    successful fold) — a foreachBatch RETRY of an applied epoch is
+    skipped instead of double-counting its partials.  The remaining
+    window is a crash between the fold and the marker write; a Delta
+    MERGE keyed on epoch closes it (same caveat family as
+    stream_ingest's append).  Markers are epoch-count-sized, not
+    corpus-sized."""
+    reader = spark.readStream.format(fmt).schema(schema)
+    for k, v in (options or {}).items():
+        reader = reader.option(k, v)
+    raw = reader.load(input_path)
+
+    def fold_batch(batch_df, epoch_id: int) -> None:
+        import os as _os
+
+        from datawave_spark.sources.maintenance import refresh_rollup
+        marker_dir = _os.path.join(rollup_path, "_applied")
+        marker = _os.path.join(marker_dir, f"epoch={epoch_id}")
+        if _os.path.exists(marker):
+            return                      # retried epoch: already folded
+        refresh_rollup(spark, rollup_path, batch_df)
+        _os.makedirs(marker_dir, exist_ok=True)
+        with open(marker, "w"):
+            pass
+
+    writer = (raw.writeStream.foreachBatch(fold_batch)
+              .option("checkpointLocation", checkpoint_path))
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -611,3 +611,26 @@ class TestNearDupDecontamination:
         flags = {r.id: r.keep for r in decontaminate_neardup(
             corp, bench, threshold=0.5, keep_col="keep").collect()}
         assert flags == {1: False, 2: True}
+
+
+class TestBudgetSelect:
+    def test_greedy_prefix_per_stratum(self, spark):
+        from datawave_spark.operators.curation import select_within_budget
+        rows = [  # (id, stratum, score, size)
+            (1, "a", 0.9, 40), (2, "a", 0.8, 50), (3, "a", 0.7, 20),
+            (4, "b", 0.5, 100), (5, "b", 0.9, 90), (6, "b", 0.9, 15)]
+        df = spark.createDataFrame(
+            rows, "id long, src string, score double, n long")
+        got = {r.id for r in select_within_budget(
+            df, "id", "score", "n", budget=100, strata_col="src").collect()}
+        # a: 40 then 40+50=90 fits; +20 would be 110 -> excluded.
+        # b: score ties 0.9/0.9 -> id 5 first (90), id 6 overflows (105)
+        #    and the monotone prefix never re-admits doc 4.
+        assert got == {1, 2, 5}
+
+    def test_oversized_first_doc_yields_empty_stratum(self, spark):
+        from datawave_spark.operators.curation import select_within_budget
+        df = spark.createDataFrame([(1, "a", 0.9, 500), (2, "a", 0.1, 10)],
+                                   "id long, src string, score double, n long")
+        assert select_within_budget(
+            df, "id", "score", "n", budget=100, strata_col="src").count() == 0

@@ -455,3 +455,40 @@ class TestConfigCompare:
         a = IngestConfig("x", date_field="ts")
         r = compare_configs(a, IngestConfig("y", date_field="ts"))
         assert r["diff"] == r["left_only"] == r["right_only"] == []
+
+
+class TestStreamRollup:
+    def _events(self, spark, ids):
+        import datetime as dt
+        rows = [(i, dt.datetime(2024, 1, 1 + (i % 2), i % 24),
+                 "click" if i % 2 else "view", float(i)) for i in ids]
+        return spark.createDataFrame(
+            rows, "event_id long, ts timestamp, event_type string, "
+                  "value double")
+
+    def test_stream_folds_into_rollup_and_skips_applied_epochs(
+            self, spark, tmp_path_factory):
+        from datawave_spark.streaming.ingest import stream_rollup
+        src = str(tmp_path_factory.mktemp("roll_src"))
+        roll = str(tmp_path_factory.mktemp("roll_out")) + "/rollup"
+        ck1 = str(tmp_path_factory.mktemp("roll_ck1"))
+        ev = self._events(spark, range(30))
+        ev.write.mode("overwrite").parquet(src)
+        q = stream_rollup(spark, src, ev.schema, roll, ck1)
+        q.awaitTermination(120)
+        got = {(r.hour, r.event_type): (r.n, round(r.sum_value, 4))
+               for r in spark.read.parquet(roll).collect()}
+        want = {(r.hour, r.event_type): (r.n, round(r.sum_value, 4))
+                for r in ev.groupBy(
+                    F.date_trunc("hour", "ts").alias("hour"), "event_type")
+                .agg(F.count(F.lit(1)).alias("n"),
+                     F.sum("value").alias("sum_value")).collect()}
+        assert got == want
+        # fresh checkpoint replays the same files with the same epoch
+        # ids: the applied-epoch markers must prevent double counting
+        ck2 = str(tmp_path_factory.mktemp("roll_ck2"))
+        q2 = stream_rollup(spark, src, ev.schema, roll, ck2)
+        q2.awaitTermination(120)
+        again = {(r.hour, r.event_type): (r.n, round(r.sum_value, 4))
+                 for r in spark.read.parquet(roll).collect()}
+        assert again == want
