@@ -5311,7 +5311,10 @@ corpok AS (SELECT corpb.* FROM corpb JOIN ok USING (band, bucket)),
 cand AS (SELECT DISTINCT n.id AS id_new, c.id AS id_old
          FROM newb n JOIN corpok c
            ON n.band = c.band AND n.bucket = c.bucket),
-sizes AS (SELECT id, count(*) AS n FROM sh GROUP BY id),
+-- shingle != '' mirrors the Spark shingles() filter: a zero-token doc
+-- contributes one '' row here but is ABSENT from the stored asset, so
+-- it must get no sizes row (and so no output row) in the oracle either
+sizes AS (SELECT id, count(*) AS n FROM sh WHERE shingle != '' GROUP BY id),
 inter AS (SELECT cand.id_new, cand.id_old, count(*) AS ni
           FROM cand JOIN sh a ON a.id = cand.id_new
           JOIN sh b ON b.id = cand.id_old AND a.shingle = b.shingle

@@ -82,13 +82,19 @@ def recover_table(table_path: str, partition_col: str = "event_date") -> int:
     n = 0
     if not os.path.isdir(parent):
         return 0
+    # the op name implies the table layout: rollup tables are
+    # day-partitioned regardless of the caller's event-table column —
+    # restoring a stranded rollup day under event_date=... would hide
+    # it from every rollup reader
+    op_cols = {"merge": partition_col, "modify": partition_col,
+               "rollup": "day"}
     for name in os.listdir(parent):
-        for op in ("merge", "modify", "rollup"):
+        for op, pcol in op_cols.items():
             prefix = f"{base}.{op}.old."
             if name.startswith(prefix):
                 pval = name[len(prefix):]
                 _recover_swap(
-                    os.path.join(table_path, f"{partition_col}={pval}"),
+                    os.path.join(table_path, f"{pcol}={pval}"),
                     os.path.join(parent, name),
                     os.path.join(parent, f"{base}.{op}.tmp.{pval}"))
                 n += 1
@@ -455,59 +461,87 @@ def read_tiered(spark: SparkSession, table_path: str,
 
 def refresh_rollup(spark: SparkSession, rollup_path: str,
                    new_events: DataFrame,
-                   keys: tuple[str, ...] = ("hour", "event_type"),
-                   partition_col: str = "day") -> int:
+                   partition_col: str = "day",
+                   epoch_key: str | None = None) -> int:
     """Incremental continuous-aggregate maintenance (the TimescaleDB
     cagg-refresh / druid delta-ingest analog for the stored hourly
     rollup): fold a NEW event batch into a day-partitioned rollup
-    table, rewriting ONLY the day partitions the batch touches.
+    table of fixed schema (hour, event_type, n, sum_value — the
+    prepared.rollup_hourly contract), rewriting ONLY the day
+    partitions the batch touches.
 
     The rollup's measures are decomposable (count adds, sum adds), so
     the merge is a union + re-aggregate per affected partition — the
     batch's partials combine with the stored partials exactly as
     map-side partials combine in a shuffle.  Untouched days are never
     read or written (at 100 TB, a late-arriving hour costs one
-    day-partition rewrite, not a full-table rebuild).
+    day-partition rewrite, not a full-table rebuild).  Rows with a
+    NULL event time cannot be bucketed and are dropped here — route
+    them through the ingest validation/dead-letter split upstream if
+    they must be accounted for.
+
+    ``epoch_key`` makes the fold IDEMPOTENT per (caller key, day): the
+    key is written as an ``_epoch.<key>`` marker file INSIDE the new
+    partition directory before the swap, so marker and merged data
+    become visible in the same atomic rename — a retried fold skips
+    every day whose live partition already carries the key, even if
+    the previous attempt crashed between days (the streaming
+    foreachBatch retry contract; see ``streaming.ingest.stream_rollup``).
 
     Layout: hive-partitioned by ``day`` (derived from ``hour``), hour-
     sorted within each partition.  Each partition rewrite is
     write-then-swap with the module's ``.rollup.old`` siblings, crash-
-    recoverable via :func:`_recover_swap` on entry.  Creates the table
-    on first call.  Returns the number of day partitions rewritten."""
+    recoverable via :func:`_recover_swap` on entry, and the swap is
+    refused unless the tmp write committed (``_SUCCESS``), like every
+    other swap in this module.  Creates the table on first call.
+    Returns the number of day partitions rewritten."""
     new_partial = (new_events
+                   .filter(F.col("ts").isNotNull())
                    .groupBy(F.date_trunc("hour", F.col("ts")).alias("hour"),
                             "event_type")
                    .agg(F.count(F.lit(1)).alias("n"),
                         F.sum("value").alias("sum_value"))
                    .withColumn(partition_col,
-                               F.to_date("hour").cast("string")))
-    days = [r[0] for r in
-            new_partial.select(partition_col).distinct().collect()]
-    base = os.path.basename(rollup_path.rstrip("/"))
-    parent = os.path.dirname(rollup_path.rstrip("/")) or "."
-    n = 0
-    for day in sorted(days):
-        pdir = os.path.join(rollup_path, f"{partition_col}={day}")
-        old = os.path.join(parent, f"{base}.rollup.old.{day}")
-        tmp = os.path.join(parent, f"{base}.rollup.tmp.{day}")
-        _recover_swap(pdir, old, tmp)
-        batch_day = new_partial.filter(
-            F.col(partition_col) == day).drop(partition_col)
-        if os.path.isdir(pdir):
-            stored = spark.read.parquet(pdir)
-            merged = (stored.unionByName(batch_day)
-                      .groupBy(*keys)
-                      .agg(F.sum("n").alias("n"),
-                           F.sum("sum_value").alias("sum_value")))
-        else:
-            merged = batch_day
-        (merged.sortWithinPartitions("hour")
-               .write.mode("overwrite").parquet(tmp))
-        if os.path.isdir(pdir):
-            os.rename(pdir, old)
-        os.makedirs(rollup_path, exist_ok=True)
-        os.rename(tmp, pdir)
-        if os.path.isdir(old):
-            shutil.rmtree(old)
-        n += 1
-    return n
+                               F.to_date("hour").cast("string"))
+                   .persist())
+    try:
+        days = [r[0] for r in
+                new_partial.select(partition_col).distinct().collect()]
+        base = os.path.basename(rollup_path.rstrip("/"))
+        parent = os.path.dirname(rollup_path.rstrip("/")) or "."
+        n = 0
+        for day in sorted(days):
+            pdir = os.path.join(rollup_path, f"{partition_col}={day}")
+            old = os.path.join(parent, f"{base}.rollup.old.{day}")
+            tmp = os.path.join(parent, f"{base}.rollup.tmp.{day}")
+            _recover_swap(pdir, old, tmp)
+            if epoch_key is not None and os.path.exists(
+                    os.path.join(pdir, f"_epoch.{epoch_key}")):
+                continue               # retried fold: day already swapped
+            batch_day = new_partial.filter(
+                F.col(partition_col) == day).drop(partition_col)
+            if os.path.isdir(pdir):
+                stored = spark.read.parquet(pdir)
+                merged = (stored.unionByName(batch_day)
+                          .groupBy("hour", "event_type")
+                          .agg(F.sum("n").alias("n"),
+                               F.sum("sum_value").alias("sum_value")))
+            else:
+                merged = batch_day
+            (merged.sortWithinPartitions("hour")
+                   .write.mode("overwrite").parquet(tmp))
+            if not os.path.exists(os.path.join(tmp, "_SUCCESS")):
+                raise RuntimeError(f"rollup write did not commit: {tmp}")
+            if epoch_key is not None:
+                with open(os.path.join(tmp, f"_epoch.{epoch_key}"), "w"):
+                    pass
+            if os.path.isdir(pdir):
+                os.rename(pdir, old)
+            os.makedirs(rollup_path, exist_ok=True)
+            os.rename(tmp, pdir)
+            if os.path.isdir(old):
+                shutil.rmtree(old)
+            n += 1
+        return n
+    finally:
+        new_partial.unpersist(blocking=False)

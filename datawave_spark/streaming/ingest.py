@@ -143,31 +143,34 @@ def stream_rollup(spark: SparkSession, input_path: str,
     ``maintenance.refresh_rollup``, touching only the days the batch
     contains.
 
-    Exactly-once: parquet has no transactional sink, so the refresh is
-    guarded by per-epoch markers (``_applied/epoch=N`` written after a
-    successful fold) — a foreachBatch RETRY of an applied epoch is
-    skipped instead of double-counting its partials.  The remaining
-    window is a crash between the fold and the marker write; a Delta
-    MERGE keyed on epoch closes it (same caveat family as
-    stream_ingest's append).  Markers are epoch-count-sized, not
-    corpus-sized."""
+    Exactly-once: parquet has no transactional sink, so each fold is
+    keyed on (streaming query id, epoch id) — the Spark foreachBatch
+    dedup recipe — and ``refresh_rollup`` writes that key INSIDE each
+    rewritten day partition before the swap, so key and merged data
+    become visible in the same atomic rename.  A retried epoch skips
+    every day it already swapped, even after a crash BETWEEN days of a
+    multi-day batch; an epoch keyed only on epoch_id would collide
+    when a fresh checkpoint restarts numbering at 0 and silently drop
+    new data.  Consequence of the keying: a brand-new checkpoint gets
+    a new query id and will re-fold everything it replays — pair a
+    fresh checkpoint with a fresh rollup table."""
+    import json
+    import os as _os
+
     reader = spark.readStream.format(fmt).schema(schema)
     for k, v in (options or {}).items():
         reader = reader.option(k, v)
     raw = reader.load(input_path)
 
     def fold_batch(batch_df, epoch_id: int) -> None:
-        import os as _os
-
         from datawave_spark.sources.maintenance import refresh_rollup
-        marker_dir = _os.path.join(rollup_path, "_applied")
-        marker = _os.path.join(marker_dir, f"epoch={epoch_id}")
-        if _os.path.exists(marker):
-            return                      # retried epoch: already folded
-        refresh_rollup(spark, rollup_path, batch_df)
-        _os.makedirs(marker_dir, exist_ok=True)
-        with open(marker, "w"):
-            pass
+        # the checkpoint's metadata file carries the query id, stable
+        # across restarts FROM THIS checkpoint (which is exactly the
+        # scope in which epoch ids are comparable)
+        with open(_os.path.join(checkpoint_path, "metadata")) as fh:
+            qid = json.load(fh)["id"]
+        refresh_rollup(spark, rollup_path, batch_df,
+                       epoch_key=f"{qid}.{epoch_id}")
 
     writer = (raw.writeStream.foreachBatch(fold_batch)
               .option("checkpointLocation", checkpoint_path))

@@ -466,29 +466,44 @@ class TestStreamRollup:
             rows, "event_id long, ts timestamp, event_type string, "
                   "value double")
 
-    def test_stream_folds_into_rollup_and_skips_applied_epochs(
-            self, spark, tmp_path_factory):
-        from datawave_spark.streaming.ingest import stream_rollup
-        src = str(tmp_path_factory.mktemp("roll_src"))
-        roll = str(tmp_path_factory.mktemp("roll_out")) + "/rollup"
-        ck1 = str(tmp_path_factory.mktemp("roll_ck1"))
-        ev = self._events(spark, range(30))
-        ev.write.mode("overwrite").parquet(src)
-        q = stream_rollup(spark, src, ev.schema, roll, ck1)
-        q.awaitTermination(120)
-        got = {(r.hour, r.event_type): (r.n, round(r.sum_value, 4))
-               for r in spark.read.parquet(roll).collect()}
-        want = {(r.hour, r.event_type): (r.n, round(r.sum_value, 4))
-                for r in ev.groupBy(
+    def _agg(self, df):
+        return {(r.hour, r.event_type): (r.n, round(r.sum_value, 4))
+                for r in df.groupBy(
                     F.date_trunc("hour", "ts").alias("hour"), "event_type")
                 .agg(F.count(F.lit(1)).alias("n"),
                      F.sum("value").alias("sum_value")).collect()}
-        assert got == want
-        # fresh checkpoint replays the same files with the same epoch
-        # ids: the applied-epoch markers must prevent double counting
-        ck2 = str(tmp_path_factory.mktemp("roll_ck2"))
-        q2 = stream_rollup(spark, src, ev.schema, roll, ck2)
-        q2.awaitTermination(120)
-        again = {(r.hour, r.event_type): (r.n, round(r.sum_value, 4))
-                 for r in spark.read.parquet(roll).collect()}
-        assert again == want
+
+    def test_stream_folds_into_rollup(self, spark, tmp_path_factory):
+        from datawave_spark.streaming.ingest import stream_rollup
+        src = str(tmp_path_factory.mktemp("roll_src"))
+        roll = str(tmp_path_factory.mktemp("roll_out")) + "/rollup"
+        ck = str(tmp_path_factory.mktemp("roll_ck"))
+        ev = self._events(spark, range(30))
+        ev.write.mode("overwrite").parquet(src)
+        q = stream_rollup(spark, src, ev.schema, roll, ck)
+        q.awaitTermination(120)
+        got = {(r.hour, r.event_type): (r.n, round(r.sum_value, 4))
+               for r in spark.read.parquet(roll).collect()}
+        assert got == self._agg(ev)
+
+    def test_epoch_key_makes_retries_idempotent(self, spark,
+                                                tmp_path_factory):
+        """The foreachBatch retry contract: a refold with the same
+        (query, epoch) key must be a no-op per already-swapped day,
+        including after a crash BETWEEN days of a multi-day batch."""
+        from datawave_spark.sources.maintenance import refresh_rollup
+        roll = str(tmp_path_factory.mktemp("roll_epoch")) + "/rollup"
+        ev = self._events(spark, range(30))   # spans 2 days
+        # simulate a crash after only day 1 of epoch qX.0 was folded
+        day1 = ev.filter(F.col("ts").cast("date") == "2024-01-01")
+        assert refresh_rollup(spark, roll, day1, epoch_key="qX.0") == 1
+        # the retry delivers the FULL batch under the same key: the
+        # already-swapped day is skipped, the missing day is folded
+        assert refresh_rollup(spark, roll, ev, epoch_key="qX.0") == 1
+        got = {(r.hour, r.event_type): (r.n, round(r.sum_value, 4))
+               for r in spark.read.parquet(roll).collect()}
+        assert got == self._agg(ev)
+        # a full re-retry is a complete no-op
+        assert refresh_rollup(spark, roll, ev, epoch_key="qX.0") == 0
+        # the NEXT epoch folds again (its key is new)
+        assert refresh_rollup(spark, roll, day1, epoch_key="qX.1") == 1
