@@ -33,7 +33,7 @@ OPS = ["jexl_filter", "groupby", "tokenize_tf", "minhash_sig", "simhash",
        "knn_lsh", "knn_blocked", "repetition", "decontaminate", "pack",
        "span_dedup", "rebalance", "semantic_dedup", "kmeans_step",
        "bm25", "edge_dict", "pmi", "validate", "png_decode",
-       "gopher", "c4_clean", "dsir", "exsub", "backoff"]
+       "gopher", "c4_clean", "dsir", "exsub", "backoff", "budget"]
 
 
 def generate(spark):
@@ -178,6 +178,15 @@ def run_one(op: str, events_path: str, docs_path: str,
         "exsub": lambda d: noop(dedup.exact_substring_dedup(
             d, "text", "doc_id", k=10, min_count=2)),
         "backoff": lambda d: _backoff(d),
+        # per-stratum budget selection over the quality scorer: the
+        # stratum key is doc_id%64 so strata (and their windows) stay
+        # bounded as the corpus grows
+        "budget": lambda d: noop(curation.select_within_budget(
+            __import__("datawave_spark.operators.text", fromlist=["x"])
+            .quality_score(d, "text")
+            .withColumn("src", (F.col("doc_id") % 64).cast("string"))
+            .withColumn("nt", F.length("text").cast("long")),
+            "doc_id", "quality", "nt", budget=20000, strata_col="src")),
         "validate": lambda d: _validate(d),
         "png_decode": lambda d: _png_decode(d),
         "rebalance": lambda d: noop(curation.rebalance_mix(
