@@ -5381,3 +5381,22 @@ def q_curation_budget_select(spark, sf_dir):
     sel = select_within_budget(scored, "doc_id", "quality", "n_tokens",
                                budget=800, strata_col="source")
     return sel.select("doc_id", "source", "n_tokens", "quality")
+
+
+@register("orc_reader_query", """
+SELECT event_id, event_type, value FROM events
+WHERE event_type = 'purchase' AND value > 300
+""")
+def q_orc_reader_query(spark, sf_dir):
+    """ORC source path: the events table landed as ORC reads through
+    the same pushdown/pruning machinery as parquet (columnar scan
+    providers are interchangeable on Spark —
+    sources/readers.read_orc_events); filter + projection reach the
+    ORC scan."""
+    from datawave_spark.sources.prepared import orc_events_path
+    from datawave_spark.sources.readers import read_orc_events
+    path = orc_events_path(spark, sf_dir)
+    ev = read_orc_events(spark, path)
+    return (ev.filter((F.col("event_type") == "purchase")
+                      & (F.col("value") > 300))
+              .select("event_id", "event_type", "value"))

@@ -98,6 +98,8 @@ def build_all(spark: SparkSession, sf_dir: str) -> dict[str, int]:
     out["sharded_events"] = -1   # path-returning asset; not counted
     csv_events_path(spark, sf_dir)
     out["csv_events"] = -1
+    orc_events_path(spark, sf_dir)
+    out["orc_events"] = -1
     json_events_path(spark, sf_dir)
     out["json_events"] = -1
     xml_docs_path(spark, sf_dir)
@@ -135,6 +137,19 @@ def csv_events_path(spark: SparkSession, sf_dir: str) -> str:
             .select("event_id", "event_type", "value")
         ev.coalesce(1).write.mode("overwrite") \
             .option("header", "true").csv(path)
+    return path
+
+
+def orc_events_path(spark: SparkSession, sf_dir: str) -> str:
+    """An ORC copy of (event_id, event_type, value, user_id) —
+    raw-format input for the ORC reader path (scan-provider parity
+    with parquet: pushdown + pruning work identically)."""
+    import os as _os
+    path = prepared_path(sf_dir, "orc_events")
+    if not _os.path.exists(_os.path.join(path, "_SUCCESS")):
+        ev = spark.read.parquet(_os.path.join(sf_dir, "events.parquet")) \
+            .select("event_id", "event_type", "value", "user_id")
+        ev.coalesce(1).write.mode("overwrite").orc(path)
     return path
 
 

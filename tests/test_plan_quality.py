@@ -535,3 +535,34 @@ class TestSketchAndSplitPlans:
         assert "BatchEvalPython" not in plan
         assert "ArrowEvalPython" not in plan
         assert "partial_count" in plan  # combiner on the window hash
+
+    def test_orc_scan_pushes_filters_and_prunes_columns(self, spark):
+        """ORC is a first-class scan provider: the entry's filter and
+        projection must reach the ORC scan like they do for parquet."""
+        df = entrymod.queries()["orc_reader_query"](spark, SF)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        import re
+        assert "OrcScan" in plan or "orc" in plan.lower()
+        pushed = re.search(r"PushedFilters: \[([^\]]*)\]", plan)
+        assert pushed and "event_type" in pushed.group(1) \
+            and "value" in pushed.group(1)
+        schema = re.search(r"ReadSchema: struct<([^>]*)>", plan).group(1)
+        assert "user_id" not in schema  # unused column pruned
+
+    def test_bigram_backoff_all_joins_broadcast(self, spark):
+        """The three LM joins are vocabulary-bounded: every one must be
+        a broadcast, never a sort-merge shuffle of the token stream."""
+        df = entrymod.queries()["text_bigram_backoff"](spark, SF)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" not in plan
+        assert plan.count("BroadcastHashJoin") + \
+            plan.count("BroadcastNestedLoopJoin") >= 3
+
+    def test_budget_select_single_stratum_shuffle(self, spark):
+        """Per-stratum budget selection: one exchange for the stratum
+        window, nothing else (the scorer is zero-shuffle column work)."""
+        df = entrymod.queries()["curation_budget_select"](spark, SF)
+        c = plan_counters(df)
+        assert c["n_shuffles"] <= 1
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "CartesianProduct" not in plan
