@@ -127,42 +127,45 @@ def geo_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return get_or_build(spark, sf_dir, "geo_events", build, range_by="geohash")
 
 
+def _raw_copy_path(spark: SparkSession, sf_dir: str, name: str,
+                   table: str, cols: list[str], write_fn) -> str:
+    """Shared lazy builder for raw-format copies of a fixture table —
+    one _SUCCESS-guarded coalesce(1) write per (sf, format), the
+    format-specific writer injected."""
+    path = prepared_path(sf_dir, name)
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        df = spark.read.parquet(os.path.join(sf_dir, f"{table}.parquet")) \
+            .select(*cols)
+        write_fn(df.coalesce(1).write.mode("overwrite"), path)
+    return path
+
+
 def csv_events_path(spark: SparkSession, sf_dir: str) -> str:
     """A CSV copy of (event_id, event_type, value) — raw-format input
     for exercising the CSV reader path end-to-end."""
-    import os as _os
-    path = prepared_path(sf_dir, "csv_events")
-    if not _os.path.exists(_os.path.join(path, "_SUCCESS")):
-        ev = spark.read.parquet(_os.path.join(sf_dir, "events.parquet")) \
-            .select("event_id", "event_type", "value")
-        ev.coalesce(1).write.mode("overwrite") \
-            .option("header", "true").csv(path)
-    return path
+    return _raw_copy_path(
+        spark, sf_dir, "csv_events", "events",
+        ["event_id", "event_type", "value"],
+        lambda w, p: w.option("header", "true").csv(p))
 
 
 def orc_events_path(spark: SparkSession, sf_dir: str) -> str:
     """An ORC copy of (event_id, event_type, value, user_id) —
     raw-format input for the ORC reader path (scan-provider parity
     with parquet: pushdown + pruning work identically)."""
-    import os as _os
-    path = prepared_path(sf_dir, "orc_events")
-    if not _os.path.exists(_os.path.join(path, "_SUCCESS")):
-        ev = spark.read.parquet(_os.path.join(sf_dir, "events.parquet")) \
-            .select("event_id", "event_type", "value", "user_id")
-        ev.coalesce(1).write.mode("overwrite").orc(path)
-    return path
+    return _raw_copy_path(
+        spark, sf_dir, "orc_events", "events",
+        ["event_id", "event_type", "value", "user_id"],
+        lambda w, p: w.orc(p))
 
 
 def json_events_path(spark: SparkSession, sf_dir: str) -> str:
     """A JSON-lines copy of (event_id, event_type, value, user_id) —
     raw-format input for exercising the JSON reader path end-to-end."""
-    import os as _os
-    path = prepared_path(sf_dir, "json_events")
-    if not _os.path.exists(_os.path.join(path, "_SUCCESS")):
-        ev = spark.read.parquet(_os.path.join(sf_dir, "events.parquet")) \
-            .select("event_id", "event_type", "value", "user_id")
-        ev.coalesce(1).write.mode("overwrite").json(path)
-    return path
+    return _raw_copy_path(
+        spark, sf_dir, "json_events", "events",
+        ["event_id", "event_type", "value", "user_id"],
+        lambda w, p: w.json(p))
 
 
 def xml_docs_path(spark: SparkSession, sf_dir: str) -> str:

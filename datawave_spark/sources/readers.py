@@ -271,13 +271,11 @@ def read_wikipedia_dump(spark: SparkSession, path: str,
             .withColumn("event_date", F.col("event_date").cast("date")))
 
 
-def read_orc_events(spark: SparkSession, path: str,
-                    columns: list[str] | None = None) -> DataFrame:
+def read_orc_events(spark: SparkSession, path: str) -> DataFrame:
     """Columnar ORC source — Spark-native reader, same predicate
     pushdown + column pruning guarantees as the parquet path (ORC
     carries row-group min/max stats too).  The reference's ingest
     consumes whatever the record reader yields; on Spark the columnar
     formats are interchangeable scan providers, so ORC-landed data
     needs no conversion step before querying."""
-    df = spark.read.orc(path)
-    return df.select(*columns) if columns else df
+    return spark.read.orc(path)

@@ -542,10 +542,13 @@ class TestSketchAndSplitPlans:
         df = entrymod.queries()["orc_reader_query"](spark, SF)
         plan = df._jdf.queryExecution().executedPlan().toString()
         import re
-        assert "OrcScan" in plan or "orc" in plan.lower()
-        pushed = re.search(r"PushedFilters: \[([^\]]*)\]", plan)
-        assert pushed and "event_type" in pushed.group(1) \
-            and "value" in pushed.group(1)
+        # the scan NODE must be ORC — the Location path alone contains
+        # 'orc_events', so match the FileScan format, not the path
+        assert re.search(r"FileScan orc|OrcScan", plan)
+        # plan_counters' pattern survives the 100-char metadata
+        # truncation that drops the closing bracket
+        pushed = " ".join(plan_counters(df)["pushed_filters"])
+        assert "event_type" in pushed and "value" in pushed
         schema = re.search(r"ReadSchema: struct<([^>]*)>", plan).group(1)
         assert "user_id" not in schema  # unused column pruned
 
