@@ -5400,3 +5400,33 @@ def q_orc_reader_query(spark, sf_dir):
     return (ev.filter((F.col("event_type") == "purchase")
                       & (F.col("value") > 300))
               .select("event_id", "event_type", "value"))
+
+
+@register("multimodal_binary_ingest", """
+WITH ids AS (SELECT doc_id FROM documents WHERE doc_id < 100),
+p AS (SELECT doc_id, 4 + doc_id % 5 AS w, 3 + doc_id % 4 AS h FROM ids)
+SELECT doc_id AS id, CAST(w AS INTEGER) AS width, CAST(h AS INTEGER) AS height,
+       8 AS bit_depth, 0 AS color_type,
+       CAST(list_sum([(doc_id * 7 + (k // w) * 13 + (k % w) * 3) % 256
+                      for k in range(0, w * h)]) AS BIGINT) AS sum_px
+FROM p
+""")
+def q_multimodal_binary_ingest(spark, sf_dir):
+    """Raw media-FILE ingest end-to-end: a directory of real .png files
+    (stored asset, pixels a deterministic function of the id) reads in
+    through Spark's binaryFile source (sources/readers.read_media_dir
+    — one row per file, content as a binary column), ids parse from
+    the filenames, and the payloads genuinely DECODE (CRC walk,
+    inflate, defilter).  The oracle recomputes the pixel energy
+    arithmetically — a wrong file, a mis-parsed name, or a codec bug
+    cannot hash-match."""
+    from datawave_spark.operators.multimodal import decode_png
+    from datawave_spark.sources.prepared import png_files_path
+    from datawave_spark.sources.readers import read_media_dir
+    path = png_files_path(spark, sf_dir, n_files=100)
+    files = read_media_dir(spark, path, glob="*.png")
+    media = files.select(
+        F.regexp_extract(F.col("path"), r"img_(\d+)\.png$", 1)
+         .cast("long").alias("id"),
+        F.col("content").alias("media"))
+    return decode_png(media, "id", "media")

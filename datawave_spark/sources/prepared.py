@@ -748,3 +748,26 @@ def tiered_events(spark: SparkSession, sf_dir: str) -> tuple[str, dict]:
         with open(os.path.join(root, "_SUCCESS"), "w"):
             pass
     return base, tiers
+
+
+def png_files_path(spark: SparkSession, sf_dir: str,
+                   n_files: int = 100) -> str:
+    """A directory of REAL .png FILES (one per doc_id < n_files, pixels
+    the same deterministic function of doc_id as the synth entries) —
+    raw input for the ``binaryFile`` media-ingest path: files on disk →
+    binary column → codec, the full multimodal on-ramp."""
+    from datawave_spark.operators.multimodal import png_encode
+
+    path = prepared_path(sf_dir, f"png_files_{n_files}")
+    marker = os.path.join(path, "_SUCCESS")
+    if not os.path.exists(marker):
+        os.makedirs(path, exist_ok=True)
+        for d in range(n_files):
+            w, h = 4 + d % 5, 3 + d % 4
+            px = bytes((d * 7 + (k // w) * 13 + (k % w) * 3) % 256
+                       for k in range(w * h))
+            with open(os.path.join(path, f"img_{d:05d}.png"), "wb") as fh:
+                fh.write(png_encode(w, h, px))
+        with open(marker, "w"):
+            pass
+    return path

@@ -279,3 +279,19 @@ def read_orc_events(spark: SparkSession, path: str) -> DataFrame:
     formats are interchangeable scan providers, so ORC-landed data
     needs no conversion step before querying."""
     return spark.read.orc(path)
+
+
+def read_media_dir(spark: SparkSession, path: str,
+                   glob: str | None = None) -> DataFrame:
+    """Raw media-file ingest via Spark's built-in ``binaryFile`` source:
+    one row per file with (path, modificationTime, length, content
+    binary) — the on-ramp from a directory of image/audio payloads into
+    the multimodal binary-column layout (operators/multimodal).  The
+    source parallelizes across files and carries the length column for
+    size-based filtering BEFORE content is read into memory; pair with
+    a low ``spark.sql.execution.arrow.maxRecordsPerBatch`` when the
+    payloads are large."""
+    reader = spark.read.format("binaryFile")
+    if glob:
+        reader = reader.option("pathGlobFilter", glob)
+    return reader.load(path)

@@ -177,3 +177,26 @@ class TestResizePng:
             assert (out[i].height, out[i].width) == (2 + i, 3 + i)
             # constant image: resized sum = value * th * tw
             assert out[i].sum_px == i * (2 + i) * (3 + i)
+
+
+class TestBinaryFileIngest:
+    def test_media_dir_roundtrip(self, spark, tmp_path):
+        from datawave_spark.operators.multimodal import (decode_png,
+                                                         png_encode)
+        from datawave_spark.sources.readers import read_media_dir
+        d = tmp_path / "media"
+        d.mkdir()
+        (d / "img_7.png").write_bytes(png_encode(2, 2, bytes([1, 2, 3, 4])))
+        (d / "img_9.png").write_bytes(png_encode(3, 1, bytes([10, 20, 30])))
+        (d / "notes.txt").write_bytes(b"ignored by the glob")
+        from pyspark.sql import functions as F
+        files = read_media_dir(spark, str(d), glob="*.png")
+        assert files.count() == 2
+        assert set(files.columns) >= {"path", "length", "content"}
+        media = files.select(
+            F.regexp_extract(F.col("path"), r"img_(\d+)\.png$", 1)
+             .cast("long").alias("id"),
+            F.col("content").alias("media"))
+        got = {r.id: (r.width, r.height, r.sum_px)
+               for r in decode_png(media).collect()}
+        assert got == {7: (2, 2, 10), 9: (3, 1, 60)}
