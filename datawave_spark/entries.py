@@ -4722,20 +4722,15 @@ def q_multimodal_png_decode(spark, sf_dir):
     import pandas as pd
     from datawave_spark.operators.multimodal import (attach_media,
                                                      decode_png,
-                                                     png_encode)
+                                                     synth_png_payload)
     docs = _t(spark, sf_dir, "documents").select("doc_id")
 
     def synth(batches):
         for pdf in batches:
-            payloads = []
-            for d in pdf["doc_id"]:
-                d = int(d)
-                w, h = 4 + d % 5, 3 + d % 4
-                px = bytes((d * 7 + (k // w) * 13 + (k % w) * 3) % 256
-                           for k in range(w * h))
-                payloads.append(png_encode(w, h, px))
-            yield pd.DataFrame({"doc_id": pdf["doc_id"],
-                                "payload": payloads})
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"],
+                "payload": [synth_png_payload(int(d))
+                            for d in pdf["doc_id"]]})
 
     pngs = docs.mapInPandas(synth, "doc_id long, payload binary")
     media = attach_media(pngs.withColumnRenamed("doc_id", "id"),
@@ -5245,21 +5240,16 @@ def q_multimodal_resize(spark, sf_dir):
     import pandas as pd
     from datawave_spark.operators.multimodal import (attach_media,
                                                      decode_png,
-                                                     png_encode,
-                                                     resize_png)
+                                                     resize_png,
+                                                     synth_png_payload)
     docs = _t(spark, sf_dir, "documents").select("doc_id")
 
     def synth(batches):
         for pdf in batches:
-            payloads = []
-            for d in pdf["doc_id"]:
-                d = int(d)
-                w, h = 4 + d % 5, 3 + d % 4
-                px = bytes((d * 7 + (k // w) * 13 + (k % w) * 3) % 256
-                           for k in range(w * h))
-                payloads.append(png_encode(w, h, px))
-            yield pd.DataFrame({"doc_id": pdf["doc_id"],
-                                "payload": payloads})
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"],
+                "payload": [synth_png_payload(int(d))
+                            for d in pdf["doc_id"]]})
 
     pngs = docs.mapInPandas(synth, "doc_id long, payload binary")
     media = attach_media(pngs.withColumnRenamed("doc_id", "id"),
@@ -5403,7 +5393,7 @@ def q_orc_reader_query(spark, sf_dir):
 
 
 @register("multimodal_binary_ingest", """
-WITH ids AS (SELECT doc_id FROM documents WHERE doc_id < 100),
+WITH ids AS (SELECT range AS doc_id FROM range(0, 100)),
 p AS (SELECT doc_id, 4 + doc_id % 5 AS w, 3 + doc_id % 4 AS h FROM ids)
 SELECT doc_id AS id, CAST(w AS INTEGER) AS width, CAST(h AS INTEGER) AS height,
        8 AS bit_depth, 0 AS color_type,

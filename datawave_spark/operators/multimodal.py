@@ -375,3 +375,14 @@ def resize_png(df: DataFrame, id_col: str = "id", media_col: str = "media",
     cols = [id_col, media_col] + [c for c in (th_col, tw_col) if c]
     return df.select(*cols).mapInPandas(
         run, "id long, media binary, width int, height int")
+
+
+def synth_png_payload(d: int) -> bytes:
+    """The fixture pixel recipe shared by every deterministic PNG
+    entry/asset (dims 4+d%5 × 3+d%4; pixel k = (d*7 + row*13 + col*3)
+    % 256) — ONE definition so the Python sites and the SQL oracles
+    that replay it arithmetically cannot diverge."""
+    w, h = 4 + d % 5, 3 + d % 4
+    px = bytes((d * 7 + (k // w) * 13 + (k % w) * 3) % 256
+               for k in range(w * h))
+    return png_encode(w, h, px)

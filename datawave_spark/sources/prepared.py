@@ -100,6 +100,8 @@ def build_all(spark: SparkSession, sf_dir: str) -> dict[str, int]:
     out["csv_events"] = -1
     orc_events_path(spark, sf_dir)
     out["orc_events"] = -1
+    png_files_path(spark, sf_dir)
+    out["png_files"] = -1
     json_events_path(spark, sf_dir)
     out["json_events"] = -1
     xml_docs_path(spark, sf_dir)
@@ -756,18 +758,15 @@ def png_files_path(spark: SparkSession, sf_dir: str,
     the same deterministic function of doc_id as the synth entries) —
     raw input for the ``binaryFile`` media-ingest path: files on disk →
     binary column → codec, the full multimodal on-ramp."""
-    from datawave_spark.operators.multimodal import png_encode
+    from datawave_spark.operators.multimodal import synth_png_payload
 
     path = prepared_path(sf_dir, f"png_files_{n_files}")
     marker = os.path.join(path, "_SUCCESS")
     if not os.path.exists(marker):
         os.makedirs(path, exist_ok=True)
         for d in range(n_files):
-            w, h = 4 + d % 5, 3 + d % 4
-            px = bytes((d * 7 + (k // w) * 13 + (k % w) * 3) % 256
-                       for k in range(w * h))
             with open(os.path.join(path, f"img_{d:05d}.png"), "wb") as fh:
-                fh.write(png_encode(w, h, px))
+                fh.write(synth_png_payload(d))
         with open(marker, "w"):
             pass
     return path
