@@ -33,7 +33,8 @@ OPS = ["jexl_filter", "groupby", "tokenize_tf", "minhash_sig", "simhash",
        "knn_lsh", "knn_blocked", "repetition", "decontaminate", "pack",
        "span_dedup", "rebalance", "semantic_dedup", "kmeans_step",
        "bm25", "edge_dict", "pmi", "validate", "png_decode",
-       "gopher", "c4_clean", "dsir", "exsub", "backoff", "budget"]
+       "gopher", "c4_clean", "dsir", "exsub", "backoff", "budget",
+       "neardup"]
 
 
 def generate(spark):
@@ -178,6 +179,9 @@ def run_one(op: str, events_path: str, docs_path: str,
         "exsub": lambda d: noop(dedup.exact_substring_dedup(
             d, "text", "doc_id", k=10, min_count=2)),
         "backoff": lambda d: _backoff(d),
+        # fixed 1% benchmark probes the full corpus signatures: cost
+        # should track benchmark-bucket size, not corpus size
+        "neardup": lambda d: _neardup(d),
         # per-stratum budget selection over the quality scorer: the
         # stratum key is doc_id%64 so strata (and their windows) stay
         # bounded as the corpus grows
@@ -196,6 +200,18 @@ def run_one(op: str, events_path: str, docs_path: str,
             "doc_id", "src", "w",
             {"s0": 0.4, "s1": 0.3, "s2": 0.2, "s3": 0.1})),
     }
+    def _neardup(d):
+        from datawave_spark.operators.curation import decontaminate_neardup
+        signed = dedup.attach_minhash_signatures(
+            dedup.shingle_sets(d, "text", "doc_id", k=2),
+            num_hashes=16).persist()
+        signed.count()
+        bench = signed.filter(F.col("id") % 100 == 0)
+        corp = signed.filter(F.col("id") % 100 != 0)
+        noop(decontaminate_neardup(corp, bench, threshold=0.3,
+                                   max_bucket=100).select("id", "n"))
+        signed.unpersist()
+
     def _backoff(d):
         # LM build (two count aggs) + full-corpus scoring in one
         # timing — the entry reads STORED count tables, so query-only
