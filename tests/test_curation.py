@@ -634,3 +634,54 @@ class TestBudgetSelect:
                                    "id long, src string, score double, n long")
         assert select_within_budget(
             df, "id", "score", "n", budget=100, strata_col="src").count() == 0
+
+
+def test_stupid_backoff_matches_python_referee(spark):
+    """Dual-execution referee over a randomized-ish fixed corpus: the
+    Spark score must equal a pure-Python stupid-backoff replay to the
+    operator's 4-decimal rounding."""
+    import math
+    import random
+    import re
+
+    from datawave_spark.operators.text import (bigram_counts,
+                                               stupid_backoff_score,
+                                               unigram_counts)
+    rng = random.Random(11)
+    vocab = ["the", "cat", "sat", "mat", "dog", "ran", "big", "x9"]
+    docs = [(i, " ".join(rng.choice(vocab)
+                         for _ in range(rng.randint(1, 15))))
+            for i in range(30)]
+    docs.append((99, "zzz unseen tokens zzz"))
+
+    tok = lambda s: [t for t in re.split(r"[^a-z0-9]+", s.lower()) if t]
+    uni: dict[str, int] = {}
+    bi: dict[tuple[str, str], int] = {}
+    for _i, txt in docs:
+        ts = tok(txt)
+        for t in ts:
+            uni[t] = uni.get(t, 0) + 1
+        for a, b in zip(ts, ts[1:]):
+            bi[(a, b)] = bi.get((a, b), 0) + 1
+    total = sum(uni.values())
+
+    def score(ts):
+        nll = 0.0
+        for i, t in enumerate(ts):
+            u = uni.get(t)
+            base = (u / total) if u else 0.5 / total
+            if i == 0:
+                s = base
+            elif (ts[i - 1], t) in bi:
+                s = bi[(ts[i - 1], t)] / uni[ts[i - 1]]
+            else:
+                s = 0.4 * base
+            nll -= math.log(s)
+        return round(nll / len(ts), 4)
+
+    df = spark.createDataFrame(docs, "id long, t string")
+    lm, bg = unigram_counts(df, "t"), bigram_counts(df, "t")
+    got = {r.id: r.backoff_nll
+           for r in stupid_backoff_score(df, "t", "id", lm, bg).collect()}
+    want = {i: score(tok(txt)) for i, txt in docs}
+    assert got == want
