@@ -3515,10 +3515,14 @@ ng AS (
          unnest([substr(double_chunk, i, 7)
                  for i in range(1, greatest(len(double_chunk)-6, 0)+1)])
   FROM sized),
+sizes AS (SELECT cs, ngram FROM ng GROUP BY cs, ngram
+          HAVING count(*) <= 200),
+capped AS (SELECT ng.* FROM ng JOIN sizes USING (cs, ngram)),
 overlap AS (
   SELECT qn.id AS query_id, tn.id AS match_id, count(*) AS match_score
   FROM (SELECT * FROM ng WHERE id < 100) qn
-  JOIN ng tn ON qn.cs = tn.cs AND qn.ngram = tn.ngram AND tn.id != qn.id
+  JOIN capped tn ON qn.cs = tn.cs AND qn.ngram = tn.ngram
+                AND tn.id != qn.id
   GROUP BY qn.id, tn.id)
 SELECT o.query_id, o.match_id, o.match_score,
        ({_DUCK_SSDEEP_WEIGHTED}) :: INT AS weighted_score
@@ -3540,7 +3544,10 @@ def q_ssdeep_similarity(spark, sf_dir):
     frame is a STORED ingest asset (sources.prepared.ssdeep_hashes —
     hashes are ingest data in the reference, warehouse/ingest-ssdeep),
     so the measured query is decompose + join + score, not corpus
-    tokenization."""
+    tokenization.  The default hot-tuple cap (DEFAULT_MAX_BUCKET=200,
+    mirrored in the oracle's sizes/capped CTEs) drops boilerplate
+    ngram tuples before the candidate join — the O(bucket²) fan-out
+    control the 10× probe demanded."""
     from datawave_spark.operators.ssdeep import ssdeep_similarity_join
     from datawave_spark.sources import prepared
     hashes = prepared.ssdeep_hashes(spark, sf_dir)
@@ -3977,10 +3984,14 @@ ng AS (
          unnest([substr(double_chunk, i, 7)
                  for i in range(1, greatest(len(double_chunk)-6, 0)+1)])
   FROM sized),
+sizes AS (SELECT cs, ngram FROM ng GROUP BY cs, ngram
+          HAVING count(*) <= 200),
+capped AS (SELECT ng.* FROM ng JOIN sizes USING (cs, ngram)),
 matched AS (
   SELECT DISTINCT tn.id
   FROM (SELECT * FROM ng WHERE id < 100) qn
-  JOIN ng tn ON qn.cs = tn.cs AND qn.ngram = tn.ngram AND tn.id != qn.id),
+  JOIN capped tn ON qn.cs = tn.cs AND qn.ngram = tn.ngram
+                AND tn.id != qn.id),
 mh AS (SELECT DISTINCT h.ssdeep FROM hashes h JOIN matched m ON h.doc_id = m.id)
 SELECT h.ssdeep, count(*) AS n_docs, min(h.doc_id) AS first_doc
 FROM hashes h JOIN mh ON h.ssdeep = mh.ssdeep

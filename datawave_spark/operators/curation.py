@@ -292,50 +292,49 @@ def rebalance_mix(df: DataFrame, id_col: str, strata_col: str,
     every stratum.  The guard is a bounded read — at most
     ``len(targets)`` aggregate rows, never the corpus.
 
-    The heavy work stays in-plan: one tiny aggregation (map-side
-    combined, persisted) broadcast back over the corpus — the only
-    driver read is the stratum-count-bounded guard above, so the same
-    code runs at 100 TB.  ``weight_col`` must be integral: integer sums
-    are order-exact, which keeps the derived rates bit-identical across
-    engines and partitionings (the oracle recomputes them).  The coin
-    compares the md5 prefix NUMERICALLY (hex→int/2^32) against the
-    derived double rate."""
-    tgt = df.sparkSession.createDataFrame(
-        [(k, float(v)) for k, v in sorted(targets.items())],
-        f"{strata_col} string, __target double")
-    # persist: the guard's bounded collect and the in-plan rate join
-    # both read this aggregate — without the barrier the full-corpus
-    # scan behind it would run twice.  Scoped so repeated calls don't
-    # accumulate cached frames (same discipline as dedup's signature
-    # caches).
-    from datawave_spark.operators.dedup import _persist_scoped
-    w = _persist_scoped(
-        df.groupBy(strata_col).agg(
-            F.sum(F.col(weight_col)).cast("double").alias("__w")),
-        "curation.rebalance_mix.w")
+    Plan shape: ONE stratum-count-sized aggregate job (map-side
+    combined, pruned to the target strata at the scan) feeds BOTH the
+    guard and the rate derivation — the rates are computed from that
+    bounded read on the driver (len(targets) doubles; the same IEEE
+    ops in the same association order as the SQL restatement, so the
+    derived rates are bit-identical) and applied as a literal CASE
+    over the corpus: zero joins, zero persists, zero extra jobs on
+    the main pass, so the same code runs at 100 TB.  ``weight_col``
+    must be integral: integer sums are order-exact, which keeps the
+    derived rates bit-identical across engines and partitionings (the
+    oracle recomputes them).  The coin compares the md5 prefix
+    NUMERICALLY (hex→int/2^32) against the derived double rate."""
     have = {r[0]: r[1] for r in
-            w.filter(F.col(strata_col).isin(list(targets))).collect()}
+            df.filter(F.col(strata_col).isin(list(targets)))
+              .groupBy(strata_col)
+              .agg(F.sum(F.col(weight_col)).cast("double").alias("__w"))
+              .collect()}
     bad = sorted(k for k in targets if have.get(k, 0.0) <= 0.0)
     if bad:
         raise ValueError(
             f"rebalance_mix: targets name strata with no weight in the "
             f"data: {bad} — realized shares cannot match the request")
-    j = w.join(F.broadcast(tgt), strata_col)
-    c = j.select(F.min(F.col("__w") / F.col("__target")).alias("__c"))
-    rates = (j.join(F.broadcast(c))
-             .withColumn("__rate",
-                         F.col("__c") * F.col("__target") / F.col("__w"))
-             .select(strata_col, "__rate"))
+    # c = min_s(W_s / t_s); r_s = c * t_s / W_s — double division,
+    # min, multiply in exactly the order the oracle SQL uses
+    c = min(have[k] / float(targets[k]) for k in targets)
+    rate_expr = None
+    for k in sorted(targets):
+        r = c * float(targets[k]) / have[k]
+        cond = F.col(strata_col) == F.lit(k)
+        rate_expr = F.when(cond, F.lit(r)) if rate_expr is None \
+            else rate_expr.when(cond, F.lit(r))
     coin = F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 8),
                   16, 10).cast("double") / F.lit(4294967296.0)
-    return (df.join(F.broadcast(rates), strata_col)
-            .filter(coin < F.col("__rate")).drop("__rate"))
+    # strata absent from targets get a NULL rate -> comparison is NULL
+    # -> filtered, which is exactly the documented drop semantics
+    return df.filter(coin < rate_expr)
 
 
 def hash_split(df: DataFrame, id_col: str,
                fractions: dict[str, float],
                out_col: str = "split",
-               salt: str = "split") -> DataFrame:
+               salt: str = "split",
+               remainder: str | None = None) -> DataFrame:
     """Deterministic train/val/test assignment: the md5 coin of
     (salt, id) is binned into cumulative-fraction intervals IN THE
     DICT'S INSERTION ORDER, so every row lands in exactly one split and
@@ -350,20 +349,37 @@ def hash_split(df: DataFrame, id_col: str,
     (e.g. a second eval carve-out) uncorrelated with each other and
     with ``stratified_sample`` coins.
 
-    Fractions must sum to ≤ 1; a remainder falls into the LAST named
-    split (intervals are [lo, hi) with the final hi forced to the max
-    hex so the sum-to-1 case has no unassigned sliver).  Zero shuffle:
-    one codegen'd CASE over an md5 prefix, pushable below any
-    downstream operator."""
+    Fractions must sum to ~1 (each row gets exactly one label, and the
+    final interval's hi is forced to the max hex so there is no
+    unassigned sliver).  To carve out less than the whole corpus —
+    e.g. a 1% sample — name the remainder explicitly via
+    ``remainder``: ``hash_split(df, id, {"sample": 0.01},
+    remainder="rest")``.  A sub-1 sum WITHOUT a remainder name is an
+    error, because silently widening the last split would turn a 1%
+    carve-out into 100% of rows labeled "sample".  Zero shuffle: one
+    codegen'd CASE over an md5 prefix, pushable below any downstream
+    operator."""
     total = sum(fractions.values())
     if not 0 < total <= 1 + 1e-9:
         raise ValueError(f"fractions must sum to (0, 1], got {total}")
+    if remainder is None and total < 1 - 1e-9:
+        raise ValueError(
+            f"fractions sum to {total}; name the remaining "
+            f"{1 - total:.4g} explicitly (remainder=...) or make the "
+            f"fractions sum to 1")
+    items = list(fractions.items())
+    if remainder is not None:
+        if remainder in fractions:
+            raise ValueError(f"remainder name {remainder!r} collides "
+                             f"with a named split")
+        # appending preserves the consistent-hashing property for the
+        # named splits; the remainder takes [total, 1)
+        items.append((remainder, 1 - total))
     coin = F.substring(
         F.md5(F.concat(F.lit(salt + ":"), F.col(id_col).cast("string"))),
         1, 8)
     expr = None
     cum = 0.0
-    items = list(fractions.items())
     for i, (name, frac) in enumerate(items):
         cum += frac
         hi = "ffffffff" if i == len(items) - 1 else _hex_threshold(cum)

@@ -183,6 +183,11 @@ def wav_decode(payload: bytes) -> tuple[int, int, int, int]:
                 if fmt_code != 1 or bits != 16:
                     raise ValueError(f"only 16-bit PCM supported "
                                      f"(fmt={fmt_code}, bits={bits})")
+                if chans < 1:
+                    # channels=0 would ZeroDivisionError at the
+                    # len(samples) // chans frame count below —
+                    # malformed containers must surface as ValueError
+                    raise ValueError(f"invalid channel count {chans}")
             elif cid == b"data":
                 if len(body) % 2:
                     raise ValueError(

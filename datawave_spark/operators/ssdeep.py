@@ -43,6 +43,13 @@ DOUBLE_CHUNK_LENGTH = 32
 MIN_CHUNK_SIZE = 3
 DEFAULT_MAX_REPEATED = 3
 DEFAULT_MIN_HASH_SIZE = 64
+# Default hot-tuple cap: an ngram tuple carried by more target hashes
+# than this is boilerplate (shared preamble chunks), and joining
+# through it costs O(bucket²) candidate pairs for near-zero-score
+# matches — the 10× scale probe showed 17× wall growth uncapped.  Same
+# discipline as the index Uid.List cardinality cap; pass
+# max_bucket=None to disable for exhaustive forensics runs.
+DEFAULT_MAX_BUCKET = 200
 
 
 def normalize_chunk(c: Column, max_repeated: int = DEFAULT_MAX_REPEATED) -> Column:
@@ -185,7 +192,8 @@ def ssdeep_similarity_join(queries: DataFrame, targets: DataFrame,
                            max_repeated: int = DEFAULT_MAX_REPEATED,
                            min_hash_size: int = DEFAULT_MIN_HASH_SIZE,
                            min_score: int = 0,
-                           max_bucket: int | None = None) -> DataFrame:
+                           max_bucket: int | None = DEFAULT_MAX_BUCKET
+                           ) -> DataFrame:
     """SSDeepSimilarityQueryLogic: → (query_id, match_id, match_score,
     weighted_score).
 
@@ -193,8 +201,9 @@ def ssdeep_similarity_join(queries: DataFrame, targets: DataFrame,
     (SSDeepNGramOverlapScorer), ``weighted_score`` = 0-100 edit-distance
     score; pairs under ``min_score`` (weighted) are dropped
     (SSDeepScoringFunction.MIN_SSDEEP_SCORE_PARAMETER).  ``max_bucket``
-    drops ngram tuples shared by more hashes than the cap (hot
-    boilerplate chunks — the Uid.List cardinality-cap analog)."""
+    (ON by default — DEFAULT_MAX_BUCKET) drops ngram tuples shared by
+    more target hashes than the cap (hot boilerplate chunks — the
+    Uid.List cardinality-cap analog); pass None to disable."""
     pq = parse_hashes(queries, hash_col, id_col, max_repeated)
     pt = parse_hashes(targets, hash_col, id_col, max_repeated)
     qn = hash_ngrams(pq, ngram_size, min_hash_size) \
@@ -246,7 +255,7 @@ def ssdeep_discovery(corpus: DataFrame, hash_col: str, id_col: str,
 def ssdeep_chained_discovery(queries: DataFrame, corpus: DataFrame,
                              hash_col: str, id_col: str,
                              max_repeated: int = DEFAULT_MAX_REPEATED,
-                             max_bucket: int | None = None) -> DataFrame:
+                             max_bucket: int | None = DEFAULT_MAX_BUCKET) -> DataFrame:
     """SSDeepChainedDiscoveryQueryLogic + FullSSDeepDiscoveryChainStrategy
     (same dir): stage 1 runs the similarity join (fuzzy — ngram-tuple
     candidates), stage 2 feeds every MATCHED hash into the exact

@@ -87,10 +87,13 @@ def composite_query(logics: dict[str, Callable[[], DataFrame]],
     if short_circuit:
         # persist each probed frame so the winner's plan is NOT
         # executed twice (once for the emptiness probe, once by the
-        # caller) — losers' caches are dropped immediately; the
-        # winner's cache serves the caller's materialization.
+        # caller) — losers' caches are dropped immediately, and the
+        # winner goes through the shared scoped-cache registry so a
+        # later composite call releases it: at most one cached frame
+        # per call site, never a session-lifetime accumulation.
+        from datawave_spark.operators.dedup import _persist_scoped
         for df in frames:
-            p = df.persist()
+            p = _persist_scoped(df, "composite.short_circuit")
             if p.limit(1).count() > 0:
                 return p
             p.unpersist(blocking=False)

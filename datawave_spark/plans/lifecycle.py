@@ -28,6 +28,12 @@ from enum import Enum
 from pyspark.sql import DataFrame
 
 
+# Driver-side materialization bound for async queries when the caller
+# gives no explicit cap — mirrors the web tier's default result limit
+# rather than trusting the query to be small.
+DEFAULT_MAX_RESULTS = 100_000
+
+
 class QueryState(str, Enum):
     CREATED = "CREATED"
     RUNNING = "RUNNING"
@@ -39,11 +45,18 @@ class QueryState(str, Enum):
 
 @dataclass
 class AsyncQuery:
-    """Handle for one submitted query (the RunningQuery analog)."""
+    """Handle for one submitted query (the RunningQuery analog).
+
+    ``max_results`` bounds what the driver materializes — the planner's
+    ``QueryLogic.getResultLimit`` cap applied to the async path, so a
+    mistakenly-unbounded query holds at most ``max_results`` rows on
+    the driver instead of the full result (QueryExecutorBean enforces
+    the same cap before paging)."""
     query_id: str
     df: DataFrame
     state: QueryState = QueryState.CREATED
     error: Exception | None = None
+    max_results: int | None = DEFAULT_MAX_RESULTS
     _thread: threading.Thread | None = None
     _lock: threading.Lock = field(default_factory=threading.Lock)
     _rows: list | None = None
@@ -59,7 +72,10 @@ class AsyncQuery:
             sc.setJobGroup(self.query_id, f"query {self.query_id}",
                            interruptOnCancel=True)
             try:
-                rows = self.df.collect()
+                plan = self.df
+                if self.max_results is not None:
+                    plan = plan.limit(self.max_results)
+                rows = plan.collect()
                 with self._lock:
                     if self.state == QueryState.RUNNING:
                         self._rows = rows
@@ -133,8 +149,12 @@ class AsyncQuery:
             return page
 
 
-def submit(df: DataFrame, query_id: str | None = None) -> AsyncQuery:
+def submit(df: DataFrame, query_id: str | None = None,
+           max_results: int | None = DEFAULT_MAX_RESULTS) -> AsyncQuery:
     """Create + start an async query over an already-planned frame
     (QueryExecutorBean.createQueryAndNext): returns immediately with a
-    RUNNING handle."""
-    return AsyncQuery(query_id or f"q-{uuid.uuid4().hex[:12]}", df).start()
+    RUNNING handle.  ``max_results`` caps driver materialization
+    (planner ``result_limit`` value, or the module default); pass
+    ``None`` only for results known to be bounded."""
+    return AsyncQuery(query_id or f"q-{uuid.uuid4().hex[:12]}", df,
+                      max_results=max_results).start()

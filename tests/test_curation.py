@@ -360,6 +360,29 @@ def test_hash_split_rejects_bad_fractions(spark, docs):
     import pytest as _pytest
     with _pytest.raises(ValueError):
         hash_split(docs, "doc_id", {"a": 0.7, "b": 0.7})
+    # sub-1 sum without a remainder name would silently label 100% of
+    # rows with the last split — must be an explicit error
+    with _pytest.raises(ValueError, match="remainder"):
+        hash_split(docs, "doc_id", {"sample": 0.01})
+    with _pytest.raises(ValueError, match="collides"):
+        hash_split(docs, "doc_id", {"sample": 0.01}, remainder="sample")
+
+
+def test_hash_split_remainder_carves_out_a_small_sample(spark, docs):
+    """hash_split(..., {"sample": 0.01}, remainder="rest") labels ~1%
+    'sample' — not the whole corpus — and the named split's membership
+    matches the sum-to-1 formulation of the same carve-out."""
+    from datawave_spark.operators.curation import hash_split
+    out = {r.doc_id: r.split for r in
+           hash_split(docs, "doc_id", {"sample": 0.05},
+                      remainder="rest").collect()}
+    n = len(out)
+    n_sample = sum(1 for v in out.values() if v == "sample")
+    assert 0 < n_sample < 0.25 * n
+    explicit = {r.doc_id: r.split for r in
+                hash_split(docs, "doc_id",
+                           {"sample": 0.05, "rest": 0.95}).collect()}
+    assert out == explicit
 
 
 def test_domain_cap_bounds_and_prefers_order(spark, docs):

@@ -48,6 +48,24 @@ class TestLifecycle:
         q.cancel()
         assert q.state == QueryState.FINISHED
 
+    def test_max_results_bounds_driver_materialization(self, spark):
+        """An over-limit async query materializes exactly the cap on
+        the driver (the planner's result_limit applied to the async
+        path) — never the full result."""
+        q = submit(spark.range(10_000), max_results=250)
+        assert q.wait(30) == QueryState.FINISHED
+        total = 0
+        while (p := q.next_page(100)) is not None:
+            total += len(p)
+        assert total == 250
+
+    def test_default_max_results_is_bounded(self, spark):
+        from datawave_spark.plans.lifecycle import DEFAULT_MAX_RESULTS
+        q = submit(spark.range(50))
+        assert q.max_results == DEFAULT_MAX_RESULTS
+        assert q.wait(30) == QueryState.FINISHED
+        assert len(q.next_page(100)) == 50
+
 
 # -------------------------------------------- selector chunking / dashboard
 
