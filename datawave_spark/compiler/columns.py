@@ -208,8 +208,10 @@ def compile_cmp(node: CmpNode, ctx: CompileContext,
         # lowercases the pattern; NumberType patterns match the string
         # form of the value).
         pat_src = str(value)
-        if norm.name in ("lc", "lcNoDiacritics", "hexString", "macAddress"):
-            pat_src = str(norm.normalize_literal(pat_src))
+        # list normalizers fold patterns with their ELEMENT normalizer
+        fold = getattr(norm, "element", norm)
+        if fold.name in ("lc", "lcNoDiacritics", "hexString", "macAddress"):
+            pat_src = str(fold.normalize_literal(pat_src))
         pattern = "^(?:" + pat_src + ")$"
 
         def leaf(c: Column) -> Column:
@@ -231,6 +233,19 @@ def compile_cmp(node: CmpNode, ctx: CompileContext,
 
     if isinstance(dtype, T.ArrayType):
         pred = F.exists(F.col(spec.column), leaf)
+    elif norm.one_to_many and not spec.normalized_at_rest:
+        # OneToManyNormalizerType over a raw delimited string column:
+        # normalize fans ONE value out to MANY (array expression), and
+        # the comparison matches ANY element — the same set semantics
+        # an at-rest array column gets above.  Elements come out of
+        # norm.col already canonical, so compare them bare.
+        arr = norm.col(F.col(spec.column))
+        if positive_op == "=~":
+            pred = F.exists(arr,
+                            lambda e: e.cast("string").rlike(pattern))
+        else:
+            pred = F.exists(arr, lambda e: _scalar_cmp(
+                positive_op, e, lit, elem_type, norm, True))
     else:
         pred = leaf(F.col(spec.column))
 

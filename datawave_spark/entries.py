@@ -5431,3 +5431,82 @@ def q_multimodal_binary_ingest(spark, sf_dir):
          .cast("long").alias("id"),
         F.col("content").alias("media"))
     return decode_png(media, "id", "media")
+
+
+@register("normalized_list_query", """
+WITH d AS (SELECT doc_id, source,
+  upper(lang) || '; ' || source || ';Café-' || lang AS tags,
+  CAST(n_chars % 7 AS VARCHAR) || ';' || CAST(n_chars % 5 AS VARCHAR)
+    AS nums
+  FROM documents),
+n AS (SELECT doc_id, source, tags,
+  list_transform(
+    list_filter(list_transform(string_split_regex(tags, '[,;]'),
+                               x -> trim(x)), x -> x != ''),
+    x -> replace(lower(x), 'é', 'e')) AS vals,
+  list_transform(string_split_regex(nums, '[,;]'),
+                 x -> CAST(trim(x) AS DOUBLE)) AS nvals
+  FROM d)
+SELECT doc_id, source, tags FROM n
+WHERE list_contains(vals, 'cafe-en') AND NOT list_contains(vals, 'src3')
+  AND len(list_filter(nvals, x -> x >= 6.0)) > 0
+""")
+def q_normalized_list(spark, sf_dir):
+    """One-to-many list normalizers (OneToManyNormalizerType — ingest
+    fan-out BaseIngestHelper.java:722-737, list variants ListType/
+    LcNoDiacriticsListType/NumberListType, SURVEY §1.3): a raw
+    delimited TAGS string fans out to per-element lcNoDiacritics
+    values, so ``TAGS == 'CAFÉ-EN'`` (the literal itself folds) means
+    'ANY element normalizes to cafe-en', ``TAGS != 'src3'`` means 'NO
+    element matches', and the numberList field answers a numeric range
+    over its elements.  All three predicates compile to codegen'd
+    array expressions (split → trim → per-element fold → exists) — no
+    UDFs, no explode, no shuffle; the oracle replays the fan-out with
+    DuckDB list lambdas."""
+    docs = _t(spark, sf_dir, "documents")
+    d = docs.select(
+        "doc_id", "source",
+        F.concat_ws("", F.upper(F.col("lang")), F.lit("; "),
+                    F.col("source"), F.lit(";Café-"),
+                    F.col("lang")).alias("TAGS"),
+        F.concat_ws(";", (F.col("n_chars") % 7).cast("string"),
+                    (F.col("n_chars") % 5).cast("string")).alias("NUMS"))
+    out = compile_query(
+        d, "TAGS == 'CAFÉ-EN' && TAGS != 'src3' && NUMS >= 6",
+        field_types={"TAGS": "lcNoDiacriticsList", "NUMS": "numberList"})
+    return out.select("doc_id", "source", F.col("TAGS").alias("tags"))
+
+
+@register("federated_catalog_query", """
+SELECT 'local' AS deployment, 'events' AS datatype, event_id, value
+FROM events WHERE event_type = 'purchase' AND value > 200
+UNION ALL
+SELECT 'remote', 'events', event_id, value
+FROM read_parquet('/root/testdata/sf0.001/events.parquet')
+WHERE event_type = 'purchase' AND value > 200
+""")
+def q_federated_catalog(spark, sf_dir):
+    """Federated query across deployments (RemoteEventQueryLogic.java:29
+    / BaseRemoteQueryLogic.java:31 — delegate the query to another
+    deployment, merge its event stream): the sf0.001 root plays the
+    remote deployment next to the local one; FederatedCatalog fans the
+    compiled query out to both, each with its own datatype pruning
+    (the local catalog also registers documents, which prunes — no
+    scan — because it lacks EVENT_TYPE), and merges by name with a
+    deployment tag.  Both branches keep their own parquet pushdown."""
+    from datawave_spark.plans.catalog import (
+        DatatypeSpec, EventCatalog, FederatedCatalog,
+    )
+    fed = FederatedCatalog({
+        "local": EventCatalog({
+            "events": DatatypeSpec(_t(spark, sf_dir, "events")),
+            "documents": DatatypeSpec(_t(spark, sf_dir, "documents")),
+        }),
+        "remote": EventCatalog({
+            "events": DatatypeSpec(
+                _t(spark, "/root/testdata/sf0.001", "events")),
+        }),
+    })
+    out = fed.query("EVENT_TYPE == 'purchase' && VALUE > 200",
+                    select=["event_id", "value"])
+    return out.select("deployment", "datatype", "event_id", "value")

@@ -36,6 +36,9 @@ assert len(_ACCENTS) == len(_PLAIN)
 class Normalizer:
     """A named normalizer: python-side literal fn + spark-side column fn."""
 
+    # one raw value → MANY normalized values?  (OneToManyNormalizerType)
+    one_to_many = False
+
     def __init__(self, name: str,
                  literal_fn: Callable[[Any], Any],
                  col_fn: Callable[[Column], Column]):
@@ -50,6 +53,53 @@ class Normalizer:
 
     def col(self, c: Column) -> Column:
         return self._col_fn(c)
+
+
+class ListNormalizer(Normalizer):
+    """One-to-many list normalizer (OneToManyNormalizerType — SURVEY
+    §1.3; ingest fan-out at BaseIngestHelper.java:722-737 +
+    normalize:793, query-side unwrap at ValueToAttributes.java:280):
+    ONE raw delimited value ('Rome;Paris') normalizes to MANY values,
+    each canonicalised by the ELEMENT normalizer.  The list variants
+    the reference enumerates — ListType, LcNoDiacriticsListType,
+    NumberListType — share the ``,|;`` delimiter and differ only in
+    the element type.
+
+    Spark restatement: ``col`` yields an ARRAY column (split → trim →
+    drop empties → per-element normalize), so an at-rest ingest stores
+    the normalized array and the compiler's existing ArrayType
+    any-value path applies; for raw-at-query columns the compiler
+    wraps this expression in ``F.exists`` so ``FIELD == 'x'`` matches
+    any element.  Query literals are single values and fold through
+    the element normalizer."""
+
+    one_to_many = True
+
+    def __init__(self, name: str, element: Normalizer,
+                 delimiter: str = "[,;]"):
+        self.element = element
+        self.delimiter = delimiter
+        super().__init__(name, element._literal_fn, self._array_col)
+
+    def _array_col(self, c: Column) -> Column:
+        # NB: the lambda must be single-arg — F.transform also offers
+        # (element, index), and a bare F.trim would bind the index as
+        # its trim-string argument and silently not trim
+        parts = F.transform(F.split(c.cast("string"), self.delimiter),
+                            lambda e: F.trim(e))
+        return F.transform(F.filter(parts, lambda e: e != ""),
+                           self.element.col)
+
+    def normalize_to_many(self, value: Any) -> list:
+        """Python-side fan-out (normalizeToMany parity) — the ingest
+        helper's per-value expansion for driver-side metadata."""
+        if value is None:
+            return []
+        import re as _re
+        return [self.element.normalize_literal(p)
+                for p in (s.strip()
+                          for s in _re.split(self.delimiter, str(value)))
+                if p != ""]
 
 
 def _lc_no_diacritics_py(v: Any) -> str:
@@ -115,6 +165,17 @@ NORMALIZERS: dict[str, Normalizer] = {
                              lambda c: F.regexp_replace(F.lower(c.cast("string")), "-", ":")),
     "geo": Normalizer("geo", _geo_py, _geo_col),
 }
+
+# OneToManyNormalizerType list variants (registered after the scalar
+# table so elements can reference it).  "list" keeps raw element bytes
+# (trim/split only); the typed variants bind the matching element
+# normalizer, mirroring ListType / LcNoDiacriticsListType /
+# NumberListType.
+NORMALIZERS["list"] = ListNormalizer("list", NORMALIZERS["noop"])
+NORMALIZERS["lcNoDiacriticsList"] = ListNormalizer(
+    "lcNoDiacriticsList", NORMALIZERS["lcNoDiacritics"])
+NORMALIZERS["numberList"] = ListNormalizer("numberList",
+                                           NORMALIZERS["number"])
 
 
 def get_normalizer(name: str) -> Normalizer:

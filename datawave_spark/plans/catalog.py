@@ -118,3 +118,50 @@ class EventCatalog:
         for p in parts[1:]:
             out = out.unionByName(p, allowMissingColumns=True)
         return out
+
+
+class FederatedCatalog:
+    """Cross-deployment query federation — the RemoteEventQueryLogic /
+    BaseRemoteQueryLogic analog (warehouse/query-core/src/main/java/
+    datawave/query/tables/RemoteEventQueryLogic.java:29 — a logic that
+    delegates a query to ANOTHER deployment and streams its events
+    back; tables/remote/RemoteQueryLogic.java is the interface,
+    BaseRemoteQueryLogic.java:31 holds the remote-service plumbing).
+
+    Spark restatement: a "remote deployment" is just another catalog
+    root the cluster can read (a second warehouse path, bucket, or
+    metastore), so federation is a by-name union over per-deployment
+    ``EventCatalog.query`` results tagged with the deployment name —
+    no result-page proxying needed, and Catalyst still pushes each
+    deployment's filters into its own scan.  Per-deployment datatype
+    pruning applies independently: a deployment where EVERY datatype
+    prunes contributes nothing and is never scanned (the reference
+    simply gets an empty page stream from that remote).
+
+    Scale: each deployment's branch is its own pushdown-pruned scan;
+    the union is a no-shuffle concatenation, so a 1000-executor job
+    reads every deployment in parallel with per-source partition
+    pruning intact."""
+
+    def __init__(self, deployments: dict[str, EventCatalog]):
+        if not deployments:
+            raise ValueError("no deployments registered")
+        self.deployments = dict(deployments)
+
+    def query(self, jexl: str, select: list[str] | None = None,
+              deployment_col: str = "deployment") -> DataFrame:
+        """Run ``jexl`` on every deployment; rows tag with the
+        deployment name.  Raises only if the query prunes on EVERY
+        deployment (nothing anywhere can answer it)."""
+        parts: list[DataFrame] = []
+        for name, cat in self.deployments.items():
+            if all(n is None for n in cat.plan_per_datatype(jexl).values()):
+                continue            # this deployment never scans
+            parts.append(cat.query(jexl, select=select)
+                         .select(F.lit(name).alias(deployment_col), "*"))
+        if not parts:
+            raise ValueError("query pruned for every deployment")
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p, allowMissingColumns=True)
+        return out

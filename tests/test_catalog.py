@@ -59,3 +59,48 @@ class TestCatalog:
     def test_fully_pruned_raises(self, catalog):
         with pytest.raises(ValueError):
             catalog.query("NOPE == 'x' && ALSO_NOPE == 'y'")
+
+
+class TestFederatedCatalog:
+    """RemoteEventQueryLogic analog: a query fans out to every
+    registered deployment, merges by name, and a deployment where
+    every datatype prunes is never scanned."""
+
+    @pytest.fixture(scope="class")
+    def fed(self, spark):
+        from datawave_spark.plans.catalog import FederatedCatalog
+        local_people = spark.createDataFrame(
+            [("p1", "alice", 30.0), ("p2", "bob", 40.0)],
+            "uid string, NAME string, AGE double")
+        remote_people = spark.createDataFrame(
+            [("r1", "alice", 22.0)],
+            "uid string, NAME string, AGE double")
+        remote_orgs = spark.createDataFrame(
+            [("r9", "acme")], "uid string, ORG string")
+        return FederatedCatalog({
+            "local": EventCatalog({"people": local_people}),
+            "remote": EventCatalog({"people": remote_people,
+                                    "orgs": remote_orgs}),
+        })
+
+    def test_union_across_deployments(self, fed):
+        out = fed.query("NAME == 'alice'", select=["uid", "NAME"])
+        rows = sorted((r.deployment, r.datatype, r.uid)
+                      for r in out.collect())
+        assert rows == [("local", "people", "p1"),
+                        ("remote", "people", "r1")]
+
+    def test_deployment_pruned_entirely(self, fed):
+        # ORG exists only in the remote deployment: local is skipped
+        out = fed.query("ORG == 'acme'", select=["uid", "ORG"])
+        rows = [(r.deployment, r.uid) for r in out.collect()]
+        assert rows == [("remote", "r9")]
+
+    def test_all_deployments_pruned_raises(self, fed):
+        with pytest.raises(ValueError, match="every deployment"):
+            fed.query("GHOST == 'x'")
+
+    def test_empty_registry_raises(self):
+        from datawave_spark.plans.catalog import FederatedCatalog
+        with pytest.raises(ValueError):
+            FederatedCatalog({})

@@ -98,6 +98,64 @@ def test_normalizer_geo_zorder(spark, events):
         geohash_py(41.9, 12.5, 8)
 
 
+class TestListNormalizers:
+    """OneToManyNormalizerType parity (BaseIngestHelper.java:722-737;
+    ListType/LcNoDiacriticsListType/NumberListType): one raw delimited
+    value → many normalized values, any-element match semantics."""
+
+    ROWS = [
+        ("a", "Rome; Café-Paris ,London", "3;14,6"),
+        ("b", "BERLIN", "2"),
+        ("c", "", None),
+        ("d", "café-paris", "5;5"),
+    ]
+    SCHEMA = "uid string, TAGS string, NUMS string"
+
+    @pytest.fixture(scope="class")
+    def lists(self, spark):
+        return spark.createDataFrame(self.ROWS, self.SCHEMA).cache()
+
+    def test_eq_matches_any_element(self, spark, lists):
+        df = compile_query(lists, "TAGS == 'CAFÉ-PARIS'",
+                           field_types={"TAGS": "lcNoDiacriticsList"})
+        assert uids(df) == ["a", "d"]
+
+    def test_ne_means_no_element_matches(self, spark, lists):
+        df = compile_query(lists, "TAGS != 'rome'",
+                           field_types={"TAGS": "lcNoDiacriticsList"})
+        assert uids(df) == ["b", "c", "d"]
+
+    def test_regex_over_elements(self, spark, lists):
+        df = compile_query(lists, "TAGS =~ 'lon.*'",
+                           field_types={"TAGS": "lcNoDiacriticsList"})
+        assert uids(df) == ["a"]
+
+    def test_number_list_range(self, spark, lists):
+        df = compile_query(lists, "NUMS >= 6",
+                           field_types={"NUMS": "numberList"})
+        assert uids(df) == ["a"]
+
+    def test_normalize_to_many_python_side(self):
+        from datawave_spark.normalizers import get_normalizer
+        n = get_normalizer("lcNoDiacriticsList")
+        assert n.normalize_to_many("Rome; Café-Paris ,,London") == \
+            ["rome", "cafe-paris", "london"]
+        assert get_normalizer("numberList").normalize_to_many("3;14") \
+            == [3.0, 14.0]
+
+    def test_at_rest_array_column_round_trip(self, spark, lists):
+        # ingest-side: norm.col writes the normalized ARRAY; query-side
+        # the stored array takes the plain ArrayType any-value path
+        from datawave_spark.normalizers import get_normalizer
+        from pyspark.sql import functions as F
+        n = get_normalizer("lcNoDiacriticsList")
+        stored = lists.withColumn("TAGS", n.col(F.col("TAGS")))
+        df = compile_query(stored, "TAGS == 'CAFÉ-PARIS'",
+                           field_types={"TAGS": "lcNoDiacritics"},
+                           at_rest={"TAGS"})
+        assert uids(df) == ["a", "d"]
+
+
 def test_anyfield_expansion(spark, events):
     # _ANYFIELD_ == 'rome' → OR over string-ish fields
     assert uids(compile_query(events, "_ANYFIELD_ == 'rome'")) == ["a", "b", "e"]
