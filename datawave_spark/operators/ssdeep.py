@@ -204,16 +204,27 @@ def ssdeep_similarity_join(queries: DataFrame, targets: DataFrame,
     (ON by default — DEFAULT_MAX_BUCKET) drops ngram tuples shared by
     more target hashes than the cap (hot boilerplate chunks — the
     Uid.List cardinality-cap analog); pass None to disable."""
-    pq = parse_hashes(queries, hash_col, id_col, max_repeated)
-    pt = parse_hashes(targets, hash_col, id_col, max_repeated)
+    # The parsed frames are referenced several times in the final plan
+    # (ngram branch, cap-sizes branch, scoring join) — persist them so
+    # an expensive upstream (inline hash derivation, a filtered scan)
+    # runs once, not once per reference.  Rows are one-per-hash with
+    # three short strings, far smaller than whatever produced them.
+    from datawave_spark.operators.dedup import _persist_scoped
+    pq = _persist_scoped(
+        parse_hashes(queries, hash_col, id_col, max_repeated), "ssdeep.pq")
+    pt = _persist_scoped(
+        parse_hashes(targets, hash_col, id_col, max_repeated), "ssdeep.pt")
     qn = hash_ngrams(pq, ngram_size, min_hash_size) \
         .withColumnRenamed("id", "query_id")
     tn = hash_ngrams(pt, ngram_size, min_hash_size) \
         .withColumnRenamed("id", "match_id")
     if max_bucket is not None:
+        # no explicit broadcast: sizes grows with the corpus' distinct
+        # ngram tuples, so the join strategy is AQE's call (broadcast
+        # while it fits, sort-merge at 100 TB)
         sizes = (tn.groupBy("chunk_size", "ngram").count()
                  .filter(F.col("count") <= max_bucket).drop("count"))
-        tn = tn.join(F.broadcast(sizes), ["chunk_size", "ngram"])
+        tn = tn.join(sizes, ["chunk_size", "ngram"])
     overlap = (qn.join(tn, ["chunk_size", "ngram"])
                .filter(F.col("query_id") != F.col("match_id"))
                .groupBy("query_id", "match_id")
@@ -265,14 +276,21 @@ def ssdeep_chained_discovery(queries: DataFrame, corpus: DataFrame,
     # running the full similarity join would drag every candidate pair
     # through the two scoring joins (parsed query + parsed target)
     # whose outputs are thrown away
+    from datawave_spark.operators.dedup import _persist_scoped
     pq = parse_hashes(queries, hash_col, id_col, max_repeated)
-    pt = parse_hashes(corpus, hash_col, id_col, max_repeated)
+    # the corpus parse feeds both the ngram branch and the cap-sizes
+    # branch — persist so an expensive upstream runs once
+    pt = _persist_scoped(
+        parse_hashes(corpus, hash_col, id_col, max_repeated),
+        "ssdeep.chained.pt")
     qn = hash_ngrams(pq).withColumnRenamed("id", "query_id")
     tn = hash_ngrams(pt).withColumnRenamed("id", "match_id")
     if max_bucket is not None:
+        # sizes scales with distinct corpus tuples — join strategy is
+        # AQE's call, not a forced broadcast
         sizes = (tn.groupBy("chunk_size", "ngram").count()
                  .filter(F.col("count") <= max_bucket).drop("count"))
-        tn = tn.join(F.broadcast(sizes), ["chunk_size", "ngram"])
+        tn = tn.join(sizes, ["chunk_size", "ngram"])
     matched = (qn.join(tn, ["chunk_size", "ngram"])
                .filter(F.col("query_id") != F.col("match_id"))
                .select(F.col("match_id").alias("__mid")).distinct())
