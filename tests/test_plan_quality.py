@@ -569,3 +569,52 @@ class TestSketchAndSplitPlans:
         assert c["n_shuffles"] <= 1
         plan = df._jdf.queryExecution().executedPlan().toString()
         assert "CartesianProduct" not in plan
+
+
+class TestRound5Plans:
+    def test_normalized_list_no_udf_no_shuffle(self, spark):
+        """List-normalizer predicates are pure array expressions:
+        no Python eval node, no exchange — the filter runs inside the
+        scan's codegen stage."""
+        df = entrymod.queries()["normalized_list_query"](spark, SF)
+        c = plan_counters(df)
+        assert c["n_shuffles"] == 0
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "BatchEvalPython" not in plan and "ArrowEval" not in plan
+
+    def test_federated_catalog_pushdown_per_branch(self, spark):
+        """Each deployment's scan keeps its own parquet pushdown; the
+        union adds no shuffle and the pruned documents datatype
+        contributes no scan."""
+        df = entrymod.queries()["federated_catalog_query"](spark, SF)
+        c = plan_counters(df)
+        assert c["n_scans"] == 2          # two event roots, no documents scan
+        assert c["n_shuffles"] == 0
+        pushed = " ".join(c["pushed_filters"])
+        assert "event_type" in pushed and "value" in pushed
+
+    def test_rebalance_mix_corpus_pass_is_scan_filter(self, spark):
+        """After the bounded strata aggregate, the corpus pass is a
+        bare filter over the scan: no join, no persist, no shuffle."""
+        from datawave_spark.operators.curation import rebalance_mix
+        docs = spark.read.parquet(f"{SF}/documents.parquet")
+        out = rebalance_mix(docs, "doc_id", "source", "n_chars",
+                            {"src0": 0.5, "src1": 0.5})
+        c = plan_counters(out)
+        assert c["n_shuffles"] == 0 and c["n_broadcasts"] == 0
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "InMemoryTableScan" not in plan
+
+    def test_ssdeep_join_no_forced_broadcast_of_sizes(self, spark):
+        """The similarity join must not CartesianProduct, and the
+        parsed-hash frame is persisted exactly once per side."""
+        from datawave_spark.operators.ssdeep import (
+            ssdeep_similarity_join, text_fixture_hashes)
+        docs = spark.read.parquet(f"{SF}/documents.parquet")
+        hashes = text_fixture_hashes(docs)
+        out = ssdeep_similarity_join(
+            hashes.filter(F.col("doc_id") < 10), hashes,
+            "ssdeep", "doc_id", max_repeated=0)
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "CartesianProduct" not in plan
+        assert "InMemoryTableScan" in plan   # persisted parse reused
