@@ -189,16 +189,29 @@ def compile_cmp(node: CmpNode, ctx: CompileContext,
     positive_op = {"!=": "==", "!~": "=~"}.get(node.op, node.op)
 
     value = node.value.value
-    if value is None:
-        col = F.col(spec.column)
-        is_null = col.isNull()
-        if isinstance(ctx.spark_type(spec), T.ArrayType):
-            is_null = col.isNull() | (F.size(col) == 0)
-        return ~is_null if negate else is_null
-
     norm = get_normalizer(spec.normalizer)
     dtype = ctx.spark_type(spec)
     elem_type = _element_type(dtype)
+    # OneToManyNormalizerType over RAW (not-at-rest) storage: one value
+    # fans out to many normalized values at query time.
+    one_many = norm.one_to_many and not spec.normalized_at_rest
+
+    if value is None:
+        col = F.col(spec.column)
+        if one_many:
+            # null semantics match the at-rest array form: a raw value
+            # whose fan-out is EMPTY (e.g. '' or ';;') holds no values.
+            if isinstance(dtype, T.ArrayType):
+                fan = F.flatten(F.filter(F.transform(col, norm.col),
+                                         lambda a: a.isNotNull()))
+            else:
+                fan = norm.col(col)
+            is_null = col.isNull() | (F.size(fan) == 0)
+        elif isinstance(dtype, T.ArrayType):
+            is_null = col.isNull() | (F.size(col) == 0)
+        else:
+            is_null = col.isNull()
+        return ~is_null if negate else is_null
 
     if positive_op == "=~":
         # Regex patterns must NOT pass through typed normalizers — a
@@ -231,21 +244,30 @@ def compile_cmp(node: CmpNode, ctx: CompileContext,
             return _scalar_cmp(positive_op, c, lit, elem_type, norm,
                                spec.normalized_at_rest)
 
-    if isinstance(dtype, T.ArrayType):
-        pred = F.exists(F.col(spec.column), leaf)
-    elif norm.one_to_many and not spec.normalized_at_rest:
-        # OneToManyNormalizerType over a raw delimited string column:
-        # normalize fans ONE value out to MANY (array expression), and
-        # the comparison matches ANY element — the same set semantics
-        # an at-rest array column gets above.  Elements come out of
-        # norm.col already canonical, so compare them bare.
-        arr = norm.col(F.col(spec.column))
+    if one_many:
+        # OneToManyNormalizerType over RAW storage: normalize fans ONE
+        # value out to MANY (array expression), and the comparison
+        # matches ANY fanned element — the same set semantics an
+        # at-rest array column gets below.  Elements come out of
+        # norm.col already canonical, so compare them bare.  A raw
+        # ARRAY column (multiple delimited values per row,
+        # BaseIngestHelper.java:722-737's multi-raw-value case) fans
+        # each element and matches any element of any fan-out.
         if positive_op == "=~":
-            pred = F.exists(arr,
-                            lambda e: e.cast("string").rlike(pattern))
+            def fanned(e: Column) -> Column:
+                return e.cast("string").rlike(pattern)
         else:
-            pred = F.exists(arr, lambda e: _scalar_cmp(
-                positive_op, e, lit, elem_type, norm, True))
+            def fanned(e: Column) -> Column:
+                return _scalar_cmp(positive_op, e, lit, elem_type, norm, True)
+        if isinstance(dtype, T.ArrayType):
+            pred = F.exists(
+                F.col(spec.column),
+                lambda raw: F.coalesce(F.exists(norm.col(raw), fanned),
+                                       F.lit(False)))
+        else:
+            pred = F.exists(norm.col(F.col(spec.column)), fanned)
+    elif isinstance(dtype, T.ArrayType):
+        pred = F.exists(F.col(spec.column), leaf)
     else:
         pred = leaf(F.col(spec.column))
 

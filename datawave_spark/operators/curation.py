@@ -304,22 +304,30 @@ def rebalance_mix(df: DataFrame, id_col: str, strata_col: str,
     derived rates bit-identical across engines and partitionings (the
     oracle recomputes them).  The coin compares the md5 prefix
     NUMERICALLY (hex→int/2^32) against the derived double rate."""
+    if any(float(t) < 0.0 for t in targets.values()):
+        raise ValueError("rebalance_mix: target shares must be >= 0")
+    # A 0.0 share is an explicit "none of this stratum" — it is dropped
+    # (no rate bound, NULL rate below) and takes no part in the guard
+    # or the binding-stratum min, which would otherwise divide by zero.
+    pos = {k: float(t) for k, t in targets.items() if float(t) > 0.0}
+    if not pos:
+        raise ValueError("rebalance_mix: no positive target shares")
     have = {r[0]: r[1] for r in
-            df.filter(F.col(strata_col).isin(list(targets)))
+            df.filter(F.col(strata_col).isin(list(pos)))
               .groupBy(strata_col)
               .agg(F.sum(F.col(weight_col)).cast("double").alias("__w"))
               .collect()}
-    bad = sorted(k for k in targets if have.get(k, 0.0) <= 0.0)
+    bad = sorted(k for k in pos if have.get(k, 0.0) <= 0.0)
     if bad:
         raise ValueError(
             f"rebalance_mix: targets name strata with no weight in the "
             f"data: {bad} — realized shares cannot match the request")
     # c = min_s(W_s / t_s); r_s = c * t_s / W_s — double division,
     # min, multiply in exactly the order the oracle SQL uses
-    c = min(have[k] / float(targets[k]) for k in targets)
+    c = min(have[k] / pos[k] for k in pos)
     rate_expr = None
-    for k in sorted(targets):
-        r = c * float(targets[k]) / have[k]
+    for k in sorted(pos):
+        r = c * pos[k] / have[k]
         cond = F.col(strata_col) == F.lit(k)
         rate_expr = F.when(cond, F.lit(r)) if rate_expr is None \
             else rate_expr.when(cond, F.lit(r))
@@ -373,8 +381,13 @@ def hash_split(df: DataFrame, id_col: str,
             raise ValueError(f"remainder name {remainder!r} collides "
                              f"with a named split")
         # appending preserves the consistent-hashing property for the
-        # named splits; the remainder takes [total, 1)
-        items.append((remainder, 1 - total))
+        # named splits; the remainder takes [total, 1).  When the named
+        # fractions already cover ~1 the remainder is EMPTY and must not
+        # be appended: a zero-width terminal interval would steal the
+        # forced 'ffffffff' endpoint from the last real split, making
+        # the call differ from the identical no-remainder call.
+        if total < 1 - 1e-9:
+            items.append((remainder, 1 - total))
     coin = F.substring(
         F.md5(F.concat(F.lit(salt + ":"), F.col(id_col).cast("string"))),
         1, 8)

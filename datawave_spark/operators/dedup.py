@@ -78,6 +78,37 @@ def _persist_scoped(df: DataFrame, key: str) -> DataFrame:
     return out
 
 
+_SCOPED_SEQ: dict[str, list] = {}
+
+
+def _persist_scoped_seq(df: DataFrame, namespace: str,
+                        keep: int = 4) -> DataFrame:
+    """Like ``_persist_scoped`` but each CALL gets its own cache slot,
+    bounded FIFO per namespace.  For operators whose results are
+    composed LAZILY (two short-circuit composites unioned before
+    collect, two ssdeep joins materialized together), a single shared
+    key would let the second call evict the first call's cache before
+    the caller ever materializes it — recomputing exactly the work the
+    persist exists to avoid.  A per-call slot keeps both alive; the
+    ``keep`` bound still prevents session-lifetime accumulation
+    (evicting the OLDEST slot, which by then is materialized or
+    abandoned — an evicted frame that is still referenced just
+    recomputes, never breaks)."""
+    out = df.persist()
+    evict = None
+    with _SCOPED_LOCK:
+        slots = _SCOPED_SEQ.setdefault(namespace, [])
+        slots.append(out)
+        if len(slots) > keep:
+            evict = slots.pop(0)
+    if evict is not None and evict is not out:
+        try:
+            evict.unpersist(blocking=False)
+        except Exception:
+            pass                    # session of evict may be stopped
+    return out
+
+
 def _tokens(col) -> Column:
     return F.filter(F.split(F.lower(col), TOKEN_RE), lambda t: t != "")
 

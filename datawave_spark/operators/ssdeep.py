@@ -209,11 +209,13 @@ def ssdeep_similarity_join(queries: DataFrame, targets: DataFrame,
     # an expensive upstream (inline hash derivation, a filtered scan)
     # runs once, not once per reference.  Rows are one-per-hash with
     # three short strings, far smaller than whatever produced them.
-    from datawave_spark.operators.dedup import _persist_scoped
-    pq = _persist_scoped(
-        parse_hashes(queries, hash_col, id_col, max_repeated), "ssdeep.pq")
-    pt = _persist_scoped(
-        parse_hashes(targets, hash_col, id_col, max_repeated), "ssdeep.pt")
+    # Per-call cache slots (bounded FIFO): two similarity joins
+    # composed lazily (e.g. unioned) keep both parses cached.
+    from datawave_spark.operators.dedup import _persist_scoped_seq
+    pq = _persist_scoped_seq(
+        parse_hashes(queries, hash_col, id_col, max_repeated), "ssdeep.parse")
+    pt = _persist_scoped_seq(
+        parse_hashes(targets, hash_col, id_col, max_repeated), "ssdeep.parse")
     qn = hash_ngrams(pq, ngram_size, min_hash_size) \
         .withColumnRenamed("id", "query_id")
     tn = hash_ngrams(pt, ngram_size, min_hash_size) \
@@ -276,13 +278,14 @@ def ssdeep_chained_discovery(queries: DataFrame, corpus: DataFrame,
     # running the full similarity join would drag every candidate pair
     # through the two scoring joins (parsed query + parsed target)
     # whose outputs are thrown away
-    from datawave_spark.operators.dedup import _persist_scoped
+    from datawave_spark.operators.dedup import _persist_scoped_seq
     pq = parse_hashes(queries, hash_col, id_col, max_repeated)
     # the corpus parse feeds both the ngram branch and the cap-sizes
-    # branch — persist so an expensive upstream runs once
-    pt = _persist_scoped(
+    # branch — persist so an expensive upstream runs once; per-call
+    # slot so lazily-composed chained lookups keep both caches
+    pt = _persist_scoped_seq(
         parse_hashes(corpus, hash_col, id_col, max_repeated),
-        "ssdeep.chained.pt")
+        "ssdeep.chained", keep=2)
     qn = hash_ngrams(pq).withColumnRenamed("id", "query_id")
     tn = hash_ngrams(pt).withColumnRenamed("id", "match_id")
     if max_bucket is not None:

@@ -155,10 +155,13 @@ class FederatedCatalog:
         deployment (nothing anywhere can answer it)."""
         parts: list[DataFrame] = []
         for name, cat in self.deployments.items():
-            if all(n is None for n in cat.plan_per_datatype(jexl).values()):
-                continue            # this deployment never scans
-            parts.append(cat.query(jexl, select=select)
-                         .select(F.lit(name).alias(deployment_col), "*"))
+            try:
+                df = cat.query(jexl, select=select)
+            except ValueError as e:
+                if "pruned" not in str(e):
+                    raise           # a real error, not datatype pruning
+                continue            # pruned everywhere: never scans
+            parts.append(df.select(F.lit(name).alias(deployment_col), "*"))
         if not parts:
             raise ValueError("query pruned for every deployment")
         out = parts[0]

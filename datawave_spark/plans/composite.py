@@ -88,12 +88,14 @@ def composite_query(logics: dict[str, Callable[[], DataFrame]],
         # persist each probed frame so the winner's plan is NOT
         # executed twice (once for the emptiness probe, once by the
         # caller) — losers' caches are dropped immediately, and the
-        # winner goes through the shared scoped-cache registry so a
-        # later composite call releases it: at most one cached frame
-        # per call site, never a session-lifetime accumulation.
-        from datawave_spark.operators.dedup import _persist_scoped
+        # winner goes through the bounded per-call scoped-cache
+        # registry: a LATER composite call gets its own slot (so two
+        # lazily-composed winners don't evict each other before the
+        # caller materializes them) and the FIFO bound still releases
+        # old winners, never a session-lifetime accumulation.
+        from datawave_spark.operators.dedup import _persist_scoped_seq
         for df in frames:
-            p = _persist_scoped(df, "composite.short_circuit")
+            p = _persist_scoped_seq(df, "composite.short_circuit")
             if p.limit(1).count() > 0:
                 return p
             p.unpersist(blocking=False)

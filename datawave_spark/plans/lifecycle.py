@@ -57,6 +57,10 @@ class AsyncQuery:
     state: QueryState = QueryState.CREATED
     error: Exception | None = None
     max_results: int | None = DEFAULT_MAX_RESULTS
+    # True when the cap actually dropped rows — the reference's web
+    # tier marks such pages PARTIAL; without the flag a capped result
+    # is indistinguishable from a complete one.
+    truncated: bool = False
     _thread: threading.Thread | None = None
     _lock: threading.Lock = field(default_factory=threading.Lock)
     _rows: list | None = None
@@ -74,11 +78,18 @@ class AsyncQuery:
             try:
                 plan = self.df
                 if self.max_results is not None:
-                    plan = plan.limit(self.max_results)
+                    # fetch ONE extra row so a capped result is
+                    # detectable, then trim it away
+                    plan = plan.limit(self.max_results + 1)
                 rows = plan.collect()
+                clipped = (self.max_results is not None
+                           and len(rows) > self.max_results)
+                if clipped:
+                    rows = rows[:self.max_results]
                 with self._lock:
                     if self.state == QueryState.RUNNING:
                         self._rows = rows
+                        self.truncated = clipped
                         self.state = QueryState.FINISHED
             except Exception as e:  # canceled jobs surface here
                 with self._lock:

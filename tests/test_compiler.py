@@ -143,6 +143,40 @@ class TestListNormalizers:
         assert get_normalizer("numberList").normalize_to_many("3;14") \
             == [3.0, 14.0]
 
+    def test_raw_array_column_fans_each_element(self, spark):
+        # multi-raw-value case (BaseIngestHelper's per-value fan-out):
+        # an ArrayType column of RAW delimited strings matches any
+        # element of any fan-out — not a nested-array comparison
+        rows = [("a", ["Rome;Café-Paris", "London"]),
+                ("b", ["BERLIN"]), ("c", None), ("d", ["", ";;"])]
+        df0 = spark.createDataFrame(rows, "uid string, TAGS array<string>")
+        df = compile_query(df0, "TAGS == 'CAFÉ-PARIS'",
+                           field_types={"TAGS": "lcNoDiacriticsList"})
+        assert uids(df) == ["a"]
+        df = compile_query(df0, "TAGS != 'rome'",
+                           field_types={"TAGS": "lcNoDiacriticsList"})
+        assert uids(df) == ["b", "c", "d"]
+        df = compile_query(df0, "TAGS =~ 'lon.*'",
+                           field_types={"TAGS": "lcNoDiacriticsList"})
+        assert uids(df) == ["a"]
+
+    def test_null_means_empty_fanout(self, spark, lists):
+        # raw '' fans out to zero elements — the same null semantics
+        # the at-rest array form gives an empty array
+        df = compile_query(lists, "TAGS == null",
+                           field_types={"TAGS": "lcNoDiacriticsList"})
+        assert uids(df) == ["c"]
+        df = compile_query(lists, "NUMS != null",
+                           field_types={"NUMS": "numberList"})
+        assert uids(df) == ["a", "b", "d"]
+
+    def test_null_empty_fanout_raw_array(self, spark):
+        rows = [("a", ["Rome"]), ("b", ["", ";,"]), ("c", None), ("d", [])]
+        df0 = spark.createDataFrame(rows, "uid string, TAGS array<string>")
+        df = compile_query(df0, "TAGS == null",
+                           field_types={"TAGS": "lcNoDiacriticsList"})
+        assert uids(df) == ["b", "c", "d"]
+
     def test_at_rest_array_column_round_trip(self, spark, lists):
         # ingest-side: norm.col writes the normalized ARRAY; query-side
         # the stored array takes the plain ArrayType any-value path

@@ -294,6 +294,24 @@ class TestRebalanceGuards:
             curation.rebalance_mix(df, "id", "src", "w",
                                    {"a": 0.5, "b": 0.5})
 
+    def test_zero_target_share_drops_stratum_cleanly(self, spark):
+        # an explicit 0.0 share means "none of this stratum" — it is
+        # dropped, not a ZeroDivisionError, and takes no part in the
+        # binding-stratum min (so it can't zero out every rate); a 0.0
+        # share for an ABSENT stratum is likewise fine
+        df = spark.createDataFrame([(i, "a", 5) for i in range(20)]
+                                   + [(100 + i, "b", 5) for i in range(20)],
+                                   "id long, src string, w long")
+        out = curation.rebalance_mix(df, "id", "src", "w",
+                                     {"a": 1.0, "b": 0.0, "ghost": 0.0})
+        got = {r.src for r in out.collect()}
+        assert got == {"a"}
+        with pytest.raises(ValueError, match="must be >= 0"):
+            curation.rebalance_mix(df, "id", "src", "w",
+                                   {"a": 1.0, "b": -0.1})
+        with pytest.raises(ValueError, match="no positive"):
+            curation.rebalance_mix(df, "id", "src", "w", {"a": 0.0})
+
 
 # ------------------------------------------------- hash_split / domain_cap
 
@@ -383,6 +401,20 @@ def test_hash_split_remainder_carves_out_a_small_sample(spark, docs):
                 hash_split(docs, "doc_id",
                            {"sample": 0.05, "rest": 0.95}).collect()}
     assert out == explicit
+
+
+def test_hash_split_remainder_empty_when_fractions_cover_one(spark, docs):
+    """A remainder name alongside fractions already summing to 1 is a
+    no-op: no phantom zero-width split steals the terminal interval's
+    forced 'ffffffff' endpoint from the last real split."""
+    from datawave_spark.operators.curation import hash_split
+    with_rem = {r.doc_id: r.split for r in
+                hash_split(docs, "doc_id", {"a": 0.5, "b": 0.5},
+                           remainder="rest").collect()}
+    without = {r.doc_id: r.split for r in
+               hash_split(docs, "doc_id", {"a": 0.5, "b": 0.5}).collect()}
+    assert with_rem == without
+    assert "rest" not in set(with_rem.values())
 
 
 def test_domain_cap_bounds_and_prefers_order(spark, docs):

@@ -65,6 +65,17 @@ class TestLifecycle:
         assert q.max_results == DEFAULT_MAX_RESULTS
         assert q.wait(30) == QueryState.FINISHED
         assert len(q.next_page(100)) == 50
+        assert q.truncated is False
+
+    def test_truncated_flag_marks_capped_results(self, spark):
+        """A capped result is distinguishable from a complete one —
+        the reference web tier's PARTIAL-results marker."""
+        q = submit(spark.range(300), max_results=250)
+        assert q.wait(30) == QueryState.FINISHED
+        assert q.truncated is True
+        q2 = submit(spark.range(250), max_results=250)
+        assert q2.wait(30) == QueryState.FINISHED
+        assert q2.truncated is False
 
 
 # -------------------------------------------- selector chunking / dashboard
