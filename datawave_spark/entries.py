@@ -5510,3 +5510,79 @@ def q_federated_catalog(spark, sf_dir):
     out = fed.query("EVENT_TYPE == 'purchase' && VALUE > 200",
                     select=["event_id", "value"])
     return out.select("deployment", "datatype", "event_id", "value")
+
+
+def _pagerank_oracle(iters: int) -> str:
+    """Unrolled power-iteration CTE chain — one CTE per round, each the
+    exact SQL restatement of the Spark round (same IEEE expression
+    association; per-sink float-sum order differs between engines, so
+    the final ranks round to 6dp on both sides)."""
+    parts = [
+        "e AS (SELECT DISTINCT CAST(user_id AS VARCHAR) AS src, "
+        "event_type AS dst FROM events "
+        "WHERE user_id IS NOT NULL AND event_type IS NOT NULL)",
+        "nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e)",
+        "deg AS (SELECT src AS node, count(*) AS deg FROM e GROUP BY src)",
+        "nn AS (SELECT count(*) AS n FROM nodes)",
+        "r0 AS (SELECT node, 1.0::DOUBLE / nn.n AS rank FROM nodes, nn)",
+    ]
+    for i in range(1, iters + 1):
+        parts.append(f"""r{i} AS (
+  SELECT no.node,
+         (1.0::DOUBLE - 0.85::DOUBLE) / nn.n
+         + 0.85::DOUBLE * (coalesce(c.s, 0.0::DOUBLE) + d.dang / nn.n)
+           AS rank
+  FROM nodes no
+  LEFT JOIN (SELECT e.dst AS node, sum(r.rank / dg.deg) AS s
+             FROM e JOIN r{i - 1} r ON r.node = e.src
+                    JOIN deg dg ON dg.node = e.src
+             GROUP BY e.dst) c ON c.node = no.node,
+       (SELECT coalesce(sum(r.rank), 0.0::DOUBLE) AS dang
+        FROM r{i - 1} r LEFT JOIN deg dg ON dg.node = r.node
+        WHERE dg.node IS NULL) d, nn)""")
+    return ("WITH " + ",\n".join(parts)
+            + f"\nSELECT node, round(rank, 6) AS pagerank FROM r{iters}")
+
+
+@register("edge_pagerank", _pagerank_oracle(5))
+def q_edge_pagerank(spark, sf_dir):
+    """PageRank over the ingest-materialized edge graph (the analytics
+    the reference's edge table exists to serve — SURVEY §1.5,
+    ProtobufEdgeDataTypeHandler; ranking itself is this engine's
+    iterative-algorithm extension, components.pagerank): user→event_type
+    edges, 5 damped power-iteration rounds with dangling-mass
+    redistribution (every event_type node is a sink here, so the
+    dangling branch is genuinely exercised)."""
+    from datawave_spark.operators.components import pagerank
+    ev = _t(spark, sf_dir, "events")
+    e = ev.select(F.col("user_id").cast("string").alias("src"),
+                  F.col("event_type").alias("dst"))
+    pr = pagerank(e, iters=5)
+    return pr.select("node", F.round("rank", 6).alias("pagerank"))
+
+
+@register("text_token_ids", f"""
+WITH toks AS ({_DUCK_TOKS}),
+ex AS (SELECT doc_id, unnest(t) AS token,
+              unnest(range(0, len(t))) AS pos FROM toks
+       WHERE doc_id % 10 = 0),
+lm AS (SELECT token, count(*) AS n
+       FROM (SELECT unnest(t) AS token FROM toks) GROUP BY token),
+vocab AS (SELECT token,
+                 row_number() OVER (ORDER BY n DESC, token) AS tid
+          FROM lm)
+SELECT e.doc_id, e.pos, coalesce(v.tid, 0) AS tid
+FROM ex e LEFT JOIN vocab v USING (token)
+""")
+def q_text_token_ids(spark, sf_dir):
+    """Tokenize-to-ids against the STORED vocabulary (text.token_ids +
+    text.vocab_ids over prepared.unigram_lm): the final map step of a
+    training-data pipeline — in-plan tokenize, posexplode, one
+    broadcast join against the frequency-ranked id table, OOV → 0.
+    Docs subsetted (doc_id % 10) to keep the gate compact; the plan is
+    the full-corpus plan."""
+    from datawave_spark.operators.text import token_ids, vocab_ids
+    from datawave_spark.sources.prepared import unigram_lm
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") % 10 == 0)
+    vocab = vocab_ids(unigram_lm(spark, sf_dir))
+    return token_ids(docs, "text", "doc_id", vocab)

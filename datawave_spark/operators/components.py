@@ -174,3 +174,70 @@ def dedup_clusters(df: DataFrame, id_col: str, pairs: DataFrame) -> DataFrame:
            .withColumn("is_duplicate", F.col("canonical_id") != F.col("id"))
            .select("id", "canonical_id", "is_duplicate"))
     return out
+
+
+def pagerank(edges: DataFrame, src_col: str = "src", dst_col: str = "dst",
+             iters: int = 10, damping: float = 0.85) -> DataFrame:
+    """PageRank over a directed edge frame → (node, rank).
+
+    The link-analysis companion to the edge table: the reference
+    materializes entity-to-entity edges at ingest (SURVEY §1.5,
+    ProtobufEdgeDataTypeHandler) precisely so graph analytics can run
+    over them; it ships no ranking itself, so this is the engine's
+    iterative-algorithm slot alongside :func:`connected_components`.
+
+    Power iteration with dangling-mass redistribution: per round
+    ``r'(v) = (1-d)/N + d * (Σ_{u→v} r(u)/deg(u) + dangling/N)``
+    where ``dangling`` is the rank mass parked on sink nodes (no
+    out-edges), redistributed uniformly — ranks sum to 1 every round.
+
+    Scale shape (the Pregel superstep restated as DataFrames): per
+    round ONE equi-join of the edge frame with the vertex-sized rank
+    frame and ONE groupBy(dst) sum — both shuffle on the vertex key,
+    so co-partitioning carries between rounds; the dangling mass is a
+    1-row aggregate cross-joined in-plan (no scalar collect per
+    round).  Each round eagerly ``localCheckpoint``s its vertex-sized
+    result (the :func:`connected_components` discipline): the rank
+    frame is referenced three times per round, so a mere persist
+    leaves Catalyst re-analyzing a logical plan that grows ~3× per
+    round — exponential driver time by round 10 — while the
+    checkpoint truncates lineage outright.  Fixed ``iters`` (no
+    convergence collect): deterministic plan count, and 10 rounds is
+    standard for ranking stability."""
+    e = (edges.select(F.col(src_col).cast("string").alias("src"),
+                      F.col(dst_col).cast("string").alias("dst"))
+         .filter(F.col("src").isNotNull() & F.col("dst").isNotNull())
+         .distinct().persist())
+    nodes = (e.select(F.col("src").alias("node"))
+             .union(e.select(F.col("dst").alias("node")))
+             .distinct().persist())
+    n = nodes.count()                    # 1 scalar on the driver
+    if n == 0:
+        e.unpersist(); nodes.unpersist()
+        return edges.sparkSession.createDataFrame(
+            [], "node string, rank double")
+    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg")) \
+           .withColumnRenamed("src", "node")
+    base = (1.0 - damping) / n
+    ranks = nodes.select("node", F.lit(1.0 / n).alias("rank"))
+    for _ in range(iters):
+        rd = ranks.join(deg, "node", "left")
+        # rank mass on dangling nodes (no out-edges): ONE aggregate row
+        dang = (rd.filter(F.col("deg").isNull())
+                .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("__dang")))
+        contrib = (e.join(rd.filter(F.col("deg").isNotNull())
+                          .withColumnRenamed("node", "src"), "src")
+                   .groupBy("dst")
+                   .agg(F.sum(F.col("rank") / F.col("deg")).alias("__in"))
+                   .withColumnRenamed("dst", "node"))
+        ranks = (nodes.join(contrib, "node", "left")
+                 .crossJoin(dang)
+                 .select("node",
+                         (F.lit(base) + F.lit(damping)
+                          * (F.coalesce(F.col("__in"), F.lit(0.0))
+                             + F.col("__dang") / F.lit(float(n))))
+                         .alias("rank"))
+                 .localCheckpoint(eager=True))
+    e.unpersist(blocking=False)
+    nodes.unpersist(blocking=False)
+    return ranks

@@ -433,3 +433,41 @@ def stupid_backoff_score(df: DataFrame, text_col: str, id_col: str,
         F.col("__id").alias(id_col), "n_tokens",
         F.round(mean_nlp, 4).alias("backoff_nll"),
         F.round(F.exp(mean_nlp), 4).alias("backoff_ppl"))
+
+
+def vocab_ids(lm: DataFrame, vocab_size: int | None = None) -> DataFrame:
+    """(token, tid) id table from a stored unigram count asset
+    (prepared.unigram_lm): ids are frequency-ranked (1 = most common;
+    ties break on token text, so the mapping is deterministic across
+    engines and runs).  0 is reserved for out-of-vocabulary.
+
+    The global row_number window is single-partition ON PURPOSE: the
+    input is the VOCABULARY table (bounded by distinct-token count,
+    ~100k-1M rows at any corpus size), not the corpus — the same
+    bounded-metadata shape as the reference's dictionary/model tables."""
+    from pyspark.sql import Window
+    w = Window.orderBy(F.desc("n"), F.asc("token"))
+    out = lm.select("token", F.row_number().over(w).alias("tid"))
+    if vocab_size is not None:
+        out = out.filter(F.col("tid") <= vocab_size)
+    return out
+
+
+def token_ids(df: DataFrame, text_col: str, id_col: str,
+              vocab: DataFrame, unk_id: int = 0) -> DataFrame:
+    """Tokenize-to-ids: (doc, pos, tid) rows — the final map step of a
+    training-data pipeline, turning curated text into model-ready id
+    sequences against a FIXED stored vocabulary.
+
+    Scale shape: tokenize in-plan (no UDF), posexplode to skinny rows,
+    ONE broadcast join against the vocabulary-sized id table (never a
+    shuffle of the corpus), OOV coalesced to ``unk_id``.  Row order
+    within a document is carried by ``pos``, so downstream sequence
+    assembly (``collect_list`` over a window, or pack_sequences) is
+    order-independent of partitioning."""
+    toks = df.select(F.col(id_col).alias("__id"),
+                     F.posexplode(tokens(F.col(text_col)))
+                     .alias("pos", "token"))
+    return (toks.join(F.broadcast(vocab), "token", "left")
+            .select(F.col("__id").alias(id_col), "pos",
+                    F.coalesce(F.col("tid"), F.lit(unk_id)).alias("tid")))

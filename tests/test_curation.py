@@ -740,3 +740,79 @@ def test_stupid_backoff_matches_python_referee(spark):
            for r in stupid_backoff_score(df, "t", "id", lm, bg).collect()}
     want = {i: score(tok(txt)) for i, txt in docs}
     assert got == want
+
+
+class TestTokenIds:
+    def test_ids_are_frequency_ranked_and_oov_is_zero(self, spark):
+        from datawave_spark.operators.text import (token_ids, unigram_counts,
+                                                   vocab_ids)
+        corpus = spark.createDataFrame(
+            [(1, "the cat sat"), (2, "the cat ran"), (3, "the mat")],
+            "id long, t string")
+        vocab = vocab_ids(unigram_counts(corpus, "t"))
+        # the=3, cat=2, then mat/ran/sat alphabetical on the tie
+        ids = {r.token: r.tid for r in vocab.collect()}
+        assert ids == {"the": 1, "cat": 2, "mat": 3, "ran": 4, "sat": 5}
+        probe = spark.createDataFrame([(9, "zebra the cat")],
+                                      "id long, t string")
+        got = sorted((r.pos, r.tid)
+                     for r in token_ids(probe, "t", "id", vocab).collect())
+        assert got == [(0, 0), (1, 1), (2, 2)]  # OOV zebra -> 0, order kept
+
+    def test_vocab_size_truncates_and_maps_tail_to_unk(self, spark):
+        from datawave_spark.operators.text import (token_ids, unigram_counts,
+                                                   vocab_ids)
+        corpus = spark.createDataFrame(
+            [(1, "the cat sat"), (2, "the cat ran")], "id long, t string")
+        vocab = vocab_ids(unigram_counts(corpus, "t"), vocab_size=2)
+        assert vocab.count() == 2
+        got = {r.pos: r.tid
+               for r in token_ids(corpus.filter("id=1"), "t", "id",
+                                  vocab).collect()}
+        # the/cat tie on n=2; alphabetical gives cat=1, the=2; sat OOV
+        assert got == {0: 2, 1: 1, 2: 0}
+
+
+class TestPageRank:
+    def _referee(self, edges, iters=10, d=0.85):
+        nodes = sorted({a for a, _ in edges} | {b for _, b in edges})
+        idx = {n: i for i, n in enumerate(nodes)}
+        n = len(nodes)
+        out = {}
+        for a, b in set(edges):
+            out.setdefault(a, []).append(b)
+        r = [1.0 / n] * n
+        for _ in range(iters):
+            nxt = [(1.0 - d) / n] * n
+            dang = sum(r[idx[v]] for v in nodes if v not in out)
+            for v in nodes:
+                for w in out.get(v, ()):
+                    nxt[idx[w]] += d * r[idx[v]] / len(out[v])
+            for i in range(n):
+                nxt[i] += d * dang / n
+            r = nxt
+        return {v: round(r[idx[v]], 6) for v in nodes}
+
+    def test_matches_python_power_iteration(self, spark):
+        from datawave_spark.operators.components import pagerank
+        edges = [("a", "b"), ("a", "c"), ("b", "c"), ("c", "a"),
+                 ("d", "c"), ("e", "d"), ("e", "c"), ("f", "e")]
+        df = spark.createDataFrame(edges, "src string, dst string")
+        got = {r.node: round(r.rank, 6)
+               for r in pagerank(df, iters=10).collect()}
+        assert got == self._referee(edges, iters=10)
+
+    def test_dangling_mass_conserved(self, spark):
+        """b and c are pure sinks; ranks must still sum to 1."""
+        from datawave_spark.operators.components import pagerank
+        df = spark.createDataFrame([("a", "b"), ("a", "c")],
+                                   "src string, dst string")
+        rows = pagerank(df, iters=5).collect()
+        assert abs(sum(r.rank for r in rows) - 1.0) < 1e-9
+        by = {r.node: r.rank for r in rows}
+        assert by["b"] == by["c"] > by["a"]
+
+    def test_empty_edges(self, spark):
+        from datawave_spark.operators.components import pagerank
+        df = spark.createDataFrame([], "src string, dst string")
+        assert pagerank(df, iters=3).count() == 0

@@ -618,3 +618,29 @@ class TestRound5Plans:
         plan = out._jdf.queryExecution().executedPlan().toString()
         assert "CartesianProduct" not in plan
         assert "InMemoryTableScan" in plan   # persisted parse reused
+
+    def test_token_ids_single_broadcast_no_shuffle(self, spark):
+        """Tokenize-to-ids: the corpus never shuffles — posexplode in
+        the scan stage, ONE broadcast join against the vocab-sized id
+        table, no sort-merge exchange of the token stream."""
+        df = entrymod.queries()["text_token_ids"](spark, SF)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" not in plan
+        assert "BroadcastHashJoin" in plan
+        assert "BatchEvalPython" not in plan and "ArrowEval" not in plan
+
+    def test_pagerank_no_cartesian_beyond_scalar_dangling(self, spark):
+        """Per-round plan: vertex-keyed equi-joins only; the single
+        nested-loop join is the 1-row dangling-mass aggregate.  The
+        checkpointed rank frame keeps the analyzed plan round-sized
+        (a grown plan would smuggle earlier rounds back in)."""
+        from datawave_spark.operators.components import pagerank
+        e = spark.createDataFrame(
+            [("a", "b"), ("b", "c"), ("c", "a"), ("d", "a")],
+            "src string, dst string")
+        out = pagerank(e, iters=2)
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "CartesianProduct" not in plan
+        # lineage truncated: the returned frame is a checkpoint scan,
+        # not a 2-round join tree
+        assert "Scan ExistingRDD" in plan or "LocalTableScan" in plan

@@ -34,7 +34,7 @@ OPS = ["jexl_filter", "groupby", "tokenize_tf", "minhash_sig", "simhash",
        "span_dedup", "rebalance", "semantic_dedup", "kmeans_step",
        "bm25", "edge_dict", "pmi", "validate", "png_decode",
        "gopher", "c4_clean", "dsir", "exsub", "backoff", "budget",
-       "neardup"]
+       "neardup", "pagerank", "token_ids"]
 
 
 def generate(spark):
@@ -179,6 +179,8 @@ def run_one(op: str, events_path: str, docs_path: str,
         "exsub": lambda d: noop(dedup.exact_substring_dedup(
             d, "text", "doc_id", k=10, min_count=2)),
         "backoff": lambda d: _backoff(d),
+        "pagerank": lambda d: _pagerank(d),
+        "token_ids": lambda d: _token_ids(d),
         # fixed 1% benchmark probes the full corpus signatures: cost
         # should track benchmark-bucket size, not corpus size
         "neardup": lambda d: _neardup(d),
@@ -211,6 +213,25 @@ def run_one(op: str, events_path: str, docs_path: str,
         noop(decontaminate_neardup(corp, bench, threshold=0.3,
                                    max_bucket=100).select("id", "n"))
         signed.unpersist()
+
+    def _pagerank(d):
+        # events-derived user->event_type edge frame, 5 rounds — the
+        # per-round cost is one edge-join + one groupBy(dst), so the
+        # ratio measures how the vertex-keyed shuffles scale.
+        from datawave_spark.operators.components import pagerank
+        e = d.select(F.col("user_id").cast("string").alias("src"),
+                     F.col("event_type").alias("dst"))
+        noop(pagerank(e, iters=5))
+
+    def _token_ids(d):
+        # vocab build (one count agg + vocab-sized window) + the full
+        # corpus id-mapping pass; the entry reads the STORED unigram
+        # table, so query-only cost is posexplode + one broadcast join.
+        from datawave_spark.operators import text as txt
+        vocab = txt.vocab_ids(txt.unigram_counts(d, "text")).persist()
+        vocab.count()
+        noop(txt.token_ids(d, "text", "doc_id", vocab))
+        vocab.unpersist()
 
     def _backoff(d):
         # LM build (two count aggs) + full-corpus scoring in one
@@ -306,7 +327,8 @@ def run_one(op: str, events_path: str, docs_path: str,
                               "vec_id", bits=8, k=5, probe_radius=1,
                               max_bucket=2000))
 
-    if op in ("jexl_filter", "groupby", "edge_dict", "validate"):
+    if op in ("jexl_filter", "groupby", "edge_dict", "validate",
+              "pagerank"):
         src = ev
     elif op in ("knn_lsh", "knn_blocked", "semantic_dedup", "kmeans_step"):
         src = emb
