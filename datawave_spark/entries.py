@@ -5586,3 +5586,79 @@ def q_text_token_ids(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") % 10 == 0)
     vocab = vocab_ids(unigram_lm(spark, sf_dir))
     return token_ids(docs, "text", "doc_id", vocab)
+
+
+@register("text_chunk_documents", f"""
+WITH toks AS ({_DUCK_TOKS}),
+q AS (SELECT doc_id, t, len(t) AS n,
+             CASE WHEN len(t) <= 32 THEN 1
+                  ELSE ((len(t) - 32 + 23) // 24) + 1 END AS nc
+      FROM toks),
+ex AS (SELECT doc_id, t, unnest(range(0, nc)) AS cid FROM q)
+SELECT doc_id, cid AS chunk_id,
+       coalesce(array_to_string(t[cid*24+1 : cid*24+32], ' '), '')
+           AS chunk_text,
+       coalesce(len(t[cid*24+1 : cid*24+32]), 0) AS n_tokens
+FROM ex
+""")
+def q_text_chunk_documents(spark, sf_dir):
+    """Retrieval-pipeline chunking (text.chunk_documents): 32-token
+    windows with 8-token overlap over every document — tokenize,
+    window-count, and per-chunk slice all inside the scan stage's
+    codegen (zero shuffle); each chunk is the embed/index unit."""
+    from datawave_spark.operators.text import chunk_documents
+    docs = _t(spark, sf_dir, "documents")
+    return chunk_documents(docs, "text", "doc_id",
+                           chunk_tokens=32, overlap=8)
+
+
+@register("text_pack_sequences", f"""
+WITH toks AS ({_DUCK_TOKS}),
+lm AS (SELECT token, count(*) AS n
+       FROM (SELECT unnest(t) AS token FROM toks) GROUP BY token),
+vocab AS (SELECT token,
+                 row_number() OVER (ORDER BY n DESC, token) AS tid
+          FROM lm),
+ex AS (SELECT doc_id, unnest(t) AS token,
+              unnest(range(0, len(t))) AS pos FROM toks
+       WHERE doc_id % 10 = 0),
+tids AS (SELECT e.doc_id, e.pos, coalesce(v.tid, 0) AS tid
+         FROM ex e LEFT JOIN vocab v USING (token)),
+perdoc AS (SELECT doc_id, list(tid ORDER BY pos) AS ids
+           FROM tids GROUP BY doc_id),
+keyed AS (SELECT p.doc_id, p.ids, d.source AS strata,
+                 len(p.ids) AS n
+          FROM perdoc p JOIN documents d USING (doc_id)),
+binned AS (SELECT *,
+                  CAST((sum(n) OVER (PARTITION BY strata
+                                     ORDER BY doc_id) - n) AS BIGINT)
+                  // 256 AS bin
+           FROM keyed),
+packed AS (SELECT strata, bin,
+                  flatten(list(ids ORDER BY doc_id)) AS al
+           FROM binned GROUP BY strata, bin),
+ex2 AS (SELECT strata, bin, al,
+               unnest(range(0, len(al) // 64)) AS seq_idx
+        FROM packed WHERE len(al) >= 64)
+SELECT strata, bin, seq_idx,
+       md5(array_to_string(al[seq_idx*64+1 : seq_idx*64+64], ' '))
+           AS seq_md5,
+       al[seq_idx*64+1] AS first_tid,
+       al[(seq_idx+1)*64] AS last_tid
+FROM ex2
+""")
+def q_text_pack_sequences(spark, sf_dir):
+    """GPT-style concat-and-chunk sequence assembly
+    (text.pack_token_sequences): doc token-id arrays next-fit packed
+    into 256-token bins per source stratum, each bin emitting exact
+    64-id sequences (content identified by md5, not shipped wide).
+    Docs subsetted (doc_id % 10) for the gate; the vocabulary is the
+    FULL-corpus stored asset, as in text_token_ids."""
+    from datawave_spark.operators.text import (pack_token_sequences,
+                                               vocab_ids)
+    from datawave_spark.sources.prepared import unigram_lm
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") % 10 == 0)
+    vocab = vocab_ids(unigram_lm(spark, sf_dir))
+    return pack_token_sequences(docs, "text", "doc_id", vocab,
+                                seq_len=64, strata_col="source",
+                                bin_seqs=4)

@@ -471,3 +471,103 @@ def token_ids(df: DataFrame, text_col: str, id_col: str,
     return (toks.join(F.broadcast(vocab), "token", "left")
             .select(F.col("__id").alias(id_col), "pos",
                     F.coalesce(F.col("tid"), F.lit(unk_id)).alias("tid")))
+
+
+def chunk_documents(df: DataFrame, text_col: str, id_col: str,
+                    chunk_tokens: int = 256,
+                    overlap: int = 32) -> DataFrame:
+    """Fixed token-window chunking with overlap → (id, chunk_id,
+    chunk_text, n_tokens): the unit-of-work step of an embedding/
+    retrieval pipeline (each chunk is what gets embedded and indexed;
+    the overlap keeps boundary-straddling phrases findable).
+
+    Window i covers tokens ``[i*stride, i*stride + chunk_tokens)``
+    with ``stride = chunk_tokens - overlap``; the chunk count is
+    ``1 + ceil((n - chunk_tokens) / stride)`` (always ≥1, so empty and
+    short documents still yield their one chunk).  All-integer
+    arithmetic so the oracle replays exactly.
+
+    Scale shape: ZERO shuffle — tokenize, window-count, and the
+    per-chunk slice/join all run as codegen'd array expressions inside
+    the scan stage, emitted through one ``inline(transform(sequence))``
+    generator (the house projection barrier, see quality_score)."""
+    if overlap < 0 or overlap >= chunk_tokens:
+        raise ValueError(f"need 0 <= overlap < chunk_tokens, got "
+                         f"overlap={overlap} chunk_tokens={chunk_tokens}")
+    stride = chunk_tokens - overlap
+    toks = tokens(F.col(text_col))
+    n = F.size(toks)
+    # explicit floor: DuckDB CASTs float->int by ROUNDING while Spark
+    # truncates, so the oracle mirrors this exact floor-div form
+    n_chunks = F.when(n <= chunk_tokens, F.lit(1)).otherwise(
+        F.floor((n - chunk_tokens + stride - 1) / stride) + 1).cast("int")
+    chunks = F.inline(F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.struct(
+            i.cast("long").alias("chunk_id"),
+            F.array_join(F.slice(toks, i * stride + 1, chunk_tokens),
+                         " ").alias("chunk_text"),
+            F.size(F.slice(toks, i * stride + 1, chunk_tokens))
+            .cast("long").alias("n_tokens"))))
+    return df.select(F.col(id_col), chunks)
+
+
+def pack_token_sequences(df: DataFrame, text_col: str, id_col: str,
+                         vocab: DataFrame, seq_len: int,
+                         strata_col: str | None = None,
+                         bin_seqs: int = 8) -> DataFrame:
+    """Token ids → fixed-length training sequences: documents are
+    next-fit packed into ``bin_seqs * seq_len``-token bins (the
+    pack_sequences discipline: id-ordered cumsum, reproducible), each
+    bin concatenates its documents' id arrays in id order and emits
+    ``floor(total/seq_len)`` sequences of exactly ``seq_len`` ids —
+    the GPT-style concat-and-chunk assembly, with cross-document
+    attention bounded by the bin instead of the whole corpus (bins
+    are the distributed-stable analog of a global token order, which
+    no 1000-executor job can maintain).
+
+    Returns (strata, bin, seq_idx, seq_md5, first_tid, last_tid): the
+    md5 of the space-joined ids identifies the sequence content
+    deterministically without shipping ``seq_len``-wide arrays
+    through the result set.
+
+    Scale shape: one doc-keyed shuffle to re-assemble per-document id
+    arrays (the vocab join itself is broadcast, see token_ids), one
+    window cumsum on the stratum key, one bin-keyed groupBy — bins
+    are budget-bounded (``bin_seqs*seq_len`` tokens), so the last
+    stage has no skew regardless of document length distribution."""
+    from pyspark.sql import Window
+    strata = F.col(strata_col) if strata_col else F.lit("all")
+    ids = token_ids(df.select(F.col(id_col), F.col(text_col),
+                              strata.alias("__strata")),
+                    text_col, id_col, vocab)
+    keys = df.select(F.col(id_col), strata.alias("__strata"))
+    per_doc = (ids.groupBy(id_col)
+               .agg(F.transform(
+                   F.array_sort(F.collect_list(F.struct("pos", "tid"))),
+                   lambda s: s["tid"]).alias("__ids"))
+               .join(keys, id_col)
+               .withColumn("__n", F.size("__ids")))
+    budget = bin_seqs * seq_len
+    w = Window.partitionBy("__strata").orderBy(id_col) \
+        .rowsBetween(Window.unboundedPreceding, 0)
+    binned = per_doc.withColumn(
+        "__bin", F.floor((F.sum("__n").over(w) - F.col("__n")) / budget))
+    packed = (binned.groupBy("__strata", "__bin")
+              .agg(F.flatten(F.transform(
+                  F.array_sort(F.collect_list(F.struct(id_col, "__ids"))),
+                  lambda s: s["__ids"])).alias("__all")))
+    seqs = F.inline(F.transform(
+        F.sequence(F.lit(0),
+                   F.floor(F.size("__all") / seq_len).cast("int") - 1),
+        lambda s: F.struct(
+            s.cast("long").alias("seq_idx"),
+            F.md5(F.array_join(F.transform(
+                F.slice(F.col("__all"), s * seq_len + 1, seq_len),
+                lambda x: x.cast("string")), " ")).alias("seq_md5"),
+            F.element_at(F.col("__all"), s * seq_len + 1)
+            .cast("long").alias("first_tid"),
+            F.element_at(F.col("__all"), (s + 1) * seq_len)
+            .cast("long").alias("last_tid"))))
+    return packed.filter(F.size("__all") >= seq_len).select(
+        F.col("__strata").alias("strata"), F.col("__bin").alias("bin"), seqs)

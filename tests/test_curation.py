@@ -816,3 +816,82 @@ class TestPageRank:
         from datawave_spark.operators.components import pagerank
         df = spark.createDataFrame([], "src string, dst string")
         assert pagerank(df, iters=3).count() == 0
+
+
+class TestChunkDocuments:
+    def test_windows_and_overlap(self, spark):
+        from datawave_spark.operators.text import chunk_documents
+        text = " ".join(f"w{i}" for i in range(10))
+        df = spark.createDataFrame([(1, text)], "id long, t string")
+        got = {r.chunk_id: (r.chunk_text, r.n_tokens)
+               for r in chunk_documents(df, "t", "id", chunk_tokens=4,
+                                        overlap=1).collect()}
+        # stride 3: [0:4) [3:7) [6:10) -> 3 chunks, ceil((10-4)/3)+1
+        assert got == {0: ("w0 w1 w2 w3", 4), 1: ("w3 w4 w5 w6", 4),
+                       2: ("w6 w7 w8 w9", 4)}
+
+    def test_short_and_empty_docs_one_chunk(self, spark):
+        from datawave_spark.operators.text import chunk_documents
+        df = spark.createDataFrame([(1, "a b"), (2, ""), (3, "  ")],
+                                   "id long, t string")
+        got = {r.id: (r.chunk_id, r.chunk_text, r.n_tokens)
+               for r in chunk_documents(df, "t", "id", chunk_tokens=4,
+                                        overlap=1).collect()}
+        assert got == {1: (0, "a b", 2), 2: (0, "", 0), 3: (0, "", 0)}
+
+    def test_trailing_partial_window_kept(self, spark):
+        from datawave_spark.operators.text import chunk_documents
+        df = spark.createDataFrame([(1, "a b c d e")], "id long, t string")
+        rows = chunk_documents(df, "t", "id", chunk_tokens=4,
+                               overlap=0).collect()
+        got = {r.chunk_id: r.chunk_text for r in rows}
+        assert got == {0: "a b c d", 1: "e"}
+
+    def test_invalid_overlap_raises(self, spark):
+        import pytest as _pt
+        from datawave_spark.operators.text import chunk_documents
+        df = spark.createDataFrame([(1, "a")], "id long, t string")
+        with _pt.raises(ValueError):
+            chunk_documents(df, "t", "id", chunk_tokens=4, overlap=4)
+
+
+class TestPackTokenSequences:
+    def test_matches_python_referee(self, spark):
+        import hashlib
+        import re
+        from datawave_spark.operators.text import (pack_token_sequences,
+                                                   unigram_counts,
+                                                   vocab_ids)
+        docs = [(i, "s%d" % (i % 2),
+                 " ".join("tok%d" % ((i * 7 + j) % 13)
+                          for j in range(5 + i % 4)))
+                for i in range(12)]
+        df = spark.createDataFrame(docs, "id long, src string, t string")
+        vocab = vocab_ids(unigram_counts(df, "t"))
+        vmap = {r.token: r.tid for r in vocab.collect()}
+        tok = lambda s: [t for t in re.split(r"[^a-z0-9]+", s.lower()) if t]
+
+        seq_len, budget = 4, 8   # bin_seqs=2
+        want = set()
+        by_src: dict[str, list[tuple[int, list[int]]]] = {}
+        for i, src, txt in docs:
+            by_src.setdefault(src, []).append(
+                (i, [vmap.get(t, 0) for t in tok(txt)]))
+        for src, items in by_src.items():
+            cum, bins = 0, {}
+            for i, ids in sorted(items):
+                b = (cum) // budget
+                cum += len(ids)
+                bins.setdefault(b, []).extend(ids)
+            for b, al in bins.items():
+                for s in range(len(al) // seq_len):
+                    sl = al[s * seq_len:(s + 1) * seq_len]
+                    want.add((src, b, s, hashlib.md5(
+                        " ".join(map(str, sl)).encode()).hexdigest(),
+                        sl[0], sl[-1]))
+        got = {(r.strata, r.bin, r.seq_idx, r.seq_md5, r.first_tid,
+                r.last_tid)
+               for r in pack_token_sequences(df, "t", "id", vocab,
+                                             seq_len=4, strata_col="src",
+                                             bin_seqs=2).collect()}
+        assert got == want and want

@@ -644,3 +644,22 @@ class TestRound5Plans:
         # lineage truncated: the returned frame is a checkpoint scan,
         # not a 2-round join tree
         assert "Scan ExistingRDD" in plan or "LocalTableScan" in plan
+
+    def test_chunk_documents_zero_shuffle_no_udf(self, spark):
+        """Chunking is pure array codegen inside the scan stage."""
+        df = entrymod.queries()["text_chunk_documents"](spark, SF)
+        c = plan_counters(df)
+        assert c["n_shuffles"] == 0
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "BatchEvalPython" not in plan and "ArrowEval" not in plan
+
+    def test_pack_sequences_broadcast_vocab_bounded_shuffles(self, spark):
+        """Sequence assembly: the vocab join must stay broadcast and
+        the corpus-keyed work is the doc re-assembly + stratum window
+        + bin groupBy — a handful of exchanges, never a cartesian."""
+        df = entrymod.queries()["text_pack_sequences"](spark, SF)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "CartesianProduct" not in plan
+        assert "BroadcastHashJoin" in plan
+        c = plan_counters(df)
+        assert c["n_shuffles"] <= 5

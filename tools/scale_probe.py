@@ -34,7 +34,7 @@ OPS = ["jexl_filter", "groupby", "tokenize_tf", "minhash_sig", "simhash",
        "span_dedup", "rebalance", "semantic_dedup", "kmeans_step",
        "bm25", "edge_dict", "pmi", "validate", "png_decode",
        "gopher", "c4_clean", "dsir", "exsub", "backoff", "budget",
-       "neardup", "pagerank", "token_ids"]
+       "neardup", "pagerank", "token_ids", "chunk_docs", "pack_seqs"]
 
 
 def generate(spark):
@@ -181,6 +181,11 @@ def run_one(op: str, events_path: str, docs_path: str,
         "backoff": lambda d: _backoff(d),
         "pagerank": lambda d: _pagerank(d),
         "token_ids": lambda d: _token_ids(d),
+        "chunk_docs": lambda d: noop(__import__(
+            "datawave_spark.operators.text", fromlist=["x"])
+            .chunk_documents(d, "text", "doc_id",
+                             chunk_tokens=32, overlap=8)),
+        "pack_seqs": lambda d: _pack_seqs(d),
         # fixed 1% benchmark probes the full corpus signatures: cost
         # should track benchmark-bucket size, not corpus size
         "neardup": lambda d: _neardup(d),
@@ -231,6 +236,19 @@ def run_one(op: str, events_path: str, docs_path: str,
         vocab = txt.vocab_ids(txt.unigram_counts(d, "text")).persist()
         vocab.count()
         noop(txt.token_ids(d, "text", "doc_id", vocab))
+        vocab.unpersist()
+
+    def _pack_seqs(d):
+        # vocab build + full assembly: doc re-assembly shuffle +
+        # stratum window + bin groupBy; bins are budget-bounded so
+        # the last stage has no skew at any corpus size.
+        from datawave_spark.operators import text as txt
+        vocab = txt.vocab_ids(txt.unigram_counts(d, "text")).persist()
+        vocab.count()
+        noop(txt.pack_token_sequences(
+            d.withColumn("src", (F.col("doc_id") % 8).cast("string")),
+            "text", "doc_id", vocab, seq_len=64, strata_col="src",
+            bin_seqs=4))
         vocab.unpersist()
 
     def _backoff(d):
