@@ -176,6 +176,32 @@ def dedup_clusters(df: DataFrame, id_col: str, pairs: DataFrame) -> DataFrame:
     return out
 
 
+def _pagerank_round(nodes: DataFrame, e: DataFrame, deg: DataFrame,
+                    ranks: DataFrame, n: int, damping: float) -> DataFrame:
+    """One power-iteration round (un-checkpointed — the plan-quality
+    suite inspects this directly, since :func:`pagerank`'s returned
+    frame is a lineage-truncated checkpoint scan that hides it)."""
+    rd = ranks.join(deg, "node", "left")
+    # rank mass on dangling nodes (no out-edges): ONE aggregate row,
+    # broadcast explicitly (the house 1-row-aggregate discipline) so
+    # conservative size estimates can never pick a real cartesian
+    dang = (rd.filter(F.col("deg").isNull())
+            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("__dang")))
+    contrib = (e.join(rd.filter(F.col("deg").isNotNull())
+                      .withColumnRenamed("node", "src"), "src")
+               .groupBy("dst")
+               .agg(F.sum(F.col("rank") / F.col("deg")).alias("__in"))
+               .withColumnRenamed("dst", "node"))
+    base = (1.0 - damping) / n
+    return (nodes.join(contrib, "node", "left")
+            .crossJoin(F.broadcast(dang))
+            .select("node",
+                    (F.lit(base) + F.lit(damping)
+                     * (F.coalesce(F.col("__in"), F.lit(0.0))
+                        + F.col("__dang") / F.lit(float(n))))
+                    .alias("rank")))
+
+
 def pagerank(edges: DataFrame, src_col: str = "src", dst_col: str = "dst",
              iters: int = 10, damping: float = 0.85) -> DataFrame:
     """PageRank over a directed edge frame → (node, rank).
@@ -216,28 +242,15 @@ def pagerank(edges: DataFrame, src_col: str = "src", dst_col: str = "dst",
         e.unpersist(); nodes.unpersist()
         return edges.sparkSession.createDataFrame(
             [], "node string, rank double")
-    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg")) \
-           .withColumnRenamed("src", "node")
-    base = (1.0 - damping) / n
+    # loop-invariant out-degree table: vertex-sized, persisted like
+    # e/nodes so its groupBy shuffle runs once, not once per round
+    deg = (e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+           .withColumnRenamed("src", "node").persist())
     ranks = nodes.select("node", F.lit(1.0 / n).alias("rank"))
     for _ in range(iters):
-        rd = ranks.join(deg, "node", "left")
-        # rank mass on dangling nodes (no out-edges): ONE aggregate row
-        dang = (rd.filter(F.col("deg").isNull())
-                .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("__dang")))
-        contrib = (e.join(rd.filter(F.col("deg").isNotNull())
-                          .withColumnRenamed("node", "src"), "src")
-                   .groupBy("dst")
-                   .agg(F.sum(F.col("rank") / F.col("deg")).alias("__in"))
-                   .withColumnRenamed("dst", "node"))
-        ranks = (nodes.join(contrib, "node", "left")
-                 .crossJoin(dang)
-                 .select("node",
-                         (F.lit(base) + F.lit(damping)
-                          * (F.coalesce(F.col("__in"), F.lit(0.0))
-                             + F.col("__dang") / F.lit(float(n))))
-                         .alias("rank"))
-                 .localCheckpoint(eager=True))
+        ranks = _pagerank_round(nodes, e, deg, ranks, n, damping) \
+            .localCheckpoint(eager=True)
     e.unpersist(blocking=False)
     nodes.unpersist(blocking=False)
+    deg.unpersist(blocking=False)
     return ranks

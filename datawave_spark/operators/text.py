@@ -495,7 +495,12 @@ def chunk_documents(df: DataFrame, text_col: str, id_col: str,
         raise ValueError(f"need 0 <= overlap < chunk_tokens, got "
                          f"overlap={overlap} chunk_tokens={chunk_tokens}")
     stride = chunk_tokens - overlap
-    toks = tokens(F.col(text_col))
+    # tokenize ONCE into a named column below the generator — lambdas
+    # get no common-subexpression elimination, so an inlined tokens()
+    # would re-split the whole document per chunk element (the
+    # bigram_counts/stupid_backoff __toks discipline)
+    base = df.select(F.col(id_col), tokens(F.col(text_col)).alias("__toks"))
+    toks = F.col("__toks")
     n = F.size(toks)
     # explicit floor: DuckDB CASTs float->int by ROUNDING while Spark
     # truncates, so the oracle mirrors this exact floor-div form
@@ -509,7 +514,7 @@ def chunk_documents(df: DataFrame, text_col: str, id_col: str,
                          " ").alias("chunk_text"),
             F.size(F.slice(toks, i * stride + 1, chunk_tokens))
             .cast("long").alias("n_tokens"))))
-    return df.select(F.col(id_col), chunks)
+    return base.select(F.col(id_col), chunks)
 
 
 def pack_token_sequences(df: DataFrame, text_col: str, id_col: str,
@@ -533,13 +538,15 @@ def pack_token_sequences(df: DataFrame, text_col: str, id_col: str,
 
     Scale shape: one doc-keyed shuffle to re-assemble per-document id
     arrays (the vocab join itself is broadcast, see token_ids), one
-    window cumsum on the stratum key, one bin-keyed groupBy — bins
-    are budget-bounded (``bin_seqs*seq_len`` tokens), so the last
-    stage has no skew regardless of document length distribution."""
+    window cumsum on the stratum key, one bin-keyed groupBy.  A
+    document is never split across bins, so a bin holds at most
+    ``bin_seqs*seq_len + max_doc_tokens`` ids — the bin stage's skew
+    equals the longest single document (the same bound the per-doc
+    re-assembly stage already carries), not the corpus's hot-stratum
+    size."""
     from pyspark.sql import Window
     strata = F.col(strata_col) if strata_col else F.lit("all")
-    ids = token_ids(df.select(F.col(id_col), F.col(text_col),
-                              strata.alias("__strata")),
+    ids = token_ids(df.select(F.col(id_col), F.col(text_col)),
                     text_col, id_col, vocab)
     keys = df.select(F.col(id_col), strata.alias("__strata"))
     per_doc = (ids.groupBy(id_col)

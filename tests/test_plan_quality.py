@@ -629,21 +629,32 @@ class TestRound5Plans:
         assert "BroadcastHashJoin" in plan
         assert "BatchEvalPython" not in plan and "ArrowEval" not in plan
 
-    def test_pagerank_no_cartesian_beyond_scalar_dangling(self, spark):
-        """Per-round plan: vertex-keyed equi-joins only; the single
-        nested-loop join is the 1-row dangling-mass aggregate.  The
-        checkpointed rank frame keeps the analyzed plan round-sized
-        (a grown plan would smuggle earlier rounds back in)."""
-        from datawave_spark.operators.components import pagerank
+    def test_pagerank_round_plan_and_truncated_lineage(self, spark):
+        """The per-round plan (inspected UN-checkpointed, because the
+        public function returns a checkpoint scan that hides it):
+        vertex-keyed hash joins only — the sole nested-loop join is
+        the broadcast of the 1-row dangling-mass aggregate, never a
+        CartesianProduct."""
+        from datawave_spark.operators.components import (_pagerank_round,
+                                                         pagerank)
         e = spark.createDataFrame(
             [("a", "b"), ("b", "c"), ("c", "a"), ("d", "a")],
-            "src string, dst string")
-        out = pagerank(e, iters=2)
-        plan = out._jdf.queryExecution().executedPlan().toString()
+            "src string, dst string").persist()
+        nodes = (e.select(F.col("src").alias("node"))
+                 .union(e.select(F.col("dst").alias("node"))).distinct())
+        deg = (e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+               .withColumnRenamed("src", "node"))
+        ranks = nodes.select("node", F.lit(0.25).alias("rank"))
+        rnd = _pagerank_round(nodes, e, deg, ranks, 4, 0.85)
+        plan = rnd._jdf.queryExecution().executedPlan().toString()
         assert "CartesianProduct" not in plan
-        # lineage truncated: the returned frame is a checkpoint scan,
-        # not a 2-round join tree
-        assert "Scan ExistingRDD" in plan or "LocalTableScan" in plan
+        assert plan.count("BroadcastNestedLoopJoin") == 1  # dang only
+        # lineage truncated: the public function returns a checkpoint
+        # scan, not an iters-deep join tree
+        out = pagerank(e, iters=2)
+        oplan = out._jdf.queryExecution().executedPlan().toString()
+        assert "Scan ExistingRDD" in oplan or "LocalTableScan" in oplan
+        e.unpersist()
 
     def test_chunk_documents_zero_shuffle_no_udf(self, spark):
         """Chunking is pure array codegen inside the scan stage."""

@@ -181,10 +181,7 @@ def run_one(op: str, events_path: str, docs_path: str,
         "backoff": lambda d: _backoff(d),
         "pagerank": lambda d: _pagerank(d),
         "token_ids": lambda d: _token_ids(d),
-        "chunk_docs": lambda d: noop(__import__(
-            "datawave_spark.operators.text", fromlist=["x"])
-            .chunk_documents(d, "text", "doc_id",
-                             chunk_tokens=32, overlap=8)),
+        "chunk_docs": lambda d: _chunk_docs(d),
         "pack_seqs": lambda d: _pack_seqs(d),
         # fixed 1% benchmark probes the full corpus signatures: cost
         # should track benchmark-bucket size, not corpus size
@@ -237,6 +234,11 @@ def run_one(op: str, events_path: str, docs_path: str,
         vocab.count()
         noop(txt.token_ids(d, "text", "doc_id", vocab))
         vocab.unpersist()
+
+    def _chunk_docs(d):
+        from datawave_spark.operators.text import chunk_documents
+        noop(chunk_documents(d, "text", "doc_id",
+                             chunk_tokens=32, overlap=8))
 
     def _pack_seqs(d):
         # vocab build + full assembly: doc re-assembly shuffle +
