@@ -595,8 +595,12 @@ class TestRound5Plans:
 
     def test_rebalance_mix_corpus_pass_is_scan_filter(self, spark):
         """After the bounded strata aggregate, the corpus pass is a
-        bare filter over the scan: no join, no persist, no shuffle."""
+        bare filter over the scan: no join, no persist, no shuffle.
+        Cache cleared first: another module's cached documents frame
+        would be substituted into this scan by the cache manager and
+        read as a persist rebalance_mix never did."""
         from datawave_spark.operators.curation import rebalance_mix
+        spark.catalog.clearCache()
         docs = spark.read.parquet(f"{SF}/documents.parquet")
         out = rebalance_mix(docs, "doc_id", "source", "n_chars",
                             {"src0": 0.5, "src1": 0.5})
