@@ -5662,3 +5662,70 @@ def q_text_pack_sequences(spark, sf_dir):
     return pack_token_sequences(docs, "text", "doc_id", vocab,
                                 seq_len=64, strata_col="source",
                                 bin_seqs=4)
+
+
+def _bpe_oracle(n_merges: int) -> str:
+    """Unrolled BPE training replay — one CTE layer per merge.  The
+    Spark side applies each merge as a greedy left-to-right array
+    fold; SQL has no array-building fold, so the oracle replays the
+    EQUIVALENT window form: mark candidate positions, split them into
+    runs of consecutive positions (overlapping candidates share a
+    symbol), take even offsets within each run (greedy non-overlap),
+    merge taken positions with their right neighbor, drop consumed
+    rows.  Equivalence: within a run only every other candidate can
+    fire left-to-right; across runs merges are independent."""
+    parts = [
+        "toks AS (" + _DUCK_TOKS + ")",
+        "s0 AS (SELECT w, count(*) AS cnt, "
+        "list_filter(regexp_split_to_array(w, ''), c -> c != '') AS syms "
+        "FROM (SELECT unnest(t) AS w FROM toks) GROUP BY w)",
+    ]
+    for r in range(1, n_merges + 1):
+        prev = f"s{r - 1}"
+        parts.append(
+            f"p{r} AS (SELECT pr.a AS a, pr.b AS b, sum(cnt) AS n "
+            f"FROM (SELECT cnt, unnest([{{'a': syms[i], 'b': syms[i+1]}} "
+            f"for i in range(1, len(syms))]) AS pr FROM {prev}) "
+            f"GROUP BY 1, 2)")
+        parts.append(
+            f"b{r} AS (SELECT a, b, n FROM p{r} "
+            f"ORDER BY n DESC, a, b LIMIT 1)")
+        parts.append(
+            f"e{r} AS (SELECT w, cnt, unnest(syms) AS s, "
+            f"unnest(range(1, len(syms) + 1)) AS i FROM {prev})")
+        parts.append(
+            f"c{r} AS (SELECT e.w, e.cnt, e.s, e.i, "
+            f"coalesce(e.s = b.a AND lead(e.s) OVER "
+            f"(PARTITION BY e.w ORDER BY e.i) = b.b, FALSE) AS cand "
+            f"FROM e{r} e, b{r} b)")
+        parts.append(
+            f"g{r} AS (SELECT *, CASE WHEN cand THEN i - row_number() "
+            f"OVER (PARTITION BY w, cand ORDER BY i) END AS grp "
+            f"FROM c{r})")
+        parts.append(
+            f"t{r} AS (SELECT *, cand AND ((i - min(i) OVER "
+            f"(PARTITION BY w, grp)) % 2 = 0) AS take FROM g{r})")
+        parts.append(
+            f"n{r} AS (SELECT w, cnt, i, CASE WHEN take THEN s || "
+            f"lead(s) OVER (PARTITION BY w ORDER BY i) ELSE s END AS ns, "
+            f"coalesce(lag(take) OVER (PARTITION BY w ORDER BY i), FALSE) "
+            f"AS dropped FROM t{r})")
+        parts.append(
+            f"s{r} AS (SELECT w, cnt, list(ns ORDER BY i) AS syms "
+            f"FROM n{r} WHERE NOT dropped GROUP BY w, cnt)")
+    finals = [f"SELECT CAST({r} AS BIGINT) AS step, a AS \"left\", "
+              f"b AS \"right\", CAST(n AS BIGINT) AS pair_count FROM b{r}"
+              for r in range(1, n_merges + 1)]
+    return "WITH " + ",\n".join(parts) + "\n" + "\nUNION ALL\n".join(finals)
+
+
+@register("text_bpe_merges", _bpe_oracle(6))
+def q_text_bpe_merges(spark, sf_dir):
+    """Distributed BPE tokenizer training (text.bpe_train): 6 merge
+    steps learned from the corpus word-count table — the iteration is
+    vocabulary-bounded regardless of corpus size; each step is one
+    pair-count groupBy, a 1-row driver fetch of the winning rule, and
+    a zero-shuffle greedy array fold."""
+    from datawave_spark.operators.text import bpe_train
+    docs = _t(spark, sf_dir, "documents")
+    return bpe_train(docs, "text", n_merges=6, min_pair_count=1)

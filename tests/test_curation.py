@@ -895,3 +895,61 @@ class TestPackTokenSequences:
                                              seq_len=4, strata_col="src",
                                              bin_seqs=2).collect()}
         assert got == want and want
+
+
+class TestBpeTrain:
+    def _referee(self, docs, n_merges, min_pair_count=2):
+        import collections
+        import re
+        tok = lambda s: [t for t in re.split(r"[^a-z0-9]+", s.lower()) if t]
+        wc = collections.Counter(t for _, s in docs for t in tok(s))
+        state = {w: list(w) for w in wc}
+        out = []
+        for step in range(1, n_merges + 1):
+            pc = collections.Counter()
+            for w, syms in state.items():
+                for a, b in zip(syms, syms[1:]):
+                    pc[(a, b)] += wc[w]
+            if not pc:
+                break
+            (a, b), n = sorted(pc.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+            if n < min_pair_count:
+                break
+            out.append((step, a, b, n))
+            for w, syms in state.items():
+                ns = []
+                for x in syms:
+                    if ns and ns[-1] == a and x == b:
+                        ns[-1] = a + b
+                    else:
+                        ns.append(x)
+                state[w] = ns
+        return out
+
+    def test_matches_python_referee(self, spark):
+        from datawave_spark.operators.text import bpe_train
+        docs = [(1, "low lower lowest low low newer new newest wider wide"),
+                (2, "low lower new newer newer banana bandana"),
+                (3, "aaaa aaa aa banana")]
+        df = spark.createDataFrame(docs, "id long, t string")
+        got = [(r.step, r.left, r.right, r.pair_count)
+               for r in bpe_train(df, "t", n_merges=6).collect()]
+        assert got == self._referee(docs, 6) and len(got) == 6
+
+    def test_overlapping_run_merges_greedily(self, spark):
+        """'aaaa' under merge (a,a) must become [aa, aa] — every other
+        candidate in the run, exactly reference BPE."""
+        from datawave_spark.operators.text import bpe_train
+        df = spark.createDataFrame([(1, "aaaa aaaa aaaa")],
+                                   "id long, t string")
+        got = [(r.step, r.left, r.right) for r in
+               bpe_train(df, "t", n_merges=2, min_pair_count=1).collect()]
+        # round 1: (a,a) n=9; round 2: (aa,aa) n=3 — proves both the
+        # greedy pairing and that merged symbols pair in later rounds
+        assert got == [(1, "a", "a"), (2, "aa", "aa")]
+
+    def test_stops_below_min_pair_count(self, spark):
+        from datawave_spark.operators.text import bpe_train
+        df = spark.createDataFrame([(1, "ab cd")], "id long, t string")
+        out = bpe_train(df, "t", n_merges=5, min_pair_count=2).collect()
+        assert out == []    # every pair occurs once

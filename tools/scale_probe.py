@@ -34,7 +34,8 @@ OPS = ["jexl_filter", "groupby", "tokenize_tf", "minhash_sig", "simhash",
        "span_dedup", "rebalance", "semantic_dedup", "kmeans_step",
        "bm25", "edge_dict", "pmi", "validate", "png_decode",
        "gopher", "c4_clean", "dsir", "exsub", "backoff", "budget",
-       "neardup", "pagerank", "token_ids", "chunk_docs", "pack_seqs"]
+       "neardup", "pagerank", "token_ids", "chunk_docs", "pack_seqs",
+       "bpe_train"]
 
 
 def generate(spark):
@@ -182,6 +183,7 @@ def run_one(op: str, events_path: str, docs_path: str,
         "pagerank": lambda d: _pagerank(d),
         "token_ids": lambda d: _token_ids(d),
         "chunk_docs": lambda d: _chunk_docs(d),
+        "bpe_train": lambda d: _bpe_train(d),
         "pack_seqs": lambda d: _pack_seqs(d),
         # fixed 1% benchmark probes the full corpus signatures: cost
         # should track benchmark-bucket size, not corpus size
@@ -234,6 +236,12 @@ def run_one(op: str, events_path: str, docs_path: str,
         vocab.count()
         noop(txt.token_ids(d, "text", "doc_id", vocab))
         vocab.unpersist()
+
+    def _bpe_train(d):
+        # the iteration is vocabulary-bounded: corpus size only
+        # affects the initial word-count groupBy.
+        from datawave_spark.operators.text import bpe_train
+        bpe_train(d, "text", n_merges=6, min_pair_count=1).collect()
 
     def _chunk_docs(d):
         from datawave_spark.operators.text import chunk_documents
