@@ -5664,7 +5664,7 @@ def q_text_pack_sequences(spark, sf_dir):
                                 bin_seqs=4)
 
 
-def _bpe_oracle(n_merges: int) -> str:
+def _bpe_cte_parts(n_merges: int) -> list[str]:
     """Unrolled BPE training replay — one CTE layer per merge.  The
     Spark side applies each merge as a greedy left-to-right array
     fold; SQL has no array-building fold, so the oracle replays the
@@ -5713,10 +5713,35 @@ def _bpe_oracle(n_merges: int) -> str:
         parts.append(
             f"s{r} AS (SELECT w, cnt, list(ns ORDER BY i) AS syms "
             f"FROM n{r} WHERE NOT dropped GROUP BY w, cnt)")
+    return parts
+
+
+def _bpe_oracle(n_merges: int) -> str:
+    parts = _bpe_cte_parts(n_merges)
     finals = [f"SELECT CAST({r} AS BIGINT) AS step, a AS \"left\", "
               f"b AS \"right\", CAST(n AS BIGINT) AS pair_count FROM b{r}"
               for r in range(1, n_merges + 1)]
     return "WITH " + ",\n".join(parts) + "\n" + "\nUNION ALL\n".join(finals)
+
+
+def _bpe_encode_oracle(n_merges: int) -> str:
+    """Replay training's final state s{n} (the segmentation table),
+    join the doc_id%10 corpus subset, fan out subwords with
+    (word_pos, sym_idx) order keys — mirrors text.bpe_encode."""
+    parts = _bpe_cte_parts(n_merges)
+    parts.append(
+        "ex AS (SELECT doc_id, unnest(t) AS w, "
+        "unnest(range(0, len(t))) AS word_pos FROM toks "
+        "WHERE doc_id % 10 = 0)")
+    parts.append(
+        f"j AS (SELECT e.doc_id, e.word_pos, "
+        f"coalesce(s.syms, list_filter(regexp_split_to_array(e.w, ''), "
+        f"c -> c != '')) AS syms "
+        f"FROM ex e LEFT JOIN s{n_merges} s ON s.w = e.w)")
+    return ("WITH " + ",\n".join(parts)
+            + "\nSELECT doc_id, word_pos, "
+            "unnest(range(0, len(syms))) AS sym_idx, "
+            "unnest(syms) AS subword FROM j")
 
 
 @register("text_bpe_merges", _bpe_oracle(6))
@@ -5729,3 +5754,18 @@ def q_text_bpe_merges(spark, sf_dir):
     from datawave_spark.operators.text import bpe_train
     docs = _t(spark, sf_dir, "documents")
     return bpe_train(docs, "text", n_merges=6, min_pair_count=1)
+
+
+@register("text_bpe_encode", _bpe_encode_oracle(6))
+def q_text_bpe_encode(spark, sf_dir):
+    """Apply the learned 6-merge BPE segmentation to the corpus
+    (text.bpe_encode): the training end-state is the vocabulary-sized
+    segmentation table; encoding is posexplode + one broadcast join +
+    posexplode — the corpus never shuffles.  Docs subsetted
+    (doc_id % 10) for the gate; training runs on the FULL corpus."""
+    from datawave_spark.operators.text import bpe_encode, bpe_train
+    docs = _t(spark, sf_dir, "documents")
+    _, segments = bpe_train(docs, "text", n_merges=6, min_pair_count=1,
+                            with_state=True)
+    return bpe_encode(docs.filter(F.col("doc_id") % 10 == 0),
+                      "text", "doc_id", segments)

@@ -581,7 +581,7 @@ def pack_token_sequences(df: DataFrame, text_col: str, id_col: str,
 
 
 def bpe_train(df: DataFrame, text_col: str, n_merges: int = 8,
-              min_pair_count: int = 2) -> DataFrame:
+              min_pair_count: int = 2, with_state: bool = False):
     """Distributed BPE tokenizer training → the learned merge table
     (step, left, right, pair_count): the missing third of the
     tokenizer pipeline alongside :func:`vocab_ids` (apply) and
@@ -607,7 +607,12 @@ def bpe_train(df: DataFrame, text_col: str, n_merges: int = 8,
     Stops early when no pair reaches ``min_pair_count``.  Symbols are
     characters initially; no end-of-word marker (words are trained
     independently, so the marker adds nothing here — documented
-    divergence from Sennrich's '</w>')."""
+    divergence from Sennrich's '</w>').
+
+    ``with_state=True`` additionally returns the final per-word
+    segmentation frame (w, cnt, syms) — training's end state IS the
+    segmentation table :func:`bpe_encode` joins against (real BPE
+    implementations cache exactly this)."""
     from datawave_spark.util import spread
     words = (spread(df)
              .select(F.explode(tokens(F.col(text_col))).alias("w"))
@@ -647,5 +652,29 @@ def bpe_train(df: DataFrame, text_col: str, n_merges: int = 8,
             ).otherwise(F.concat(acc, F.array(x))))
         state = state.select("w", "cnt", fold.alias("syms")) \
             .localCheckpoint(eager=True)
-    return spark.createDataFrame(
+    merges_df = spark.createDataFrame(
         merges, "step long, left string, right string, pair_count long")
+    return (merges_df, state) if with_state else merges_df
+
+
+def bpe_encode(df: DataFrame, text_col: str, id_col: str,
+               segments: DataFrame) -> DataFrame:
+    """Apply a learned BPE segmentation to a corpus → (id, word_pos,
+    sym_idx, subword): tokenize, join each word against the
+    vocabulary-sized segmentation table (:func:`bpe_train`
+    ``with_state=True``), fan out the subwords.  Words outside the
+    table (new batches) fall back to character symbols in-plan.
+
+    Scale shape: posexplode + ONE broadcast join against the
+    vocabulary-sized table + a second posexplode — the corpus never
+    shuffles, mirroring :func:`token_ids`.  (word_pos, sym_idx)
+    carries deterministic order without any window."""
+    toks = df.select(F.col(id_col).alias("__id"),
+                     F.posexplode(tokens(F.col(text_col)))
+                     .alias("word_pos", "w"))
+    joined = toks.join(F.broadcast(segments.select("w", "syms")), "w", "left")
+    syms = F.coalesce(
+        F.col("syms"),
+        F.filter(F.split("w", ""), lambda c: c != ""))
+    return (joined.select(F.col("__id").alias(id_col), "word_pos",
+                          F.posexplode(syms).alias("sym_idx", "subword")))

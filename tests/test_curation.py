@@ -953,3 +953,22 @@ class TestBpeTrain:
         df = spark.createDataFrame([(1, "ab cd")], "id long, t string")
         out = bpe_train(df, "t", n_merges=5, min_pair_count=2).collect()
         assert out == []    # every pair occurs once
+
+    def test_encode_roundtrip_and_oov_fallback(self, spark):
+        """Subwords concatenate back to the original words; a word the
+        table never saw falls back to characters."""
+        from datawave_spark.operators.text import bpe_encode, bpe_train
+        train = spark.createDataFrame(
+            [(1, "low lower lowest low low newer new newest")],
+            "id long, t string")
+        _, seg = bpe_train(train, "t", n_merges=4, min_pair_count=1,
+                           with_state=True)
+        probe = spark.createDataFrame([(7, "lower zebra")],
+                                      "id long, t string")
+        rows = bpe_encode(probe, "t", "id", seg).collect()
+        words = {}
+        for r in sorted(rows, key=lambda r: (r.word_pos, r.sym_idx)):
+            words.setdefault(r.word_pos, []).append(r.subword)
+        assert "".join(words[0]) == "lower"
+        assert words[1] == list("zebra")     # OOV -> chars
+        assert len(words[0]) < 5             # merges actually applied

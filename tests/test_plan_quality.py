@@ -678,3 +678,11 @@ class TestRound5Plans:
         assert "BroadcastHashJoin" in plan
         c = plan_counters(df)
         assert c["n_shuffles"] <= 5
+
+    def test_bpe_encode_broadcast_segmentation(self, spark):
+        """Encoding never shuffles the corpus: the segmentation join
+        must be a broadcast, with no sort-merge exchange."""
+        df = entrymod.queries()["text_bpe_encode"](spark, SF)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" not in plan
+        assert "BroadcastHashJoin" in plan

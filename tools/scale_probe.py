@@ -35,7 +35,7 @@ OPS = ["jexl_filter", "groupby", "tokenize_tf", "minhash_sig", "simhash",
        "bm25", "edge_dict", "pmi", "validate", "png_decode",
        "gopher", "c4_clean", "dsir", "exsub", "backoff", "budget",
        "neardup", "pagerank", "token_ids", "chunk_docs", "pack_seqs",
-       "bpe_train"]
+       "bpe_train", "bpe_encode"]
 
 
 def generate(spark):
@@ -184,6 +184,7 @@ def run_one(op: str, events_path: str, docs_path: str,
         "token_ids": lambda d: _token_ids(d),
         "chunk_docs": lambda d: _chunk_docs(d),
         "bpe_train": lambda d: _bpe_train(d),
+        "bpe_encode": lambda d: _bpe_encode(d),
         "pack_seqs": lambda d: _pack_seqs(d),
         # fixed 1% benchmark probes the full corpus signatures: cost
         # should track benchmark-bucket size, not corpus size
@@ -242,6 +243,14 @@ def run_one(op: str, events_path: str, docs_path: str,
         # affects the initial word-count groupBy.
         from datawave_spark.operators.text import bpe_train
         bpe_train(d, "text", n_merges=6, min_pair_count=1).collect()
+
+    def _bpe_encode(d):
+        # train (vocab-bounded) + encode the full corpus: the encode
+        # half is posexplode + broadcast join + posexplode.
+        from datawave_spark.operators.text import bpe_encode, bpe_train
+        _, seg = bpe_train(d, "text", n_merges=6, min_pair_count=1,
+                           with_state=True)
+        noop(bpe_encode(d, "text", "doc_id", seg))
 
     def _chunk_docs(d):
         from datawave_spark.operators.text import chunk_documents
