@@ -5769,3 +5769,33 @@ def q_text_bpe_encode(spark, sf_dir):
                             with_state=True)
     return bpe_encode(docs.filter(F.col("doc_id") % 10 == 0),
                       "text", "doc_id", segments)
+
+
+@register("federated_edge_query", f"""
+SELECT 'local' AS deployment, source, sink FROM ({_EDGE_DEFS_SQL})
+WHERE sink = 'purchase' AND NOT source = '7'
+UNION ALL
+SELECT 'remote', source, sink FROM (
+  SELECT CAST(user_id AS VARCHAR) AS source, event_type AS sink
+  FROM read_parquet('/root/testdata/sf0.001/events.parquet')
+  WHERE value > 50)
+WHERE sink = 'purchase' AND NOT source = '7'
+""")
+def q_federated_edge(spark, sf_dir):
+    """Federated edge query (RemoteEdgeQueryLogic.java:36, the edge
+    twin of RemoteEventQueryLogic): each deployment's ingest-built
+    edge frame answers the same JEXL independently (own pushdown/scan),
+    merged with a deployment tag — plans/catalog.federated_edge_query.
+    The sf0.001 root plays the remote deployment."""
+    from datawave_spark.edges import EdgeDefinition, build_edges
+    from datawave_spark.plans.catalog import federated_edge_query
+    defs = [EdgeDefinition("user_id", "event_type", "user_event", "did",
+                           precondition="VALUE > 50")]
+    deps = {
+        "local": build_edges(_t(spark, sf_dir, "events"), defs),
+        "remote": build_edges(
+            _t(spark, "/root/testdata/sf0.001", "events"), defs),
+    }
+    out = federated_edge_query(
+        deps, "SINK == 'purchase' && !(SOURCE == '7')")
+    return out.select("deployment", "source", "sink")

@@ -168,3 +168,25 @@ class FederatedCatalog:
         for p in parts[1:]:
             out = out.unionByName(p, allowMissingColumns=True)
         return out
+
+
+def federated_edge_query(deployments: dict[str, DataFrame], jexl: str,
+                         deployment_col: str = "deployment") -> DataFrame:
+    """Cross-deployment edge-query federation — the
+    RemoteEdgeQueryLogic analog (warehouse/query-core/src/main/java/
+    datawave/query/tables/RemoteEdgeQueryLogic.java:36, the edge twin
+    of RemoteEventQueryLogic): each deployment keeps its own
+    ingest-materialized edge frame; the query compiles against each
+    independently (its pushdown reaches its own scan) and results
+    union by name with a deployment tag.  No shuffle is added by the
+    union itself."""
+    from datawave_spark.edges import edge_query
+    if not deployments:
+        raise ValueError("no deployments registered")
+    parts = [edge_query(edges, jexl)
+             .select(F.lit(name).alias(deployment_col), "*")
+             for name, edges in deployments.items()]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p, allowMissingColumns=True)
+    return out

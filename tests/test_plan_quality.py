@@ -686,3 +686,16 @@ class TestRound5Plans:
         plan = df._jdf.queryExecution().executedPlan().toString()
         assert "SortMergeJoin" not in plan
         assert "BroadcastHashJoin" in plan
+
+    def test_federated_edge_pushdown_per_branch(self, spark):
+        """Each deployment's edge scan keeps its own parquet pushdown;
+        the tagged union adds no shuffle."""
+        df = entrymod.queries()["federated_edge_query"](spark, SF)
+        c = plan_counters(df)
+        assert c["n_shuffles"] == 0
+        assert c["n_scans"] == 2
+        # the precondition pushes into BOTH branches' scans; the
+        # SINK/SOURCE predicates sit above the edge fan-out generator
+        # (they filter a derived column), so they are not scan filters
+        pushed = " ".join(c["pushed_filters"])
+        assert pushed.count("GreaterThan(value,50.0)") == 2
