@@ -699,3 +699,55 @@ class TestRound5Plans:
         # (they filter a derived column), so they are not scan filters
         pushed = " ".join(c["pushed_filters"])
         assert pushed.count("GreaterThan(value,50.0)") == 2
+
+
+class TestGlobalPlanLint:
+    """EVERY registered entry, two scale-safety invariants (the
+    per-entry pins above check stronger properties for chosen plans;
+    this is the safety net that new entries cannot slip past):
+
+    - no CartesianProduct anywhere (the documented eval-set-only exact
+      paths are allowlisted, each with a registered blocked/probed
+      alternative);
+    - no row-at-a-time Python eval EVER (BatchEvalPython), and
+      Arrow-batched Python (ArrowEval/MapInPandas/FlatMapGroupsInPandas)
+      only where a codec or real geometry genuinely needs it.
+    """
+
+    # eval-set-only exact paths; each has a registered scale variant
+    CARTESIAN_OK = {
+        "ann_knn_join",          # vs ann_knn_join_blocked / _lsh
+        "dedup_embedding_pairs", # IVF/label-blocked variant registered
+    }
+    ARROW_OK = {
+        # multimodal codecs (stdlib PNG/WAV decode, resize, frames)
+        "multimodal_decode", "multimodal_frame_sample",
+        "multimodal_png_decode", "multimodal_wav_decode",
+        "multimodal_resize", "multimodal_binary_ingest",
+        # XML dump parsing (no native XML source in this container)
+        "xml_reader_query", "wikipedia_ingest",
+        # real ray-cast geometry over bbox-pruned survivors
+        "geowave_polygon_data",
+    }
+
+    def test_every_entry_plan_is_scale_safe(self, spark):
+        import __spark_entry__ as em
+        failures = []
+        for i, (key, fn) in enumerate(sorted(em.queries().items())):
+            if i % 40 == 0:
+                spark.catalog.clearCache()   # bound accumulated persists
+            try:
+                df = fn(spark, SF)
+                plan = df._jdf.queryExecution().executedPlan().toString()
+            except Exception as e:          # noqa: BLE001 — report key
+                failures.append((key, f"plan build failed: {e}"))
+                continue
+            if "CartesianProduct" in plan and key not in self.CARTESIAN_OK:
+                failures.append((key, "CartesianProduct"))
+            if "BatchEvalPython" in plan:
+                failures.append((key, "row-at-a-time Python eval"))
+            if (("ArrowEvalPython" in plan or "MapInPandas" in plan
+                 or "FlatMapGroupsInPandas" in plan)
+                    and key not in self.ARROW_OK):
+                failures.append((key, "unexpected Python stage"))
+        assert not failures, failures
