@@ -21,9 +21,12 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
+from datawave_spark.util import iter_checkpoint
+
 
 def connected_components(pairs: DataFrame, max_iter: int = 15,
-                         driver_threshold: int = 1_000_000) -> DataFrame:
+                         driver_threshold: int = 1_000_000,
+                         reliable: bool = False) -> DataFrame:
     """(id, component) for every vertex in ``pairs`` (id_a, id_b);
     component = the minimum id reachable.
 
@@ -50,7 +53,8 @@ def connected_components(pairs: DataFrame, max_iter: int = 15,
     # partition count to keep each round a handful of tasks (50k edges
     # per partition; large graphs keep full parallelism).
     parts = max(1, min(edges.rdd.getNumPartitions(), n_edges // 50_000 + 1))
-    return _star_components(edges.repartition(parts, "dst"), max_iter)
+    return _star_components(edges.repartition(parts, "dst"), max_iter,
+                             reliable)
 
 
 def _large_star(e: DataFrame) -> DataFrame:
@@ -83,7 +87,8 @@ def _small_star(e: DataFrame) -> DataFrame:
     return nbrs.union(selfs).distinct()
 
 
-def _star_components(edges: DataFrame, max_iter: int) -> DataFrame:
+def _star_components(edges: DataFrame, max_iter: int,
+                     reliable: bool = False) -> DataFrame:
     """Alternate large-star/small-star to fixpoint, then read labels
     off the final star forest: (id, component=min id reachable).
 
@@ -103,7 +108,7 @@ def _star_components(edges: DataFrame, max_iter: int) -> DataFrame:
     prev = None
     converged = False
     for _ in range(max_iter):
-        e = _small_star(_large_star(e)).localCheckpoint(eager=True)
+        e = iter_checkpoint(_small_star(_large_star(e)), reliable)
         n = e.count()
         # convergence: the directed edge set is stable (same size AND
         # no edge changed — checked with one anti-join probe, cheap
@@ -203,7 +208,8 @@ def _pagerank_round(nodes: DataFrame, e: DataFrame, deg: DataFrame,
 
 
 def pagerank(edges: DataFrame, src_col: str = "src", dst_col: str = "dst",
-             iters: int = 10, damping: float = 0.85) -> DataFrame:
+             iters: int = 10, damping: float = 0.85,
+             reliable: bool = False) -> DataFrame:
     """PageRank over a directed edge frame → (node, rank).
 
     The link-analysis companion to the edge table: the reference
@@ -248,8 +254,8 @@ def pagerank(edges: DataFrame, src_col: str = "src", dst_col: str = "dst",
            .withColumnRenamed("src", "node").persist())
     ranks = nodes.select("node", F.lit(1.0 / n).alias("rank"))
     for _ in range(iters):
-        ranks = _pagerank_round(nodes, e, deg, ranks, n, damping) \
-            .localCheckpoint(eager=True)
+        ranks = iter_checkpoint(
+            _pagerank_round(nodes, e, deg, ranks, n, damping), reliable)
     e.unpersist(blocking=False)
     nodes.unpersist(blocking=False)
     deg.unpersist(blocking=False)

@@ -9,7 +9,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, functions as F
 
-from datawave_spark.util import spread
+from datawave_spark.util import iter_checkpoint, spread
 
 TOKEN_RE = "[^a-z0-9]+"
 
@@ -581,7 +581,8 @@ def pack_token_sequences(df: DataFrame, text_col: str, id_col: str,
 
 
 def bpe_train(df: DataFrame, text_col: str, n_merges: int = 8,
-              min_pair_count: int = 2, with_state: bool = False):
+              min_pair_count: int = 2, with_state: bool = False,
+              reliable: bool = False):
     """Distributed BPE tokenizer training → the learned merge table
     (step, left, right, pair_count): the missing third of the
     tokenizer pipeline alongside :func:`vocab_ids` (apply) and
@@ -613,14 +614,14 @@ def bpe_train(df: DataFrame, text_col: str, n_merges: int = 8,
     segmentation frame (w, cnt, syms) — training's end state IS the
     segmentation table :func:`bpe_encode` joins against (real BPE
     implementations cache exactly this)."""
-    from datawave_spark.util import spread
     words = (spread(df)
              .select(F.explode(tokens(F.col(text_col))).alias("w"))
              .groupBy("w").agg(F.count(F.lit(1)).alias("cnt")))
-    state = words.select(
-        "w", "cnt",
-        F.filter(F.split("w", ""), lambda c: c != "").alias("syms")) \
-        .localCheckpoint(eager=True)
+    state = iter_checkpoint(
+        words.select(
+            "w", "cnt",
+            F.filter(F.split("w", ""), lambda c: c != "").alias("syms")),
+        reliable)
     spark = df.sparkSession
     merges: list[tuple[int, str, str, int]] = []
     for step in range(1, n_merges + 1):
@@ -650,8 +651,8 @@ def bpe_train(df: DataFrame, text_col: str, n_merges: int = 8,
                 F.concat(F.slice(acc, F.lit(1), F.size(acc) - 1),
                          F.array(F.concat(F.get(acc, F.size(acc) - 1), x)))
             ).otherwise(F.concat(acc, F.array(x))))
-        state = state.select("w", "cnt", fold.alias("syms")) \
-            .localCheckpoint(eager=True)
+        state = iter_checkpoint(
+            state.select("w", "cnt", fold.alias("syms")), reliable)
     merges_df = spark.createDataFrame(
         merges, "step long, left string, right string, pair_count long")
     return (merges_df, state) if with_state else merges_df

@@ -101,3 +101,22 @@ def z_order_write(df: DataFrame, path: str, cols: list[str],
     (zed.repartitionByRange(num_parts, "__z")
         .sortWithinPartitions("__z").drop("__z")
         .write.mode("overwrite").parquet(path))
+
+
+def iter_checkpoint(df: "DataFrame", reliable: bool = False) -> "DataFrame":
+    """Eager lineage truncation for iterative algorithms (pagerank,
+    connected components, BPE training): per-round plans reference the
+    prior state several times, so without truncation Catalyst
+    re-analyzes a logical tree growing exponentially with rounds.
+
+    ``reliable=False`` (default) uses ``localCheckpoint`` — blocks
+    live on executors, zero external storage, right for local mode and
+    short cluster jobs.  On a LONG multi-executor run an executor loss
+    would kill a local checkpoint mid-iteration; pass
+    ``reliable=True`` (requires ``spark.sparkContext.
+    setCheckpointDir(...)`` on cluster storage) to write rounds to the
+    reliable checkpoint dir instead — the standard GraphFrames/GraphX
+    discipline at 100 TB."""
+    if reliable:
+        return df.checkpoint(eager=True)
+    return df.localCheckpoint(eager=True)

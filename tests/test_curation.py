@@ -972,3 +972,18 @@ class TestBpeTrain:
         assert "".join(words[0]) == "lower"
         assert words[1] == list("zebra")     # OOV -> chars
         assert len(words[0]) < 5             # merges actually applied
+
+    def test_reliable_checkpoint_mode_same_results(self, spark, tmp_path):
+        """reliable=True routes rounds through the reliable checkpoint
+        dir (executor-loss-safe on a real cluster) with identical
+        values."""
+        from datawave_spark.operators.components import pagerank
+        spark.sparkContext.setCheckpointDir(str(tmp_path / "ckpt"))
+        df = spark.createDataFrame(
+            [("a", "b"), ("b", "c"), ("c", "a"), ("d", "a")],
+            "src string, dst string")
+        local = {r.node: round(r.rank, 9)
+                 for r in pagerank(df, iters=3).collect()}
+        rel = {r.node: round(r.rank, 9)
+               for r in pagerank(df, iters=3, reliable=True).collect()}
+        assert local == rel
