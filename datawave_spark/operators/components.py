@@ -240,9 +240,16 @@ def pagerank(edges: DataFrame, src_col: str = "src", dst_col: str = "dst",
                       F.col(dst_col).cast("string").alias("dst"))
          .filter(F.col("src").isNotNull() & F.col("dst").isNotNull())
          .distinct().persist())
+    n_edges = e.count()
+    # Size the rounds to the graph (the connected_components 50k-rows-
+    # per-partition discipline): per-round cost on a small graph is
+    # pure stage overhead at full shuffle width; large graphs keep
+    # full parallelism.
+    parts = max(1, min(e.rdd.getNumPartitions(), n_edges // 50_000 + 1))
+    e = e.repartition(parts, "src").persist()
     nodes = (e.select(F.col("src").alias("node"))
              .union(e.select(F.col("dst").alias("node")))
-             .distinct().persist())
+             .distinct().repartition(parts, "node").persist())
     n = nodes.count()                    # 1 scalar on the driver
     if n == 0:
         e.unpersist(); nodes.unpersist()
