@@ -5694,10 +5694,14 @@ def _bpe_cte_parts(n_merges: int) -> list[str]:
             f"e{r} AS (SELECT w, cnt, unnest(syms) AS s, "
             f"unnest(range(1, len(syms) + 1)) AS i FROM {prev})")
         parts.append(
+            # LEFT JOIN ON TRUE, not a cross join: when training
+            # exhausts before n_merges, b{r} is EMPTY and a cross join
+            # would wipe the state (Spark carries it) — with the left
+            # join cand coalesces to FALSE and s{r} = s{r-1}
             f"c{r} AS (SELECT e.w, e.cnt, e.s, e.i, "
             f"coalesce(e.s = b.a AND lead(e.s) OVER "
             f"(PARTITION BY e.w ORDER BY e.i) = b.b, FALSE) AS cand "
-            f"FROM e{r} e, b{r} b)")
+            f"FROM e{r} e LEFT JOIN b{r} b ON TRUE)")
         parts.append(
             f"g{r} AS (SELECT *, CASE WHEN cand THEN i - row_number() "
             f"OVER (PARTITION BY w, cand ORDER BY i) END AS grp "

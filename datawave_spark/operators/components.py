@@ -21,7 +21,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-from datawave_spark.util import iter_checkpoint
+from datawave_spark.util import graph_partitions, iter_checkpoint
 
 
 def connected_components(pairs: DataFrame, max_iter: int = 15,
@@ -47,14 +47,17 @@ def connected_components(pairs: DataFrame, max_iter: int = 15,
     n_edges = edges.count()
     pairs_p.unpersist()
     if n_edges <= driver_threshold:
-        return _driver_union_find(edges)
-    # Size the iteration to the graph: per-round cost is dominated by
-    # stage overhead when the edge frame is small, so shrink the
-    # partition count to keep each round a handful of tasks (50k edges
-    # per partition; large graphs keep full parallelism).
-    parts = max(1, min(edges.rdd.getNumPartitions(), n_edges // 50_000 + 1))
-    return _star_components(edges.repartition(parts, "dst"), max_iter,
-                             reliable)
+        out = _driver_union_find(edges)   # collects inside
+        edges.unpersist(blocking=False)
+        return out
+    parts = graph_partitions(n_edges, edges.rdd.getNumPartitions())
+    out = _star_components(edges.repartition(parts, "dst"), max_iter,
+                           reliable)
+    # every frame in `out` is checkpoint-backed by now (rounds are
+    # eager; loops_only is checkpointed in _star_components), so the
+    # persisted edge frame can go
+    edges.unpersist(blocking=False)
+    return out
 
 
 def _large_star(e: DataFrame) -> DataFrame:
@@ -102,8 +105,9 @@ def _star_components(edges: DataFrame, max_iter: int,
     # vertices appearing ONLY in self-loops have no real edges but are
     # still vertices — the driver union-find keeps them; the star
     # iteration must too (they are their own component)
-    loops_only = (edges.filter(F.col("src") == F.col("dst"))
-                  .select(F.col("src").alias("id")).distinct())
+    loops_only = iter_checkpoint(
+        edges.filter(F.col("src") == F.col("dst"))
+        .select(F.col("src").alias("id")).distinct(), reliable)
     e = edges.filter(F.col("src") != F.col("dst"))
     prev = None
     converged = False
@@ -236,17 +240,17 @@ def pagerank(edges: DataFrame, src_col: str = "src", dst_col: str = "dst",
     checkpoint truncates lineage outright.  Fixed ``iters`` (no
     convergence collect): deterministic plan count, and 10 rounds is
     standard for ranking stability."""
-    e = (edges.select(F.col(src_col).cast("string").alias("src"),
-                      F.col(dst_col).cast("string").alias("dst"))
-         .filter(F.col("src").isNotNull() & F.col("dst").isNotNull())
-         .distinct().persist())
-    n_edges = e.count()
-    # Size the rounds to the graph (the connected_components 50k-rows-
-    # per-partition discipline): per-round cost on a small graph is
-    # pure stage overhead at full shuffle width; large graphs keep
-    # full parallelism.
-    parts = max(1, min(e.rdd.getNumPartitions(), n_edges // 50_000 + 1))
-    e = e.repartition(parts, "src").persist()
+    e0 = (edges.select(F.col(src_col).cast("string").alias("src"),
+                       F.col(dst_col).cast("string").alias("dst"))
+          .filter(F.col("src").isNotNull() & F.col("dst").isNotNull())
+          .distinct().persist())
+    n_edges = e0.count()
+    parts = graph_partitions(n_edges, e0.rdd.getNumPartitions())
+    # eager-checkpoint the sized edge frame so the pre-repartition
+    # cache entry can be dropped NOW (rebinding the name would
+    # otherwise strand it in the CacheManager for the session)
+    e = iter_checkpoint(e0.repartition(parts, "src"), reliable)
+    e0.unpersist(blocking=False)
     nodes = (e.select(F.col("src").alias("node"))
              .union(e.select(F.col("dst").alias("node")))
              .distinct().repartition(parts, "node").persist())
@@ -263,7 +267,6 @@ def pagerank(edges: DataFrame, src_col: str = "src", dst_col: str = "dst",
     for _ in range(iters):
         ranks = iter_checkpoint(
             _pagerank_round(nodes, e, deg, ranks, n, damping), reliable)
-    e.unpersist(blocking=False)
     nodes.unpersist(blocking=False)
     deg.unpersist(blocking=False)
     return ranks

@@ -164,10 +164,16 @@ class FederatedCatalog:
             parts.append(df.select(F.lit(name).alias(deployment_col), "*"))
         if not parts:
             raise ValueError("query pruned for every deployment")
-        out = parts[0]
-        for p in parts[1:]:
-            out = out.unionByName(p, allowMissingColumns=True)
-        return out
+        return _union_by_name(parts)
+
+
+def _union_by_name(parts: list[DataFrame]) -> DataFrame:
+    """Tagged-deployment merge: by-name union tolerating per-source
+    schema gaps — the one fold every federation path shares."""
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p, allowMissingColumns=True)
+    return out
 
 
 def federated_edge_query(deployments: dict[str, DataFrame], jexl: str,
@@ -183,10 +189,7 @@ def federated_edge_query(deployments: dict[str, DataFrame], jexl: str,
     from datawave_spark.edges import edge_query
     if not deployments:
         raise ValueError("no deployments registered")
-    parts = [edge_query(edges, jexl)
-             .select(F.lit(name).alias(deployment_col), "*")
-             for name, edges in deployments.items()]
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionByName(p, allowMissingColumns=True)
-    return out
+    return _union_by_name(
+        [edge_query(edges, jexl)
+         .select(F.lit(name).alias(deployment_col), "*")
+         for name, edges in deployments.items()])

@@ -120,3 +120,13 @@ def iter_checkpoint(df: "DataFrame", reliable: bool = False) -> "DataFrame":
     if reliable:
         return df.checkpoint(eager=True)
     return df.localCheckpoint(eager=True)
+
+
+def graph_partitions(n_rows: int, current: int,
+                     rows_per_partition: int = 50_000) -> int:
+    """Partition count for graph-iteration frames (connected
+    components, pagerank): per-round cost on a small graph is pure
+    stage overhead at full shuffle width, so size rounds to the data —
+    ~50k rows per partition, clamped to the incoming width so large
+    graphs keep full parallelism."""
+    return max(1, min(current, n_rows // rows_per_partition + 1))

@@ -973,12 +973,17 @@ class TestBpeTrain:
         assert words[1] == list("zebra")     # OOV -> chars
         assert len(words[0]) < 5             # merges actually applied
 
-    def test_reliable_checkpoint_mode_same_results(self, spark, tmp_path):
+    def test_reliable_checkpoint_mode_same_results(self, spark):
         """reliable=True routes rounds through the reliable checkpoint
         dir (executor-loss-safe on a real cluster) with identical
-        values."""
+        values.  The dir must OUTLIVE this test: setCheckpointDir is
+        session-global, so a pytest tmp_path would leave later
+        checkpoint users pointing at a deleted directory."""
+        import tempfile
+
         from datawave_spark.operators.components import pagerank
-        spark.sparkContext.setCheckpointDir(str(tmp_path / "ckpt"))
+        spark.sparkContext.setCheckpointDir(
+            tempfile.mkdtemp(prefix="dw_ckpt_"))
         df = spark.createDataFrame(
             [("a", "b"), ("b", "c"), ("c", "a"), ("d", "a")],
             "src string, dst string")

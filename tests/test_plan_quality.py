@@ -730,10 +730,23 @@ class TestGlobalPlanLint:
         "geowave_polygon_data",
     }
 
+    # entries whose returned frame is a post-execution scan (memory
+    # sink / checkpoint): building them runs the whole workload and
+    # the inspected plan would be a vacuous Scan ExistingRDD anyway —
+    # their real plans are pinned by dedicated tests above
+    VACUOUS_PLAN = {
+        "edge_pagerank", "text_bpe_merges",
+        "streaming_window_counts", "streaming_session_windows",
+        "streaming_interval_join", "streaming_stateful_dedup",
+        "streaming_dedup_watermark", "streaming_flagmaker_ingest",
+    }
+
     def test_every_entry_plan_is_scale_safe(self, spark):
         import __spark_entry__ as em
         failures = []
         for i, (key, fn) in enumerate(sorted(em.queries().items())):
+            if key in self.VACUOUS_PLAN:
+                continue
             if i % 40 == 0:
                 spark.catalog.clearCache()   # bound accumulated persists
             try:
