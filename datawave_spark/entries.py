@@ -5803,3 +5803,31 @@ def q_federated_edge(spark, sf_dir):
     out = federated_edge_query(
         deps, "SINK == 'purchase' && !(SOURCE == '7')")
     return out.select("deployment", "source", "sink")
+
+
+@register("schema_evolution_query", """
+SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS day,
+       count(*) AS n,
+       round(sum(value), 4) AS sum_value,
+       count(CASE WHEN CAST(ts AS DATE) >= DATE '2024-01-16'
+                  THEN 1 END) AS n_sessions
+FROM events WHERE value > 100 GROUP BY day
+""")
+def q_schema_evolution(spark, sf_dir):
+    """Schema evolution across ingest epochs (the schema-less
+    reference's dynamic-field arrival, SURVEY §1.2: any field may
+    appear from some config change onward): days before 2024-01-16
+    were ingested without session_id/props, later days carry both.
+    read_evolving merges per-file schemas so one query spans both
+    epochs — early rows surface session_id as NULL — while value
+    pushdown and date partition pruning survive (plan-pinned).  The
+    oracle replays from the un-evolved events table: evolution must
+    not change any answer."""
+    from datawave_spark.sources.parquet import read_evolving
+    from datawave_spark.sources.prepared import evolving_events
+    root = evolving_events(spark, sf_dir)
+    ev = read_evolving(spark, root).filter(F.col("value") > 100)
+    return (ev.groupBy(F.col("event_date").cast("string").alias("day"))
+              .agg(F.count(F.lit(1)).alias("n"),
+                   F.round(F.sum("value"), 4).alias("sum_value"),
+                   F.count("session_id").alias("n_sessions")))

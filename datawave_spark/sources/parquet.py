@@ -46,3 +46,18 @@ def read_parquet(spark: SparkSession, path: str) -> DataFrame:
     for c in ns_cols:
         df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
     return df
+
+
+def read_evolving(spark: SparkSession, root: str) -> DataFrame:
+    """Read a date-partitioned event store whose schema EVOLVED across
+    partitions (fields added by later ingest configs — the schema-less
+    reference's normal life): ``mergeSchema`` unions per-file footers,
+    so early partitions surface the late-arriving columns as NULL.
+    Predicate pushdown and partition pruning survive — the merged
+    schema changes only the read schema, not the scan mechanics
+    (plan-pinned).  At 100 TB prefer this over a blind
+    ``spark.read.parquet``: the default takes ONE random footer and
+    silently drops columns that file happens to lack."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    return spark.read.option("mergeSchema", "true").parquet(root)

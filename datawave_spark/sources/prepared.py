@@ -108,6 +108,8 @@ def build_all(spark: SparkSession, sf_dir: str) -> dict[str, int]:
     out["xml_docs"] = -1
     wiki_dump_path(spark, sf_dir)
     out["wiki_dump"] = -1
+    evolving_events(spark, sf_dir)
+    out["evolving_events"] = -1
     for name, fn in builders.items():
         out[name] = fn(spark, sf_dir).count()
     return out
@@ -770,3 +772,38 @@ def png_files_path(spark: SparkSession, sf_dir: str,
         with open(marker, "w"):
             pass
     return path
+
+
+def evolving_events(spark: SparkSession, sf_dir: str) -> str:
+    """Two-epoch date-partitioned event layout for SCHEMA EVOLUTION —
+    the reference's defining trait is schema-less dynamic fields (any
+    field may appear on any event from some ingest-config change
+    onward, SURVEY §1.2/§1.4); on parquet that is schema evolution
+    across partitions.  Days before 2024-01-16 are written by the "v1
+    ingest config" (no props, no session_id — the fields didn't exist
+    yet); later days add props and a NEW session_id field.  Queries
+    read the union schema via read_evolving."""
+    import shutil as _sh
+
+    from pyspark.sql import functions as F
+
+    from datawave_spark.sources.parquet import read_parquet
+
+    root = prepared_path(sf_dir, "evolving_events")
+    marker = os.path.join(root, "_SUCCESS.evolved")
+    if not os.path.exists(marker):
+        if os.path.isdir(root):
+            _sh.rmtree(root)
+        ev = read_parquet(spark, os.path.join(sf_dir, "events.parquet")) \
+            .withColumn("event_date", F.col("ts").cast("date"))
+        old = ev.filter(F.col("event_date") < "2024-01-16").drop("props")
+        new = (ev.filter(F.col("event_date") >= "2024-01-16")
+               .withColumn("session_id",
+                           F.concat_ws(":",
+                                       F.col("user_id").cast("string"),
+                                       F.col("event_date").cast("string"))))
+        old.write.partitionBy("event_date").mode("overwrite").parquet(root)
+        new.write.partitionBy("event_date").mode("append").parquet(root)
+        with open(marker, "w"):
+            pass
+    return root

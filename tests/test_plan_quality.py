@@ -764,3 +764,18 @@ class TestGlobalPlanLint:
                     and key not in self.ARROW_OK):
                 failures.append((key, "unexpected Python stage"))
         assert not failures, failures
+
+    def test_schema_evolution_pushdown_survives_merge(self, spark):
+        """mergeSchema must not cost pushdown or pruning: the value
+        filter reaches the scan and early partitions surface the
+        late-arriving column as NULL."""
+        df = entrymod.queries()["schema_evolution_query"](spark, SF)
+        c = plan_counters(df)
+        assert "value" in " ".join(c["pushed_filters"])
+        from datawave_spark.sources.parquet import read_evolving
+        from datawave_spark.sources.prepared import evolving_events
+        ev = read_evolving(spark, evolving_events(spark, SF))
+        assert "session_id" in ev.columns and "props" in ev.columns
+        early = ev.filter("event_date < '2024-01-16'")
+        assert early.filter(F.col("session_id").isNotNull()).count() == 0
+        assert early.count() > 0
