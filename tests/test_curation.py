@@ -992,3 +992,48 @@ class TestBpeTrain:
         rel = {r.node: round(r.rank, 9)
                for r in pagerank(df, iters=3, reliable=True).collect()}
         assert local == rel
+
+    def test_random_corpus_matches_referee(self, spark):
+        """Seeded fuzz (the stupid-backoff referee pattern): 30 random
+        short-alphabet docs — small alphabet forces heavy merge overlap
+        and repeated-symbol runs, the fold's hard cases."""
+        import random
+        rng = random.Random(23)
+        docs = [(i, " ".join("".join(rng.choice("abc")
+                                     for _ in range(rng.randint(1, 6)))
+                             for _ in range(rng.randint(1, 10))))
+                for i in range(30)]
+        from datawave_spark.operators.text import bpe_train
+        df = spark.createDataFrame(docs, "id long, t string")
+        got = [(r.step, r.left, r.right, r.pair_count)
+               for r in bpe_train(df, "t", n_merges=8,
+                                  min_pair_count=1).collect()]
+        assert got == self._referee(docs, 8, min_pair_count=1) and got
+
+
+class TestChunkReconstruction:
+    def test_chunks_reassemble_to_original_tokens(self, spark):
+        """Dropping each chunk's first `overlap` tokens (except chunk
+        0) and concatenating must reproduce the exact token stream —
+        the no-loss/no-duplication property of overlapped windows."""
+        import random
+        import re
+        from datawave_spark.operators.text import chunk_documents
+        rng = random.Random(7)
+        docs = [(i, " ".join(f"t{rng.randint(0, 99)}"
+                             for _ in range(rng.randint(0, 40))))
+                for i in range(25)]
+        df = spark.createDataFrame(docs, "id long, t string")
+        rows = chunk_documents(df, "t", "id", chunk_tokens=7,
+                               overlap=3).collect()
+        tok = lambda s: [t for t in re.split(r"[^a-z0-9]+", s.lower()) if t]
+        by_doc: dict[int, list] = {}
+        for r in rows:
+            by_doc.setdefault(r.id, []).append((r.chunk_id, r.chunk_text))
+        for i, txt in docs:
+            want = tok(txt)
+            rebuilt = []
+            for cid, ctext in sorted(by_doc[i]):
+                toks = ctext.split() if ctext else []
+                rebuilt.extend(toks if cid == 0 else toks[3:])
+            assert rebuilt == want, f"doc {i}"
