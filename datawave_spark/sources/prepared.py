@@ -93,6 +93,7 @@ def build_all(spark: SparkSession, sf_dir: str) -> dict[str, int]:
         "embedding_int8": embedding_int8, "embedding_pq": embedding_pq,
         "events_zorder": events_zorder,
         "classifier_weights": classifier_weights,
+        "bpe_merges": bpe_merges, "bpe_segments": bpe_segments,
     }
     sharded_events(spark, sf_dir)
     out["sharded_events"] = -1   # path-returning asset; not counted
@@ -807,3 +808,40 @@ def evolving_events(spark: SparkSession, sf_dir: str) -> str:
         with open(marker, "w"):
             pass
     return root
+
+
+def bpe_merges(spark: SparkSession, sf_dir: str,
+               n_merges: int = 6) -> DataFrame:
+    """The learned BPE merge table (step, left, right, pair_count) as
+    a STORED ingest asset — tokenizer training is an ingest-side job
+    (the signatures/codebooks discipline); queries read the result."""
+    from datawave_spark.operators.text import bpe_train
+    from datawave_spark.sources.parquet import read_parquet
+
+    def build():
+        docs = read_parquet(spark, os.path.join(sf_dir,
+                                                "documents.parquet"))
+        return bpe_train(docs, "text", n_merges=n_merges,
+                         min_pair_count=1)
+
+    return get_or_build(spark, sf_dir, f"bpe_merges_{n_merges}", build,
+                        num_parts=1)
+
+
+def bpe_segments(spark: SparkSession, sf_dir: str,
+                 n_merges: int = 6) -> DataFrame:
+    """The BPE training end-state (w, cnt, syms) — the vocabulary-
+    sized segmentation table bpe_encode broadcast-joins against,
+    stored at ingest alongside the merge table."""
+    from datawave_spark.operators.text import bpe_train
+    from datawave_spark.sources.parquet import read_parquet
+
+    def build():
+        docs = read_parquet(spark, os.path.join(sf_dir,
+                                                "documents.parquet"))
+        _, seg = bpe_train(docs, "text", n_merges=n_merges,
+                           min_pair_count=1, with_state=True)
+        return seg
+
+    return get_or_build(spark, sf_dir, f"bpe_segments_{n_merges}",
+                        build, range_by="w")

@@ -735,7 +735,7 @@ class TestGlobalPlanLint:
     # the inspected plan would be a vacuous Scan ExistingRDD anyway —
     # their real plans are pinned by dedicated tests above
     VACUOUS_PLAN = {
-        "edge_pagerank", "text_bpe_merges",
+        "edge_pagerank",
         "streaming_window_counts", "streaming_session_windows",
         "streaming_interval_join", "streaming_stateful_dedup",
         "streaming_dedup_watermark", "streaming_flagmaker_ingest",
