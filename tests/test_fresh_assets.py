@@ -22,9 +22,11 @@ def test_build_all_and_query_cold(spark, fresh_root):
     # assets report -1 by convention)
     assert all(v != 0 for v in counts.values())
     assert {"index_frame", "doc_tf", "embedding_pq", "events_zorder",
-            "classifier_weights", "wiki_dump"} <= set(counts)
+            "classifier_weights", "wiki_dump", "bpe_merges",
+            "bpe_segments", "evolving_events"} <= set(counts)
     # one query per family over the cold-built assets
     from datawave_spark.entries import QUERIES
     for key in ("index_driven_query", "content_phrase",
-                "zorder_two_axis_query", "text_classifier_score"):
+                "zorder_two_axis_query", "text_classifier_score",
+                "text_bpe_encode", "schema_evolution_query"):
         assert QUERIES[key](spark, SF).count() >= 0
