@@ -797,7 +797,11 @@ def evolving_events(spark: SparkSession, sf_dir: str) -> str:
             _sh.rmtree(root)
         ev = read_parquet(spark, os.path.join(sf_dir, "events.parquet")) \
             .withColumn("event_date", F.col("ts").cast("date"))
-        old = ev.filter(F.col("event_date") < "2024-01-16").drop("props")
+        # NULL dates ride with the v1 epoch: both epoch filters are
+        # NULL-false, so without this a NULL-ts row would silently
+        # land in NEITHER epoch and evolution WOULD change answers
+        old = ev.filter((F.col("event_date") < "2024-01-16")
+                        | F.col("event_date").isNull()).drop("props")
         new = (ev.filter(F.col("event_date") >= "2024-01-16")
                .withColumn("session_id",
                            F.concat_ws(":",
@@ -810,22 +814,37 @@ def evolving_events(spark: SparkSession, sf_dir: str) -> str:
     return root
 
 
+def _bpe_model(spark: SparkSession, sf_dir: str,
+               n_merges: int) -> tuple[DataFrame, DataFrame]:
+    """Build-or-read BOTH tokenizer assets.  Training runs AT MOST
+    once per cold build (with_state=True yields the merge table and
+    the segmentation end-state from the same run), memoized across
+    the two get_or_build closures."""
+    from datawave_spark.operators.text import bpe_train
+    from datawave_spark.sources.parquet import read_parquet
+    memo: dict = {}
+
+    def train():
+        if "r" not in memo:
+            docs = read_parquet(spark, os.path.join(sf_dir,
+                                                    "documents.parquet"))
+            memo["r"] = bpe_train(docs, "text", n_merges=n_merges,
+                                  min_pair_count=1, with_state=True)
+        return memo["r"]
+
+    merges = get_or_build(spark, sf_dir, f"bpe_merges_{n_merges}",
+                          lambda: train()[0].coalesce(1))
+    segments = get_or_build(spark, sf_dir, f"bpe_segments_{n_merges}",
+                            lambda: train()[1], range_by="w")
+    return merges, segments
+
+
 def bpe_merges(spark: SparkSession, sf_dir: str,
                n_merges: int = 6) -> DataFrame:
     """The learned BPE merge table (step, left, right, pair_count) as
     a STORED ingest asset — tokenizer training is an ingest-side job
     (the signatures/codebooks discipline); queries read the result."""
-    from datawave_spark.operators.text import bpe_train
-    from datawave_spark.sources.parquet import read_parquet
-
-    def build():
-        docs = read_parquet(spark, os.path.join(sf_dir,
-                                                "documents.parquet"))
-        return bpe_train(docs, "text", n_merges=n_merges,
-                         min_pair_count=1)
-
-    return get_or_build(spark, sf_dir, f"bpe_merges_{n_merges}", build,
-                        num_parts=1)
+    return _bpe_model(spark, sf_dir, n_merges)[0]
 
 
 def bpe_segments(spark: SparkSession, sf_dir: str,
@@ -833,15 +852,4 @@ def bpe_segments(spark: SparkSession, sf_dir: str,
     """The BPE training end-state (w, cnt, syms) — the vocabulary-
     sized segmentation table bpe_encode broadcast-joins against,
     stored at ingest alongside the merge table."""
-    from datawave_spark.operators.text import bpe_train
-    from datawave_spark.sources.parquet import read_parquet
-
-    def build():
-        docs = read_parquet(spark, os.path.join(sf_dir,
-                                                "documents.parquet"))
-        _, seg = bpe_train(docs, "text", n_merges=n_merges,
-                           min_pair_count=1, with_state=True)
-        return seg
-
-    return get_or_build(spark, sf_dir, f"bpe_segments_{n_merges}",
-                        build, range_by="w")
+    return _bpe_model(spark, sf_dir, n_merges)[1]

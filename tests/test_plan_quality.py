@@ -771,7 +771,9 @@ class TestGlobalPlanLint:
         late-arriving column as NULL."""
         df = entrymod.queries()["schema_evolution_query"](spark, SF)
         c = plan_counters(df)
-        assert "value" in " ".join(c["pushed_filters"])
+        # the exact comparison, not just IsNotNull(value) — mergeSchema
+        # type-widening inserting a cast is the classic pushdown killer
+        assert "GreaterThan(value,100.0)" in " ".join(c["pushed_filters"])
         from datawave_spark.sources.parquet import read_evolving
         from datawave_spark.sources.prepared import evolving_events
         ev = read_evolving(spark, evolving_events(spark, SF))
