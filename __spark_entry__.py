@@ -34,26 +34,56 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """All registered queries, ordered so keys the driver has NEVER
-    checked (absent from every committed CORRECTNESS_r*.json) come
-    first — the driver gate samples a prefix-biased subset per round,
-    so this rotation turns judge-verified claims into driver facts for
-    every operator over successive rounds.  Ordering is stable within
-    each group (registration order)."""
+    """All registered queries, ordered so keys WITHOUT current green
+    driver evidence come first — the driver gate samples a
+    prefix-biased subset per round, so this rotation turns
+    judge-verified claims into driver facts for every operator over
+    successive rounds.  A key is "settled" (sorted last) only when
+
+    (a) some committed ``CORRECTNESS_r*.json`` records a
+        ``hash_match: true`` row for it (merely APPEARING in a round
+        file is not evidence — a failure or ``no_oracle`` record must
+        re-queue the key, which the previous membership-based sort got
+        wrong: ``ann_lsh_topk`` gained an oracle after a ``no_oracle``
+        record and then never re-sampled), AND
+    (b) its CURRENT ``oracle_sql()`` string still md5-matches the
+        snapshot taken at that green check
+        (``tools/oracle_green_hashes.json``, maintained by
+        ``tools/record_green_hashes.py``) — editing an oracle
+        invalidates old green evidence, so the key re-queues
+        automatically (the ROUND_NOTES oracle-drift audit, automated).
+
+    Ordering is stable within each group (registration order)."""
     import glob
+    import hashlib
     import json
     import os
 
     qs = {k: v for k, v in QUERIES.items() if k != "flagship"}
-    checked: set[str] = set()
+    green: set[str] = set()
     root = os.path.dirname(os.path.abspath(__file__))
     for p in sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json"))):
         try:
             with open(p) as fh:
-                checked |= set(json.load(fh))
+                records = json.load(fh)
         except (OSError, ValueError):
-            pass
-    order = sorted(qs, key=lambda k: k in checked)
+            continue
+        for k, rec in records.items():
+            if isinstance(rec, dict) and rec.get("hash_match") is True:
+                green.add(k)
+    try:
+        with open(os.path.join(root, "tools",
+                               "oracle_green_hashes.json")) as fh:
+            snapshot = json.load(fh)
+    except (OSError, ValueError):
+        snapshot = {}
+
+    def settled(k: str) -> bool:
+        sql = ORACLES.get(k)
+        return (k in green and sql is not None
+                and snapshot.get(k) == hashlib.md5(sql.encode()).hexdigest())
+
+    order = sorted(qs, key=settled)
     return {k: qs[k] for k in order}
 
 

@@ -1,0 +1,71 @@
+#!/usr/bin/env python3
+"""Regenerate tools/oracle_green_hashes.json — the per-key md5 of the
+oracle SQL as of each key's last driver-green check.
+
+``__spark_entry__.queries()`` front-loads any key whose CURRENT oracle
+md5 differs from this snapshot (or that has no snapshot entry), so
+editing an oracle automatically re-queues the key for the driver gate
+instead of letting stale green evidence stand (automates the round-5
+ROUND_NOTES oracle-drift audit).
+
+Run at ROUND START, right after the driver drops the new
+``CORRECTNESS_r*.json`` and BEFORE touching any oracle this round —
+at that moment the working-tree oracle strings are byte-identical to
+the ones the driver just checked, so "current md5" == "md5 at green".
+If a key's oracle is known to have drifted since its last green (the
+round-5 audit found exactly one: ``dedup_ngram_pairs``), pass it via
+``--exclude`` so it re-queues.
+
+Usage: python tools/record_green_hashes.py [--exclude key ...]
+"""
+
+from __future__ import annotations
+
+import argparse
+import glob
+import hashlib
+import json
+import os
+import sys
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+OUT = os.path.join(ROOT, "tools", "oracle_green_hashes.json")
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--exclude", nargs="*", default=[],
+                    help="keys whose oracle drifted since their last "
+                         "green check — omitted so they re-queue")
+    args = ap.parse_args()
+
+    sys.path.insert(0, ROOT)
+    import __spark_entry__ as m
+
+    oracles = m.oracle_sql()
+    green: set[str] = set()
+    for p in sorted(glob.glob(os.path.join(ROOT, "CORRECTNESS_r*.json"))):
+        try:
+            with open(p) as fh:
+                records = json.load(fh)
+        except (OSError, ValueError):
+            continue
+        for k, rec in records.items():
+            if isinstance(rec, dict) and rec.get("hash_match") is True:
+                green.add(k)
+
+    snapshot = {
+        k: hashlib.md5(oracles[k].encode()).hexdigest()
+        for k in sorted(green)
+        if k in oracles and k not in set(args.exclude)
+    }
+    with open(OUT, "w") as fh:
+        json.dump(snapshot, fh, indent=1, sort_keys=True)
+        fh.write("\n")
+    print(f"wrote {OUT}: {len(snapshot)} green keys "
+          f"({len(green) - len(snapshot)} excluded/oracle-less)")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
