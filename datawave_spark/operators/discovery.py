@@ -68,12 +68,39 @@ def facets_with_cardinality(df: DataFrame, facet_fields: list[str],
     """Facet counts + per-facet-value cardinality sketch of another
     field — the precomputed facet table's (count, HLL) pair
     (FacetHandler.java:52 stores cardinality sketches alongside
-    counts)."""
+    counts).  Uses Spark's native HLL++ (``approx_count_distinct``),
+    whose sketch is engine-private — accuracy is unit-tested; the
+    DRIVER-GATED variant is :func:`facets_with_cardinality_det`."""
     return (_unpivot(df, facet_fields, keep=[cardinality_of])
             .groupBy("field", "value")
             .agg(F.count(F.lit(1)).alias("cnt"),
                  F.approx_count_distinct(F.col(f"__keep_{cardinality_of}"))
                  .alias("cardinality")))
+
+
+def facets_with_cardinality_det(df: DataFrame, facet_fields: list[str],
+                                cardinality_of: str, b: int = 8) -> DataFrame:
+    """:func:`facets_with_cardinality` with the HOUSE md5-bit HLL
+    (sketches.hll_group_estimate) instead of the engine-private HLL++,
+    so the whole (count, cardinality-estimate) pair is replayable in
+    DuckDB and hash-checkable by the driver gate.  Two
+    facet-table-sized aggregates joined on (field, value): the count
+    covers ALL rows (null ``cardinality_of`` included, matching the
+    approx variant's count semantics) while the sketch drops nulls, so
+    a single groupBy cannot produce both — the join input is
+    vocabulary-sized either way."""
+    from datawave_spark.operators.sketches import hll_group_estimate
+    long_df = _unpivot(df, facet_fields, keep=[cardinality_of])
+    cnt = (long_df.groupBy("field", "value")
+           .agg(F.count(F.lit(1)).alias("cnt")))
+    sk = hll_group_estimate(
+        long_df.select("field", "value",
+                       F.col(f"__keep_{cardinality_of}").alias("v")),
+        ["field", "value"], "v", b=b)
+    return (cnt.join(sk.select("field", "value",
+                               F.col("estimate").alias("cardinality")),
+                     ["field", "value"], "left")
+            .select("field", "value", "cnt", "cardinality"))
 
 
 def cardinality(df: DataFrame, fields: list[str]) -> DataFrame:

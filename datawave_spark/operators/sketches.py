@@ -87,15 +87,15 @@ def hll_constant(b: int) -> float:
     return float(alpha * m * m * _POW54)
 
 
-def hll_estimate(df: DataFrame, value_cols: list[str],
-                 b: int = 8) -> DataFrame:
-    """Per-field deterministic HLL: (field, sketch_sum, nonzero_buckets,
-    estimate).  ``value_cols`` are melted to (field, value) rows first
-    (the generator input is computed once per row), so one pass sketches
-    every field — the index-stats job shape."""
+def _hll_core(frame: DataFrame, group_cols: list[str],
+              b: int) -> DataFrame:
+    """Shared md5-bit HLL over a frame with columns ``group_cols + [v]``
+    (``v`` string, nulls already dropped) → one sketch row per group:
+    (group..., sketch_sum, nonzero_buckets, estimate).  The register
+    groupBy is the sketch merge — map-side partial max ships ≤ m rows
+    per task per group."""
     m = 1 << b
     c = hll_constant(b)
-    melted = _melt(df, value_cols)
     hi = F.conv(F.substring(F.md5("v"), 1, 8), 16, 10).cast("long")
     lo = F.conv(F.substring(F.md5("v"), 9, 8), 16, 10).cast("long")
     w = ((hi.bitwiseAND(F.lit((1 << (32 - b)) - 1))
@@ -105,14 +105,15 @@ def hll_estimate(df: DataFrame, value_cols: list[str],
     wbits = (32 - b) + 30
     bitlen = F.length(F.conv(F.col("w").cast("string"), 10, 2))
     rho = (F.lit(wbits + 1) - bitlen).alias("rho")
-    hashed = melted.select("field", F.shiftright(hi, 32 - b).alias("b"), w)
-    regs = (hashed.select("field", "b", rho)
-            .groupBy("field", "b").agg(F.max("rho").alias("mr")))
+    hashed = frame.select(*group_cols,
+                          F.shiftright(hi, 32 - b).alias("b"), w)
+    regs = (hashed.select(*group_cols, "b", rho)
+            .groupBy(*group_cols, "b").agg(F.max("rho").alias("mr")))
     scale = F.lit(1 << wbits).cast("long")
     term = F.pow(F.lit(2.0),
                  (F.lit(wbits) - F.least(F.col("mr"), F.lit(wbits)))
                  .cast("double")).cast("long")
-    aggd = (regs.groupBy("field")
+    aggd = (regs.groupBy(*group_cols)
             .agg(F.sum(term).alias("present_sum"),
                  F.count(F.lit(1)).alias("present")))
     # constant rescaled to the actual window width
@@ -126,9 +127,33 @@ def hll_estimate(df: DataFrame, value_cols: list[str],
         F.lit(float(m)) * F.log(F.lit(float(m)) / zeros)).otherwise(raw)
     est = F.floor(corrected * 100 + F.lit(0.5)) / 100
     return aggd.select(
-        "field", total.alias("sketch_sum"),
+        *group_cols, total.alias("sketch_sum"),
         F.col("present").cast("int").alias("nonzero_buckets"),
         est.alias("estimate"))
+
+
+def hll_estimate(df: DataFrame, value_cols: list[str],
+                 b: int = 8) -> DataFrame:
+    """Per-field deterministic HLL: (field, sketch_sum, nonzero_buckets,
+    estimate).  ``value_cols`` are melted to (field, value) rows first
+    (the generator input is computed once per row), so one pass sketches
+    every field — the index-stats job shape."""
+    return _hll_core(_melt(df, value_cols), ["field"], b)
+
+
+def hll_group_estimate(df: DataFrame, group_cols: list[str],
+                       value_col: str, b: int = 8) -> DataFrame:
+    """One deterministic HLL sketch PER GROUP — the facet table's
+    (facet value → cardinality sketch) pair (reference ingest
+    FacetHandler.java:52 stores a HyperLogLog next to each facet
+    count).  Same md5-bit register math as :func:`hll_estimate`, so a
+    DuckDB oracle replays it bit-for-bit; the register groupBy keys on
+    (group..., bucket) — m rows per group after map-side combine, a
+    facet-table-sized shuffle at any corpus size."""
+    frame = (df.select(*group_cols,
+                       F.col(value_col).cast("string").alias("v"))
+             .filter(F.col("v").isNotNull()))
+    return _hll_core(frame, group_cols, b)
 
 
 def cms_sketch(df: DataFrame, value_col: str, w: int = 1024,

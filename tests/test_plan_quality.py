@@ -393,8 +393,20 @@ class TestPQPlans:
     def test_pq_scan_has_no_python_and_rerank_prunes(self, spark):
         # ADC scoring must be pure JVM (no BatchEvalPython / ArrowEval
         # in the scan), and the rerank's float-table access must be a
-        # semi join on the shortlist, never a full-scan sort
-        df = entrymod.queries()["ann_pq_topk"](spark, SF)
+        # semi join on the shortlist, never a full-scan sort.  The raw
+        # PQ shortlist has no gated entry (folded behind ann_pq_rerank),
+        # so build it from the operator directly.
+        import numpy as np
+        from datawave_spark.operators import similarity
+        from datawave_spark.sources import prepared
+        from datawave_spark.entries import _query_vec
+        bdf = prepared.embedding_pq_codebooks(spark, SF)
+        rows = bdf.orderBy("subspace", "centroid_id").collect()
+        sub = len(rows[0].centroid)
+        books = np.array([r.centroid for r in rows]).reshape(16, 16, sub)
+        encoded = prepared.embedding_pq(spark, SF)
+        df = similarity.pq_topk(encoded, "vec_id", books,
+                                _query_vec(SF), k=10)
         plan = df._jdf.queryExecution().executedPlan().toString()
         assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
         rr = entrymod.queries()["ann_pq_rerank"](spark, SF)

@@ -112,3 +112,43 @@ def test_kmv_union_merge(spark, ev):
                                     k=32).collect())
     whole = sorted(kmv_cardinality(ev, ["event_id"], k=32).collect())
     assert merged == whole
+
+
+def test_hll_group_estimate_per_group_accuracy(spark, ev):
+    """Grouped sketch (one HLL per facet value): each group's estimate
+    tracks that group's exact distinct count, and groups are
+    independent (a hot group cannot inflate a cold one)."""
+    from datawave_spark.operators.sketches import hll_group_estimate
+    got = {r.event_type: r.estimate for r in hll_group_estimate(
+        ev, ["event_type"], "user_id", b=8).collect()}
+    exact = {r.event_type: r.u for r in
+             ev.groupBy("event_type")
+               .agg(F.countDistinct("user_id").alias("u")).collect()}
+    assert set(got) == {k for k, v in exact.items() if v > 0 and k is not None}
+    for k, true in exact.items():
+        if k is None or true == 0:
+            continue
+        assert abs(got[k] - true) / true < 0.25, (k, got[k], true)
+
+
+def test_facets_with_cardinality_det_counts_match_exact(spark, ev):
+    """The deterministic facet pair: counts are EXACT (all rows, null
+    cardinality column included — same semantics as the HLL++ variant)
+    and the sketch estimate tracks the per-facet distinct count."""
+    from datawave_spark.operators.discovery import (
+        facets_with_cardinality, facets_with_cardinality_det)
+    det = {(r.field, r.value): (r.cnt, r.cardinality)
+           for r in facets_with_cardinality_det(
+               ev, ["event_type"], "user_id").collect()}
+    approx = {(r.field, r.value): r.cnt
+              for r in facets_with_cardinality(
+                  ev, ["event_type"], "user_id").collect()}
+    assert {k: v[0] for k, v in det.items()} == approx
+    exact = {("event_type", str(r.event_type)): r.u for r in
+             ev.filter(F.col("event_type").isNotNull())
+               .groupBy("event_type")
+               .agg(F.countDistinct("user_id").alias("u")).collect()}
+    for k, (cnt, card) in det.items():
+        true = exact[k]
+        if true:
+            assert abs(card - true) / true < 0.25, (k, card, true)
