@@ -580,9 +580,62 @@ def pack_token_sequences(df: DataFrame, text_col: str, id_col: str,
         F.col("__strata").alias("strata"), F.col("__bin").alias("bin"), seqs)
 
 
+def _bpe_train_driver(wordcounts: list, n_merges: int,
+                      min_pair_count: int):
+    """Driver-side BPE merge learning over a collected word-count
+    table — EXACTLY the same greedy as the distributed loop (pair
+    counts weighted by word count, best = count desc then
+    lexicographic (a, b), merge applied as a left-to-right
+    non-overlapping fold), so the cutover is invisible to results and
+    to the replayed-training oracle.  Incremental pair-count updates
+    (only words containing the merged pair are re-scanned — the
+    Sennrich reference-implementation trick) keep a 32k-merge vocab at
+    seconds, not hours.
+
+    ``pair_words`` may hold stale word indices (a word that no longer
+    contains the pair): harmless — the decrement-all / fold /
+    increment-all sequence is a no-op for such words."""
+    syms = [[c for c in w] for w, _ in wordcounts]
+    cnts = [c for _, c in wordcounts]
+    from collections import defaultdict
+    pair_counts: dict = defaultdict(int)
+    pair_words: dict = defaultdict(set)
+    for i, s in enumerate(syms):
+        c = cnts[i]
+        for p in zip(s, s[1:]):
+            pair_counts[p] += c
+            pair_words[p].add(i)
+    merges: list[tuple[int, str, str, int]] = []
+    for step in range(1, n_merges + 1):
+        live = [(p, n) for p, n in pair_counts.items()
+                if n >= min_pair_count]
+        if not live:
+            break
+        (a, b), n = min(live, key=lambda kv: (-kv[1], kv[0]))
+        merges.append((step, a, b, int(n)))
+        for i in sorted(pair_words[(a, b)]):
+            s, c = syms[i], cnts[i]
+            for p in zip(s, s[1:]):
+                pair_counts[p] -= c
+            out: list[str] = []
+            for x in s:
+                if out and out[-1] == a and x == b:
+                    out[-1] = out[-1] + x
+                else:
+                    out.append(x)
+            syms[i] = out
+            for p in zip(out, out[1:]):
+                pair_counts[p] += c
+                pair_words[p].add(i)
+        pair_words.pop((a, b), None)
+    state = [(w, c, syms[i]) for i, (w, c) in enumerate(wordcounts)]
+    return merges, state
+
+
 def bpe_train(df: DataFrame, text_col: str, n_merges: int = 8,
               min_pair_count: int = 2, with_state: bool = False,
-              reliable: bool = False):
+              reliable: bool = False,
+              driver_threshold: int = 1_000_000):
     """Distributed BPE tokenizer training → the learned merge table
     (step, left, right, pair_count): the missing third of the
     tokenizer pipeline alongside :func:`vocab_ids` (apply) and
@@ -613,16 +666,39 @@ def bpe_train(df: DataFrame, text_col: str, n_merges: int = 8,
     ``with_state=True`` additionally returns the final per-word
     segmentation frame (w, cnt, syms) — training's end state IS the
     segmentation table :func:`bpe_encode` joins against (real BPE
-    implementations cache exactly this)."""
+    implementations cache exactly this).
+
+    **Driver cutover** (the ``connected_components.driver_threshold``
+    discipline, VERDICT r5 item 5): the iteration state is the
+    word-count table — vocabulary-bounded, never corpus-bounded — so
+    when its row count is ≤ ``driver_threshold`` (it essentially
+    always is: a 100 TB corpus still has a language-sized vocabulary),
+    training collects it ONCE and learns every merge driver-side with
+    the identical greedy (equivalence pinned by test).  This turns the
+    per-merge driver round-trip (1 ``limit(1).collect()`` + 1 eager
+    checkpoint per rule — 32k sequential Spark jobs at a real vocab)
+    into ONE Spark job total.  The distributed per-merge loop remains
+    below for a genuinely unbounded symbol table
+    (``driver_threshold=0`` forces it)."""
     words = (spread(df)
              .select(F.explode(tokens(F.col(text_col))).alias("w"))
              .groupBy("w").agg(F.count(F.lit(1)).alias("cnt")))
+    spark = df.sparkSession
+    if words.count() <= driver_threshold:
+        wc = [(r.w, int(r.cnt)) for r in words.collect()]
+        merges, seg = _bpe_train_driver(wc, n_merges, min_pair_count)
+        merges_df = spark.createDataFrame(
+            merges, "step long, left string, right string, pair_count long")
+        if not with_state:
+            return merges_df
+        state_df = spark.createDataFrame(
+            seg, "w string, cnt long, syms array<string>")
+        return merges_df, state_df
     state = iter_checkpoint(
         words.select(
             "w", "cnt",
             F.filter(F.split("w", ""), lambda c: c != "").alias("syms")),
         reliable)
-    spark = df.sparkSession
     merges: list[tuple[int, str, str, int]] = []
     for step in range(1, n_merges + 1):
         pair_structs = F.when(

@@ -1037,3 +1037,57 @@ class TestChunkReconstruction:
                 toks = ctext.split() if ctext else []
                 rebuilt.extend(toks if cid == 0 else toks[3:])
             assert rebuilt == want, f"doc {i}"
+
+
+class TestBPECutover:
+    def test_driver_cutover_equals_distributed_path(self, spark):
+        """The default driver-side training (vocab fits under
+        driver_threshold, VERDICT r5 item 5) must be indistinguishable
+        from the distributed per-merge loop: identical merge table AND
+        identical end-state segmentation, on a short-alphabet corpus
+        that forces overlap/tie-break edge cases."""
+        import random
+
+        from datawave_spark.operators.text import bpe_train
+        rng = random.Random(41)
+        docs = [(i, " ".join("".join(rng.choice("abc")
+                                     for _ in range(rng.randint(1, 6)))
+                             for _ in range(rng.randint(1, 10))))
+                for i in range(30)]
+        df = spark.createDataFrame(docs, "id long, t string")
+        m_drv, s_drv = bpe_train(df, "t", n_merges=8, min_pair_count=1,
+                                 with_state=True)
+        m_dst, s_dst = bpe_train(df, "t", n_merges=8, min_pair_count=1,
+                                 with_state=True, driver_threshold=0)
+        drv = [(r.step, r.left, r.right, r.pair_count)
+               for r in m_drv.collect()]
+        dst = [(r.step, r.left, r.right, r.pair_count)
+               for r in m_dst.collect()]
+        assert drv == dst and len(drv) == 8
+        seg_a = {r.w: (r.cnt, list(r.syms)) for r in s_drv.collect()}
+        seg_b = {r.w: (r.cnt, list(r.syms)) for r in s_dst.collect()}
+        assert seg_a == seg_b
+
+    def test_large_merge_count_is_one_spark_job(self, spark):
+        """256 merges must not mean 256 Spark jobs: under the cutover
+        the whole training is one word-count job + one collect (the
+        batching alternative would still be ~256/M jobs)."""
+        import random
+
+        from datawave_spark.operators.text import bpe_train
+        rng = random.Random(5)
+        docs = [(i, " ".join("".join(rng.choice("abcdefgh")
+                                     for _ in range(rng.randint(1, 8)))
+                             for _ in range(20)))
+                for i in range(200)]
+        df = spark.createDataFrame(docs, "id long, t string")
+        sc = spark.sparkContext
+        tracker = sc.statusTracker()
+        before = len(tracker.getJobIdsForGroup(None) or [])
+        got = bpe_train(df, "t", n_merges=256, min_pair_count=1).collect()
+        after = len(tracker.getJobIdsForGroup(None) or [])
+        assert got, "training learned no merges"
+        # count + collect + the final merges_df collect: a handful of
+        # jobs, NOT one-per-merge
+        assert after - before <= 6, (before, after)
+
