@@ -5923,3 +5923,41 @@ def q_schema_evolution(spark, sf_dir):
               .agg(F.count(F.lit(1)).alias("n"),
                    F.round(F.sum("value"), 4).alias("sum_value"),
                    F.count("session_id").alias("n_sessions")))
+
+
+@register("streaming_push_results", """
+SELECT event_id, user_id, value FROM events
+WHERE event_type = 'click' AND value > 200
+""")
+def q_streaming_push_results(spark, sf_dir):
+    """Push-mode result delivery (web-services/atom/ Atom feed +
+    web-services/query-websocket/ push — the reference's standing-query
+    delivery surfaces): the events table arrives as a file stream, a
+    standing compiled query runs per micro-batch, and ONLY
+    not-yet-delivered result rows append to the persisted feed (the
+    Atom log), keyed through the delivered ledger
+    (streaming.push.standing_query_push).  The returned frame reads the
+    feed back; the oracle is the same query batch-evaluated — push
+    delivery must lose nothing and duplicate nothing."""
+    import os as _os
+    import shutil as _sh
+    from datawave_spark.sources.prepared import prepared_path
+    from datawave_spark.streaming.push import standing_query_push
+    src = _os.path.join(sf_dir, "events.parquet")
+    sch = spark.read.parquet(src).schema
+    feed = prepared_path(sf_dir, "push_feed")
+    ledger = prepared_path(sf_dir, "push_ledger")
+    ckpt = prepared_path(sf_dir, "push_ckpt")
+    for d in (feed, ledger, ckpt):
+        _sh.rmtree(d, ignore_errors=True)
+
+    def standing(batch):
+        return compile_query(
+            batch, "EVENT_TYPE == 'click' && VALUE > 200") \
+            .select("event_id", "user_id", "value")
+
+    q = standing_query_push(
+        spark, sf_dir, sch, standing, ["event_id"], feed, ledger, ckpt,
+        options={"pathGlobFilter": "events.parquet"})
+    q.awaitTermination()
+    return spark.read.parquet(feed).select("event_id", "user_id", "value")

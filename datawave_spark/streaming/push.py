@@ -1,0 +1,100 @@
+"""Push-mode result delivery — the Atom-feed / websocket analog.
+
+Reference: DataWave's only push-style delivery surfaces are
+``web-services/atom/`` (an Atom feed over query results — a persisted,
+ordered, append-only log a client polls/pages) and
+``web-services/query-websocket/`` (results pushed to a connected
+client as they materialize).  Both sit on the same contract: a
+STANDING query whose new results are delivered exactly once each, in
+arrival order, surviving service restarts.
+
+Spark restatement: a Structured-Streaming ``foreachBatch`` sink over
+the live-ingest stream (streaming/ingest.py).  Per micro-batch the
+standing query runs over the new input, the result keys are
+anti-joined against a persisted DELIVERED LEDGER (so a row that
+re-qualifies in a later batch — late duplicate, replay — is never
+pushed twice), the undelivered remainder is appended to the FEED with
+its delivery epoch (the Atom feed IS this persisted ordered log; a
+websocket fan-out is the same sink with a socket write instead of the
+parquet append), and the keys are recorded in the ledger.
+
+Scale shape: the ledger and feed are RESULT-sized, never input-sized;
+the anti-join is an equi-join on the result key.  Delivery is
+at-least-once on a crash BETWEEN the feed append and the ledger append
+(a retried epoch re-pushes that batch's rows — the right failure bias
+for a feed: duplicates over losses); with a transactional sink (Delta)
+the two appends become one txn and delivery is exactly-once.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import types as T
+from pyspark.sql.streaming import StreamingQuery
+from pyspark.sql.utils import AnalysisException
+
+
+def standing_query_push(spark: SparkSession, input_path: str,
+                        schema: T.StructType,
+                        transform: Callable[[DataFrame], DataFrame],
+                        key_cols: list[str],
+                        feed_path: str, ledger_path: str,
+                        checkpoint_path: str, fmt: str = "parquet",
+                        available_now: bool = True,
+                        options: dict[str, str] | None = None,
+                        sink: Callable[[DataFrame, int], None]
+                        | None = None) -> StreamingQuery:
+    """Run ``transform`` as a standing query over arriving input and
+    push each result row exactly once (per the ledger) to the feed.
+
+    ``sink(new_rows_df, epoch_id)`` is the optional live fan-out hook —
+    the websocket side of the analog — called with ONLY the
+    not-yet-delivered rows of each batch, after the feed append (so a
+    socket consumer and the feed agree).  ``key_cols`` identify a
+    result row for dedup across batches."""
+    reader = spark.readStream.format(fmt).schema(schema)
+    for k, v in (options or {}).items():
+        reader = reader.option(k, v)
+    raw = reader.load(input_path)
+
+    def push_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        results = transform(batch_df)
+        try:
+            delivered = spark.read.parquet(ledger_path) \
+                .select(*key_cols).dropDuplicates(key_cols)
+            new = results.join(delivered, key_cols, "left_anti")
+        except AnalysisException:
+            new = results            # first batch: no ledger yet
+        # within-batch duplicates would double-deliver (the anti-join
+        # only sees PRIOR batches)
+        new = new.dropDuplicates(key_cols).persist()
+        try:
+            (new.withColumn("delivered_epoch", F.lit(int(epoch_id)))
+             .write.mode("append").parquet(feed_path))
+            # the live hook fires BEFORE the ledger append: `new`'s
+            # plan anti-joins the ledger BY PATH, so an action issued
+            # after the append can re-list the ledger (cache re-use is
+            # not guaranteed inside foreachBatch) and see its own keys
+            # — the hook would then stream nothing.  Ordering feed →
+            # sink → ledger keeps every consumer view pre-append;
+            # crash semantics are unchanged (at-least-once either way).
+            if sink is not None:
+                sink(new, int(epoch_id))
+            new.select(*key_cols).write.mode("append").parquet(ledger_path)
+        finally:
+            new.unpersist(blocking=False)
+
+    writer = (raw.writeStream.foreachBatch(push_batch)
+              .option("checkpointLocation", checkpoint_path))
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def read_feed(spark: SparkSession, feed_path: str) -> DataFrame:
+    """The consumer side of the Atom analog: the feed, ordered by
+    delivery epoch — a client pages this exactly like the reference's
+    Atom service pages its per-query collection."""
+    return spark.read.parquet(feed_path).orderBy("delivered_epoch")

@@ -751,6 +751,7 @@ class TestGlobalPlanLint:
         "streaming_window_counts", "streaming_session_windows",
         "streaming_interval_join", "streaming_stateful_dedup",
         "streaming_dedup_watermark", "streaming_flagmaker_ingest",
+        "streaming_push_results",
     }
 
     def test_every_entry_plan_is_scale_safe(self, spark):
