@@ -35,7 +35,8 @@ OPS = ["jexl_filter", "groupby", "tokenize_tf", "minhash_sig", "simhash",
        "bm25", "edge_dict", "pmi", "validate", "png_decode",
        "gopher", "c4_clean", "dsir", "exsub", "backoff", "budget",
        "neardup", "pagerank", "token_ids", "chunk_docs", "pack_seqs",
-       "bpe_train", "bpe_encode"]
+       "bpe_train", "bpe_encode", "federated", "schema_evo",
+       "tokenizer_e2e"]
 
 
 def generate(spark):
@@ -206,7 +207,87 @@ def run_one(op: str, events_path: str, docs_path: str,
              .withColumn("w", F.length("text").cast("long")),
             "doc_id", "src", "w",
             {"s0": 0.4, "s1": 0.3, "s2": 0.2, "s3": 0.1})),
+        "federated": lambda d: _federated(d),
+        "schema_evo": lambda d: _schema_evo(d),
+        "tokenizer_e2e": lambda d: _tokenizer_e2e(d),
     }
+
+    def _federated(d):
+        # two deployments answer the same edge JEXL independently (each
+        # branch keeps its own pushdown scan), merged with a deployment
+        # tag — a tagged union of scans should scale like the scans.
+        from datawave_spark.edges import EdgeDefinition, build_edges
+        from datawave_spark.plans.catalog import federated_edge_query
+        defs = [EdgeDefinition("user_id", "event_type", "ue", "did",
+                               precondition="VALUE > 50")]
+        deps = {
+            "a": build_edges(d.filter(F.col("user_id") % 2 == 0), defs),
+            "b": build_edges(d.filter(F.col("user_id") % 2 == 1), defs),
+        }
+        noop(federated_edge_query(
+            deps, "SINK == 'purchase' && !(SOURCE == '7')"))
+
+    def _event_date(d):
+        if dict(d.dtypes).get("ts") == "bigint":   # nanos-as-long store
+            return F.expr("timestamp_micros(ts div 1000)").cast("date")
+        return F.col("ts").cast("date")
+
+    def _evo_prepare(d):
+        # ingest-side layout build (untimed — run_one pre-builds before
+        # the timer): two-epoch date-partitioned store, later days add
+        # session_id and keep props (prepared.evolving_events shape)
+        root = f"{SCRATCH}/evo_{d.count()}"
+        marker = os.path.join(root, "_done.evolved")
+        if os.path.exists(marker):
+            return root
+        shutil.rmtree(root, ignore_errors=True)
+        ev = d.withColumn("event_date", _event_date(d))
+        old = ev.filter((F.col("event_date") < "2024-01-16")
+                        | F.col("event_date").isNull()).drop("props")
+        new = ev.filter(F.col("event_date") >= "2024-01-16") \
+            .withColumn("session_id",
+                        F.concat_ws(":", F.col("user_id").cast("string"),
+                                    F.col("event_id").cast("string")))
+        old.write.mode("append").partitionBy("event_date").parquet(root)
+        new.write.mode("append").partitionBy("event_date").parquet(root)
+        with open(marker, "w") as fh:
+            fh.write("ok\n")
+        return root
+
+    def _schema_evo(d):
+        # timed half: mergeSchema read over the evolved layout + a
+        # pushed filter + date-grouped aggregate — the question is
+        # whether footer-merging or the NULL-surfaced column adds a
+        # superlinear cost (it must not: merge changes only the read
+        # schema, not the scan mechanics)
+        from datawave_spark.sources.parquet import read_evolving
+        root = _evo_prepare(d)
+        ev = read_evolving(spark, root).filter(F.col("value") > 100)
+        # the warm-up slice may fall entirely inside the v1 epoch, in
+        # which case the merged schema has no session_id at all
+        sess = (F.count("session_id") if "session_id" in ev.columns
+                else F.count(F.lit(None)))
+        noop(ev.groupBy("event_date")
+             .agg(F.count(F.lit(1)).alias("n"),
+                  F.sum("value").alias("s"),
+                  sess.alias("n_sessions")))
+
+    def _tokenizer_e2e(d):
+        # the WHOLE tokenizer pipeline in one timing: vocab build
+        # (stored at ingest) -> id mapping -> overlapped chunking ->
+        # sequence packing; each stage is posexplode + at most ONE
+        # broadcast join, so end-to-end must stay scan-bound linear.
+        from datawave_spark.operators import text as txt
+        vocab = txt.vocab_ids(txt.unigram_counts(d, "text")).persist()
+        vocab.count()
+        noop(txt.token_ids(d, "text", "doc_id", vocab))
+        noop(txt.chunk_documents(d, "text", "doc_id",
+                                 chunk_tokens=32, overlap=8))
+        noop(txt.pack_token_sequences(
+            d.withColumn("src", (F.col("doc_id") % 8).cast("string")),
+            "text", "doc_id", vocab, seq_len=64, strata_col="src",
+            bin_seqs=4))
+        vocab.unpersist()
     def _neardup(d):
         from datawave_spark.operators.curation import decontaminate_neardup
         signed = dedup.attach_minhash_signatures(
@@ -365,12 +446,14 @@ def run_one(op: str, events_path: str, docs_path: str,
                               max_bucket=2000))
 
     if op in ("jexl_filter", "groupby", "edge_dict", "validate",
-              "pagerank"):
+              "pagerank", "federated", "schema_evo"):
         src = ev
     elif op in ("knn_lsh", "knn_blocked", "semantic_dedup", "kmeans_step"):
         src = emb
     else:
         src = docs
+    if op == "schema_evo":
+        _evo_prepare(src)             # ingest-side layout, untimed
     ops[op](src.limit(1000))          # codegen warm-up, untimed
     spark.catalog.clearCache()
     t0 = time.perf_counter()
