@@ -36,7 +36,7 @@ OPS = ["jexl_filter", "groupby", "tokenize_tf", "minhash_sig", "simhash",
        "gopher", "c4_clean", "dsir", "exsub", "backoff", "budget",
        "neardup", "pagerank", "token_ids", "chunk_docs", "pack_seqs",
        "bpe_train", "bpe_encode", "federated", "schema_evo",
-       "tokenizer_e2e"]
+       "tokenizer_e2e", "push"]
 
 
 def generate(spark):
@@ -210,7 +210,32 @@ def run_one(op: str, events_path: str, docs_path: str,
         "federated": lambda d: _federated(d),
         "schema_evo": lambda d: _schema_evo(d),
         "tokenizer_e2e": lambda d: _tokenizer_e2e(d),
+        "push": lambda d: _push(d),
     }
+
+    def _push(d):
+        # standing-query push over the file stream: micro-batch fixed
+        # costs dominate at both scales; the only data-dependent stages
+        # are the per-batch standing query and the ledger anti-join
+        # (result-keyed, result-sized).
+        import shutil as _sh
+        import uuid as _uuid
+        from datawave_spark.streaming.push import standing_query_push
+        tag = _uuid.uuid4().hex[:8]
+        base = f"{SCRATCH}/push_{tag}"
+        # stream straight from the parquet dir the frame was read from
+        # (a limit() warm-up frame still lists the full dir — the
+        # warm-up therefore streams everything once, untimed, which
+        # also pre-warms the timed run's file listing on both scales)
+        src_dir = {os.path.dirname(f) for f in d.inputFiles()}.pop()
+        q = standing_query_push(
+            spark, src_dir, d.schema,
+            lambda b: b.filter(F.col("event_type") == "click")
+                       .select("event_id", "value"),
+            ["event_id"], f"{base}/feed", f"{base}/ledger",
+            f"{base}/ckpt")
+        q.awaitTermination()
+        _sh.rmtree(base, ignore_errors=True)
 
     def _federated(d):
         # two deployments answer the same edge JEXL independently (each
@@ -446,7 +471,7 @@ def run_one(op: str, events_path: str, docs_path: str,
                               max_bucket=2000))
 
     if op in ("jexl_filter", "groupby", "edge_dict", "validate",
-              "pagerank", "federated", "schema_evo"):
+              "pagerank", "federated", "schema_evo", "push"):
         src = ev
     elif op in ("knn_lsh", "knn_blocked", "semantic_dedup", "kmeans_step"):
         src = emb
