@@ -607,8 +607,12 @@ def _bpe_train_driver(wordcounts: list, n_merges: int,
             pair_words[p].add(i)
     merges: list[tuple[int, str, str, int]] = []
     for step in range(1, n_merges + 1):
+        # n > 0 mirrors the distributed loop exactly: its pair frame is
+        # built from pairs PRESENT in words (counts strictly positive),
+        # so a decremented-to-zero husk entry must never be selectable
+        # even when min_pair_count <= 0
         live = [(p, n) for p, n in pair_counts.items()
-                if n >= min_pair_count]
+                if n > 0 and n >= min_pair_count]
         if not live:
             break
         (a, b), n = min(live, key=lambda kv: (-kv[1], kv[0]))
@@ -684,8 +688,13 @@ def bpe_train(df: DataFrame, text_col: str, n_merges: int = 8,
              .select(F.explode(tokens(F.col(text_col))).alias("w"))
              .groupBy("w").agg(F.count(F.lit(1)).alias("cnt")))
     spark = df.sparkSession
-    if words.count() <= driver_threshold:
-        wc = [(r.w, int(r.cnt)) for r in words.collect()]
+    # ONE job decides the cutover AND fetches the data: collecting the
+    # bounded prefix (threshold + 1 rows) replaces a count() + collect()
+    # pair that would scan the corpus twice, and caps driver memory at
+    # the threshold even when the vocabulary is huge
+    probe_rows = words.limit(driver_threshold + 1).collect()
+    if len(probe_rows) <= driver_threshold:
+        wc = [(r.w, int(r.cnt)) for r in probe_rows]
         merges, seg = _bpe_train_driver(wc, n_merges, min_pair_count)
         merges_df = spark.createDataFrame(
             merges, "step long, left string, right string, pair_count long")

@@ -61,11 +61,24 @@ def standing_query_push(spark: SparkSession, input_path: str,
 
     def push_batch(batch_df: DataFrame, epoch_id: int) -> None:
         results = transform(batch_df)
+        # EXPLICIT ledger schema: schema inference over a ledger dir
+        # that a crashed epoch left with only _temporary/_SUCCESS
+        # throws the same AnalysisException as a missing path — and
+        # swallowing that as "first batch" would silently disable dedup
+        # and re-deliver every key.  With the schema pinned, only a
+        # genuinely missing path raises, and only PATH_NOT_FOUND is
+        # treated as first-batch; anything else propagates.
+        key_schema = T.StructType(
+            [results.schema[k] for k in key_cols])
         try:
-            delivered = spark.read.parquet(ledger_path) \
-                .select(*key_cols).dropDuplicates(key_cols)
+            delivered = spark.read.schema(key_schema).parquet(ledger_path)
+            # no dropDuplicates: left_anti excludes a row if ANY match
+            # exists, so deduping the ever-growing ledger would add an
+            # O(ledger) shuffle per batch for zero semantic effect
             new = results.join(delivered, key_cols, "left_anti")
-        except AnalysisException:
+        except AnalysisException as e:
+            if "PATH_NOT_FOUND" not in str(e):
+                raise
             new = results            # first batch: no ledger yet
         # within-batch duplicates would double-deliver (the anti-join
         # only sees PRIOR batches)

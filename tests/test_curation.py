@@ -1091,3 +1091,18 @@ class TestBPECutover:
         # jobs, NOT one-per-merge
         assert after - before <= 6, (before, after)
 
+
+    def test_min_pair_count_zero_no_phantom_merges(self, spark):
+        """min_pair_count=0: decremented-to-zero husk entries in the
+        driver path's pair table must never be selected — both paths
+        stop when no pair EXISTS in any word, emitting identical (and
+        non-padded) merge tables (review r6 finding)."""
+        from datawave_spark.operators.text import bpe_train
+        df = spark.createDataFrame([(1, "ab ab")], "id long, t string")
+        drv = [(r.step, r.left, r.right, r.pair_count) for r in
+               bpe_train(df, "t", n_merges=8, min_pair_count=0).collect()]
+        dst = [(r.step, r.left, r.right, r.pair_count) for r in
+               bpe_train(df, "t", n_merges=8, min_pair_count=0,
+                         driver_threshold=0).collect()]
+        # 'ab' fully merges in one step; no phantom zero-count merges
+        assert drv == dst == [(1, "a", "b", 2)]

@@ -223,17 +223,28 @@ def run_one(op: str, events_path: str, docs_path: str,
         from datawave_spark.streaming.push import standing_query_push
         tag = _uuid.uuid4().hex[:8]
         base = f"{SCRATCH}/push_{tag}"
-        # stream straight from the parquet dir the frame was read from
-        # (a limit() warm-up frame still lists the full dir — the
+        # stream straight from the parquet the frame was read from
+        # (a limit() warm-up frame still lists the full input — the
         # warm-up therefore streams everything once, untimed, which
-        # also pre-warms the timed run's file listing on both scales)
-        src_dir = {os.path.dirname(f) for f in d.inputFiles()}.pop()
+        # also pre-warms the timed run's file listing on both scales).
+        # The 1x source (sf0.1/events.parquet) is a single FILE inside
+        # a directory of OTHER tables — streaming its dirname without a
+        # glob would ingest lineitem/documents/... as null-filled rows
+        # and inflate the 1x timing; the 10x source is a directory of
+        # part files, where the dir itself is the right target.
+        parent = {os.path.dirname(f) for f in d.inputFiles()}.pop()
+        if parent.endswith(".parquet"):
+            src_dir, opts = parent, None
+        else:
+            src_dir = parent
+            fname = os.path.basename(d.inputFiles()[0])
+            opts = {"pathGlobFilter": fname}
         q = standing_query_push(
             spark, src_dir, d.schema,
             lambda b: b.filter(F.col("event_type") == "click")
                        .select("event_id", "value"),
             ["event_id"], f"{base}/feed", f"{base}/ledger",
-            f"{base}/ckpt")
+            f"{base}/ckpt", options=opts)
         q.awaitTermination()
         _sh.rmtree(base, ignore_errors=True)
 
@@ -260,8 +271,14 @@ def run_one(op: str, events_path: str, docs_path: str,
     def _evo_prepare(d):
         # ingest-side layout build (untimed — run_one pre-builds before
         # the timer): two-epoch date-partitioned store, later days add
-        # session_id and keep props (prepared.evolving_events shape)
-        root = f"{SCRATCH}/evo_{d.count()}"
+        # session_id and keep props (prepared.evolving_events shape).
+        # The scratch key derives from the SOURCE PATH, not d.count():
+        # a count here would re-scan the whole source inside the timed
+        # window just to locate the marker file
+        import hashlib as _hl
+        src_key = _hl.md5(
+            ";".join(sorted(d.inputFiles()))[:4096].encode()).hexdigest()[:10]
+        root = f"{SCRATCH}/evo_{src_key}"
         marker = os.path.join(root, "_done.evolved")
         if os.path.exists(marker):
             return root
