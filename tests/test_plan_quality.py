@@ -794,3 +794,26 @@ class TestGlobalPlanLint:
         early = ev.filter("event_date < '2024-01-16'")
         assert early.filter(F.col("session_id").isNotNull()).count() == 0
         assert early.count() > 0
+
+
+class TestSketchEntryPlans:
+    def test_grouped_hll_register_merge_is_map_side(self, spark):
+        # the register groupBy IS the sketch merge: partial_max must
+        # run below its exchange (each task ships <= m register rows at
+        # any corpus size) and the estimate math stays pure JVM
+        df = entrymod.queries()["cardinality_hll"](spark, SF)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "partial_max(rho" in plan
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+        c = plan_counters(df)
+        assert c["n_shuffles"] <= 2     # register merge + per-field fold
+
+    def test_facet_cardinality_sketch_broadcasts(self, spark):
+        # the per-facet-value sketch table is facet-sized: it must
+        # BROADCAST to the count side, never shuffle-join it, and both
+        # halves keep the map-side partial aggregation
+        df = entrymod.queries()["facet_with_cardinality"](spark, SF)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" in plan
+        assert "partial_max(rho" in plan
+        assert "CartesianProduct" not in plan
