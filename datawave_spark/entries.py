@@ -5961,3 +5961,79 @@ def q_streaming_push_results(spark, sf_dir):
         options={"pathGlobFilter": "events.parquet"})
     q.awaitTermination()
     return spark.read.parquet(feed).select("event_id", "user_id", "value")
+
+
+@register("filter_compare_fields", """
+SELECT event_id FROM events
+WHERE value IS NOT NULL AND user_id IS NOT NULL
+  AND value > CAST(user_id AS DOUBLE)
+""")
+def q_filter_compare_fields(spark, sf_dir):
+    """filter:compare — field-vs-field value-SET comparison with
+    ANY/ALL mode (EvaluationPhaseFilterFunctions.compare +
+    compareFields; CompareFunctionValidator ops).  On scalar fields
+    the sets are singletons, so ANY '>' reduces to value > user_id
+    with the reference's empty-set-is-false inequality rule (NULL on
+    either side fails the row); the full multi-valued set semantics
+    (intersection / set-equality / min-max bounds, both modes) are
+    referee-tested in tests/test_compiler.py::TestCompareFunction."""
+    ev = _t(spark, sf_dir, "events")
+    return compile_query(ev, "filter:compare(VALUE, '>', 'ANY', USER_ID)") \
+        .select("event_id")
+
+
+@register("filter_period_extract", """
+WITH d AS (
+  SELECT event_id,
+         string_split(concat_ws('.', 'GROUPED', event_type,
+                                CAST(user_id AS VARCHAR), 'x'), '.') AS p
+  FROM events)
+SELECT event_id,
+  CASE WHEN len(p) - 1 >= 2 THEN array_to_string(p[2:len(p)-1], '.') END AS left0,
+  CASE WHEN len(p) - 2 >= 2 THEN array_to_string(p[2:len(p)-2], '.') END AS left1,
+  CASE WHEN len(p) >= 2 THEN array_to_string(p[len(p):len(p)], '.') END AS right0,
+  CASE WHEN len(p) >= 3 THEN array_to_string(p[len(p)-1:len(p)], '.') END AS right1
+FROM d
+""")
+def q_filter_period_extract(spark, sf_dir):
+    """filter:getMatchToLeftOfPeriod / getMatchToRightOfPeriod — the
+    grouping-notation extractors (EvaluationPhaseFilterFunctions; left
+    peels the field-name prefix up to the FIRST period, both count
+    periods from the RIGHT, both return NULL on insufficient grouping
+    info).  The dotted value is built from event fields (concat_ws
+    skips NULLs identically on both engines, so null event_type rows
+    exercise the short-input NULL path)."""
+    from datawave_spark.functions.filter_functions import (
+        match_left_of_period, match_right_of_period)
+    ev = _t(spark, sf_dir, "events")
+    dotted = F.concat_ws(".", F.lit("GROUPED"), F.col("event_type"),
+                         F.col("user_id").cast("string"), F.lit("x"))
+    return ev.select(
+        "event_id",
+        match_left_of_period(dotted, 0).alias("left0"),
+        match_left_of_period(dotted, 1).alias("left1"),
+        match_right_of_period(dotted, 0).alias("right0"),
+        match_right_of_period(dotted, 1).alias("right1"))
+
+
+@register("filter_time_accessors", """
+SELECT event_id,
+       CAST(epoch_ms(ts) AS BIGINT) AS t_ms,
+       CAST(epoch_ms(ts + INTERVAL 1 DAY) AS BIGINT) AS next_day_ms,
+       CAST(epoch_ms(ts + INTERVAL 1 HOUR) AS BIGINT) AS next_hour_ms
+FROM events WHERE ts IS NOT NULL
+""")
+def q_filter_time_accessors(spark, sf_dir):
+    """filter:getTime / getNextTime — epoch-millis date accessors
+    (EvaluationPhaseFilterFunctions.getTime parses with the known
+    format list; getNextTime adds ONE Calendar unit of the paired
+    granularity).  Both engines step in UTC so the +1 DAY/+1 HOUR
+    arithmetic is hash-identical."""
+    from datawave_spark.functions.filter_functions import (
+        value_next_time_millis, value_time_millis)
+    ev = _t(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
+    return ev.select(
+        "event_id",
+        value_time_millis(F.col("ts")).alias("t_ms"),
+        value_next_time_millis(F.col("ts"), "DAY").alias("next_day_ms"),
+        value_next_time_millis(F.col("ts"), "HOUR").alias("next_hour_ms"))

@@ -253,3 +253,180 @@ def f_get_max_value(ctx: CompileContext, args):
 def f_get_min_value(ctx: CompileContext, args):
     """EvaluationPhaseFilterFunctions.getMinValue:1502."""
     return F.array_min(field_values(ctx, _ident(args[0])))
+
+
+# ---- filter:compare + period-extraction + time accessors (round 6:
+# ---- the last four EvaluationPhaseFilterFunctions members)
+
+def _compare_value_set(ctx: CompileContext, field: str,
+                       numeric: bool) -> Column:
+    """Distinct value set of a field for filter:compare — numeric
+    fields compare as doubles, everything else as lowercased strings
+    (the reference compares NORMALIZED values: NumberNormalizer makes
+    lexicographic == numeric, LcNoDiacritics lowercases)."""
+    vals = field_values(ctx, field)
+    if numeric:
+        return F.array_distinct(
+            F.transform(vals, lambda v: v.cast("double")))
+    return F.array_distinct(
+        F.transform(vals, lambda v: F.lower(v.cast("string"))))
+
+
+@register_function("filter", "compare")
+def f_compare(ctx: CompileContext, args):
+    """EvaluationPhaseFilterFunctions.compare — field-vs-field value-SET
+    comparison with an ANY/ALL mode: ``filter:compare(F1, '<', 'ANY',
+    F2)``.  Exact reference semantics (compareFields):
+
+    - ``==``/``=``  : both sets empty → true; ANY → sets intersect;
+                      ALL → set equality;
+    - ``!=``        : both empty → false; ANY → NOT set-equal;
+                      ALL → sets disjoint;
+    - ``<,<=,>,>=`` : false if either set is empty (the Java switch
+                      falls through to default); else min/max bounds:
+                      ANY ``<`` is min(s1) < max(s2), ALL ``<`` is
+                      max(s1) < min(s2), mirrored for ``>``.
+    """
+    from pyspark.sql import types as T
+    f1, f2 = _ident(args[0]), _ident(args[3])
+    op = str(_lit(args[1])).replace(" ", "")
+    mode = str(_lit(args[2])).upper()
+    if mode not in ("ANY", "ALL"):
+        raise ValueError(f"compare mode must be ANY or ALL: {mode}")
+    if op not in ("==", "=", "!=", "<", "<=", ">", ">="):
+        raise ValueError(f"unsupported compare operator: {op}")
+    any_ = mode == "ANY"
+
+    def _is_numeric(field: str) -> bool:
+        spec = ctx.resolve(field)
+        if spec is None:
+            return False
+        dt = ctx.spark_type(spec)
+        if isinstance(dt, T.ArrayType):
+            dt = dt.elementType
+        return isinstance(dt, T.NumericType)
+
+    numeric = _is_numeric(f1) and _is_numeric(f2)
+    a = _compare_value_set(ctx, f1, numeric)
+    b = _compare_value_set(ctx, f2, numeric)
+    a_empty, b_empty = F.size(a) == 0, F.size(b) == 0
+    set_eq = ((F.size(a) == F.size(b))
+              & (F.size(F.array_except(a, b)) == 0))
+    if op in ("==", "="):
+        pred = F.when(a_empty & b_empty, F.lit(True)).otherwise(
+            F.size(F.array_intersect(a, b)) > 0 if any_ else set_eq)
+    elif op == "!=":
+        pred = F.when(a_empty & b_empty, F.lit(False)).otherwise(
+            ~set_eq if any_ else
+            F.size(F.array_intersect(a, b)) == 0)
+    else:
+        min1, max1 = F.array_min(a), F.array_max(a)
+        min2, max2 = F.array_min(b), F.array_max(b)
+        cmps = {
+            ("<", True): min1 < max2,  ("<", False): max1 < min2,
+            ("<=", True): min1 <= max2, ("<=", False): max1 <= min2,
+            (">", True): max1 > min2,  (">", False): min1 > max2,
+            (">=", True): max1 >= min2, (">=", False): min1 >= max2,
+        }
+        pred = ~a_empty & ~b_empty & cmps[(op, any_)]
+    return F.coalesce(pred, F.lit(False))
+
+
+def match_left_of_period(value: Column, pos: int) -> Column:
+    """EvaluationPhaseFilterFunctions.getMatchToLeftOfPeriod — the
+    grouping-notation extractor: peel everything up to and including the
+    FIRST period (the field-name prefix), then return the remainder LEFT
+    of the (pos+1)-th period counting from the RIGHT; NULL when the
+    remainder has fewer than pos+1 periods.  'FIELD.a.b.c', pos=0 →
+    'a.b'; pos=1 → 'a'."""
+    peeled = F.when(value.contains("."),
+                    F.substring(value, F.instr(value, ".") + F.lit(1),
+                                F.length(value))) \
+        .otherwise(value)
+    parts = F.split(peeled, "\\.")
+    keep = F.size(parts) - F.lit(pos + 1)
+    return F.when(keep >= 1,
+                  F.array_join(F.slice(parts, F.lit(1), keep), ".")) \
+        .otherwise(F.lit(None).cast("string"))
+
+
+def match_right_of_period(value: Column, pos: int) -> Column:
+    """EvaluationPhaseFilterFunctions.getMatchToRightOfPeriod — no
+    field-name peel: the suffix RIGHT of the (pos+1)-th period from the
+    right of the whole input; NULL when there are fewer than pos+1
+    periods.  'FIELD.a.b.c', pos=0 → 'c'; pos=1 → 'b.c'."""
+    parts = F.split(value, "\\.")
+    n = F.lit(pos + 1)
+    return F.when(F.size(parts) >= F.lit(pos + 2),
+                  F.array_join(F.slice(parts, -n, n), ".")) \
+        .otherwise(F.lit(None).cast("string"))
+
+
+@register_function("filter", "getMatchToLeftOfPeriod")
+def f_match_left_of_period(ctx: CompileContext, args):
+    """Value-returning (getMaxValue convention): extraction over the
+    field's first value; scalar grouping-context fields in practice."""
+    vals = field_values(ctx, _ident(args[0]))
+    return match_left_of_period(F.element_at(vals, 1), int(_lit(args[1])))
+
+
+@register_function("filter", "getMatchToRightOfPeriod")
+def f_match_right_of_period(ctx: CompileContext, args):
+    vals = field_values(ctx, _ident(args[0]))
+    return match_right_of_period(F.element_at(vals, 1), int(_lit(args[1])))
+
+
+def value_time_millis(value: Column, pattern: str | None = None) -> Column:
+    """EvaluationPhaseFilterFunctions.getTime — epoch millis of a parsed
+    date value (the reference tries its known-format list; _ts carries
+    the same fallback chain)."""
+    return (_ts(value, pattern).cast("double") * 1000).cast("long")
+
+
+_GRANULARITY_UNITS = {"YEAR", "MONTH", "DAY", "HOUR",
+                      "MINUTE", "SECOND", "MILLISECOND"}
+
+
+def value_next_time_millis(value: Column, granularity: str,
+                           pattern: str | None = None) -> Column:
+    """EvaluationPhaseFilterFunctions.getNextTime — getTime plus ONE
+    unit of the given granularity (the reference's Calendar.add(field,
+    1)); granularity names mirror the Calendar fields its format list
+    pairs with."""
+    g = granularity.upper()
+    if g not in _GRANULARITY_UNITS:
+        raise ValueError(f"unknown granularity {granularity}")
+    one = F.lit(1)
+    kwargs = {"YEAR": dict(years=one), "MONTH": dict(months=one),
+              "DAY": dict(days=one), "HOUR": dict(hours=one),
+              "MINUTE": dict(mins=one),
+              "SECOND": dict(secs=F.lit(1.0)),
+              "MILLISECOND": dict(secs=F.lit(0.001))}[g]
+    stepped = _ts(value, pattern) + F.make_interval(**kwargs)
+    return (stepped.cast("double") * 1000).cast("long")
+
+
+@register_function("filter", "getTime")
+def f_get_time(ctx: CompileContext, args):
+    vals = field_values(ctx, _ident(args[0]))
+    pat = str(_lit(args[1])) if len(args) > 1 else None
+    return value_time_millis(F.element_at(vals, 1), pat)
+
+
+@register_function("filter", "getNextTime")
+def f_get_next_time(ctx: CompileContext, args):
+    """``filter:getNextTime(FIELD, 'GRANULARITY'[, 'pattern'])``."""
+    vals = field_values(ctx, _ident(args[0]))
+    gran = str(_lit(args[1]))
+    pat = str(_lit(args[2])) if len(args) > 2 else None
+    return value_next_time_millis(F.element_at(vals, 1), gran, pat)
+
+
+@register_function("filter", "getHitTerm")
+def f_get_hit_term(ctx: CompileContext, args):
+    """EvaluationPhaseFilterFunctions.getHitTerm — the reference wraps a
+    value into its HIT_TERM attribution tuple; the engine-level analog
+    is operators.hit_terms.with_hit_terms (per-row matched-leaf
+    attribution, driver-green r03).  As a column we surface the field's
+    first value, which IS the hit term for a matched leaf."""
+    return F.element_at(field_values(ctx, _ident(args[0])), 1)

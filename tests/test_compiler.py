@@ -409,3 +409,119 @@ class TestArithmeticCompile:
         df = spark.createDataFrame([(1, [1.0, 2.0])], "id long, v array<double>")
         with pytest.raises(Exception, match="multi-valued"):
             compile_query(df, "V * 2 > 3").collect()
+
+
+class TestCompareFunction:
+    """filter:compare — the reference's field-vs-field set comparison
+    (EvaluationPhaseFilterFunctions.compareFields), all operators x
+    ANY/ALL, including the empty-set edge cases the Java switch
+    fall-through produces."""
+
+    def _run(self, spark, rows, query):
+        from datawave_spark.compiler import compile_query
+        df = spark.createDataFrame(
+            rows, "id long, a array<double>, b array<double>")
+        return sorted(r.id for r in compile_query(df, query).collect())
+
+    ROWS = [
+        (1, [1.0, 5.0], [3.0, 4.0]),   # overlap range
+        (2, [1.0, 2.0], [3.0, 4.0]),   # strictly below
+        (3, [9.0],      [3.0, 4.0]),   # strictly above
+        (4, [3.0, 4.0], [3.0, 4.0]),   # equal sets
+        (5, [3.0],      [3.0, 9.0]),   # intersecting, not equal
+        (6, [],         []),           # both empty
+        (7, [1.0],      []),           # one empty
+    ]
+
+    def test_eq_any_is_intersection(self, spark):
+        got = self._run(spark, self.ROWS, "filter:compare(A, '==', 'ANY', B)")
+        assert got == [4, 5, 6]        # both-empty -> true (reference)
+
+    def test_eq_all_is_set_equality(self, spark):
+        got = self._run(spark, self.ROWS, "filter:compare(A, '==', 'ALL', B)")
+        assert got == [4, 6]
+
+    def test_ne_any_is_not_set_equal(self, spark):
+        got = self._run(spark, self.ROWS, "filter:compare(A, '!=', 'ANY', B)")
+        assert got == [1, 2, 3, 5, 7]  # both-empty -> false
+
+    def test_ne_all_is_disjoint(self, spark):
+        got = self._run(spark, self.ROWS, "filter:compare(A, '!=', 'ALL', B)")
+        assert got == [1, 2, 3, 7]
+
+    def test_lt_any_min_vs_max(self, spark):
+        # ANY '<': min(a) < max(b); empty sets -> false (Java fallthrough)
+        got = self._run(spark, self.ROWS, "filter:compare(A, '<', 'ANY', B)")
+        assert got == [1, 2, 4, 5]
+
+    def test_lt_all_max_vs_min(self, spark):
+        # ALL '<': max(a) < min(b)
+        got = self._run(spark, self.ROWS, "filter:compare(A, '<', 'ALL', B)")
+        assert got == [2]
+
+    def test_ge_all(self, spark):
+        # ALL '>=': min(a) >= max(b) — the reference's bound-based ALL
+        # is stricter than pairwise intuition: the equal sets of row 4
+        # FAIL it (min 3 >= max 4 is false), exactly as compareFields does
+        got = self._run(spark, self.ROWS, "filter:compare(A, '>=', 'ALL', B)")
+        assert got == [3]
+
+    def test_string_fields_compare_lowercased(self, spark):
+        from datawave_spark.compiler import compile_query
+        df = spark.createDataFrame(
+            [(1, "Click", "CLICK"), (2, "view", "click")],
+            "id long, a string, b string")
+        got = sorted(r.id for r in compile_query(
+            df, "filter:compare(A, '==', 'ANY', B)").collect())
+        assert got == [1]
+
+
+class TestPeriodAndTimeFunctions:
+    def test_match_left_of_period_peels_field_name(self, spark):
+        from datawave_spark.functions.filter_functions import (
+            match_left_of_period)
+        from pyspark.sql import functions as F
+        df = spark.createDataFrame(
+            [("FIELD.a.b.c",), ("FIELD.a",), ("bare",)], "v string")
+        got = [tuple(r) for r in df.select(
+            match_left_of_period(F.col("v"), 0).alias("p0"),
+            match_left_of_period(F.col("v"), 1).alias("p1")).collect()]
+        # 'FIELD.a.b.c' peels to 'a.b.c': pos 0 -> 'a.b', pos 1 -> 'a'
+        assert got[0] == ("a.b", "a")
+        # 'FIELD.a' peels to 'a': zero periods left -> NULL (reference
+        # returns null on insufficient grouping info)
+        assert got[1] == (None, None)
+        assert got[2] == (None, None)
+
+    def test_match_right_of_period_no_peel(self, spark):
+        from datawave_spark.functions.filter_functions import (
+            match_right_of_period)
+        from pyspark.sql import functions as F
+        df = spark.createDataFrame([("FIELD.a.b.c",), ("x",)], "v string")
+        got = [tuple(r) for r in df.select(
+            match_right_of_period(F.col("v"), 0).alias("p0"),
+            match_right_of_period(F.col("v"), 1).alias("p1"),
+            match_right_of_period(F.col("v"), 3).alias("p3")).collect()]
+        assert got[0] == ("c", "b.c", None)   # only 3 periods -> pos 3 NULL
+        assert got[1] == (None, None, None)
+
+    def test_get_time_and_next_time(self, spark):
+        from datawave_spark.functions.filter_functions import (
+            value_next_time_millis, value_time_millis)
+        from pyspark.sql import functions as F
+        df = spark.createDataFrame([("2024-01-15 00:00:00",)], "v string")
+        row = df.select(
+            value_time_millis(F.col("v")).alias("t"),
+            value_next_time_millis(F.col("v"), "DAY").alias("nd"),
+            value_next_time_millis(F.col("v"), "HOUR").alias("nh")).head()
+        assert row.nd - row.t == 86_400_000
+        assert row.nh - row.t == 3_600_000
+
+    def test_registered_in_jexl_surface(self, spark):
+        """The new functions resolve through the JEXL registry (the
+        namespace surface the reference registers them under)."""
+        from datawave_spark.compiler.columns import FUNCTION_COMPILERS
+        for name in ("compare", "getMatchToLeftOfPeriod",
+                     "getMatchToRightOfPeriod", "getTime", "getNextTime",
+                     "getHitTerm"):
+            assert ("filter", name) in FUNCTION_COMPILERS, name
