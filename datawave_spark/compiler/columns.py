@@ -363,6 +363,15 @@ def _compile_arith_expr(node: JexlNode, ctx: CompileContext) -> Column:
         b = _compile_arith_expr(node.right, ctx)
         return {"+": a + b, "-": a - b, "*": a * b,
                 "/": a / b, "%": a % b}[node.op]
+    if isinstance(node, FuncNode):
+        # value-returning JEXL functions as comparison/arithmetic
+        # operands: filter:getTime(F) > 1700000000000,
+        # filter:getMaxValue(F) >= filter:getMinValue(G)
+        key = (node.namespace, node.name)
+        if key not in FUNCTION_COMPILERS:
+            raise ValueError(
+                f"unknown function {node.namespace}:{node.name}")
+        return FUNCTION_COMPILERS[key](ctx, node.args)
     raise TypeError(f"cannot compile arithmetic operand {node!r}")
 
 

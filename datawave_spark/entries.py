@@ -6037,3 +6037,18 @@ def q_filter_time_accessors(spark, sf_dir):
         value_time_millis(F.col("ts")).alias("t_ms"),
         value_next_time_millis(F.col("ts"), "DAY").alias("next_day_ms"),
         value_next_time_millis(F.col("ts"), "HOUR").alias("next_hour_ms"))
+
+
+@register("filter_time_predicate", """
+SELECT event_id FROM events
+WHERE ts IS NOT NULL AND CAST(epoch_ms(ts) AS BIGINT) >= 1705276800000
+""")
+def q_filter_time_predicate(spark, sf_dir):
+    """filter:getTime inside a real JEXL comparison — the parse path
+    the reference evaluates (value-returning funcall opens a
+    comparison; the compiler resolves the FuncNode operand through the
+    arithmetic path).  1705276800000 ms = 2024-01-15T00:00:00Z; rows
+    with NULL ts are non-matches, never errors (try_element_at)."""
+    ev = _t(spark, sf_dir, "events")
+    return compile_query(ev, "filter:getTime(TS) >= 1705276800000") \
+        .select("event_id")

@@ -229,7 +229,7 @@ def f_get_max_time(ctx: CompileContext, args):
     over the field's values."""
     vals = field_values(ctx, _ident(args[0]))
     return F.array_max(F.transform(
-        vals, lambda v: (_ts(v, None).cast("double") * 1000).cast("long")))
+        vals, lambda v: F.unix_millis(_ts(v, None))))
 
 
 @register_function("filter", "getMinTime")
@@ -237,7 +237,7 @@ def f_get_min_time(ctx: CompileContext, args):
     """EvaluationPhaseFilterFunctions.getMinTime:1465."""
     vals = field_values(ctx, _ident(args[0]))
     return F.array_min(F.transform(
-        vals, lambda v: (_ts(v, None).cast("double") * 1000).cast("long")))
+        vals, lambda v: F.unix_millis(_ts(v, None))))
 
 
 @register_function("filter", "getMaxValue")
@@ -263,8 +263,11 @@ def _compare_value_set(ctx: CompileContext, field: str,
     """Distinct value set of a field for filter:compare — numeric
     fields compare as doubles, everything else as lowercased strings
     (the reference compares NORMALIZED values: NumberNormalizer makes
-    lexicographic == numeric, LcNoDiacritics lowercases)."""
-    vals = field_values(ctx, field)
+    lexicographic == numeric, LcNoDiacritics lowercases).  NULL
+    elements of array fields are dropped first: the reference iterates
+    actual values (null is absence, not a value), while Spark's array
+    set ops would match NULL to NULL and fake an intersection."""
+    vals = F.filter(field_values(ctx, field), lambda v: v.isNotNull())
     if numeric:
         return F.array_distinct(
             F.transform(vals, lambda v: v.cast("double")))
@@ -298,13 +301,12 @@ def f_compare(ctx: CompileContext, args):
     any_ = mode == "ANY"
 
     def _is_numeric(field: str) -> bool:
+        from datawave_spark.compiler.columns import _element_type
         spec = ctx.resolve(field)
         if spec is None:
             return False
-        dt = ctx.spark_type(spec)
-        if isinstance(dt, T.ArrayType):
-            dt = dt.elementType
-        return isinstance(dt, T.NumericType)
+        return isinstance(_element_type(ctx.spark_type(spec)),
+                          T.NumericType)
 
     numeric = _is_numeric(f1) and _is_numeric(f2)
     a = _compare_value_set(ctx, f1, numeric)
@@ -367,20 +369,24 @@ def f_match_left_of_period(ctx: CompileContext, args):
     """Value-returning (getMaxValue convention): extraction over the
     field's first value; scalar grouping-context fields in practice."""
     vals = field_values(ctx, _ident(args[0]))
-    return match_left_of_period(F.element_at(vals, 1), int(_lit(args[1])))
+    return match_left_of_period(F.try_element_at(vals, F.lit(1)),
+                                int(_lit(args[1])))
 
 
 @register_function("filter", "getMatchToRightOfPeriod")
 def f_match_right_of_period(ctx: CompileContext, args):
     vals = field_values(ctx, _ident(args[0]))
-    return match_right_of_period(F.element_at(vals, 1), int(_lit(args[1])))
+    return match_right_of_period(F.try_element_at(vals, F.lit(1)),
+                                 int(_lit(args[1])))
 
 
 def value_time_millis(value: Column, pattern: str | None = None) -> Column:
     """EvaluationPhaseFilterFunctions.getTime — epoch millis of a parsed
     date value (the reference tries its known-format list; _ts carries
-    the same fallback chain)."""
-    return (_ts(value, pattern).cast("double") * 1000).cast("long")
+    the same fallback chain).  unix_millis is exact integer floor-div —
+    a double*1000 cast truncates toward zero and diverges from DuckDB's
+    epoch_ms on pre-1970 sub-millisecond values."""
+    return F.unix_millis(_ts(value, pattern))
 
 
 _GRANULARITY_UNITS = {"YEAR", "MONTH", "DAY", "HOUR",
@@ -403,14 +409,14 @@ def value_next_time_millis(value: Column, granularity: str,
               "SECOND": dict(secs=F.lit(1.0)),
               "MILLISECOND": dict(secs=F.lit(0.001))}[g]
     stepped = _ts(value, pattern) + F.make_interval(**kwargs)
-    return (stepped.cast("double") * 1000).cast("long")
+    return F.unix_millis(stepped)
 
 
 @register_function("filter", "getTime")
 def f_get_time(ctx: CompileContext, args):
     vals = field_values(ctx, _ident(args[0]))
     pat = str(_lit(args[1])) if len(args) > 1 else None
-    return value_time_millis(F.element_at(vals, 1), pat)
+    return value_time_millis(F.try_element_at(vals, F.lit(1)), pat)
 
 
 @register_function("filter", "getNextTime")
@@ -419,7 +425,8 @@ def f_get_next_time(ctx: CompileContext, args):
     vals = field_values(ctx, _ident(args[0]))
     gran = str(_lit(args[1]))
     pat = str(_lit(args[2])) if len(args) > 2 else None
-    return value_next_time_millis(F.element_at(vals, 1), gran, pat)
+    return value_next_time_millis(F.try_element_at(vals, F.lit(1)),
+                                  gran, pat)
 
 
 @register_function("filter", "getHitTerm")
@@ -429,4 +436,4 @@ def f_get_hit_term(ctx: CompileContext, args):
     is operators.hit_terms.with_hit_terms (per-row matched-leaf
     attribution, driver-green r03).  As a column we surface the field's
     first value, which IS the hit term for a matched leaf."""
-    return F.element_at(field_values(ctx, _ident(args[0])), 1)
+    return F.try_element_at(field_values(ctx, _ident(args[0])), F.lit(1))

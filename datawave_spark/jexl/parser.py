@@ -140,7 +140,16 @@ class _Parser:
                 # open a comparison ('x' == F inverted form).
                 lit = self._fold_normalize(self.parse_funcall())
                 return self.parse_comparison(lit)
-            return self.parse_funcall()
+            fn = self.parse_funcall()
+            # value-returning functions open comparisons — the JEXL the
+            # reference evaluates writes e.g.
+            # ``filter:getTime(FIELD) > 1700000000000`` (getTime /
+            # getNextTime / getMaxValue / getMatchTo*OfPeriod all return
+            # values, EvaluationPhaseFilterFunctions); a bare funcall
+            # stays a boolean predicate term
+            if self.peek()[1] in _CMP_OPS:
+                return self.parse_comparison(fn)
+            return fn
         return self.parse_comparison()
 
     def parse_funcall(self) -> FuncNode:
@@ -210,7 +219,10 @@ class _Parser:
     def _make_cmp(op: str, left: JexlNode, right: JexlNode) -> JexlNode:
         inverse = {"<": ">", ">": "<", "<=": ">=", ">=": "<=",
                    "==": "==", "!=": "!=", "=~": "=~", "!~": "!~"}
-        if isinstance(left, ArithNode) or isinstance(right, ArithNode):
+        if isinstance(left, (ArithNode, FuncNode)) \
+                or isinstance(right, (ArithNode, FuncNode)):
+            # function results compare through the arithmetic path: the
+            # compiler resolves FuncNode operands via FUNCTION_COMPILERS
             if op in ("=~", "!~"):
                 raise JexlParseError(
                     f"regex comparison over arithmetic: {left} {op} {right}")
@@ -276,9 +288,13 @@ class _Parser:
             self.expect(")")
             return inner
         if kind == "ident" and tok not in _KEYWORDS:
-            if tok == "normalize" and self.tokens[self.i + 1][0] == "colon":
-                # value position: IP == normalize:ipv4('010.000.001.002')
-                return self._fold_normalize(self.parse_funcall())
+            if self.tokens[self.i + 1][0] == "colon":
+                if tok == "normalize":
+                    # value position: IP == normalize:ipv4('010.000.001.002')
+                    return self._fold_normalize(self.parse_funcall())
+                # value position funcall: '5 < filter:getTime(TS)',
+                # '(filter:getTime(TS) + 5) > x'
+                return self.parse_funcall()
             self.next()
             return Identifier(tok)
         return Literal(self._literal_value())

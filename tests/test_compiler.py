@@ -517,11 +517,44 @@ class TestPeriodAndTimeFunctions:
         assert row.nd - row.t == 86_400_000
         assert row.nh - row.t == 3_600_000
 
-    def test_registered_in_jexl_surface(self, spark):
-        """The new functions resolve through the JEXL registry (the
-        namespace surface the reference registers them under)."""
-        from datawave_spark.compiler.columns import FUNCTION_COMPILERS
-        for name in ("compare", "getMatchToLeftOfPeriod",
-                     "getMatchToRightOfPeriod", "getTime", "getNextTime",
-                     "getHitTerm"):
-            assert ("filter", name) in FUNCTION_COMPILERS, name
+    def test_value_functions_usable_in_query_comparisons(self, spark):
+        """Value-returning functions are REACHABLE from query strings:
+        ``filter:getTime(F) > lit`` parses and compiles (funcall opens a
+        comparison; FuncNode operands compile through the arithmetic
+        path) — review r6 found registration without reachability."""
+        from datawave_spark.compiler import compile_query
+        df = spark.createDataFrame(
+            [(1, "2024-01-15 00:00:00", "F.a.b"),
+             (2, "2023-01-15 00:00:00", "F.a"),
+             (3, None, None)],
+            "id long, ts string, g string")
+        got = sorted(r.id for r in compile_query(
+            df, "filter:getTime(TS) > 1704067200000").collect())
+        assert got == [1]        # 2024 only; NULL field never throws
+        got = sorted(r.id for r in compile_query(
+            df, "filter:getMatchToRightOfPeriod(G, 0) == 'b'").collect())
+        assert got == [1]
+        got = sorted(r.id for r in compile_query(
+            df, "filter:getNextTime(TS, 'DAY') > filter:getTime(TS)"
+        ).collect())
+        assert got == [1, 2]     # function-vs-function comparison
+
+    def test_empty_field_is_nonmatch_not_error(self, spark):
+        """ANSI mode: element access over an empty value set must be
+        NULL (non-match), never INVALID_ARRAY_INDEX (review r6)."""
+        from datawave_spark.compiler import compile_query
+        df = spark.createDataFrame([(1, None)], "id long, ts string")
+        assert compile_query(df, "filter:getTime(TS) > 0").count() == 0
+
+    def test_compare_ignores_null_array_elements(self, spark):
+        """NULL elements are absence, not values: Spark's array set ops
+        match NULL to NULL, which would fake an intersection between
+        genuinely disjoint sets (review r6)."""
+        from datawave_spark.compiler import compile_query
+        df = spark.createDataFrame(
+            [(1, [None, 3.0], [None, 5.0])],
+            "id long, a array<double>, b array<double>")
+        assert compile_query(
+            df, "filter:compare(A, '==', 'ANY', B)").count() == 0
+        assert compile_query(
+            df, "filter:compare(A, '!=', 'ALL', B)").count() == 1
