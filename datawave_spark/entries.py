@@ -1288,9 +1288,11 @@ SELECT event_id FROM events WHERE value < user_id
 """)
 def q_lucene_compare(spark, sf_dir):
     """#COMPARE through the LUCENE front-end
-    (language/functions/jexl/Compare.java): field-to-field comparison
-    with ANY multi-value semantics, compiled to the same FieldCmp node
-    the JEXL path produces."""
+    (language/functions/jexl/Compare.java): field-to-field comparison,
+    routed (r6) to filter:compare's full value-SET semantics — ANY/ALL
+    modes, the empty-set and min/max-bound rules included; on these
+    scalar fields ANY '<' reduces to value < user_id with NULLs
+    non-matching, so the original oracle is unchanged."""
     from datawave_spark.lucene.parser import parse_lucene
     ev = _t(spark, sf_dir, "events")
     node = parse_lucene("#COMPARE(VALUE, '<', 'ANY', USER_ID)")

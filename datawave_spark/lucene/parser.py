@@ -216,9 +216,11 @@ class _Parser:
             self.expect("rparen")
         if name == "COMPARE":
             # language/functions/jexl/Compare.java:
-            # #COMPARE(FIELD1, '<', 'ANY', FIELD2) → field-to-field
-            # comparison; ANY (the default) is this engine's multi-value
-            # semantics, ALL is out of surface.
+            # #COMPARE(FIELD1, '<', 'ANY'|'ALL', FIELD2) → the full
+            # filter:compare value-SET semantics (r6: ALL mode and the
+            # reference's empty-set/bound rules now live in
+            # functions/filter_functions.f_compare, so route there
+            # instead of the FieldCmpNode any-pair approximation).
             if len(args) != 4:
                 raise LuceneParseError(
                     f"#COMPARE takes (field, op, mode, field), got {args}")
@@ -231,12 +233,15 @@ class _Parser:
                 return v
 
             f1, op, mode, f2 = (_s(a) for a in args)
-            if mode.upper() not in ("ANY", ""):
+            if mode.upper() not in ("ANY", "ALL", ""):
                 raise LuceneParseError(
-                    f"#COMPARE mode {mode!r} unsupported (ANY only)")
-            if op not in ("==", "!=", "<", ">", "<=", ">="):
+                    f"#COMPARE mode {mode!r} unsupported")
+            if op not in ("==", "=", "!=", "<", ">", "<=", ">="):
                 raise LuceneParseError(f"#COMPARE op {op!r} unsupported")
-            return FieldCmpNode(op, Identifier(f1), Identifier(f2))
+            return FuncNode("filter", "compare",
+                            (Identifier(f1), Literal(op),
+                             Literal(mode.upper() or "ANY"),
+                             Identifier(f2)))
         if name in _HASH_EVAL:
             ns, fn = _HASH_EVAL[name]
             # filter: regex/value args arrive as Identifiers — convert

@@ -443,21 +443,28 @@ class TestOrderByCost:
 
 
 class TestCompareFunction:
-    def test_compare_maps_to_field_cmp(self, spark):
+    def test_compare_routes_to_filter_compare(self, spark):
         from datawave_spark.lucene.parser import parse_lucene
-        from datawave_spark.jexl.ast import FieldCmpNode
+        from datawave_spark.jexl.ast import FuncNode
         n = parse_lucene("#COMPARE(VALUE, '<', 'ANY', USER_ID)")
-        assert isinstance(n, FieldCmpNode) and n.op == "<"
+        assert isinstance(n, FuncNode)
+        assert (n.namespace, n.name) == ("filter", "compare")
         df = spark.createDataFrame([(1, 2.0, 10), (2, 20.0, 10)],
                                    "id long, VALUE double, USER_ID long")
         from datawave_spark.compiler import compile_query
         assert [r.id for r in compile_query(df, n).collect()] == [1]
 
-    def test_compare_all_mode_rejected(self):
-        import pytest
-        from datawave_spark.lucene.parser import LuceneParseError, parse_lucene
-        with pytest.raises(LuceneParseError, match="ANY only"):
-            parse_lucene("#COMPARE(A, '<', 'ALL', B)")
+    def test_compare_all_mode_set_semantics(self, spark):
+        """ALL mode (r6): Compare.java's full mode surface — ALL '<' is
+        max(a) < min(b) over the value SETS."""
+        from datawave_spark.compiler import compile_query
+        from datawave_spark.lucene.parser import parse_lucene
+        n = parse_lucene("#COMPARE(A, '<', 'ALL', B)")
+        df = spark.createDataFrame(
+            [(1, [1.0, 2.0], [3.0, 4.0]),    # max(a)=2 < min(b)=3
+             (2, [1.0, 5.0], [3.0, 4.0])],   # max(a)=5 not < 3
+            "id long, a array<double>, b array<double>")
+        assert [r.id for r in compile_query(df, n).collect()] == [1]
 
 
 class TestPredict:
