@@ -217,3 +217,52 @@ class TestUUIDWildcardProperties:
         else:
             with pytest.raises(ControlledQueryError):
                 parse_uuid_query(q, types)
+
+
+# ---------------- filter:compare vs a Python referee of compareFields
+
+def _compare_referee(a, b, op, mode):
+    """EvaluationPhaseFilterFunctions.compareFields, re-stated in
+    Python: distinct non-null value sets, ==/!= set rules with the
+    both-empty edge cases, min/max-bound inequalities with the Java
+    switch's empty-set fall-through to false."""
+    sa, sb = set(a), set(b)
+    any_ = mode == "ANY"
+    if op in ("==", "="):
+        if not sa and not sb:
+            return True
+        return bool(sa & sb) if any_ else sa == sb
+    if op == "!=":
+        if not sa and not sb:
+            return False
+        return sa != sb if any_ else not (sa & sb)
+    if not sa or not sb:
+        return False
+    lo1, hi1, lo2, hi2 = min(sa), max(sa), min(sb), max(sb)
+    return {("<", True): lo1 < hi2, ("<", False): hi1 < lo2,
+            ("<=", True): lo1 <= hi2, ("<=", False): hi1 <= lo2,
+            (">", True): hi1 > lo2, (">", False): lo1 > hi2,
+            (">=", True): hi1 >= lo2, (">=", False): lo1 >= hi2,
+            }[(op, any_)]
+
+
+@settings(max_examples=25, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(rows=st.lists(
+        st.tuples(st.lists(st.sampled_from([1.0, 2.0, 3.0, 5.0, 9.0]),
+                           max_size=4),
+                  st.lists(st.sampled_from([1.0, 2.0, 3.0, 5.0, 9.0]),
+                           max_size=4)),
+        min_size=1, max_size=8),
+       op=st.sampled_from(["==", "!=", "<", "<=", ">", ">="]),
+       mode=st.sampled_from(["ANY", "ALL"]))
+def test_filter_compare_matches_referee(spark, rows, op, mode):
+    from datawave_spark.compiler import compile_query
+    df = spark.createDataFrame(
+        [(i, a, b) for i, (a, b) in enumerate(rows)],
+        "id long, a array<double>, b array<double>")
+    got = sorted(r.id for r in compile_query(
+        df, f"filter:compare(A, '{op}', '{mode}', B)").collect())
+    want = sorted(i for i, (a, b) in enumerate(rows)
+                  if _compare_referee(a, b, op, mode))
+    assert got == want, (op, mode, rows)
