@@ -14,9 +14,11 @@ a field's value set.
 from __future__ import annotations
 
 from pyspark.sql import Column, functions as F
+from pyspark.sql import types as T
 
 from datawave_spark.compiler.columns import (
-    CompileContext, field_pred, field_values, register_function,
+    CompileContext, _element_type, field_pred, field_values,
+    register_function,
 )
 from datawave_spark.jexl.ast import Identifier, JexlNode, Literal
 
@@ -290,7 +292,6 @@ def f_compare(ctx: CompileContext, args):
                       ANY ``<`` is min(s1) < max(s2), ALL ``<`` is
                       max(s1) < min(s2), mirrored for ``>``.
     """
-    from pyspark.sql import types as T
     f1, f2 = _ident(args[0]), _ident(args[3])
     op = str(_lit(args[1])).replace(" ", "")
     mode = str(_lit(args[2])).upper()
@@ -301,7 +302,6 @@ def f_compare(ctx: CompileContext, args):
     any_ = mode == "ANY"
 
     def _is_numeric(field: str) -> bool:
-        from datawave_spark.compiler.columns import _element_type
         spec = ctx.resolve(field)
         if spec is None:
             return False
@@ -389,8 +389,12 @@ def value_time_millis(value: Column, pattern: str | None = None) -> Column:
     return F.unix_millis(_ts(value, pattern))
 
 
-_GRANULARITY_UNITS = {"YEAR", "MONTH", "DAY", "HOUR",
-                      "MINUTE", "SECOND", "MILLISECOND"}
+# granularity -> make_interval kwargs; values are literal magnitudes
+# (Columns are built per call — F.lit needs an active session)
+_GRANULARITY_STEPS = {"YEAR": ("years", 1), "MONTH": ("months", 1),
+                      "DAY": ("days", 1), "HOUR": ("hours", 1),
+                      "MINUTE": ("mins", 1), "SECOND": ("secs", 1.0),
+                      "MILLISECOND": ("secs", 0.001)}
 
 
 def value_next_time_millis(value: Column, granularity: str,
@@ -400,15 +404,10 @@ def value_next_time_millis(value: Column, granularity: str,
     1)); granularity names mirror the Calendar fields its format list
     pairs with."""
     g = granularity.upper()
-    if g not in _GRANULARITY_UNITS:
+    if g not in _GRANULARITY_STEPS:
         raise ValueError(f"unknown granularity {granularity}")
-    one = F.lit(1)
-    kwargs = {"YEAR": dict(years=one), "MONTH": dict(months=one),
-              "DAY": dict(days=one), "HOUR": dict(hours=one),
-              "MINUTE": dict(mins=one),
-              "SECOND": dict(secs=F.lit(1.0)),
-              "MILLISECOND": dict(secs=F.lit(0.001))}[g]
-    stepped = _ts(value, pattern) + F.make_interval(**kwargs)
+    arg, step = _GRANULARITY_STEPS[g]
+    stepped = _ts(value, pattern) + F.make_interval(**{arg: F.lit(step)})
     return F.unix_millis(stepped)
 
 
