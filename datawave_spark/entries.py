@@ -6054,3 +6054,42 @@ def q_filter_time_predicate(spark, sf_dir):
     ev = _t(spark, sf_dir, "events")
     return compile_query(ev, "filter:getTime(TS) >= 1705276800000") \
         .select("event_id")
+
+
+@register("nyctlc_ingest", f"""
+SELECT CAST(event_id AS VARCHAR) AS trip_id,
+       CAST(user_id % 3 + 1 AS VARCHAR) AS vendorid,
+       strftime(ts, '{_TS_FMT_DUCK}') AS pickup_dt,
+       concat('POINT (-73.', lpad(CAST(user_id % 1000 AS VARCHAR), 3, '0'),
+              ' 40.', lpad(CAST((user_id + 7) % 1000 AS VARCHAR), 3, '0'),
+              ')') AS pickup_location,
+       CASE WHEN event_type = 'error' THEN NULL
+            ELSE concat('POINT (-74.',
+                        lpad(CAST(event_id % 1000 AS VARCHAR), 3, '0'),
+                        ' 41.',
+                        lpad(CAST((event_id + 13) % 1000 AS VARCHAR), 3, '0'),
+                        ')') END AS dropoff_location,
+       CASE WHEN event_type = 'error' THEN 1 ELSE 2 END AS n_locations
+FROM events
+""")
+def q_nyctlc_ingest(spark, sf_dir):
+    """NYC-TLC dataset ingest end-to-end (warehouse/ingest-nyctlc
+    NYCTLCHelper.parseHeader + NYCTLCIngestHelper.getEventFields): a
+    header-ful CSV fixture (with an unknown TRIP_ID column the helper
+    validates-but-keeps) reads through the dynamic-field parser, and
+    the derived WKT points — concatenated from the RAW lat/lon field
+    strings, exactly the Java — are value-hashed against the source
+    events table, missing-dropoff rows (error events) included.
+    ALL_LOCATIONS is HashMultimap-unordered in the reference, so the
+    gated row carries its SIZE; content equals the two point columns
+    (pinned by unit test)."""
+    from datawave_spark.sources.prepared import nyctlc_csv_path
+    from datawave_spark.sources.readers import read_nyctlc
+    df = read_nyctlc(spark, nyctlc_csv_path(spark, sf_dir))
+    return df.select(
+        F.col("TRIP_ID").alias("trip_id"),
+        F.col("VENDORID").alias("vendorid"),
+        F.col("LPEP_PICKUP_DATETIME").alias("pickup_dt"),
+        F.col("PICKUP_LOCATION").alias("pickup_location"),
+        F.col("DROPOFF_LOCATION").alias("dropoff_location"),
+        F.size("ALL_LOCATIONS").alias("n_locations"))

@@ -109,6 +109,8 @@ def build_all(spark: SparkSession, sf_dir: str) -> dict[str, int]:
     out["xml_docs"] = -1
     wiki_dump_path(spark, sf_dir)
     out["wiki_dump"] = -1
+    nyctlc_csv_path(spark, sf_dir)
+    out["nyctlc_csv"] = -1
     evolving_events(spark, sf_dir)
     out["evolving_events"] = -1
     for name, fn in builders.items():
@@ -853,3 +855,49 @@ def bpe_segments(spark: SparkSession, sf_dir: str,
     sized segmentation table bpe_encode broadcast-joins against,
     stored at ingest alongside the merge table."""
     return _bpe_model(spark, sf_dir, n_merges)[1]
+
+
+def nyctlc_csv_path(spark: SparkSession, sf_dir: str) -> str:
+    """A NYC-TLC-shaped CSV derived from the events table — the
+    reference's taxi dataset (warehouse/ingest-nyctlc): a header line
+    naming a SUBSET of the known field list plus an unknown TRIP_ID
+    column (NYCTLCHelper.parseHeader validates-but-allows unknowns,
+    PROCESS_EXTRA_FIELDS), raw STRING lat/lon built from integer/string
+    ops only (the derived WKT concatenates the raw field strings, so
+    no float formatting may differ between engines), and error-type
+    rows carry EMPTY dropoff coordinates to exercise the
+    missing-pair path (the helper logs and skips the derived point)."""
+    import os as _os
+
+    from pyspark.sql import functions as F
+
+    from datawave_spark.sources.parquet import read_parquet
+
+    path = prepared_path(sf_dir, "nyctlc_csv")
+    if not _os.path.exists(_os.path.join(path, "_SUCCESS")):
+        ev = read_parquet(spark, _os.path.join(sf_dir, "events.parquet"))
+        pad3 = lambda c: F.lpad(F.pmod(c, F.lit(1000)).cast("string"),
+                                3, "0")
+        missing = F.col("event_type") == "error"
+        out = ev.select(
+            F.col("event_id").cast("string").alias("trip_id"),
+            (F.pmod(F.col("user_id"), F.lit(3)) + 1).cast("string")
+            .alias("vendorid"),
+            F.date_format("ts", "yyyy-MM-dd HH:mm:ss")
+            .alias("lpep_pickup_datetime"),
+            (F.pmod(F.col("event_id"), F.lit(5)) + 1).cast("string")
+            .alias("passenger_count"),
+            F.concat(F.lit("-73."), pad3(F.col("user_id")))
+            .alias("pickup_longitude"),
+            F.concat(F.lit("40."), pad3(F.col("user_id") + 7))
+            .alias("pickup_latitude"),
+            F.when(missing, F.lit(None)).otherwise(
+                F.concat(F.lit("-74."), pad3(F.col("event_id"))))
+            .alias("dropoff_longitude"),
+            F.when(missing, F.lit(None)).otherwise(
+                F.concat(F.lit("41."), pad3(F.col("event_id") + 13)))
+            .alias("dropoff_latitude"),
+            F.col("value").cast("string").alias("total_amount"))
+        (out.coalesce(4).write.mode("overwrite")
+         .option("header", True).csv(path))
+    return path

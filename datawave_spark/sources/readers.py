@@ -295,3 +295,58 @@ def read_media_dir(spark: SparkSession, path: str,
     if glob:
         reader = reader.option("pathGlobFilter", glob)
     return reader.load(path)
+
+
+NYCTLC_KNOWN_FIELDS = {
+    "VENDORID", "LPEP_PICKUP_DATETIME", "LPEP_DROPOFF_DATETIME",
+    "STORE_AND_FWD_FLAG", "RATECODEID", "PICKUP_LONGITUDE",
+    "PICKUP_LATITUDE", "DROPOFF_LONGITUDE", "DROPOFF_LATITUDE",
+    "PASSENGER_COUNT", "TRIP_DISTANCE", "FARE_AMOUNT", "EXTRA",
+    "MTA_TAX", "TIP_AMOUNT", "TOLLS_AMOUNT", "EHAIL_FEE",
+    "IMPROVEMENT_SURCHARGE", "TOTAL_AMOUNT", "PAYMENT_TYPE", "TRIP_TYPE",
+}
+
+
+def read_nyctlc(spark: SparkSession, path: str) -> DataFrame:
+    """NYC Taxi & Limousine Commission dataset ingest
+    (warehouse/ingest-nyctlc): header-driven dynamic field parsing —
+    the header is uppercased and validated against the known field
+    list but UNKNOWN fields are kept (NYCTLCHelper.parseHeader logs
+    them; PROCESS_EXTRA_FIELDS) — plus the derived geometry fields
+    NYCTLCIngestHelper.getEventFields builds for the GeoWave index:
+
+    - ``PICKUP_LOCATION`` / ``DROPOFF_LOCATION``: WKT points
+      concatenated from the RAW lat/lon field STRINGS (exactly the
+      Java's ``"POINT (" + lon + " " + lat + ")"`` — no float
+      round-trip), NULL when either half of the pair is missing
+      (the helper logs and skips);
+    - ``ALL_LOCATIONS``: the multi-valued union of whichever points
+      exist (HashMultimap semantics — unordered, so consumers sort).
+
+    All columns stay strings (the reference's event fields are raw
+    strings; normalizers type them downstream).  Returns the frame
+    with uppercased source columns + the three derived columns; the
+    unknown-field set is computable by the caller as
+    ``set(df.columns) - NYCTLC_KNOWN_FIELDS - derived``."""
+    df = spark.read.option("header", True).csv(path)
+    for c in df.columns:
+        df = df.withColumnRenamed(c, c.strip().upper())
+
+    def point(lon: str, lat: str):
+        return F.when(
+            F.col(lon).isNotNull() & F.col(lat).isNotNull(),
+            F.concat(F.lit("POINT ("), F.col(lon), F.lit(" "),
+                     F.col(lat), F.lit(")")))
+
+    pickup = point("PICKUP_LONGITUDE", "PICKUP_LATITUDE") \
+        if {"PICKUP_LONGITUDE", "PICKUP_LATITUDE"} <= set(df.columns) \
+        else F.lit(None).cast("string")
+    dropoff = point("DROPOFF_LONGITUDE", "DROPOFF_LATITUDE") \
+        if {"DROPOFF_LONGITUDE", "DROPOFF_LATITUDE"} <= set(df.columns) \
+        else F.lit(None).cast("string")
+    return (df.withColumn("PICKUP_LOCATION", pickup)
+            .withColumn("DROPOFF_LOCATION", dropoff)
+            .withColumn("ALL_LOCATIONS",
+                        F.filter(F.array("PICKUP_LOCATION",
+                                         "DROPOFF_LOCATION"),
+                                 lambda v: v.isNotNull())))

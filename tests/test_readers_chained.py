@@ -189,3 +189,58 @@ class TestWikipediaIngest:
         assert wiki_language("plain") == []
         assert wiki_event_date("enwiki-20130305-pages.xml") == "2013-03-05"
         assert wiki_event_date("nodate.xml") is None
+
+
+class TestNYCTLCReader:
+    """warehouse/ingest-nyctlc parity: dynamic header parsing with
+    unknown fields kept, and the derived WKT location fields built from
+    the raw lat/lon strings."""
+
+    @pytest.fixture(scope="class")
+    def taxi(self, spark, tmp_path_factory):
+        p = str(tmp_path_factory.mktemp("nyctlc") / "trips")
+        spark.createDataFrame(
+            [("1", "-73.991", "40.701", "-74.005", "41.120", "x1"),
+             ("2", "-73.800", "40.650", None, None, "x2"),      # no dropoff
+             ("3", None, None, "-74.100", "41.200", "x3")],     # no pickup
+            "trip_id string, pickup_longitude string, "
+            "pickup_latitude string, dropoff_longitude string, "
+            "dropoff_latitude string, mystery_col string") \
+            .coalesce(1).write.option("header", True).csv(p)
+        from datawave_spark.sources.readers import read_nyctlc
+        return read_nyctlc(spark, p)
+
+    def test_derived_points_from_raw_strings(self, taxi):
+        rows = {r.TRIP_ID: r for r in taxi.collect()}
+        assert rows["1"].PICKUP_LOCATION == "POINT (-73.991 40.701)"
+        assert rows["1"].DROPOFF_LOCATION == "POINT (-74.005 41.120)"
+
+    def test_missing_pair_yields_null_not_partial_point(self, taxi):
+        rows = {r.TRIP_ID: r for r in taxi.collect()}
+        assert rows["2"].DROPOFF_LOCATION is None
+        assert rows["3"].PICKUP_LOCATION is None
+
+    def test_all_locations_is_union_of_existing_points(self, taxi):
+        rows = {r.TRIP_ID: r for r in taxi.collect()}
+        assert sorted(rows["1"].ALL_LOCATIONS) == sorted(
+            [rows["1"].PICKUP_LOCATION, rows["1"].DROPOFF_LOCATION])
+        assert rows["2"].ALL_LOCATIONS == [rows["2"].PICKUP_LOCATION]
+        assert rows["3"].ALL_LOCATIONS == [rows["3"].DROPOFF_LOCATION]
+
+    def test_unknown_fields_kept_and_uppercased(self, taxi):
+        from datawave_spark.sources.readers import NYCTLC_KNOWN_FIELDS
+        assert "MYSTERY_COL" in taxi.columns      # PROCESS_EXTRA_FIELDS
+        unknown = (set(taxi.columns) - NYCTLC_KNOWN_FIELDS
+                   - {"PICKUP_LOCATION", "DROPOFF_LOCATION",
+                      "ALL_LOCATIONS"})
+        assert unknown == {"TRIP_ID", "MYSTERY_COL"}
+
+    def test_derived_points_accepted_by_geowave_predicates(self, spark, taxi):
+        """The derived WKT feeds the geowave: family — intersects on a
+        bbox polygon must select by pickup point."""
+        from datawave_spark.compiler import compile_query
+        hits = compile_query(
+            taxi.filter(taxi.PICKUP_LOCATION.isNotNull()),
+            "geowave:intersects(PICKUP_LOCATION, "
+            "'POLYGON((-74 40, -73.7 40, -73.7 40.8, -74 40.8, -74 40))')")
+        assert sorted(r.TRIP_ID for r in hits.collect()) == ["1", "2"]
