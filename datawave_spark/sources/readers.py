@@ -325,12 +325,18 @@ def read_nyctlc(spark: SparkSession, path: str) -> DataFrame:
 
     All columns stay strings (the reference's event fields are raw
     strings; normalizers type them downstream).  Returns the frame
-    with uppercased source columns + the three derived columns; the
-    unknown-field set is computable by the caller as
-    ``set(df.columns) - NYCTLC_KNOWN_FIELDS - derived``."""
+    with uppercased source columns + the three derived columns;
+    unknown header fields are logged exactly as parseHeader does
+    (validate-but-allow), which is also the only signal a misspelled
+    coordinate header gives before every derived point goes NULL."""
+    import logging
     df = spark.read.option("header", True).csv(path)
-    for c in df.columns:
-        df = df.withColumnRenamed(c, c.strip().upper())
+    df = df.toDF(*[c.strip().upper() for c in df.columns])
+    unknown = set(df.columns) - NYCTLC_KNOWN_FIELDS
+    if unknown:
+        logging.getLogger(__name__).debug(
+            "NYCTLC header contained unknown fields: %s",
+            ",".join(sorted(unknown)))
 
     def point(lon: str, lat: str):
         return F.when(
@@ -347,6 +353,10 @@ def read_nyctlc(spark: SparkSession, path: str) -> DataFrame:
     return (df.withColumn("PICKUP_LOCATION", pickup)
             .withColumn("DROPOFF_LOCATION", dropoff)
             .withColumn("ALL_LOCATIONS",
-                        F.filter(F.array("PICKUP_LOCATION",
-                                         "DROPOFF_LOCATION"),
-                                 lambda v: v.isNotNull())))
+                        # array_distinct: HashMultimap is a SET multimap
+                        # — a round trip (pickup == dropoff string) is
+                        # ONE location in the reference, not two
+                        F.array_distinct(
+                            F.filter(F.array("PICKUP_LOCATION",
+                                             "DROPOFF_LOCATION"),
+                                     lambda v: v.isNotNull()))))

@@ -24,6 +24,17 @@ at-least-once on a crash BETWEEN the feed append and the ledger append
 (a retried epoch re-pushes that batch's rows — the right failure bias
 for a feed: duplicates over losses); with a transactional sink (Delta)
 the two appends become one txn and delivery is exactly-once.
+
+Ledger growth: every batch appends one small file and the anti-join
+re-reads the whole ledger, so a long-lived standing query accumulates
+files — run ``maintenance.compact`` over the ledger dir on the
+maintenance cadence (same discipline as every append-heavy asset), and
+on Delta replace the anti-join with a key bloom index.  The ledger
+STAYS result-keyed either way; if the standing query's all-time result
+set itself is unbounded, bound it the way the reference's Atom
+collections are bounded — age off delivered keys past the feed's
+retention window (operators/ageoff.py), after which a re-qualifying
+key legitimately re-delivers.
 """
 
 from __future__ import annotations

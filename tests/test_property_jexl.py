@@ -225,7 +225,15 @@ def _compare_referee(a, b, op, mode):
     """EvaluationPhaseFilterFunctions.compareFields, re-stated in
     Python: distinct non-null value sets, ==/!= set rules with the
     both-empty edge cases, min/max-bound inequalities with the Java
-    switch's empty-set fall-through to false."""
+    switch's empty-set fall-through to false.
+
+    Scope note: this referee was transcribed from the same Java source
+    as the implementation, so the fuzz catches Spark-expression
+    mechanics bugs (set ops, null handling, bound construction), not a
+    shared misreading of the Java — the INDEPENDENT check on the
+    semantics themselves is the hand-derived truth tables in
+    tests/test_compiler.py::TestCompareFunction (whose ge_all case was
+    corrected AGAINST intuition by reading compareFields)."""
     sa, sb = set(a), set(b)
     any_ = mode == "ANY"
     if op in ("==", "="):

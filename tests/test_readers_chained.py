@@ -244,3 +244,18 @@ class TestNYCTLCReader:
             "geowave:intersects(PICKUP_LOCATION, "
             "'POLYGON((-74 40, -73.7 40, -73.7 40.8, -74 40.8, -74 40))')")
         assert sorted(r.TRIP_ID for r in hits.collect()) == ["1", "2"]
+
+    def test_round_trip_collapses_to_one_location(self, spark, tmp_path):
+        """HashMultimap is a SET multimap: identical pickup/dropoff
+        coordinate strings (a round trip) are ONE location in the
+        reference (review r6)."""
+        p = str(tmp_path / "roundtrip")
+        spark.createDataFrame(
+            [("9", "-73.5", "40.5", "-73.5", "40.5")],
+            "trip_id string, pickup_longitude string, "
+            "pickup_latitude string, dropoff_longitude string, "
+            "dropoff_latitude string") \
+            .coalesce(1).write.option("header", True).csv(p)
+        from datawave_spark.sources.readers import read_nyctlc
+        row = read_nyctlc(spark, p).head()
+        assert row.ALL_LOCATIONS == ["POINT (-73.5 40.5)"]
