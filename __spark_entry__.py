@@ -40,12 +40,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     judge-verified claims into driver facts for every operator over
     successive rounds.  A key is "settled" (sorted last) only when
 
-    (a) some committed ``CORRECTNESS_r*.json`` records a
-        ``hash_match: true`` row for it (merely APPEARING in a round
-        file is not evidence — a failure or ``no_oracle`` record must
-        re-queue the key, which the previous membership-based sort got
-        wrong: ``ann_lsh_topk`` gained an oracle after a ``no_oracle``
-        record and then never re-sampled), AND
+    (a) the LATEST committed ``CORRECTNESS_r*.json`` record for it is
+        ``hash_match: true`` (later rounds override earlier ones, so a
+        regression recorded after an old green check re-queues the key;
+        merely APPEARING in a round file is not evidence — a failure or
+        ``no_oracle`` record re-queues it), AND
     (b) its CURRENT ``oracle_sql()`` string still md5-matches the
         snapshot taken at that green check
         (``tools/oracle_green_hashes.json``, maintained by
@@ -60,17 +59,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     import os
 
     qs = {k: v for k, v in QUERIES.items() if k != "flagship"}
-    green: set[str] = set()
+    # Latest record per key wins (files sort by round number): a
+    # failure recorded AFTER a green check re-queues the key — settling
+    # on "ever green" would let a post-green regression hide forever.
+    latest: dict[str, bool] = {}
+    green_round: dict[str, int] = {}
     root = os.path.dirname(os.path.abspath(__file__))
-    for p in sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json"))):
+    for rnd, p in enumerate(
+            sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json")))):
         try:
             with open(p) as fh:
                 records = json.load(fh)
         except (OSError, ValueError):
             continue
         for k, rec in records.items():
-            if isinstance(rec, dict) and rec.get("hash_match") is True:
-                green.add(k)
+            if isinstance(rec, dict):
+                ok = rec.get("hash_match") is True
+                latest[k] = ok
+                if ok:
+                    green_round[k] = rnd
+    green = {k for k, ok in latest.items() if ok}
     try:
         with open(os.path.join(root, "tools",
                                "oracle_green_hashes.json")) as fh:
@@ -83,7 +91,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return (k in green and sql is not None
                 and snapshot.get(k) == hashlib.md5(sql.encode()).hexdigest())
 
-    order = sorted(qs, key=settled)
+    # Unsettled keys first; among settled keys, OLDEST green evidence
+    # first — the driver's prefix-biased sample then spends surplus
+    # slots re-proving the stalest facts (guards against silent
+    # fixture/dependency drift on keys last checked rounds ago).
+    order = sorted(qs, key=lambda k: (settled(k), green_round.get(k, -1)))
     return {k: qs[k] for k in order}
 
 

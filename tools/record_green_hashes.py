@@ -43,7 +43,9 @@ def main() -> int:
     import __spark_entry__ as m
 
     oracles = m.oracle_sql()
-    green: set[str] = set()
+    # Latest record per key wins, mirroring __spark_entry__.queries():
+    # a failure recorded after an old green check must NOT re-snapshot.
+    latest: dict[str, bool] = {}
     for p in sorted(glob.glob(os.path.join(ROOT, "CORRECTNESS_r*.json"))):
         try:
             with open(p) as fh:
@@ -51,8 +53,9 @@ def main() -> int:
         except (OSError, ValueError):
             continue
         for k, rec in records.items():
-            if isinstance(rec, dict) and rec.get("hash_match") is True:
-                green.add(k)
+            if isinstance(rec, dict):
+                latest[k] = rec.get("hash_match") is True
+    green = {k for k, ok in latest.items() if ok}
 
     snapshot = {
         k: hashlib.md5(oracles[k].encode()).hexdigest()
