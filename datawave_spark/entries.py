@@ -6057,20 +6057,49 @@ def q_filter_time_predicate(spark, sf_dir):
 
 
 @register("nyctlc_ingest", f"""
+WITH pts AS (
+  SELECT event_id, user_id, ts, event_type, value,
+         concat('POINT (-73.',
+                lpad(CAST(abs(user_id) % 1000 AS VARCHAR), 3, '0'),
+                ' 40.',
+                lpad(CAST(abs(user_id + 7) % 1000 AS VARCHAR), 3, '0'),
+                ')') AS pickup_pt,
+         CASE WHEN event_type = 'error' THEN NULL
+              ELSE concat('POINT (-74.',
+                          lpad(CAST(abs(event_id) % 1000 AS VARCHAR),
+                               3, '0'),
+                          ' 41.',
+                          lpad(CAST(abs(event_id + 13) % 1000 AS VARCHAR),
+                               3, '0'),
+                          ')') END AS dropoff_pt,
+         concat('40.',
+                lpad(CAST(abs(user_id + 7) % 1000 AS VARCHAR), 3, '0'),
+                ' -73.',
+                lpad(CAST(abs(user_id) % 1000 AS VARCHAR), 3, '0'))
+           AS pickup_geo,
+         CASE WHEN event_type = 'error' THEN 'null null'
+              ELSE concat('41.',
+                          lpad(CAST(abs(event_id + 13) % 1000 AS VARCHAR),
+                               3, '0'),
+                          ' -74.',
+                          lpad(CAST(abs(event_id) % 1000 AS VARCHAR),
+                               3, '0')) END AS dropoff_geo
+  FROM events)
 SELECT CAST(event_id AS VARCHAR) AS trip_id,
-       CAST(user_id % 3 + 1 AS VARCHAR) AS vendorid,
+       CAST(abs(user_id) % 3 + 1 AS VARCHAR) AS vendorid,
        strftime(ts, '{_TS_FMT_DUCK}') AS pickup_dt,
-       concat('POINT (-73.', lpad(CAST(user_id % 1000 AS VARCHAR), 3, '0'),
-              ' 40.', lpad(CAST((user_id + 7) % 1000 AS VARCHAR), 3, '0'),
-              ')') AS pickup_location,
-       CASE WHEN event_type = 'error' THEN NULL
-            ELSE concat('POINT (-74.',
-                        lpad(CAST(event_id % 1000 AS VARCHAR), 3, '0'),
-                        ' 41.',
-                        lpad(CAST((event_id + 13) % 1000 AS VARCHAR), 3, '0'),
-                        ')') END AS dropoff_location,
-       CASE WHEN event_type = 'error' THEN 1 ELSE 2 END AS n_locations
-FROM events
+       pickup_pt AS pickup_location,
+       dropoff_pt AS dropoff_location,
+       CASE WHEN event_type = 'error' THEN 1 ELSE 2 END AS n_locations,
+       concat(least(pickup_pt, coalesce(dropoff_pt, 'POINT (null null)')),
+              '|',
+              greatest(pickup_pt,
+                       coalesce(dropoff_pt, 'POINT (null null)')))
+         AS all_points,
+       concat(least(pickup_geo, dropoff_geo), '|',
+              greatest(pickup_geo, dropoff_geo)) AS all_points_geo,
+       round(value, 4) AS total_amount_idx
+FROM pts
 """)
 def q_nyctlc_ingest(spark, sf_dir):
     """NYC-TLC dataset ingest end-to-end (warehouse/ingest-nyctlc
@@ -6080,9 +6109,14 @@ def q_nyctlc_ingest(spark, sf_dir):
     the derived WKT points — concatenated from the RAW lat/lon field
     strings, exactly the Java — are value-hashed against the source
     events table, missing-dropoff rows (error events) included.
-    ALL_LOCATIONS is HashMultimap-unordered in the reference, so the
-    gated row carries its SIZE; content equals the two point columns
-    (pinned by unit test)."""
+    Covers the full unconditional derived-field set
+    (NYCTLCIngestHelper.java:151-161): PICKUP/DROPOFF_LOCATION, the
+    SET-multimap ALL_LOCATIONS (gated by SIZE — HashMultimap order is
+    undefined; content pinned by unit test), ALL_POINTS /
+    ALL_POINTS_GEO incl. the Java null-concat 'POINT (null null)' /
+    'null null' strings for missing dropoffs (gated sorted-joined),
+    and TOTAL_AMOUNT_INDEXED (gated as a rounded double — the raw
+    string would test CSV float formatting, not field propagation)."""
     from datawave_spark.sources.prepared import nyctlc_csv_path
     from datawave_spark.sources.readers import read_nyctlc
     df = read_nyctlc(spark, nyctlc_csv_path(spark, sf_dir))
@@ -6092,4 +6126,9 @@ def q_nyctlc_ingest(spark, sf_dir):
         F.col("LPEP_PICKUP_DATETIME").alias("pickup_dt"),
         F.col("PICKUP_LOCATION").alias("pickup_location"),
         F.col("DROPOFF_LOCATION").alias("dropoff_location"),
-        F.size("ALL_LOCATIONS").alias("n_locations"))
+        F.size("ALL_LOCATIONS").alias("n_locations"),
+        F.array_join(F.array_sort("ALL_POINTS"), "|").alias("all_points"),
+        F.array_join(F.array_sort("ALL_POINTS_GEO"), "|")
+        .alias("all_points_geo"),
+        F.round(F.col("TOTAL_AMOUNT_INDEXED").cast("double"), 4)
+        .alias("total_amount_idx"))

@@ -308,7 +308,22 @@ def f_compare(ctx: CompileContext, args):
         return isinstance(_element_type(ctx.spark_type(spec)),
                           T.NumericType)
 
-    numeric = _is_numeric(f1) and _is_numeric(f2)
+    n1, n2 = _is_numeric(f1), _is_numeric(f2)
+    if n1 != n2:
+        # Deliberate divergence, documented: the reference compares
+        # each side's per-field NORMALIZED string (a numeric field's is
+        # the external NumericalEncoder byte form, which is not in the
+        # reference tree), so a mixed numeric-vs-string compare there
+        # is a lexicographic compare of heterogeneous encodings we
+        # cannot reproduce byte-for-byte.  Silently lowercase-string
+        # comparing instead ('10' < '9') would be wrong in a different
+        # way — an explicit error beats a silently-divergent answer.
+        raise ValueError(
+            f"filter:compare on mixed numeric/string fields "
+            f"({f1}, {f2}) is not supported: the reference's behavior "
+            f"depends on an external numeric encoding; cast one side "
+            f"or compare same-typed fields")
+    numeric = n1 and n2
     a = _compare_value_set(ctx, f1, numeric)
     b = _compare_value_set(ctx, f2, numeric)
     a_empty, b_empty = F.size(a) == 0, F.size(b) == 0

@@ -876,16 +876,20 @@ def nyctlc_csv_path(spark: SparkSession, sf_dir: str) -> str:
     path = prepared_path(sf_dir, "nyctlc_csv")
     if not _os.path.exists(_os.path.join(path, "_SUCCESS")):
         ev = read_parquet(spark, _os.path.join(sf_dir, "events.parquet"))
-        pad3 = lambda c: F.lpad(F.pmod(c, F.lit(1000)).cast("string"),
-                                3, "0")
+        # abs() before every mod: the oracle SQL uses DuckDB's `%`
+        # (sign of the dividend) while Spark's pmod is always
+        # non-negative — abs makes the two agree for ANY future
+        # dataset, not just the current non-negative ids.
+        pad3 = lambda c: F.lpad(F.pmod(F.abs(c), F.lit(1000))
+                                .cast("string"), 3, "0")
         missing = F.col("event_type") == "error"
         out = ev.select(
             F.col("event_id").cast("string").alias("trip_id"),
-            (F.pmod(F.col("user_id"), F.lit(3)) + 1).cast("string")
+            (F.pmod(F.abs(F.col("user_id")), F.lit(3)) + 1).cast("string")
             .alias("vendorid"),
             F.date_format("ts", "yyyy-MM-dd HH:mm:ss")
             .alias("lpep_pickup_datetime"),
-            (F.pmod(F.col("event_id"), F.lit(5)) + 1).cast("string")
+            (F.pmod(F.abs(F.col("event_id")), F.lit(5)) + 1).cast("string")
             .alias("passenger_count"),
             F.concat(F.lit("-73."), pad3(F.col("user_id")))
             .alias("pickup_longitude"),

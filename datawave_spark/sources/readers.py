@@ -321,11 +321,24 @@ def read_nyctlc(spark: SparkSession, path: str) -> DataFrame:
       round-trip), NULL when either half of the pair is missing
       (the helper logs and skips);
     - ``ALL_LOCATIONS``: the multi-valued union of whichever points
-      exist (HashMultimap semantics — unordered, so consumers sort).
+      exist (HashMultimap semantics — unordered, so consumers sort);
+    - ``ALL_POINTS`` / ``ALL_POINTS_GEO``: the UNCONDITIONAL
+      point-query fields (NYCTLCIngestHelper.java:158-161) — emitted
+      even when a coordinate is missing, where Java's string concat
+      renders null as the literal ``"null"`` (``"POINT (null null)"``
+      / ``"null null"``); we reproduce those exact strings (HashMultimap
+      is a SET multimap, so two identical strings collapse to one);
+    - ``TOTAL_AMOUNT_INDEXED``: a copy of the single TOTAL_AMOUNT
+      value (NYCTLCIngestHelper.java:151-156), NULL when the source
+      field is absent/empty.
+
+    The config-gated extras (``isGenerateExtraGeometries`` circle WKT,
+    ``ALL_LOCATIONS_OVERLOADED`` composite — :113-145) are
+    test-fixture options in the reference and intentionally omitted.
 
     All columns stay strings (the reference's event fields are raw
     strings; normalizers type them downstream).  Returns the frame
-    with uppercased source columns + the three derived columns;
+    with uppercased source columns + the six derived columns;
     unknown header fields are logged exactly as parseHeader does
     (validate-but-allow), which is also the only signal a misspelled
     coordinate header gives before every derived point goes NULL."""
@@ -350,6 +363,20 @@ def read_nyctlc(spark: SparkSession, path: str) -> DataFrame:
     dropoff = point("DROPOFF_LONGITUDE", "DROPOFF_LATITUDE") \
         if {"DROPOFF_LONGITUDE", "DROPOFF_LATITUDE"} <= set(df.columns) \
         else F.lit(None).cast("string")
+
+    # The unconditional point-query fields concatenate WITHOUT a
+    # null-pair guard: Java's `"POINT (" + lon + " " + lat + ")"`
+    # renders a null coordinate as the literal string "null" — exact
+    # parity, reproduced via coalesce to "null".
+    def _s(col: str):
+        return (F.coalesce(F.col(col), F.lit("null"))
+                if col in df.columns else F.lit("null"))
+
+    raw_pt = lambda lon, lat: F.concat(
+        F.lit("POINT ("), _s(lon), F.lit(" "), _s(lat), F.lit(")"))
+    raw_geo = lambda lon, lat: F.concat(_s(lat), F.lit(" "), _s(lon))
+    total = (F.col("TOTAL_AMOUNT") if "TOTAL_AMOUNT" in df.columns
+             else F.lit(None).cast("string"))
     return (df.withColumn("PICKUP_LOCATION", pickup)
             .withColumn("DROPOFF_LOCATION", dropoff)
             .withColumn("ALL_LOCATIONS",
@@ -359,4 +386,11 @@ def read_nyctlc(spark: SparkSession, path: str) -> DataFrame:
                         F.array_distinct(
                             F.filter(F.array("PICKUP_LOCATION",
                                              "DROPOFF_LOCATION"),
-                                     lambda v: v.isNotNull()))))
+                                     lambda v: v.isNotNull())))
+            .withColumn("ALL_POINTS", F.array_distinct(F.array(
+                raw_pt("PICKUP_LONGITUDE", "PICKUP_LATITUDE"),
+                raw_pt("DROPOFF_LONGITUDE", "DROPOFF_LATITUDE"))))
+            .withColumn("ALL_POINTS_GEO", F.array_distinct(F.array(
+                raw_geo("PICKUP_LONGITUDE", "PICKUP_LATITUDE"),
+                raw_geo("DROPOFF_LONGITUDE", "DROPOFF_LATITUDE"))))
+            .withColumn("TOTAL_AMOUNT_INDEXED", total))

@@ -85,8 +85,15 @@ def standing_query_push(spark: SparkSession, input_path: str,
             delivered = spark.read.schema(key_schema).parquet(ledger_path)
             # no dropDuplicates: left_anti excludes a row if ANY match
             # exists, so deduping the ever-growing ledger would add an
-            # O(ledger) shuffle per batch for zero semantic effect
-            new = results.join(delivered, key_cols, "left_anti")
+            # O(ledger) shuffle per batch for zero semantic effect.
+            # Null-safe (<=>) condition: a plain equi-join never
+            # matches NULL keys, so a null-keyed row would re-deliver
+            # on every batch it re-qualifies in.
+            import functools
+            cond = functools.reduce(
+                lambda a, b: a & b,
+                [results[k].eqNullSafe(delivered[k]) for k in key_cols])
+            new = results.join(delivered, cond, "left_anti")
         except AnalysisException as e:
             if "PATH_NOT_FOUND" not in str(e):
                 raise

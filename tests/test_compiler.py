@@ -475,6 +475,18 @@ class TestCompareFunction:
             df, "filter:compare(A, '==', 'ANY', B)").collect())
         assert got == [1]
 
+    def test_mixed_numeric_string_compare_raises(self, spark):
+        # Documented divergence: the reference lexicographically
+        # compares heterogeneous per-field encodings (external
+        # NumericalEncoder) — unreproducible byte-for-byte, so we
+        # refuse instead of silently comparing '10' < '9' as strings.
+        import pytest
+        from datawave_spark.compiler import compile_query
+        df = spark.createDataFrame(
+            [(1, 10.0, "9")], "id long, a double, b string")
+        with pytest.raises(ValueError, match="mixed numeric/string"):
+            compile_query(df, "filter:compare(A, '<', 'ANY', B)").collect()
+
 
 class TestPeriodAndTimeFunctions:
     def test_match_left_of_period_peels_field_name(self, spark):

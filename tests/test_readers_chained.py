@@ -232,8 +232,41 @@ class TestNYCTLCReader:
         assert "MYSTERY_COL" in taxi.columns      # PROCESS_EXTRA_FIELDS
         unknown = (set(taxi.columns) - NYCTLC_KNOWN_FIELDS
                    - {"PICKUP_LOCATION", "DROPOFF_LOCATION",
-                      "ALL_LOCATIONS"})
+                      "ALL_LOCATIONS", "ALL_POINTS", "ALL_POINTS_GEO",
+                      "TOTAL_AMOUNT_INDEXED"})
         assert unknown == {"TRIP_ID", "MYSTERY_COL"}
+
+    def test_all_points_unconditional_with_java_null_concat(self, taxi):
+        """ALL_POINTS / ALL_POINTS_GEO are emitted UNCONDITIONALLY
+        (NYCTLCIngestHelper.java:158-161) — a missing coordinate is
+        Java string-concat 'null', and the SET multimap collapses the
+        two identical 'POINT (null null)' entries of an all-null pair
+        to one."""
+        rows = {r.TRIP_ID: r for r in taxi.collect()}
+        assert sorted(rows["1"].ALL_POINTS) == [
+            "POINT (-73.991 40.701)", "POINT (-74.005 41.120)"]
+        assert sorted(rows["1"].ALL_POINTS_GEO) == [
+            "40.701 -73.991", "41.120 -74.005"]
+        assert sorted(rows["2"].ALL_POINTS) == [
+            "POINT (-73.800 40.650)", "POINT (null null)"]
+        assert sorted(rows["2"].ALL_POINTS_GEO) == [
+            "40.650 -73.800", "null null"]
+        assert sorted(rows["3"].ALL_POINTS) == [
+            "POINT (-74.100 41.200)", "POINT (null null)"]
+
+    def test_total_amount_indexed_copies_single_value(self, spark,
+                                                      taxi, tmp_path):
+        # fixture has no TOTAL_AMOUNT column -> derived field is NULL
+        assert all(r.TOTAL_AMOUNT_INDEXED is None for r in taxi.collect())
+        p = str(tmp_path / "amt")
+        spark.createDataFrame(
+            [("1", "12.50"), ("2", None)],
+            "trip_id string, total_amount string") \
+            .coalesce(1).write.option("header", True).csv(p)
+        from datawave_spark.sources.readers import read_nyctlc
+        rows = {r.TRIP_ID: r for r in read_nyctlc(spark, p).collect()}
+        assert rows["1"].TOTAL_AMOUNT_INDEXED == "12.50"
+        assert rows["2"].TOTAL_AMOUNT_INDEXED is None
 
     def test_derived_points_accepted_by_geowave_predicates(self, spark, taxi):
         """The derived WKT feeds the geowave: family — intersects on a

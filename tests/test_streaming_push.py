@@ -75,6 +75,38 @@ class TestPushDelivery:
         # (epoch 1's repeat of key 2 is deduped before the hook fires)
         assert pushed == [(0, [1, 2]), (1, [4]), (2, [5])]
 
+    def test_null_keyed_rows_delivered_exactly_once(self, spark, tmp_path):
+        """A NULL result key must dedup across batches too: the
+        anti-join uses a null-safe (<=>) condition, so a null-keyed row
+        that re-qualifies in a later batch is not re-pushed."""
+        src = str(tmp_path / "nsrc")
+        rows = {
+            "f1": [(None, "click", 1.0), (7, "click", 2.0)],
+            "f2": [(None, "click", 1.0), (8, "click", 3.0)],  # null repeats
+        }
+        for name, data in rows.items():
+            spark.createDataFrame(
+                data, "event_id long, event_type string, value double") \
+                .coalesce(1).write.mode("overwrite") \
+                .parquet(os.path.join(src, name + ".parquet"))
+        feed, ledger, ckpt = (str(tmp_path / d) for d in
+                              ("nfeed", "nledger", "nckpt"))
+        sch = spark.read.parquet(os.path.join(src, "f1.parquet")).schema
+
+        def standing(batch):
+            return batch.filter(F.col("event_type") == "click") \
+                .select("event_id", "value")
+
+        q = standing_query_push(
+            spark, src, sch, standing, ["event_id"], feed, ledger, ckpt,
+            options={"maxFilesPerTrigger": "1",
+                     "recursiveFileLookup": "true"})
+        q.awaitTermination()
+        rows_out = read_feed(spark, feed).collect()
+        ids = sorted((r.event_id if r.event_id is not None else -1)
+                     for r in rows_out)
+        assert ids == [-1, 7, 8]
+
     def test_restart_with_checkpoint_pushes_nothing_new(self, spark,
                                                         three_file_source,
                                                         tmp_path):
