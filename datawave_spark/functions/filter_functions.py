@@ -110,8 +110,12 @@ def _ts(col: Column, pattern: str | None) -> Column:
     if pattern:
         return F.try_to_timestamp(col.cast("string"),
                                   F.lit(_java_to_spark_fmt(pattern)))
+    # try_cast, not cast: under ANSI mode a plain cast ERRORS on a
+    # string the default parser rejects (e.g. 'yyyyMMdd' compact
+    # dates), so the coalesce fallback chain would never be reached —
+    # caught by the round-7 referee fuzz (test_filter_referee).
     return F.coalesce(
-        col.cast("timestamp"),
+        col.try_cast("timestamp"),
         F.try_to_timestamp(col.cast("string")),
         F.try_to_timestamp(col.cast("string"), F.lit("yyyyMMdd")),
     )
@@ -203,25 +207,54 @@ def f_get_all_matches(ctx: CompileContext, args):
     return f_include_regex(ctx, args)
 
 
+def _java_long_op(a: Column, b: Column, operator: str) -> Column:
+    """OperationEvaluator.calculate(long, long, op) — Java long
+    arithmetic on Columns.  ``%`` matches Java directly (Spark's ``%``
+    takes the dividend's sign, like Java); ``/`` is Java's
+    truncate-toward-zero long division, built exactly as
+    (a - a % b) / b (the numerator is exactly divisible, so the
+    double-typed divide is exact for any |ms epoch| < 2^53)."""
+    if operator == "+":
+        return a + b
+    if operator == "-":
+        return a - b
+    if operator == "*":
+        return a * b
+    if operator == "%":
+        return a % b
+    if operator == "/":
+        return ((a - a % b) / b).cast("long")
+    raise ValueError(f"unsupported timeFunction operator: {operator}")
+
+
 @register_function("filter", "timeFunction")
 def f_time_function(ctx: CompileContext, args):
     """EvaluationPhaseFilterFunctions.timeFunction:1431 —
-    ``(FIELD1, FIELD2, operator, equality, goal)``: compare the time
-    difference of two date fields against a goal in millis, e.g.
-    ``filter:timeFunction(DEATH, BIRTH, '-', '>', 86400000)``."""
+    ``(FIELD1, FIELD2, operator, equality, goal)``: calculate
+    ``getMaxTime(FIELD1) <op> getMinTime(FIELD2)`` (SET semantics over
+    multi-valued fields — max of the first field's parsed times, min of
+    the second's, exactly the Java) in exact long epoch-millis, then
+    compare against the goal with the equality operator
+    (OperationEvaluator.compare), e.g.
+    ``filter:timeFunction(DEATH, BIRTH, '-', '>', 86400000)``.
+
+    Divergences (documented, total-function): a NULL/empty/unparseable
+    side yields false (the reference nulls also yield false; its EMPTY
+    iterable computes Long.MIN/MAX_VALUE sentinel arithmetic — garbage
+    wrap-around the evaluator only reaches through an empty
+    FunctionalSet, which absent fields never produce)."""
     f1, f2 = _ident(args[0]), _ident(args[1])
     operator = str(_lit(args[2]))
     equality = str(_lit(args[3]))
     goal = int(_lit(args[4]))
-    assert operator == "-", f"only '-' supported (reference too): {operator}"
-    spec1, spec2 = ctx.resolve(f1), ctx.resolve(f2)
-    if spec1 is None or spec2 is None:
-        return F.lit(False)
-    delta = (_ts(F.col(spec1.column), None).cast("double")
-             - _ts(F.col(spec2.column), None).cast("double")) * 1000.0
-    cmp = {">": delta > goal, "<": delta < goal, ">=": delta >= goal,
-           "<=": delta <= goal, "==": delta == goal, "=": delta == goal,
-           "!=": delta != goal}[equality]
+    t1 = F.array_max(F.transform(
+        field_values(ctx, f1), lambda v: F.unix_millis(_ts(v, None))))
+    t2 = F.array_min(F.transform(
+        field_values(ctx, f2), lambda v: F.unix_millis(_ts(v, None))))
+    calc = _java_long_op(t1, t2, operator)
+    cmp = {">": calc > goal, "<": calc < goal, ">=": calc >= goal,
+           "<=": calc <= goal, "==": calc == goal, "=": calc == goal,
+           "!=": calc != goal}[equality]
     return F.coalesce(cmp, F.lit(False))
 
 
@@ -242,19 +275,37 @@ def f_get_min_time(ctx: CompileContext, args):
         vals, lambda v: F.unix_millis(_ts(v, None))))
 
 
+def _time_value_pairs(ctx: CompileContext, field: str) -> Column:
+    """(parsed epoch-ms, original value) structs for the field's
+    values, unparseable values dropped — the reference's getTime throws
+    ParseException there, which getMaxValue/getMinValue propagate as a
+    query error; skipping is the documented total-function stance (the
+    same one filter:after/before take for bad stored dates)."""
+    pairs = F.transform(
+        field_values(ctx, field),
+        lambda v: F.struct(F.unix_millis(_ts(v, None)).alias("t"),
+                           v.alias("v")))
+    return F.filter(pairs, lambda s: s["t"].isNotNull())
+
+
 @register_function("filter", "getMaxValue")
 def f_get_max_value(ctx: CompileContext, args):
-    """EvaluationPhaseFilterFunctions.getMaxValue:1481 — returns a value
-    (used inside comparisons in the reference).  As a standalone term we
-    expose the max over the field's values; comparisons against it are
-    expressed via f:between etc."""
-    return F.array_max(field_values(ctx, _ident(args[0])))
+    """EvaluationPhaseFilterFunctions.getMaxValue:1481 — returns the
+    VALUE whose parsed TIME is the maximum (the Java tracks
+    ``getTime(date) > max`` and keeps the winning ``date`` object), NOT
+    the lexicographic max: over mixed-format date strings the two
+    orders differ.  Struct ordering compares the parsed-time field
+    first; exact ties tiebreak on the value string (the Java keeps the
+    first-encountered value of a tied time — set iteration order is
+    nondeterministic there, so any deterministic tiebreak is parity)."""
+    return F.array_max(_time_value_pairs(ctx, _ident(args[0])))["v"]
 
 
 @register_function("filter", "getMinValue")
 def f_get_min_value(ctx: CompileContext, args):
-    """EvaluationPhaseFilterFunctions.getMinValue:1502."""
-    return F.array_min(field_values(ctx, _ident(args[0])))
+    """EvaluationPhaseFilterFunctions.getMinValue:1502 — min-time
+    counterpart of getMaxValue (same time-ordered selection)."""
+    return F.array_min(_time_value_pairs(ctx, _ident(args[0])))["v"]
 
 
 # ---- filter:compare + period-extraction + time accessors (round 6:
@@ -407,8 +458,9 @@ def value_time_millis(value: Column, pattern: str | None = None) -> Column:
 # granularity -> make_interval kwargs; values are literal magnitudes
 # (Columns are built per call — F.lit needs an active session)
 _GRANULARITY_STEPS = {"YEAR": ("years", 1), "MONTH": ("months", 1),
-                      "DAY": ("days", 1), "HOUR": ("hours", 1),
-                      "MINUTE": ("mins", 1), "SECOND": ("secs", 1.0),
+                      "WEEK": ("days", 7), "DAY": ("days", 1),
+                      "HOUR": ("hours", 1), "MINUTE": ("mins", 1),
+                      "SECOND": ("secs", 1.0),
                       "MILLISECOND": ("secs", 0.001)}
 
 

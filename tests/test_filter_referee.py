@@ -1,0 +1,331 @@
+"""Referee-fuzz for the value-returning filter: surface — ported-Java
+referees property-tested against the Spark column implementations
+(round-7 directive: the filter:compare referee caught a real
+bound-semantics bug in round 6; same treatment for the time/value
+families).
+
+Referees are line-ported from
+EvaluationPhaseFilterFunctions.java (getTime:1584, getNextTime:1533,
+timeFunction:1431, getMaxValue:1489/getMinValue:1510,
+getMatchToLeftOfPeriod:1661/getMatchToRightOfPeriod:1692 +
+getIndicesOfPeriods:1711) and OperationEvaluator.java (calculate/
+compare).  Deliberate divergences each get a pinned test instead of a
+fuzz exemption without evidence.
+"""
+
+import calendar as _cal
+from datetime import datetime, timedelta, timezone
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from datawave_spark.functions.filter_functions import (
+    match_left_of_period, match_right_of_period, value_next_time_millis,
+    value_time_millis,
+)
+
+UTC = timezone.utc
+
+
+# ---------------------------------------------------------------- referees
+
+def epoch_ms(dt: datetime) -> int:
+    """Java Date.getTime — exact ms; for sub-ms instants Spark's
+    unix_millis floor-divides (matches DuckDB epoch_ms), pinned below."""
+    us = dt.replace(tzinfo=UTC).timestamp()
+    # avoid float rounding: compute from days/seconds/micros exactly
+    delta = dt.replace(tzinfo=None) - datetime(1970, 1, 1)
+    total_us = (delta.days * 86400 + delta.seconds) * 10**6 \
+        + delta.microseconds
+    assert abs(us * 1e6 - total_us) < 2e6
+    return total_us // 1000   # floor division, negative-safe
+
+
+def java_calendar_add(dt: datetime, granularity: str) -> datetime:
+    """Calendar.add(field, 1) in a DST-free zone (session tz = UTC):
+    MONTH/YEAR pin the day-of-month and clamp to the target month's
+    last day (Jan 31 + MONTH -> Feb 28/29; Feb 29 + YEAR -> Feb 28)."""
+    if granularity == "MILLISECOND":
+        return dt + timedelta(milliseconds=1)
+    if granularity == "SECOND":
+        return dt + timedelta(seconds=1)
+    if granularity == "MINUTE":
+        return dt + timedelta(minutes=1)
+    if granularity == "HOUR":
+        return dt + timedelta(hours=1)
+    if granularity == "DAY":
+        return dt + timedelta(days=1)
+    if granularity == "WEEK":
+        return dt + timedelta(days=7)
+    if granularity == "MONTH":
+        y = dt.year + dt.month // 12
+        m = dt.month % 12 + 1
+        return dt.replace(year=y, month=m,
+                          day=min(dt.day, _cal.monthrange(y, m)[1]))
+    if granularity == "YEAR":
+        y = dt.year + 1
+        return dt.replace(year=y,
+                          day=min(dt.day, _cal.monthrange(y, dt.month)[1]))
+    raise ValueError(granularity)
+
+
+def java_long_calc(a: int, b: int, op: str) -> int:
+    """OperationEvaluator.calculate(long, long, op): / truncates toward
+    zero, % takes the dividend's sign (Java semantics, NOT Python's)."""
+    if op == "+":
+        return a + b
+    if op == "-":
+        return a - b
+    if op == "*":
+        return a * b
+    if op == "/":
+        q = abs(a) // abs(b)
+        return q if (a >= 0) == (b >= 0) else -q
+    if op == "%":
+        r = abs(a) % abs(b)
+        return r if a >= 0 else -r
+    raise ValueError(op)
+
+
+def java_compare(calc: int, goal: int, eq: str) -> bool:
+    return {"<": calc < goal, "<=": calc <= goal, ">": calc > goal,
+            ">=": calc >= goal, "==": calc == goal, "=": calc == goal,
+            "!=": calc != goal}[eq]
+
+
+def java_time_function(times1, times2, op, eq, goal) -> bool:
+    if not times1 or not times2:
+        return False
+    return java_compare(java_long_calc(max(times1), min(times2), op),
+                        goal, eq)
+
+
+def _indices_of_periods(s: str) -> list[int]:
+    """getIndicesOfPeriods:1711 verbatim — including the indexOf(.,
+    lastIndex + 1) start offset that SKIPS a period at index 0 and
+    yields a trailing -1 entry for inputs beginning with '.'."""
+    out, last = [], 0
+    for _ in range(s.count(".")):
+        i = s.find(".", last + 1)
+        out.append(i)
+        last = i
+    return out
+
+
+def java_left_of_period(inp: str, pos: int):
+    s = inp[inp.find(".") + 1:]          # find==-1 -> whole string, like Java
+    idx = _indices_of_periods(s)
+    if len(idx) < pos + 1:
+        return None
+    end = idx[len(idx) - pos - 1]
+    if end < 0:
+        # Java: input.substring(0, -1) -> StringIndexOutOfBoundsException
+        raise IndexError("java StringIndexOutOfBounds")
+    return s[:end]
+
+
+def java_right_of_period(inp: str, pos: int):
+    idx = _indices_of_periods(inp)
+    if len(idx) < pos + 1:
+        return None
+    start = idx[len(idx) - pos - 1]
+    return inp[start + 1:]               # start==-1 -> whole input (quirk)
+
+
+# ------------------------------------------------------------- strategies
+
+DT = st.datetimes(min_value=datetime(1900, 1, 3),
+                  max_value=datetime(2100, 12, 28))
+GRANULARITIES = ["YEAR", "MONTH", "WEEK", "DAY", "HOUR", "MINUTE",
+                 "SECOND", "MILLISECOND"]
+
+
+def _batch(spark, dts):
+    return spark.createDataFrame([(d,) for d in dts], "ts timestamp")
+
+
+# ------------------------------------------------------------- the fuzz
+
+class TestGetTimeReferee:
+    @settings(max_examples=12, deadline=None,
+              suppress_health_check=[HealthCheck.function_scoped_fixture])
+    @given(dts=st.lists(DT, min_size=1, max_size=25))
+    def test_epoch_millis_matches_java(self, spark, dts):
+        """getTime == Date.getTime epoch ms — incl. pre-1970 and sub-ms
+        (floor-division ties to DuckDB epoch_ms, the r6 unix_millis
+        contract)."""
+        got = _batch(spark, dts).select(
+            value_time_millis(F.col("ts")).alias("ms")).collect()
+        assert [r.ms for r in got] == [epoch_ms(d) for d in dts]
+
+    def test_pre1970_submillis_floors_not_truncates(self, spark):
+        # 1969-12-31 23:59:59.9995 = -0.5 ms -> floor -1, trunc would give 0
+        dt = datetime(1969, 12, 31, 23, 59, 59, 999500)
+        got = _batch(spark, [dt]).select(
+            value_time_millis(F.col("ts")).alias("ms")).head().ms
+        assert got == -1 == epoch_ms(dt)
+
+
+class TestGetNextTimeReferee:
+    @settings(max_examples=12, deadline=None,
+              suppress_health_check=[HealthCheck.function_scoped_fixture])
+    @given(dts=st.lists(DT, min_size=1, max_size=12),
+           gran=st.sampled_from(GRANULARITIES))
+    def test_calendar_add_matches_java(self, spark, dts, gran):
+        got = _batch(spark, dts).select(
+            value_next_time_millis(F.col("ts"), gran).alias("ms")).collect()
+        want = [epoch_ms(java_calendar_add(d, gran)) for d in dts]
+        assert [r.ms for r in got] == want
+
+    def test_month_and_year_rollover_clamp(self, spark):
+        """The Calendar.add day-of-month clamp, pinned explicitly:
+        Jan 31 + MONTH -> Feb 29 (leap) / Feb 28; Feb 29 + YEAR ->
+        Feb 28; Dec 31 + MONTH -> Jan 31 (year rollover, no clamp)."""
+        cases = [
+            (datetime(2024, 1, 31), "MONTH", datetime(2024, 2, 29)),
+            (datetime(2023, 1, 31), "MONTH", datetime(2023, 2, 28)),
+            (datetime(2024, 2, 29), "YEAR", datetime(2025, 2, 28)),
+            (datetime(2023, 12, 31), "MONTH", datetime(2024, 1, 31)),
+            (datetime(1969, 1, 31), "MONTH", datetime(1969, 2, 28)),
+        ]
+        for src, gran, want in cases:
+            got = _batch(spark, [src]).select(
+                value_next_time_millis(F.col("ts"), gran).alias("ms")) \
+                .head().ms
+            assert got == epoch_ms(want), (src, gran)
+
+
+class TestTimeFunctionReferee:
+    @settings(max_examples=15, deadline=None,
+              suppress_health_check=[HealthCheck.function_scoped_fixture])
+    @given(rows=st.lists(
+        st.tuples(st.lists(DT, max_size=3), st.lists(DT, max_size=3)),
+        min_size=1, max_size=12),
+        op=st.sampled_from(["+", "-", "*", "/", "%"]),
+        eq=st.sampled_from(["<", "<=", ">", ">=", "==", "!="]),
+        goal=st.integers(min_value=-10**13, max_value=10**13))
+    def test_set_semantics_all_operators(self, spark, rows, op, eq, goal):
+        """timeFunction = compare(calculate(getMaxTime(F1),
+        getMinTime(F2), op), goal, eq) — SET max/min over multi-valued
+        fields, Java long arithmetic.  (* is skipped when the product
+        exceeds 2^63: Java wraps silently, Spark ANSI errors — wrapped
+        epoch products are garbage either side.)"""
+        from datawave_spark.compiler import compile_query
+        want = []
+        for t1s, t2s in rows:
+            ms1 = [epoch_ms(d) for d in t1s]
+            ms2 = [epoch_ms(d) for d in t2s]
+            if op == "*" and ms1 and ms2 and \
+                    abs(max(ms1, key=abs)) * abs(max(ms2, key=abs)) >= 2**63:
+                return  # skip whole example: overflow is a non-goal
+            if op in ("/", "%") and 0 in ms2:
+                return  # Java ArithmeticException / Spark ANSI error
+            want.append(java_time_function(ms1, ms2, op, eq, goal))
+        df = spark.createDataFrame(
+            [(i, a, b) for i, (a, b) in enumerate(rows)],
+            "id long, T1 array<timestamp>, T2 array<timestamp>")
+        q = f"filter:timeFunction(T1, T2, '{op}', '{eq}', {goal})"
+        got_ids = {r.id for r in compile_query(df, q).collect()}
+        assert got_ids == {i for i, w in enumerate(want) if w}
+
+
+class TestMaxMinValueReferee:
+    # mixed-format date strings where lexicographic != temporal order
+    DATES = ["2024-01-15", "20231231", "2023-06-01 12:00:00",
+             "20240102", "1969-07-20", "2024-01-02", "19691231",
+             "2100-01-01", "1900-02-28 23:59:59"]
+
+    @staticmethod
+    def _parse(s):
+        for fmt in ("%Y-%m-%d %H:%M:%S", "%Y-%m-%d", "%Y%m%d"):
+            try:
+                return datetime.strptime(s, fmt)
+            except ValueError:
+                continue
+        raise ValueError(s)
+
+    @settings(max_examples=15, deadline=None,
+              suppress_health_check=[HealthCheck.function_scoped_fixture])
+    @given(rows=st.lists(st.lists(st.sampled_from(DATES), min_size=1,
+                                  max_size=5), min_size=1, max_size=10))
+    def test_value_selected_by_parsed_time(self, spark, rows):
+        """getMaxValue/getMinValue return the VALUE whose parsed TIME
+        is extreme (Java tracks getTime(date) > max), not the
+        lexicographic extreme — '20240102' beats '2023-12-31' despite
+        sorting before it as a string.  Ties (same instant, different
+        strings) accept any tied value: Java keeps first-encountered in
+        nondeterministic set order."""
+        from datawave_spark.compiler import CompileContext
+        from datawave_spark.functions.filter_functions import (
+            f_get_max_value, f_get_min_value)
+        from datawave_spark.jexl.ast import Identifier
+        df = spark.createDataFrame(
+            [(i, vs) for i, vs in enumerate(rows)],
+            "id long, D array<string>")
+        ctx = CompileContext.for_dataframe(df)
+        out = {r.id: (r.mx, r.mn) for r in df.select(
+            "id",
+            f_get_max_value(ctx, [Identifier("D")]).alias("mx"),
+            f_get_min_value(ctx, [Identifier("D")]).alias("mn")).collect()}
+        for i, vs in enumerate(rows):
+            times = [self._parse(v) for v in vs]
+            tmax, tmin = max(times), min(times)
+            assert out[i][0] in {v for v, t in zip(vs, times) if t == tmax}
+            assert out[i][1] in {v for v, t in zip(vs, times) if t == tmin}
+
+
+PERIOD_ALPHABET = "ab."
+
+
+class TestPeriodExtractorReferee:
+    @settings(max_examples=20, deadline=None,
+              suppress_health_check=[HealthCheck.function_scoped_fixture])
+    @given(inputs=st.lists(st.text(alphabet=PERIOD_ALPHABET, min_size=1,
+                                   max_size=10), min_size=1, max_size=20),
+           pos=st.integers(min_value=0, max_value=4))
+    def test_matches_java_on_nonquirk_inputs(self, spark, inputs, pos):
+        """Exact agreement with the line-ported Java on every input
+        whose SCANNED string does not start with '.' — trailing
+        periods, consecutive periods, no-period inputs, empty-segment
+        results all included.  (A leading period triggers the Java
+        indexOf-skip quirk — pinned separately.)"""
+        df = spark.createDataFrame([(i, s) for i, s in enumerate(inputs)],
+                                   "id long, v string")
+        got = {r.id: (r.l, r.r) for r in df.select(
+            "id",
+            match_left_of_period(F.col("v"), pos).alias("l"),
+            match_right_of_period(F.col("v"), pos).alias("r")).collect()}
+        for i, s in enumerate(inputs):
+            peeled = s[s.find(".") + 1:]
+            if not peeled.startswith("."):
+                assert got[i][0] == java_left_of_period(s, pos), (s, pos)
+            if not s.startswith("."):
+                assert got[i][1] == java_right_of_period(s, pos), (s, pos)
+
+    def test_leading_period_quirk_divergence_pinned(self, spark):
+        """Inputs whose scanned string starts with '.' hit the Java
+        getIndicesOfPeriods skip (indexOf from lastIndex+1 misses a
+        period at index 0, leaving a trailing -1 index):
+        getMatchToRightOfPeriod('.a.b', 0) returns the WHOLE input via
+        substring(-1+1), and getMatchToLeftOfPeriod('F..a', 0) throws
+        StringIndexOutOfBounds on substring(0, -1).  We diverge to the
+        index-free reading (split on every period), which is total and
+        position-consistent; pinned here so the divergence is a
+        decision, not an accident."""
+        # referee reproduces the Java quirk faithfully
+        assert java_right_of_period(".a.b", 0) == ".a.b"
+        assert java_right_of_period(".a.b", 1) == "b"   # off-by-one cascade
+        with pytest.raises(IndexError):
+            java_left_of_period("F..a", 0)
+        df = spark.createDataFrame([(".a.b",), ("F..a",)], "v string")
+        rows = df.select(
+            "v",
+            match_right_of_period(F.col("v"), 0).alias("r0"),
+            match_right_of_period(F.col("v"), 1).alias("r1"),
+            match_left_of_period(F.col("v"), 0).alias("l0")).collect()
+        by_v = {r.v: r for r in rows}
+        assert by_v[".a.b"].r0 == "b"     # split-reading, not whole input
+        assert by_v[".a.b"].r1 == "a.b"   # position-consistent
+        assert by_v["F..a"].l0 == ""      # total: empty segment, no error
