@@ -307,7 +307,29 @@ NYCTLC_KNOWN_FIELDS = {
 }
 
 
-def read_nyctlc(spark: SparkSession, path: str) -> DataFrame:
+def _circle_wkt(cx, cy, r):
+    """32-point circle polygon WKT — the JTS GeometricShapeFactory
+    recipe NYCTLCIngestHelper.createCircle uses (setNumPoints(32),
+    setSize(RADIUS*2), createCircle → x_i = cx + r·cos(2πi/32),
+    y_i = cy + r·sin(2πi/32), ring closed on point 0), built as pure
+    column expressions (JVM codegen, no UDF).  Numeric formatting is
+    Spark's shortest-repr double→string rather than the JTS WKTWriter
+    precision model — consumers (the geowave: family) parse the
+    numbers, not the bytes."""
+    import math
+    coords = [(math.cos(i * math.pi / 16.0), math.sin(i * math.pi / 16.0))
+              for i in range(32)]
+    coords.append(coords[0])
+    parts = [F.concat((cx + r * F.lit(c)).cast("string"), F.lit(" "),
+                      (cy + r * F.lit(s)).cast("string"))
+             for c, s in coords]
+    return F.concat(F.lit("POLYGON (("), F.concat_ws(", ", *parts),
+                    F.lit("))"))
+
+
+def read_nyctlc(spark: SparkSession, path: str,
+                generate_extra_geometries: bool = False,
+                generate_overloaded_composite: bool = False) -> DataFrame:
     """NYC Taxi & Limousine Commission dataset ingest
     (warehouse/ingest-nyctlc): header-driven dynamic field parsing —
     the header is uppercased and validated against the known field
@@ -332,9 +354,21 @@ def read_nyctlc(spark: SparkSession, path: str) -> DataFrame:
       value (NYCTLCIngestHelper.java:151-156), NULL when the source
       field is absent/empty.
 
-    The config-gated extras (``isGenerateExtraGeometries`` circle WKT,
-    ``ALL_LOCATIONS_OVERLOADED`` composite — :113-145) are
-    test-fixture options in the reference and intentionally omitted.
+    The config-gated extras mirror the reference's two helper flags
+    (NYCTLCHelper GENERATE_EXTRA_GEOMETRIES /
+    GENERATE_OVERLOADED_COMPOSITE, default false):
+
+    - ``generate_extra_geometries`` (:113-126): when all four
+      coordinates exist, three 32-point circle WKT polygons join
+      ALL_LOCATIONS — radius = half the euclidean pickup→dropoff
+      distance, centred at pickup, dropoff, and ``min + (max - min)``
+      per axis (which algebraically IS the max corner — the Java
+      expression reads like a midpoint but reduces to max; reproduced
+      faithfully);
+    - ``generate_overloaded_composite`` (:130-145): the two points
+      re-join ALL_LOCATIONS (set semantics — no-op when already
+      there) and the same three circles land in a separate
+      ``ALL_LOCATIONS_OVERLOADED`` column.
 
     All columns stay strings (the reference's event fields are raw
     strings; normalizers type them downstream).  Returns the frame
@@ -377,7 +411,27 @@ def read_nyctlc(spark: SparkSession, path: str) -> DataFrame:
     raw_geo = lambda lon, lat: F.concat(_s(lat), F.lit(" "), _s(lon))
     total = (F.col("TOTAL_AMOUNT") if "TOTAL_AMOUNT" in df.columns
              else F.lit(None).cast("string"))
-    return (df.withColumn("PICKUP_LOCATION", pickup)
+
+    circles = None
+    if generate_extra_geometries or generate_overloaded_composite:
+        cols = {"PICKUP_LONGITUDE", "PICKUP_LATITUDE",
+                "DROPOFF_LONGITUDE", "DROPOFF_LATITUDE"}
+        if cols <= set(df.columns):
+            plon = F.col("PICKUP_LONGITUDE").try_cast("double")
+            plat = F.col("PICKUP_LATITUDE").try_cast("double")
+            dlon = F.col("DROPOFF_LONGITUDE").try_cast("double")
+            dlat = F.col("DROPOFF_LATITUDE").try_cast("double")
+            r = F.sqrt(F.pow(dlon - plon, 2) + F.pow(dlat - plat, 2)) / 2
+            # min + (max - min) == max per axis (the Java verbatim)
+            mlon, mlat = F.greatest(plon, dlon), F.greatest(plat, dlat)
+            all_present = (plon.isNotNull() & plat.isNotNull()
+                           & dlon.isNotNull() & dlat.isNotNull())
+            circles = F.when(all_present, F.array(
+                _circle_wkt(plon, plat, r), _circle_wkt(dlon, dlat, r),
+                _circle_wkt(mlon, mlat, r))) \
+                .otherwise(F.array().cast("array<string>"))
+
+    out = (df.withColumn("PICKUP_LOCATION", pickup)
             .withColumn("DROPOFF_LOCATION", dropoff)
             .withColumn("ALL_LOCATIONS",
                         # array_distinct: HashMultimap is a SET multimap
@@ -394,3 +448,12 @@ def read_nyctlc(spark: SparkSession, path: str) -> DataFrame:
                 raw_geo("PICKUP_LONGITUDE", "PICKUP_LATITUDE"),
                 raw_geo("DROPOFF_LONGITUDE", "DROPOFF_LATITUDE"))))
             .withColumn("TOTAL_AMOUNT_INDEXED", total))
+    if generate_extra_geometries and circles is not None:
+        out = out.withColumn(
+            "ALL_LOCATIONS",
+            F.array_distinct(F.concat("ALL_LOCATIONS", circles)))
+    if generate_overloaded_composite and circles is not None:
+        # the point re-puts are set-multimap no-ops; the circles go to
+        # the separate overloaded composite field
+        out = out.withColumn("ALL_LOCATIONS_OVERLOADED", circles)
+    return out

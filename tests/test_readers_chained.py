@@ -254,6 +254,76 @@ class TestNYCTLCReader:
         assert sorted(rows["3"].ALL_POINTS) == [
             "POINT (-74.100 41.200)", "POINT (null null)"]
 
+    def test_extra_geometries_flag_adds_three_circles(self, spark,
+                                                      tmp_path):
+        """GENERATE_EXTRA_GEOMETRIES (NYCTLCIngestHelper.java:113-126):
+        three 32-point circles (pickup, dropoff, max-corner — the
+        Java's min+(max-min) reduces to max) join ALL_LOCATIONS when
+        all four coordinates exist; rows missing a pair add nothing."""
+        import math
+        p = str(tmp_path / "extra")
+        spark.createDataFrame(
+            [("1", "-73.9", "40.7", "-74.0", "41.1"),
+             ("2", "-73.8", "40.6", None, None)],
+            "trip_id string, pickup_longitude string, "
+            "pickup_latitude string, dropoff_longitude string, "
+            "dropoff_latitude string") \
+            .coalesce(1).write.option("header", True).csv(p)
+        from datawave_spark.sources.readers import read_nyctlc
+        rows = {r.TRIP_ID: r for r in read_nyctlc(
+            spark, p, generate_extra_geometries=True).collect()}
+        locs = rows["1"].ALL_LOCATIONS
+        assert len(locs) == 5            # 2 points + 3 circles
+        circles = [x for x in locs if x.startswith("POLYGON ((")]
+        assert len(circles) == 3
+        for c in circles:
+            pts = c[len("POLYGON (("):-2].split(", ")
+            assert len(pts) == 33 and pts[0] == pts[-1]   # closed ring
+        # pickup circle: first vertex is (plon + r, plat)
+        r = math.sqrt(0.1**2 + 0.4**2) / 2
+        x0, y0 = map(float, circles[0].split("((")[1].split(",")[0].split())
+        assert abs(x0 - (-73.9 + r)) < 1e-9 and abs(y0 - 40.7) < 1e-9
+        assert len(rows["2"].ALL_LOCATIONS) == 1          # no circles
+
+    def test_extra_circles_feed_geowave_predicates(self, spark, tmp_path):
+        p = str(tmp_path / "geo")
+        spark.createDataFrame(
+            [("1", "-73.9", "40.7", "-74.0", "41.1")],
+            "trip_id string, pickup_longitude string, "
+            "pickup_latitude string, dropoff_longitude string, "
+            "dropoff_latitude string") \
+            .coalesce(1).write.option("header", True).csv(p)
+        from datawave_spark.compiler import compile_query
+        from datawave_spark.sources.readers import read_nyctlc
+        df = read_nyctlc(spark, p, generate_extra_geometries=True) \
+            .withColumn("GEOM", __import__("pyspark.sql.functions",
+                                           fromlist=["x"])
+                        .explode("ALL_LOCATIONS"))
+        # bbox far from both points but crossing the pickup circle's
+        # eastern rim (pickup + r ≈ -73.694)
+        hits = compile_query(
+            df, "geowave:intersects(GEOM, "
+            "'POLYGON((-73.71 40.69, -73.65 40.69, -73.65 40.71, "
+            "-73.71 40.71, -73.71 40.69))')")
+        assert hits.count() > 0
+
+    def test_overloaded_composite_flag(self, spark, tmp_path):
+        p = str(tmp_path / "ovl")
+        spark.createDataFrame(
+            [("1", "-73.9", "40.7", "-74.0", "41.1")],
+            "trip_id string, pickup_longitude string, "
+            "pickup_latitude string, dropoff_longitude string, "
+            "dropoff_latitude string") \
+            .coalesce(1).write.option("header", True).csv(p)
+        from datawave_spark.sources.readers import read_nyctlc
+        row = read_nyctlc(spark, p,
+                          generate_overloaded_composite=True).head()
+        assert len(row.ALL_LOCATIONS_OVERLOADED) == 3
+        assert all(c.startswith("POLYGON ((")
+                   for c in row.ALL_LOCATIONS_OVERLOADED)
+        # the point re-puts are set no-ops: ALL_LOCATIONS unchanged
+        assert len(row.ALL_LOCATIONS) == 2
+
     def test_total_amount_indexed_copies_single_value(self, spark,
                                                       taxi, tmp_path):
         # fixture has no TOTAL_AMOUNT column -> derived field is NULL

@@ -36,7 +36,7 @@ OPS = ["jexl_filter", "groupby", "tokenize_tf", "minhash_sig", "simhash",
        "gopher", "c4_clean", "dsir", "exsub", "backoff", "budget",
        "neardup", "pagerank", "token_ids", "chunk_docs", "pack_seqs",
        "bpe_train", "bpe_encode", "federated", "schema_evo",
-       "tokenizer_e2e", "push"]
+       "tokenizer_e2e", "push", "push_epochs", "compare_wide", "nyctlc"]
 
 
 def generate(spark):
@@ -211,7 +211,91 @@ def run_one(op: str, events_path: str, docs_path: str,
         "schema_evo": lambda d: _schema_evo(d),
         "tokenizer_e2e": lambda d: _tokenizer_e2e(d),
         "push": lambda d: _push(d),
+        "push_epochs": lambda d: _push_epochs(d),
+        "compare_wide": lambda d: _compare_wide(d),
+        "nyctlc": lambda d: _nyctlc(d),
     }
+
+    def _push_epochs(d):
+        # ≥3 epochs with a GROWING ledger: the r6 verdict's open
+        # question is whether the per-batch ledger anti-join stays
+        # result-bounded as delivered history accumulates.  4 files →
+        # 4 micro-batches; the sink hook timestamps each epoch, and the
+        # inter-epoch deltas (epoch N runs against a ledger of N-1
+        # epochs' keys) are printed for the README shape note.
+        import shutil as _sh
+        import uuid as _uuid
+        from datawave_spark.streaming.push import standing_query_push
+        tag = _uuid.uuid4().hex[:8]
+        base = f"{SCRATCH}/pushe_{tag}"
+        src = f"{base}/src"
+        d.repartition(4).write.parquet(src)
+        marks = [time.perf_counter()]
+
+        def sink(df, epoch):
+            marks.append(time.perf_counter())
+
+        q = standing_query_push(
+            spark, src, spark.read.parquet(src).schema,
+            lambda b: b.filter(F.col("event_type") == "click")
+                       .select("event_id", "value"),
+            ["event_id"], f"{base}/feed", f"{base}/ledger",
+            f"{base}/ckpt", options={"maxFilesPerTrigger": "1"},
+            sink=sink)
+        q.awaitTermination()
+        deltas = [round(b - a, 2) for a, b in zip(marks, marks[1:])]
+        print(f"PUSH_EPOCH_DELTAS {deltas}")
+        _sh.rmtree(base, ignore_errors=True)
+
+    def _compare_wide(d):
+        # filter:compare over WIDE multi-value fields (64 values/side):
+        # the set build is per-row transform/array_distinct (no
+        # shuffle), the bound compare is array_min/max — should scale
+        # with rows, indifferent to the ledgered set width.
+        wide = d.select(
+            "event_id",
+            F.transform(F.sequence(F.lit(1), F.lit(64)),
+                        lambda i: F.pmod(F.xxhash64(F.col("event_id"), i),
+                                         F.lit(1000)).cast("double"))
+            .alias("A"),
+            F.transform(F.sequence(F.lit(1), F.lit(64)),
+                        lambda i: F.pmod(F.xxhash64(F.col("event_id"),
+                                                    i + 100),
+                                         F.lit(1000)).cast("double"))
+            .alias("B"))
+        noop(compile_query(wide, "filter:compare(A, '<', 'ALL', B)")
+             .select("event_id"))
+
+    def _nyctlc(d):
+        # NYC-TLC ingest end-to-end: events → header CSV (the
+        # reference's raw input shape) → read_nyctlc with all six
+        # derived fields.  The CSV round-trip is part of the measured
+        # path on both scales — ingest IS the operator here.
+        import shutil as _sh
+        import uuid as _uuid
+        from datawave_spark.sources.readers import read_nyctlc
+        tag = _uuid.uuid4().hex[:8]
+        base = f"{SCRATCH}/nyctlc_{tag}"
+        pad3 = lambda c: F.lpad(F.pmod(F.abs(c), F.lit(1000))
+                                .cast("string"), 3, "0")
+        (d.select(
+            F.col("event_id").cast("string").alias("trip_id"),
+            F.date_format("ts", "yyyy-MM-dd HH:mm:ss")
+            .alias("lpep_pickup_datetime"),
+            F.concat(F.lit("-73."), pad3(F.col("user_id")))
+            .alias("pickup_longitude"),
+            F.concat(F.lit("40."), pad3(F.col("user_id") + 7))
+            .alias("pickup_latitude"),
+            F.when(F.col("event_type") == "error", F.lit(None)).otherwise(
+                F.concat(F.lit("-74."), pad3(F.col("event_id"))))
+            .alias("dropoff_longitude"),
+            F.when(F.col("event_type") == "error", F.lit(None)).otherwise(
+                F.concat(F.lit("41."), pad3(F.col("event_id") + 13)))
+            .alias("dropoff_latitude"),
+            F.col("value").cast("string").alias("total_amount"))
+         .write.option("header", True).csv(base))
+        noop(read_nyctlc(spark, base))
+        _sh.rmtree(base, ignore_errors=True)
 
     def _push(d):
         # standing-query push over the file stream: micro-batch fixed
@@ -488,7 +572,8 @@ def run_one(op: str, events_path: str, docs_path: str,
                               max_bucket=2000))
 
     if op in ("jexl_filter", "groupby", "edge_dict", "validate",
-              "pagerank", "federated", "schema_evo", "push"):
+              "pagerank", "federated", "schema_evo", "push",
+              "push_epochs", "compare_wide", "nyctlc"):
         src = ev
     elif op in ("knn_lsh", "knn_blocked", "semantic_dedup", "kmeans_step"):
         src = emb
@@ -527,11 +612,15 @@ def main() -> None:
              ev_path, doc_path, emb_path],
             capture_output=True, text=True, cwd=REPO,
             env={**os.environ, "PYTHONPATH": REPO})
+        secs = float("nan")
         for line in out.stdout.splitlines():
             if line.startswith("PROBE_SECONDS"):
-                return float(line.split()[1])
-        print(out.stderr[-500:], file=sys.stderr)
-        return float("nan")
+                secs = float(line.split()[1])
+            elif line.startswith("PUSH_EPOCH_DELTAS"):
+                print(f"  {op}: {line}", flush=True)
+        if secs != secs:
+            print(out.stderr[-500:], file=sys.stderr)
+        return secs
 
     print(f"{'op':12} {'1x':>7} {'10x':>8} {'ratio':>6}", flush=True)
     for op in wanted:
