@@ -103,10 +103,44 @@ def f_matches_at_least(ctx: CompileContext, args):
     return hits >= count
 
 
+# EvaluationPhaseFilterFunctions.DATE_FORMAT_STRINGS:1321 — the
+# reference's known-format list for pattern-less getTime, in ITS order
+# (first parse wins), minus entries Spark's DateTimeFormatter dialect
+# cannot express: the four zone-bearing patterns (Z / z / zzz suffixes
+# — RFC-822 and named zones on otherwise-naive stamps) and the two
+# locale day-name forms ('EEE MMM dd HH:mm:ss zzz yyyy').  Entries the
+# default cast already handles (yyyy-MM-dd [HH:mm:ss]) are covered by
+# the try_cast branch ahead of this list.  Two lenient-SimpleDateFormat
+# behaviors are deliberately NOT reproduced: prefix parsing (SDF
+# accepts '2024-01-15garbage') and field rollover (month 13 → next
+# year) — try_to_timestamp requires a full, in-range match, so such
+# values are non-matches instead of silently reinterpreted.
+_KNOWN_DATE_FORMATS = (
+    "yyyyMMdd:HH:mm:ss:SSS",
+    "yyyy-MM-dd HH:mm:ss.SSS",
+    "yyyyMMdd HHmmss",
+    "yyyy-MM-dd'T'HH'|'mm",
+    "yyyy-MM-dd'T'HH:mm:ss.SSS'Z'",
+    "yyyy-MM-dd'T'HH:mm:ss'Z'",
+    "MM/dd/yyyy HH:mm:ss",
+    "yyyyMMdd_HHmmss",
+    "MM/dd/yyyy",
+    "yyyy-MMMM",
+    "yyyy-MMM",
+    "yyyyMMddHHmmss",
+    "yyyyMMddHHmm",
+    "yyyyMMddHH",
+    "yyyyMMdd",
+)
+
+
 def _ts(col: Column, pattern: str | None) -> Column:
     # try_to_timestamp everywhere: an unparseable stored value fails the
     # comparison instead of failing the query (the reference's evaluator
     # likewise treats bad values as non-matching).
+    if pattern == "e":
+        # TIME_SINCE_EPOCH_FORMAT:1314 — the value IS epoch millis
+        return F.timestamp_millis(col.cast("string").try_cast("long"))
     if pattern:
         return F.try_to_timestamp(col.cast("string"),
                                   F.lit(_java_to_spark_fmt(pattern)))
@@ -114,10 +148,14 @@ def _ts(col: Column, pattern: str | None) -> Column:
     # string the default parser rejects (e.g. 'yyyyMMdd' compact
     # dates), so the coalesce fallback chain would never be reached —
     # caught by the round-7 referee fuzz (test_filter_referee).
+    # Cost note: coalesce short-circuits per row in codegen — typed
+    # timestamp/date columns resolve at the first branch; only string
+    # date fields walk the chain, and only as far as their format.
+    s = col.cast("string")
     return F.coalesce(
         col.try_cast("timestamp"),
-        F.try_to_timestamp(col.cast("string")),
-        F.try_to_timestamp(col.cast("string"), F.lit("yyyyMMdd")),
+        F.try_to_timestamp(s),
+        *[F.try_to_timestamp(s, F.lit(f)) for f in _KNOWN_DATE_FORMATS],
     )
 
 
@@ -129,9 +167,17 @@ def _java_to_spark_fmt(pattern: str) -> str:
 
 def _date_lit(value, pattern: str | None) -> Column:
     c = F.lit(str(value))
+    if pattern == "e":            # TIME_SINCE_EPOCH_FORMAT: epoch ms
+        return F.timestamp_millis(F.lit(int(str(value))))
     if pattern:
         return F.to_timestamp(c, _java_to_spark_fmt(pattern))
-    return F.coalesce(F.to_timestamp(c), F.to_timestamp(c, "yyyyMMdd"))
+    # a query LITERAL that parses under none of the known formats is a
+    # user error — fail fast (to_timestamp raises), unlike stored
+    # values where unparseable means non-matching
+    return F.coalesce(
+        F.try_to_timestamp(c),
+        *[F.try_to_timestamp(c, F.lit(f)) for f in _KNOWN_DATE_FORMATS],
+        F.to_timestamp(c))
 
 
 def _date_cmp(ctx: CompileContext, args, cmp):

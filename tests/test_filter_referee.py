@@ -168,6 +168,92 @@ class TestGetTimeReferee:
         assert got == -1 == epoch_ms(dt)
 
 
+def _fmt_ms(dt):
+    return f"{dt.microsecond // 1000:03d}"
+
+
+# (strftime-style renderer, granularity truncator) per reference
+# DATE_FORMAT_STRINGS entry that _ts carries — the truncator yields the
+# instant SimpleDateFormat reconstructs from only the fields the format
+# carries (missing fields default to Jan 1 / midnight, GMT)
+KNOWN_FORMAT_CASES = [
+    (lambda d: d.strftime("%Y%m%d:%H:%M:%S:") + _fmt_ms(d),
+     lambda d: d.replace(microsecond=d.microsecond // 1000 * 1000)),
+    (lambda d: d.strftime("%Y-%m-%d %H:%M:%S.") + _fmt_ms(d),
+     lambda d: d.replace(microsecond=d.microsecond // 1000 * 1000)),
+    (lambda d: d.strftime("%Y-%m-%d %H:%M:%S"),
+     lambda d: d.replace(microsecond=0)),
+    (lambda d: d.strftime("%Y%m%d %H%M%S"),
+     lambda d: d.replace(microsecond=0)),
+    (lambda d: d.strftime("%Y-%m-%dT%H|%M"),
+     lambda d: d.replace(second=0, microsecond=0)),
+    (lambda d: d.strftime("%Y-%m-%dT%H:%M:%S.") + _fmt_ms(d) + "Z",
+     lambda d: d.replace(microsecond=d.microsecond // 1000 * 1000)),
+    (lambda d: d.strftime("%Y-%m-%dT%H:%M:%SZ"),
+     lambda d: d.replace(microsecond=0)),
+    (lambda d: d.strftime("%m/%d/%Y %H:%M:%S"),
+     lambda d: d.replace(microsecond=0)),
+    (lambda d: d.strftime("%Y%m%d_%H%M%S"),
+     lambda d: d.replace(microsecond=0)),
+    (lambda d: d.strftime("%Y-%m-%d"),
+     lambda d: datetime(d.year, d.month, d.day)),
+    (lambda d: d.strftime("%m/%d/%Y"),
+     lambda d: datetime(d.year, d.month, d.day)),
+    (lambda d: d.strftime("%Y-%B"),            # yyyy-MMMM
+     lambda d: datetime(d.year, d.month, 1)),
+    (lambda d: d.strftime("%Y-%b"),            # yyyy-MMM
+     lambda d: datetime(d.year, d.month, 1)),
+    (lambda d: d.strftime("%Y%m%d%H%M%S"),
+     lambda d: d.replace(microsecond=0)),
+    (lambda d: d.strftime("%Y%m%d%H%M"),
+     lambda d: d.replace(second=0, microsecond=0)),
+    (lambda d: d.strftime("%Y%m%d%H"),
+     lambda d: d.replace(minute=0, second=0, microsecond=0)),
+    (lambda d: d.strftime("%Y%m%d"),
+     lambda d: datetime(d.year, d.month, d.day)),
+]
+
+
+class TestKnownFormatListReferee:
+    @settings(max_examples=10, deadline=None,
+              suppress_health_check=[HealthCheck.function_scoped_fixture])
+    @given(dts=st.lists(DT, min_size=1, max_size=6),
+           case=st.sampled_from(range(len(KNOWN_FORMAT_CASES))))
+    def test_patternless_gettime_parses_known_formats(self, spark, dts,
+                                                      case):
+        """getTime with NO pattern walks the reference's
+        DATE_FORMAT_STRINGS list: every translatable entry must parse
+        back to the instant SimpleDateFormat would reconstruct (missing
+        fields default per granularity)."""
+        render, trunc = KNOWN_FORMAT_CASES[case]
+        strs = [render(d) for d in dts]
+        df = spark.createDataFrame([(s,) for s in strs], "v string")
+        got = [r.ms for r in df.select(
+            value_time_millis(F.col("v")).alias("ms")).collect()]
+        assert got == [epoch_ms(trunc(d)) for d in dts], strs
+
+    def test_epoch_pattern_e(self, spark):
+        """The 'e' explicit pattern (TIME_SINCE_EPOCH_FORMAT:1314) —
+        the value string IS epoch millis, negatives included."""
+        df = spark.createDataFrame(
+            [("1705276800000",), ("-86400000",), ("notanumber",)],
+            "v string")
+        got = [r.ms for r in df.select(
+            value_time_millis(F.col("v"), "e").alias("ms")).collect()]
+        assert got == [1705276800000, -86400000, None]
+
+    def test_lenient_sdf_behaviors_not_reproduced(self, spark):
+        """Pinned divergence: SimpleDateFormat prefix-parses
+        ('2024-01-15garbage' succeeds) and rolls over out-of-range
+        fields (month 13 → next January); try_to_timestamp requires a
+        full in-range match, so both are non-matches here."""
+        df = spark.createDataFrame(
+            [("2024-01-15garbage",), ("2024-13-01",)], "v string")
+        got = [r.ms for r in df.select(
+            value_time_millis(F.col("v")).alias("ms")).collect()]
+        assert got == [None, None]
+
+
 class TestGetNextTimeReferee:
     @settings(max_examples=12, deadline=None,
               suppress_health_check=[HealthCheck.function_scoped_fixture])
