@@ -236,7 +236,7 @@ def q_filter_exclude_regex(spark, sf_dir):
 
 @register("filter_between_dates", f"""
 SELECT event_id, strftime(ts, '{_TS_FMT_DUCK}') AS ts_s FROM events
-WHERE ts >= TIMESTAMP '2024-01-05 00:00:00' AND ts <= TIMESTAMP '2024-01-10 00:00:00'
+WHERE ts >= TIMESTAMP '2024-01-05 00:00:00' AND ts < TIMESTAMP '2024-01-11 00:00:00'
 """)
 def q_filter_between_dates(spark, sf_dir):
     ev = _t(spark, sf_dir, "events")
@@ -1240,7 +1240,7 @@ def q_lucene_unique(spark, sf_dir):
 SELECT event_id, strftime(ts, '{_TS_FMT_DUCK}') AS ts_s FROM events
 WHERE event_type = 'click'
   AND ts >= TIMESTAMP '2024-01-05 00:00:00'
-  AND ts <= TIMESTAMP '2024-01-10 00:00:00'
+  AND ts < TIMESTAMP '2024-01-11 00:00:00'
 """)
 def q_lucene_date_function(spark, sf_dir):
     """#DATE through the LUCENE front-end (DateFunction.java:52-71 —

@@ -165,24 +165,166 @@ def _java_to_spark_fmt(pattern: str) -> str:
     return pattern
 
 
-def _date_lit(value, pattern: str | None) -> Column:
-    c = F.lit(str(value))
-    if pattern == "e":            # TIME_SINCE_EPOCH_FORMAT: epoch ms
-        return F.timestamp_millis(F.lit(int(str(value))))
+# the known-format list as (java pattern, strptime pattern) for
+# DRIVER-side literal parsing — query date args are compile-time
+# strings, so getTime(literal) / getTime(literal, true) resolve in
+# Python and emit plain timestamp literals (no codegen cost).  Order =
+# the reference's; the two cast-covered defaults sit at their original
+# positions ("yyyy-MM-dd HH:mm:ss" before the compact runs,
+# "yyyy-MM-dd" after the T-forms).
+# third member: expected total length for the WIDTH-STRICT compact
+# formats (adjacent digit runs).  SimpleDateFormat honors the pattern
+# letter count for all but the last adjacent field, so '2000010100'
+# does NOT parse as yyyyMMddHHmm — but Python strptime lets %H/%M eat
+# single digits and would sneak a match; the length pin restores the
+# Java behavior (zero-width-separated formats don't need it).
+_PY_KNOWN_FORMATS = (
+    ("yyyyMMdd:HH:mm:ss:SSS", "%Y%m%d:%H:%M:%S:%f", 21),
+    ("yyyy-MM-dd HH:mm:ss.SSS", "%Y-%m-%d %H:%M:%S.%f", 23),
+    ("yyyy-MM-dd HH:mm:ss", "%Y-%m-%d %H:%M:%S", None),
+    ("yyyyMMdd HHmmss", "%Y%m%d %H%M%S", 15),
+    ("yyyy-MM-dd'T'HH'|'mm", "%Y-%m-%dT%H|%M", None),
+    ("yyyy-MM-dd'T'HH:mm:ss.SSS'Z'", "%Y-%m-%dT%H:%M:%S.%fZ", 24),
+    ("yyyy-MM-dd'T'HH:mm:ss'Z'", "%Y-%m-%dT%H:%M:%SZ", None),
+    ("MM/dd/yyyy HH:mm:ss", "%m/%d/%Y %H:%M:%S", None),
+    ("yyyyMMdd_HHmmss", "%Y%m%d_%H%M%S", 15),
+    ("yyyy-MM-dd", "%Y-%m-%d", None),
+    ("MM/dd/yyyy", "%m/%d/%Y", None),
+    ("yyyy-MMMM", "%Y-%B", None),
+    ("yyyy-MMM", "%Y-%b", None),
+    ("yyyyMMddHHmmss", "%Y%m%d%H%M%S", 14),
+    ("yyyyMMddHHmm", "%Y%m%d%H%M", 12),
+    ("yyyyMMddHH", "%Y%m%d%H", 10),
+    ("yyyyMMdd", "%Y%m%d", 8),
+)
+
+_GRAN_RANK = {"YEAR": 0, "MONTH": 1, "WEEK": 2, "DAY": 3, "HOUR": 4,
+              "MINUTE": 5, "SECOND": 6, "MILLISECOND": 7}
+
+
+def _granularity_of(pattern: str) -> str:
+    """getGranularity:1396 port — the finest Calendar field a
+    SimpleDateFormat pattern carries (quote-aware char scan)."""
+    if pattern == "e":
+        return "MILLISECOND"
+    gran, escaped = "YEAR", False
+    for ch in pattern:
+        if ch == "'":
+            escaped = not escaped
+        if escaped:
+            continue
+        if ch == "S":
+            return "MILLISECOND"
+        g = {"s": "SECOND", "m": "MINUTE", "h": "HOUR", "K": "HOUR",
+             "k": "HOUR", "H": "HOUR", "E": "DAY", "F": "DAY",
+             "d": "DAY", "D": "DAY", "W": "WEEK", "w": "WEEK",
+             "M": "MONTH"}.get(ch)
+        if g and _GRAN_RANK[g] > _GRAN_RANK[gran]:
+            gran = g
+    return gran
+
+
+def _java_fmt_to_strptime(pattern: str) -> str:
+    """Translate the SimpleDateFormat subset query literals use to a
+    strptime pattern (token-greedy; quoted runs become literals).
+    Raises on zone/day-name tokens — not representable driver-side."""
+    out, i, n = [], 0, len(pattern)
+    tokens = (("yyyy", "%Y"), ("yy", "%y"), ("MMMM", "%B"),
+              ("MMM", "%b"), ("MM", "%m"), ("dd", "%d"), ("HH", "%H"),
+              ("mm", "%M"), ("ss", "%S"), ("SSS", "%f"))
+    while i < n:
+        ch = pattern[i]
+        if ch == "'":
+            j = pattern.find("'", i + 1)
+            if j == i + 1:            # '' = literal quote
+                out.append("'")
+                i += 2
+                continue
+            out.append(pattern[i + 1:j].replace("%", "%%"))
+            i = j + 1
+            continue
+        for tok, py in tokens:
+            if pattern.startswith(tok, i):
+                out.append(py)
+                i += len(tok)
+                break
+        else:
+            if ch.isalpha():
+                raise ValueError(
+                    f"unsupported date pattern token {ch!r} in {pattern}")
+            out.append(ch)
+            i += 1
+    return "".join(out)
+
+
+def _parse_date_literal(value, pattern: str | None):
+    """getTime(literal[, format]) driver-side → (datetime, granularity
+    name).  Pattern-less walks the reference's known-format list in
+    order; the granularity is the MATCHED format's (getTime(value,
+    true) bumps by it)."""
+    import datetime as _d
+    s = str(value)
+    if pattern == "e":
+        return (_d.datetime(1970, 1, 1)
+                + _d.timedelta(milliseconds=int(s)), "MILLISECOND")
     if pattern:
-        return F.to_timestamp(c, _java_to_spark_fmt(pattern))
-    # a query LITERAL that parses under none of the known formats is a
-    # user error — fail fast (to_timestamp raises), unlike stored
-    # values where unparseable means non-matching
-    return F.coalesce(
-        F.try_to_timestamp(c),
-        *[F.try_to_timestamp(c, F.lit(f)) for f in _KNOWN_DATE_FORMATS],
-        F.to_timestamp(c))
+        return (_d.datetime.strptime(s, _java_fmt_to_strptime(pattern)),
+                _granularity_of(pattern))
+    for jf, pf, width in _PY_KNOWN_FORMATS:
+        if width is not None and len(s) != width:
+            continue
+        try:
+            return _d.datetime.strptime(s, pf), _granularity_of(jf)
+        except ValueError:
+            continue
+    raise ValueError(
+        f"Unable to parse value using known date formats: {s}")
 
 
-def _date_cmp(ctx: CompileContext, args, cmp):
+def _calendar_add(dt, granularity: str):
+    """Calendar.add(field, 1) in GMT: MONTH/YEAR pin the day-of-month
+    and clamp to the target month's last day."""
+    import calendar as _c
+    import datetime as _d
+    step = {"MILLISECOND": _d.timedelta(milliseconds=1),
+            "SECOND": _d.timedelta(seconds=1),
+            "MINUTE": _d.timedelta(minutes=1),
+            "HOUR": _d.timedelta(hours=1),
+            "DAY": _d.timedelta(days=1),
+            "WEEK": _d.timedelta(days=7)}.get(granularity)
+    if step is not None:
+        return dt + step
+    if granularity == "MONTH":
+        y = dt.year + dt.month // 12
+        m = dt.month % 12 + 1
+        return dt.replace(year=y, month=m,
+                          day=min(dt.day, _c.monthrange(y, m)[1]))
+    y = dt.year + 1                                 # YEAR
+    return dt.replace(year=y,
+                      day=min(dt.day, _c.monthrange(y, dt.month)[1]))
+
+
+def _date_lit(value, pattern: str | None, bump: bool = False) -> Column:
+    """A query date literal as a timestamp Column — getTime(literal)
+    driver-side; ``bump=True`` is getTime(literal, true) /
+    getNextTime(literal, rangeFormat, granularity): one unit of the
+    matched format's granularity added (afterDate's exclusive start,
+    betweenDates' inclusive end)."""
+    dt, gran = _parse_date_literal(value, pattern)
+    if bump:
+        dt = _calendar_add(dt, gran)
+    return F.lit(dt).cast("timestamp")
+
+
+def _date_cmp(ctx: CompileContext, args, cmp, bump: bool):
     """Shared body for afterDate:770 / beforeDate:949 — optional
-    SimpleDateFormat pattern args (field pattern, literal pattern)."""
+    SimpleDateFormat pattern args (field pattern, literal/range
+    pattern).  ``bump``: afterDate's start is getTime(start, true) /
+    getNextTime(start, rangeFormat, granularity) — one unit of the
+    literal's OWN granularity added, so 'after 2024-05-01' means
+    >= May 2 midnight (t_ms >= bumped ⇔ t >= bumped at any
+    sub-ms precision); beforeDate's end is getTime(end) - 1 ms,
+    i.e. strictly < end."""
     fname = _ident(args[0])
     rest = [(_lit(a)) for a in args[1:]]
     if len(rest) == 1:
@@ -191,35 +333,44 @@ def _date_cmp(ctx: CompileContext, args, cmp):
         value, fpat, lpat = rest[0], None, str(rest[1])
     else:
         value, fpat, lpat = rest[1], str(rest[0]), str(rest[2])
-    lit = _date_lit(value, lpat)
+    lit = _date_lit(value, lpat, bump=bump)
     return field_pred(ctx, fname, lambda v: cmp(_ts(v, fpat), lit))
 
 
 @register_function("filter", "afterDate")
 def f_after_date(ctx: CompileContext, args):
-    """EvaluationPhaseFilterFunctions.afterDate:770."""
-    return _date_cmp(ctx, args, lambda c, lit: c > lit)
+    """EvaluationPhaseFilterFunctions.afterDate:770 —
+    t >= getTime(start, true): the start bumped by its granularity."""
+    return _date_cmp(ctx, args, lambda c, lit: c >= lit, bump=True)
 
 
 @register_function("filter", "beforeDate")
 def f_before_date(ctx: CompileContext, args):
-    """EvaluationPhaseFilterFunctions.beforeDate:949."""
-    return _date_cmp(ctx, args, lambda c, lit: c < lit)
+    """EvaluationPhaseFilterFunctions.beforeDate:949 —
+    t <= getTime(end) - 1 ms ⇔ t < end (un-bumped)."""
+    return _date_cmp(ctx, args, lambda c, lit: c < lit, bump=False)
 
 
 @register_function("filter", "betweenDates")
 def f_between_dates(ctx: CompileContext, args):
     """EvaluationPhaseFilterFunctions.betweenDates:1127 —
-    ``(FIELD, start, end[, pattern])``; bounds inclusive."""
+    ``(FIELD[, pattern], start, end[, rangePattern])``:
+    getTime(start) <= t <= getTime(end, true) - 1, i.e. start
+    inclusive un-bumped, end bumped by its own granularity and
+    exclusive — 'between 2024-01-05 and 2024-01-10' spans through
+    Jan 10 23:59:59.999 (the whole end day), exactly the Java."""
     fname = _ident(args[0])
     rest = [_lit(a) for a in args[1:]]
     if len(rest) == 2:
-        start, end, pat = rest[0], rest[1], None
-    else:
-        start, end, pat = rest[0], rest[1], str(rest[2])
-    lo, hi = _date_lit(start, pat), _date_lit(end, pat)
+        (start, end), fpat, lpat = rest, None, None
+    elif len(rest) == 3:
+        (start, end), fpat, lpat = rest[:2], None, str(rest[2])
+    else:                       # (pattern, start, end, rangePattern)
+        (start, end), fpat, lpat = rest[1:3], str(rest[0]), str(rest[3])
+    lo = _date_lit(start, lpat)
+    hi = _date_lit(end, lpat, bump=True)
     return field_pred(ctx, fname,
-                      lambda v: (_ts(v, pat) >= lo) & (_ts(v, pat) <= hi))
+                      lambda v: (_ts(v, fpat) >= lo) & (_ts(v, fpat) < hi))
 
 
 # Load-date variants: the reference tracks LOAD_DATE as a real field on
@@ -227,14 +378,16 @@ def f_between_dates(ctx: CompileContext, args):
 # — identical logic against the LOAD_DATE field.
 @register_function("filter", "afterLoadDate")
 def f_after_load_date(ctx: CompileContext, args):
-    return _date_cmp(ctx, (Identifier("LOAD_DATE"), *args), lambda c, lit: c > lit) \
-        if not isinstance(args[0], Identifier) else _date_cmp(ctx, args, lambda c, lit: c > lit)
+    if not isinstance(args[0], Identifier):
+        args = (Identifier("LOAD_DATE"), *args)
+    return _date_cmp(ctx, args, lambda c, lit: c >= lit, bump=True)
 
 
 @register_function("filter", "beforeLoadDate")
 def f_before_load_date(ctx: CompileContext, args):
-    return _date_cmp(ctx, (Identifier("LOAD_DATE"), *args), lambda c, lit: c < lit) \
-        if not isinstance(args[0], Identifier) else _date_cmp(ctx, args, lambda c, lit: c < lit)
+    if not isinstance(args[0], Identifier):
+        args = (Identifier("LOAD_DATE"), *args)
+    return _date_cmp(ctx, args, lambda c, lit: c < lit, bump=False)
 
 
 @register_function("filter", "betweenLoadDates")

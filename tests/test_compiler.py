@@ -257,6 +257,35 @@ class TestDates:
         q = "filter:betweenDates(WHEN, '20240101', '20241231', 'yyyyMMdd')"
         assert uids(compile_query(df, q)) == ["a"]
 
+    def test_granularity_bump_bounds(self, spark):
+        """The Java bound arithmetic, exactly (r7 parity fix):
+        afterDate bumps its start by the literal's granularity
+        (getTime(start, true) — 'after 2024-05-01' = on/after May 2),
+        beforeDate is strictly-< the un-bumped end (getTime(end) - 1),
+        betweenDates spans the WHOLE end unit (getTime(end, true) - 1
+        — the end day's 23:59:59.999 is in)."""
+        df = spark.createDataFrame(
+            [("in_start_day", "2024-05-01 10:00:00"),
+             ("next_day", "2024-05-02 00:00:00"),
+             ("end_day_pm", "2024-01-10 23:59:59"),
+             ("end_next_mid", "2024-01-11 00:00:00"),
+             ("before_edge", "2024-04-30 23:59:59"),
+             ("at_end_mid", "2024-05-01 00:00:00")],
+            "uid string, WHEN string")
+        assert uids(compile_query(
+            df, "filter:afterDate(WHEN, '2024-05-01')")) == ["next_day"]
+        assert uids(compile_query(
+            df, "filter:beforeDate(WHEN, '2024-05-01')")) == \
+            ["before_edge", "end_day_pm", "end_next_mid"]
+        assert uids(compile_query(
+            df, "filter:betweenDates(WHEN, '2024-01-05', '2024-01-10')")) \
+            == ["end_day_pm"]
+        # month-granularity literal bumps by a MONTH: the whole of
+        # April is in (April 30 23:59:59 < May 1), May 1+ is out
+        assert uids(compile_query(
+            df, "filter:betweenDates(WHEN, '2024-January', '2024-April')")) \
+            == ["before_edge", "end_day_pm", "end_next_mid"]
+
 
 class TestGroupingContext:
     @pytest.fixture(scope="class")

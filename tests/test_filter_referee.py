@@ -362,6 +362,66 @@ class TestMaxMinValueReferee:
             assert out[i][1] in {v for v, t in zip(vs, times) if t == tmin}
 
 
+def java_after_date(t_ms, start_dt, gran):
+    return t_ms >= epoch_ms(java_calendar_add(start_dt, gran))
+
+
+def java_before_date(t_ms, end_dt):
+    return t_ms <= epoch_ms(end_dt) - 1
+
+
+def java_between_dates(t_ms, start_dt, end_dt, gran):
+    return (epoch_ms(start_dt) <= t_ms
+            <= epoch_ms(java_calendar_add(end_dt, gran)) - 1)
+
+
+class TestDateBoundReferee:
+    """afterDate:770 / beforeDate:949 / betweenDates:1127 bound
+    arithmetic vs the ported referee: start bumped by its own
+    granularity for after, end-1 for before, [start, next(end)-1]
+    for between — over DAY, MONTH, SECOND, and compact-digit
+    granularities."""
+
+    BOUND_FORMATS = [            # (render, granularity)
+        (lambda d: d.strftime("%Y-%m-%d"), "DAY"),
+        (lambda d: d.strftime("%Y%m%d"), "DAY"),
+        (lambda d: d.strftime("%Y-%b"), "MONTH"),
+        (lambda d: d.strftime("%Y%m%d%H"), "HOUR"),
+        (lambda d: d.strftime("%Y-%m-%d %H:%M:%S"), "SECOND"),
+    ]
+
+    @settings(max_examples=15, deadline=None,
+              suppress_health_check=[HealthCheck.function_scoped_fixture])
+    @given(dts=st.lists(DT, min_size=1, max_size=15),
+           bounds=st.tuples(DT, DT),
+           case=st.sampled_from(range(5)))
+    def test_bounds_match_java(self, spark, dts, bounds, case):
+        from datawave_spark.compiler import compile_query
+        render, gran = self.BOUND_FORMATS[case]
+        lo_dt, hi_dt = sorted(bounds)
+        lo_s, hi_s = render(lo_dt), render(hi_dt)
+        # the rendered string is what both sides parse: re-parse it for
+        # the referee truth (render truncates to the granularity)
+        from datawave_spark.functions.filter_functions import (
+            _parse_date_literal)
+        lo_p, g1 = _parse_date_literal(lo_s, None)
+        hi_p, g2 = _parse_date_literal(hi_s, None)
+        assert (g1, g2) == (gran, gran)   # format list picks our case
+        df = spark.createDataFrame(
+            [(i, d) for i, d in enumerate(dts)], "id long, T timestamp")
+        for q, want_fn in [
+            (f"filter:afterDate(T, '{lo_s}')",
+             lambda t: java_after_date(t, lo_p, gran)),
+            (f"filter:beforeDate(T, '{hi_s}')",
+             lambda t: java_before_date(t, hi_p)),
+            (f"filter:betweenDates(T, '{lo_s}', '{hi_s}')",
+             lambda t: java_between_dates(t, lo_p, hi_p, gran)),
+        ]:
+            got = {r.id for r in compile_query(df, q).collect()}
+            want = {i for i, d in enumerate(dts) if want_fn(epoch_ms(d))}
+            assert got == want, (q, [str(d) for d in dts])
+
+
 PERIOD_ALPHABET = "ab."
 
 
