@@ -24,7 +24,9 @@ jexl/DatawaveArithmetic.java:24,50-120):
   comparison eligible for parquet predicate pushdown / row-group
   skipping, which a coalesce() wrapper defeats;
 - ``=~`` is Java ``Pattern.matches`` — a FULL match — so patterns are
-  anchored ``^(?:re)$`` before ``rlike``;
+  anchored ``^(?:re)$`` before ``rlike``, with ``(?is)`` because the
+  reference's DefaultArithmetic compiles via JexlPatternCache
+  (CASE_INSENSITIVE | MULTILINE | DOTALL);
 - literals are canonicalised with the field's normalizer (the ingest
   side stored normalized values), ExpandMultiNormalizedTerms parity;
 - ``_ANYFIELD_ == v`` expands to an OR over all compatible fields
@@ -225,7 +227,14 @@ def compile_cmp(node: CmpNode, ctx: CompileContext,
         fold = getattr(norm, "element", norm)
         if fold.name in ("lc", "lcNoDiacritics", "hexString", "macAddress"):
             pat_src = str(fold.normalize_literal(pat_src))
-        pattern = "^(?:" + pat_src + ")$"
+        # (?is): the reference evaluates =~ through DefaultArithmetic →
+        # JexlPatternCache, which compiles EVERY pattern with
+        # CASE_INSENSITIVE | MULTILINE | DOTALL and full-matches
+        # (.matches()).  Normalizer folding above covers typed fields;
+        # the flags make raw/untyped fields behave identically too.
+        # (?m) is omitted: it would per-line our outer ^$ anchors and
+        # break the full-match contract (same stance as filter:).
+        pattern = "(?is)^(?:" + pat_src + ")$"
 
         def leaf(c: Column) -> Column:
             cc = norm.col(c) if not spec.normalized_at_rest else c
@@ -283,7 +292,7 @@ def compile_cmp(node: CmpNode, ctx: CompileContext,
         if positive_op == "==":
             tok_pred = F.map_contains_key(tf_col, str(value).lower())
         else:
-            pat = "^(?:" + str(value) + ")$"
+            pat = "(?is)^(?:" + str(value) + ")$"
             tok_pred = F.exists(F.map_keys(tf_col), lambda t: t.rlike(pat))
         pred = pred | tok_pred
     # Bare (non-total) when positive — NULL behaves as False under a

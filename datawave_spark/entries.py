@@ -3380,11 +3380,15 @@ def q_f_match_regex(spark, sf_dir):
 
 
 @register("filter_occurrence_scalar", """
-SELECT event_id FROM events WHERE props IS NOT NULL AND value > 480
+SELECT event_id FROM events WHERE value > 480
 """)
 def q_filter_occurrence(spark, sf_dir):
-    """filter:occurrence on a scalar field (count is 0/1) combined with
-    a range term."""
+    """filter:occurrence on a scalar field combined with a range term.
+    Exact Java getSizeOf semantics (r7): a scalar binding is ONE object
+    — null included (getSizeOf(Object) returns 1 for any non-Iterable)
+    — so '== 1' on a scalar field is vacuously true and the range term
+    decides; the non-degenerate multi-value counting is pinned by the
+    compiler unit tests."""
     ev = _t(spark, sf_dir, "events")
     out = compile_query(ev, "filter:occurrence(PROPS, '==', 1) && VALUE > 480")
     return out.select("event_id")

@@ -50,10 +50,15 @@ def f_is_not_null(ctx: CompileContext, args):
 
 
 def _anchored(pattern: str) -> str:
-    # Reference regex filters use Matcher.matches() (full match) OR
-    # Matcher.find() depending on function; includeRegex uses full-value
-    # match semantics against normalized and raw values.
-    return "^(?:" + pattern + ")$"
+    """Reference regex-filter semantics: JexlPatternCache.getPattern
+    compiles EVERY filter regex with CASE_INSENSITIVE | MULTILINE |
+    DOTALL, and the functions call Matcher.matches() — a full-input
+    match.  (?is) carries the first and third flag; (?m) is omitted
+    because it would turn OUR outer ^$ anchors into per-line anchors
+    and break the full-match contract — the only divergence is a
+    user-embedded ^/$ inside the pattern against a multi-line value,
+    where Java would line-anchor it (documented, not reproduced)."""
+    return "(?is)^(?:" + pattern + ")$"
 
 
 @register_function("filter", "includeRegex")
@@ -76,13 +81,29 @@ def f_exclude_regex(ctx: CompileContext, args):
 def f_occurrence(ctx: CompileContext, args):
     """EvaluationPhaseFilterFunctions.occurrence:58 — compare the number
     of values of FIELD: ``filter:occurrence(FIELD, '>', 2)``.
-    Two-arg form means ``== count``."""
+    Two-arg form means ``== count``.
+
+    Size follows the Java's getSizeOf exactly: a SCALAR binding is one
+    object — size 1 — even when the field is absent or its value NULL
+    (JEXL passes null, getSizeOf(Object) returns 1 for any
+    non-Iterable, null included), so on scalar fields occurrence
+    degenerates to comparing against the constant 1; a multi-valued
+    field counts its elements INCLUDING null elements (non-ValueTuple
+    objects count), but a NULL array is again the null Object → 1."""
     fname = _ident(args[0])
     if len(args) == 2:
         op, count = "==", int(_lit(args[1]))
     else:
         op, count = str(_lit(args[1])), int(_lit(args[2]))
-    n = F.size(field_values(ctx, fname))
+    spec = ctx.resolve(fname)
+    if spec is None:
+        n = F.lit(1)
+    else:
+        col = F.col(spec.column)
+        if isinstance(ctx.spark_type(spec), T.ArrayType):
+            n = F.coalesce(F.size(col), F.lit(1))
+        else:
+            n = F.lit(1)
     return {"==": n == count, "=": n == count, "!=": n != count,
             "<": n < count, ">": n > count,
             "<=": n <= count, ">=": n >= count}[op]
@@ -91,16 +112,25 @@ def f_occurrence(ctx: CompileContext, args):
 @register_function("filter", "matchesAtLeastCountOf")
 def f_matches_at_least(ctx: CompileContext, args):
     """EvaluationPhaseFilterFunctions.matchesAtLeastCountOf:223 —
-    ``(count, FIELD, v1, v2, ...)``: at least ``count`` of the listed
-    values appear among FIELD's values (case-insensitive, as the
-    reference compares normalized values)."""
+    ``(count, FIELD, regex1, regex2, ...)``: per REGEX, the FIRST field
+    value fully matching it (includeRegex's singleton contract, same
+    (?is) pattern flags); the SET of those first-matches must reach
+    ``count``.  Distinctness matters: two regexes whose first match is
+    the same value contribute ONE element, exactly the Java's
+    FunctionalSet accumulation."""
     count = int(_lit(args[0]))
     fname = _ident(args[1])
-    wanted = [str(_lit(a)).lower() for a in args[2:]]
-    vals = F.transform(field_values(ctx, fname),
-                       lambda v: F.lower(v.cast("string")))
-    hits = F.size(F.array_intersect(vals, F.array(*[F.lit(w) for w in wanted])))
-    return hits >= count
+    regexes = [str(_lit(a)) for a in args[2:]]
+    vals = field_values(ctx, fname)
+    firsts = [
+        F.try_element_at(
+            F.filter(vals,
+                     lambda v: v.cast("string").rlike(_anchored(r))),
+            F.lit(1)).cast("string")
+        for r in regexes]
+    matched = F.array_distinct(
+        F.filter(F.array(*firsts), lambda v: v.isNotNull()))
+    return F.size(matched) >= count
 
 
 # EvaluationPhaseFilterFunctions.DATE_FORMAT_STRINGS:1321 — the

@@ -225,6 +225,66 @@ class TestFilterFunctions:
         q = "filter:matchesAtLeastCountOf(2, CITY, 'ROME', 'MILAN', 'OSLO')"
         assert uids(compile_query(events, q)) == ["a"]
 
+    def test_occurrence_java_size_semantics(self, spark):
+        """getSizeOf exactly: scalar (even NULL — getSizeOf(Object)
+        returns 1 for any non-Iterable) is 1; a NULL array is the null
+        Object → 1; array elements count INCLUDING null elements."""
+        df = spark.createDataFrame(
+            [("s_null", None, None),
+             ("s_val", "x", None),
+             ("a_null", None, None),
+             ("a_two", None, ["x", "y"]),
+             ("a_with_null", None, ["x", None, "y"]),
+             ("a_empty", None, [])],
+            "uid string, S string, A array<string>")
+        assert uids(compile_query(df, "filter:occurrence(S, '==', 1)")) \
+            == ["a_empty", "a_null", "a_two", "a_with_null",
+                "s_null", "s_val"]
+        assert uids(compile_query(df, "filter:occurrence(A, '==', 1)")) \
+            == ["a_null", "s_null", "s_val"]
+        assert uids(compile_query(df, "filter:occurrence(A, '==', 3)")) \
+            == ["a_with_null"]
+        assert uids(compile_query(df, "filter:occurrence(A, '==', 0)")) \
+            == ["a_empty"]
+
+    def test_matches_at_least_dedups_first_matches(self, spark):
+        """Two regexes whose FIRST match is the same value contribute
+        ONE set element (the Java FunctionalSet accumulation); a later
+        value matching the second regex is NOT consulted once the first
+        value matched it."""
+        df = spark.createDataFrame(
+            [("one", ["rome", "milan"]), ("two", ["rome", "oslo"])],
+            "uid string, CITY array<string>")
+        # both patterns first-match 'rome' for row one? no: 'm.*'
+        # first-matches 'milan'... use patterns that collide on rome
+        q = "filter:matchesAtLeastCountOf(2, CITY, 'r.*', '.*ome')"
+        assert uids(compile_query(df, q)) == []   # both first-match rome
+        q2 = "filter:matchesAtLeastCountOf(2, CITY, 'r.*', 'm.*')"
+        assert uids(compile_query(df, q2)) == ["one"]
+
+    def test_jexl_regex_operator_java_pattern_flags(self, spark):
+        """`=~` runs through DefaultArithmetic → JexlPatternCache in
+        the reference: CASE_INSENSITIVE | DOTALL on every pattern, full
+        match — 'CLICK' =~ 'cli.*' is true even on an un-normalized
+        field, and '.' crosses newlines; `!~` is its exact negation."""
+        df = spark.createDataFrame(
+            [("ci", "CLICK"), ("nl", "a\nb"), ("no", "view")],
+            "uid string, V string")
+        assert uids(compile_query(df, "V =~ 'cli.*'")) == ["ci"]
+        assert uids(compile_query(df, "V =~ 'a.b'")) == ["nl"]
+        assert uids(compile_query(df, "V !~ 'cli.*'")) == ["nl", "no"]
+
+    def test_include_regex_java_pattern_flags(self, spark):
+        """JexlPatternCache compiles with CASE_INSENSITIVE | DOTALL:
+        'click' matches 'CLICK', and '.' crosses newlines."""
+        df = spark.createDataFrame(
+            [("ci", "CLICK"), ("nl", "a\nb"), ("no", "view")],
+            "uid string, V string")
+        assert uids(compile_query(df, "filter:includeRegex(V, 'cli.*')")) \
+            == ["ci"]
+        assert uids(compile_query(df, "filter:includeRegex(V, 'a.b')")) \
+            == ["nl"]
+
     def test_between_and_length(self, spark, events):
         assert uids(compile_query(events, "f:between(NUM, 6, 25)")) == ["a", "b", "e"]
         assert uids(compile_query(events, "f:length(CITY, 6, 6)")) == ["e"]
