@@ -48,9 +48,10 @@ def f_length(ctx: CompileContext, args):
 
 @register_function("f", "matchRegex")
 def f_match_regex(ctx: CompileContext, args):
-    """QueryFunctions.matchRegex:199 — full-match against normalized
-    value (same as filter:includeRegex)."""
-    pattern = "^(?:" + str(_lit(args[1])) + ")$"
+    """QueryFunctions.matchRegex:199 — full-match against the value
+    with JexlPatternCache's flags (CASE_INSENSITIVE | DOTALL via
+    ``(?is)``, same stance on MULTILINE as filter:includeRegex)."""
+    pattern = "(?is)^(?:" + str(_lit(args[1])) + ")$"
     return field_pred(ctx, _ident(args[0]),
                       lambda v: v.cast("string").rlike(pattern))
 
