@@ -6022,6 +6022,72 @@ def q_filter_period_extract(spark, sf_dir):
         match_right_of_period(dotted, 1).alias("right1"))
 
 
+@register("filter_max_min_value", """
+WITH c AS (
+  SELECT event_id,
+         strftime(ts, '%Y%m%d') AS v1,
+         '2024-01-10 12:00:00' AS v2,
+         strftime(date_trunc('second', ts) + INTERVAL 1 SECOND,
+                  '%Y-%m-%d %H:%M:%S') AS v3,
+         date_trunc('day', ts) AS t1,
+         TIMESTAMP '2024-01-10 12:00:00' AS t2,
+         date_trunc('second', ts) + INTERVAL 1 SECOND AS t3
+  FROM events WHERE ts IS NOT NULL)
+SELECT event_id,
+       CASE WHEN t1 >= t2 AND t1 >= t3 THEN v1
+            WHEN t2 >= t3 THEN v2 ELSE v3 END AS max_v,
+       CASE WHEN t1 <= t2 AND t1 <= t3 THEN v1
+            WHEN t2 <= t3 THEN v2 ELSE v3 END AS min_v
+FROM c
+""")
+def q_filter_max_min_value(spark, sf_dir):
+    """filter:getMaxValue / getMinValue over a MIXED-FORMAT date-string
+    array (compact yyyyMMdd, a fixed mid-day literal, a full-seconds
+    stamp): the returned VALUE is the one whose PARSED time is extreme
+    (the Java tracks getTime(date) > max), which differs from the
+    lexicographic extreme whenever formats mix — the exact r7 semantics
+    fix, driver-gated.  Candidate times are distinct by construction
+    (midnight vs mid-day vs +1 s), and the only possible instant
+    collision (t2 == t3) yields byte-identical value strings, so the
+    selection is deterministic on both engines."""
+    from datawave_spark.compiler import CompileContext
+    from datawave_spark.functions.filter_functions import (
+        f_get_max_value, f_get_min_value)
+    from datawave_spark.jexl.ast import Identifier
+    ev = _t(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
+    df = ev.withColumn("D", F.array(
+        F.date_format("ts", "yyyyMMdd"),
+        F.lit("2024-01-10 12:00:00"),
+        F.date_format(F.col("ts") + F.expr("INTERVAL 1 SECOND"),
+                      "yyyy-MM-dd HH:mm:ss")))
+    ctx = CompileContext.for_dataframe(df)
+    return df.select(
+        "event_id",
+        f_get_max_value(ctx, [Identifier("D")]).alias("max_v"),
+        f_get_min_value(ctx, [Identifier("D")]).alias("min_v"))
+
+
+@register("filter_matches_count", """
+SELECT event_id FROM events
+WHERE regexp_full_match(event_type, 'c.*') AND abs(user_id) % 5 <= 2
+""")
+def q_filter_matches_count(spark, sf_dir):
+    """filter:matchesAtLeastCountOf with its exact reference contract
+    (r7): per REGEX the first matching field value joins a SET that
+    must reach the count.  TAGS = [event_type, 'u<user_id%5>'] — the
+    'c.*' regex can only first-match the event_type, 'u[0-2]' only the
+    user tag, so count>=2 means both matched (the set never collides
+    here; collision dedup is pinned by unit test)."""
+    ev = _t(spark, sf_dir, "events")
+    df = ev.withColumn("TAGS", F.array(
+        "event_type",
+        F.concat(F.lit("u"),
+                 F.pmod(F.abs(F.col("user_id")), F.lit(5)).cast("string"))))
+    out = compile_query(
+        df, "filter:matchesAtLeastCountOf(2, TAGS, 'c.*', 'u[0-2]')")
+    return out.select("event_id")
+
+
 @register("filter_time_accessors", """
 SELECT event_id,
        CAST(epoch_ms(ts) AS BIGINT) AS t_ms,
