@@ -62,8 +62,12 @@ def _pairs(args) -> list[tuple[str, object]]:
 @register_function("grouping", "matchesInGroup")
 def g_matches_in_group(ctx: CompileContext, args):
     """GroupingRequiredFilterFunctions.matchesInGroup:163 — true iff some
-    sibling group satisfies every (FIELD == value) pair.  Values compare
-    case-insensitively (reference compares normalized values)."""
+    sibling group satisfies every (FIELD, value) pair.  Each value arg
+    is a REGEX in the reference (matched per group member through
+    includeRegex, i.e. JexlPatternCache's CASE_INSENSITIVE | DOTALL
+    full match) — a plain literal behaves as case-insensitive equality,
+    but metacharacters are live ('9.5' matches '905'), exactly the
+    Java."""
     pairs = _pairs(args)
     col_name, field_map = _find_group_column(ctx, [p[0] for p in pairs])
 
@@ -71,7 +75,8 @@ def g_matches_in_group(ctx: CompileContext, args):
         pred = None
         for name, value in pairs:
             sf = field_map[name.upper()]
-            this = F.lower(g.getField(sf).cast("string")) == str(value).lower()
+            this = g.getField(sf).cast("string").rlike(
+                "(?is)^(?:" + str(value) + ")$")
             pred = this if pred is None else pred & this
         return pred
 
@@ -113,7 +118,8 @@ def matching_group_indices(df, pairs: list[tuple[str, object]],
         p = None
         for name, value in pairs:
             sf = field_map[name.upper()]
-            this = F.lower(g.getField(sf).cast("string")) == str(value).lower()
+            this = g.getField(sf).cast("string").rlike(
+                "(?is)^(?:" + str(value) + ")$")
             p = this if p is None else p & this
         return p
 

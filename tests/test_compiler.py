@@ -379,6 +379,15 @@ class TestGroupingContext:
             "uid string, G array<struct<X string, Y string>>")
         assert uids(compile_query(df, "grouping:atomValuesMatch(X, Y)")) == ["a"]
 
+    def test_group_values_are_regexes(self, spark, grouped):
+        """The reference matches each value arg through includeRegex
+        (JexlPatternCache CI/DOTALL full match), so wildcards and case
+        differences work — and metacharacters are live."""
+        q = "grouping:matchesInGroup(NAME, 'B.*', AGE, '4.')"
+        assert uids(compile_query(grouped, q)) == ["a"]   # bob/40, CI 'B'
+        q2 = "grouping:matchesInGroup(NAME, 'z..', AGE, '40')"
+        assert uids(compile_query(grouped, q2)) == ["c"]
+
     def test_get_groups_for_matches_predicate(self, spark, grouped):
         # collection form is truthy iff non-empty → same rows as
         # matchesInGroup in a predicate position
