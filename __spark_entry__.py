@@ -33,6 +33,37 @@ def entry(spark: SparkSession) -> DataFrame:
     return QUERIES["flagship"](spark, "/root/testdata/sf0.001")
 
 
+def latest_green() -> tuple[set[str], dict[str, int]]:
+    """Scan committed ``CORRECTNESS_r*.json`` files (zero-padded names
+    sort by round) with LATEST-record-per-key-wins: a failure recorded
+    after an old green check un-greens the key.  Returns (green keys,
+    key → round-index of its latest green).  The single implementation
+    of the settling policy — ``queries()`` and
+    ``tools/record_green_hashes.py`` both consume it, so the rotation
+    and the snapshot can never disagree."""
+    import glob
+    import json
+    import os
+
+    latest: dict[str, bool] = {}
+    green_round: dict[str, int] = {}
+    root = os.path.dirname(os.path.abspath(__file__))
+    for rnd, p in enumerate(
+            sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json")))):
+        try:
+            with open(p) as fh:
+                records = json.load(fh)
+        except (OSError, ValueError):
+            continue
+        for k, rec in records.items():
+            if isinstance(rec, dict):
+                ok = rec.get("hash_match") is True
+                latest[k] = ok
+                if ok:
+                    green_round[k] = rnd
+    return {k for k, ok in latest.items() if ok}, green_round
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """All registered queries, ordered so keys WITHOUT current green
     driver evidence come first — the driver gate samples a
@@ -53,32 +84,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         automatically (the ROUND_NOTES oracle-drift audit, automated).
 
     Ordering is stable within each group (registration order)."""
-    import glob
     import hashlib
     import json
     import os
 
     qs = {k: v for k, v in QUERIES.items() if k != "flagship"}
-    # Latest record per key wins (files sort by round number): a
-    # failure recorded AFTER a green check re-queues the key — settling
-    # on "ever green" would let a post-green regression hide forever.
-    latest: dict[str, bool] = {}
-    green_round: dict[str, int] = {}
+    green, green_round = latest_green()
     root = os.path.dirname(os.path.abspath(__file__))
-    for rnd, p in enumerate(
-            sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json")))):
-        try:
-            with open(p) as fh:
-                records = json.load(fh)
-        except (OSError, ValueError):
-            continue
-        for k, rec in records.items():
-            if isinstance(rec, dict):
-                ok = rec.get("hash_match") is True
-                latest[k] = ok
-                if ok:
-                    green_round[k] = rnd
-    green = {k for k, ok in latest.items() if ok}
     try:
         with open(os.path.join(root, "tools",
                                "oracle_green_hashes.json")) as fh:

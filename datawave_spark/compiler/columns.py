@@ -107,6 +107,20 @@ class CompileContext:
 FUNCTION_COMPILERS: dict[tuple[str, str], Callable[..., Column]] = {}
 
 
+def java_full_match(pattern: str) -> str:
+    """The ONE encoding of the reference's regex evaluation contract:
+    JexlPatternCache compiles every query regex with CASE_INSENSITIVE |
+    MULTILINE | DOTALL, and every call site full-matches
+    (Matcher.matches()) — so ``(?is)`` plus our own ^$ anchors.  (?m)
+    is deliberately omitted: it would turn the outer anchors into
+    per-line anchors and break the full-match contract; the only
+    divergence is a user-embedded ^/$ inside the pattern against a
+    multi-line value, where Java would line-anchor it.  Shared by the
+    =~ operator (DefaultArithmetic), filter:/f: regex functions, and
+    the grouping: value matchers."""
+    return "(?is)^(?:" + pattern + ")$"
+
+
 def register_function(namespace: str, name: str):
     def deco(fn):
         FUNCTION_COMPILERS[(namespace, name)] = fn
@@ -227,14 +241,11 @@ def compile_cmp(node: CmpNode, ctx: CompileContext,
         fold = getattr(norm, "element", norm)
         if fold.name in ("lc", "lcNoDiacritics", "hexString", "macAddress"):
             pat_src = str(fold.normalize_literal(pat_src))
-        # (?is): the reference evaluates =~ through DefaultArithmetic →
-        # JexlPatternCache, which compiles EVERY pattern with
-        # CASE_INSENSITIVE | MULTILINE | DOTALL and full-matches
-        # (.matches()).  Normalizer folding above covers typed fields;
-        # the flags make raw/untyped fields behave identically too.
-        # (?m) is omitted: it would per-line our outer ^$ anchors and
-        # break the full-match contract (same stance as filter:).
-        pattern = "(?is)^(?:" + pat_src + ")$"
+        # java_full_match: =~ evaluates through DefaultArithmetic →
+        # JexlPatternCache in the reference; normalizer folding above
+        # covers typed fields, the pattern flags make raw/untyped
+        # fields behave identically too.
+        pattern = java_full_match(pat_src)
 
         def leaf(c: Column) -> Column:
             cc = norm.col(c) if not spec.normalized_at_rest else c
@@ -292,7 +303,7 @@ def compile_cmp(node: CmpNode, ctx: CompileContext,
         if positive_op == "==":
             tok_pred = F.map_contains_key(tf_col, str(value).lower())
         else:
-            pat = "(?is)^(?:" + str(value) + ")$"
+            pat = java_full_match(str(value))
             tok_pred = F.exists(F.map_keys(tf_col), lambda t: t.rlike(pat))
         pred = pred | tok_pred
     # Bare (non-total) when positive — NULL behaves as False under a

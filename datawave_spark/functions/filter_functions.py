@@ -18,7 +18,7 @@ from pyspark.sql import types as T
 
 from datawave_spark.compiler.columns import (
     CompileContext, _element_type, field_pred, field_values,
-    register_function,
+    java_full_match, register_function,
 )
 from datawave_spark.jexl.ast import Identifier, JexlNode, Literal
 
@@ -50,15 +50,9 @@ def f_is_not_null(ctx: CompileContext, args):
 
 
 def _anchored(pattern: str) -> str:
-    """Reference regex-filter semantics: JexlPatternCache.getPattern
-    compiles EVERY filter regex with CASE_INSENSITIVE | MULTILINE |
-    DOTALL, and the functions call Matcher.matches() — a full-input
-    match.  (?is) carries the first and third flag; (?m) is omitted
-    because it would turn OUR outer ^$ anchors into per-line anchors
-    and break the full-match contract — the only divergence is a
-    user-embedded ^/$ inside the pattern against a multi-line value,
-    where Java would line-anchor it (documented, not reproduced)."""
-    return "(?is)^(?:" + pattern + ")$"
+    """JexlPatternCache full-match semantics — see
+    columns.java_full_match, the single encoding of the flag policy."""
+    return java_full_match(pattern)
 
 
 @register_function("filter", "includeRegex")
@@ -101,7 +95,10 @@ def f_occurrence(ctx: CompileContext, args):
     else:
         col = F.col(spec.column)
         if isinstance(ctx.spark_type(spec), T.ArrayType):
-            n = F.coalesce(F.size(col), F.lit(1))
+            # explicit isNull, not coalesce(size(col), 1): legacy
+            # (ANSI-off) Spark returns -1 for size(NULL), which a
+            # coalesce would pass through
+            n = F.when(col.isNull(), F.lit(1)).otherwise(F.size(col))
         else:
             n = F.lit(1)
     return {"==": n == count, "=": n == count, "!=": n != count,
@@ -144,7 +141,15 @@ def f_matches_at_least(ctx: CompileContext, args):
 # behaviors are deliberately NOT reproduced: prefix parsing (SDF
 # accepts '2024-01-15garbage') and field rollover (month 13 → next
 # year) — try_to_timestamp requires a full, in-range match, so such
-# values are non-matches instead of silently reinterpreted.
+# values are non-matches instead of silently reinterpreted.  One
+# WIDENING divergence, also deliberate: the leading try_cast/default
+# branches accept every stamp Spark's default parser knows — ISO
+# 'yyyy-MM-ddTHH:mm:ss' without the quoted 'Z', minutes-only
+# 'yyyy-MM-dd HH:mm', fractional seconds at any width — which the
+# reference's list rejects (ParseException).  Stored values the
+# reference ERRORS on parse sensibly here; the set of values both
+# engines accept agree on their instant (pinned in
+# test_filter_referee.TestKnownFormatListReferee).
 _KNOWN_DATE_FORMATS = (
     "yyyyMMdd:HH:mm:ss:SSS",
     "yyyy-MM-dd HH:mm:ss.SSS",
@@ -266,6 +271,9 @@ def _java_fmt_to_strptime(pattern: str) -> str:
         ch = pattern[i]
         if ch == "'":
             j = pattern.find("'", i + 1)
+            if j < 0:                 # SimpleDateFormat: IllegalArgument
+                raise ValueError(f"Unterminated quote in date pattern "
+                                 f"{pattern!r}")
             if j == i + 1:            # '' = literal quote
                 out.append("'")
                 i += 2

@@ -23,7 +23,9 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from datawave_spark.compiler.columns import CompileContext, register_function
+from datawave_spark.compiler.columns import (
+    CompileContext, java_full_match, register_function,
+)
 from datawave_spark.jexl.ast import Identifier, Literal
 
 
@@ -76,7 +78,7 @@ def g_matches_in_group(ctx: CompileContext, args):
         for name, value in pairs:
             sf = field_map[name.upper()]
             this = g.getField(sf).cast("string").rlike(
-                "(?is)^(?:" + str(value) + ")$")
+                java_full_match(str(value)))
             pred = this if pred is None else pred & this
         return pred
 
@@ -119,7 +121,7 @@ def matching_group_indices(df, pairs: list[tuple[str, object]],
         for name, value in pairs:
             sf = field_map[name.upper()]
             this = g.getField(sf).cast("string").rlike(
-                "(?is)^(?:" + str(value) + ")$")
+                java_full_match(str(value)))
             p = this if p is None else p & this
         return p
 

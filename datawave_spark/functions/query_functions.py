@@ -14,7 +14,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from datawave_spark.compiler.columns import (
-    CompileContext, field_pred, register_function,
+    CompileContext, field_pred, java_full_match, register_function,
 )
 from datawave_spark.functions.filter_functions import _ident, _lit
 
@@ -51,7 +51,7 @@ def f_match_regex(ctx: CompileContext, args):
     """QueryFunctions.matchRegex:199 — full-match against the value
     with JexlPatternCache's flags (CASE_INSENSITIVE | DOTALL via
     ``(?is)``, same stance on MULTILINE as filter:includeRegex)."""
-    pattern = "(?is)^(?:" + str(_lit(args[1])) + ")$"
+    pattern = java_full_match(str(_lit(args[1])))
     return field_pred(ctx, _ident(args[0]),
                       lambda v: v.cast("string").rlike(pattern))
 

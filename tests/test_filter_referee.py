@@ -242,6 +242,28 @@ class TestKnownFormatListReferee:
             value_time_millis(F.col("v"), "e").alias("ms")).collect()]
         assert got == [1705276800000, -86400000, None]
 
+    def test_widening_divergence_pinned(self, spark):
+        """Pinned WIDENING divergence: Spark's default parser branch
+        accepts stamps the reference's DATE_FORMAT_STRINGS list rejects
+        (ISO 'T' without the quoted 'Z', minutes-only) — such values
+        parse sensibly here where the Java throws ParseException.
+        Values BOTH engines accept always agree (the fuzz above); this
+        test records the accept-set widening as a decision."""
+        df = spark.createDataFrame(
+            [("2024-01-05T10:00:00",), ("2024-01-05 10:00",)], "v string")
+        got = [r.ms for r in df.select(
+            value_time_millis(F.col("v")).alias("ms")).collect()]
+        assert got == [epoch_ms(datetime(2024, 1, 5, 10)),
+                       epoch_ms(datetime(2024, 1, 5, 10))]
+
+    def test_unterminated_quote_pattern_raises(self, spark):
+        # SimpleDateFormat throws IllegalArgumentException; a malformed
+        # explicit pattern must raise, not hang (review r7)
+        from datawave_spark.functions.filter_functions import (
+            _java_fmt_to_strptime)
+        with pytest.raises(ValueError, match="Unterminated quote"):
+            _java_fmt_to_strptime("yyyy'Z")
+
     def test_lenient_sdf_behaviors_not_reproduced(self, spark):
         """Pinned divergence: SimpleDateFormat prefix-parses
         ('2024-01-15garbage' succeeds) and rolls over out-of-range

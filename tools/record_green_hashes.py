@@ -43,25 +43,33 @@ def main() -> int:
     import __spark_entry__ as m
 
     oracles = m.oracle_sql()
-    # Latest record per key wins, mirroring __spark_entry__.queries():
-    # a failure recorded after an old green check must NOT re-snapshot.
-    latest: dict[str, bool] = {}
-    for p in sorted(glob.glob(os.path.join(ROOT, "CORRECTNESS_r*.json"))):
-        try:
-            with open(p) as fh:
-                records = json.load(fh)
-        except (OSError, ValueError):
-            continue
-        for k, rec in records.items():
-            if isinstance(rec, dict):
-                latest[k] = rec.get("hash_match") is True
-    green = {k for k, ok in latest.items() if ok}
+    # the ONE settling-policy implementation — latest record per key
+    # wins — lives in __spark_entry__.latest_green(); consuming it here
+    # makes snapshot and rotation provably consistent
+    green, _ = m.latest_green()
 
     snapshot = {
         k: hashlib.md5(oracles[k].encode()).hexdigest()
         for k in sorted(green)
         if k in oracles and k not in set(args.exclude)
     }
+    # Mid-round misuse guard: keys whose CURRENT oracle md5 differs
+    # from the existing snapshot have been edited since their green
+    # check — re-snapshotting them would silently settle unverified
+    # SQL.  Warn loudly (the round-start invocation sees none).
+    try:
+        with open(OUT) as fh:
+            prior = json.load(fh)
+    except (OSError, ValueError):
+        prior = {}
+    drifted = [k for k, h in snapshot.items()
+               if k in prior and prior[k] != h]
+    if drifted:
+        print(f"WARNING: {len(drifted)} keys' oracles changed since the "
+              f"prior snapshot and would be re-settled WITHOUT a fresh "
+              f"driver check: {drifted}\n  If this is not round start "
+              f"(pre-edit), restore the prior snapshot or pass them "
+              f"via --exclude.")
     with open(OUT, "w") as fh:
         json.dump(snapshot, fh, indent=1, sort_keys=True)
         fh.write("\n")
