@@ -36,7 +36,8 @@ OPS = ["jexl_filter", "groupby", "tokenize_tf", "minhash_sig", "simhash",
        "gopher", "c4_clean", "dsir", "exsub", "backoff", "budget",
        "neardup", "pagerank", "token_ids", "chunk_docs", "pack_seqs",
        "bpe_train", "bpe_encode", "federated", "schema_evo",
-       "tokenizer_e2e", "push", "push_epochs", "compare_wide", "nyctlc"]
+       "tokenizer_e2e", "push", "push_epochs", "compare_wide", "nyctlc",
+       "date_parse_chain"]
 
 
 def generate(spark):
@@ -214,7 +215,21 @@ def run_one(op: str, events_path: str, docs_path: str,
         "push_epochs": lambda d: _push_epochs(d),
         "compare_wide": lambda d: _compare_wide(d),
         "nyctlc": lambda d: _nyctlc(d),
+        "date_parse_chain": lambda d: _date_parse_chain(d),
     }
+
+    def _date_parse_chain(d):
+        # worst-case input for the r7 known-format fallback chain: a
+        # STRING date column in the LAST format the chain tries
+        # (compact yyyyMMdd), so every row walks all ~19 coalesce
+        # branches before parsing — measures the codegen-size cost of
+        # the reference's format list, per row, at scale.
+        strs = d.select(
+            "event_id",
+            F.date_format("ts", "yyyyMMdd").alias("WHEN"))
+        noop(compile_query(
+            strs, "filter:betweenDates(WHEN, '2024-01-05', '2024-01-20')")
+            .select("event_id"))
 
     def _push_epochs(d):
         # ≥3 epochs with a GROWING ledger: the r6 verdict's open
@@ -573,7 +588,8 @@ def run_one(op: str, events_path: str, docs_path: str,
 
     if op in ("jexl_filter", "groupby", "edge_dict", "validate",
               "pagerank", "federated", "schema_evo", "push",
-              "push_epochs", "compare_wide", "nyctlc"):
+              "push_epochs", "compare_wide", "nyctlc",
+              "date_parse_chain"):
         src = ev
     elif op in ("knn_lsh", "knn_blocked", "semantic_dedup", "kmeans_step"):
         src = emb
