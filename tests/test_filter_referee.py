@@ -264,6 +264,23 @@ class TestKnownFormatListReferee:
         with pytest.raises(ValueError, match="Unterminated quote"):
             _java_fmt_to_strptime("yyyy'Z")
 
+    def test_all_digit_dispatch_edges(self, spark):
+        """The all-digit fast dispatch must be semantics-preserving:
+        8/10/12/14-digit strings parse as the compact formats, other
+        all-digit widths parse as NOTHING (exactly the full chain —
+        no other known format is separator-free)."""
+        df = spark.createDataFrame(
+            [("20240105",), ("2024010510",), ("202401051030",),
+             ("20240105103045",), ("202401051",), ("2024",),
+             ("123456789012345",)], "v string")
+        got = [r.ms for r in df.select(
+            value_time_millis(F.col("v")).alias("ms")).collect()]
+        assert got == [epoch_ms(datetime(2024, 1, 5)),
+                       epoch_ms(datetime(2024, 1, 5, 10)),
+                       epoch_ms(datetime(2024, 1, 5, 10, 30)),
+                       epoch_ms(datetime(2024, 1, 5, 10, 30, 45)),
+                       None, None, None]
+
     def test_lenient_sdf_behaviors_not_reproduced(self, spark):
         """Pinned divergence: SimpleDateFormat prefix-parses
         ('2024-01-15garbage' succeeds) and rolls over out-of-range
