@@ -461,6 +461,42 @@ class TestDateBoundReferee:
             assert got == want, (q, [str(d) for d in dts])
 
 
+class TestRangePatternOverloads:
+    """The 3/4-arg rangePattern forms: bounds parse with the EXPLICIT
+    pattern and bump by ITS granularity (getNextTime(start, rangeFormat,
+    granularity)); the field side uses the default list (4-arg
+    betweenDates) or its own explicit pattern (5-arg)."""
+
+    @settings(max_examples=10, deadline=None,
+              suppress_health_check=[HealthCheck.function_scoped_fixture])
+    @given(dts=st.lists(DT, min_size=1, max_size=10),
+           bounds=st.tuples(DT, DT),
+           jf=st.sampled_from(["yyyyMMdd", "MM/dd/yyyy", "yyyy-MMM"]))
+    def test_range_pattern_bounds(self, spark, dts, bounds, jf):
+        from datawave_spark.compiler import compile_query
+        from datawave_spark.functions.filter_functions import (
+            _java_fmt_to_strptime, _parse_date_literal)
+        render = _java_fmt_to_strptime(jf)
+        lo_dt, hi_dt = sorted(bounds)
+        lo_s, hi_s = lo_dt.strftime(render), hi_dt.strftime(render)
+        lo_p, gran = _parse_date_literal(lo_s, jf)
+        hi_p, _ = _parse_date_literal(hi_s, jf)
+        df = spark.createDataFrame(
+            [(i, d) for i, d in enumerate(dts)], "id long, T timestamp")
+        cases = [
+            (f"filter:afterDate(T, '{lo_s}', '{jf}')",
+             lambda t: java_after_date(t, lo_p, gran)),
+            (f"filter:beforeDate(T, '{hi_s}', '{jf}')",
+             lambda t: java_before_date(t, hi_p)),
+            (f"filter:betweenDates(T, '{lo_s}', '{hi_s}', '{jf}')",
+             lambda t: java_between_dates(t, lo_p, hi_p, gran)),
+        ]
+        for q, want_fn in cases:
+            got = {r.id for r in compile_query(df, q).collect()}
+            want = {i for i, d in enumerate(dts) if want_fn(epoch_ms(d))}
+            assert got == want, (q, [str(d) for d in dts])
+
+
 PERIOD_ALPHABET = "ab."
 
 
