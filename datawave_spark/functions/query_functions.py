@@ -19,20 +19,40 @@ from datawave_spark.compiler.columns import (
 from datawave_spark.functions.filter_functions import _ident, _lit
 
 
+def _bool_arg(a) -> bool:
+    v = _lit(a)
+    if isinstance(v, bool):
+        return v
+    return str(v).lower() == "true"
+
+
 @register_function("f", "between")
 def f_between(ctx: CompileContext, args):
     """QueryFunctions.between:81-183 (string/float/long overloads) —
-    inclusive bounds, ANY-value semantics."""
+    3-arg form is inclusive both sides; the 5-arg form
+    ``(FIELD, left, leftInclusive, right, rightInclusive)`` carries
+    explicit inclusivity booleans.  ANY-value semantics.  Numeric
+    bounds compare as double (the Java narrows to FLOAT — a 32-bit
+    precision loss on large longs we deliberately do not reproduce)."""
     fname = _ident(args[0])
-    lo, hi = _lit(args[1]), _lit(args[2])
+    if len(args) == 5:
+        lo, hi = _lit(args[1]), _lit(args[3])
+        lo_inc, hi_inc = _bool_arg(args[2]), _bool_arg(args[4])
+    else:
+        lo, hi = _lit(args[1]), _lit(args[2])
+        lo_inc = hi_inc = True
     numeric = isinstance(lo, (int, float)) and not isinstance(lo, bool)
-    if numeric:
-        return field_pred(ctx, fname,
-                          lambda v: (v.cast("double") >= float(lo))
-                          & (v.cast("double") <= float(hi)))
-    return field_pred(ctx, fname,
-                      lambda v: (v.cast("string") >= str(lo))
-                      & (v.cast("string") <= str(hi)))
+
+    def bound(v):
+        if numeric:
+            c, l, h = v.cast("double"), float(lo), float(hi)
+        else:
+            c, l, h = v.cast("string"), str(lo), str(hi)
+        left = (c >= l) if lo_inc else (c > l)
+        right = (c <= h) if hi_inc else (c < h)
+        return left & right
+
+    return field_pred(ctx, fname, bound)
 
 
 @register_function("f", "length")

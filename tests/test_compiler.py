@@ -289,6 +289,19 @@ class TestFilterFunctions:
         assert uids(compile_query(events, "f:between(NUM, 6, 25)")) == ["a", "b", "e"]
         assert uids(compile_query(events, "f:length(CITY, 6, 6)")) == ["e"]
 
+    def test_between_inclusivity_flags(self, spark):
+        """QueryFunctions.between 5-arg overload: explicit per-bound
+        inclusivity booleans."""
+        df = spark.createDataFrame(
+            [("lo", 6.0), ("mid", 10.0), ("hi", 25.0)],
+            "uid string, NUM double")
+        assert uids(compile_query(
+            df, "f:between(NUM, 6, false, 25, false)")) == ["mid"]
+        assert uids(compile_query(
+            df, "f:between(NUM, 6, true, 25, false)")) == ["lo", "mid"]
+        assert uids(compile_query(
+            df, "f:between(NUM, 6, false, 25, true)")) == ["hi", "mid"]
+
     def test_geo_bbox(self, spark, events):
         q = "geo:within_bounding_box(GEO, '40.0,8.0', '46.0,13.0')"
         assert uids(compile_query(events, q)) == ["a", "b"]
