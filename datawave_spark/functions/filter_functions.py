@@ -150,6 +150,11 @@ def f_matches_at_least(ctx: CompileContext, args):
 # reference ERRORS on parse sensibly here; the set of values both
 # engines accept agree on their instant (pinned in
 # test_filter_referee.TestKnownFormatListReferee).
+# the separator-free digit-run formats — single source of truth for
+# the all-digit fast dispatch in _ts
+_COMPACT_FORMATS = ("yyyyMMddHHmmss", "yyyyMMddHHmm", "yyyyMMddHH",
+                    "yyyyMMdd")
+
 _KNOWN_DATE_FORMATS = (
     "yyyyMMdd:HH:mm:ss:SSS",
     "yyyy-MM-dd HH:mm:ss.SSS",
@@ -184,26 +189,28 @@ def _ts(col: Column, pattern: str | None) -> Column:
     # dates), so the coalesce fallback chain would never be reached —
     # caught by the round-7 referee fuzz (test_filter_referee).
     # Cost note: coalesce short-circuits per row in codegen — typed
-    # timestamp/date columns resolve at the first branch; only string
-    # date fields walk the chain, and only as far as their format.
-    # ALL-DIGIT inputs dispatch straight to the compact formats (an
-    # all-digit string can match nothing else in the chain — every
-    # other format requires a separator — so the dispatch is
-    # semantics-preserving): 4 parse attempts instead of ~17, measured
-    # 2.4× on the scale probe's worst case.
+    # timestamp/date columns resolve at the first branch (no regex
+    # work); only string date fields walk further, and only as far as
+    # their format.  The all-digit dispatch sits AFTER the
+    # try_cast/default branches, which accept inputs the format list
+    # doesn't (bare-year '2024', epoch-seconds longs) — review r7
+    # caught a dispatch-first version silently nulling those.  An
+    # all-digit string that survives both leading branches can only
+    # match the compact formats (every format in the rest of the list
+    # requires a separator), so one rlike guard replaces ~13 failed
+    # parse attempts on compact inputs.
     s = col.cast("string")
-    compact = F.coalesce(*[
-        F.try_to_timestamp(s, F.lit(f))
-        for f in ("yyyyMMddHHmmss", "yyyyMMddHHmm", "yyyyMMddHH",
-                  "yyyyMMdd")])
+    compact = F.coalesce(*[F.try_to_timestamp(s, F.lit(f))
+                           for f in _COMPACT_FORMATS])
     separated = [f for f in _KNOWN_DATE_FORMATS
-                 if f not in ("yyyyMMddHHmmss", "yyyyMMddHHmm",
-                              "yyyyMMddHH", "yyyyMMdd")]
-    return F.when(s.rlike("^[0-9]+$"), compact).otherwise(F.coalesce(
+                 if f not in _COMPACT_FORMATS]
+    return F.coalesce(
         col.try_cast("timestamp"),
         F.try_to_timestamp(s),
-        *[F.try_to_timestamp(s, F.lit(f)) for f in separated],
-    ))
+        F.when(s.rlike("^[0-9]+$"), compact).otherwise(
+            F.coalesce(*[F.try_to_timestamp(s, F.lit(f))
+                         for f in separated])),
+    )
 
 
 def _java_to_spark_fmt(pattern: str) -> str:

@@ -38,10 +38,24 @@ def f_between(ctx: CompileContext, args):
     if len(args) == 5:
         lo, hi = _lit(args[1]), _lit(args[3])
         lo_inc, hi_inc = _bool_arg(args[2]), _bool_arg(args[4])
-    else:
+    elif len(args) == 3:
         lo, hi = _lit(args[1]), _lit(args[2])
         lo_inc = hi_inc = True
-    numeric = isinstance(lo, (int, float)) and not isinstance(lo, bool)
+    else:
+        # the Java has exactly the 3- and 5-arg overloads; silently
+        # dropping extras would mis-evaluate a mistyped query
+        raise ValueError(
+            f"f:between takes (FIELD, lo, hi) or (FIELD, lo, loInc, "
+            f"hi, hiInc); got {len(args)} args")
+
+    def _is_num(x):
+        return isinstance(x, (int, float)) and not isinstance(x, bool)
+
+    numeric = _is_num(lo)
+    if numeric != _is_num(hi):
+        raise ValueError(
+            f"f:between bounds must both be numeric or both strings: "
+            f"({lo!r}, {hi!r})")
 
     def bound(v):
         if numeric:

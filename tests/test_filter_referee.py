@@ -265,10 +265,13 @@ class TestKnownFormatListReferee:
             _java_fmt_to_strptime("yyyy'Z")
 
     def test_all_digit_dispatch_edges(self, spark):
-        """The all-digit fast dispatch must be semantics-preserving:
-        8/10/12/14-digit strings parse as the compact formats, other
-        all-digit widths parse as NOTHING (exactly the full chain —
-        no other known format is separator-free)."""
+        """The all-digit fast dispatch sits AFTER the try_cast/default
+        branches (review r7: a dispatch-first version silently nulled
+        what those accept): 8/10/12/14-digit strings parse as the
+        compact formats, bare-year '2024' still parses via try_cast
+        (part of the documented accept-set widening — the reference's
+        list would reject it), and all-digit widths NO branch accepts
+        parse as nothing."""
         df = spark.createDataFrame(
             [("20240105",), ("2024010510",), ("202401051030",),
              ("20240105103045",), ("202401051",), ("2024",),
@@ -279,7 +282,18 @@ class TestKnownFormatListReferee:
                        epoch_ms(datetime(2024, 1, 5, 10)),
                        epoch_ms(datetime(2024, 1, 5, 10, 30)),
                        epoch_ms(datetime(2024, 1, 5, 10, 30, 45)),
-                       None, None, None]
+                       None,
+                       epoch_ms(datetime(2024, 1, 1)),   # bare year
+                       None]
+
+    def test_typed_columns_parse_via_cast(self, spark):
+        """Typed long columns are epoch SECONDS under Spark's numeric
+        cast (the try_cast branch) — the dispatch reordering must not
+        shadow it."""
+        df = spark.createDataFrame([(1704067200,)], "v long")
+        got = df.select(value_time_millis(F.col("v")).alias("ms")) \
+            .head().ms
+        assert got == epoch_ms(datetime(2024, 1, 1))
 
     def test_lenient_sdf_behaviors_not_reproduced(self, spark):
         """Pinned divergence: SimpleDateFormat prefix-parses

@@ -219,16 +219,22 @@ def run_one(op: str, events_path: str, docs_path: str,
     }
 
     def _date_parse_chain(d):
-        # worst-case input for the r7 known-format fallback chain: a
-        # STRING date column in the LAST format the chain tries
-        # (compact yyyyMMdd), so every row walks all ~19 coalesce
-        # branches before parsing — measures the codegen-size cost of
-        # the reference's format list, per row, at scale.
-        strs = d.select(
-            "event_id",
-            F.date_format("ts", "yyyyMMdd").alias("WHEN"))
+        # the post-dispatch worst case for the known-format chain: a
+        # SEPARATED format near the END of the list ('yyyy-MMM' month
+        # names) walks try_cast + default + the rlike guard + ~10
+        # separated parse attempts per row; compact yyyyMMdd strings
+        # take the all-digit fast path (4 attempts) — both measured so
+        # the dispatch's win and the residual chain cost are visible.
+        compacts = d.select(
+            "event_id", F.date_format("ts", "yyyyMMdd").alias("WHEN"))
         noop(compile_query(
-            strs, "filter:betweenDates(WHEN, '2024-01-05', '2024-01-20')")
+            compacts,
+            "filter:betweenDates(WHEN, '2024-01-05', '2024-01-20')")
+            .select("event_id"))
+        months = d.select(
+            "event_id", F.date_format("ts", "yyyy-MMM").alias("WHEN"))
+        noop(compile_query(
+            months, "filter:afterDate(WHEN, '2024-01-05')")
             .select("event_id"))
 
     def _push_epochs(d):
