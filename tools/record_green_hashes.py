@@ -16,7 +16,11 @@ If a key's oracle is known to have drifted since its last green (the
 round-5 audit found exactly one: ``dedup_ngram_pairs``), pass it via
 ``--exclude`` so it re-queues.
 
-Usage: python tools/record_green_hashes.py [--exclude key ...]
+Usage: python tools/record_green_hashes.py [--round-start] [--exclude key ...]
+
+At round start pass ``--round-start`` so keys whose oracles were edited
+(and then driver-verified) last round re-settle at their current md5;
+without it, drifted keys keep their PRIOR hash and stay unsettled.
 """
 
 from __future__ import annotations
@@ -37,6 +41,12 @@ def main() -> int:
     ap.add_argument("--exclude", nargs="*", default=[],
                     help="keys whose oracle drifted since their last "
                          "green check — omitted so they re-queue")
+    ap.add_argument("--round-start", action="store_true",
+                    help="accept oracle drift: re-settle drifted keys at "
+                         "their CURRENT md5. Only safe immediately after "
+                         "the driver drops CORRECTNESS_r*.json, when the "
+                         "working-tree oracles are byte-identical to the "
+                         "ones the driver just checked.")
     args = ap.parse_args()
 
     sys.path.insert(0, ROOT)
@@ -56,7 +66,9 @@ def main() -> int:
     # Mid-round misuse guard: keys whose CURRENT oracle md5 differs
     # from the existing snapshot have been edited since their green
     # check — re-snapshotting them would silently settle unverified
-    # SQL.  Warn loudly (the round-start invocation sees none).
+    # SQL.  By DEFAULT the prior hash is kept (the key stays unsettled
+    # and re-queues for the driver gate); pass --round-start to accept
+    # the drift, which is only safe right after the driver's check.
     try:
         with open(OUT) as fh:
             prior = json.load(fh)
@@ -64,12 +76,17 @@ def main() -> int:
         prior = {}
     drifted = [k for k, h in snapshot.items()
                if k in prior and prior[k] != h]
-    if drifted:
+    if drifted and args.round_start:
+        print(f"NOTE: re-settling {len(drifted)} drifted keys at their "
+              f"current md5 (--round-start): {drifted}")
+    elif drifted:
+        for k in drifted:
+            snapshot[k] = prior[k]
         print(f"WARNING: {len(drifted)} keys' oracles changed since the "
-              f"prior snapshot and would be re-settled WITHOUT a fresh "
-              f"driver check: {drifted}\n  If this is not round start "
-              f"(pre-edit), restore the prior snapshot or pass them "
-              f"via --exclude.")
+              f"prior snapshot; keeping their PRIOR hashes so they stay "
+              f"unsettled and re-queue for the driver gate: {drifted}\n"
+              f"  If this is round start (driver just verified these "
+              f"exact oracles), re-run with --round-start.")
     with open(OUT, "w") as fh:
         json.dump(snapshot, fh, indent=1, sort_keys=True)
         fh.write("\n")
