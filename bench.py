@@ -27,6 +27,25 @@ SF_DIR = os.environ["SPARK_GRAFT_SF_DIR"]
 REPEATS = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3")))
 
 
+def _canary_sec(spark) -> float:
+    """Median-of-3 timing of a FIXED trivial plan (count(*) over the
+    events parquet).  Run at bench start / middle / end; the triple is
+    recorded in the JSON so any reader can normalize per-key ratios for
+    shared-host load (BASELINE.md "Canary normalization") instead of
+    hand re-measuring every >2x excursion, as rounds 6-7 required.
+    The plan is byte-stable across rounds: a single parquet scan +
+    count, no joins, no Python, so its timing moves ONLY with host load.
+    """
+    samples: list[float] = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        spark.read.parquet(os.path.join(SF_DIR, "events.parquet")) \
+            .selectExpr("count(*) AS n").write.format("noop") \
+            .mode("overwrite").save()
+        samples.append(time.perf_counter() - t0)
+    return round(statistics.median(samples), 4)
+
+
 def main() -> None:
     from datawave_spark.session import get_spark
     import __spark_entry__ as entrymod
@@ -62,8 +81,13 @@ def main() -> None:
             pass
     spark.catalog.clearCache()
 
+    canary: list[float] = [_canary_sec(spark)]
     timings: dict[str, float] = {}
-    for name, fn in sorted(queries.items()):
+    ordered = sorted(queries.items())
+    midpoint = len(ordered) // 2
+    for idx, (name, fn) in enumerate(ordered):
+        if idx == midpoint:
+            canary.append(_canary_sec(spark))
         runs: list[float] = []
         for _ in range(REPEATS):
             # Cached frames persisted inside earlier queries otherwise
@@ -91,6 +115,8 @@ def main() -> None:
                 break
         timings[name] = round(statistics.median(runs), 4) if runs else -1.0
 
+    canary.append(_canary_sec(spark))
+
     ok = [v for v in timings.values() if v >= 0]
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     result = {
@@ -101,6 +127,11 @@ def main() -> None:
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "repeats": REPEATS,
         "aggregation": "median",
+        # [start, middle, end] medians-of-3 of the fixed canary plan —
+        # see BASELINE.md "Canary normalization" for the adjudication
+        # rule (per-key ratio divided by canary ratio vs the floor run).
+        "canary": canary,
+        "canary_plan": "count(*) over events.parquet, median-of-3",
     }
     # The driver keeps only the tail of stdout; persist the full
     # per-query map to a committed artifact so bench history survives.
