@@ -81,9 +81,11 @@ def f_occurrence(ctx: CompileContext, args):
     object — size 1 — even when the field is absent or its value NULL
     (JEXL passes null, getSizeOf(Object) returns 1 for any
     non-Iterable, null included), so on scalar fields occurrence
-    degenerates to comparing against the constant 1; a multi-valued
-    field counts its elements INCLUDING null elements (non-ValueTuple
-    objects count), but a NULL array is again the null Object → 1."""
+    degenerates to comparing against the constant 1.  A multi-valued
+    field maps non-null elements to event-sourced ValueTuples: when ANY
+    exist, getSizeOf returns only their count (``sourcedFromEvent`` —
+    null elements excluded); when NONE do, it falls back to the total
+    element count.  A NULL array is again the null Object → 1."""
     fname = _ident(args[0])
     if len(args) == 2:
         op, count = "==", int(_lit(args[1]))
@@ -98,7 +100,9 @@ def f_occurrence(ctx: CompileContext, args):
             # explicit isNull, not coalesce(size(col), 1): legacy
             # (ANSI-off) Spark returns -1 for size(NULL), which a
             # coalesce would pass through
-            n = F.when(col.isNull(), F.lit(1)).otherwise(F.size(col))
+            nn = F.size(F.filter(col, lambda v: v.isNotNull()))
+            n = F.when(col.isNull(), F.lit(1)).otherwise(
+                F.when(nn > 0, nn).otherwise(F.size(col)))
         else:
             n = F.lit(1)
     return {"==": n == count, "=": n == count, "!=": n != count,
@@ -138,18 +142,26 @@ def f_matches_at_least(ctx: CompileContext, args):
 # locale day-name forms ('EEE MMM dd HH:mm:ss zzz yyyy').  Entries the
 # default cast already handles (yyyy-MM-dd [HH:mm:ss]) are covered by
 # the try_cast branch ahead of this list.  Two lenient-SimpleDateFormat
-# behaviors are deliberately NOT reproduced: prefix parsing (SDF
-# accepts '2024-01-15garbage') and field rollover (month 13 → next
-# year) — try_to_timestamp requires a full, in-range match, so such
-# values are non-matches instead of silently reinterpreted.  One
-# WIDENING divergence, also deliberate: the leading try_cast/default
-# branches accept every stamp Spark's default parser knows — ISO
-# 'yyyy-MM-ddTHH:mm:ss' without the quoted 'Z', minutes-only
-# 'yyyy-MM-dd HH:mm', fractional seconds at any width — which the
-# reference's list rejects (ParseException).  Stored values the
-# reference ERRORS on parse sensibly here; the set of values both
-# engines accept agree on their instant (pinned in
-# test_filter_referee.TestKnownFormatListReferee).
+# behaviors are deliberately NOT reproduced: prefix parsing (SDF's
+# DateFormat.parse(String) ignores trailing text, so the reference
+# accepts '2024-01-15garbage' via 'yyyy-MM-dd') and field rollover
+# (month 13 → next year) — try_to_timestamp requires a full, in-range
+# match, so such values are non-matches instead of silently
+# reinterpreted.  This is an INSTANT divergence, not just accept-set
+# widening: sub-day stamps the reference's list lacks exact entries
+# for — minutes-only 'yyyy-MM-dd HH:mm', ISO-T without the quoted 'Z',
+# short fractions — prefix-parse in Java via an EARLIER list entry
+# ('yyyy-MM-dd' → MIDNIGHT, '.SSS' greedy integer-ms), while the
+# leading try_cast/default branches here parse the full stamp to its
+# face-value instant.  Policy (deliberate, pinned in
+# test_filter_referee.TestKnownFormatListReferee): keep Spark's
+# full-parse instants — the face-value reading is the correct one, and
+# reproducing prefix-parse would import the silent midnight-truncation
+# bug class the lenient-SDF pin already rejects.  Consequence: date
+# bounds can disagree with the reference on such stamps (e.g.
+# beforeDate(F, '2024-01-05 06:00') on stored '2024-01-05 10:30' —
+# Java matches via midnight, this engine does not).  See
+# DIVERGENCES.md.
 # the separator-free digit-run formats — single source of truth for
 # the all-digit fast dispatch in _ts
 _COMPACT_FORMATS = ("yyyyMMddHHmmss", "yyyyMMddHHmm", "yyyyMMddHH",
@@ -234,7 +246,20 @@ def _java_to_spark_fmt(pattern: str) -> str:
 # Java behavior (zero-width-separated formats don't need it).
 _PY_KNOWN_FORMATS = (
     ("yyyyMMdd:HH:mm:ss:SSS", "%Y%m%d:%H:%M:%S:%f", 21),
-    ("yyyy-MM-dd HH:mm:ss.SSS", "%Y-%m-%d %H:%M:%S.%f", 23),
+    # SSS/S at end-of-pattern: SimpleDateFormat's lenient number parse
+    # reads the WHOLE adjacent digit run as an integer count of
+    # MILLISECONDS ('.5' = 5 ms, '.55' = 55 ms — NOT a decimal
+    # fraction), so the reference's '.SSS' entry (:1327) already
+    # accepts 1-2 digit fractions and its '.S' entry (:1329) is
+    # reachable only via zone variants.  JAVA_MS marks that semantic:
+    # head parsed with the base format, digits scaled as integer ms
+    # (1-3 digits; ≥4 would roll over into seconds under lenient
+    # Calendar, which stays pinned as not-reproduced).  The ':SSS' and
+    # T-'Z' fraction entries keep their total-width pins instead: their
+    # leading compact runs / trailing literals need width-strictness,
+    # so sub-3-digit fractions there remain documented omissions.
+    ("yyyy-MM-dd HH:mm:ss.SSS", "JAVA_MS:%Y-%m-%d %H:%M:%S", None),
+    ("yyyy-MM-dd HH:mm:ss.S", "JAVA_MS:%Y-%m-%d %H:%M:%S", None),
     ("yyyy-MM-dd HH:mm:ss", "%Y-%m-%d %H:%M:%S", None),
     ("yyyyMMdd HHmmss", "%Y%m%d %H%M%S", 15),
     ("yyyy-MM-dd'T'HH'|'mm", "%Y-%m-%dT%H|%M", None),
@@ -330,6 +355,18 @@ def _parse_date_literal(value, pattern: str | None):
     for jf, pf, width in _PY_KNOWN_FORMATS:
         if width is not None and len(s) != width:
             continue
+        if pf.startswith("JAVA_MS:"):
+            # trailing SSS/S: digits are an integer MILLISECOND count
+            # (Java lenient number parse), not a decimal fraction
+            head, dot, frac = s.rpartition(".")
+            if not dot or not frac.isdigit() or len(frac) > 3:
+                continue
+            try:
+                base = _d.datetime.strptime(head, pf[len("JAVA_MS:"):])
+            except ValueError:
+                continue
+            return (base + _d.timedelta(milliseconds=int(frac)),
+                    _granularity_of(jf))
         try:
             return _d.datetime.strptime(s, pf), _granularity_of(jf)
         except ValueError:
@@ -494,19 +531,29 @@ def f_time_function(ctx: CompileContext, args):
     (OperationEvaluator.compare), e.g.
     ``filter:timeFunction(DEATH, BIRTH, '-', '>', 86400000)``.
 
-    Divergences (documented, total-function): a NULL/empty/unparseable
-    side yields false (the reference nulls also yield false; its EMPTY
-    iterable computes Long.MIN/MAX_VALUE sentinel arithmetic — garbage
-    wrap-around the evaluator only reaches through an empty
-    FunctionalSet, which absent fields never produce)."""
+    A side with ANY unparseable value yields false, matching the
+    reference, whose getMaxTime/getMinTime throw ParseException on the
+    FIRST bad value (the evaluator turns the error into a non-match) —
+    the parseable subset is never evaluated on its own.  Divergences
+    (documented, total-function): a NULL/empty side also yields false
+    (the reference's nulls likewise; its EMPTY iterable computes
+    Long.MIN/MAX_VALUE sentinel arithmetic — garbage wrap-around the
+    evaluator only reaches through an empty FunctionalSet, which absent
+    fields never produce)."""
     f1, f2 = _ident(args[0]), _ident(args[1])
     operator = str(_lit(args[2]))
     equality = str(_lit(args[3]))
     goal = int(_lit(args[4]))
-    t1 = F.array_max(F.transform(
-        field_values(ctx, f1), lambda v: F.unix_millis(_ts(v, None))))
-    t2 = F.array_min(F.transform(
-        field_values(ctx, f2), lambda v: F.unix_millis(_ts(v, None))))
+
+    def _side(field, agg):
+        vals = field_values(ctx, field)
+        parsed = F.transform(vals, lambda v: F.unix_millis(_ts(v, None)))
+        all_ok = (F.size(F.filter(parsed, lambda t: t.isNotNull()))
+                  == F.size(vals))
+        return F.when(all_ok, agg(parsed))  # NULL ⇒ false via coalesce
+
+    t1 = _side(f1, F.array_max)
+    t2 = _side(f2, F.array_min)
     calc = _java_long_op(t1, t2, operator)
     cmp = {">": calc > goal, "<": calc < goal, ">=": calc >= goal,
            "<=": calc <= goal, "==": calc == goal, "=": calc == goal,

@@ -228,22 +228,28 @@ class TestFilterFunctions:
     def test_occurrence_java_size_semantics(self, spark):
         """getSizeOf exactly: scalar (even NULL — getSizeOf(Object)
         returns 1 for any non-Iterable) is 1; a NULL array is the null
-        Object → 1; array elements count INCLUDING null elements."""
+        Object → 1.  Mixed arrays follow the Java's sourcedFromEvent
+        rule: when ANY non-null (event-sourced ValueTuple) elements
+        exist, only THEY count — ['x', None, 'y'] is 2, not 3; only an
+        all-null/empty array falls back to the total element count."""
         df = spark.createDataFrame(
             [("s_null", None, None),
              ("s_val", "x", None),
              ("a_null", None, None),
              ("a_two", None, ["x", "y"]),
              ("a_with_null", None, ["x", None, "y"]),
+             ("a_all_null", None, [None, None]),
              ("a_empty", None, [])],
             "uid string, S string, A array<string>")
         assert uids(compile_query(df, "filter:occurrence(S, '==', 1)")) \
-            == ["a_empty", "a_null", "a_two", "a_with_null",
-                "s_null", "s_val"]
+            == ["a_all_null", "a_empty", "a_null", "a_two",
+                "a_with_null", "s_null", "s_val"]
         assert uids(compile_query(df, "filter:occurrence(A, '==', 1)")) \
             == ["a_null", "s_null", "s_val"]
+        assert uids(compile_query(df, "filter:occurrence(A, '==', 2)")) \
+            == ["a_all_null", "a_two", "a_with_null"]
         assert uids(compile_query(df, "filter:occurrence(A, '==', 3)")) \
-            == ["a_with_null"]
+            == []
         assert uids(compile_query(df, "filter:occurrence(A, '==', 0)")) \
             == ["a_empty"]
 

@@ -242,13 +242,19 @@ class TestKnownFormatListReferee:
             value_time_millis(F.col("v"), "e").alias("ms")).collect()]
         assert got == [1705276800000, -86400000, None]
 
-    def test_widening_divergence_pinned(self, spark):
-        """Pinned WIDENING divergence: Spark's default parser branch
-        accepts stamps the reference's DATE_FORMAT_STRINGS list rejects
-        (ISO 'T' without the quoted 'Z', minutes-only) — such values
-        parse sensibly here where the Java throws ParseException.
-        Values BOTH engines accept always agree (the fuzz above); this
-        test records the accept-set widening as a decision."""
+    def test_fullparse_instant_divergence_pinned(self, spark):
+        """Pinned INSTANT divergence (policy: keep full-parse instants).
+        Stamps with no exact DATE_FORMAT_STRINGS entry — ISO 'T'
+        without the quoted 'Z', minutes-only — are NOT rejected by the
+        reference: DateFormat.parse(String) ignores trailing text, so
+        they prefix-match an EARLIER list entry ('yyyy-MM-dd' →
+        MIDNIGHT).  This engine's default-parser branch reads the full
+        stamp at face value instead (10:00 here, not midnight), so
+        date bounds can disagree with the reference on such values.
+        Deliberate and documented (DIVERGENCES.md): the face-value
+        instant is the correct reading; reproducing prefix-parse would
+        import the silent midnight-truncation bug class the lenient-SDF
+        pin below already rejects."""
         df = spark.createDataFrame(
             [("2024-01-05T10:00:00",), ("2024-01-05 10:00",)], "v string")
         got = [r.ms for r in df.select(
@@ -294,6 +300,25 @@ class TestKnownFormatListReferee:
         got = df.select(value_time_millis(F.col("v")).alias("ms")) \
             .head().ms
         assert got == epoch_ms(datetime(2024, 1, 1))
+
+    def test_fraction_literals_java_integer_ms(self, spark):
+        """Driver-side literals with trailing SSS/S fractions follow
+        SimpleDateFormat's lenient number parse: the digit run is an
+        integer MILLISECOND count, not a decimal fraction — '.5' is
+        5 ms (Java parses it via the '.SSS' entry :1327; the '.S'
+        entry :1329 exists too), '.55' is 55 ms.  ≥4 digits would
+        roll over into seconds under lenient Calendar, which stays
+        pinned as not-reproduced → parse error."""
+        from datawave_spark.functions.filter_functions import (
+            _parse_date_literal)
+        base = datetime(2024, 1, 5, 10, 0, 0)
+        for frac, ms in (("5", 5), ("55", 55), ("555", 555)):
+            dt, gran = _parse_date_literal(f"2024-01-05 10:00:00.{frac}",
+                                           None)
+            assert dt == base + timedelta(milliseconds=ms), frac
+            assert gran == "MILLISECOND"
+        with pytest.raises(ValueError, match="known date formats"):
+            _parse_date_literal("2024-01-05 10:00:00.5555", None)
 
     def test_lenient_sdf_behaviors_not_reproduced(self, spark):
         """Pinned divergence: SimpleDateFormat prefix-parses
@@ -368,6 +393,21 @@ class TestTimeFunctionReferee:
         q = f"filter:timeFunction(T1, T2, '{op}', '{eq}', {goal})"
         got_ids = {r.id for r in compile_query(df, q).collect()}
         assert got_ids == {i for i, w in enumerate(want) if w}
+
+    def test_any_unparseable_value_is_false(self, spark):
+        """getMaxTime/getMinTime throw ParseException on the FIRST bad
+        value — the whole function is false even when the parseable
+        subset alone would satisfy the comparison (the reference never
+        evaluates the subset)."""
+        from datawave_spark.compiler import compile_query
+        df = spark.createDataFrame(
+            [(0, ["2024-01-02"], ["2024-01-01"]),                 # clean
+             (1, ["2024-01-02", "garbage"], ["2024-01-01"]),      # bad F1
+             (2, ["2024-01-02"], ["2024-01-01", "garbage"])],     # bad F2
+            "id long, T1 array<string>, T2 array<string>")
+        q = "filter:timeFunction(T1, T2, '-', '>', 0)"
+        got = {r.id for r in compile_query(df, q).collect()}
+        assert got == {0}
 
 
 class TestMaxMinValueReferee:
