@@ -138,8 +138,11 @@ def f_matches_at_least(ctx: CompileContext, args):
 # reference's known-format list for pattern-less getTime, in ITS order
 # (first parse wins), minus entries Spark's DateTimeFormatter dialect
 # cannot express: the four zone-bearing patterns (Z / z / zzz suffixes
-# — RFC-822 and named zones on otherwise-naive stamps) and the two
-# locale day-name forms ('EEE MMM dd HH:mm:ss zzz yyyy').  Entries the
+# — RFC-822 and named zones on otherwise-naive stamps; common forms
+# like '+0000'/'GMT' still parse — at the Java instant — via the
+# default-parser branch, pinned in test_zone_and_dayname_format_
+# coverage) and the two locale day-name forms
+# ('EEE MMM dd HH:mm:ss zzz yyyy' — true omissions).  Entries the
 # default cast already handles (yyyy-MM-dd [HH:mm:ss]) are covered by
 # the try_cast branch ahead of this list.  Two lenient-SimpleDateFormat
 # behaviors are deliberately NOT reproduced: prefix parsing (SDF's

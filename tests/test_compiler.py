@@ -280,6 +280,21 @@ class TestFilterFunctions:
         assert uids(compile_query(df, "V =~ 'a.b'")) == ["nl"]
         assert uids(compile_query(df, "V !~ 'cli.*'")) == ["nl", "no"]
 
+    def test_multiline_flag_omission_pinned(self, spark):
+        """Pinned divergence: JexlPatternCache compiles with MULTILINE
+        too (JexlPatternCache.java:30), but (?m) is deliberately
+        omitted from java_full_match — it would turn the full-match
+        anchors into per-line anchors.  The one observable case is a
+        USER-embedded ^/$ inside the pattern against a multi-line
+        value: Java's 'a$.*' full-matches 'a\\nb' ($ line-anchors after
+        'a', DOTALL .* eats the rest); this engine's $ stays
+        end-of-input, so it does not match.  Single-line values agree
+        in both engines (see DIVERGENCES.md)."""
+        df = spark.createDataFrame(
+            [("ml", "a\nb"), ("sl", "a")], "uid string, V string")
+        # Java (MULTILINE): ["ml", "sl"]; ours: embedded $ stays global
+        assert uids(compile_query(df, "V =~ 'a$.*'")) == ["sl"]
+
     def test_include_regex_java_pattern_flags(self, spark):
         """JexlPatternCache compiles with CASE_INSENSITIVE | DOTALL:
         'click' matches 'CLICK', and '.' crosses newlines."""

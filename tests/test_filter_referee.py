@@ -331,6 +331,47 @@ class TestKnownFormatListReferee:
             value_time_millis(F.col("v")).alias("ms")).collect()]
         assert got == [None, None]
 
+    def test_zone_and_dayname_format_coverage(self, spark):
+        """The zone-bearing DATE_FORMAT_STRINGS entries (:1326-1331 —
+        'Z'/'z' suffixes) have no explicit list entry here, but Spark's
+        default-parser branch understands RFC-822 offsets and named-UTC
+        suffixes and computes the SAME instant the reference's
+        SimpleDateFormat would — so common zoned stamps agree, not
+        diverge.  The two locale day-name forms (:1324,:1338) are the
+        true pinned omissions: not expressible in the column-side
+        dialect, stored values in them are non-matches here where the
+        reference parses them."""
+        df = spark.createDataFrame(
+            [("2024-01-05 10:00:00 +0000",),      # yyyy-MM-dd HH:mm:ss Z
+             ("2024-01-05 10:00:00GMT",),         # yyyy-MM-dd HH:mm:ssz
+             ("Fri Jan 05 10:00:00 GMT 2024",)],  # EEE MMM dd HH:mm:ss zzz yyyy
+            "v string")
+        got = [r.ms for r in df.select(
+            value_time_millis(F.col("v")).alias("ms")).collect()]
+        utc_10 = epoch_ms(datetime(2024, 1, 5, 10))
+        assert got == [utc_10, utc_10, None]
+
+    def test_maxvalue_unparseable_skip_pinned(self, spark):
+        """Pinned divergence: getMaxValue/getMinValue (and
+        getMaxTime/getMinTime as scalar accessors) SKIP unparseable
+        values — the reference's getTime throws ParseException there,
+        propagating as a whole-query error.  Skipping is the
+        total-function stance (same as filter:after/before on bad
+        stored dates); timeFunction is the exception and goes false
+        (test above), because there the Java error becomes a non-match
+        rather than a query failure."""
+        from datawave_spark.compiler import CompileContext
+        from datawave_spark.functions.filter_functions import (
+            f_get_max_value)
+        from datawave_spark.jexl.ast import Identifier
+        df = spark.createDataFrame(
+            [(0, ["2024-01-02", "garbage", "2023-01-01"])],
+            "id long, D array<string>")
+        ctx = CompileContext.for_dataframe(df)
+        got = df.select(f_get_max_value(
+            ctx, [Identifier("D")]).alias("mx")).head().mx
+        assert got == "2024-01-02"
+
 
 class TestGetNextTimeReferee:
     @settings(max_examples=12, deadline=None,
