@@ -217,14 +217,27 @@ def _ts(col: Column, pattern: str | None) -> Column:
     s = col.cast("string")
     compact = F.coalesce(*[F.try_to_timestamp(s, F.lit(f))
                            for f in _COMPACT_FORMATS])
+    # letters-aware dispatch, the mirror of the all-digit guard (r8):
+    # a 'yyyy-<letters>' string can only match the two month-name
+    # formats (every other separated format requires digits after the
+    # first separator), and conversely no month-name string matches any
+    # other entry — so one rlike routes it to 2 parse attempts instead
+    # of walking ~9 (the 8.3× probe row's residual, README "known-format
+    # date parse").  Both formats sit at the END of the reference list,
+    # so carving them out preserves first-match order for every other
+    # input.
+    month_fmts = ("yyyy-MMMM", "yyyy-MMM")
+    month_name = F.coalesce(*[F.try_to_timestamp(s, F.lit(f))
+                              for f in month_fmts])
     separated = [f for f in _KNOWN_DATE_FORMATS
-                 if f not in _COMPACT_FORMATS]
+                 if f not in _COMPACT_FORMATS and f not in month_fmts]
     return F.coalesce(
         col.try_cast("timestamp"),
         F.try_to_timestamp(s),
-        F.when(s.rlike("^[0-9]+$"), compact).otherwise(
-            F.coalesce(*[F.try_to_timestamp(s, F.lit(f))
-                         for f in separated])),
+        F.when(s.rlike("^[0-9]+$"), compact)
+         .when(s.rlike("^[0-9]{4}-[A-Za-z]+$"), month_name)
+         .otherwise(F.coalesce(*[F.try_to_timestamp(s, F.lit(f))
+                                 for f in separated])),
     )
 
 

@@ -27,14 +27,16 @@ the two appends become one txn and delivery is exactly-once.
 
 Ledger growth: every batch appends one small file and the anti-join
 re-reads the whole ledger, so a long-lived standing query accumulates
-files — run ``maintenance.compact`` over the ledger dir on the
-maintenance cadence (same discipline as every append-heavy asset), and
-on Delta replace the anti-join with a key bloom index.  The ledger
-STAYS result-keyed either way; if the standing query's all-time result
-set itself is unbounded, bound it the way the reference's Atom
-collections are bounded — age off delivered keys past the feed's
-retention window (operators/ageoff.py), after which a re-qualifying
-key legitimately re-delivers.
+files — run ``streaming.ledger.compact_ledger`` on the maintenance
+cadence (dedup + target-size rewrite, same write-then-swap discipline
+as every append-heavy asset; with ``bloom_fpp`` set it also rolls a
+Bloom sidecar that lets ``push_batch`` skip the compacted base for
+bloom-negative keys — see ledger.py for the base/tail correctness
+contract).  The ledger STAYS result-keyed either way; if the standing
+query's all-time result set itself is unbounded, bound it the way the
+reference's Atom collections are bounded — age off delivered keys past
+the feed's retention window (operators/ageoff.py), after which a
+re-qualifying key legitimately re-delivers.
 """
 
 from __future__ import annotations
@@ -81,8 +83,8 @@ def standing_query_push(spark: SparkSession, input_path: str,
         # treated as first-batch; anything else propagates.
         key_schema = T.StructType(
             [results.schema[k] for k in key_cols])
-        try:
-            delivered = spark.read.schema(key_schema).parquet(ledger_path)
+
+        def anti(left: DataFrame, right: DataFrame) -> DataFrame:
             # no dropDuplicates: left_anti excludes a row if ANY match
             # exists, so deduping the ever-growing ledger would add an
             # O(ledger) shuffle per batch for zero semantic effect.
@@ -92,8 +94,34 @@ def standing_query_push(spark: SparkSession, input_path: str,
             import functools
             cond = functools.reduce(
                 lambda a, b: a & b,
-                [results[k].eqNullSafe(delivered[k]) for k in key_cols])
-            new = results.join(delivered, cond, "left_anti")
+                [left[k].eqNullSafe(right[k]) for k in key_cols])
+            return left.join(right, cond, "left_anti")
+
+        try:
+            delivered = spark.read.schema(key_schema).parquet(ledger_path)
+            # Bloom fast path (streaming/ledger.py): when a compaction
+            # rolled a sidecar, bloom-NEGATIVE rows are guaranteed
+            # absent from the compacted base and anti-join only the
+            # post-compaction TAIL files; bloom-positive rows take the
+            # full anti-join.  When every row is fresh (the steady
+            # state right after compaction) the base is never read —
+            # the isEmpty() probe is one batch-sized job, paid only
+            # when a sidecar exists.
+            from datawave_spark.streaming import ledger as _ledger
+            meta = _ledger.load_bloom(ledger_path)
+            if meta is not None and meta.get("key_cols") == key_cols:
+                maybe, fresh = _ledger.split_by_bloom(spark, results,
+                                                      meta)
+                if meta["tail_files"]:
+                    tail = spark.read.schema(key_schema).parquet(
+                        *meta["tail_files"])
+                    fresh = anti(fresh, tail)
+                if maybe.isEmpty():
+                    new = fresh
+                else:
+                    new = anti(maybe, delivered).unionByName(fresh)
+            else:
+                new = anti(results, delivered)
         except AnalysisException as e:
             if "PATH_NOT_FOUND" not in str(e):
                 raise

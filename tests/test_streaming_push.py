@@ -127,3 +127,115 @@ class TestPushDelivery:
                      "recursiveFileLookup": "true"})
         q.awaitTermination()
         assert read_feed(spark, feed).count() == before
+
+
+class TestLedgerCompaction:
+    """streaming.ledger: compaction (dedup + target-size rewrite) and
+    the Bloom sidecar fast path — delivery semantics must be IDENTICAL
+    with and without a sidecar (false positives cost a join, false
+    negatives are impossible for covered keys; tail keys are always
+    anti-joined)."""
+
+    def _push_once(self, spark, src, feed, ledger, ckpt):
+        def standing(batch):
+            return batch.filter(F.col("event_type") == "click") \
+                .select("event_id", "value")
+
+        first = sorted(os.listdir(src))[0]
+        sch = spark.read.parquet(os.path.join(src, first)).schema
+        q = standing_query_push(
+            spark, src, sch, standing, ["event_id"], feed, ledger, ckpt,
+            options={"maxFilesPerTrigger": "1",
+                     "recursiveFileLookup": "true"})
+        q.awaitTermination()
+
+    def _write(self, spark, src, name, data):
+        spark.createDataFrame(
+            data, "event_id long, event_type string, value double") \
+            .coalesce(1).write.mode("overwrite") \
+            .parquet(os.path.join(src, name + ".parquet"))
+
+    def test_compact_dedups_and_resizes(self, spark, tmp_path):
+        from datawave_spark.streaming.ledger import compact_ledger
+        src = str(tmp_path / "csrc")
+        self._write(spark, src, "f1", [(1, "click", 1.0), (2, "click", 2.0)])
+        self._write(spark, src, "f2", [(3, "click", 3.0)])
+        feed, ledger, ckpt = (str(tmp_path / d) for d in
+                              ("cfeed", "cledger", "cckpt"))
+        self._push_once(spark, src, feed, ledger, ckpt)
+        # simulate an at-least-once crash replay: key 3 appended twice
+        spark.createDataFrame([(3,)], "event_id long") \
+            .coalesce(1).write.mode("append").parquet(ledger)
+        stats = compact_ledger(spark, ledger, ["event_id"])
+        assert stats == {"files": 1, "keys": 3, "bloom_bits": None}
+        got = sorted(r.event_id for r in spark.read.parquet(ledger).collect())
+        assert got == [1, 2, 3]
+        # delivery semantics survive: old keys stay deduped, new deliver
+        self._write(spark, src, "f3", [(3, "click", 3.0), (9, "click", 9.0)])
+        self._push_once(spark, src, feed, ledger, ckpt)
+        ids = sorted(r.event_id for r in read_feed(spark, feed).collect())
+        assert ids == [1, 2, 3, 9]
+
+    def test_bloom_no_false_negatives_and_split(self, spark, tmp_path):
+        from datawave_spark.streaming.ledger import (
+            compact_ledger, load_bloom, split_by_bloom)
+        ledger = str(tmp_path / "bledger")
+        spark.createDataFrame([(i,) for i in range(200)],
+                              "event_id long") \
+            .write.mode("overwrite").parquet(ledger)
+        stats = compact_ledger(spark, ledger, ["event_id"],
+                               bloom_fpp=0.01)
+        assert stats["keys"] == 200 and stats["bloom_bits"] is not None
+        meta = load_bloom(ledger)
+        assert meta is not None and meta["tail_files"] == []
+        batch = spark.createDataFrame(
+            [(i,) for i in range(150, 350)], "event_id long")
+        maybe, fresh = split_by_bloom(spark, batch, meta)
+        maybe_ids = {r.event_id for r in maybe.collect()}
+        fresh_ids = {r.event_id for r in fresh.collect()}
+        # no false negatives: every covered key is in `maybe`
+        assert set(range(150, 200)) <= maybe_ids
+        assert maybe_ids | fresh_ids == set(range(150, 350))
+        assert maybe_ids & fresh_ids == set()
+        # fpp sanity: most genuinely-new keys land in `fresh`
+        assert len(fresh_ids) >= 100
+
+    def test_bloom_fast_path_delivery_identical(self, spark, tmp_path):
+        """End-to-end: deliver → compact(+bloom) → deliver a mix of
+        base keys, tail keys and new keys across two more epochs — the
+        feed must hold each key exactly once, same as the no-bloom
+        path."""
+        from datawave_spark.streaming.ledger import (
+            compact_ledger, load_bloom)
+        src = str(tmp_path / "bsrc")
+        self._write(spark, src, "f1",
+                    [(1, "click", 1.0), (2, "click", 2.0)])
+        feed, ledger, ckpt = (str(tmp_path / d) for d in
+                              ("bfeed", "bledger2", "bckpt"))
+        self._push_once(spark, src, feed, ledger, ckpt)
+        compact_ledger(spark, ledger, ["event_id"], bloom_fpp=0.01)
+        # epoch 2: key 2 re-qualifies (in BASE), key 5 is new → TAIL
+        self._write(spark, src, "f2",
+                    [(2, "click", 2.0), (5, "click", 5.0)])
+        self._push_once(spark, src, feed, ledger, ckpt)
+        meta = load_bloom(ledger)
+        assert meta is not None and len(meta["tail_files"]) >= 1
+        # epoch 3: base key 1, tail key 5, new key 7
+        self._write(spark, src, "f3", [(1, "click", 1.0),
+                                       (5, "click", 5.0),
+                                       (7, "click", 7.0)])
+        self._push_once(spark, src, feed, ledger, ckpt)
+        ids = sorted(r.event_id for r in read_feed(spark, feed).collect())
+        assert ids == [1, 2, 5, 7]
+
+    def test_bloomless_recompaction_invalidates_sidecar(self, spark,
+                                                        tmp_path):
+        from datawave_spark.streaming.ledger import (
+            compact_ledger, load_bloom)
+        ledger = str(tmp_path / "sledger")
+        spark.createDataFrame([(1,), (2,)], "event_id long") \
+            .write.mode("overwrite").parquet(ledger)
+        compact_ledger(spark, ledger, ["event_id"], bloom_fpp=0.01)
+        assert load_bloom(ledger) is not None
+        compact_ledger(spark, ledger, ["event_id"])
+        assert load_bloom(ledger) is None
