@@ -5969,6 +5969,66 @@ def q_streaming_push_results(spark, sf_dir):
     return spark.read.parquet(feed).select("event_id", "user_id", "value")
 
 
+@register("push_ledger_compaction", """
+SELECT event_id, value FROM events
+WHERE user_id % 5 = 0 AND event_type = 'click' AND value > 50
+UNION ALL
+SELECT event_id + 10000000 AS event_id, value FROM events
+WHERE user_id % 5 = 0 AND event_type = 'click' AND value > 50
+""")
+def q_push_ledger_compaction(spark, sf_dir):
+    """Ledger compaction + Bloom sidecar under live delivery
+    (streaming/ledger.py — the push ledger's major-compaction analog;
+    bloom per transformer/UniqueTransform.java:42's seen-set move):
+    epoch 1 delivers the standing query's results, then the ledger is
+    compacted WITH a bloom sidecar, then two more epochs arrive — one
+    of purely NEW keys (bloom-negative: base never consulted) and one
+    replaying epoch 1 (bloom-positive: full anti-join).  The feed must
+    hold epoch 1 + the new keys exactly once and NOTHING from the
+    replay — a bloom false NEGATIVE would re-deliver replayed keys
+    (extra rows), a broken tail contract would drop or duplicate the
+    new keys.  Oracle: the standing query batch-evaluated over both
+    real epochs."""
+    import os as _os
+    import shutil as _sh
+    from datawave_spark.sources.prepared import prepared_path
+    from datawave_spark.streaming.ledger import compact_ledger
+    from datawave_spark.streaming.push import standing_query_push
+    # a 20% slice (sign-safe modulus: == 0 agrees between Spark's pmod
+    # and DuckDB's signed %) — the ledger/bloom semantics under test
+    # are row-count-indifferent, and the src is written 3× per run
+    ev = (_t(spark, sf_dir, "events")
+          .filter(F.pmod(F.col("user_id"), F.lit(5)) == 0)
+          .select("event_id", "event_type", "value"))
+    src = prepared_path(sf_dir, "pushc_src")
+    feed = prepared_path(sf_dir, "pushc_feed")
+    ledger = prepared_path(sf_dir, "pushc_ledger")
+    ckpt = prepared_path(sf_dir, "pushc_ckpt")
+    for d in (src, feed, ledger, ckpt):
+        _sh.rmtree(d, ignore_errors=True)
+    ev.coalesce(1).write.parquet(src)
+    sch = spark.read.parquet(src).schema
+
+    def standing(batch):
+        return compile_query(
+            batch, "EVENT_TYPE == 'click' && VALUE > 50") \
+            .select("event_id", "value")
+
+    def run():
+        standing_query_push(
+            spark, src, sch, standing, ["event_id"], feed, ledger,
+            ckpt, options={"maxFilesPerTrigger": "1"}) \
+            .awaitTermination()
+
+    run()                                        # epoch 1
+    compact_ledger(spark, ledger, ["event_id"], bloom_fpp=0.01)
+    (ev.withColumn("event_id", F.col("event_id") + F.lit(10000000))
+     .coalesce(1).write.mode("append").parquet(src))   # epoch 2: new
+    ev.coalesce(1).write.mode("append").parquet(src)   # epoch 3: replay
+    run()
+    return spark.read.parquet(feed).select("event_id", "value")
+
+
 @register("filter_compare_fields", """
 SELECT event_id FROM events
 WHERE value IS NOT NULL AND user_id IS NOT NULL

@@ -36,7 +36,8 @@ OPS = ["jexl_filter", "groupby", "tokenize_tf", "minhash_sig", "simhash",
        "gopher", "c4_clean", "dsir", "exsub", "backoff", "budget",
        "neardup", "pagerank", "token_ids", "chunk_docs", "pack_seqs",
        "bpe_train", "bpe_encode", "federated", "schema_evo",
-       "tokenizer_e2e", "push", "push_epochs", "compare_wide", "nyctlc",
+       "tokenizer_e2e", "push", "push_epochs", "push_compacted",
+       "compare_wide", "nyctlc",
        "date_parse_chain"]
 
 
@@ -213,6 +214,7 @@ def run_one(op: str, events_path: str, docs_path: str,
         "tokenizer_e2e": lambda d: _tokenizer_e2e(d),
         "push": lambda d: _push(d),
         "push_epochs": lambda d: _push_epochs(d),
+        "push_compacted": lambda d: _push_compacted(d),
         "compare_wide": lambda d: _compare_wide(d),
         "nyctlc": lambda d: _nyctlc(d),
         "date_parse_chain": lambda d: _date_parse_chain(d),
@@ -266,6 +268,60 @@ def run_one(op: str, events_path: str, docs_path: str,
         q.awaitTermination()
         deltas = [round(b - a, 2) for a, b in zip(marks, marks[1:])]
         print(f"PUSH_EPOCH_DELTAS {deltas}")
+        _sh.rmtree(base, ignore_errors=True)
+
+    def _push_compacted(d):
+        # r8: epoch-delta flatness must SURVIVE ledger compaction +
+        # bloom sidecar roll.  2 epochs → compact_ledger(bloom) → 2
+        # more epochs whose batches mix REPLAYED keys (bloom-positive,
+        # full anti-join) with NEW keys (bloom-negative, tail-only) —
+        # the post-compaction deltas are printed next to the
+        # pre-compaction ones for the README row.
+        import shutil as _sh
+        import uuid as _uuid
+        from datawave_spark.streaming.ledger import compact_ledger
+        from datawave_spark.streaming.push import standing_query_push
+        tag = _uuid.uuid4().hex[:8]
+        base = f"{SCRATCH}/pushc_{tag}"
+        src = f"{base}/src"
+        d.repartition(2).write.parquet(src)
+        sch = spark.read.parquet(src).schema
+        marks = [time.perf_counter()]
+
+        def sink(df, epoch):
+            marks.append(time.perf_counter())
+
+        def run():
+            q = standing_query_push(
+                spark, src, sch,
+                lambda b: b.filter(F.col("event_type") == "click")
+                           .select("event_id", "value"),
+                ["event_id"], f"{base}/feed", f"{base}/ledger",
+                f"{base}/ckpt", options={"maxFilesPerTrigger": "1"},
+                sink=sink)
+            q.awaitTermination()
+
+        run()
+        pre = [round(b - a, 2) for a, b in zip(marks, marks[1:])]
+        stats = compact_ledger(spark, f"{base}/ledger", ["event_id"],
+                               bloom_fpp=0.01)
+        # epoch 3: PURE new keys — every row bloom-negative, the
+        # compacted base is never read (the fast path's whole point);
+        # epoch 4: new keys + 5% replays — `maybe` non-empty, full
+        # anti-join taken for those rows only.
+        (d.withColumn("event_id",
+                      F.col("event_id") + F.lit(100_000_000))
+         .coalesce(1).write.mode("append").parquet(src))
+        (d.withColumn("event_id",
+                      F.col("event_id") + F.lit(200_000_000))
+         .union(d.filter(F.pmod(F.col("event_id"), F.lit(100)) < 5))
+         .coalesce(1).write.mode("append").parquet(src))
+        marks.clear()
+        marks.append(time.perf_counter())
+        run()
+        post = [round(b - a, 2) for a, b in zip(marks, marks[1:])]
+        print(f"PUSH_EPOCH_DELTAS pre={pre} post_compaction={post} "
+              f"ledger_files={stats['files']}")
         _sh.rmtree(base, ignore_errors=True)
 
     def _compare_wide(d):
@@ -594,7 +650,7 @@ def run_one(op: str, events_path: str, docs_path: str,
 
     if op in ("jexl_filter", "groupby", "edge_dict", "validate",
               "pagerank", "federated", "schema_evo", "push",
-              "push_epochs", "compare_wide", "nyctlc",
+              "push_epochs", "push_compacted", "compare_wide", "nyctlc",
               "date_parse_chain"):
         src = ev
     elif op in ("knn_lsh", "knn_blocked", "semantic_dedup", "kmeans_step"):
