@@ -10,7 +10,7 @@ and JIT state skew later measurements by 2-5× in either direction
 (observed: the same op measured 27 s isolated vs 170 s late in a
 shared session).  Results recorded in README.md §Measured scaling.
 
-Usage: python tools/scale_probe.py [--keep] [--ops a,b,c]
+Usage: python tools/scale_probe.py [--keep] [--ops=a,b,c] [--100x]
        python tools/scale_probe.py --one <op> <events_path> <docs_path>
 """
 
@@ -34,7 +34,7 @@ OPS = ["jexl_filter", "groupby", "tokenize_tf", "minhash_sig", "simhash",
        "span_dedup", "rebalance", "semantic_dedup", "kmeans_step",
        "bm25", "edge_dict", "pmi", "validate", "png_decode",
        "gopher", "c4_clean", "dsir", "exsub", "backoff", "budget",
-       "neardup", "pagerank", "token_ids", "chunk_docs", "pack_seqs",
+       "neardup", "pagerank", "inc_lsh", "token_ids", "chunk_docs", "pack_seqs",
        "bpe_train", "bpe_encode", "federated", "schema_evo",
        "tokenizer_e2e", "push", "push_epochs", "push_compacted",
        "compare_wide", "nyctlc",
@@ -92,6 +92,58 @@ def generate(spark):
             (F.col("id") % 10).cast("int").alias("label"),
             F.array(*comps).alias("embedding"))
          .repartition(8).write.mode("overwrite").parquet(emb_out))
+
+
+def generate_100x(spark):
+    """The 100× tier (sf1.0-equivalent: 60M events, 500k docs) for the
+    scale-critical families — same recipes as generate(), 10× the
+    rows, so the 1×→10×→100× ratio chain reads off one table."""
+    from pyspark.sql import functions as F
+    ev_out = f"{SCRATCH}/events_sf10.parquet"
+    if not os.path.exists(ev_out):
+        n = 60_000_000
+        (spark.range(n).select(
+            F.col("id").alias("event_id"),
+            (F.lit("2024-01-01").cast("timestamp").cast("long")
+             + (F.col("id") * 43) % (30 * 86400)).cast("timestamp")
+            .alias("ts"),
+            (F.xxhash64(F.col("id")) % 150000).alias("user_id"),
+            F.element_at(F.array(*[F.lit(x) for x in
+                ["click", "view", "purchase", "error", "signup"]]),
+                (F.pmod(F.xxhash64(F.col("id"), F.lit(1)), 5) + 1)
+                .cast("int")).alias("event_type"),
+            F.round(F.pmod(F.xxhash64(F.col("id"), F.lit(2)), 49000)
+                    / 100.0 + 0.01, 2).alias("value"),
+            F.concat(F.lit('{"k": '),
+                     F.pmod(F.xxhash64(F.col("id"), F.lit(3)), 100)
+                     .cast("string"),
+                     F.lit("}")).alias("props"))
+         .repartition(64).write.mode("overwrite").parquet(ev_out))
+    doc_out = f"{SCRATCH}/documents_sf10.parquet"
+    if not os.path.exists(doc_out):
+        words = ["key", "agg", "row", "scan", "slow", "fast", "table",
+                 "value", "part", "hash", "merge", "batch", "spark",
+                 "line", "sort", "window", "the", "a", "query", "big",
+                 "data", "column", "join", "small", "customer",
+                 "stream", "group", "filter", "vector", "order"]
+        warr = F.array(*[F.lit(w) for w in words])
+        base = spark.range(500000).select(
+            F.col("id").alias("doc_id"),
+            F.concat_ws(" ", *[
+                F.element_at(warr,
+                             (F.pmod(F.xxhash64(F.col("id"), F.lit(i)),
+                                     30) + 1).cast("int"))
+                for i in range(60)]).alias("text"))
+        dups = spark.range(5000).select(
+            (F.col("id") + 495000).alias("doc_id2"),
+            F.col("id").alias("src"))
+        planted = (base.join(dups, base.doc_id == dups.src)
+                   .select(F.col("doc_id2").alias("doc_id"),
+                           F.concat(F.col("text"),
+                                    F.lit(" extra tail words"))
+                           .alias("text")))
+        (base.filter(F.col("doc_id") < 495000).union(planted)
+         .repartition(32).write.mode("overwrite").parquet(doc_out))
 
 
 def run_one(op: str, events_path: str, docs_path: str,
@@ -184,6 +236,7 @@ def run_one(op: str, events_path: str, docs_path: str,
             d, "text", "doc_id", k=10, min_count=2)),
         "backoff": lambda d: _backoff(d),
         "pagerank": lambda d: _pagerank(d),
+        "inc_lsh": lambda d: _inc_lsh(d),
         "token_ids": lambda d: _token_ids(d),
         "chunk_docs": lambda d: _chunk_docs(d),
         "bpe_train": lambda d: _bpe_train(d),
@@ -308,12 +361,15 @@ def run_one(op: str, events_path: str, docs_path: str,
         # epoch 3: PURE new keys — every row bloom-negative, the
         # compacted base is never read (the fast path's whole point);
         # epoch 4: new keys + 5% replays — `maybe` non-empty, full
-        # anti-join taken for those rows only.
-        (d.withColumn("event_id",
-                      F.col("event_id") + F.lit(100_000_000))
+        # anti-join taken for those rows only.  Each post epoch carries
+        # HALF of d (same rows-per-epoch as the pre epochs, so the
+        # pre/post deltas compare like for like).
+        half = d.filter(F.pmod(F.col("event_id"), F.lit(2)) == 0)
+        (half.withColumn("event_id",
+                         F.col("event_id") + F.lit(100_000_000))
          .coalesce(1).write.mode("append").parquet(src))
-        (d.withColumn("event_id",
-                      F.col("event_id") + F.lit(200_000_000))
+        (half.withColumn("event_id",
+                         F.col("event_id") + F.lit(200_000_000))
          .union(d.filter(F.pmod(F.col("event_id"), F.lit(100)) < 5))
          .coalesce(1).write.mode("append").parquet(src))
         marks.clear()
@@ -512,6 +568,23 @@ def run_one(op: str, events_path: str, docs_path: str,
                      F.col("event_type").alias("dst"))
         noop(pagerank(e, iters=5))
 
+    def _inc_lsh(d):
+        # the daily-crawl shape at scale: a 2% batch probes the stored
+        # corpus signatures with ONE (band, bucket) equi-join +
+        # corpus-side bucket cap — cost should follow the BATCH, so the
+        # 10×/100× corpus ratios stay far below the data ratio.
+        from datawave_spark.operators.dedup import (
+            attach_minhash_signatures, incremental_lsh_pairs,
+            shingle_sets)
+        signed = attach_minhash_signatures(
+            shingle_sets(d, "text", "doc_id", k=2), 16).persist()
+        signed.count()
+        new = signed.filter(F.col("id") % 50 == 0)
+        corp = signed.filter(F.col("id") % 50 != 0)
+        noop(incremental_lsh_pairs(new, corp, num_hashes=16, bands=8,
+                                   threshold=0.3, max_bucket=100))
+        signed.unpersist()
+
     def _token_ids(d):
         # vocab build (one count agg + vocab-sized window) + the full
         # corpus id-mapping pass; the entry reads the STORED unigram
@@ -673,9 +746,12 @@ def main() -> None:
                 sys.argv[i + 4] if len(sys.argv) > i + 4 else None)
         return
 
+    do_100x = "--100x" in sys.argv
     from datawave_spark.session import get_spark
     spark = get_spark("scale_probe_gen")
     generate(spark)
+    if do_100x:
+        generate_100x(spark)
     spark.stop()
 
     wanted = OPS
@@ -700,7 +776,14 @@ def main() -> None:
             print(out.stderr[-500:], file=sys.stderr)
         return secs
 
-    print(f"{'op':12} {'1x':>7} {'10x':>8} {'ratio':>6}", flush=True)
+    # the scale-critical families that get the extra 100× datapoint
+    # (VERDICT r7 #5): LSH pair generation, incremental LSH,
+    # ExactSubstr, PageRank, standing-query push
+    hundred_ops = {"lsh_pairs", "inc_lsh", "exsub", "pagerank", "push"}
+    hdr = f"{'op':14} {'1x':>7} {'10x':>8} {'ratio':>6}"
+    if do_100x:
+        hdr += f" {'100x':>9} {'r100':>6}"
+    print(hdr, flush=True)
     for op in wanted:
         s = measure(op, f"{SMALL}/events.parquet",
                     f"{SMALL}/documents.parquet",
@@ -708,7 +791,13 @@ def main() -> None:
         b = measure(op, f"{SCRATCH}/events_sf1.parquet",
                     f"{SCRATCH}/documents_sf1.parquet",
                     f"{SCRATCH}/embeddings_sf1.parquet")
-        print(f"{op:12} {s:7.1f} {b:8.1f} {b / max(s, 0.01):6.1f}", flush=True)
+        line = f"{op:14} {s:7.1f} {b:8.1f} {b / max(s, 0.01):6.1f}"
+        if do_100x and op in hundred_ops:
+            c = measure(op, f"{SCRATCH}/events_sf10.parquet",
+                        f"{SCRATCH}/documents_sf10.parquet",
+                        f"{SCRATCH}/embeddings_sf1.parquet")
+            line += f" {c:9.1f} {c / max(s, 0.01):6.1f}"
+        print(line, flush=True)
 
     if "--keep" not in sys.argv:
         shutil.rmtree(SCRATCH, ignore_errors=True)
