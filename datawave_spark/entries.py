@@ -6004,7 +6004,7 @@ def q_push_ledger_compaction(spark, sf_dir):
     feed = prepared_path(sf_dir, "pushc_feed")
     ledger = prepared_path(sf_dir, "pushc_ledger")
     ckpt = prepared_path(sf_dir, "pushc_ckpt")
-    for d in (src, feed, ledger, ckpt):
+    for d in (src, feed, ledger, ckpt, ledger + ".bloom"):
         _sh.rmtree(d, ignore_errors=True)
     ev.coalesce(1).write.parquet(src)
     sch = spark.read.parquet(src).schema

@@ -266,16 +266,17 @@ _PY_KNOWN_FORMATS = (
     # reads the WHOLE adjacent digit run as an integer count of
     # MILLISECONDS ('.5' = 5 ms, '.55' = 55 ms — NOT a decimal
     # fraction), so the reference's '.SSS' entry (:1327) already
-    # accepts 1-2 digit fractions and its '.S' entry (:1329) is
-    # reachable only via zone variants.  JAVA_MS marks that semantic:
-    # head parsed with the base format, digits scaled as integer ms
-    # (1-3 digits; ≥4 would roll over into seconds under lenient
-    # Calendar, which stays pinned as not-reproduced).  The ':SSS' and
-    # T-'Z' fraction entries keep their total-width pins instead: their
-    # leading compact runs / trailing literals need width-strictness,
-    # so sub-3-digit fractions there remain documented omissions.
+    # accepts 1-2 digit fractions and SUBSUMES its '.S' entry (:1329)
+    # for naive stamps (the '.S' row is reachable only via the
+    # zone-bearing variants) — one JAVA_MS row covers both.  JAVA_MS
+    # marks that semantic: head parsed with the base format, digits
+    # scaled as integer ms (1-3 digits; ≥4 would roll over into
+    # seconds under lenient Calendar, which stays pinned as
+    # not-reproduced).  The ':SSS' and T-'Z' fraction entries keep
+    # their total-width pins instead: their leading compact runs /
+    # trailing literals need width-strictness, so sub-3-digit
+    # fractions there remain documented omissions.
     ("yyyy-MM-dd HH:mm:ss.SSS", "JAVA_MS:%Y-%m-%d %H:%M:%S", None),
-    ("yyyy-MM-dd HH:mm:ss.S", "JAVA_MS:%Y-%m-%d %H:%M:%S", None),
     ("yyyy-MM-dd HH:mm:ss", "%Y-%m-%d %H:%M:%S", None),
     ("yyyyMMdd HHmmss", "%Y%m%d %H%M%S", 15),
     ("yyyy-MM-dd'T'HH'|'mm", "%Y-%m-%dT%H|%M", None),
@@ -562,7 +563,12 @@ def f_time_function(ctx: CompileContext, args):
     goal = int(_lit(args[4]))
 
     def _side(field, agg):
-        vals = field_values(ctx, field)
+        # NULL elements are ABSENCE (the reference's FunctionalSet holds
+        # only actual values), so the every-value-parses check compares
+        # non-null parsed count against non-null RAW count — a null
+        # element must not read as a parse failure (review r8).
+        vals = F.filter(field_values(ctx, field),
+                        lambda v: v.isNotNull())
         parsed = F.transform(vals, lambda v: F.unix_millis(_ts(v, None)))
         all_ok = (F.size(F.filter(parsed, lambda t: t.isNotNull()))
                   == F.size(vals))

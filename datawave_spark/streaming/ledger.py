@@ -78,8 +78,14 @@ def _position_exprs(key_cols: list[str], m: int, k: int):
     (Kirsch-Mitzenmacher).  h1/h2 are Spark's xxhash64/murmur3 over the
     key columns — deterministic across build and probe, nulls hashed
     consistently."""
-    h1 = F.xxhash64(*[F.col(c) for c in key_cols])
-    h2 = F.hash(*[F.col(c) for c in key_cols]).cast("long")
+    # reduce mod m BEFORE combining: raw h1 + i*h2 on full-range
+    # 64-bit hashes overflows (ANSI ARITHMETIC_OVERFLOW) with
+    # probability ~i·2^31/2^64 per probe — vanishing in tests, an
+    # expected-case job killer at the 1e8-key design point (review
+    # r8).  Max intermediate here is (k+1)·m ≈ 1e10 — safe.
+    h1 = F.pmod(F.xxhash64(*[F.col(c) for c in key_cols]), F.lit(m))
+    h2 = F.pmod(F.hash(*[F.col(c) for c in key_cols]).cast("long"),
+                F.lit(m))
     return [F.pmod(h1 + F.lit(i) * h2, F.lit(m)) for i in range(k)]
 
 
@@ -98,8 +104,17 @@ def compact_ledger(spark: SparkSession, ledger_path: str,
                    target_file_bytes: int = DEFAULT_TARGET_BYTES,
                    bloom_fpp: float | None = None) -> dict:
     """Dedup + rewrite the delivered ledger to ~target-size files
-    (write-then-swap: readers never see a half-compacted ledger), and
-    optionally roll the Bloom sidecar over the compacted keys.
+    (write-then-swap: readers see the old ledger or the new one, never
+    a half-written mix), and optionally roll the Bloom sidecar over the
+    compacted keys.
+
+    QUIESCE CONTRACT: run on the maintenance cadence with the standing
+    query stopped (the same discipline as ``maintenance.compact`` for
+    tables).  The swap has a window between the two renames where the
+    ledger path does not exist; a delivery racing it would see
+    PATH_NOT_FOUND — ``push_batch`` refuses to treat that as
+    first-batch when the feed already exists, so the race fails loudly
+    instead of silently re-delivering.
 
     Returns ``{"files": n, "keys": n, "bloom_bits": m or None}``."""
     tmp = ledger_path.rstrip("/") + ".compact.tmp"
@@ -157,6 +172,12 @@ def load_bloom(ledger_path: str) -> dict | None:
         with open(os.path.join(bloom_dir, "meta.json")) as fh:
             meta = json.load(fh)
     except (OSError, ValueError):
+        return None
+    # a sidecar whose bits table is missing/uncommitted (crash between
+    # meta and bits, interrupted rmtree) must read as ABSENT, not
+    # surface a read error a caller might mistake for first-batch
+    # (review r8)
+    if not os.path.exists(os.path.join(bloom_dir, "bits", "_SUCCESS")):
         return None
     present = set(_parquet_files(ledger_path))
     if not set(meta["covered_files"]) <= present:

@@ -97,8 +97,36 @@ def standing_query_push(spark: SparkSession, input_path: str,
                 [left[k].eqNullSafe(right[k]) for k in key_cols])
             return left.join(right, cond, "left_anti")
 
+        # the try wraps ONLY the ledger read: any error out of the
+        # bloom path below must propagate, not be mistaken for
+        # first-batch (mapping it to `new = results` silently
+        # re-delivers the whole batch — review r8)
         try:
             delivered = spark.read.schema(key_schema).parquet(ledger_path)
+        except AnalysisException as e:
+            if "PATH_NOT_FOUND" not in str(e):
+                raise
+            # first batch: no ledger yet.  But a missing ledger with
+            # an EXISTING feed means the ledger was lost — e.g. a
+            # delivery raced compact_ledger's swap window (the
+            # documented quiesce contract) or the dir was removed —
+            # and treating that as first-batch would silently violate
+            # exactly-once.  Fail loudly instead.
+            try:
+                spark.read.parquet(feed_path)
+            except AnalysisException as fe:
+                if "PATH_NOT_FOUND" not in str(fe):
+                    raise
+            else:
+                raise RuntimeError(
+                    f"ledger {ledger_path} is missing but feed "
+                    f"{feed_path} exists — ledger lost or a delivery "
+                    f"ran concurrently with compact_ledger; refusing "
+                    f"to re-deliver") from e
+            delivered = None
+        if delivered is None:
+            new = results
+        else:
             # Bloom fast path (streaming/ledger.py): when a compaction
             # rolled a sidecar, bloom-NEGATIVE rows are guaranteed
             # absent from the compacted base and anti-join only the
@@ -122,10 +150,6 @@ def standing_query_push(spark: SparkSession, input_path: str,
                     new = anti(maybe, delivered).unionByName(fresh)
             else:
                 new = anti(results, delivered)
-        except AnalysisException as e:
-            if "PATH_NOT_FOUND" not in str(e):
-                raise
-            new = results            # first batch: no ledger yet
         # within-batch duplicates would double-deliver (the anti-join
         # only sees PRIOR batches)
         new = new.dropDuplicates(key_cols).persist()

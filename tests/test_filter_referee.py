@@ -450,6 +450,22 @@ class TestTimeFunctionReferee:
         got = {r.id for r in compile_query(df, q).collect()}
         assert got == {0}
 
+    def test_null_elements_are_absence_not_parse_failure(self, spark):
+        """A NULL array element is ABSENCE (the reference's
+        FunctionalSet holds only actual values) — it must not trip the
+        every-value-parses check the way 'garbage' does (review r8:
+        the first cut counted nulls in the denominator and went
+        false)."""
+        from datawave_spark.compiler import compile_query
+        df = spark.createDataFrame(
+            [(0, ["2024-01-02", None], ["2024-01-01"]),   # null elem ok
+             (1, [None], ["2024-01-01"]),                 # all-null side
+             (2, [], ["2024-01-01"])],                    # empty side
+            "id long, T1 array<string>, T2 array<string>")
+        q = "filter:timeFunction(T1, T2, '-', '>', 0)"
+        got = {r.id for r in compile_query(df, q).collect()}
+        assert got == {0}
+
 
 class TestMaxMinValueReferee:
     # mixed-format date strings where lexicographic != temporal order

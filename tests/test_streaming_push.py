@@ -239,3 +239,23 @@ class TestLedgerCompaction:
         assert load_bloom(ledger) is not None
         compact_ledger(spark, ledger, ["event_id"])
         assert load_bloom(ledger) is None
+
+    def test_lost_ledger_with_existing_feed_fails_loudly(self, spark,
+                                                         tmp_path):
+        """A missing ledger alongside an EXISTING feed is a lost ledger
+        (or a delivery racing compact_ledger's swap window) — treating
+        it as first-batch would silently re-deliver every key, so
+        push_batch must raise instead (review r8)."""
+        import shutil
+        src = str(tmp_path / "lsrc")
+        self._write(spark, src, "f1", [(1, "click", 1.0)])
+        feed, ledger, ckpt = (str(tmp_path / d) for d in
+                              ("lfeed", "lledger", "lckpt"))
+        self._push_once(spark, src, feed, ledger, ckpt)
+        shutil.rmtree(ledger)
+        self._write(spark, src, "f2", [(1, "click", 1.0),
+                                       (2, "click", 2.0)])
+        from pyspark.sql.streaming import StreamingQueryException
+        with pytest.raises(StreamingQueryException,
+                           match="refusing to re-deliver"):
+            self._push_once(spark, src, feed, ledger, ckpt)
