@@ -106,23 +106,32 @@ def standing_query_push(spark: SparkSession, input_path: str,
         except AnalysisException as e:
             if "PATH_NOT_FOUND" not in str(e):
                 raise
-            # first batch: no ledger yet.  But a missing ledger with
-            # an EXISTING feed means the ledger was lost — e.g. a
-            # delivery raced compact_ledger's swap window (the
-            # documented quiesce contract) or the dir was removed —
-            # and treating that as first-batch would silently violate
-            # exactly-once.  Fail loudly instead.
+            # no ledger.  Usually first batch — but distinguish two
+            # feed-already-exists cases: (1) the documented
+            # at-least-once CRASH RETRY (died between the feed append
+            # and the FIRST ledger append; the checkpoint replays the
+            # SAME epoch, so the feed's newest epoch == this one) —
+            # proceed, re-delivering only that batch; (2) a LOST
+            # ledger (removed, or a delivery raced compact_ledger's
+            # swap window — see its quiesce contract): the feed holds
+            # only EARLIER epochs whose ledger appends committed and
+            # vanished — re-delivering silently would violate
+            # exactly-once, so fail loudly.
             try:
-                spark.read.parquet(feed_path)
+                feed_max = spark.read.parquet(feed_path) \
+                    .agg(F.max("delivered_epoch")).head()[0]
             except AnalysisException as fe:
                 if "PATH_NOT_FOUND" not in str(fe):
                     raise
             else:
-                raise RuntimeError(
-                    f"ledger {ledger_path} is missing but feed "
-                    f"{feed_path} exists — ledger lost or a delivery "
-                    f"ran concurrently with compact_ledger; refusing "
-                    f"to re-deliver") from e
+                if feed_max is not None and feed_max < int(epoch_id):
+                    raise RuntimeError(
+                        f"ledger {ledger_path} is missing but feed "
+                        f"{feed_path} already holds epochs through "
+                        f"{feed_max} (< current {epoch_id}) — ledger "
+                        f"lost or a delivery ran concurrently with "
+                        f"compact_ledger; refusing to re-deliver") \
+                        from e
             delivered = None
         if delivered is None:
             new = results
