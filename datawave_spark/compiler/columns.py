@@ -160,7 +160,10 @@ def _scalar_cmp(op: str, col: Column, lit: Column, elem_type: T.DataType,
     if not normalized_at_rest:
         col = norm.col(col)
     if isinstance(elem_type, T.StringType) and norm.name == "number":
-        col = col.cast("double")
+        # try_cast, not cast: under ANSI a stored value that fails to
+        # parse would kill the whole scan; the reference's evaluator
+        # treats it as a non-match (review r8)
+        col = col.try_cast("double")
     if op == "==":
         return col == lit
     if op == "<":
@@ -250,6 +253,24 @@ def compile_cmp(node: CmpNode, ctx: CompileContext,
         def leaf(c: Column) -> Column:
             cc = norm.col(c) if not spec.normalized_at_rest else c
             return cc.cast("string").rlike(pattern)
+    elif isinstance(elem_type, T.StringType) \
+            and isinstance(value, (int, float)) \
+            and not isinstance(value, bool) and norm.name == "noop":
+        # JexlArithmetic numeric coercion (DefaultArithmetic.equals:122
+        # → super.equals): a NUMBER literal against an untyped string
+        # field compares NUMERICALLY on stored values that parse —
+        # '010' == 10 and '10.0' == 10 are true — and a non-numeric
+        # stored value is a non-match.  try_cast, not cast: under ANSI
+        # the first unparseable row would otherwise kill the whole
+        # query (review r8 — CAST_INVALID_INPUT on 'S == 10').
+        # Double-typed compare (JexlArithmetic uses BigDecimal; exact
+        # for |values| < 2^53, the practical range of query literals).
+        num_lit = F.lit(float(value))
+
+        def leaf(c: Column) -> Column:
+            cc = c if spec.normalized_at_rest else norm.col(c)
+            return _scalar_cmp(positive_op, cc.try_cast("double"),
+                               num_lit, T.DoubleType(), norm, True)
     else:
         try:
             lit = _typed_literal(value, norm, elem_type)

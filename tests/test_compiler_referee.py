@@ -145,7 +145,22 @@ def ref_eval(node_kind, row: dict) -> bool:
             lit = lit.lower()                  # lc normalizer folding
         neg = op in ("!=", "!~")
         pos = {"!=": "==", "!~": "=~"}.get(op, op)
-        hit = ref_leaf(pos, _values(row, field), lit)
+        values = _values(row, field)
+        if (FIELDS.get(field) in ("str", "astr")
+                and isinstance(lit, (int, float))
+                and not isinstance(lit, bool) and pos != "=~"):
+            # JexlArithmetic numeric coercion: NUMBER literal vs string
+            # field compares numerically on values that parse; an
+            # unparseable stored value is a non-match (never an error)
+            parsed = []
+            for v in values:
+                try:
+                    parsed.append(float(v))
+                except (TypeError, ValueError):
+                    pass
+            hit = ref_leaf(pos, parsed, float(lit))
+        else:
+            hit = ref_leaf(pos, values, lit)
         return not hit if neg else hit
     if kind == "fcmp":
         _, op, f1, f2 = node_kind
@@ -224,8 +239,21 @@ def to_duckdb(node) -> str:
             lit = lit.lower()
         neg = op in ("!=", "!~")
         pos = {"!=": "==", "!~": "=~"}.get(op, op)
+        coerce = (FIELDS[field] in ("str", "astr")
+                  and isinstance(lit, (int, float))
+                  and not isinstance(lit, bool) and pos != "=~")
         if missing:
             base = "FALSE"
+        elif coerce:
+            sqlop = "=" if pos == "==" else pos
+            v = repr(float(lit))
+            if is_arr:
+                base = (f"COALESCE(len(list_filter({field}, x -> "
+                        f"TRY_CAST(x AS DOUBLE) {sqlop} {v})) > 0, "
+                        f"FALSE)")
+            else:
+                base = (f"COALESCE(TRY_CAST({field} AS DOUBLE) "
+                        f"{sqlop} {v}, FALSE)")
         elif pos == "=~":
             pat = _duck_lit(f"(?is)(?:{lit})")
             if is_arr:
@@ -293,6 +321,12 @@ def leaf_cases() -> list:
         for op in ("==", "!="):
             if field != "X":          # missing-field null semantics are
                 cases.append(("cmp", op, field, None))  # unpinned (doc'd)
+        if kind in ("str", "astr"):
+            # JexlArithmetic numeric coercion: NUMBER literals against
+            # string fields ('10' == 10, '010' == 10, '10.0' >= 10)
+            for op in ("==", "!=", "<", ">", "<=", ">="):
+                for lit in (10, 9, 0.5):
+                    cases.append(("cmp", op, field, lit))
     for f1, f2 in (("S", "S2"), ("S", "A"), ("A", "S2"), ("N", "D"),
                    ("N", "M"), ("M", "N")):
         for op in ("==", "!=", "<", ">", "<=", ">="):
@@ -363,6 +397,10 @@ LEAF_ST = st.one_of(
               st.sampled_from(REGEX_POOL)),
     st.tuples(st.just("cmp"), st.sampled_from(["==", "!="]),
               st.sampled_from(["S", "A", "N", "M", "L"]), st.none()),
+    st.tuples(st.just("cmp"),
+              st.sampled_from(["==", "!=", "<", ">", "<=", ">="]),
+              st.sampled_from(["S", "A", "X"]),
+              st.sampled_from(NUM_POOL + DBL_POOL)),
     st.tuples(st.just("fcmp"),
               st.sampled_from(["==", "!=", "<", ">", "<=", ">="]),
               st.sampled_from(["S", "A"]), st.sampled_from(["S2"])),
