@@ -121,6 +121,21 @@ def java_full_match(pattern: str) -> str:
     return "(?is)^(?:" + pattern + ")$"
 
 
+def fold_query_pattern(value: Any, norm: Normalizer) -> str:
+    """Normalizer folding for a query REGEX, shared by the evaluation
+    compiler (compile_cmp) and the index lookup (_index_value_pred) so
+    the two paths cannot drift: patterns never pass through TYPED
+    normalizers (a number-typed field's float('4.*') would raise), only
+    pure string folds apply — the reference's LcNoDiacriticsType
+    lowercases the pattern, NumberType patterns match the string form
+    of the value.  List normalizers fold with their ELEMENT normalizer."""
+    pat_src = str(value)
+    fold = getattr(norm, "element", norm)
+    if fold.name in ("lc", "lcNoDiacritics", "hexString", "macAddress"):
+        pat_src = str(fold.normalize_literal(pat_src))
+    return pat_src
+
+
 def register_function(namespace: str, name: str):
     def deco(fn):
         FUNCTION_COMPILERS[(namespace, name)] = fn
@@ -239,11 +254,7 @@ def compile_cmp(node: CmpNode, ctx: CompileContext,
         # folds apply (the reference's LcNoDiacriticsType likewise
         # lowercases the pattern; NumberType patterns match the string
         # form of the value).
-        pat_src = str(value)
-        # list normalizers fold patterns with their ELEMENT normalizer
-        fold = getattr(norm, "element", norm)
-        if fold.name in ("lc", "lcNoDiacritics", "hexString", "macAddress"):
-            pat_src = str(fold.normalize_literal(pat_src))
+        pat_src = fold_query_pattern(value, norm)
         # java_full_match: =~ evaluates through DefaultArithmetic →
         # JexlPatternCache in the reference; normalizer folding above
         # covers typed fields, the pattern flags make raw/untyped

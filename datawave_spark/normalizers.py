@@ -129,8 +129,16 @@ def _ip_py(v: Any) -> str:
 
 def _ip_col(c: Column) -> Column:
     # Rebuild dotted-quad from int-parsed octets; IPv4 JVM-side.
+    # try_cast + the all-octets guard: a malformed stored value must
+    # normalize to NULL — plain cast would ANSI-abort the scan, and
+    # concat_ws would silently SKIP a null octet, indexing "1.2.x.4"
+    # as the wrong-but-plausible "1.2.4" (planner-referee r8 sweep).
     parts = F.split(c.cast("string"), r"\.")
-    return F.concat_ws(".", *[parts[i].cast("int").cast("string") for i in range(4)])
+    octets = [parts[i].try_cast("int") for i in range(4)]
+    ok = F.size(parts) == 4
+    for o in octets:
+        ok = ok & o.isNotNull() & (o >= 0) & (o <= 255)
+    return F.when(ok, F.concat_ws(".", *[o.cast("string") for o in octets]))
 
 
 def _geo_py(v: Any) -> str:
@@ -144,15 +152,23 @@ def _geo_py(v: Any) -> str:
 
 def _geo_col(c: Column) -> Column:
     from datawave_spark.functions.geohash import geohash_col
+    # try_cast: malformed "lat,lon" → NULL geohash, not an ANSI abort
     parts = F.split(c.cast("string"), ",")
-    return geohash_col(parts[0].cast("double"), parts[1].cast("double"), 8)
+    return geohash_col(parts[0].try_cast("double"),
+                       parts[1].try_cast("double"), 8)
 
 
 NORMALIZERS: dict[str, Normalizer] = {
     "noop": Normalizer("noop", lambda v: v, lambda c: c),
     "lc": Normalizer("lc", lambda v: str(v).lower(), lambda c: F.lower(c.cast("string"))),
     "lcNoDiacritics": Normalizer("lcNoDiacritics", _lc_no_diacritics_py, _lc_no_diacritics_col),
-    "number": Normalizer("number", _number_py, lambda c: c.cast("double")),
+    # try_cast, not cast: a malformed stored value must normalize to
+    # NULL (dropped from the index / a non-match at evaluation), not
+    # abort the scan under ANSI — the reference's ingest likewise drops
+    # values that fail type normalization (BaseIngestHelper error
+    # counters) and its evaluator treats them as non-matches.
+    "number": Normalizer("number", _number_py,
+                         lambda c: c.try_cast("double")),
     "date": Normalizer("date", lambda v: str(v), lambda c: F.to_timestamp(c)),
     "ipAddress": Normalizer("ipAddress", _ip_py, _ip_col),
     "trimLeadingZeros": Normalizer("trimLeadingZeros",

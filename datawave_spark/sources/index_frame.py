@@ -45,7 +45,16 @@ def build_reverse_index(index: DataFrame) -> DataFrame:
 def suffix_uids(reverse_index: DataFrame, field: str, suffix: str) -> DataFrame:
     """Candidate uids for a trailing-wildcard term via the reverse
     index: value ends with ``suffix`` ⇔ reversed value starts with
-    reversed suffix."""
+    reversed suffix.
+
+    Contract note (planner-referee r8): this is a case-SENSITIVE
+    prefix lookup over the STORED (normalized) values.  The JEXL
+    ``=~`` evaluation contract is case-insensitive, and index pruning
+    cannot be undone by re-evaluation — so a caller routing
+    ``F =~ '.*suffix'`` through here must either know the field's
+    normalizer folds case (lc/lcNoDiacritics, the reference's usual
+    indexed-text types, with the suffix folded the same way) or fall
+    back to the forward index's regex predicate."""
     rev = suffix[::-1]
     return (reverse_index
             .filter((F.col("field") == field.upper())
@@ -77,7 +86,13 @@ def build_index(events: DataFrame, fields: list[str], id_col: str,
                                  date_expr.alias("event_date"))
         sel = base.select(
             F.lit(f.upper()).alias("field"),
-            norm.col(F.col("__v").cast("string")).alias("value"),
+            # explicit stringify: a typed normalizer (number) yields a
+            # DOUBLE column, and the cross-field UNION would otherwise
+            # coerce the STRING parts to double — an ANSI
+            # CAST_INVALID_INPUT on the first alphabetic value of any
+            # other field in the index (planner-referee r8)
+            norm.col(F.col("__v").cast("string")).cast("string")
+                .alias("value"),
             F.col("__id").cast("string").alias("uid"),
             "event_date",
         ).filter(F.col("value").isNotNull())
@@ -95,20 +110,31 @@ def _index_value_pred(node: CmpNode,
     (they MUST stay semantically identical for cap-invariance to
     hold).  Index values are stringified; numeric terms compare
     numerically ("25" must match stored "25.0")."""
+    from datawave_spark.compiler.columns import (fold_query_pattern,
+                                                 java_full_match)
     ft = {k.upper(): v for k, v in (field_types or {}).items()}
     norm = get_normalizer(ft.get(node.field.name.upper(), "noop"))
     value = node.value.value
     v = F.col("value")
+    # try_cast throughout: stored index values are strings; one
+    # malformed row must become a NULL non-match, not an ANSI
+    # CAST_INVALID_INPUT that aborts the whole scan (planner-referee r8).
     if node.op == "==":
         lit = norm.normalize_literal(value)
         if isinstance(lit, (int, float)) and not isinstance(lit, bool):
-            return v.cast("double") == float(lit)
+            return v.try_cast("double") == float(lit)
         return v == str(lit)
     if node.op == "=~":
-        return v.rlike("^(?:" + str(value) + ")$")
+        # Same contract as the evaluation path (JexlPatternCache flags
+        # + full-match anchors + normalizer pattern fold) — without the
+        # (?is) flags a fully-indexed regex term silently DROPS the
+        # case-insensitive / dot-matches-newline documents the
+        # evaluator would return (planner-referee r8).
+        return v.rlike(java_full_match(fold_query_pattern(value, norm)))
     if node.op in ("<", ">", "<=", ">="):
         lit = norm.normalize_literal(value)
-        cmp_col = v.cast("double") if isinstance(lit, (int, float)) else v
+        cmp_col = (v.try_cast("double")
+                   if isinstance(lit, (int, float)) else v)
         lit_c = F.lit(lit)
         return {"<": cmp_col < lit_c, ">": cmp_col > lit_c,
                 "<=": cmp_col <= lit_c, ">=": cmp_col >= lit_c}[node.op]
