@@ -127,14 +127,39 @@ def _ip_py(v: Any) -> str:
     return str(ipaddress.ip_address(s))
 
 
+_DATE_FORMATS = ("%Y-%m-%d %H:%M:%S.%f", "%Y-%m-%dT%H:%M:%S.%f",
+                 "%Y-%m-%d %H:%M:%S", "%Y-%m-%dT%H:%M:%S",
+                 "%Y-%m-%d %H:%M", "%Y-%m-%dT%H:%M", "%Y-%m-%d")
+
+
+def _date_py(v: Any) -> str:
+    """Query-literal side of the date normalizer: the same
+    'yyyy-MM-dd HH:mm:ss.SSS' canonical form the column side emits
+    (milliseconds, not micros), over the subset of Spark's default
+    timestamp parse a query literal realistically uses.  An
+    unparseable literal raises (query compile error beats a silently
+    unmatchable term)."""
+    import datetime as _dt
+    s = str(v).strip()
+    for fmt in _DATE_FORMATS:
+        try:
+            d = _dt.datetime.strptime(s, fmt)
+        except ValueError:
+            continue
+        return d.strftime("%Y-%m-%d %H:%M:%S.%f")[:-3]
+    raise ValueError(f"unparseable date literal: {v!r}")
+
+
 def _ip_col(c: Column) -> Column:
     # Rebuild dotted-quad from int-parsed octets; IPv4 JVM-side.
     # try_cast + the all-octets guard: a malformed stored value must
     # normalize to NULL — plain cast would ANSI-abort the scan, and
     # concat_ws would silently SKIP a null octet, indexing "1.2.x.4"
     # as the wrong-but-plausible "1.2.4" (planner-referee r8 sweep).
+    # F.get, not parts[i]: ANSI throws on out-of-bounds GetArrayItem,
+    # and only the size(parts)==4 short-circuit below would hide it
     parts = F.split(c.cast("string"), r"\.")
-    octets = [parts[i].try_cast("int") for i in range(4)]
+    octets = [F.get(parts, i).try_cast("int") for i in range(4)]
     ok = F.size(parts) == 4
     for o in octets:
         ok = ok & o.isNotNull() & (o >= 0) & (o <= 255)
@@ -152,10 +177,16 @@ def _geo_py(v: Any) -> str:
 
 def _geo_col(c: Column) -> Column:
     from datawave_spark.functions.geohash import geohash_col
-    # try_cast: malformed "lat,lon" → NULL geohash, not an ANSI abort
+    # F.get + try_cast + explicit null guard: malformed "lat,lon" must
+    # yield NULL — parts[1] on a comma-less value ANSI-throws
+    # invalidArrayIndexError, and geohash_col does NOT propagate null
+    # (its bit clamping turns null into a REAL geohash, indexing the
+    # bad value at an actual location — normalizer-parity referee r8)
     parts = F.split(c.cast("string"), ",")
-    return geohash_col(parts[0].try_cast("double"),
-                       parts[1].try_cast("double"), 8)
+    lat = F.get(parts, 0).try_cast("double")
+    lon = F.get(parts, 1).try_cast("double")
+    return F.when(lat.isNotNull() & lon.isNotNull(),
+                  geohash_col(lat, lon, 8))
 
 
 NORMALIZERS: dict[str, Normalizer] = {
@@ -169,7 +200,17 @@ NORMALIZERS: dict[str, Normalizer] = {
     # counters) and its evaluator treats them as non-matches.
     "number": Normalizer("number", _number_py,
                          lambda c: c.try_cast("double")),
-    "date": Normalizer("date", lambda v: str(v), lambda c: F.to_timestamp(c)),
+    # Both sides must canonicalize IDENTICALLY (normalizer-parity
+    # referee r8): the old identity-py / to_timestamp-col pair meant an
+    # indexed date field missed every equality lookup ('2024-01-05' vs
+    # stored '2024-01-05 00:00:00'), and to_timestamp ANSI-throws on
+    # the first malformed stored value.  Canonical form is
+    # 'yyyy-MM-dd HH:mm:ss.SSS' — fixed width, so lexicographic range
+    # compares stay chronological.
+    "date": Normalizer("date", _date_py,
+                       lambda c: F.date_format(
+                           F.try_to_timestamp(c.cast("string")),
+                           "yyyy-MM-dd HH:mm:ss.SSS")),
     "ipAddress": Normalizer("ipAddress", _ip_py, _ip_col),
     "trimLeadingZeros": Normalizer("trimLeadingZeros",
                                    lambda v: str(v).lstrip("0") or "0",
