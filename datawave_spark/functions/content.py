@@ -64,44 +64,83 @@ def _offsets(tf: Column, term: str) -> Column:
     return F.coalesce(tf.getItem(term.lower()), F.array())
 
 
+def _phrase_match(offsets_of, terms: list[str]) -> Column:
+    """ContentOrderedEvaluator semantics (content-referee r8): terms in
+    order, each step within distance 1 — ∃ p1..pk, pi ∈ off(ti), with
+    p_{i-1} <= p_i <= p_{i-1}+1 (an equal-position step IS a match for
+    different terms — EvaluateTermPosition.isWithIn:330 low bound is
+    the previous offset itself, zeroOffsetMatch default true), except a
+    repeated term may not reuse its own position (isSameTerm advance,
+    ContentOrderedEvaluator.trim:164).  Linear DP: filter each term's
+    offsets to those reachable from the previous term's reachable set."""
+    reach = offsets_of(terms[0])
+    for i in range(1, len(terms)):
+        off_i = offsets_of(terms[i])
+        if terms[i].lower() == terms[i - 1].lower():
+            # q <= p <= q+1 and p != q  ⇔  p == q+1
+            step = (lambda prev: lambda p: F.exists(
+                prev, lambda q: p == q + 1))(reach)
+        else:
+            step = (lambda prev: lambda p: F.exists(
+                prev, lambda q: (q <= p) & (p <= q + 1)))(reach)
+        reach = F.filter(off_i, step)
+    return F.size(reach) > 0
+
+
+def _within_match(offsets_of, terms: list[str], dist: int) -> Column:
+    """ContentUnorderedEvaluator / MultiOffsetMatcher semantics
+    (content-referee r8): a REPEATED term's occurrences share one
+    offset list, each consuming a distinct position
+    (MultiOffsetMatcher termsSeen, ContentUnorderedEvaluator.java:199).
+    Equivalent window form, exact for ANY k (replaces the old k>3
+    conservative anchor bound): ∃ anchor position p (the selection's
+    minimum — always one of the stored offsets) such that every
+    distinct term has ≥ its multiplicity offsets inside [p, p+dist]."""
+    from collections import Counter
+    mult = Counter(t.lower() for t in terms)
+    per_term = {t: offsets_of(t) for t in mult}
+    cols = list(per_term.values())
+    anchors = F.array_distinct(cols[0] if len(cols) == 1
+                               else F.concat(*cols))
+
+    def ok_at(p: Column) -> Column:
+        cond = None
+        for t, m in mult.items():
+            cnt = F.size(F.filter(
+                per_term[t], lambda v: (v >= p) & (v <= p + dist)))
+            this = cnt >= m
+            cond = this if cond is None else cond & this
+        return cond
+
+    return F.exists(anchors, ok_at)
+
+
 @register_function("content", "phrase")
 def c_phrase(ctx: CompileContext, args):
-    """ContentFunctions.phrase:184 — terms appear as an exact adjacent
-    sequence.  Shift-and-intersect: positions p where term_i occurs at
-    p+i for all i."""
+    """ContentFunctions.phrase:184 → ContentOrderedEvaluator with
+    distance 1 (see _phrase_match for the exact step contract)."""
     zone, terms = _zone_and_terms(ctx, args)
     tf = _tf_col(ctx, zone)
-    anchor = _offsets(tf, terms[0])
-
-    def shift(offsets: Column, by: int) -> Column:
-        # single-arg lambda: a second parameter would receive the array
-        # INDEX from Spark's higher-order transform, not the closure.
-        return F.transform(offsets, lambda o: o - by)
-
-    shifted = [shift(_offsets(tf, t), i)
-               for i, t in enumerate(terms[1:], start=1)]
-    out = anchor
-    for s in shifted:
-        out = F.array_intersect(out, s)
-    return F.size(out) > 0
+    return _phrase_match(lambda t: _offsets(tf, t), terms)
 
 
 @register_function("content", "adjacent")
 def c_adjacent(ctx: CompileContext, args):
-    """ContentFunctions.adjacent:141 — two terms at distance exactly 1
-    (either order)."""
+    """ContentFunctions.adjacent:141 — defined as
+    ``within(terms.length - 1, terms...)`` (ContentFunctions.java:141),
+    NOT a pairwise ±1 test: k terms spanning ≤ k−1 in any order, and
+    two different terms at the SAME position are adjacent."""
     zone, terms = _zone_and_terms(ctx, args)
     tf = _tf_col(ctx, zone)
-    o1, o2 = _offsets(tf, terms[0]), _offsets(tf, terms[1])
-    return F.exists(o1, lambda a: F.exists(
-        o2, lambda b: (a - b == 1) | (b - a == 1)))
+    return _within_match(lambda t: _offsets(tf, t), terms,
+                         len(terms) - 1)
 
 
 @register_function("content", "within")
 def c_within(ctx: CompileContext, args):
     """ContentFunctions.within:91 — ``(dist, t1..tk)`` (optionally a
-    leading zone Identifier): all terms occur within a window of size
-    ``dist`` (max offset − min offset ≤ dist)."""
+    leading zone Identifier): some choice of one offset per term slot
+    spans ≤ dist (see _within_match for the repeated-term contract)."""
     args = list(args)
     zone = DEFAULT_ZONE
     if args and isinstance(args[0], Identifier):
@@ -110,27 +149,7 @@ def c_within(ctx: CompileContext, args):
     dist = int(args[0].value)
     terms = [str(a.value if isinstance(a, Literal) else a) for a in args[1:]]
     tf = _tf_col(ctx, zone)
-    offs = [_offsets(tf, t) for t in terms]
-    if len(terms) == 2:
-        return F.exists(offs[0], lambda a: F.exists(
-            offs[1], lambda b: ((a - b <= dist) & (b - a <= dist))))
-    if len(terms) == 3:
-        return F.exists(offs[0], lambda a: F.exists(
-            offs[1], lambda b: F.exists(
-                offs[2], lambda c:
-                (F.greatest(a, b, c) - F.least(a, b, c)) <= dist)))
-    # k > 3: anchor on each offset of term 1; every other term must land
-    # within [anchor-dist, anchor+dist].  (Conservative for k>3: a
-    # qualifying window always satisfies this; rare anchor-spread
-    # configurations can over-match by ≤ dist — documented bound.)
-    def anchored(a: Column) -> Column:
-        pred = None
-        for o in offs[1:]:
-            this = F.exists(o, lambda b: (b >= a - dist) & (b <= a + dist))
-            pred = this if pred is None else pred & this
-        return pred
-
-    return F.exists(offs[0], anchored)
+    return _within_match(lambda t: _offsets(tf, t), terms, dist)
 
 
 def _scores_col(ctx: CompileContext, zone: str) -> Column | None:
@@ -176,9 +195,4 @@ def c_scored_phrase(ctx: CompileContext, args):
                         F.lit(False))
         return F.when(ok, offs).otherwise(F.array().cast("array<int>"))
 
-    anchor = offsets(terms[0])
-    out = anchor
-    for i, t in enumerate(terms[1:], start=1):
-        shifted = F.transform(offsets(t), lambda o: o - i)
-        out = F.array_intersect(out, shifted)
-    return F.size(out) > 0
+    return _phrase_match(offsets, terms)

@@ -647,8 +647,13 @@ def _compare_value_set(ctx: CompileContext, field: str,
     set ops would match NULL to NULL and fake an intersection."""
     vals = F.filter(field_values(ctx, field), lambda v: v.isNotNull())
     if numeric:
+        # try_cast + re-filter: a value that fails numeric
+        # normalization is ABSENT from the comparison set (the
+        # reference iterates normalized values), never an ANSI abort
+        # and never a NULL element that could fake a set match (r8)
         return F.array_distinct(
-            F.transform(vals, lambda v: v.cast("double")))
+            F.filter(F.transform(vals, lambda v: v.try_cast("double")),
+                     lambda v: v.isNotNull()))
     return F.array_distinct(
         F.transform(vals, lambda v: F.lower(v.cast("string"))))
 

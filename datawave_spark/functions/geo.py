@@ -25,9 +25,13 @@ from datawave_spark.functions.filter_functions import _ident, _lit
 
 
 def _latlon(v: Column) -> tuple[Column, Column]:
-    """Split a "lat,lon" point value (GeoType string form)."""
+    """Split a "lat,lon" point value (GeoType string form).
+    F.get + try_cast: one malformed stored point must be a NULL
+    non-match (field_pred totalizes NULL → false), not an ANSI
+    CAST_INVALID_INPUT / invalidArrayIndexError scan abort (r8)."""
     parts = F.split(v.cast("string"), ",")
-    return parts[0].cast("double"), parts[1].cast("double")
+    return (F.get(parts, 0).try_cast("double"),
+            F.get(parts, 1).try_cast("double"))
 
 
 @register_function("geo", "within_bounding_box")
@@ -53,11 +57,11 @@ def g_within_bbox(ctx: CompileContext, args):
     min_lon, min_lat = float(_lit(args[2])), float(_lit(args[3]))
     max_lon, max_lat = float(_lit(args[4])), float(_lit(args[5]))
     lon_ok = field_pred(ctx, lon_f,
-                        lambda v: (v.cast("double") >= min_lon)
-                        & (v.cast("double") <= max_lon))
+                        lambda v: (v.try_cast("double") >= min_lon)
+                        & (v.try_cast("double") <= max_lon))
     lat_ok = field_pred(ctx, lat_f,
-                        lambda v: (v.cast("double") >= min_lat)
-                        & (v.cast("double") <= max_lat))
+                        lambda v: (v.try_cast("double") >= min_lat)
+                        & (v.try_cast("double") <= max_lat))
     return lon_ok & lat_ok
 
 

@@ -59,7 +59,9 @@ def f_between(ctx: CompileContext, args):
 
     def bound(v):
         if numeric:
-            c, l, h = v.cast("double"), float(lo), float(hi)
+            # try_cast: an unparseable stored value is a non-match,
+            # not an ANSI whole-scan abort (r8 sweep)
+            c, l, h = v.try_cast("double"), float(lo), float(hi)
         else:
             c, l, h = v.cast("string"), str(lo), str(hi)
         left = (c >= l) if lo_inc else (c > l)

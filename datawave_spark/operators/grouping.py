@@ -47,7 +47,9 @@ def group_by(df: DataFrame, group_fields: list[str],
         fn = _AGGS[op.upper()]
         col = F.col(fld)
         if op.upper() != "COUNT" and isinstance(schema.get(fld), T.StringType):
-            col = col.cast("double")
+            # try_cast: unparseable values drop out of the aggregate
+            # (Spark aggregates skip NULL) instead of ANSI-aborting (r8)
+            col = col.try_cast("double")
         exprs.append(fn(col).alias(alias))
     return out.groupBy(*group_fields).agg(*exprs)
 
@@ -67,5 +69,5 @@ def group_by_context(df: DataFrame, group_col: str, group_fields: list[str],
     exprs = [F.count(F.lit(1)).alias(count_alias)]
     for op, fld, alias in (aggregations or []):
         exprs.append(_AGGS[op.upper()](
-            F.col(f"__g.{fld}").cast("double")).alias(alias))
+            F.col(f"__g.{fld}").try_cast("double")).alias(alias))
     return exploded.groupBy(*keys).agg(*exprs)

@@ -7,7 +7,9 @@ granularity enum attributes/UniqueGranularity.java (ALL,
 TRUNCATE_TEMPORAL_TO_{YEAR..MILLISECOND,DAY_OF_WEEK,HOUR_OF_DAY});
 most-recent variant keeps the latest document per tuple.
 
-Spark restatement: ``dropDuplicates`` over ``date_trunc``'d keys — and
+Spark restatement: ``dropDuplicates`` over the reference's formatted
+granularity key strings (non-datetime values pass through as
+themselves, UniqueGranularity.java:162) — and
 EXACT, where the reference's Bloom filter admits false positives
 (documented intentional difference).  The shuffle partitions by the
 dedup key, so at 100 TB cardinality skew is the thing to watch — AQE
@@ -20,37 +22,51 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, Window, functions as F
 
-# UniqueGranularity.java values → Spark date_trunc units
-_TRUNC = {
-    "ALL": None,
-    "YEAR": "year", "MONTH": "month", "DAY": "day",
-    "HOUR": "hour", "MINUTE": "minute", "SECOND": "second",
-    "MILLISECOND": "millisecond",
+# UniqueGranularity.java DateTimeValueFormatter patterns (:29-:71) —
+# the reference keys by these STRING forms, and on a value that fails
+# to parse as a datetime it keys by the ORIGINAL value (:162,
+# "If a date could not be parsed, return the original value") —
+# r8 granularity-parity fix: the old date_trunc+cast keyed by
+# timestamps and ANSI-ABORTED the whole query on the first
+# non-datetime value instead of passing it through.
+_FMT = {
+    "YEAR": "yyyy", "MONTH": "yyyy-MM", "DAY": "yyyy-MM-dd",
+    "HOUR": "yyyy-MM-dd'T'HH", "MINUTE": "yyyy-MM-dd'T'HH:mm",
+    "SECOND": "yyyy-MM-dd'T'HH:mm:ss",
+    "MILLISECOND": "yyyy-MM-dd'T'HH:mm:ss.SSS",
 }
 
 
 def _unique_key(field: str, granularity: str) -> Column:
     g = granularity.upper()
+    raw = F.col(field)
     if g == "ALL":
-        return F.col(field)
+        return raw
+    orig = raw.cast("string")
+    ts = F.try_to_timestamp(orig)
     if g == "DAY_OF_WEEK":
-        return F.dayofweek(F.col(field))
-    if g == "HOUR_OF_DAY":
-        return F.hour(F.col(field))
-    if g == "TENTH_OF_HOUR":
-        # UniqueGranularity TRUNCATE_TEMPORAL_TO_TENTH_OF_HOUR
-        # (UniqueByTenthOfHour.java): 6-minute buckets.
-        ts = F.date_trunc("hour", F.col(field).cast("timestamp"))
-        return ts + F.make_interval(
-            mins=(F.floor(F.minute(F.col(field).cast("timestamp")) / 6) * 6
-                  ).cast("int"))
-    unit = _TRUNC.get(g)
-    if unit is None:
-        raise ValueError(f"unknown #UNIQUE granularity {granularity!r}")
-    if unit == "millisecond":  # date_trunc has no millisecond unit
-        ts = F.col(field).cast("timestamp")
-        return F.timestamp_millis((F.unix_micros(ts) / 1000).cast("long"))
-    return F.date_trunc(unit, F.col(field).cast("timestamp"))
+        key = F.dayofweek(ts).cast("string")   # engine extension
+    elif g == "HOUR_OF_DAY":
+        key = F.hour(ts).cast("string")        # engine extension
+    elif g == "TENTH_OF_HOUR":
+        # TRUNCATE_TEMPORAL_TO_TENTH_OF_HOUR (:65): Java formats with
+        # pattern "yyyy-MM-dd'T'HH:m" (minute UNPADDED) then chops the
+        # last character — so the tenth digit is floor(minute/10) and
+        # minutes 0-9 key with an EMPTY tenth ("…T10:").  That is
+        # 10-minute buckets, not the 6-minute buckets the name
+        # suggests (r8 fix: we previously bucketed by 6 minutes).
+        mm = F.minute(ts)
+        key = F.concat(
+            F.date_format(ts, "yyyy-MM-dd'T'HH:"),
+            F.when(mm >= 10,
+                   F.floor(mm / 10).cast("int").cast("string"))
+             .otherwise(F.lit("")))
+    else:
+        fmt = _FMT.get(g)
+        if fmt is None:
+            raise ValueError(f"unknown #UNIQUE granularity {granularity!r}")
+        key = F.date_format(ts, fmt)
+    return F.when(ts.isNotNull(), key).otherwise(orig)
 
 
 def unique(df: DataFrame, fields: dict[str, str],
