@@ -44,7 +44,7 @@ from pyspark.sql import types as T
 
 from datawave_spark.jexl.ast import (
     AndNode, ArithCmpNode, ArithNode, CmpNode, FieldCmpNode, FuncNode,
-    Identifier, JexlNode, Literal, NotNode, OrNode,
+    Identifier, JexlNode, Literal, MarkerNode, NotNode, OrNode, RangeNode,
 )
 from datawave_spark.normalizers import Normalizer, get_normalizer
 
@@ -160,10 +160,19 @@ def _typed_literal(value: Any, norm: Normalizer, elem_type: T.DataType) -> Colum
     v = norm.normalize_literal(value)
     if isinstance(elem_type, (T.DoubleType, T.FloatType, T.DecimalType,
                               T.LongType, T.IntegerType, T.ShortType)):
-        try:
-            v = float(v) if isinstance(elem_type, (T.DoubleType, T.FloatType, T.DecimalType)) else int(v)
-        except (TypeError, ValueError):
-            pass
+        # RAISE on an unparseable literal (the caller turns it into
+        # "term cannot match", the reference's failed-normalization
+        # stance) — silently keeping the string form produced a
+        # double-vs-string comparison that ANSI-aborted the scan
+        # ('VAL <= 'Y'', lucene-referee r8).  A fractional bound
+        # against an integer column stays a DOUBLE literal so range
+        # semantics hold (Spark widens the column, no ANSI hazard).
+        f = float(v)          # ValueError/TypeError propagate
+        if isinstance(elem_type, (T.DoubleType, T.FloatType,
+                                  T.DecimalType)):
+            v = f
+        else:
+            v = int(f) if f == int(f) else f
     return F.lit(v)
 
 
@@ -343,20 +352,66 @@ def compile_cmp(node: CmpNode, ctx: CompileContext,
     return ~_total(pred) if negate else pred
 
 
+def compile_range(node: "RangeNode", ctx: CompileContext,
+                  negated: bool = False) -> Column:
+    """Bounded range (``((_Bounded_ = true) && (F >= lo && F <= hi))``)
+    — SAME-VALUE semantics: true iff some ONE value of the field
+    satisfies BOTH bounds (QueryPropertyMarker BOUNDED_RANGE; on a
+    multi-valued field this is strictly narrower than the unmarked
+    conjunction, whose any-value semantics lets different values
+    satisfy each bound — lucene-referee r8)."""
+    name = node.field.name.upper()
+    spec = ctx.resolve(name)
+    if spec is None:
+        return F.lit(negated)
+    norm = get_normalizer(spec.normalizer)
+    dtype = ctx.spark_type(spec)
+    elem_type = _element_type(dtype)
+    try:
+        lo = _typed_literal(node.lo.value, norm, elem_type)
+        hi = _typed_literal(node.hi.value, norm, elem_type)
+    except (ValueError, TypeError):
+        # a bound fails the field's type normalization: the range
+        # cannot match (the compile_cmp cannot-match stance)
+        return F.lit(negated)
+
+    def leaf(c: Column) -> Column:
+        return (_scalar_cmp(node.lo_op, c, lo, elem_type, norm,
+                            spec.normalized_at_rest)
+                & _scalar_cmp(node.hi_op, c, hi, elem_type, norm,
+                              spec.normalized_at_rest))
+
+    one_many = norm.one_to_many and not spec.normalized_at_rest
+    if one_many:
+        def fanned(e: Column) -> Column:
+            return (_scalar_cmp(node.lo_op, e, lo, elem_type, norm, True)
+                    & _scalar_cmp(node.hi_op, e, hi, elem_type, norm, True))
+        if isinstance(dtype, T.ArrayType):
+            pred = F.exists(
+                F.col(spec.column),
+                lambda raw: F.coalesce(F.exists(norm.col(raw), fanned),
+                                       F.lit(False)))
+        else:
+            pred = F.exists(norm.col(F.col(spec.column)), fanned)
+    elif isinstance(dtype, T.ArrayType):
+        pred = F.exists(F.col(spec.column), leaf)
+    else:
+        pred = leaf(F.col(spec.column))
+    return ~_total(pred) if negated else pred
+
+
 def _compile_anyfield(node: CmpNode, ctx: CompileContext,
                       negated: bool = False) -> Column:
-    """_ANYFIELD_ expansion over all schema fields whose type is
-    compatible with the literal (string literal → string-ish fields;
-    numeric literal → numeric fields)."""
-    value = node.value.value
-    want_numeric = isinstance(value, (int, float)) and not isinstance(value, bool)
+    """_ANYFIELD_ expansion over ALL schema fields — per field, the
+    literal normalizes under THAT field's type, and a failed
+    normalization drops only that branch (compile_cmp's cannot-match
+    stance, ExpandMultiNormalizedTerms parity).  r8 fix: the old
+    literal-spelling filter (numeric literal → numeric fields only)
+    meant an unfielded '5.0' never reached a double column, and an
+    unfielded numeric never reached the string columns the reference
+    would match via normalization."""
     preds = []
     for fname, spec in ctx.fields.items():
-        et = _element_type(ctx.spark_type(spec))
-        is_numeric = isinstance(et, (T.DoubleType, T.FloatType, T.LongType,
-                                     T.IntegerType, T.ShortType, T.DecimalType))
-        if want_numeric != is_numeric:
-            continue
         positive_op = ("==" if node.op in ("==", "!=")
                        else "=~" if node.op in ("=~", "!~") else node.op)
         preds.append(compile_cmp(CmpNode(positive_op, Identifier(fname),
@@ -497,6 +552,11 @@ def compile_node(node: JexlNode, ctx: CompileContext,
         return compile_node(node.term, ctx, not negated)
     if isinstance(node, CmpNode):
         return compile_cmp(node, ctx, negated)
+    if isinstance(node, RangeNode):
+        return compile_range(node, ctx, negated)
+    if isinstance(node, MarkerNode):
+        # an unresolved QueryPropertyMarker assignment evaluates true
+        return F.lit(not negated)
     if isinstance(node, FieldCmpNode):
         return compile_field_cmp(node, ctx, negated)
     if isinstance(node, ArithCmpNode):

@@ -24,7 +24,7 @@ from __future__ import annotations
 from dataclasses import dataclass, field as dc_field
 from datawave_spark.jexl.ast import (
     AndNode, CmpNode, FieldCmpNode, FuncNode, Identifier, JexlNode,
-    Literal, NotNode, OrNode,
+    Literal, NotNode, OrNode, RangeNode,
 )
 
 TRUE = Literal(True)
@@ -110,9 +110,51 @@ def prune(node: JexlNode) -> JexlNode:
     return node
 
 
+def mark_bounded_ranges(node: JexlNode) -> JexlNode:
+    """PLANNER-stage bounded-range coalescing (the reference detects
+    unmarked same-field lo/hi conjunctions and marks them
+    BOUNDED_RANGE — UnmarkedBoundedRangeDetectionVisitor +
+    DefaultQueryPlanner's marking fix-up): within one AND, a field with
+    exactly ONE lower-bound and ONE upper-bound comparison fuses into a
+    RangeNode (same-value semantics on multi-valued fields, index-
+    servable as a single value interval).  Raw ``compile_query``
+    deliberately keeps the unmarked conjunction's independent any-value
+    semantics (commons-JEXL evaluation parity, test_compiler_referee);
+    this pass is the PLANNED-query behavior, applied in the
+    QueryPlanner pipeline like the reference's."""
+    if isinstance(node, AndNode):
+        terms = [mark_bounded_ranges(t) for t in node.terms]
+        by_field: dict[str, list[CmpNode]] = {}
+        for t in terms:
+            if isinstance(t, CmpNode) and t.op in ("<", ">", "<=", ">="):
+                by_field.setdefault(t.field.name.upper(), []).append(t)
+        fused: dict[int, JexlNode] = {}
+        drop: set[int] = set()
+        for cmps in by_field.values():
+            los = [c for c in cmps if c.op in (">", ">=")]
+            his = [c for c in cmps if c.op in ("<", "<=")]
+            if len(los) == 1 and len(his) == 1:
+                lo, hi = los[0], his[0]
+                rng = RangeNode(lo.field, lo.op, lo.value,
+                                hi.op, hi.value)
+                i_lo, i_hi = terms.index(lo), terms.index(hi)
+                fused[min(i_lo, i_hi)] = rng
+                drop.add(max(i_lo, i_hi))
+        if fused:
+            out = [fused.get(i, t) for i, t in enumerate(terms)
+                   if i not in drop]
+            return _rebuild(node, out, AndNode)
+        return AndNode(tuple(terms))
+    if isinstance(node, OrNode):
+        return OrNode(tuple(mark_bounded_ranges(t) for t in node.terms))
+    if isinstance(node, NotNode):
+        return NotNode(mark_bounded_ranges(node.term))
+    return node
+
+
 def default_pipeline(node: JexlNode) -> JexlNode:
     """The standard rewrite chain applied before compilation."""
-    return prune(dedup_terms(flatten(node)))
+    return mark_bounded_ranges(prune(dedup_terms(flatten(node))))
 
 
 # ---------------------------------------------------------------- options
@@ -366,6 +408,9 @@ def _term_cost(n: JexlNode, stats: dict[str, int]) -> tuple[int, float]:
         if n.op in ("<", ">", "<=", ">="):
             return (_COST_RANGE, 0.33)
         return (_COST_REGEX, 0.5)          # =~ / !~
+    if isinstance(n, RangeNode):
+        # two bounds on one value: tighter than a single bound
+        return (_COST_RANGE, 0.2)
     if isinstance(n, FieldCmpNode):
         return (_COST_FIELDCMP, 0.6)
     if isinstance(n, FuncNode):

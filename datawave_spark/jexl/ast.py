@@ -71,6 +71,44 @@ class CmpNode(JexlNode):
 
 
 @dataclass(frozen=True)
+class RangeNode(JexlNode):
+    """A BOUNDED range — the reference's ``((_Bounded_ = true) &&
+    (F >= lo && F <= hi))`` QueryPropertyMarker form
+    (QueryPropertyMarker.MarkerType.BOUNDED_RANGE;
+    LuceneToJexlQueryParser emits it for every LUCENE range,
+    TestLuceneToJexlQueryParser.java:305, and the planner marks bare
+    same-field conjunctions).  Semantics differ from the raw AND on a
+    MULTI-VALUED field: a bounded range is true iff SOME ONE value
+    satisfies BOTH bounds, where the unmarked conjunction's any-value
+    semantics lets different values satisfy each bound."""
+    field: Identifier
+    lo_op: str       # > or >=
+    lo: Literal
+    hi_op: str       # < or <=
+    hi: Literal
+
+    def children(self):
+        return (self.field, self.lo, self.hi)
+
+    def __str__(self) -> str:
+        return (f"((_Bounded_ = true) && ({self.field} {self.lo_op} "
+                f"{self.lo} && {self.field} {self.hi_op} {self.hi}))")
+
+
+@dataclass(frozen=True)
+class MarkerNode(JexlNode):
+    """A QueryPropertyMarker assignment (``_Bounded_ = true`` /
+    ``_Delayed_`` / ``_Eval_`` / ...) kept as a node so the parser's
+    marker-resolution step can see WHICH marker wrapped a subtree
+    (``_Bounded_`` fuses its sibling conjunction into a RangeNode).
+    Unresolved markers evaluate true, like the assignment in JEXL."""
+    name: str
+
+    def __str__(self) -> str:
+        return f"({self.name} = true)"
+
+
+@dataclass(frozen=True)
 class FieldCmpNode(JexlNode):
     """Field-to-field comparison ``F1 op F2`` — evaluation-only in the
     reference (FieldToFieldComparisonVisitor); any-pair semantics over

@@ -32,7 +32,7 @@ from typing import Any
 
 from datawave_spark.jexl.ast import (
     AndNode, ArithCmpNode, ArithNode, CmpNode, FieldCmpNode, FuncNode,
-    Identifier, JexlNode, Literal, NotNode, OrNode,
+    Identifier, JexlNode, Literal, MarkerNode, NotNode, OrNode, RangeNode,
 )
 
 
@@ -191,18 +191,19 @@ class _Parser:
             # QueryPropertyMarker assignment (QueryPropertyMarker.java;
             # the reference's planner wraps subtrees in
             # ``((_Bounded_ = true) && (...))`` / _Delayed_ / _Eval_ /
-            # _List_ / _Term_ / _Hole_ hints).  The assignment always
-            # evaluates true; the hint itself is a planner artifact, so
-            # re-running a reference-planned query string just works —
-            # the surrounding AND keeps the wrapped expression.  Only
-            # ``_X_``-shaped identifiers are accepted; anything else is
-            # a user error (assignment is not part of the query
-            # surface).
+            # _List_ / _Term_ / _Hole_ hints).  Kept as a MarkerNode so
+            # ``parse`` can resolve ``_Bounded_`` into a RangeNode
+            # (same-value semantics); any other marker evaluates true
+            # and the surrounding AND keeps the wrapped expression, so
+            # re-running a reference-planned query string just works.
+            # Only ``_X_``-shaped identifiers are accepted; anything
+            # else is a user error (assignment is not part of the
+            # query surface).
             if isinstance(left, Identifier) \
                     and self._MARKER_RE.match(left.name):
                 self.next()
                 self._literal_value()          # the asserted value
-                return Literal(True)
+                return MarkerNode(left.name)
             raise JexlParseError(
                 f"assignment to non-marker {left}: did you mean '=='?")
         if tok in _CMP_OPS:
@@ -330,10 +331,63 @@ class _Parser:
         raise JexlParseError(f"expected literal, got {tok!r}")
 
 
+def _fuse_bounded(terms: tuple[JexlNode, ...]) -> JexlNode | None:
+    """The non-marker siblings of a ``_Bounded_`` marker → RangeNode,
+    or None when the shape is not the reference's marked-range form
+    (one lower-bound and one upper-bound comparison on ONE field)."""
+    cmps: list[JexlNode] = []
+    for t in terms:
+        cmps.extend(t.terms if isinstance(t, AndNode) else (t,))
+    if len(cmps) != 2 or not all(isinstance(c, CmpNode) for c in cmps):
+        return None
+    a, b = cmps
+    if a.field.name.upper() != b.field.name.upper():
+        return None
+    lo = next((c for c in (a, b) if c.op in (">", ">=")), None)
+    hi = next((c for c in (a, b) if c.op in ("<", "<=")), None)
+    if lo is None or hi is None:
+        return None
+    return RangeNode(lo.field, lo.op, lo.value, hi.op, hi.value)
+
+
+def _resolve_markers(node: JexlNode) -> JexlNode:
+    """Resolve QueryPropertyMarker wrappers: ``((_Bounded_ = true) &&
+    (F >= lo && F <= hi))`` fuses into a RangeNode (BOUNDED_RANGE
+    evaluates SAME-VALUE on multi-valued fields — r8); other markers
+    stay as MarkerNodes (compile: true) so their wrapped expression
+    keeps its plain meaning."""
+    if isinstance(node, AndNode):
+        # inspect DIRECT children for the marker before recursing —
+        # recursion resolves stray markers to Literal(True)
+        marked = any(isinstance(t, MarkerNode) and t.name == "_Bounded_"
+                     for t in node.terms)
+        if marked:
+            raw = tuple(t for t in node.terms
+                        if not (isinstance(t, MarkerNode)
+                                and t.name == "_Bounded_"))
+            fused = _fuse_bounded(raw)
+            if fused is not None:
+                return fused
+            rest = tuple(_resolve_markers(t) for t in raw)
+            if not rest:
+                return Literal(True)
+            return rest[0] if len(rest) == 1 else AndNode(rest)
+        return AndNode(tuple(_resolve_markers(t) for t in node.terms))
+    if isinstance(node, OrNode):
+        return OrNode(tuple(_resolve_markers(t) for t in node.terms))
+    if isinstance(node, NotNode):
+        return NotNode(_resolve_markers(node.term))
+    if isinstance(node, MarkerNode):
+        # a non-bounded (or structurally stray) marker evaluates true;
+        # prune() then drops it from the AND, like the old unwrapping
+        return Literal(True)
+    return node
+
+
 def parse(text: str) -> JexlNode:
     """Parse a JEXL query string into an AST."""
     p = _Parser(_tokenize(text))
     node = p.parse_expr()
     if p.peek()[0] != "eof":
         raise JexlParseError(f"trailing input at token {p.peek()[1]!r}")
-    return node
+    return _resolve_markers(node)

@@ -20,7 +20,7 @@ from dataclasses import dataclass
 
 from datawave_spark.jexl.ast import (
     AndNode, CmpNode, FieldCmpNode, FuncNode, Identifier, JexlNode,
-    NotNode, OrNode,
+    NotNode, OrNode, RangeNode,
 )
 from datawave_spark.lucene.parser import LuceneParseError, parse_lucene
 
@@ -58,6 +58,8 @@ def _referenced_fields(node: JexlNode) -> set[str]:
     value/regex arguments are never counted as fields."""
     out: set[str] = set()
     if isinstance(node, CmpNode):
+        out.add(_strip_gran(node.field.name))
+    elif isinstance(node, RangeNode):
         out.add(_strip_gran(node.field.name))
     elif isinstance(node, FieldCmpNode):
         out.add(_strip_gran(node.left.name))

@@ -29,7 +29,7 @@ from __future__ import annotations
 import re
 
 from datawave_spark.jexl.ast import (
-    AndNode, CmpNode, FieldCmpNode, FuncNode, Identifier, JexlNode,
+    AndNode, CmpNode, FieldCmpNode, FuncNode, Identifier, JexlNode, RangeNode,
     Literal, NotNode, OrNode,
 )
 
@@ -395,24 +395,28 @@ class _Parser:
             hi_incl = end_kind == "rbracket"
             lo_op = ">=" if lo_incl else ">"
             hi_op = "<=" if hi_incl else "<"
-            return AndNode((
-                CmpNode(lo_op, Identifier(field), self._typed(lo)),
-                CmpNode(hi_op, Identifier(field), self._typed(hi)),
-            ))
+            # a BOUNDED range (LuceneToJexlQueryParser emits the
+            # ``((_Bounded_ = true) && ...)`` marker for every LUCENE
+            # range, TestLuceneToJexlQueryParser.java:305): SAME-VALUE
+            # semantics on multi-valued fields, not two independent
+            # any-value bounds (lucene-referee r8)
+            return RangeNode(Identifier(field), lo_op, Literal(lo),
+                             hi_op, Literal(hi))
         if kind != "term":
             raise LuceneParseError(f"unexpected {v!r}")
         if "*" in v or "?" in v:
             return CmpNode("=~", Identifier(field),
                            Literal(_wildcard_to_regex(v)))
-        return CmpNode("==", Identifier(field), self._typed(v))
-
-    @staticmethod
-    def _typed(v: str) -> Literal:
-        if re.fullmatch(r"-?\d+", v):
-            return Literal(int(v))
-        if re.fullmatch(r"-?\d+\.\d+", v):
-            return Literal(float(v))
-        return Literal(v)
+        # STRING literal always — LuceneToJexlQueryParser emits quoted
+        # strings for every value ("FIELD1 == '99999'",
+        # TestLuceneToJexlQueryParser.java:157,:305); numeric behavior
+        # comes from the FIELD's type at compile time, never from the
+        # literal's spelling.  (r8 fix: a numeric-looking term used to
+        # become an int/float literal, turning equality on an untyped
+        # string field into JexlArithmetic numeric coercion —
+        # 'F:99999' wrongly matched stored '099999' — and ranges into
+        # numeric compares where the reference's are lexicographic.)
+        return CmpNode("==", Identifier(field), Literal(v))
 
 
 def parse_lucene(text: str) -> JexlNode:

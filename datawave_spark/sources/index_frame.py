@@ -29,7 +29,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 
 from datawave_spark.jexl.ast import (
-    AndNode, CmpNode, JexlNode, NotNode, OrNode,
+    AndNode, CmpNode, JexlNode, NotNode, OrNode, RangeNode,
 )
 from datawave_spark.normalizers import get_normalizer
 
@@ -114,8 +114,25 @@ def _index_value_pred(node: CmpNode,
                                                  java_full_match)
     ft = {k.upper(): v for k, v in (field_types or {}).items()}
     norm = get_normalizer(ft.get(node.field.name.upper(), "noop"))
-    value = node.value.value
     v = F.col("value")
+    if isinstance(node, RangeNode):
+        # BOUNDED range: both bounds on ONE index row = the same-value
+        # semantics the evaluator's compile_range applies — an AND of
+        # two separate term lookups would intersect UID sets where
+        # DIFFERENT values satisfy each bound (over-candidates, and
+        # WRONG when every field is indexed and the fetch skips
+        # re-evaluation)
+        def bound(op: str, value):
+            lit = norm.normalize_literal(value)
+            cmp_col = (v.try_cast("double")
+                       if isinstance(lit, (int, float))
+                       and not isinstance(lit, bool) else v)
+            lit_c = F.lit(lit)
+            return {"<": cmp_col < lit_c, ">": cmp_col > lit_c,
+                    "<=": cmp_col <= lit_c, ">=": cmp_col >= lit_c}[op]
+        return bound(node.lo_op, node.lo.value) \
+            & bound(node.hi_op, node.hi.value)
+    value = node.value.value
     # try_cast throughout: stored index values are strings; one
     # malformed row must become a NULL non-match, not an ANSI
     # CAST_INVALID_INPUT that aborts the whole scan (planner-referee r8).
@@ -152,7 +169,7 @@ def _unindexed_terms(node: JexlNode, fields: set[str]) -> bool:
     """True when the subtree holds a comparison on a field the index
     does not cover — the fetch phase must then re-evaluate the full
     predicate (the reference's evaluation-only/_Delayed_ terms)."""
-    if isinstance(node, CmpNode):
+    if isinstance(node, (CmpNode, RangeNode)):
         return node.field.name.upper() not in fields
     if isinstance(node, (AndNode, OrNode)):
         return any(_unindexed_terms(t, fields) for t in node.terms)
@@ -182,10 +199,10 @@ def candidate_uids(index: DataFrame, node: JexlNode,
     whole subtree."""
     if fields is None:
         fields = {r.field for r in index.select("field").distinct().collect()}
-    if isinstance(node, CmpNode):
+    if isinstance(node, (CmpNode, RangeNode)):
         if node.field.name.upper() not in fields:
             return None           # evaluation-only: field not indexed
-        if node.op in ("!=", "!~"):
+        if isinstance(node, CmpNode) and node.op in ("!=", "!~"):
             pos = CmpNode("==" if node.op == "!=" else "=~",
                           node.field, node.value)
             return candidate_uids(index, NotNode(pos), universe,
@@ -366,8 +383,8 @@ def capped_candidates(cidx: DataFrame, node: JexlNode,
     the cap-invariance promise (the term still evaluates in phase 2)."""
     if fields is None:
         fields = indexed_fields(cidx)
-    if isinstance(node, CmpNode):
-        if node.op in ("!=", "!~"):
+    if isinstance(node, (CmpNode, RangeNode)):
+        if isinstance(node, CmpNode) and node.op in ("!=", "!~"):
             return None
         if node.field.name.upper() not in fields:
             return None           # evaluation-only: field not indexed

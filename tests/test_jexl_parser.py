@@ -127,9 +127,14 @@ class TestQueryPropertyMarkers:
     def test_bounded_marker_unwraps(self):
         from datawave_spark.jexl.parser import parse
         from datawave_spark.compiler.rewrite import default_pipeline
+        # r8: the marker FUSES into a RangeNode (same-value semantics
+        # on multi-valued fields) and round-trips through str()
+        from datawave_spark.jexl.ast import RangeNode
         n = default_pipeline(parse(
             "((_Bounded_ = true) && (VALUE >= 10 && VALUE <= 20))"))
-        assert str(n) == "(VALUE >= 10 && VALUE <= 20)"
+        assert isinstance(n, RangeNode)
+        assert str(n) == "((_Bounded_ = true) && (VALUE >= 10 && VALUE <= 20))"
+        assert default_pipeline(parse(str(n))) == n
 
     def test_delayed_and_eval_markers(self):
         from datawave_spark.jexl.parser import parse

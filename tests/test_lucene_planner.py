@@ -28,15 +28,19 @@ class TestLucene:
 
     def test_not_and_parens(self):
         assert parse_lucene("(CITY:rome OR CITY:milan) AND NOT NUM:5") == \
-            jexl("(CITY == 'rome' || CITY == 'milan') && !(NUM == 5)")
+            jexl("(CITY == 'rome' || CITY == 'milan') && !(NUM == '5')")
 
     def test_wildcards(self):
         assert parse_lucene("CITY:ro*") == jexl("CITY =~ 'ro.*'")
         assert parse_lucene("CITY:r?me") == jexl("CITY =~ 'r.me'")
 
     def test_range_terms(self):
-        assert parse_lucene("NUM:[5 TO 10]") == jexl("NUM >= 5 && NUM <= 10")
-        assert parse_lucene("NUM:{5 TO 10}") == jexl("NUM > 5 && NUM < 10")
+        # r8: LUCENE ranges are BOUNDED (LuceneToJexlQueryParser emits
+        # the _Bounded_ marker) — same-value semantics via RangeNode
+        assert parse_lucene("NUM:[5 TO 10]") == \
+            jexl("((_Bounded_ = true) && (NUM >= '5' && NUM <= '10'))")
+        assert parse_lucene("NUM:{5 TO 10}") == \
+            jexl("((_Bounded_ = true) && (NUM > '5' && NUM < '10'))")
 
     def test_unfielded(self):
         assert parse_lucene("rome") == jexl("_ANYFIELD_ == 'rome'")
@@ -209,7 +213,7 @@ class TestPlanner:
         qp = QueryPlanner(events)
         res = qp.plan("(CITY:rome AND (CITY:rome AND NUM:5))", syntax="LUCENE")
         # flatten + dedup applied
-        assert res.plan_string == "(CITY == 'rome' && NUM == 5)"
+        assert res.plan_string == "(CITY == 'rome' && NUM == '5')"
 
     def test_pluggable_rewrite_rule(self, events):
         # applyRules hook (DefaultQueryPlanner.java:2174): a custom

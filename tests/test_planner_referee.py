@@ -85,6 +85,12 @@ def _leaves() -> list[str]:
         for lit in pool:
             for op in ("=~", "!~"):
                 out.append(f"{f} {op} {lit}")
+    # BOUNDED ranges (r8): served by the index as a single-value
+    # interval — same-value semantics on the multi-valued A field
+    for f, lo, hi in (("S", '"B"', '"b"'), ("A", '"x"', '"z"'),
+                      ("N", "9", "10"), ("A", '"Y"', '"a\\nb"'),
+                      ("D", "0", "5")):
+        out.append(f'((_Bounded_ = true) && ({f} >= {lo} && {f} <= {hi}))')
     return out
 
 
