@@ -98,6 +98,29 @@ def q_jexl_anyfield(spark, sf_dir):
     return compile_query(ev, "_ANYFIELD_ == 'signup'").select("event_id")
 
 
+@register("jexl_bounded_range_multivalue", """
+SELECT user_id, day FROM (
+  SELECT user_id, CAST(CAST(ts AS DATE) AS VARCHAR) AS day,
+         list(DISTINCT event_type) AS t
+  FROM events GROUP BY user_id, CAST(ts AS DATE)
+) WHERE len(list_filter(t, x -> x >= 'd' AND x <= 'q')) > 0
+""")
+def q_jexl_bounded_range_multivalue(spark, sf_dir):
+    """BOUNDED range over a MULTI-VALUED field (RangeNode, r8): the
+    ``((_Bounded_ = true) && ...)`` marker form requires ONE value
+    inside the interval (QueryPropertyMarker BOUNDED_RANGE) — the
+    unmarked conjunction's independent any-value semantics would admit
+    ~15% more groups here (one value below, another above).  The
+    oracle states same-value directly via list_filter."""
+    ev = _t(spark, sf_dir, "events")
+    mv = (ev.groupBy("user_id", F.col("ts").cast("date").alias("__day"))
+          .agg(F.array_distinct(F.collect_list("event_type"))
+               .alias("TYPES")))
+    out = compile_query(
+        mv, "((_Bounded_ = true) && (TYPES >= 'd' && TYPES <= 'q'))")
+    return out.select("user_id", F.col("__day").cast("string").alias("day"))
+
+
 @register("jexl_field_cmp", """
 SELECT l_orderkey, l_linenumber, l_tax, l_discount FROM lineitem
 WHERE l_tax > l_discount
