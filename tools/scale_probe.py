@@ -38,7 +38,7 @@ OPS = ["jexl_filter", "groupby", "tokenize_tf", "minhash_sig", "simhash",
        "bpe_train", "bpe_encode", "federated", "schema_evo",
        "tokenizer_e2e", "push", "push_epochs", "push_compacted",
        "compare_wide", "nyctlc",
-       "date_parse_chain"]
+       "date_parse_chain", "index_path", "content_within"]
 
 
 def generate(spark):
@@ -174,7 +174,34 @@ def run_one(op: str, events_path: str, docs_path: str,
         noop(ssdeep_similarity_join(queries, hashes, "ssdeep", "doc_id",
                                     max_repeated=0))
 
+    def _index_path(d):
+        # serve a SELECTIVE eq + BOUNDED-range query from the STORED
+        # inverted index (r8 referee-fixed path; all fields indexed,
+        # so the fetch trusts the index — no re-evaluation).  The
+        # index build is ingest-time cost, written untimed in the
+        # prepare hook.  Selective on purpose: low-selectivity terms
+        # are the capped path's territory (Uid.List overflow → shard
+        # ranges), not explicit-uid lookups.
+        from datawave_spark.sources.index_frame import index_query
+        idx = d.sparkSession.read.parquet(f"{SCRATCH}/probe_index.parquet")
+        noop(index_query(
+            d, idx,
+            "EVENT_TYPE == 'purchase' && "
+            "((_Bounded_ = true) && (VALUE >= 100 && VALUE <= 102))",
+            "event_id", field_types={"VALUE": "number"},
+            fields={"EVENT_TYPE", "VALUE"}))
+
+    def _content_within(d):
+        # the r8 exact window-anchor within + 0-step phrase DP over the
+        # STORED per-doc offset maps (doc_tf is a prepared asset; the
+        # tokenize cost is the tokenize_tf op's measurement)
+        tf = d.sparkSession.read.parquet(f"{SCRATCH}/probe_doctf.parquet")
+        noop(compile_query(tf, "content:within(3, 'spark', 'query') && "
+                               "content:phrase('big', 'data')"))
+
     ops = {
+        "index_path": _index_path,
+        "content_within": _content_within,
         "jexl_filter": lambda d: noop(compile_query(
             d, "EVENT_TYPE == 'click' && VALUE > 50")),
         "groupby": lambda d: noop(group_by(
@@ -724,7 +751,7 @@ def run_one(op: str, events_path: str, docs_path: str,
     if op in ("jexl_filter", "groupby", "edge_dict", "validate",
               "pagerank", "federated", "schema_evo", "push",
               "push_epochs", "push_compacted", "compare_wide", "nyctlc",
-              "date_parse_chain"):
+              "date_parse_chain", "index_path"):
         src = ev
     elif op in ("knn_lsh", "knn_blocked", "semantic_dedup", "kmeans_step"):
         src = emb
@@ -732,6 +759,16 @@ def run_one(op: str, events_path: str, docs_path: str,
         src = docs
     if op == "schema_evo":
         _evo_prepare(src)             # ingest-side layout, untimed
+    if op == "index_path":
+        # ingest-side index build, untimed (stored-asset discipline)
+        from datawave_spark.sources.index_frame import build_index
+        build_index(src, ["event_type", "value"], "event_id",
+                    field_types={"VALUE": "number"}) \
+            .write.mode("overwrite").parquet(f"{SCRATCH}/probe_index.parquet")
+    if op == "content_within":
+        from datawave_spark.sources.ingest import tokenize
+        tokenize(src, "text", "doc_id") \
+            .write.mode("overwrite").parquet(f"{SCRATCH}/probe_doctf.parquet")
     ops[op](src.limit(1000))          # codegen warm-up, untimed
     spark.catalog.clearCache()
     t0 = time.perf_counter()
@@ -779,7 +816,8 @@ def main() -> None:
     # the scale-critical families that get the extra 100× datapoint
     # (VERDICT r7 #5): LSH pair generation, incremental LSH,
     # ExactSubstr, PageRank, standing-query push
-    hundred_ops = {"lsh_pairs", "inc_lsh", "exsub", "pagerank", "push"}
+    hundred_ops = {"lsh_pairs", "inc_lsh", "exsub", "pagerank", "push",
+                   "index_path", "content_within"}
     hdr = f"{'op':14} {'1x':>7} {'10x':>8} {'ratio':>6}"
     if do_100x:
         hdr += f" {'100x':>9} {'r100':>6}"
