@@ -367,19 +367,40 @@ def compile_range(node: "RangeNode", ctx: CompileContext,
     norm = get_normalizer(spec.normalizer)
     dtype = ctx.spark_type(spec)
     elem_type = _element_type(dtype)
-    try:
-        lo = _typed_literal(node.lo.value, norm, elem_type)
-        hi = _typed_literal(node.hi.value, norm, elem_type)
-    except (ValueError, TypeError):
-        # a bound fails the field's type normalization: the range
-        # cannot match (the compile_cmp cannot-match stance)
-        return F.lit(negated)
+    bvals = (node.lo.value, node.hi.value)
+    if isinstance(elem_type, T.StringType) and norm.name == "noop" \
+            and any(isinstance(b, (int, float)) and not isinstance(b, bool)
+                    for b in bvals):
+        # JexlArithmetic numeric coercion, same-value across BOTH
+        # bounds (the compile_cmp branch, mirrored — without it the
+        # string-vs-number comparison ANSI-aborts on the first
+        # non-numeric stored value; compiler-referee r8)
+        try:
+            lo_f, hi_f = (F.lit(float(b)) for b in bvals)
+        except (TypeError, ValueError):
+            return F.lit(negated)     # mixed bound fails coercion
 
-    def leaf(c: Column) -> Column:
-        return (_scalar_cmp(node.lo_op, c, lo, elem_type, norm,
-                            spec.normalized_at_rest)
-                & _scalar_cmp(node.hi_op, c, hi, elem_type, norm,
-                              spec.normalized_at_rest))
+        def leaf(c: Column) -> Column:
+            cc = c if spec.normalized_at_rest else norm.col(c)
+            d = cc.try_cast("double")
+            return (_scalar_cmp(node.lo_op, d, lo_f, T.DoubleType(),
+                                norm, True)
+                    & _scalar_cmp(node.hi_op, d, hi_f, T.DoubleType(),
+                                  norm, True))
+    else:
+        try:
+            lo = _typed_literal(node.lo.value, norm, elem_type)
+            hi = _typed_literal(node.hi.value, norm, elem_type)
+        except (ValueError, TypeError):
+            # a bound fails the field's type normalization: the range
+            # cannot match (the compile_cmp cannot-match stance)
+            return F.lit(negated)
+
+        def leaf(c: Column) -> Column:
+            return (_scalar_cmp(node.lo_op, c, lo, elem_type, norm,
+                                spec.normalized_at_rest)
+                    & _scalar_cmp(node.hi_op, c, hi, elem_type, norm,
+                                  spec.normalized_at_rest))
 
     one_many = norm.one_to_many and not spec.normalized_at_rest
     if one_many:

@@ -168,6 +168,33 @@ def ref_eval(node_kind, row: dict) -> bool:
         pos = "==" if neg else op
         hit = ref_leaf_pairs(pos, _values(row, f1), _values(row, f2))
         return not hit if neg else hit
+    if kind == "range":
+        # BOUNDED range (r8): SAME-VALUE semantics — one value must
+        # satisfy BOTH bounds (QueryPropertyMarker BOUNDED_RANGE)
+        _, field, lo_op, lo, hi_op, hi = node_kind
+        if field == "L":
+            lo, hi = lo.lower(), hi.lower()
+        cmp = {"<": lambda a, b: a < b, ">": lambda a, b: a > b,
+               "<=": lambda a, b: a <= b, ">=": lambda a, b: a >= b}
+        values = _values(row, field)
+        coerce = (FIELDS.get(field) in ("str", "astr")
+                  and any(isinstance(b, (int, float))
+                          and not isinstance(b, bool) for b in (lo, hi)))
+        if coerce:
+            try:
+                flo, fhi = float(lo), float(hi)
+            except (TypeError, ValueError):
+                return False
+            for v in values:
+                try:
+                    fv = float(v)
+                except (TypeError, ValueError):
+                    continue
+                if cmp[lo_op](fv, flo) and cmp[hi_op](fv, fhi):
+                    return True
+            return False
+        return any(cmp[lo_op](v, lo) and cmp[hi_op](v, hi)
+                   for v in values)
     raise ValueError(node_kind)
 
 
@@ -203,6 +230,16 @@ def to_jexl(node) -> str:
     if kind == "fcmp":
         _, op, f1, f2 = node
         return f"{f1} {op} {f2}"
+    if kind == "range":
+        _, field, lo_op, lo, hi_op, hi = node
+
+        def lit(x):
+            if isinstance(x, str):
+                body = x.replace("\\", "\\\\").replace("'", "\\'")
+                return f"'{body}'"
+            return repr(x)
+        return (f"((_Bounded_ = true) && ({field} {lo_op} {lit(lo)} && "
+                f"{field} {hi_op} {lit(hi)}))")
     raise ValueError(node)
 
 
@@ -292,7 +329,33 @@ def to_duckdb(node) -> str:
         else:
             base = f"COALESCE({f1} {sqlop} {f2}, FALSE)"
         return f"(NOT {base})" if neg else base
+    if kind == "range":
+        _, field, lo_op, lo, hi_op, hi = node
+        is_arr = FIELDS[field] in ("astr", "anum")
+        if field == "X":
+            return "FALSE"
+        if field == "L":
+            lo, hi = lo.lower(), hi.lower()
+        coerce = (FIELDS[field] in ("str", "astr")
+                  and any(isinstance(b, (int, float))
+                          and not isinstance(b, bool) for b in (lo, hi)))
+        if coerce:
+            vlo, vhi = repr(float(lo)), repr(float(hi))
+            body = (f"TRY_CAST({{x}} AS DOUBLE) {_sqlop(lo_op)} {vlo} AND "
+                    f"TRY_CAST({{x}} AS DOUBLE) {_sqlop(hi_op)} {vhi}")
+        else:
+            vlo, vhi = _duck_lit(lo), _duck_lit(hi)
+            body = (f"{{x}} {_sqlop(lo_op)} {vlo} AND "
+                    f"{{x}} {_sqlop(hi_op)} {vhi}")
+        if is_arr:
+            return (f"COALESCE(len(list_filter({field}, x -> "
+                    f"{body.format(x='x')})) > 0, FALSE)")
+        return f"COALESCE({body.format(x=field)}, FALSE)"
     raise ValueError(node)
+
+
+def _sqlop(op: str) -> str:
+    return "=" if op == "==" else op
 
 
 def _flip(sqlop: str) -> str:
@@ -331,6 +394,21 @@ def leaf_cases() -> list:
                    ("N", "M"), ("M", "N")):
         for op in ("==", "!=", "<", ">", "<=", ">="):
             cases.append(("fcmp", op, f1, f2))
+    # BOUNDED ranges (r8): same-value semantics, every field kind,
+    # string + numeric-coercion bounds, all inclusivity combinations
+    range_bounds = {
+        "S": [("B", "b"), ("10", "a\nb"), (9, 10), (0.5, 10)],
+        "A": [("B", "b"), ("10", "a"), (9, 10)],
+        "N": [(0, 9), (1, 10), (9, 9)],
+        "M": [(0, 10), (9, 10)],
+        "D": [(0.5, 10.0), (0.5, 0.5)],
+        "L": [("A", "B"), ("a", "b")],
+        "X": [("a", "b")],
+    }
+    for field, pool in range_bounds.items():
+        for lo, hi in pool:
+            for lo_op, hi_op in ((">=", "<="), (">", "<"), (">=", "<")):
+                cases.append(("range", field, lo_op, lo, hi_op, hi))
     return cases
 
 
@@ -404,6 +482,17 @@ LEAF_ST = st.one_of(
     st.tuples(st.just("fcmp"),
               st.sampled_from(["==", "!=", "<", ">", "<=", ">="]),
               st.sampled_from(["S", "A"]), st.sampled_from(["S2"])),
+    # BOUNDED ranges (r8): string, numeric, and numeric-coercion bounds
+    st.tuples(st.just("range"), st.sampled_from(["S", "A", "L", "X"]),
+              st.sampled_from([">=", ">"]), st.sampled_from(STR_POOL),
+              st.sampled_from(["<=", "<"]), st.sampled_from(STR_POOL)),
+    st.tuples(st.just("range"), st.sampled_from(["N", "M", "D"]),
+              st.sampled_from([">=", ">"]), st.sampled_from(NUM_POOL),
+              st.sampled_from(["<=", "<"]), st.sampled_from(NUM_POOL)),
+    st.tuples(st.just("range"), st.sampled_from(["S", "A"]),
+              st.sampled_from([">=", ">"]), st.sampled_from(NUM_POOL),
+              st.sampled_from(["<=", "<"]),
+              st.sampled_from(NUM_POOL + DBL_POOL)),
 )
 
 TREE_ST = st.recursive(
