@@ -30,7 +30,13 @@ class VisibilityParseError(ValueError):
     pass
 
 
-_TOK = re.compile(r"\s*(?:(?P<op>[&|()])|(?P<label>[A-Za-z0-9_.:-]+|\"[^\"]*\"))")
+# unquoted label charset per Accumulo's ColumnVisibility (alphanumeric
+# plus _ - : . /); anything else must be quoted, where \" and \\
+# escape (visibility-referee r8: '/' was missing, so a stored
+# 'org/team' label failed to parse and fail-closed DROPPED the row
+# where Accumulo evaluates it)
+_TOK = re.compile(
+    r"\s*(?:(?P<op>[&|()])|(?P<label>[A-Za-z0-9_.:/-]+|\"(?:\\.|[^\"\\])*\"))")
 
 
 def _tokens(expr: str):
@@ -90,7 +96,12 @@ def evaluate(expr: str | None, auths: set[str]) -> bool:
             return v
         if t in ("&", "|", ")", None):
             raise VisibilityParseError(f"unexpected {t!r} in {expr!r}")
-        label = t[1:-1] if t.startswith('"') else t
+        if t.startswith('"'):
+            # unescape \" and \\ inside the quoted term (Accumulo's
+            # quoted-term escape rules)
+            label = re.sub(r'\\(["\\])', r"\1", t[1:-1])
+        else:
+            label = t
         return label in auths
 
     result = parse_expr()
