@@ -87,19 +87,36 @@ class ListNormalizer(Normalizer):
         # its trim-string argument and silently not trim
         parts = F.transform(F.split(c.cast("string"), self.delimiter),
                             lambda e: F.trim(e))
-        return F.transform(F.filter(parts, lambda e: e != ""),
-                           self.element.col)
+        # drop elements that FAIL element normalization (NULL out of
+        # try_cast): the reference's per-value ingest normalize drops
+        # the failing value and keeps the rest (error counter), so
+        # '1;x;3' stores [1.0, 3.0] — not a NULL hole in the array
+        # (list-normalizer parity, r8)
+        return F.filter(
+            F.transform(F.filter(parts, lambda e: e != ""),
+                        self.element.col),
+            lambda e: e.isNotNull())
 
     def normalize_to_many(self, value: Any) -> list:
         """Python-side fan-out (normalizeToMany parity) — the ingest
-        helper's per-value expansion for driver-side metadata."""
+        helper's per-value expansion for driver-side metadata.  An
+        element that fails the element normalizer is DROPPED, the rest
+        kept (the reference's per-value ingest normalize error-counts
+        and continues — list-normalizer parity, r8; matches the
+        column side's null-filter)."""
         if value is None:
             return []
         import re as _re
-        return [self.element.normalize_literal(p)
-                for p in (s.strip()
-                          for s in _re.split(self.delimiter, str(value)))
-                if p != ""]
+        out = []
+        for p in (s.strip()
+                  for s in _re.split(self.delimiter, str(value))):
+            if p == "":
+                continue
+            try:
+                out.append(self.element.normalize_literal(p))
+            except (ValueError, TypeError):
+                continue
+        return out
 
 
 def _lc_no_diacritics_py(v: Any) -> str:

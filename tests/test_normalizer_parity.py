@@ -90,6 +90,40 @@ def test_malformed_rejected_both_ways(spark, name):
             norm.normalize_literal(v)
 
 
+LIST_POOLS = {
+    "list": ["a;b", " a , b ", "x", "", ";;", "a;;b", "A,B"],
+    "lcNoDiacriticsList": ["Café;NAÏVE", "A,b", " X ; y "],
+    # '1;x;3': the failing element drops, the REST survive (the
+    # reference's per-value ingest normalize error-counts and
+    # continues) — the r8 sweep found the column side keeping a NULL
+    # hole and the python side raising away the whole value
+    "numberList": ["1;2.5", " 10 , 020 ", "1;x;3", "abc", "1e2"],
+}
+
+
+@pytest.mark.parametrize("name", sorted(LIST_POOLS))
+def test_list_normalizers_two_sided(spark, name):
+    norm = NORMALIZERS[name]
+    pool = LIST_POOLS[name]
+    df = spark.createDataFrame([(v,) for v in pool], "v string")
+    col_out = {r.v: r.o for r in
+               df.select("v", norm.col(F.col("v"))
+                         .cast("array<string>").alias("o")).collect()}
+    bad = []
+    for v in pool:
+        py = [str(x) for x in norm.normalize_to_many(v)]
+        c = list(col_out[v] or [])
+        if py != c:
+            if name == "numberList" and len(py) == len(c):
+                try:
+                    if all(float(a) == float(b) for a, b in zip(py, c)):
+                        continue
+                except (TypeError, ValueError):
+                    pass
+            bad.append((v, py, c))
+    assert not bad, bad
+
+
 def test_indexed_date_field_round_trip(spark):
     """The bug that motivated this referee: equality + range on a
     date-normalized field must work via the index path (no re-eval)
