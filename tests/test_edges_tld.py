@@ -169,3 +169,49 @@ class TestDatedEdges:
             ("1", "ACTIVITY_ONLY", "2024-01-05"),
             ("3", "EVENT_ONLY", "2024-01-06"),
         }
+
+
+class TestTldReferee:
+    """r8 referee: tld_rollup / ancestors_match vs a python family /
+    ancestor-chain evaluator over random dotted hierarchies (the
+    TLDQueryIterator and AncestorQueryLogic contracts, by
+    construction)."""
+
+    def test_random_hierarchies(self, spark):
+        import random
+        rng = random.Random(31)
+        from datawave_spark.operators.tld import (ancestors_match,
+                                                  tld_rollup)
+        for trial in range(4):
+            rows = []
+            for f in range(rng.randint(3, 8)):
+                tld = f"h{f}.x.y"
+                rows.append((tld, rng.choice(["a", "b", "c"])))
+                for c in range(rng.randint(0, 4)):
+                    child = f"{tld}.{c + 1}"
+                    rows.append((child, rng.choice(["a", "b", "c"])))
+                    for g in range(rng.randint(0, 2)):
+                        rows.append((f"{child}.{g + 1}",
+                                     rng.choice(["a", "b", "c"])))
+            df = spark.createDataFrame(rows, "uid string, tag string")
+            val = rng.choice(["a", "b"])
+            q = f"TAG == '{val}'"
+
+            def fam(u):
+                return ".".join(u.split(".")[:3])
+
+            match = {u for u, t in rows if t == val}
+            fams = {fam(u) for u in match}
+            want_r = sorted(u for u, _ in rows if fam(u) in fams)
+
+            def ancs(u):
+                segs = u.split(".")
+                return {".".join(segs[:i])
+                        for i in range(3, len(segs) + 1)}
+
+            want_a = sorted(u for u, _ in rows if ancs(u) & match)
+            got_r = sorted(r.uid for r in tld_rollup(df, q).collect())
+            got_a = sorted(r.uid for r in
+                           ancestors_match(df, q).collect())
+            assert got_r == want_r, (trial, val)
+            assert got_a == want_a, (trial, val)
