@@ -83,6 +83,11 @@ def _phrase_match(offsets_of, terms: list[str]) -> Column:
         else:
             step = (lambda prev: lambda p: F.exists(
                 prev, lambda q: (q <= p) & (p <= q + 1)))(reach)
+        if i == len(terms) - 1:
+            # last term: the reachable SET is never consumed — an
+            # EXISTS short-circuits where filter+size materializes
+            # the array (bench r8)
+            return F.coalesce(F.exists(off_i, step), F.lit(False))
         reach = F.filter(off_i, step)
     return F.size(reach) > 0
 
@@ -100,6 +105,15 @@ def _within_match(offsets_of, terms: list[str], dist: int) -> Column:
     mult = Counter(t.lower() for t in terms)
     per_term = {t: offsets_of(t) for t in mult}
     cols = list(per_term.values())
+    if len(mult) == 2 and set(mult.values()) == {1}:
+        # two DISTINCT terms: ∃ selection spanning ≤ dist ⇔ some pair
+        # is within dist — direct pairwise EXISTS, no anchor array
+        # build (bench r8; equivalent to the window form for k=2)
+        o1, o2 = cols
+        return F.coalesce(
+            F.exists(o1, lambda a: F.exists(
+                o2, lambda b: (a - b <= dist) & (b - a <= dist))),
+            F.lit(False))
     anchors = F.array_distinct(cols[0] if len(cols) == 1
                                else F.concat(*cols))
 

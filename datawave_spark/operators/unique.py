@@ -37,13 +37,24 @@ _FMT = {
 }
 
 
-def _unique_key(field: str, granularity: str) -> Column:
+def _unique_key(field: str, granularity: str,
+                temporal: bool = False) -> Column:
+    """``temporal=True``: the column is already timestamp/date-typed —
+    skip the string round-trip + parse-fallback (a typed temporal
+    value always "parses"; bench r8: 2x on the unique keys from
+    try_to_timestamp(cast(ts AS string)))."""
     g = granularity.upper()
     raw = F.col(field)
     if g == "ALL":
         return raw
-    orig = raw.cast("string")
-    ts = F.try_to_timestamp(orig)
+    if temporal:
+        ts = raw.cast("timestamp")
+        orig = None       # a typed temporal value always "parses":
+        #                   NULL raw → NULL key either way, so the
+        #                   pass-through branch is dead (bench r8)
+    else:
+        orig = raw.cast("string")
+        ts = F.try_to_timestamp(orig)
     if g == "DAY_OF_WEEK":
         key = F.dayofweek(ts).cast("string")   # engine extension
     elif g == "HOUR_OF_DAY":
@@ -66,7 +77,14 @@ def _unique_key(field: str, granularity: str) -> Column:
         if fmt is None:
             raise ValueError(f"unknown #UNIQUE granularity {granularity!r}")
         key = F.date_format(ts, fmt)
+    if orig is None:
+        return key
     return F.when(ts.isNotNull(), key).otherwise(orig)
+
+
+def _is_temporal(df: DataFrame, field: str) -> bool:
+    t = dict(df.dtypes).get(field, "")
+    return t in ("date",) or t.startswith("timestamp")
 
 
 def unique(df: DataFrame, fields: dict[str, str],
@@ -83,7 +101,8 @@ def unique(df: DataFrame, fields: dict[str, str],
     key_cols = []
     for i, (field, gran) in enumerate(fields.items()):
         kc = f"__uniq_{i}"
-        keyed = keyed.withColumn(kc, _unique_key(field, gran))
+        keyed = keyed.withColumn(
+            kc, _unique_key(field, gran, _is_temporal(df, field)))
         key_cols.append(kc)
     if most_recent_by is not None:
         order = [most_recent_by] if isinstance(most_recent_by, str) else list(most_recent_by)
@@ -99,5 +118,6 @@ def unique_tuples(df: DataFrame, fields: dict[str, str]) -> DataFrame:
     """The distinct key tuples themselves (what a #UNIQUE result page
     shows when only unique fields are projected): one row per distinct
     (truncated) tuple, column-per-field."""
-    cols = [_unique_key(f, g).alias(f) for f, g in fields.items()]
+    cols = [_unique_key(f, g, _is_temporal(df, f)).alias(f)
+            for f, g in fields.items()]
     return df.select(*cols).distinct()
