@@ -2731,6 +2731,31 @@ def q_lucene_global_agg(spark, sf_dir):
                          F.round("average_value", 4).alias("average_value"))
 
 
+@register("normalized_date_query", """
+SELECT event_id, day_s FROM (
+  SELECT event_id, CAST(CAST(ts AS DATE) AS VARCHAR) AS day_s FROM events
+) WHERE day_s >= '2024-01-05' AND day_s < '2024-01-08'
+""")
+def q_normalized_date(spark, sf_dir):
+    """date normalizer two-sided parity (r8 referee): a STRING field
+    typed 'date' canonicalises both the stored values (column side:
+    try_to_timestamp + the fixed-width canonical form) and the query
+    literals (python side) to the SAME 'yyyy-MM-dd HH:mm:ss.SSS'
+    strings, so a bounded range compares chronologically — the r8 fix
+    made an indexed/compared date field actually match its literals
+    ('2024-01-05' vs stored '2024-01-05 00:00:00').  The oracle states
+    the same window on the raw timestamp."""
+    ev = _t(spark, sf_dir, "events")
+    dated = ev.select("event_id",
+                      F.col("ts").cast("date").cast("string").alias("day_s"))
+    out = compile_query(
+        dated,
+        "((_Bounded_ = true) && (DAY_S >= '2024-01-05' && "
+        "DAY_S < '2024-01-08'))",
+        field_types={"DAY_S": "date"})
+    return out.select("event_id", "day_s")
+
+
 @register("normalized_lc_query", """
 SELECT doc_id, source FROM documents WHERE source = 'src7'
 """)

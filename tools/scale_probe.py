@@ -817,7 +817,8 @@ def main() -> None:
     # (VERDICT r7 #5): LSH pair generation, incremental LSH,
     # ExactSubstr, PageRank, standing-query push
     hundred_ops = {"lsh_pairs", "inc_lsh", "exsub", "pagerank", "push",
-                   "index_path", "content_within"}
+                   "index_path", "content_within",
+                   "simhash_pairs", "ssdeep_join", "bm25", "tokenize_tf"}
     hdr = f"{'op':14} {'1x':>7} {'10x':>8} {'ratio':>6}"
     if do_100x:
         hdr += f" {'100x':>9} {'r100':>6}"
