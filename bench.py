@@ -81,13 +81,19 @@ def main() -> None:
             pass
     spark.catalog.clearCache()
 
-    canary: list[float] = [_canary_sec(spark)]
+    # Canary every ~25 keys (round 9): three checkpoints were too
+    # coarse — the r8 driver run's mid-run load spike landed 62 raw >2x
+    # flags on one alphabet band and still needed judge arithmetic to
+    # clear.  With a checkpoint every 25 keys, each key's normalization
+    # is LOCAL (nearest checkpoint by index), so a loaded-host run
+    # self-clears mechanically (BASELINE.md "Canary normalization").
+    CANARY_EVERY = 25
+    canaries: list[list] = []
     timings: dict[str, float] = {}
     ordered = sorted(queries.items())
-    midpoint = len(ordered) // 2
     for idx, (name, fn) in enumerate(ordered):
-        if idx == midpoint:
-            canary.append(_canary_sec(spark))
+        if idx % CANARY_EVERY == 0:
+            canaries.append([idx, _canary_sec(spark)])
         runs: list[float] = []
         for _ in range(REPEATS):
             # Cached frames persisted inside earlier queries otherwise
@@ -115,7 +121,12 @@ def main() -> None:
                 break
         timings[name] = round(statistics.median(runs), 4) if runs else -1.0
 
-    canary.append(_canary_sec(spark))
+    canaries.append([len(ordered), _canary_sec(spark)])
+    # legacy [start, middle, end] triple, derived from the dense series
+    # (readers of the r8 rule keep working)
+    mid_idx = min(range(len(canaries)),
+                  key=lambda i: abs(canaries[i][0] - len(ordered) // 2))
+    canary = [canaries[0][1], canaries[mid_idx][1], canaries[-1][1]]
 
     ok = [v for v in timings.values() if v >= 0]
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
@@ -131,6 +142,10 @@ def main() -> None:
         # see BASELINE.md "Canary normalization" for the adjudication
         # rule (per-key ratio divided by canary ratio vs the floor run).
         "canary": canary,
+        # dense checkpoint series [(key index, sec), ...], every ~25
+        # keys (round 9) — per-key normalization uses the NEAREST
+        # checkpoint by index, so load spikes clear locally.
+        "canaries": canaries,
         "canary_plan": "count(*) over events.parquet, median-of-3",
     }
     # The driver keeps only the tail of stdout; persist the full

@@ -158,6 +158,16 @@ def _element_type(dtype: T.DataType) -> T.DataType:
 
 def _typed_literal(value: Any, norm: Normalizer, elem_type: T.DataType) -> Column:
     v = norm.normalize_literal(value)
+    if isinstance(elem_type, (T.TimestampType, T.TimestampNTZType,
+                              T.DateType)):
+        # A query literal Spark's cast cannot parse must be a non-match,
+        # not an ANSI CAST_INVALID_INPUT abort of the whole scan at
+        # constant folding ('TS == "not-a-date"' — the r8 stored-value
+        # sweep's bug class, on the LITERAL side; found by the r9
+        # lenient-fields tests).  try_cast keeps Spark's exact
+        # string→datetime acceptance, folds to NULL on failure, and a
+        # NULL-literal comparison totalizes to false.
+        return F.lit(str(v)).try_cast(elem_type)
     if isinstance(elem_type, (T.DoubleType, T.FloatType, T.DecimalType,
                               T.LongType, T.IntegerType, T.ShortType)):
         # RAISE on an unparseable literal (the caller turns it into

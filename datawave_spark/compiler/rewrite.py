@@ -180,8 +180,12 @@ class QueryOptions:
     excerpt_fields: list[str] = dc_field(default_factory=list)
     limit_fields: dict[str, int] = dc_field(default_factory=dict)
     noexpansion: list[str] = dc_field(default_factory=list)  # fields exempt from model expansion
-    lenient: bool = False
-    strict: bool = False
+    # f:lenient('F1','F2',...) / f:strict(...) take FIELD LISTS
+    # (QueryOptionsFromQueryVisitor.java:40,258-266): lenient fields DROP
+    # terms whose literal fails normalization; strict fields force the
+    # raw term to evaluation (see apply_lenient_fields).
+    lenient: list[str] = dc_field(default_factory=list)
+    strict: list[str] = dc_field(default_factory=list)
     # f:options key/value pairs (Options.java / QueryFunctions
     # OPTIONS_FUNCTION) — free-form query parameters; recognized keys
     # are folded into the typed fields above, the rest kept here.
@@ -230,9 +234,9 @@ def extract_options(node: JexlNode) -> tuple[JexlNode, QueryOptions]:
             elif n.name == "noexpansion":
                 opts.noexpansion.extend(args)
             elif n.name == "lenient":
-                opts.lenient = True
+                opts.lenient.extend(args)
             elif n.name == "strict":
-                opts.strict = True
+                opts.strict.extend(args)
             elif n.name == "options":
                 # #OPTIONS key/value pairs; known keys map onto the
                 # typed option fields (the reference folds them into
@@ -305,6 +309,55 @@ def validate_thresholds(node: JexlNode, max_terms: int = 2500,
     d = depth(node)
     if d > max_depth:
         raise ThresholdExceeded(f"query depth {d} > maxDepthThreshold {max_depth}")
+
+
+def apply_lenient_fields(node: JexlNode, lenient: list[str],
+                         strict: list[str],
+                         fails) -> JexlNode:
+    """LENIENT / STRICT field semantics
+    (ExpandMultiNormalizedTerms.java:296-420 + QueryModelVisitor.java:
+    316-351): when a comparison's literal fails the field's
+    normalization,
+
+    - a LENIENT field's term is DROPPED — the reference replaces it
+      with a DroppedExpression marker whose body is truthy assignments
+      (DroppedExpression.java:70-82; JEXL assignments evaluate to the
+      assigned non-empty string), so the dropped term contributes TRUE:
+      it vanishes from an AND, and an OR containing it matches;
+    - a STRICT field keeps the original raw term evaluation-only
+      (:394-399).  Our compiler's cannot-match FALSE is equivalent over
+      typed storage: a stored value that fails the same normalization
+      is NULL col-side (try_cast) and never matches the raw literal —
+      so strict terms are left untouched;
+    - a field marked BOTH gets neither (the reference warns and applies
+      neither, :303-307) — also left untouched.
+
+    ``fails(field_name, op, value) -> bool`` is the compile-side
+    normalization check (the planner binds it to the same
+    ``_typed_literal`` path ``compile_cmp`` uses, so pass and compiler
+    cannot drift)."""
+    len_set = {f.upper() for f in lenient}
+    both = len_set & {f.upper() for f in strict}
+    len_set -= both
+
+    def walk(n: JexlNode) -> JexlNode:
+        if isinstance(n, CmpNode) and n.field.name.upper() in len_set \
+                and n.value.value is not None \
+                and fails(n.field.name, n.op, n.value.value):
+            return TRUE
+        if isinstance(n, RangeNode) and n.field.name.upper() in len_set \
+                and fails(n.field.name, ">=", n.lo.value) \
+                and fails(n.field.name, "<=", n.hi.value):
+            return TRUE
+        if isinstance(n, (AndNode, OrNode)):
+            return type(n)(tuple(walk(t) for t in n.terms))
+        if isinstance(n, NotNode):
+            return NotNode(walk(n.term))
+        return n
+
+    if not len_set:
+        return node
+    return prune(walk(node))
 
 
 def whindex(node: JexlNode, mappings: dict[tuple[str, object], str]) -> JexlNode:

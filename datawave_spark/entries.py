@@ -6310,3 +6310,344 @@ def q_nyctlc_ingest(spark, sf_dir):
         .alias("all_points_geo"),
         F.round(F.col("TOTAL_AMOUNT_INDEXED").cast("double"), 4)
         .alias("total_amount_idx"))
+
+
+# ------------------------------------------------- round 9: gate keys for the
+# ------------------------------------------------- last unit-only functions
+
+@register("geowave_covers_data", """
+SELECT event_id FROM events
+WHERE (event_id % 360 - 180) - (1 + event_id % 3) <= 9.5
+  AND (event_id % 360 - 180) + (1 + event_id % 3) >= 10.5
+  AND (user_id % 160 - 80) - (1 + user_id % 2) <= -0.5
+  AND (user_id % 160 - 80) + (1 + user_id % 2) >= 0.5
+""")
+def q_geowave_covers_data(spark, sf_dir):
+    """geowave:covers AND geowave:contains over WKT polygon DATA
+    (GeoWaveFunctions.java:137 contains, :206 covers): each event
+    carries an axis-aligned rectangle; the tiny query rectangle sits at
+    half-integer offsets so no data vertex ever lies ON the query
+    boundary — contains and covers coincide (they differ only on
+    boundary contact) and both reduce to bbox-containment interval
+    arithmetic for the oracle.  The conjunction drives BOTH ops through
+    the vectorized polygon-batch path (polygon_rows_predicate)."""
+    ev = _t(spark, sf_dir, "events")
+    cx = (F.col("event_id") % 360 - 180).cast("int")
+    cy = (F.col("user_id") % 160 - 80).cast("int")
+    w = (1 + F.col("event_id") % 3).cast("int")
+    h = (1 + F.col("user_id") % 2).cast("int")
+    wkt = F.format_string(
+        "POLYGON((%d %d, %d %d, %d %d, %d %d, %d %d))",
+        cx - w, cy - h, cx + w, cy - h, cx + w, cy + h, cx - w, cy + h,
+        cx - w, cy - h)
+    ev = ev.withColumn("GEOM", wkt)
+    q_wkt = "POLYGON((9.5 -0.5, 10.5 -0.5, 10.5 0.5, 9.5 0.5, 9.5 -0.5))"
+    q = (f"geowave:covers(GEOM, '{q_wkt}') && "
+         f"geowave:contains(GEOM, '{q_wkt}')")
+    return compile_query(ev, q).select("event_id")
+
+
+@register("geowave_within_data", """
+SELECT event_id FROM events
+WHERE (event_id % 360 - 180) - (1 + event_id % 3) >= -30.5
+  AND (event_id % 360 - 180) + (1 + event_id % 3) <= 40.5
+  AND (user_id % 160 - 80) - (1 + user_id % 2) >= -20.5
+  AND (user_id % 160 - 80) + (1 + user_id % 2) <= 35.5
+""")
+def q_geowave_within_data(spark, sf_dir):
+    """geowave:within AND geowave:covered_by over WKT polygon data
+    (GeoWaveFunctions.java:335 within, :223 covered_by): the data
+    rectangle must lie inside the query rectangle.  Half-integer query
+    bounds guarantee no boundary contact, where within (interior-only)
+    and covered_by (boundary allowed) would diverge — off-boundary the
+    two are equal and reduce to bbox containment the other way."""
+    ev = _t(spark, sf_dir, "events")
+    cx = (F.col("event_id") % 360 - 180).cast("int")
+    cy = (F.col("user_id") % 160 - 80).cast("int")
+    w = (1 + F.col("event_id") % 3).cast("int")
+    h = (1 + F.col("user_id") % 2).cast("int")
+    wkt = F.format_string(
+        "POLYGON((%d %d, %d %d, %d %d, %d %d, %d %d))",
+        cx - w, cy - h, cx + w, cy - h, cx + w, cy + h, cx - w, cy + h,
+        cx - w, cy - h)
+    ev = ev.withColumn("GEOM", wkt)
+    q_wkt = ("POLYGON((-30.5 -20.5, 40.5 -20.5, 40.5 35.5, "
+             "-30.5 35.5, -30.5 -20.5))")
+    q = (f"geowave:within(GEOM, '{q_wkt}') && "
+         f"geowave:covered_by(GEOM, '{q_wkt}')")
+    return compile_query(ev, q).select("event_id")
+
+
+@register("geowave_overlaps_data", """
+WITH r AS (
+  SELECT event_id,
+         (event_id % 360 - 180) - (1 + event_id % 3) AS dminx,
+         (event_id % 360 - 180) + (1 + event_id % 3) AS dmaxx,
+         (user_id % 160 - 80) - (1 + user_id % 2) AS dminy,
+         (user_id % 160 - 80) + (1 + user_id % 2) AS dmaxy
+  FROM events)
+SELECT event_id FROM r
+WHERE dminx <= 20.5 AND dmaxx >= -10.5 AND dminy <= 20.5 AND dmaxy >= -10.5
+  AND NOT (dminx <= -10.5 AND dmaxx >= 20.5
+           AND dminy <= -10.5 AND dmaxy >= 20.5)
+  AND NOT (dminx >= -10.5 AND dmaxx <= 20.5
+           AND dminy >= -10.5 AND dmaxy <= 20.5)
+""")
+def q_geowave_overlaps_data(spark, sf_dir):
+    """geowave:overlaps over WKT polygon data (GeoWaveFunctions.java:240
+    — JTS overlaps: interiors intersect but neither covers the other).
+    For axis-aligned rectangles with no boundary ties this is exactly
+    bbox-intersect minus both containment directions, which the oracle
+    states as interval arithmetic."""
+    ev = _t(spark, sf_dir, "events")
+    cx = (F.col("event_id") % 360 - 180).cast("int")
+    cy = (F.col("user_id") % 160 - 80).cast("int")
+    w = (1 + F.col("event_id") % 3).cast("int")
+    h = (1 + F.col("user_id") % 2).cast("int")
+    wkt = F.format_string(
+        "POLYGON((%d %d, %d %d, %d %d, %d %d, %d %d))",
+        cx - w, cy - h, cx + w, cy - h, cx + w, cy + h, cx - w, cy + h,
+        cx - w, cy - h)
+    ev = ev.withColumn("GEOM", wkt)
+    q = ("geowave:overlaps(GEOM, 'POLYGON((-10.5 -10.5, 20.5 -10.5, "
+         "20.5 20.5, -10.5 20.5, -10.5 -10.5))')")
+    return compile_query(ev, q).select("event_id")
+
+
+@register("geowave_crosses_line", """
+WITH s AS (
+  SELECT event_id,
+         event_id % 100 - 50 AS x,
+         user_id % 60 - 30 AS ya,
+         user_id % 60 - 30 + 1 + event_id % 7 AS yb
+  FROM events)
+SELECT event_id FROM s
+WHERE x > -20.5 AND x < 30.5 AND (
+      (ya < -10.5 AND yb > -10.5) OR (ya < 10.5 AND yb > 10.5)
+      OR ((ya > -10.5 AND ya < 10.5) <> (yb > -10.5 AND yb < 10.5)))
+""")
+def q_geowave_crosses_line(spark, sf_dir):
+    """geowave:crosses with LINESTRING data vs a polygon query
+    (GeoWaveFunctions.java:189 — JTS line/area crosses: the line has
+    points in the polygon's interior AND exterior).  Data is a vertical
+    segment at integer coordinates; the query rectangle sits at
+    half-integer bounds, so there is no boundary contact and crosses
+    reduces to 'strictly enters through a horizontal edge or has
+    exactly one endpoint inside' — plain interval arithmetic for the
+    oracle.  A vertical segment is parallel to the rectangle's vertical
+    edges, so those can never contribute a proper crossing."""
+    ev = _t(spark, sf_dir, "events")
+    x = (F.col("event_id") % 100 - 50).cast("int")
+    ya = (F.col("user_id") % 60 - 30).cast("int")
+    yb = (ya + 1 + F.col("event_id") % 7).cast("int")
+    ev = ev.withColumn(
+        "TRACK", F.format_string("LINESTRING (%d %d, %d %d)", x, ya, x, yb))
+    q = ("geowave:crosses(TRACK, 'POLYGON((-20.5 -10.5, 30.5 -10.5, "
+         "30.5 10.5, -20.5 10.5, -20.5 -10.5))')")
+    return compile_query(ev, q).select("event_id")
+
+
+@register("filter_get_all_matches", """
+SELECT event_id FROM events
+WHERE regexp_full_match(event_type, 'c.*k')
+   OR regexp_full_match(props, 'c.*k')
+""")
+def q_filter_get_all_matches(spark, sf_dir):
+    """filter:getAllMatches as a predicate term
+    (EvaluationPhaseFilterFunctions.getAllMatches:343 — returns the SET
+    of values fully matching the regex; a JEXL collection is truthy iff
+    non-empty, so the boolean compilation coincides with includeRegex
+    over the multi-valued field)."""
+    ev = _t(spark, sf_dir, "events")
+    df = ev.withColumn("TAGS", F.array("event_type", "props"))
+    return compile_query(df, "filter:getAllMatches(TAGS, 'c.*k')") \
+        .select("event_id")
+
+
+@register("filter_is_null", """
+SELECT event_id, event_type FROM events WHERE event_type = 'error'
+""")
+def q_filter_is_null(spark, sf_dir):
+    """filter:isNull (EvaluationPhaseFilterFunctions.isNull:164 — the
+    field is absent or has no values).  The fixture NULLs PROPS on
+    error events, so isNull(OPT) selects exactly those rows."""
+    ev = _t(spark, sf_dir, "events")
+    df = ev.withColumn(
+        "OPT", F.when(F.col("event_type") != "error", F.col("props")))
+    return compile_query(df, "filter:isNull(OPT)") \
+        .select("event_id", "event_type")
+
+
+@register("filter_max_min_time", """
+SELECT event_id,
+       greatest(CAST(epoch_ms(date_trunc('day', ts)) AS BIGINT),
+                CAST(epoch_ms(TIMESTAMP '2024-01-10 12:00:00') AS BIGINT),
+                CAST(epoch_ms(date_trunc('second', ts) + INTERVAL 1 SECOND)
+                     AS BIGINT)) AS max_t,
+       least(CAST(epoch_ms(date_trunc('day', ts)) AS BIGINT),
+             CAST(epoch_ms(TIMESTAMP '2024-01-10 12:00:00') AS BIGINT),
+             CAST(epoch_ms(date_trunc('second', ts) + INTERVAL 1 SECOND)
+                  AS BIGINT)) AS min_t
+FROM events WHERE ts IS NOT NULL
+""")
+def q_filter_max_min_time(spark, sf_dir):
+    """filter:getMaxTime / getMinTime
+    (EvaluationPhaseFilterFunctions.getMaxTime:1447, getMinTime:1465)
+    over the same mixed-format date-string array as
+    filter_max_min_value (compact yyyyMMdd, a fixed mid-day literal, a
+    full-seconds stamp) — the accessors return epoch-millis of the
+    extreme PARSED time, exercising the known-format parse chain on
+    every element."""
+    from datawave_spark.compiler import CompileContext
+    from datawave_spark.functions.filter_functions import (
+        f_get_max_time, f_get_min_time)
+    from datawave_spark.jexl.ast import Identifier
+    ev = _t(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
+    df = ev.withColumn("D", F.array(
+        F.date_format("ts", "yyyyMMdd"),
+        F.lit("2024-01-10 12:00:00"),
+        F.date_format(F.col("ts") + F.expr("INTERVAL 1 SECOND"),
+                      "yyyy-MM-dd HH:mm:ss")))
+    ctx = CompileContext.for_dataframe(df)
+    return df.select(
+        "event_id",
+        f_get_max_time(ctx, [Identifier("D")]).alias("max_t"),
+        f_get_min_time(ctx, [Identifier("D")]).alias("min_t"))
+
+
+@register("f_include_text", """
+SELECT event_id FROM events
+WHERE user_id % 2 = 0 AND event_type = 'click'
+""")
+def q_f_include_text(spark, sf_dir):
+    """f:includeText (QueryFunctions.includeText:219) — equality against
+    the RAW value, bypassing the field's normalizer.  MIXED upper-cases
+    the first letter on even user_ids and is declared lcNoDiacritics:
+    normalized equality (MIXED == 'Click') would match every click row,
+    but includeText matches only the rows whose RAW value is exactly
+    'Click' — the discriminating half of the contract."""
+    ev = _t(spark, sf_dir, "events")
+    df = ev.withColumn(
+        "MIXED",
+        F.when(F.col("user_id") % 2 == 0,
+               F.concat(F.upper(F.substring("event_type", 1, 1)),
+                        F.expr("substring(event_type, 2)")))
+        .otherwise(F.col("event_type")))
+    out = compile_query(df, "f:includeText(MIXED, 'Click')",
+                        field_types={"MIXED": "lcNoDiacritics"})
+    return out.select("event_id")
+
+
+@register("grouping_atom_values_match", """
+SELECT event_id FROM events
+WHERE event_type = 'click' OR user_id % 5 = user_id % 3
+""")
+def q_grouping_atom_values_match(spark, sf_dir):
+    """grouping:atomValuesMatch
+    (GroupingRequiredFilterFunctions.atomValuesMatch:352 — two fields
+    share a value within the SAME sibling group, compared
+    case-insensitively).  Group 1 pairs the event type with the literal
+    'CLICK' (matches iff the type is click, case-folded); group 2 pairs
+    u<user_id%5> with u<user_id%3> (matches iff the residues agree) —
+    the oracle is the disjunction of the per-group conditions."""
+    ev = _t(spark, sf_dir, "events")
+    df = ev.withColumn("ITEMS", F.array(
+        F.struct(F.col("event_type").alias("A"), F.lit("CLICK").alias("B")),
+        F.struct(
+            F.concat(F.lit("u"), (F.col("user_id") % 5).cast("string"))
+            .alias("A"),
+            F.concat(F.lit("u"), (F.col("user_id") % 3).cast("string"))
+            .alias("B"))))
+    return compile_query(df, "grouping:atomValuesMatch(A, B)") \
+        .select("event_id")
+
+
+@register("lucene_lenient", """
+SELECT event_id, event_type FROM events WHERE event_type = 'click'
+""")
+def q_lucene_lenient(spark, sf_dir):
+    """#LENIENT(FIELD) behavior end-to-end
+    (QueryOptionsFromQueryVisitor.java:40 f:lenient takes a field list;
+    ExpandMultiNormalizedTerms.java:402-408 drops a lenient field's term
+    when its literal fails normalization — DroppedExpression): VALUE is
+    a double column, so VALUE:abc is unsatisfiable by default (the
+    whole AND returns nothing); marked lenient, the failing term drops
+    and the query returns every click row."""
+    from datawave_spark.plans.planner import QueryPlanner
+    ev = _t(spark, sf_dir, "events")
+    res = QueryPlanner(ev).plan(
+        "EVENT_TYPE:click AND VALUE:abc #LENIENT(VALUE)", syntax="LUCENE")
+    return res.df.select("event_id", "event_type")
+
+
+@register("lucene_noexpansion", """
+SELECT event_id FROM events WHERE event_type = 'click'
+""")
+def q_lucene_noexpansion(spark, sf_dir):
+    """#NOEXPANSION(FIELD) behavior end-to-end
+    (QueryOptionsFromQueryVisitor.java:58-64): the query model expands
+    EVENT_TYPE to (EVENT_TYPE OR PROPS) — noexpansion pins the listed
+    field to its literal column, so only event_type matches (the
+    expanded query would also admit props = 'click' rows)."""
+    from datawave_spark.plans.planner import QueryPlanner
+    ev = _t(spark, sf_dir, "events")
+    planner = QueryPlanner(ev, model={"EVENT_TYPE": ["EVENT_TYPE", "PROPS"]})
+    res = planner.plan("EVENT_TYPE:click #NOEXPANSION(EVENT_TYPE)",
+                       syntax="LUCENE")
+    return res.df.select("event_id")
+
+
+@register("whindex_query", """
+SELECT event_id FROM events WHERE event_type = 'click'
+""")
+def q_whindex_query(spark, sf_dir):
+    """Whindex value-specific field remapping through the planner
+    (WhindexVisitor, DefaultQueryPlanner.java:1384, visitors/whindex/):
+    the generic LOCATION field queried with the configured value
+    'click' remaps to the value-specific CLICK_LOCATION field — the
+    fixture puts 'click' values in BOTH columns on different rows, so
+    an un-remapped query would return the user_id%3 rows instead of
+    the event_type rows the oracle selects."""
+    from datawave_spark.plans.planner import QueryPlanner
+    ev = _t(spark, sf_dir, "events")
+    df = ev.withColumn(
+        "LOCATION",
+        F.when(F.col("user_id") % 3 == 0, F.lit("click"))
+        .otherwise(F.lit("elsewhere"))) \
+        .withColumn("CLICK_LOCATION", F.col("event_type"))
+    planner = QueryPlanner(
+        df, whindex_mappings={("LOCATION", "click"): "CLICK_LOCATION"})
+    return planner.plan("LOCATION == 'click'").df.select("event_id")
+
+
+@register("grouped_ingest_query", """
+SELECT event_id FROM events
+WHERE (lower(event_type) = 'click' AND CAST(user_id AS VARCHAR) = '3')
+   OR CAST(user_id % 5 AS VARCHAR) = '3'
+""")
+def q_grouped_ingest_query(spark, sf_dir):
+    """Flat reference-style grouped field names ingested into sibling
+    structs, then queried (SimpleGroupFieldNameParser.java:31-50 name
+    splitting; GroupingRequiredFilterFunctions.java:141 context = last
+    dot component): each event lands as a multimap with two sibling
+    groups — NAME/OWNER under contexts PERSON_1.0 and PERSON_1.1 plus
+    an ungrouped decoy field — and ``group_structs`` re-associates them
+    entirely with higher-order column functions (zero shuffle, pinned
+    in tests/test_grouped_fields.py) before grouping:matchesInGroup
+    evaluates the same disjunction as grouping_matches_in_group."""
+    from datawave_spark.sources.grouped_fields import group_structs
+    ev = _t(spark, sf_dir, "events")
+    fields = F.array(
+        F.struct(F.lit("NAME.PERSON_1.0").alias("name"),
+                 F.col("event_type").alias("value")),
+        F.struct(F.lit("OWNER.PERSON_1.0").alias("name"),
+                 F.col("user_id").cast("string").alias("value")),
+        F.struct(F.lit("NAME.PERSON_1.1").alias("name"),
+                 F.lit("click").alias("value")),
+        F.struct(F.lit("OWNER.PERSON_1.1").alias("name"),
+                 (F.col("user_id") % 5).cast("string").alias("value")),
+        F.struct(F.lit("COLOR").alias("name"), F.lit("red").alias("value")))
+    df = group_structs(ev.withColumn("fields", fields), "fields",
+                       ["NAME", "OWNER"], "ITEMS")
+    out = compile_query(df, "grouping:matchesInGroup(NAME, 'click', OWNER, 3)")
+    return out.select("event_id")

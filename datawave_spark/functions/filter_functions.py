@@ -562,20 +562,34 @@ def f_time_function(ctx: CompileContext, args):
     equality = str(_lit(args[3]))
     goal = int(_lit(args[4]))
 
-    def _side(field, agg):
+    def _side(field, pick):
         # NULL elements are ABSENCE (the reference's FunctionalSet holds
-        # only actual values), so the every-value-parses check compares
-        # non-null parsed count against non-null RAW count — a null
-        # element must not read as a parse failure (review r8).
+        # only actual values), so only non-null raw values are parsed —
+        # a null element must not read as a parse failure (review r8).
+        # ONE aggregate pass folds parse + all-parse check + extreme:
+        # the known-format parse chain is the expensive expression here
+        # and lambda subexpressions get no CSE, so referencing the
+        # parsed array from both the check and the aggregate re-derived
+        # it per side (r9 perf pass; semantics pinned by
+        # test_filter_referee).
         vals = F.filter(field_values(ctx, field),
                         lambda v: v.isNotNull())
-        parsed = F.transform(vals, lambda v: F.unix_millis(_ts(v, None)))
-        all_ok = (F.size(F.filter(parsed, lambda t: t.isNotNull()))
-                  == F.size(vals))
-        return F.when(all_ok, agg(parsed))  # NULL ⇒ false via coalesce
+        acc0 = F.struct(F.lit(True).alias("ok"),
+                        F.lit(None).cast("long").alias("t"))
+        res = F.aggregate(
+            F.transform(vals, lambda v: F.unix_millis(_ts(v, None))),
+            acc0,
+            lambda a, t: F.struct(
+                (a["ok"] & t.isNotNull()).alias("ok"),
+                # greatest/least skip NULLs, so the running extreme
+                # seeds cleanly from the NULL initial accumulator
+                pick(a["t"], t).alias("t")))
+        # any unparseable value ⇒ NULL side ⇒ false, the reference's
+        # ParseException → non-match; empty side stays NULL too
+        return F.when(res["ok"], res["t"])
 
-    t1 = _side(f1, F.array_max)
-    t2 = _side(f2, F.array_min)
+    t1 = _side(f1, F.greatest)
+    t2 = _side(f2, F.least)
     calc = _java_long_op(t1, t2, operator)
     cmp = {">": calc > goal, "<": calc < goal, ">=": calc >= goal,
            "<=": calc <= goal, "==": calc == goal, "=": calc == goal,

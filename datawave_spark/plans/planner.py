@@ -251,6 +251,11 @@ class QueryPlanner:
             model = {k: v for k, v in model.items() if k.upper() not in skip}
         ctx = CompileContext.for_dataframe(
             src, field_types=self.field_types, model=model)
+        if opts.lenient:
+            from datawave_spark.compiler.rewrite import apply_lenient_fields
+            node = apply_lenient_fields(
+                node, opts.lenient, opts.strict,
+                lambda f, op, v: self._normalization_fails(ctx, f, op, v))
         out = src.filter(compile_node(node, ctx))
 
         # Post-transform chain — GroupingTransform / UniqueTransform /
@@ -300,6 +305,48 @@ class QueryPlanner:
             out = out.limit(cap)
 
         return QueryResult(df=out, options=opts, plan_string=str(node))
+
+    def _normalization_fails(self, ctx, field: str, op: str, value) -> bool:
+        """True when ``value`` fails the field's literal normalization —
+        the SAME ``_typed_literal`` path ``compile_cmp`` takes to its
+        cannot-match branch, so ``apply_lenient_fields`` and the
+        compiler agree by construction.  A model alias fails only when
+        EVERY concrete expansion fails (a partially-viable expansion
+        already keeps its good branches: failing ones compile FALSE and
+        Catalyst prunes them from the OR).  Regex terms never fail
+        (patterns only string-fold, never type-normalize)."""
+        from datawave_spark.compiler.columns import (
+            _element_type, _typed_literal, get_normalizer)
+        positive = {"!=": "==", "!~": "=~"}.get(op, op)
+        if positive == "=~":
+            return False
+        from pyspark.sql import types as T
+        fields = ctx.model.get(field.upper(), [field])
+        any_checked = False
+        for f in fields:
+            spec = ctx.resolve(f)
+            if spec is None:
+                continue
+            any_checked = True
+            et = _element_type(ctx.spark_type(spec))
+            norm = get_normalizer(spec.normalizer)
+            if isinstance(et, (T.TimestampType, T.TimestampNTZType,
+                               T.DateType)):
+                # datetime literals validate through Spark's own cast
+                # (one constant-folded row — a bounded plan-time check,
+                # like the reference's plan-time normalization)
+                row = self.df.sparkSession.range(1).select(
+                    F.lit(str(norm.normalize_literal(value)))
+                    .try_cast(et).alias("v")).first()
+                if row.v is not None:
+                    return False
+                continue
+            try:
+                _typed_literal(value, norm, et)
+                return False
+            except (ValueError, TypeError):
+                continue
+        return any_checked
 
     _LOAD_DATE_FNS = {"betweenLoadDates": "between",
                       "afterLoadDate": "after",
