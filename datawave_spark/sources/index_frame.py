@@ -245,7 +245,9 @@ def candidate_uids(index: DataFrame, node: JexlNode,
 def index_query(events: DataFrame, index: DataFrame, jexl: str,
                 id_col: str,
                 field_types: dict[str, str] | None = None,
-                fields: set[str] | None = None) -> DataFrame:
+                fields: set[str] | None = None,
+                shard_range: tuple | None = None,
+                date_col: str | None = None) -> DataFrame:
     """Full index-driven query: candidate uids from the index frame,
     then fetch + (re)evaluate against the events — the two-phase
     index-then-evaluate shape of QueryIterator, as one Catalyst plan.
@@ -254,10 +256,29 @@ def index_query(events: DataFrame, index: DataFrame, jexl: str,
     predicate re-evaluates over the fetched rows; a query with no
     index-servable conjunct falls back to the full predicate scan.
     ``fields``: pass the indexed-field set when known (ingest config /
-    cached metadata) to skip the per-plan distinct job."""
+    cached metadata) to skip the per-plan distinct job.
+
+    ``shard_range=(lo, hi)`` + ``date_col``: the query's begin/end
+    dates bound the SHARDS consulted (RangeStream.java:377-513 —
+    the reference never scans index rows outside the query's date
+    range).  The bound applies to the index's ``event_date`` column
+    AND to the events fetch via ``date_col``, keeping the uid universe
+    consistent for negations.  On an index stored hive-partitioned by
+    (field, event_date) — ``prepared``'s layout for the scale path —
+    this is literal partition pruning: the scan never opens
+    out-of-range files."""
     from datawave_spark.compiler import compile_query
     from datawave_spark.jexl.parser import parse
     node = parse(jexl)
+    if shard_range is not None:
+        if date_col is None:
+            raise ValueError("shard_range requires date_col (the events "
+                             "side must see the same bound as the index)")
+        lo = F.lit(str(shard_range[0])).cast("date")
+        hi = F.lit(str(shard_range[1])).cast("date")
+        index = index.filter(F.col("event_date").between(lo, hi))
+        events = events.filter(
+            F.col(date_col).cast("date").between(lo, hi))
     if fields is None:
         fields = {r.field for r in index.select("field").distinct().collect()}
     universe = events.select(F.col(id_col).cast("string").alias("uid"))

@@ -1,0 +1,66 @@
+"""Shard-range (date) pruning of the stored index.
+
+Reference: RangeStream.java:377-513 — the query's begin/end dates bound
+the shards consulted; index rows outside the range are never scanned.
+Here the stored index is hive-partitioned by (field, event_date), so the
+date bound is literal partition pruning in the parquet scan.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from datawave_spark.sources.index_frame import build_index, index_query
+
+QUERY = "EVENT_TYPE == 'click' && ((_Bounded_ = true) && " \
+        "(VALUE >= 10 && VALUE <= 60))"
+
+
+@pytest.fixture(scope="module")
+def parts(spark, tables, tmp_path_factory):
+    ev = tables["events"]
+    path = str(tmp_path_factory.mktemp("idx") / "index_part.parquet")
+    build_index(ev, ["event_type", "value"], "event_id",
+                date_col="ts", field_types={"VALUE": "number"}) \
+        .repartition("field", "event_date") \
+        .write.partitionBy("field", "event_date") \
+        .mode("overwrite").parquet(path)
+    return ev, spark.read.parquet(path)
+
+
+class TestShardRangePruning:
+    def test_same_answer_as_full_scan_with_date_filter(self, parts):
+        ev, idx = parts
+        lo, hi = "2024-01-03", "2024-01-05"
+        served = index_query(
+            ev, idx, QUERY, "event_id",
+            field_types={"VALUE": "number"},
+            fields={"EVENT_TYPE", "VALUE"},
+            shard_range=(lo, hi), date_col="ts")
+        from datawave_spark.compiler import compile_query
+        expect = compile_query(
+            ev.filter(F.col("ts").cast("date").between(lo, hi)),
+            QUERY, field_types={"VALUE": "number"})
+        got = sorted(r.event_id for r in served.select("event_id").collect())
+        want = sorted(r.event_id for r in expect.select("event_id").collect())
+        assert got == want and len(got) > 0
+
+    def test_index_scan_is_partition_pruned(self, parts):
+        ev, idx = parts
+        served = index_query(
+            ev, idx, QUERY, "event_id",
+            field_types={"VALUE": "number"},
+            fields={"EVENT_TYPE", "VALUE"},
+            shard_range=("2024-01-03", "2024-01-05"), date_col="ts")
+        plan = served._jdf.queryExecution().executedPlan().toString()
+        # the event_date bound must reach the index scan as a PARTITION
+        # filter (pruned at file-listing time), not a post-scan Filter
+        assert "PartitionFilters" in plan
+        import re
+        pf = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
+        assert any(re.search(r"event_date", ln) for ln in pf), pf
+
+    def test_shard_range_requires_date_col(self, parts):
+        ev, idx = parts
+        with pytest.raises(ValueError, match="date_col"):
+            index_query(ev, idx, QUERY, "event_id",
+                        shard_range=("2024-01-03", "2024-01-05"))

@@ -38,7 +38,7 @@ OPS = ["jexl_filter", "groupby", "tokenize_tf", "minhash_sig", "simhash",
        "bpe_train", "bpe_encode", "federated", "schema_evo",
        "tokenizer_e2e", "push", "push_epochs", "push_compacted",
        "compare_wide", "nyctlc",
-       "date_parse_chain", "index_path", "content_within"]
+       "date_parse_chain", "index_path", "index_pruned", "content_within"]
 
 
 def generate(spark):
@@ -199,8 +199,27 @@ def run_one(op: str, events_path: str, docs_path: str,
         noop(compile_query(tf, "content:within(3, 'spark', 'query') && "
                                "content:phrase('big', 'data')"))
 
+    def _index_pruned(d):
+        # the SAME query served from the (field, event_date)-partitioned
+        # stored index with the query's date range bounding the shards
+        # (RangeStream.java:377-513 shard-range pruning): the index scan
+        # opens only in-range partitions, so serve cost tracks the DATE
+        # WINDOW, not the corpus — the cluster-side shape of the
+        # index_path row's linear full-index scan.
+        from datawave_spark.sources.index_frame import index_query
+        idx = d.sparkSession.read.parquet(
+            f"{SCRATCH}/probe_index_part.parquet")
+        noop(index_query(
+            d, idx,
+            "EVENT_TYPE == 'purchase' && "
+            "((_Bounded_ = true) && (VALUE >= 100 && VALUE <= 102))",
+            "event_id", field_types={"VALUE": "number"},
+            fields={"EVENT_TYPE", "VALUE"},
+            shard_range=("2024-01-05", "2024-01-07"), date_col="ts"))
+
     ops = {
         "index_path": _index_path,
+        "index_pruned": _index_pruned,
         "content_within": _content_within,
         "jexl_filter": lambda d: noop(compile_query(
             d, "EVENT_TYPE == 'click' && VALUE > 50")),
@@ -751,7 +770,7 @@ def run_one(op: str, events_path: str, docs_path: str,
     if op in ("jexl_filter", "groupby", "edge_dict", "validate",
               "pagerank", "federated", "schema_evo", "push",
               "push_epochs", "push_compacted", "compare_wide", "nyctlc",
-              "date_parse_chain", "index_path"):
+              "date_parse_chain", "index_path", "index_pruned"):
         src = ev
     elif op in ("knn_lsh", "knn_blocked", "semantic_dedup", "kmeans_step"):
         src = emb
@@ -765,6 +784,16 @@ def run_one(op: str, events_path: str, docs_path: str,
         build_index(src, ["event_type", "value"], "event_id",
                     field_types={"VALUE": "number"}) \
             .write.mode("overwrite").parquet(f"{SCRATCH}/probe_index.parquet")
+    if op == "index_pruned":
+        # same ingest-side build, stored hive-partitioned by
+        # (field, event_date) — the shard layout; repartition on the
+        # partition columns first so each (field, date) writes ONE file
+        from datawave_spark.sources.index_frame import build_index
+        build_index(src, ["event_type", "value"], "event_id",
+                    date_col="ts", field_types={"VALUE": "number"}) \
+            .repartition("field", "event_date") \
+            .write.partitionBy("field", "event_date") \
+            .mode("overwrite").parquet(f"{SCRATCH}/probe_index_part.parquet")
     if op == "content_within":
         from datawave_spark.sources.ingest import tokenize
         tokenize(src, "text", "doc_id") \
@@ -817,7 +846,7 @@ def main() -> None:
     # (VERDICT r7 #5): LSH pair generation, incremental LSH,
     # ExactSubstr, PageRank, standing-query push
     hundred_ops = {"lsh_pairs", "inc_lsh", "exsub", "pagerank", "push",
-                   "index_path", "content_within",
+                   "index_path", "index_pruned", "content_within",
                    "simhash_pairs", "ssdeep_join", "bm25", "tokenize_tf"}
     hdr = f"{'op':14} {'1x':>7} {'10x':>8} {'ratio':>6}"
     if do_100x:
