@@ -319,11 +319,16 @@ def apply_lenient_fields(node: JexlNode, lenient: list[str],
     316-351): when a comparison's literal fails the field's
     normalization,
 
-    - a LENIENT field's term is DROPPED — the reference replaces it
-      with a DroppedExpression marker whose body is truthy assignments
-      (DroppedExpression.java:70-82; JEXL assignments evaluate to the
-      assigned non-empty string), so the dropped term contributes TRUE:
-      it vanishes from an AND, and an OR containing it matches;
+    - a LENIENT field's term is DROPPED — REMOVED from its parent
+      connective.  User-visible result semantics pinned by
+      LenientFieldsTest.java:245-279: a dropped term generates NO index
+      candidates, so an OR whose branches all dropped returns ZERO rows
+      ("AG > 'abc10'" → []), and an OR with surviving branches returns
+      only THEIR matches ("NAM == 'abc40'" → [], not all rows) — while
+      under an AND the marker evaluates truthy over the siblings'
+      candidates (DroppedExpression.java:70-82 — assignments are
+      truthy), so the dropped conjunct simply vanishes.  Both shapes
+      are exactly "remove from parent; a fully-dropped query is empty";
     - a STRICT field keeps the original raw term evaluation-only
       (:394-399).  Our compiler's cannot-match FALSE is equivalent over
       typed storage: a stored value that fails the same normalization
@@ -340,24 +345,32 @@ def apply_lenient_fields(node: JexlNode, lenient: list[str],
     both = len_set & {f.upper() for f in strict}
     len_set -= both
 
-    def walk(n: JexlNode) -> JexlNode:
+    def walk(n: JexlNode) -> JexlNode | None:
+        """→ rewritten node, or None when the whole subtree dropped."""
         if isinstance(n, CmpNode) and n.field.name.upper() in len_set \
                 and n.value.value is not None \
                 and fails(n.field.name, n.op, n.value.value):
-            return TRUE
+            return None
         if isinstance(n, RangeNode) and n.field.name.upper() in len_set \
                 and fails(n.field.name, ">=", n.lo.value) \
                 and fails(n.field.name, "<=", n.hi.value):
-            return TRUE
+            return None
         if isinstance(n, (AndNode, OrNode)):
-            return type(n)(tuple(walk(t) for t in n.terms))
+            kept = [w for w in (walk(t) for t in n.terms) if w is not None]
+            if not kept:
+                return None
+            return _rebuild(n, kept, type(n))
         if isinstance(n, NotNode):
-            return NotNode(walk(n.term))
+            inner = walk(n.term)
+            return None if inner is None else NotNode(inner)
         return n
 
     if not len_set:
         return node
-    return prune(walk(node))
+    out = walk(node)
+    # a fully-dropped query has no executable term → no candidates →
+    # empty results (LenientFieldsTest's first case)
+    return FALSE if out is None else prune(out)
 
 
 def whindex(node: JexlNode, mappings: dict[tuple[str, object], str]) -> JexlNode:

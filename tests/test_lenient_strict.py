@@ -48,13 +48,24 @@ class TestLenientStrict:
             "EVENT_TYPE == 'click' && VALUE > 50 && f:lenient('VALUE')")
         assert lenient.df.count() == base.df.count() > 0
 
-    def test_lenient_dropped_term_is_truthy_under_or(self, events):
-        # DroppedExpression bodies are truthy assignments — an OR
-        # containing a dropped term matches every row, exactly the
-        # reference's marker evaluation
+    def test_lenient_dropped_term_removed_from_or(self, events):
+        # LenientFieldsTest.java:276 ("NAM == 'abc40'" → []): a dropped
+        # branch generates NO candidates — the OR returns only the
+        # surviving branches' matches, never all rows
         res = QueryPlanner(events).plan(
             "(EVENT_TYPE == 'click' || VALUE == 'abc') && f:lenient('VALUE')")
-        assert res.df.count() == events.count()
+        clicks = events.filter(F.col("event_type") == "click").count()
+        assert res.df.count() == clicks
+
+    def test_lenient_fully_dropped_query_is_empty(self, events):
+        # LenientFieldsTest.java:270 ("AG > 'abc10'" → []): a query
+        # whose every term dropped has no executable term → zero rows
+        res = QueryPlanner(events).plan(
+            "VALUE == 'abc' && f:lenient('VALUE')")
+        assert res.df.count() == 0
+        res_or = QueryPlanner(events).plan(
+            "(VALUE == 'abc' || VALUE == 'xyz') && f:lenient('VALUE')")
+        assert res_or.df.count() == 0
 
     def test_strict_stays_unsatisfiable(self, events):
         # strict keeps the raw term evaluation-only; over typed storage
