@@ -44,7 +44,7 @@ from pyspark.sql import types as T
 
 from datawave_spark.jexl.ast import (
     AndNode, ArithCmpNode, ArithNode, CmpNode, FieldCmpNode, FuncNode,
-    Identifier, JexlNode, Literal, MarkerNode, NotNode, OrNode, RangeNode,
+    Identifier, JexlNode, Literal, MarkerNode, NotNode, OrNode, RangeNode, MethodNode,
 )
 from datawave_spark.normalizers import Normalizer, get_normalizer
 
@@ -94,7 +94,10 @@ class CompileContext:
         return cls(schema=df.schema, fields=fields, model=mdl)
 
     def resolve(self, name: str) -> FieldSpec | None:
-        return self.fields.get(name.upper())
+        # leading '$' is the JEXL-escaped field prefix
+        # (JexlASTHelper.deconstructIdentifier — '#JEXL("$UUID == ...")'
+        # queries carry it)
+        return self.fields.get(name.upper().lstrip("$"))
 
     def spark_type(self, spec: FieldSpec) -> T.DataType:
         for f in self.schema.fields:
@@ -510,14 +513,112 @@ def _compile_arith_expr(node: JexlNode, ctx: CompileContext) -> Column:
             raise ValueError(
                 f"unknown function {node.namespace}:{node.name}")
         return FUNCTION_COMPILERS[key](ctx, node.args)
+    if isinstance(node, MethodNode):
+        # FunctionalSet methods as operands: AG.min() > 10,
+        # DEATH_DATE.max() - BIRTH_DATE.min() > ms
+        from datawave_spark.functions.functional_set import method_value
+        mv = method_value(node, ctx)
+        if mv.is_set:
+            raise ValueError(
+                f"set-valued method .{node.name}() used as a scalar — "
+                f"compare its .size() / .isEmpty()")
+        return mv.col
     raise TypeError(f"cannot compile arithmetic operand {node!r}")
+
+
+def _collect_aliases(node, ctx: CompileContext, acc: set) -> None:
+    if isinstance(node, Identifier) and "||" not in node.name \
+            and node.name.upper() in ctx.model:
+        acc.add(node.name.upper())
+    for c in node.children():
+        _collect_aliases(c, ctx, acc)
+
+
+def _substitute_fields(node, mapping: dict):
+    """Rewrite alias Identifiers to one concrete member (QueryModel
+    cartesian expansion of a binary node,
+    QueryModelVisitor.expandBinaryNodeFromModel:309)."""
+    if isinstance(node, Identifier):
+        return Identifier(mapping.get(node.name.upper(), node.name))
+    if isinstance(node, MethodNode):
+        return MethodNode(_substitute_fields(node.target, mapping),
+                          node.name,
+                          tuple(_substitute_fields(a, mapping)
+                                for a in node.args))
+    if isinstance(node, FuncNode):
+        return FuncNode(node.namespace, node.name,
+                        tuple(_substitute_fields(a, mapping)
+                              for a in node.args))
+    if isinstance(node, ArithNode):
+        return ArithNode(node.op, _substitute_fields(node.left, mapping),
+                         _substitute_fields(node.right, mapping))
+    if isinstance(node, ArithCmpNode):
+        return ArithCmpNode(node.op, _substitute_fields(node.left, mapping),
+                            _substitute_fields(node.right, mapping))
+    return node
+
+
+def _is_datems_expr(node, ctx: CompileContext) -> bool:
+    """True when the expression yields epoch-millis from date parsing —
+    the cue to parse a STRING comparison literal as a date
+    (FunctionalSetTest: BIRTH_DATE.min() < '1920-12-28T00:00:05.000Z'
+    and the compact '20160301120000' form — lexicographic string
+    comparison would mis-order mixed formats)."""
+    if isinstance(node, FuncNode):
+        return (node.namespace, node.name) in {
+            ("filter", "getMaxTime"), ("filter", "getMinTime"),
+            ("filter", "getTime")}
+    if isinstance(node, MethodNode) and node.name in ("min", "max"):
+        from datawave_spark.functions.functional_set import target_kind
+        return target_kind(node.target, ctx) == "date"
+    return False
 
 
 def compile_arith_cmp(node: ArithCmpNode, ctx: CompileContext,
                       negated: bool = False) -> Column:
     """``expr op expr`` where a side carries arithmetic: native Column
     arithmetic + comparison (floating semantics; NULL operands make the
-    comparison NULL, totalized like every other leaf)."""
+    comparison NULL, totalized like every other leaf).  Model aliases
+    anywhere in the expression expand by cartesian product into an OR
+    of concrete-field comparisons ('AG.min() > 10' → 'AGE.min() > 10 ||
+    ETA.min() > 10'; '!=' combines with AND — QueryModelVisitor's
+    requiresAnd), exactly expandBinaryNodeFromModel:309-351."""
+    aliases: set = set()
+    _collect_aliases(node, ctx, aliases)
+    if aliases:
+        import itertools
+        names = sorted(aliases)
+        child = CompileContext(
+            schema=ctx.schema, fields=ctx.fields,
+            model={k: v for k, v in ctx.model.items() if k not in aliases})
+        requires_and = node.op == "!="
+        out = None
+        for combo in itertools.product(*(ctx.model[a] for a in names)):
+            variant = _substitute_fields(node, dict(zip(names, combo)))
+            p = compile_arith_cmp(variant, child, False)
+            if out is None:
+                out = p
+            elif requires_and:
+                out = out & p
+            else:
+                out = out | p
+        return ~_total(out) if negated else out
+    # date-valued side vs string literal: parse the literal with the
+    # reference's known-format chain (driver-side, plan-time)
+    left, right = node.left, node.right
+    for a_side, b_side in ((left, right), (right, left)):
+        if isinstance(b_side, Literal) and isinstance(b_side.value, str) \
+                and _is_datems_expr(a_side, ctx):
+            import datetime as _dt
+            from datawave_spark.functions.filter_functions import (
+                _parse_date_literal)
+            parsed, _g = _parse_date_literal(b_side.value, None)
+            ms = int((parsed - _dt.datetime(1970, 1, 1))
+                     .total_seconds() * 1000)
+            repl = Literal(ms)
+            left = repl if b_side is left else left
+            right = repl if b_side is right else right
+    node = ArithCmpNode(node.op, left, right)
     a = _compile_arith_expr(node.left, ctx)
     b = _compile_arith_expr(node.right, ctx)
     if node.op == "!=":
@@ -530,36 +631,72 @@ def compile_arith_cmp(node: ArithCmpNode, ctx: CompileContext,
     return ~_total(pred) if negated else pred
 
 
+def _expand_field_arg(ctx: CompileContext, field_name: str) -> list[str]:
+    """Resolve a function field argument to concrete field names:
+    ``F1||F2`` union syntax (the reference's multi-field form,
+    CompositeFunctionsTest.testNulls) and query-model aliases
+    (QueryModelVisitor — filter function args model-expand,
+    ``filter:matchesAtLeastCountOf(3, NAM, ...)``) both yield the UNION
+    of their members' value sets."""
+    out: list[str] = []
+    for part in str(field_name).split("||"):
+        out.extend(ctx.model.get(part.upper(), [part]))
+    return out
+
+
 def field_pred(ctx: CompileContext, field_name: str,
                leaf: Callable[[Column], Column],
                *, negate: bool = False) -> Column:
     """Build a total ANY-value predicate over a (possibly multi-valued)
     field — the shared helper for the filter:/f:/geo: function families.
-    ``leaf`` receives one scalar value column."""
-    spec = ctx.resolve(field_name)
-    if spec is None:
-        pred = _false()
-    else:
+    ``leaf`` receives one scalar value column.  Union / model-alias
+    arguments predicate over ANY member's values (the reference's OR
+    expansion)."""
+    preds = []
+    for name in _expand_field_arg(ctx, field_name):
+        spec = ctx.resolve(name)
+        if spec is None:
+            continue
         dtype = ctx.spark_type(spec)
         if isinstance(dtype, T.ArrayType):
-            pred = F.exists(F.col(spec.column), leaf)
+            preds.append(F.exists(F.col(spec.column), leaf))
         else:
-            pred = leaf(F.col(spec.column))
+            preds.append(leaf(F.col(spec.column)))
+    if not preds:
+        pred = _false()
+    else:
+        pred = preds[0]
+        for p in preds[1:]:
+            pred = pred | p
         pred = _total(pred)
     return ~pred if negate else pred
 
 
 def field_values(ctx: CompileContext, field_name: str) -> Column:
     """The field's values as an array column (scalar fields wrap to a
-    0/1-element array) — for count/aggregate-style functions."""
-    spec = ctx.resolve(field_name)
-    if spec is None:
+    0/1-element array) — for count/aggregate-style functions.  Union
+    (``F1||F2``) / model-alias arguments concatenate their members'
+    values: ``filter:isNull(UUID||NULL1)`` is false because the union
+    holds UUID's values (CompositeFunctionsTest.testNulls), and
+    isNotNull over the same union is true — one value-set semantics
+    covers both directions."""
+    arrs = []
+    for name in _expand_field_arg(ctx, field_name):
+        spec = ctx.resolve(name)
+        if spec is None:
+            continue
+        dtype = ctx.spark_type(spec)
+        col = F.col(spec.column)
+        if isinstance(dtype, T.ArrayType):
+            arrs.append(F.coalesce(col, F.array()))
+        else:
+            arrs.append(F.filter(F.array(col), lambda v: v.isNotNull()))
+    if not arrs:
         return F.array()
-    dtype = ctx.spark_type(spec)
-    col = F.col(spec.column)
-    if isinstance(dtype, T.ArrayType):
-        return F.coalesce(col, F.array())
-    return F.filter(F.array(col), lambda v: v.isNotNull())
+    out = arrs[0]
+    for a in arrs[1:]:
+        out = F.concat(out, a)
+    return out
 
 
 def compile_node(node: JexlNode, ctx: CompileContext,
@@ -600,6 +737,16 @@ def compile_node(node: JexlNode, ctx: CompileContext,
         # Function compilers return total predicates (they coalesce
         # internally), so direct negation is safe.
         return ~pred if negated else pred
+    if isinstance(node, MethodNode):
+        # a bare boolean method term (X.isEmpty()); scalar/set-valued
+        # methods must open a comparison instead
+        from datawave_spark.functions.functional_set import method_value
+        mv = method_value(node, ctx)
+        if mv.kind == "bool" and not mv.is_set:
+            return ~_total(mv.col) if negated else _total(mv.col)
+        raise TypeError(
+            f"method .{node.name}() is not a boolean predicate — "
+            f"compare its value")
     if isinstance(node, Literal) and isinstance(node.value, bool):
         return F.lit(node.value ^ negated)
     raise TypeError(f"cannot compile node {node!r}")

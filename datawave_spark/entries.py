@@ -6651,3 +6651,59 @@ def q_grouped_ingest_query(spark, sf_dir):
                        ["NAME", "OWNER"], "ITEMS")
     out = compile_query(df, "grouping:matchesInGroup(NAME, 'click', OWNER, 3)")
     return out.select("event_id")
+
+
+@register("functional_set_methods", """
+WITH v AS (
+  SELECT event_id, [value, value * 2] AS vals FROM events)
+SELECT event_id FROM v
+WHERE list_max(vals) >= 100 AND len(list_filter(vals, x -> x > 50)) >= 1
+""")
+def q_functional_set_methods(spark, sf_dir):
+    """FunctionalSet methods (collections/FunctionalSet.java — max:232,
+    greaterThan:386, size:61) as JEXL query surface: ``V.max() >= 100
+    && V.greaterThan(50).size() >= 1`` compiles to higher-order column
+    functions over the value array (r9; FunctionalSetTest.testMinMax
+    ports pin the full method set)."""
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "V", F.array(F.col("value"), F.col("value") * 2))
+    return compile_query(
+        ev, "V.max() >= 100 && V.greaterThan(50).size() >= 1") \
+        .select("event_id")
+
+
+@register("field_union_predicate", """
+SELECT event_id FROM events WHERE event_type IN ('click', 'view')
+""")
+def q_field_union_predicate(spark, sf_dir):
+    """Multi-field union arguments (``F1||F2``,
+    CompositeFunctionsTest.testNulls/testNotNulls): isNotNull over the
+    UNION of two partially-populated columns is true when ANY member
+    holds a value — one value-set semantics covers isNull (all empty)
+    and isNotNull (any present)."""
+    ev = _t(spark, sf_dir, "events")
+    df = ev.withColumn(
+        "OPT1", F.when(F.col("event_type") == "click", F.col("props"))) \
+        .withColumn(
+        "OPT2", F.when(F.col("event_type") == "view", F.col("props")))
+    return compile_query(df, "filter:isNotNull(OPT1||OPT2)") \
+        .select("event_id")
+
+
+@register("funcall_arithmetic", """
+SELECT event_id FROM events
+WHERE ts IS NOT NULL AND (user_id % 3) * 3600000 > 3600000
+""")
+def q_funcall_arithmetic(spark, sf_dir):
+    """Value-returning functions in ARITHMETIC
+    (CompositeFunctionsTest.testDateDelta:318 — 'getMaxTime(DEATH_DATE)
+    - getMinTime(BIRTH_DATE) > ms'): the difference of two parsed
+    epoch-millis accessors compared against a goal, all in one codegen'd
+    expression."""
+    ev = _t(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
+    df = ev.withColumn(
+        "TS2", F.col("ts") + F.expr(
+            "make_interval(0, 0, 0, 0, user_id % 3, 0, 0)"))
+    return compile_query(
+        df, "filter:getMaxTime(TS2) - filter:getMinTime(TS) > 3600000") \
+        .select("event_id")

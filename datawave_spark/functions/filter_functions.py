@@ -557,10 +557,20 @@ def f_time_function(ctx: CompileContext, args):
     Long.MIN/MAX_VALUE sentinel arithmetic — garbage wrap-around the
     evaluator only reaches through an empty FunctionalSet, which absent
     fields never produce)."""
+    def _unq(s: str) -> str:
+        # the LUCENE #TIME_FUNCTION form passes its args still QUOTED
+        # ("'-'", "'2522880000000L'" — CompositeFunctionsTest
+        # .testDateDelta); JEXL-form args arrive bare
+        s = s.strip()
+        if len(s) >= 2 and s[0] == s[-1] and s[0] in "'\"":
+            s = s[1:-1]
+        return s
+
     f1, f2 = _ident(args[0]), _ident(args[1])
-    operator = str(_lit(args[2]))
-    equality = str(_lit(args[3]))
-    goal = int(_lit(args[4]))
+    operator = _unq(str(_lit(args[2])))
+    equality = _unq(str(_lit(args[3])))
+    # Java long suffix stripped before the integer parse
+    goal = int(_unq(str(_lit(args[4]))).rstrip("lL"))
 
     def _side(field, pick):
         # NULL elements are ABSENCE (the reference's FunctionalSet holds

@@ -1,0 +1,191 @@
+"""FunctionalSet method-call compilation.
+
+Reference: warehouse/query-core/src/main/java/datawave/query/
+collections/FunctionalSet.java — ``size:61``, ``isEmpty:66``,
+``max:232``, ``min:246`` (extremes over the tuples' NORMALIZED values,
+elements that fail comparison skipped), ``compareWith:362`` (normalize
+the reference literal through the ELEMENT's type, keep matching
+tuples), ``lessThan:382``, ``greaterThan:386``.  A field reference in
+JEXL binds to the FunctionalSet of its value tuples, so
+``AG.min() > 10`` / ``AG.greaterThan(39).size() >= 1`` are the
+reference's idiomatic set comparisons (FunctionalSetTest.java).
+
+Spark restatement: the target's values become ONE array column whose
+elements are already in comparable (normalized) form — double for
+number-typed fields, epoch-millis long for date-typed, normalizer
+output for strings — and every method is a higher-order column
+function over it (zero shuffle, codegen'd).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import Column, functions as F
+from pyspark.sql import types as T
+
+from datawave_spark.jexl.ast import FuncNode, Identifier, MethodNode
+
+
+@dataclass
+class MethodValue:
+    """A compiled method result: a scalar Column (``is_set=False``) or
+    an array Column of remaining values (``is_set=True``); ``kind``
+    names the element/value domain."""
+    col: Column
+    kind: str          # 'number' | 'date' | 'string' | 'bool'
+    is_set: bool
+
+
+_DATE_NORMS = {"date"}
+_NUM_NORMS = {"number"}
+
+
+def target_kind(node, ctx) -> str:
+    """Element domain of a method target's value set."""
+    if isinstance(node, MethodNode):
+        from datawave_spark.compiler.columns import CompileContext  # noqa: F401
+        return target_kind(node.target, ctx)
+    if isinstance(node, FuncNode):
+        # getAllMatches(FIELD, regex) — the set keeps FIELD's domain
+        return _field_kind(ctx, node.args[0].name) if node.args else "string"
+    if isinstance(node, Identifier):
+        return _field_kind(ctx, node.name)
+    return "string"
+
+
+def _field_kind(ctx, name: str) -> str:
+    """Kind of the FIRST resolvable member (union parts / model members
+    share a domain in any sane schema — the reference compares
+    normalized values, which presumes the same)."""
+    for part in str(name).split("||"):
+        for member in ctx.model.get(part.upper(), [part]):
+            spec = ctx.resolve(member)
+            if spec is None:
+                continue
+            dt = ctx.spark_type(spec)
+            et = dt.elementType if isinstance(dt, T.ArrayType) else dt
+            if isinstance(et, (T.TimestampType, T.TimestampNTZType,
+                               T.DateType)):
+                return "date"
+            if isinstance(et, (T.DoubleType, T.FloatType, T.DecimalType,
+                               T.LongType, T.IntegerType, T.ShortType)):
+                return "number"
+            norm = getattr(spec, "normalizer", None) or "noop"
+            if norm in _NUM_NORMS:
+                return "number"
+            if norm in _DATE_NORMS:
+                return "date"
+            return "string"
+    return "string"
+
+
+def _comparable(vals: Column, kind: str, ctx, field_name: str | None) -> Column:
+    """Transform raw values into the comparable domain; elements that
+    fail the transform drop out (FunctionalSet.min/max skip elements
+    that throw — :236,:250)."""
+    if kind == "number":
+        out = F.transform(vals, lambda v: v.try_cast("double"))
+    elif kind == "date":
+        from datawave_spark.functions.filter_functions import _ts
+        out = F.transform(vals, lambda v: F.unix_millis(_ts(v, None)))
+    else:
+        if field_name is not None:
+            from datawave_spark.normalizers import get_normalizer
+            spec = ctx.resolve(field_name)
+            norm = get_normalizer(spec.normalizer if spec else "noop")
+            out = F.transform(vals, lambda v: norm.col(v.cast("string")))
+        else:
+            out = F.transform(vals, lambda v: v.cast("string"))
+    return F.filter(out, lambda v: v.isNotNull())
+
+
+def _target_set(node, ctx) -> tuple[Column, str]:
+    """→ (comparable values array, kind) for a method target."""
+    from datawave_spark.compiler.columns import field_values, java_full_match
+    if isinstance(node, Identifier):
+        kind = _field_kind(ctx, node.name)
+        parts = []
+        for part in node.name.split("||"):
+            for member in ctx.model.get(part.upper(), [part]):
+                parts.append(_comparable(field_values(ctx, member), kind,
+                                         ctx, member))
+        out = parts[0] if parts else F.array()
+        for p in parts[1:]:
+            out = F.concat(out, p)
+        return out, kind
+    if isinstance(node, FuncNode):
+        if (node.namespace, node.name) == ("filter", "getAllMatches"):
+            # the SET form of getAllMatches:343 — values fully matching
+            # the regex (JexlPatternCache flags), in FIELD's domain
+            field = node.args[0].name
+            pattern = java_full_match(str(node.args[1].value))
+            raw = F.filter(field_values(ctx, field),
+                           lambda v: v.cast("string").rlike(pattern))
+            return (_comparable(raw, _field_kind(ctx, field), ctx,
+                                field.split("||")[0]),
+                    _field_kind(ctx, field))
+        raise ValueError(
+            f"function {node.namespace}:{node.name} does not yield a "
+            f"FunctionalSet (methods apply to fields / getAllMatches)")
+    if isinstance(node, MethodNode):
+        mv = method_value(node, ctx)
+        if not mv.is_set:
+            raise ValueError(
+                f"method .{node.name}() yields a scalar, not a set")
+        return mv.col, mv.kind
+    raise ValueError(f"unsupported FunctionalSet target {node!r}")
+
+
+def _ref_literal(arg, kind: str):
+    """compareWith:371 — normalize the reference literal through the
+    element's type before comparing."""
+    v = arg.value if hasattr(arg, "value") else str(arg)
+    if kind == "number":
+        return float(v)
+    if kind == "date":
+        import datetime as _d
+        from datawave_spark.functions.filter_functions import (
+            _parse_date_literal)
+        dt, _ = _parse_date_literal(v, None)
+        return int((dt - _d.datetime(1970, 1, 1)).total_seconds() * 1000)
+    return str(v)
+
+
+_CMP = {"==": lambda a, b: a == b, "=": lambda a, b: a == b,
+        "!=": lambda a, b: a != b, "<": lambda a, b: a < b,
+        ">": lambda a, b: a > b, "<=": lambda a, b: a <= b,
+        ">=": lambda a, b: a >= b}
+
+
+def method_value(node: MethodNode, ctx) -> MethodValue:
+    """Compile one FunctionalSet method call."""
+    name = node.name
+    if name in ("size", "isEmpty", "min", "max"):
+        vals, kind = _target_set(node.target, ctx)
+        if name == "size":
+            return MethodValue(F.size(vals), "number", False)
+        if name == "isEmpty":
+            return MethodValue(F.size(vals) == 0, "bool", False)
+        agg = F.array_min if name == "min" else F.array_max
+        return MethodValue(agg(vals), kind, False)
+    if name in ("greaterThan", "lessThan", "compareWith"):
+        vals, kind = _target_set(node.target, ctx)
+        if name == "compareWith":
+            ref = _ref_literal(node.args[0], kind)
+            op = str(node.args[1].value)
+            if op not in _CMP:
+                raise ValueError(f"compareWith operator {op!r} not in "
+                                 f"{sorted(_CMP)}")
+            pred = _CMP[op]
+        else:
+            ref = _ref_literal(node.args[0], kind)
+            pred = _CMP[">"] if name == "greaterThan" else _CMP["<"]
+        lit = F.lit(ref)
+        return MethodValue(F.filter(vals, lambda v: pred(v, lit)),
+                           kind, True)
+    # add/clear/remove mutate — the reference rejects them in queries
+    # (CompositeFunctionsTest.testAgainstUnsupportedCompositeStructures
+    # expects DatawaveFatalQueryException); anything unimplemented
+    # (getValuesForGroups, containsAll, hashCode) errors loudly too
+    raise ValueError(f"unsupported FunctionalSet method .{name}()")

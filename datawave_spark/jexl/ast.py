@@ -209,3 +209,22 @@ class FuncNode(JexlNode):
 
     def __str__(self) -> str:
         return f"{self.namespace}:{self.name}({', '.join(str(a) for a in self.args)})"
+
+
+@dataclass(frozen=True)
+class MethodNode(JexlNode):
+    """FunctionalSet method call ``TARGET.name(args)`` —
+    collections/FunctionalSet.java (size:61, isEmpty:66, max:232,
+    min:246, compareWith:362, lessThan:382, greaterThan:386).  The
+    target is a field Identifier (its value set), a value-set-returning
+    FuncNode (filter:getAllMatches), or another MethodNode
+    (``AG.greaterThan(39).size()``)."""
+    target: JexlNode
+    name: str
+    args: tuple[JexlNode, ...] = field(default_factory=tuple)
+
+    def children(self):
+        return (self.target, *self.args)
+
+    def __str__(self) -> str:
+        return f"{self.target}.{self.name}({', '.join(str(a) for a in self.args)})"

@@ -32,7 +32,8 @@ from typing import Any
 
 from datawave_spark.jexl.ast import (
     AndNode, ArithCmpNode, ArithNode, CmpNode, FieldCmpNode, FuncNode,
-    Identifier, JexlNode, Literal, MarkerNode, NotNode, OrNode, RangeNode,
+    Identifier, JexlNode, Literal, MarkerNode, MethodNode, NotNode, OrNode,
+    RangeNode,
 )
 
 
@@ -42,8 +43,8 @@ class JexlParseError(ValueError):
 
 _TOKEN_RE = re.compile(r"""
     (?P<ws>\s+)
-  | (?P<op>==|!=|<=|>=|=~|!~|&&|\|\||[<>!()\,+\-*/%=])
-  | (?P<number>\d+\.\d+|\d+)
+  | (?P<number>\d+\.\d+|\d+[lL]?)
+  | (?P<op>==|!=|<=|>=|=~|!~|&&|\|\||[<>!()\,+\-*/%=.])
   | (?P<string>'(?:\\.|[^'\\])*'|"(?:\\.|[^"\\])*")
   | (?P<ident>[A-Za-z_$][A-Za-z0-9_.$]*)
   | (?P<colon>:)
@@ -75,6 +76,35 @@ def _unquote(s: str) -> str:
     body = s[1:-1]
     # JEXL string escapes: \' \" \\ pass through their literal character.
     return re.sub(r"\\(.)", r"\1", body)
+
+
+def _fold_cmp(op: str, a, b) -> bool:
+    """Constant comparison folding (JexlArithmetic over two literals —
+    the reference evaluates '1 + 1 + 1 == 3' per row to a constant)."""
+    if op in ("=~", "!~"):
+        raise JexlParseError(f"regex over literal operands: {a!r} {op} {b!r}")
+    if a is None or b is None:
+        eq = a is None and b is None
+        if op == "==":
+            return eq
+        if op == "!=":
+            return not eq
+        raise JexlParseError(f"ordered comparison with null literal")
+    same_kind = (isinstance(a, bool) == isinstance(b, bool)) and (
+        isinstance(a, str) == isinstance(b, str))
+    if not same_kind:
+        # JexlArithmetic coerces mixed string/number numerically
+        try:
+            a, b = float(a), float(b)
+        except (TypeError, ValueError):
+            if op == "==":
+                return False
+            if op == "!=":
+                return True
+            raise JexlParseError(
+                f"incomparable literals: {a!r} {op} {b!r}") from None
+    return {"==": a == b, "!=": a != b, "<": a < b, ">": a > b,
+            "<=": a <= b, ">=": a >= b}[op]
 
 
 class _Parser:
@@ -140,14 +170,19 @@ class _Parser:
                 # open a comparison ('x' == F inverted form).
                 lit = self._fold_normalize(self.parse_funcall())
                 return self.parse_comparison(lit)
-            fn = self.parse_funcall()
+            fn = self._method_chain(self.parse_funcall())
             # value-returning functions open comparisons — the JEXL the
             # reference evaluates writes e.g.
             # ``filter:getTime(FIELD) > 1700000000000`` (getTime /
             # getNextTime / getMaxValue / getMatchTo*OfPeriod all return
-            # values, EvaluationPhaseFilterFunctions); a bare funcall
+            # values, EvaluationPhaseFilterFunctions) — and arithmetic
+            # ('filter:getMaxTime(D) - filter:getMinTime(B) > goal',
+            # CompositeFunctionsTest.testDateDelta); a bare funcall
             # stays a boolean predicate term
-            if self.peek()[1] in _CMP_OPS:
+            nxt = self.peek()[1]
+            if nxt in self._ADD_OPS or nxt in self._MUL_OPS:
+                return self.parse_comparison(self.parse_additive(fn))
+            if nxt in _CMP_OPS:
                 return self.parse_comparison(fn)
             return fn
         return self.parse_comparison()
@@ -177,9 +212,47 @@ class _Parser:
                 raise JexlParseError(f"cannot negate literal {v!r}")
             return Literal(-v)
         if kind == "ident" and tok not in _KEYWORDS:
+            if self.tokens[self.i + 1][0] == "colon":
+                # nested funcall argument (FunctionalSetTest's
+                # method-as-argument shape)
+                return self._method_chain(self.parse_funcall())
             self.next()
-            return Identifier(tok)
+            name = tok
+            # field-UNION argument: filter:isNull(NULL1||NULL2) — the
+            # reference's multi-field form (CompositeFunctionsTest
+            # testNulls); kept as one Identifier whose name carries the
+            # '||' — field_values/field_pred split and union it
+            while self.peek()[1] == "||":
+                self.next()
+                k2, t2 = self.next()
+                if k2 != "ident" or t2 in _KEYWORDS:
+                    raise JexlParseError(
+                        f"expected field name after '||', got {t2!r}")
+                name += "||" + t2
+            return Identifier(name)
         return Literal(self._literal_value())
+
+    def _finish_method(self, target: JexlNode, name: str) -> MethodNode:
+        self.expect("(")
+        args: list[JexlNode] = []
+        if self.peek()[1] != ")":
+            args.append(self.parse_arg())
+            while self.peek()[1] == ",":
+                self.next()
+                args.append(self.parse_arg())
+        self.expect(")")
+        return MethodNode(target, name, tuple(args))
+
+    def _method_chain(self, node: JexlNode) -> JexlNode:
+        # chained FunctionalSet methods after a funcall/method result:
+        # filter:getAllMatches(NAM,'x').size(), AG.greaterThan(39).size()
+        while self.peek()[1] == ".":
+            self.next()
+            kind, name = self.next()
+            if kind != "ident" or "." in name:
+                raise JexlParseError(f"expected method name, got {name!r}")
+            node = self._finish_method(node, name)
+        return node
 
     _MARKER_RE = re.compile(r"_[A-Za-z]+_$")
 
@@ -220,8 +293,13 @@ class _Parser:
     def _make_cmp(op: str, left: JexlNode, right: JexlNode) -> JexlNode:
         inverse = {"<": ">", ">": "<", "<=": ">=", ">=": "<=",
                    "==": "==", "!=": "!=", "=~": "=~", "!~": "!~"}
-        if isinstance(left, (ArithNode, FuncNode)) \
-                or isinstance(right, (ArithNode, FuncNode)):
+        if isinstance(left, Literal) and isinstance(right, Literal):
+            # constant comparison ('1 + 1 + 1 == 3',
+            # CompositeFunctionsTest.testArithmetic) — JexlArithmetic
+            # evaluates it per row to the same constant; fold now
+            return Literal(_fold_cmp(op, left.value, right.value))
+        if isinstance(left, (ArithNode, FuncNode, MethodNode)) \
+                or isinstance(right, (ArithNode, FuncNode, MethodNode)):
             # function results compare through the arithmetic path: the
             # compiler resolves FuncNode operands via FUNCTION_COMPILERS
             if op in ("=~", "!~"):
@@ -257,15 +335,15 @@ class _Parser:
             return Literal(v)
         return ArithNode(op, left, right)
 
-    def parse_additive(self) -> JexlNode:
-        node = self.parse_mult()
+    def parse_additive(self, seed: JexlNode | None = None) -> JexlNode:
+        node = self.parse_mult(seed)
         while self.peek()[1] in self._ADD_OPS:
             _, op = self.next()
             node = self._fold(op, node, self.parse_mult())
         return node
 
-    def parse_mult(self) -> JexlNode:
-        node = self.parse_unary()
+    def parse_mult(self, seed: JexlNode | None = None) -> JexlNode:
+        node = seed if seed is not None else self.parse_unary()
         while self.peek()[1] in self._MUL_OPS:
             _, op = self.next()
             node = self._fold(op, node, self.parse_unary())
@@ -295,8 +373,15 @@ class _Parser:
                     return self._fold_normalize(self.parse_funcall())
                 # value position funcall: '5 < filter:getTime(TS)',
                 # '(filter:getTime(TS) + 5) > x'
-                return self.parse_funcall()
+                return self._method_chain(self.parse_funcall())
             self.next()
+            if "." in tok and self.peek()[1] == "(":
+                # FunctionalSet method on a field's value set:
+                # 'AG.min() > 10' tokenizes as ONE ident ('AG.min') —
+                # split the method name off the last dot component
+                base, method = tok.rsplit(".", 1)
+                return self._method_chain(
+                    self._finish_method(Identifier(base), method))
             return Identifier(tok)
         return Literal(self._literal_value())
 
@@ -323,6 +408,10 @@ class _Parser:
     def _literal_value(self) -> Any:
         kind, tok = self.next()
         if kind == "number":
+            # Java long suffix ('2522880000000L') — commons-jexl accepts
+            # it; reference test queries use it (CompositeFunctionsTest)
+            if tok[-1] in "lL":
+                return int(tok[:-1])
             return float(tok) if "." in tok else int(tok)
         if kind == "string":
             return _unquote(tok)

@@ -74,6 +74,7 @@ class QueryPlanner:
     def __init__(self, df: DataFrame, *,
                  field_types: dict[str, str] | None = None,
                  model: dict[str, list[str]] | None = None,
+                 reverse_model: dict[str, list[str]] | None = None,
                  whindex_mappings: dict[tuple[str, object], str] | None = None,
                  composites: dict[tuple[str, ...], str] | None = None,
                  stats: dict[str, int] | None = None,
@@ -93,6 +94,12 @@ class QueryPlanner:
         self.df = df
         self.field_types = field_types
         self.model = model
+        # The reference's model table carries SEPARATE forward and
+        # reverse directions (WiseGuysIngest.java:950-1035 writes
+        # "forward" and "reverse" mutations independently) — reverse
+        # (result-column → alias renaming) defaults to mirroring the
+        # forward map but can be overridden (pass {} to disable).
+        self.reverse_model = reverse_model
         # WhindexVisitor config: (FIELD, value) → value-specific field
         # (DefaultQueryPlanner.java:1384, visitors/whindex/)
         self.whindex_mappings = whindex_mappings
@@ -282,8 +289,10 @@ class QueryPlanner:
             for old, new in opts.rename.items():
                 if old in out.columns:
                     out = out.withColumnRenamed(old, new)
-        if model:
-            out = self._apply_reverse_model(out, model)
+        reverse = self.reverse_model if self.reverse_model is not None \
+            else model
+        if reverse:
+            out = self._apply_reverse_model(out, reverse)
         # Projection (QueryIterator.java:864 + ShardQueryLogic
         # returnFields / disallowlistedFields): a whitelist keeps listed
         # columns, a disallowlist drops listed columns — expressed as a

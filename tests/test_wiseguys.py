@@ -1,0 +1,283 @@
+"""WiseGuys corpus — the reference's own functional-test fixture and
+query/expected-result pairs, ported verbatim.
+
+Reference: warehouse/query-core/src/test/java/datawave/query/util/
+WiseGuysIngest.java (events :99-180, forward model :950-985, types
+:73-86) driven by the suites that run over it —
+CompositeFunctionsTest.java (matchesAtLeastCountOf:265, dateDelta:318,
+arithmetic:435, nulls:484, notNulls:...), FunctionalSetTest.java
+(testMinMax:330), LenientFieldsTest.java (:245).  Expected UUID lists
+are copied from those tests.
+"""
+
+import pytest
+from pyspark.sql import functions as F  # noqa: F401
+
+from datawave_spark.plans.planner import QueryPlanner
+
+ROWS = [
+    # UUID, NOME, NAME, GENDER, GENERE, AGE, ETA, MAGIC,
+    # BIRTH_DATE, DEATH_DATE, QUOTE, NUMBER, GEO, LOCATION, POSIZIONE
+    ("CORLEONE",
+     ["SANTINO", "FREDO", "MICHAEL", "CONSTANZIA", "LUCA", "VINCENT"], None,
+     None, ["MALE", "MALE", "MALE", "FEMALE", "MALE", "MALE"],
+     None, [24.0, 22.0, 20.0, 18.0, 40.0, 22.0], [18.0],
+     ["1930-12-28T00:00:05.000Z"], ["2000-12-28T00:00:05.000Z"],
+     "Im gonna make him an offer he cant refuse", 25.0, "POINT(10 10)",
+     None, "newyork"),
+    ("ANDOLINI", None, None, None, None, None, [12.0], None,
+     ["1930-12-28T00:00:05.000Z"], ["2000-12-28T00:00:05.000Z"],
+     None, None, None, None, None),
+    ("SOPRANO", None, ["ANTHONY", "MEADOW"], ["MALE", "FEMALE"], None,
+     [16.0, 18.0], None, [18.0],
+     ["1950-12-28T00:00:05.000Z"], ["2000-12-28T00:00:05.000Z"],
+     "If you can quote the rules then you can obey them", None,
+     "POINT(20 20)", "newjersey", None),
+    ("CAPONE", None, ["ALPHONSE", "FRANK", "RALPH", "MICHAEL"],
+     ["MALE", "MALE", "MALE", "MALE"], None,
+     [30.0, 34.0, 20.0, 40.0], None, [18.0],
+     ["1910-12-28T00:00:05.000Z", "1911-12-28T00:00:05.000Z"],
+     ["2000-12-28T00:00:05.000Z"],
+     "You can get much farther with a kind word and a gun than you can "
+     "with a kind word alone", 25.0, "POINT(30 30)", "chicago", None),
+    ("TATTAGLIA", None, ["Philip"], ["MALE"], None, [70.0], None, None,
+     None, None, None, None, None, None, None),
+]
+SCHEMA = ("UUID string, NOME array<string>, NAME array<string>, "
+          "GENDER array<string>, GENERE array<string>, AGE array<double>, "
+          "ETA array<double>, MAGIC array<double>, "
+          "BIRTH_DATE array<string>, DEATH_DATE array<string>, "
+          "QUOTE string, NUMBER double, GEO string, LOCATION string, "
+          "POSIZIONE string")
+
+FIELD_TYPES = {
+    # WiseGuysIngest.normalizerForColumn:73-86 — AGE/MAGIC/ETA Number
+    # (double columns here), GEO GeoType, dates DateType, rest
+    # LcNoDiacritics
+    "UUID": "lcNoDiacritics", "NOME": "lcNoDiacritics",
+    "NAME": "lcNoDiacritics", "GENDER": "lcNoDiacritics",
+    "GENERE": "lcNoDiacritics", "QUOTE": "lcNoDiacritics",
+    "LOCATION": "lcNoDiacritics", "POSIZIONE": "lcNoDiacritics",
+    "BIRTH_DATE": "date", "DEATH_DATE": "date",
+}
+MODEL = {
+    # forward model, WiseGuysIngest:950-985
+    "NAM": ["NAME", "NOME"],
+    "AG": ["AGE", "ETA"],
+    "GEN": ["GENDER", "GENERE"],
+    "LOC": ["LOCATION", "POSIZIONE"],
+    "BOTH_NULL": ["NULL1", "NULL2"],
+    "ONE_NULL": ["NULL1", "UUID"],
+}
+
+
+@pytest.fixture(scope="module")
+def guys(spark):
+    return spark.createDataFrame(ROWS, SCHEMA).cache()
+
+
+@pytest.fixture(scope="module")
+def qp(guys):
+    # reverse model disabled: the reference's reverse table is a
+    # separate direction and these suites read the UUID attribute
+    # by its concrete name
+    return QueryPlanner(guys, field_types=FIELD_TYPES, model=MODEL,
+                        reverse_model={})
+
+
+def uids(qp, query, syntax="JEXL"):
+    res = qp.plan(query, syntax=syntax)
+    return sorted(r.UUID for r in res.df.select("UUID").collect())
+
+
+ALL = sorted(["CORLEONE", "ANDOLINI", "SOPRANO", "CAPONE", "TATTAGLIA"])
+CS = sorted(["CORLEONE", "CAPONE", "SOPRANO"])
+
+
+class TestFunctionalSetMinMax:
+    """FunctionalSetTest.testMinMax:330 — queries and expected lists
+    verbatim (method over a model alias expands to an OR of concrete
+    fields, the documented QueryModelVisitor behavior)."""
+
+    CASES = [
+        ("AG.min() > 10", ALL),
+        ("AG.max() == 40", ["CAPONE", "CORLEONE"]),
+        ("AG.max() >= 40", ["CAPONE", "CORLEONE", "TATTAGLIA"]),
+        ("AG.min() < 10", []),
+        ("AG.greaterThan(39).size() >= 1",
+         ["CAPONE", "CORLEONE", "TATTAGLIA"]),
+        ("AG.compareWith(40,'==').size() == 1", ["CAPONE", "CORLEONE"]),
+        ("BIRTH_DATE.min() < '1920-12-28T00:00:05.000Z'", ["CAPONE"]),
+        ("DEATH_DATE.max() - BIRTH_DATE.min() > 1000*60*60*24",
+         ["ANDOLINI", "CAPONE", "CORLEONE", "SOPRANO"]),
+        ("DEATH_DATE.max() - BIRTH_DATE.min() > 1000*60*60*24*5 + "
+         "1000*60*60*24*7",
+         ["ANDOLINI", "CAPONE", "CORLEONE", "SOPRANO"]),
+        ("DEATH_DATE.min() < '20160301120000'",
+         ["ANDOLINI", "CAPONE", "CORLEONE", "SOPRANO"]),
+        ("ETA.size() > 0", ["ANDOLINI", "CORLEONE"]),
+    ]
+
+    @pytest.mark.parametrize("query,expected", CASES,
+                             ids=[c[0][:40] for c in CASES])
+    def test_min_max(self, qp, query, expected):
+        assert uids(qp, query) == sorted(expected)
+
+    def test_size_over_alias(self, qp):
+        # FunctionalSetTest expects [SOPRANO, CORLEONE, CAPONE,
+        # ANDOLINI] for "AG.size() > 0" and [SOPRANO, CAPONE] for
+        # "AGE.size() > 0" — TATTAGLIA (one AGE value) is excluded
+        # there because a SINGLETON value binds as the bare object in
+        # the reference's JEXL context, so .size() misses.  Our value
+        # sets are uniform (a single value is a one-element set), so
+        # TATTAGLIA matches — a documented divergence, superset only
+        # on singleton-valued rows.
+        assert uids(qp, "AG.size() > 0") == sorted(
+            ["ANDOLINI", "CAPONE", "CORLEONE", "SOPRANO", "TATTAGLIA"])
+        assert uids(qp, "AGE.size() > 0") == sorted(
+            ["CAPONE", "SOPRANO", "TATTAGLIA"])
+
+
+class TestCompositeFunctions:
+    def test_matches_at_least_count_of(self, qp):
+        # CompositeFunctionsTest.testMatchesAtLeastCountOf:265 — the
+        # NAM alias unions NAME and NOME values
+        assert uids(qp, "UUID =~ '^[CS].*' && filter:matchesAtLeastCountOf"
+                        "(3,NAM,'MICHAEL','VINCENT','FREDO','TONY')") \
+            == ["CORLEONE"]
+        assert uids(qp, "UUID =~ '^[CS].*' && filter:matchesAtLeastCountOf"
+                        "(3,NAME,'MICHAEL','VINCENT','FRED','TONY')") == []
+
+    def test_date_delta(self, qp):
+        # testDateDelta:318 — funcall arithmetic + timeFunction + the
+        # LUCENE #TIME_FUNCTION form ('L' long suffix included)
+        assert uids(qp, "UUID =~ '^[CS].*' && filter:getMaxTime(DEATH_DATE)"
+                        " - filter:getMinTime(BIRTH_DATE) > 2522880000000L"
+                    ) == ["CAPONE"]
+        assert uids(qp, "UUID =~ '^[CS].*' && filter:getMaxTime(DEATH_DATE)"
+                        " - filter:getMinTime(BIRTH_DATE) > 1892160000000L"
+                    ) == ["CAPONE", "CORLEONE"]
+        assert uids(qp, "UUID =~ '^[CS].*' && filter:timeFunction"
+                        "(DEATH_DATE,BIRTH_DATE,'-','>',2522880000000L)"
+                    ) == ["CAPONE"]
+        assert uids(qp, "(UUID:C* OR UUID:S*) AND #TIME_FUNCTION"
+                        "(DEATH_DATE,BIRTH_DATE,'-','>','2522880000000L')",
+                    syntax="LUCENE") == ["CAPONE"]
+
+    def test_arithmetic(self, qp):
+        # testArithmetic:435 — constant arithmetic folds per row;
+        # getAllMatches method calls
+        assert uids(qp, "UUID =~ 'CORLEONE' && 1 + 1 + 1 == 3") \
+            == ["CORLEONE"]
+        assert uids(qp, "UUID =~ 'CORLEONE' && 1 * 2 * 3 == 6") \
+            == ["CORLEONE"]
+        assert uids(qp, "UUID =~ 'CORLEONE' && 12 / 2 / 3 == 2") \
+            == ["CORLEONE"]
+        assert uids(qp, "UUID == 'CORLEONE' && 1 + 1 + 1 == 4") == []
+        assert uids(qp, "UUID == 'CORLEONE' && 1 * 2 * 3 == 7") == []
+        assert uids(qp, "UUID == 'CORLEONE' && 12 / 2 / 3 == 3") == []
+        assert uids(qp, "UUID == 'CORLEONE' && "
+                        "filter:getAllMatches(NAM,'hubert').isEmpty() "
+                        "== true") == ["CORLEONE"]
+        assert uids(qp, "UUID == 'CORLEONE' && "
+                        "filter:getAllMatches(NAM,'hubert').size() == 0") \
+            == ["CORLEONE"]
+
+    def test_mutating_methods_rejected(self, qp):
+        # testAgainstUnsupportedCompositeStructures:346 — the reference
+        # raises DatawaveFatalQueryException; we error at compile
+        with pytest.raises(Exception, match="unsupported FunctionalSet"):
+            qp.plan("UUID == 'CORLEONE' && filter:getAllMatches"
+                    "(NAME,'SANTINO').add('NAME:GROUCHO') == true"
+                    ).df.collect()
+
+    NULL_CASES = [
+        ("UUID =~ '^[CS].*' && filter:isNull(NULL1)", CS),
+        ("UUID =~ '^[CS].*' && filter:isNull(UUID)", []),
+        ("UUID =~ '^[CS].*' && filter:isNull(BOTH_NULL)", CS),
+        ("filter:isNull(NULL2||NULL1)", ALL),
+        ("filter:isNull(BOTH_NULL)", ALL),
+        ("filter:isNull(UUID||NULL1)", []),
+        ("filter:isNull(UUID) && filter:isNull(NULL1)", []),
+        ("filter:isNull(NULL1||NULL2)", ALL),
+        ("filter:isNull(NULL1) && filter:isNull(NULL2)", ALL),
+        ("UUID =~ '^[CS].*' && filter:isNull(ONE_NULL)", []),
+        ("UUID =~ '^[CS].*' && filter:isNull(UUID||NULL1)", []),
+        ("UUID =~ '^[CS].*' && filter:isNull(UUID) && filter:isNull(NULL1)",
+         []),
+    ]
+
+    @pytest.mark.parametrize("query,expected", NULL_CASES,
+                             ids=[c[0][:45] for c in NULL_CASES])
+    def test_nulls(self, qp, query, expected):
+        # testNulls:484 — expected lists verbatim; field unions and
+        # aliases are ONE value-set (isNull ⇔ the union is empty)
+        assert uids(qp, query) == sorted(expected)
+
+    NOTNULL_CASES = [
+        ("filter:isNotNull(UUID)", ALL),
+        ("filter:isNotNull(NULL1)", []),
+        ("filter:isNotNull(NULL1||NULL2)", []),
+        ("filter:isNotNull(NULL1) || filter:isNotNull(NULL2)", []),
+        ("filter:isNotNull(BOTH_NULL)", []),
+        ("filter:isNotNull(UUID||NULL1)", ALL),
+        ("filter:isNotNull(UUID) || filter:isNotNull(NULL1)", ALL),
+        ("filter:isNotNull(ONE_NULL)", ALL),
+        ("UUID =~ '^[CS].*' && filter:isNotNull(UUID)", CS),
+        ("UUID =~ '^[CS].*' && filter:isNotNull(NULL1)", []),
+        ("UUID =~ '^[CS].*' && filter:isNotNull(NULL1||NULL2)", []),
+        ("UUID =~ '^[CS].*' && filter:isNotNull(BOTH_NULL)", []),
+        ("UUID =~ '^[CS].*' && filter:isNotNull(UUID||NULL1)", CS),
+        ("UUID =~ '^[CS].*' && filter:isNotNull(ONE_NULL)", CS),
+    ]
+
+    @pytest.mark.parametrize("query,expected", NOTNULL_CASES,
+                             ids=[c[0][:45] for c in NOTNULL_CASES])
+    def test_not_nulls(self, qp, query, expected):
+        # testNotNulls — including the documented equivalences
+        # isNotNull(A||B) ≡ isNotNull(A) || isNotNull(B)
+        assert uids(qp, query) == sorted(expected)
+
+    def test_include_exclude_regex_model_expansion(self, qp):
+        # testWithIndexOnlyFieldsAndModelExpansion:373 (LOCATION /
+        # POSIZIONE are plain columns here — the index-only execution
+        # restriction doesn't exist on Spark, so the excludeRegex(LOC)
+        # case EVALUATES instead of erroring; same rows)
+        assert uids(qp, "UUID =~ '^[CS].*' && "
+                        "filter:includeRegex(LOCATION,'chicago')") \
+            == ["CAPONE"]
+        assert uids(qp, "UUID =~ '^[CS].*' && "
+                        "filter:includeRegex(LOC,'newyork')") == ["CORLEONE"]
+        assert uids(qp, "UUID =~ '^[CS].*' && "
+                        "filter:includeRegex(LOC,'new.*')") \
+            == ["CORLEONE", "SOPRANO"]
+        assert uids(qp, "UUID =~ '^[CS].*' && "
+                        "filter:excludeRegex(LOC,'new.*')") == ["CAPONE"]
+        assert uids(qp, "UUID =~ '^[CS].*' && "
+                        "filter:excludeRegex(NAM,'A.*')") == ["CORLEONE"]
+
+
+class TestLenientFieldsReference:
+    """LenientFieldsTest.java:245-279 verbatim — the test's model adds
+    MAGIC to NAM and marks the fields lenient via the lenient.fields
+    parameter (here: f:lenient terms)."""
+
+    LENIENT = ("f:lenient('ETA','AGE','MAGIC','NOME','NAME','NAM','AG')")
+
+    @pytest.fixture()
+    def lqp(self, guys):
+        model = dict(MODEL)
+        model["NAM"] = ["NAME", "NOME", "MAGIC"]
+        return QueryPlanner(guys, field_types=FIELD_TYPES, model=model,
+                            reverse_model={})
+
+    def test_lenient_cases(self, lqp):
+        cases = [
+            ("AG > 'abc10'", []),
+            ("AG == '40'", ["CAPONE", "CORLEONE"]),
+            ("NAM > '40'", ["CAPONE", "CORLEONE", "SOPRANO", "TATTAGLIA"]),
+            ("NAM == 'abc40'", []),
+        ]
+        for query, expected in cases:
+            got = uids(lqp, f"{query} && {self.LENIENT}")
+            assert got == sorted(expected), query
