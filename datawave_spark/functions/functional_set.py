@@ -125,9 +125,23 @@ def _target_set(node, ctx) -> tuple[Column, str]:
             return (_comparable(raw, _field_kind(ctx, field), ctx,
                                 field.split("||")[0]),
                     _field_kind(ctx, field))
+        if (node.namespace, node.name) == ("filter", "includeRegex"):
+            # includeRegex returns a SINGLETON set holding the FIRST
+            # matching value (EvaluationPhaseFilterFunctions
+            # .includeRegex:263 — CompositeFunctionsTest pins
+            # '.size() == 1')
+            field = node.args[0].name
+            pattern = java_full_match(str(node.args[1].value))
+            raw = F.slice(
+                F.filter(field_values(ctx, field),
+                         lambda v: v.cast("string").rlike(pattern)), 1, 1)
+            return (_comparable(raw, _field_kind(ctx, field), ctx,
+                                field.split("||")[0]),
+                    _field_kind(ctx, field))
         raise ValueError(
             f"function {node.namespace}:{node.name} does not yield a "
-            f"FunctionalSet (methods apply to fields / getAllMatches)")
+            f"FunctionalSet (methods apply to fields / getAllMatches / "
+            f"includeRegex)")
     if isinstance(node, MethodNode):
         mv = method_value(node, ctx)
         if not mv.is_set:
@@ -184,8 +198,69 @@ def method_value(node: MethodNode, ctx) -> MethodValue:
         lit = F.lit(ref)
         return MethodValue(F.filter(vals, lambda v: pred(v, lit)),
                            kind, True)
+    if name == "contains":
+        # FunctionalSet.contains:71 — plain value membership — and the
+        # tuple-string form 'FIELD.instance:value' (:158, ValueTuple's
+        # toString; CompositeFunctionsTest pins
+        # "contains('NAME.0:ANTHONY') == true"): the named member's
+        # value at that instance equals the value AND is in the set
+        import re as _re
+        vals, kind = _target_set(node.target, ctx)
+        arg = str(node.args[0].value)
+        m = _re.match(r"^([A-Za-z_$][A-Za-z0-9_$]*)\.(\d+):(.*)$", arg)
+        if m:
+            fld, idx, val = m.group(1), int(m.group(2)), m.group(3)
+            members = {mm.upper() for part in _members_of(node.target)
+                       for mm in ctx.model.get(part.upper(), [part])}
+            spec = ctx.resolve(fld)
+            if fld.upper() not in members or spec is None:
+                return MethodValue(F.lit(False), "bool", False)
+            col = F.col(spec.column)
+            dt = ctx.spark_type(spec)
+            if isinstance(dt, T.ArrayType):
+                elem = F.try_element_at(col, F.lit(idx + 1))
+            else:
+                elem = col if idx == 0 else F.lit(None)
+            one = _comparable(F.array(elem), kind, ctx, fld)
+            lit = F.lit(_norm_literal(ctx, fld, val, kind))
+            pred = (F.size(one) > 0) \
+                & (F.try_element_at(one, F.lit(1)) == lit) \
+                & F.array_contains(vals,
+                                   F.try_element_at(one, F.lit(1)))
+            return MethodValue(F.coalesce(pred, F.lit(False)), "bool",
+                               False)
+        first = next(iter(_members_of(node.target)), None)
+        lit = F.lit(_norm_literal(ctx, first, arg, kind))
+        return MethodValue(
+            F.coalesce(F.array_contains(vals, lit), F.lit(False)),
+            "bool", False)
     # add/clear/remove mutate — the reference rejects them in queries
     # (CompositeFunctionsTest.testAgainstUnsupportedCompositeStructures
     # expects DatawaveFatalQueryException); anything unimplemented
     # (getValuesForGroups, containsAll, hashCode) errors loudly too
     raise ValueError(f"unsupported FunctionalSet method .{name}()")
+
+
+def _members_of(target) -> list[str]:
+    """Field-name parts a method target draws values from."""
+    if isinstance(target, Identifier):
+        return target.name.split("||")
+    if isinstance(target, FuncNode) and target.args:
+        return str(target.args[0].name).split("||")
+    if isinstance(target, MethodNode):
+        return _members_of(target.target)
+    return []
+
+
+def _norm_literal(ctx, field_name: str | None, v: str, kind: str):
+    """contains() literal in the set's comparable domain — string forms
+    normalize through the member FIELD's normalizer, exactly as stored
+    values did in ``_comparable``."""
+    if kind == "number":
+        return float(v)
+    if kind == "date":
+        return _ref_literal(type("L", (), {"value": v})(), "date")
+    from datawave_spark.normalizers import get_normalizer
+    spec = ctx.resolve(field_name) if field_name else None
+    norm = get_normalizer(spec.normalizer if spec else "noop")
+    return str(norm.normalize_literal(v))

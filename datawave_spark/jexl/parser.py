@@ -128,22 +128,30 @@ class _Parser:
     def parse_expr(self) -> JexlNode:
         return self.parse_or()
 
+    def _is_word_op(self, word: str) -> bool:
+        # commons-jexl3 accepts 'and'/'or'/'not' word operators; the
+        # reference's #JEXL bodies write them uppercase
+        # (CompositeFunctionsTest.testWithLucene) — in operator
+        # position the word is unambiguous (juxtaposition is illegal)
+        kind, tok = self.peek()
+        return kind == "ident" and tok.lower() == word
+
     def parse_or(self) -> JexlNode:
         terms = [self.parse_and()]
-        while self.peek()[1] == "||":
+        while self.peek()[1] == "||" or self._is_word_op("or"):
             self.next()
             terms.append(self.parse_and())
         return terms[0] if len(terms) == 1 else OrNode(tuple(terms))
 
     def parse_and(self) -> JexlNode:
         terms = [self.parse_not()]
-        while self.peek()[1] == "&&":
+        while self.peek()[1] == "&&" or self._is_word_op("and"):
             self.next()
             terms.append(self.parse_not())
         return terms[0] if len(terms) == 1 else AndNode(tuple(terms))
 
     def parse_not(self) -> JexlNode:
-        if self.peek()[1] == "!":
+        if self.peek()[1] == "!" or self._is_word_op("not"):
             self.next()
             return NotNode(self.parse_not())
         return self.parse_primary()

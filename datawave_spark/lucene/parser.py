@@ -202,6 +202,14 @@ class _Parser:
                 if k == "phrase":
                     args.append(Literal(self._unquote(v)))
                 elif k == "term":
+                    # single-quoted argument (the reference's function
+                    # args are usually single-quoted:
+                    # #MATCHES_AT_LEAST_COUNT_OF('3',NAM,'MICHAEL',…) —
+                    # space-free by the term lexeme, like the Java's)
+                    if len(v) >= 2 and v[0] == v[-1] == "'":
+                        args.append(Literal(re.sub(r"\\(.)", r"\1",
+                                                   v[1:-1])))
+                        continue
                     # numbers stay numeric, words become identifiers or
                     # string literals depending on position (functions
                     # sort it out; identifiers are safe for both).

@@ -281,3 +281,70 @@ class TestLenientFieldsReference:
         for query, expected in cases:
             got = uids(lqp, f"{query} && {self.LENIENT}")
             assert got == sorted(expected), query
+
+
+class TestCompositeFunctionChains:
+    """CompositeFunctionsTest.testCompositeFunctions:551 — method
+    chains, method+method arithmetic, includeRegex's singleton-set
+    contract, and ValueTuple-string contains()."""
+
+    CASES = [
+        ("UUID == 'SOPRANO' && 1 + 1 == 2", ["SOPRANO"]),
+        ("UUID == 'SOPRANO' && 1 * 1 == 1", ["SOPRANO"]),
+        ("filter:getAllMatches(NAM,'MICHAEL').size() + "
+         "filter:getAllMatches(NAM,'SANTINO').size() >= 1 && "
+         "UUID =~ '^[CS].*'", ["CAPONE", "CORLEONE"]),
+        ("UUID =~ '^[CS].*' && "
+         "filter:getAllMatches(NAM,'MICHAEL').size() > 0",
+         ["CAPONE", "CORLEONE"]),
+        ("UUID =~ '^[CS].*' && "
+         "filter:includeRegex(NAM,'MICHAEL').size() == 1",
+         ["CAPONE", "CORLEONE"]),
+        ("UUID == 'CORLEONE' && "
+         "filter:getAllMatches(NAM,'SANTINO').size() == 1", ["CORLEONE"]),
+        ("UUID =~ '^[CS].*' && "
+         "filter:getAllMatches(NAM,'MICHAEL').size() > 0 && "
+         "filter:getAllMatches(NAM,'MICHAEL').size() < 2",
+         ["CAPONE", "CORLEONE"]),
+        ("UUID == 'SOPRANO' && "
+         "filter:getAllMatches(NAM,'MICHAEL').contains('foo') == false",
+         ["SOPRANO"]),
+        ("UUID == 'SOPRANO' && filter:getAllMatches(NAM,'ANTHONY')"
+         ".contains('NAME.0:ANTHONY') == true", ["SOPRANO"]),
+        ("UUID =~ '^[CS].*' && filter:getAllMatches(NAM,'.*O')"
+         ".contains('NOME.0:SANTINO') == true", ["CORLEONE"]),
+    ]
+
+    @pytest.mark.parametrize("query,expected", CASES,
+                             ids=[c[0][:48] for c in CASES])
+    def test_composite(self, qp, query, expected):
+        assert uids(qp, query) == sorted(expected)
+
+
+class TestWithLucene:
+    """CompositeFunctionsTest.testWithLucene:603 +
+    testMatchesAtLeastCountOfWithLucene:586 — the LUCENE front-end over
+    the same corpus, incl. #JEXL delivery and the '$'-escaped field."""
+
+    CASES = [
+        ("UUID:C*", ["CAPONE", "CORLEONE"]),
+        ("UUID:SOPRANO", ["SOPRANO"]),
+        ("UUID:C* OR UUID:S*", ["CAPONE", "CORLEONE", "SOPRANO"]),
+        ("(UUID:C* OR UUID:S*) AND #INCLUDE(NAM, 'CONSTANZIA')",
+         ["CORLEONE"]),
+        ("(UUID:C* OR UUID:S*) AND #INCLUDE(NAM, 'MICHAEL')",
+         ["CAPONE", "CORLEONE"]),
+        ("#JEXL(\"$UUID == 'CORLEONE' AND "
+         "filter:getAllMatches(NAM,'SANTINO').size() == 1\")",
+         ["CORLEONE"]),
+        ("UUID:CORLEONE AND #JEXL(\""
+         "filter:getAllMatches(NAM,'SANTINO').size() == 1\")",
+         ["CORLEONE"]),
+        ("(UUID:C* OR UUID:S*) AND #MATCHES_AT_LEAST_COUNT_OF"
+         "('3',NAM,'MICHAEL','VINCENT','FREDO','TONY')", ["CORLEONE"]),
+    ]
+
+    @pytest.mark.parametrize("query,expected", CASES,
+                             ids=[c[0][:48] for c in CASES])
+    def test_lucene(self, qp, query, expected):
+        assert uids(qp, query, syntax="LUCENE") == sorted(expected)
