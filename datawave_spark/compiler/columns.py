@@ -374,6 +374,21 @@ def compile_range(node: "RangeNode", ctx: CompileContext,
     conjunction, whose any-value semantics lets different values
     satisfy each bound — lucene-referee r8)."""
     name = node.field.name.upper()
+    if name in ctx.model:
+        # model alias: OR of per-member bounded ranges (QueryModel
+        # expansion; same-value holds within each member —
+        # FunctionalSetTest's '10 <= AG && AG <= 18' reaches here via
+        # the planner's mark_bounded_ranges)
+        child_ctx = CompileContext(
+            schema=ctx.schema, fields=ctx.fields,
+            model={k: v for k, v in ctx.model.items() if k != name})
+        out = None
+        for member in ctx.model[name]:
+            p = compile_range(
+                RangeNode(Identifier(member), node.lo_op, node.lo,
+                          node.hi_op, node.hi), child_ctx)
+            out = p if out is None else out | p
+        return ~_total(out) if negated else out
     spec = ctx.resolve(name)
     if spec is None:
         return F.lit(negated)
@@ -619,15 +634,44 @@ def compile_arith_cmp(node: ArithCmpNode, ctx: CompileContext,
             left = repl if b_side is left else left
             right = repl if b_side is right else right
     node = ArithCmpNode(node.op, left, right)
-    a = _compile_arith_expr(node.left, ctx)
-    b = _compile_arith_expr(node.right, ctx)
+
+    def _side(n):
+        """→ (Column, is_set): SET-valued sides (set-returning methods;
+        bare multi-valued fields in a method comparison —
+        'AG.getValuesForGroups(...) == MAGIC') compare with ANY-element
+        semantics, the DatawaveArithmetic collection contract."""
+        if isinstance(n, MethodNode):
+            from datawave_spark.functions.functional_set import method_value
+            mv = method_value(n, ctx)
+            return mv.col, mv.is_set
+        if isinstance(n, Identifier):
+            spec = ctx.resolve(n.name)
+            if spec is not None and isinstance(ctx.spark_type(spec),
+                                               T.ArrayType):
+                return F.col(spec.column), True
+        return _compile_arith_expr(n, ctx), False
+
+    a, a_set = _side(node.left)
+    b, b_set = _side(node.right)
+
+    def cmp(x, y):
+        return {"==": x == y, "!=": x != y, "<": x < y, ">": x > y,
+                "<=": x <= y, ">=": x >= y}[node.op]
+
+    if a_set or b_set:
+        if a_set and b_set:
+            pred = F.exists(a, lambda x: F.exists(b, lambda y: cmp(x, y)))
+        elif a_set:
+            pred = F.exists(a, lambda x: cmp(x, b))
+        else:
+            pred = F.exists(b, lambda y: cmp(a, y))
+        return ~_total(pred) if negated else pred
     if node.op == "!=":
         # total-negation semantics, same as CmpNode '!=': a NULL
         # operand (missing field) satisfies the inequality
         eq = a == b
         return _total(eq) if negated else ~_total(eq)
-    pred = {"==": a == b, "<": a < b, ">": a > b,
-            "<=": a <= b, ">=": a >= b}[node.op]
+    pred = cmp(a, b)
     return ~_total(pred) if negated else pred
 
 

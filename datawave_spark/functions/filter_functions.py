@@ -86,11 +86,30 @@ def f_occurrence(ctx: CompileContext, args):
     exist, getSizeOf returns only their count (``sourcedFromEvent`` —
     null elements excluded); when NONE do, it falls back to the total
     element count.  A NULL array is again the null Object → 1."""
+    from datawave_spark.jexl.ast import Identifier as _Id, Literal as _Lit
     fname = _ident(args[0])
     if len(args) == 2:
-        op, count = "==", int(_lit(args[1]))
+        op, count_arg = "==", args[1]
     else:
-        op, count = str(_lit(args[1])), int(_lit(args[2]))
+        op, count_arg = str(_lit(args[1])), args[2]
+    if isinstance(count_arg, (_Id, _Lit)):
+        count = int(_lit(count_arg))
+    else:
+        # expression count (FunctionalSetTest: "occurrence(AG, '==',
+        # getAllMatches(AG,'16').size() + getAllMatches(AG,'18')
+        # .size())") — resolve through the arithmetic compiler
+        from datawave_spark.compiler.columns import _compile_arith_expr
+        count = _compile_arith_expr(count_arg, ctx)
+    if "||" in fname or fname.upper() in ctx.model:
+        # union / model-alias field: getSizeOf over the member-union
+        # FunctionalSet — non-null tuple count, total element count
+        # when none (FunctionalSetTest's occurrence-over-AG cases)
+        vals = field_values(ctx, fname)
+        nn = F.size(F.filter(vals, lambda v: v.isNotNull()))
+        n = F.when(nn > 0, nn).otherwise(F.size(vals))
+        return {"==": n == count, "=": n == count, "!=": n != count,
+                "<": n < count, ">": n > count,
+                "<=": n <= count, ">=": n >= count}[op]
     spec = ctx.resolve(fname)
     if spec is None:
         n = F.lit(1)

@@ -100,6 +100,17 @@ def _comparable(vals: Column, kind: str, ctx, field_name: str | None) -> Column:
     return F.filter(out, lambda v: v.isNotNull())
 
 
+def _raw_str(v: Column, kind: str) -> Column:
+    """A value's RAW string form for regex matching — whole doubles
+    render Java-style without the trailing '.0' (the reference matches
+    getAllMatches regexes against the tuple's value: '16' must match a
+    numeric 16)."""
+    s = v.cast("string")
+    if kind == "number":
+        return F.regexp_replace(s, r"\.0$", "")
+    return s
+
+
 def _target_set(node, ctx) -> tuple[Column, str]:
     """→ (comparable values array, kind) for a method target."""
     from datawave_spark.compiler.columns import field_values, java_full_match
@@ -119,25 +130,25 @@ def _target_set(node, ctx) -> tuple[Column, str]:
             # the SET form of getAllMatches:343 — values fully matching
             # the regex (JexlPatternCache flags), in FIELD's domain
             field = node.args[0].name
+            kind = _field_kind(ctx, field)
             pattern = java_full_match(str(node.args[1].value))
             raw = F.filter(field_values(ctx, field),
-                           lambda v: v.cast("string").rlike(pattern))
-            return (_comparable(raw, _field_kind(ctx, field), ctx,
-                                field.split("||")[0]),
-                    _field_kind(ctx, field))
+                           lambda v: _raw_str(v, kind).rlike(pattern))
+            return (_comparable(raw, kind, ctx, field.split("||")[0]),
+                    kind)
         if (node.namespace, node.name) == ("filter", "includeRegex"):
             # includeRegex returns a SINGLETON set holding the FIRST
             # matching value (EvaluationPhaseFilterFunctions
             # .includeRegex:263 — CompositeFunctionsTest pins
             # '.size() == 1')
             field = node.args[0].name
+            kind = _field_kind(ctx, field)
             pattern = java_full_match(str(node.args[1].value))
             raw = F.slice(
                 F.filter(field_values(ctx, field),
-                         lambda v: v.cast("string").rlike(pattern)), 1, 1)
-            return (_comparable(raw, _field_kind(ctx, field), ctx,
-                                field.split("||")[0]),
-                    _field_kind(ctx, field))
+                         lambda v: _raw_str(v, kind).rlike(pattern)), 1, 1)
+            return (_comparable(raw, kind, ctx, field.split("||")[0]),
+                    kind)
         raise ValueError(
             f"function {node.namespace}:{node.name} does not yield a "
             f"FunctionalSet (methods apply to fields / getAllMatches / "
@@ -198,6 +209,45 @@ def method_value(node: MethodNode, ctx) -> MethodValue:
         lit = F.lit(ref)
         return MethodValue(F.filter(vals, lambda v: pred(v, lit)),
                            kind, True)
+    if name == "getValuesForGroups":
+        # FunctionalSet.getValuesForGroups:260 — the target field's
+        # values in the sibling groups named by the argument (a
+        # grouping:getGroupsForMatchesInGroup call); parallel-array
+        # groups share the index, so this is element_at over the
+        # matching indices, unioned across the alias's members
+        from datawave_spark.functions.grouping import matching_indices_for
+        arg = node.args[0]
+        if not (isinstance(arg, FuncNode) and arg.namespace == "grouping"):
+            raise ValueError(
+                "getValuesForGroups takes a grouping:* group source")
+        idxs = matching_indices_for(ctx, arg)
+        kind = target_kind(node.target, ctx)
+        parts = []
+        for part in _members_of(node.target):
+            for member in ctx.model.get(part.upper(), [part]):
+                spec = ctx.resolve(member)
+                if spec is None:
+                    continue
+                col = F.col(spec.column)
+                if isinstance(ctx.spark_type(spec), T.ArrayType):
+                    picked = F.transform(
+                        idxs, lambda i: F.try_element_at(col, i + 1))
+                else:
+                    picked = F.transform(
+                        idxs, lambda i: F.when(i == 0, col))
+                parts.append(_comparable(picked, kind, ctx, member))
+        out = parts[0] if parts else F.array()
+        for p in parts[1:]:
+            out = F.concat(out, p)
+        return MethodValue(out, kind, True)
+    if name == "containsAll":
+        # FunctionalSet.containsAll:119 — every element of the argument
+        # set is in the target set (vacuously true on an empty arg, the
+        # java.util contract)
+        vals, _kind = _target_set(node.target, ctx)
+        arg_set, _k2 = _target_set(node.args[0], ctx)
+        pred = F.forall(arg_set, lambda y: F.array_contains(vals, y))
+        return MethodValue(F.coalesce(pred, F.lit(False)), "bool", False)
     if name == "contains":
         # FunctionalSet.contains:71 — plain value membership — and the
         # tuple-string form 'FIELD.instance:value' (:158, ValueTuple's

@@ -29,9 +29,12 @@ from datawave_spark.compiler.columns import (
 from datawave_spark.jexl.ast import Identifier, Literal
 
 
-def _find_group_column(ctx: CompileContext, names: list[str]) -> tuple[str, dict[str, str]]:
+def _find_group_column(ctx: CompileContext, names: list[str]) -> tuple[str, dict[str, str]] | None:
     """Find the array<struct> column containing all ``names`` as struct
-    fields; returns (column, upper-name → struct-field map)."""
+    fields; returns (column, upper-name → struct-field map), or None —
+    callers fall back to the PARALLEL-ARRAY representation (the
+    reference's WiseGuys style: NAME.i / GENDER.i / AGE.i land as
+    top-level arrays whose shared index IS the sibling group)."""
     wanted = {n.upper() for n in names}
     for f in ctx.schema.fields:
         if isinstance(f.dataType, T.ArrayType) and \
@@ -39,8 +42,79 @@ def _find_group_column(ctx: CompileContext, names: list[str]) -> tuple[str, dict
             have = {sf.name.upper(): sf.name for sf in f.dataType.elementType.fields}
             if wanted <= set(have):
                 return f.name, have
-    raise ValueError(
-        f"no array<struct> group column covers fields {sorted(wanted)}")
+    return None
+
+
+def _elem_matches(ctx: CompileContext, member: str, elem, value) -> "F.Column":
+    """One group member's element vs a matchesInGroup VALUE arg — a
+    REGEX through includeRegex's flags
+    (GroupingRequiredFilterFunctions:163 → EvaluationPhaseFilter
+    Functions.includeRegex); numeric-typed members compare the regex's
+    numeric reading when it has one (the Java matches the tuple's
+    normalized form — '30' must match a stored 30.0)."""
+    spec = ctx.resolve(member)
+    et = None
+    if spec is not None:
+        dt = ctx.spark_type(spec)
+        et = dt.elementType if isinstance(dt, T.ArrayType) else dt
+    if isinstance(et, (T.DoubleType, T.FloatType, T.LongType,
+                       T.IntegerType, T.ShortType, T.DecimalType)):
+        try:
+            return elem.try_cast("double") == float(str(value))
+        except (TypeError, ValueError):
+            pass
+    return elem.cast("string").rlike(java_full_match(str(value)))
+
+
+def matching_indices_parallel(ctx: CompileContext,
+                              pairs: list[tuple[str, object]]):
+    """Sibling indices where every (FIELD, value) pair matches, over
+    PARALLEL top-level arrays — model aliases expand by cartesian
+    member combination (NAME↔GENDER vs NOME↔GENERE families), indices
+    unioned across combos.  → array<int> Column."""
+    import itertools
+    from datawave_spark.compiler.columns import _expand_field_arg
+    combos = itertools.product(
+        *[_expand_field_arg(ctx, f) for f, _ in pairs])
+    out = None
+    for combo in combos:
+        specs = [ctx.resolve(m) for m in combo]
+        if any(s is None for s in specs):
+            continue
+        cols = [F.col(s.column) for s in specs]
+        sizes = [
+            F.coalesce(F.size(c), F.lit(0))
+            if isinstance(ctx.spark_type(s), T.ArrayType)
+            else F.when(c.isNotNull(), F.lit(1)).otherwise(F.lit(0))
+            for s, c in zip(specs, cols)]
+        max_size = sizes[0]
+        for sz in sizes[1:]:
+            max_size = F.greatest(max_size, sz)
+
+        def elem_at(spec, col, i):
+            if isinstance(ctx.spark_type(spec), T.ArrayType):
+                return F.try_element_at(col, i + 1)
+            return F.when(i == 0, col)
+
+        def pred(i):
+            p = None
+            for (member, (_f, value)), spec, col in zip(
+                    zip(combo, pairs), specs, cols):
+                this = F.coalesce(
+                    _elem_matches(ctx, member, elem_at(spec, col, i),
+                                  value), F.lit(False))
+                p = this if p is None else p & this
+            return p
+
+        idxs = F.when(
+            max_size > 0,
+            F.filter(F.sequence(F.lit(0), max_size - 1), pred)) \
+            .otherwise(F.array().cast("array<int>"))
+        out = idxs if out is None else F.array_distinct(
+            F.concat(out, idxs))
+    if out is None:
+        return F.array().cast("array<int>")
+    return out
 
 
 def _pairs(args) -> list[tuple[str, object]]:
@@ -69,9 +143,16 @@ def g_matches_in_group(ctx: CompileContext, args):
     includeRegex, i.e. JexlPatternCache's CASE_INSENSITIVE | DOTALL
     full match) — a plain literal behaves as case-insensitive equality,
     but metacharacters are live ('9.5' matches '905'), exactly the
-    Java."""
+    Java.  Groups are an ``array<struct>`` column when one covers the
+    fields, else PARALLEL top-level arrays sharing an index
+    (FunctionalSetTest's 'grouping:matchesInGroup(NAM, 'ALPHONSE',
+    GEN, 'MALE', AG, 30)' shape)."""
     pairs = _pairs(args)
-    col_name, field_map = _find_group_column(ctx, [p[0] for p in pairs])
+    found = _find_group_column(ctx, [p[0] for p in pairs])
+    if found is None:
+        idxs = matching_indices_parallel(ctx, pairs)
+        return F.coalesce(F.size(idxs) > 0, F.lit(False))
+    col_name, field_map = found
 
     def group_pred(g):
         pred = None
@@ -83,6 +164,35 @@ def g_matches_in_group(ctx: CompileContext, args):
         return pred
 
     return F.coalesce(F.exists(F.col(col_name), group_pred), F.lit(False))
+
+
+def matching_indices_for(ctx: CompileContext, func_node) -> F.Column:
+    """Matching sibling indices for a
+    ``grouping:getGroupsForMatchesInGroup(...)`` call used in VALUE
+    position (FunctionalSet.getValuesForGroups:260 consumes the group
+    list) — array<int> over either group representation."""
+    pairs = _pairs(func_node.args)
+    found = _find_group_column(ctx, [p[0] for p in pairs])
+    if found is None:
+        return matching_indices_parallel(ctx, pairs)
+    col_name, field_map = found
+    col = F.col(col_name)
+
+    def pred(g):
+        p = None
+        for name, value in pairs:
+            sf = field_map[name.upper()]
+            this = g.getField(sf).cast("string").rlike(
+                java_full_match(str(value)))
+            p = this if p is None else p & this
+        return p
+
+    return F.when(
+        F.size(col) > 0,
+        F.filter(F.sequence(F.lit(0), F.size(col) - 1),
+                 lambda i: F.coalesce(pred(F.element_at(col, i + 1)),
+                                      F.lit(False)))) \
+        .otherwise(F.array().cast("array<int>"))
 
 
 @register_function("grouping", "matchesInGroupLeft")

@@ -222,9 +222,21 @@ class _Parser:
         if kind == "ident" and tok not in _KEYWORDS:
             if self.tokens[self.i + 1][0] == "colon":
                 # nested funcall argument (FunctionalSetTest's
-                # method-as-argument shape)
-                return self._method_chain(self.parse_funcall())
+                # method-as-argument shape) — possibly continued by
+                # arithmetic ("occurrence(AG, '==',
+                # getAllMatches(AG,'16').size() + ….size())")
+                node = self._method_chain(self.parse_funcall())
+                if self.peek()[1] in self._ADD_OPS \
+                        or self.peek()[1] in self._MUL_OPS:
+                    node = self.parse_additive(node)
+                return node
             self.next()
+            if "." in tok and self.peek()[1] == "(":
+                # method call as an argument (FunctionalSetTest's
+                # "….containsAll(AG.getValuesForGroups(…))")
+                base, method = tok.rsplit(".", 1)
+                return self._method_chain(
+                    self._finish_method(Identifier(base), method))
             name = tok
             # field-UNION argument: filter:isNull(NULL1||NULL2) — the
             # reference's multi-field form (CompositeFunctionsTest

@@ -348,3 +348,56 @@ class TestWithLucene:
                              ids=[c[0][:48] for c in CASES])
     def test_lucene(self, qp, query, expected):
         assert uids(qp, query, syntax="LUCENE") == sorted(expected)
+
+
+class TestFunctionsAsArguments:
+    """FunctionalSetTest.testFunctionsAsArguments:283 — literal-on-left
+    inversions, normalized-literal equality, getValuesForGroups over
+    grouping contexts (parallel-array sibling groups), and function
+    results as occurrence counts."""
+
+    CASES = [
+        ("10 <= AG && AG <= 18", ["ANDOLINI", "CORLEONE", "SOPRANO"]),
+        ("AG <= 18 && AG >= 10", ["ANDOLINI", "CORLEONE", "SOPRANO"]),
+        ("18 >= AG && 10 <= AG", ["ANDOLINI", "CORLEONE", "SOPRANO"]),
+        ("AG == 18", ["CORLEONE", "SOPRANO"]),
+        ("18 == AG", ["CORLEONE", "SOPRANO"]),
+        ("GEN == 'FEMALE'", ["CORLEONE", "SOPRANO"]),
+        ("GEN == 'female'", ["CORLEONE", "SOPRANO"]),
+        ("'female' == GEN", ["CORLEONE", "SOPRANO"]),
+        ("'FEMALE' == GEN", ["CORLEONE", "SOPRANO"]),
+        ("AG > 10 && AG < 100 && AG.getValuesForGroups("
+         "grouping:getGroupsForMatchesInGroup(NAM, 'MEADOW', GEN, "
+         "'FEMALE')) == MAGIC", ["SOPRANO"]),
+        ("AG > 10 && AG < 100 && AG.getValuesForGroups("
+         "grouping:getGroupsForMatchesInGroup(NAM, 'MEADOW', GEN, "
+         "'FEMALE')) < 19", ["SOPRANO"]),
+        ("AG > 10 && AG < 100 && AG.getValuesForGroups("
+         "grouping:getGroupsForMatchesInGroup(NAM, 'ALPHONSE', GEN, "
+         "'MALE')) == 30", ["CAPONE"]),
+        ("AG > 10 && AG < 100 && grouping:matchesInGroup(NAM, "
+         "'ALPHONSE', GEN, 'MALE', AG, 30)", ["CAPONE"]),
+        ("AG > 10 && AG < 100 && filter:occurrence(AG, '==', "
+         "filter:getAllMatches(AG, '16').size() + "
+         "filter:getAllMatches(AG, '18').size())", ["SOPRANO"]),
+        ("AG > 10 && AG < 100 && filter:occurrence(AG, '==', "
+         "filter:getAllMatches(AG, '19').size() + "
+         "filter:getAllMatches(AG, '18').size())", []),
+    ]
+
+    @pytest.mark.parametrize("query,expected", CASES,
+                             ids=[c[0][:48] for c in CASES])
+    def test_functions_as_arguments(self, qp, query, expected):
+        assert uids(qp, query) == sorted(expected)
+
+
+class TestMethodAsArgumentToMethod:
+    def test_method_as_argument(self, qp):
+        # FunctionalSetTest.testMethodAsArgumentToMethod:205 verbatim
+        q = ("AG.getValuesForGroups(grouping:getGroupsForMatchesInGroup("
+             "NAM, 'MEADOW', GEN, 'FEMALE')).isEmpty() == false && "
+             "AG.getValuesForGroups(grouping:getGroupsForMatchesInGroup("
+             "NAM, 'MEADOW', GEN, 'FEMALE')).containsAll("
+             "AG.getValuesForGroups(grouping:getGroupsForMatchesInGroup("
+             "NAM, 'MEADOW', GEN, 'FEMALE'))) == true")
+        assert uids(qp, q) == ["SOPRANO"]
