@@ -6707,3 +6707,28 @@ def q_funcall_arithmetic(spark, sf_dir):
     return compile_query(
         df, "filter:getMaxTime(TS2) - filter:getMinTime(TS) > 3600000") \
         .select("event_id")
+
+
+@register("grouping_values_for_groups", """
+SELECT event_id FROM events
+WHERE (event_type = 'click' AND user_id % 7 = 3 AND value < 50)
+   OR (user_id % 5 = 3 AND value * 2 < 50)
+""")
+def q_grouping_values_for_groups(spark, sf_dir):
+    """FunctionalSet.getValuesForGroups over grouping contexts
+    (FunctionalSet.java:260 + GroupingRequiredFilterFunctions
+    .getGroupsForMatchesInGroup:45), parallel-array sibling groups
+    (r9): pick the ages of the siblings whose NAME/OWNER pair matched,
+    compare with ANY-element semantics — the oracle is the index-wise
+    disjunction."""
+    ev = _t(spark, sf_dir, "events")
+    df = (ev.withColumn("NAMES", F.array(F.col("event_type"),
+                                         F.lit("click")))
+          .withColumn("OWNERS", F.array(
+              (F.col("user_id") % 7).cast("string"),
+              (F.col("user_id") % 5).cast("string")))
+          .withColumn("AGES", F.array(F.col("value"),
+                                      F.col("value") * 2)))
+    q = ("AGES.getValuesForGroups(grouping:getGroupsForMatchesInGroup("
+         "NAMES, 'click', OWNERS, '3')) < 50")
+    return compile_query(df, q).select("event_id")

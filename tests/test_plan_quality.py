@@ -740,6 +740,10 @@ class TestGlobalPlanLint:
         "xml_reader_query", "wikipedia_ingest",
         # real ray-cast geometry over bbox-pruned survivors
         "geowave_polygon_data",
+        # r9 gate keys for the remaining geowave ops — same
+        # bbox-prune → exact-geometry pandas-UDF split
+        "geowave_covers_data", "geowave_within_data",
+        "geowave_overlaps_data", "geowave_crosses_line",
     }
 
     # entries whose returned frame is a post-execution scan (memory
