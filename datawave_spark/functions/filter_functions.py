@@ -592,6 +592,21 @@ def f_time_function(ctx: CompileContext, args):
     goal = int(_unq(str(_lit(args[4]))).rstrip("lL"))
 
     def _side(field, pick):
+        # SCALAR fast path: one value IS the set — the extreme is the
+        # parsed value and the all-parse check is its non-nullness
+        # (NULL propagates to a false comparison via the coalesce), so
+        # the whole side is one codegen'd expression with no array
+        # machinery (r9 perf pass)
+        spec = ctx.resolve(field)
+        if spec is not None and "||" not in field \
+                and field.upper() not in ctx.model \
+                and not isinstance(ctx.spark_type(spec), T.ArrayType):
+            dtype = ctx.spark_type(spec)
+            if isinstance(dtype, (T.TimestampType, T.TimestampNTZType,
+                                  T.DateType)):
+                # already temporal: no parse chain in the plan at all
+                return F.unix_millis(F.col(spec.column).cast("timestamp"))
+            return F.unix_millis(_ts(F.col(spec.column), None))
         # NULL elements are ABSENCE (the reference's FunctionalSet holds
         # only actual values), so only non-null raw values are parsed —
         # a null element must not read as a parse failure (review r8).
