@@ -38,7 +38,8 @@ OPS = ["jexl_filter", "groupby", "tokenize_tf", "minhash_sig", "simhash",
        "bpe_train", "bpe_encode", "federated", "schema_evo",
        "tokenizer_e2e", "push", "push_epochs", "push_compacted",
        "compare_wide", "nyctlc",
-       "date_parse_chain", "index_path", "index_pruned", "content_within"]
+       "date_parse_chain", "index_path", "index_pruned", "content_within",
+       "funcset"]
 
 
 def generate(spark):
@@ -223,6 +224,11 @@ def run_one(op: str, events_path: str, docs_path: str,
         "content_within": _content_within,
         "jexl_filter": lambda d: noop(compile_query(
             d, "EVENT_TYPE == 'click' && VALUE > 50")),
+        # FunctionalSet methods (r9): HOF column functions over the
+        # value array — the scan-bound claim, measured
+        "funcset": lambda d: noop(compile_query(
+            d.withColumn("V", F.array(F.col("value"), F.col("value") * 2)),
+            "V.max() >= 100 && V.greaterThan(50).size() >= 1")),
         "groupby": lambda d: noop(group_by(
             d, ["event_type"], [("SUM", "value", "s")])),
         "tokenize_tf": lambda d: noop(tokenize(d, "text", "doc_id")),
@@ -770,7 +776,8 @@ def run_one(op: str, events_path: str, docs_path: str,
     if op in ("jexl_filter", "groupby", "edge_dict", "validate",
               "pagerank", "federated", "schema_evo", "push",
               "push_epochs", "push_compacted", "compare_wide", "nyctlc",
-              "date_parse_chain", "index_path", "index_pruned"):
+              "date_parse_chain", "index_path", "index_pruned",
+              "funcset"):
         src = ev
     elif op in ("knn_lsh", "knn_blocked", "semantic_dedup", "kmeans_step"):
         src = emb
