@@ -432,6 +432,76 @@ def polygon_rows_predicate(coord_lists: pd.Series, op: str,
     return np.zeros(n, dtype=bool)          # crosses: never for areas
 
 
+def line_rows_predicate(coord_lists: pd.Series, op: str,
+                        qring) -> np.ndarray:
+    """Vectorized geowave predicate for a BATCH of LINESTRING rows
+    against one query ring (the chain counterpart of
+    ``polygon_rows_predicate`` — padded vertex tables, vertex-in and
+    edge-crossing tests broadcast over (rows × edges)).  Bit-for-bit
+    the same verdicts as the scalar ``_line_poly_predicate`` for
+    intersects / within / covered_by / crosses; other ops are False for
+    line-vs-area in JTS."""
+    n = len(coord_lists)
+    arrs = [np.asarray(v, dtype=float) if v is not None
+            else np.zeros(0) for v in coord_lists]
+    lens = np.array([len(a) // 2 for a in arrs], dtype=int)
+    flat = np.concatenate(arrs) if arrs else np.zeros(0)
+    counts = np.array([len(a) for a in arrs], dtype=int)
+    offs = np.concatenate([[0], np.cumsum(counts)])
+    row_of = np.repeat(np.arange(n), counts)
+    idx_in_row = np.arange(len(flat)) - np.repeat(offs[:-1], counts)
+    V = max(int(lens.max()) if n else 1, 2)
+    X = np.zeros((n, V))
+    Y = np.zeros((n, V))
+    even = idx_in_row % 2 == 0
+    X[row_of[even], idx_in_row[even] // 2] = flat[even]
+    Y[row_of[~even], idx_in_row[~even] // 2] = flat[~even]
+    cnt = np.maximum(lens, 1)
+    rows = np.arange(n)[:, None]
+    ar = np.arange(V)[None, :]
+    # pad the tail with each row's LAST vertex: padded duplicates are
+    # degenerate (zero-length) edges — inert in the crossing tests, and
+    # a contact at the duplicated point is a REAL chain contact
+    gather = np.minimum(ar, (cnt - 1)[:, None])
+    X = X[rows, gather]
+    Y = Y[rows, gather]
+    mask = ar < cnt[:, None]
+
+    vin = point_in_polygon_vec(X, Y, qring)
+    any_in = (vin & mask).any(axis=1)
+    all_in = (vin | ~mask).all(axis=1)
+
+    # chain edges (V-1 per row) × ring edges
+    B1, B2 = _ring_arrays(qring)
+    ax1, ay1 = X[:, :-1, None], Y[:, :-1, None]
+    ax2, ay2 = X[:, 1:, None], Y[:, 1:, None]
+    b1x, b1y = B1[:, 0][None, None, :], B1[:, 1][None, None, :]
+    b2x, b2y = B2[:, 0][None, None, :], B2[:, 1][None, None, :]
+    d1 = (ax2 - ax1) * (b1y - ay1) - (ay2 - ay1) * (b1x - ax1)
+    d2 = (ax2 - ax1) * (b2y - ay1) - (ay2 - ay1) * (b2x - ax1)
+    d3 = (b2x - b1x) * (ay1 - b1y) - (b2y - b1y) * (ax1 - b1x)
+    d4 = (b2x - b1x) * (ay2 - b1y) - (b2y - b1y) * (ax2 - b1x)
+    proper = ((d1 * d2 < 0) & (d3 * d4 < 0)).any(axis=(1, 2))
+
+    if op == "crosses":
+        return proper | (any_in & ~all_in)
+    if op in ("within", "covered_by"):
+        return all_in & ~proper
+    if op == "intersects":
+        def on(ox, oy, px, py, qx, qy, d):
+            return ((np.abs(d) < 1e-12)
+                    & (qx >= np.minimum(ox, px) - 1e-12)
+                    & (qx <= np.maximum(ox, px) + 1e-12)
+                    & (qy >= np.minimum(oy, py) - 1e-12)
+                    & (qy <= np.maximum(oy, py) + 1e-12))
+        touch = (on(ax1, ay1, ax2, ay2, b1x, b1y, d1)
+                 | on(ax1, ay1, ax2, ay2, b2x, b2y, d2)
+                 | on(b1x, b1y, b2x, b2y, ax1, ay1, d3)
+                 | on(b1x, b1y, b2x, b2y, ax2, ay2, d4)).any(axis=(1, 2))
+        return any_in | proper | touch
+    return np.zeros(n, dtype=bool)      # contains/covers/overlaps
+
+
 def compile_geowave(ctx, op: str, args):
     """Compile ``geowave:<op>(FIELD, 'WKT')``.
 
@@ -500,10 +570,19 @@ def compile_geowave(ctx, op: str, args):
             spoly = (wv.str.match(r"\s*POLYGON", case=False)
                      & ~wv.str.contains(r"\)\s*,\s*\(", regex=True)
                      ).to_numpy()
+            sline = wv.str.match(r"\s*LINESTRING", case=False).to_numpy()
+            handled = np.zeros(len(wv), dtype=bool)
             if qk == "polygon" and spoly.any():
                 out[widx[spoly]] = polygon_rows_predicate(
                     nums.iloc[widx[spoly]], op, qg)
-            fallback = np.flatnonzero(~spoly) if qk == "polygon" \
+                handled |= spoly
+            if qk == "polygon" and sline.any():
+                # vectorized chain path (r9 — the crosses gate key's
+                # 600k candidate rows were per-row numpy before)
+                out[widx[sline]] = line_rows_predicate(
+                    nums.iloc[widx[sline]], op, qg)
+                handled |= sline
+            fallback = np.flatnonzero(~handled) if qk == "polygon" \
                 else np.arange(len(wv))
             for j in fallback:
                 try:

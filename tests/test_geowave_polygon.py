@@ -202,3 +202,35 @@ class TestLinestringMulti:
         c = "geowave:crosses(GEOM, 'POLYGON((0 0, 10 0, 10 10, 0 10, 0 0))')"
         got_c = {r.id for r in compile_query(df, c).select("id").collect()}
         assert got_c == {2}
+
+
+class TestLineRowsVectorized:
+    def test_line_batch_matches_scalar(self):
+        """line_rows_predicate (padded-chain numpy batch) must agree
+        bit-for-bit with the scalar geometry_predicate on random
+        segments and multi-vertex chains, for every op it handles."""
+        import random
+        import pandas as pd
+        from datawave_spark.functions._geowave_purepy import (
+            geometry_predicate, line_rows_predicate)
+        rng = random.Random(99)
+        qring = [(-10.5, -8.5), (12.5, -8.5), (12.5, 9.5), (-10.5, 9.5),
+                 (-10.5, -8.5)]
+        chains = []
+        for _ in range(400):
+            k = rng.choice([2, 2, 2, 3, 4])
+            pts = [(rng.randint(-20, 20), rng.randint(-15, 15))]
+            for _ in range(k - 1):
+                x, y = pts[-1]
+                pts.append((x + rng.randint(-6, 6), y + rng.randint(-6, 6)))
+            chains.append(pts)
+        flat = pd.Series([[c for p in pts for c in p] for pts in chains])
+        for op in ("intersects", "within", "covered_by", "crosses",
+                   "contains", "covers", "overlaps"):
+            got = line_rows_predicate(flat, op, qring)
+            want = [geometry_predicate(op, "linestring", pts,
+                                       "polygon", qring)
+                    for pts in chains]
+            mism = [i for i, (g, w) in enumerate(zip(got, want))
+                    if bool(g) != bool(w)]
+            assert not mism, (op, mism[:5], [chains[i] for i in mism[:3]])
