@@ -659,12 +659,21 @@ def compile_arith_cmp(node: ArithCmpNode, ctx: CompileContext,
                 "<=": x <= y, ">=": x >= y}[node.op]
 
     if a_set or b_set:
-        if a_set and b_set:
-            pred = F.exists(a, lambda x: F.exists(b, lambda y: cmp(x, y)))
-        elif a_set:
-            pred = F.exists(a, lambda x: cmp(x, b))
-        else:
-            pred = F.exists(b, lambda y: cmp(a, y))
+        def any_match(op_fn):
+            if a_set and b_set:
+                return F.exists(a, lambda x: F.exists(b,
+                                                      lambda y: op_fn(x, y)))
+            if a_set:
+                return F.exists(a, lambda x: op_fn(x, b))
+            return F.exists(b, lambda y: op_fn(a, y))
+
+        if node.op == "!=":
+            # JEXL ne = !(equals); set equals = ANY element equals — so
+            # set != x is NO-element-equals, not any-element-differs
+            # (review r9; mirrors the scalar total-negation branch)
+            eq = any_match(lambda x, y: x == y)
+            return _total(eq) if negated else ~_total(eq)
+        pred = any_match(cmp)
         return ~_total(pred) if negated else pred
     if node.op == "!=":
         # total-negation semantics, same as CmpNode '!=': a NULL

@@ -351,18 +351,29 @@ def apply_lenient_fields(node: JexlNode, lenient: list[str],
                 and n.value.value is not None \
                 and fails(n.field.name, n.op, n.value.value):
             return None
-        if isinstance(n, RangeNode) and n.field.name.upper() in len_set \
-                and fails(n.field.name, ">=", n.lo.value) \
-                and fails(n.field.name, "<=", n.hi.value):
-            return None
+        if isinstance(n, RangeNode) and n.field.name.upper() in len_set:
+            lo_bad = fails(n.field.name, ">=", n.lo.value)
+            hi_bad = fails(n.field.name, "<=", n.hi.value)
+            if lo_bad and hi_bad:
+                return None
+            if lo_bad or hi_bad:
+                # only the failing bound drops — the surviving bound
+                # keeps evaluating (ExpandMultiNormalizedTerms drops
+                # per-term, review r9)
+                keep_op, keep_val = ((n.hi_op, n.hi) if lo_bad
+                                     else (n.lo_op, n.lo))
+                return CmpNode(keep_op, n.field, keep_val)
         if isinstance(n, (AndNode, OrNode)):
             kept = [w for w in (walk(t) for t in n.terms) if w is not None]
             if not kept:
                 return None
             return _rebuild(n, kept, type(n))
         if isinstance(n, NotNode):
+            # the DROPPED marker evaluates truthy at the evaluation
+            # phase (DroppedExpression assignments), so a NEGATED
+            # dropped term is FALSE, never removed (review r9)
             inner = walk(n.term)
-            return None if inner is None else NotNode(inner)
+            return FALSE if inner is None else NotNode(inner)
         return n
 
     if not len_set:

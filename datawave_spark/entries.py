@@ -2963,16 +2963,7 @@ def q_geowave_polygon_data(spark, sf_dir):
     WKT; for rectangles the exact polygon test reduces to interval
     arithmetic, giving a plain-SQL oracle while the Spark path runs the
     real WKT parse -> JVM bbox prune -> polygon geometry UDF."""
-    ev = _t(spark, sf_dir, "events")
-    cx = (F.col("event_id") % 360 - 180).cast("int")
-    cy = (F.col("user_id") % 160 - 80).cast("int")
-    w = (1 + F.col("event_id") % 3).cast("int")
-    h = (1 + F.col("user_id") % 2).cast("int")
-    wkt = F.format_string(
-        "POLYGON((%d %d, %d %d, %d %d, %d %d, %d %d))",
-        cx - w, cy - h, cx + w, cy - h, cx + w, cy + h, cx - w, cy + h,
-        cx - w, cy - h)
-    ev = ev.withColumn("GEOM", wkt)
+    ev = _rect_geom_events(spark, sf_dir)
     q = ("geowave:intersects(GEOM, "
          "'POLYGON((-30 -20, 40 -20, 40 35, -30 35, -30 -20))')")
     return compile_query(ev, q).select("event_id")
@@ -6315,6 +6306,23 @@ def q_nyctlc_ingest(spark, sf_dir):
 # ------------------------------------------------- round 9: gate keys for the
 # ------------------------------------------------- last unit-only functions
 
+def _rect_geom_events(spark, sf_dir):
+    """Shared geowave fixture: each event carries a deterministic
+    axis-aligned rectangle WKT (GEOM) derived from event/user ids —
+    rectangle geometry keeps every geowave op's oracle in interval
+    arithmetic (see the geowave_* gate keys)."""
+    ev = _t(spark, sf_dir, "events")
+    cx = (F.col("event_id") % 360 - 180).cast("int")
+    cy = (F.col("user_id") % 160 - 80).cast("int")
+    w = (1 + F.col("event_id") % 3).cast("int")
+    h = (1 + F.col("user_id") % 2).cast("int")
+    wkt = F.format_string(
+        "POLYGON((%d %d, %d %d, %d %d, %d %d, %d %d))",
+        cx - w, cy - h, cx + w, cy - h, cx + w, cy + h, cx - w, cy + h,
+        cx - w, cy - h)
+    return ev.withColumn("GEOM", wkt)
+
+
 @register("geowave_covers_data", """
 SELECT event_id FROM events
 WHERE (event_id % 360 - 180) - (1 + event_id % 3) <= 9.5
@@ -6331,16 +6339,7 @@ def q_geowave_covers_data(spark, sf_dir):
     boundary contact) and both reduce to bbox-containment interval
     arithmetic for the oracle.  The conjunction drives BOTH ops through
     the vectorized polygon-batch path (polygon_rows_predicate)."""
-    ev = _t(spark, sf_dir, "events")
-    cx = (F.col("event_id") % 360 - 180).cast("int")
-    cy = (F.col("user_id") % 160 - 80).cast("int")
-    w = (1 + F.col("event_id") % 3).cast("int")
-    h = (1 + F.col("user_id") % 2).cast("int")
-    wkt = F.format_string(
-        "POLYGON((%d %d, %d %d, %d %d, %d %d, %d %d))",
-        cx - w, cy - h, cx + w, cy - h, cx + w, cy + h, cx - w, cy + h,
-        cx - w, cy - h)
-    ev = ev.withColumn("GEOM", wkt)
+    ev = _rect_geom_events(spark, sf_dir)
     q_wkt = "POLYGON((9.5 -0.5, 10.5 -0.5, 10.5 0.5, 9.5 0.5, 9.5 -0.5))"
     q = (f"geowave:covers(GEOM, '{q_wkt}') && "
          f"geowave:contains(GEOM, '{q_wkt}')")
@@ -6361,16 +6360,7 @@ def q_geowave_within_data(spark, sf_dir):
     bounds guarantee no boundary contact, where within (interior-only)
     and covered_by (boundary allowed) would diverge — off-boundary the
     two are equal and reduce to bbox containment the other way."""
-    ev = _t(spark, sf_dir, "events")
-    cx = (F.col("event_id") % 360 - 180).cast("int")
-    cy = (F.col("user_id") % 160 - 80).cast("int")
-    w = (1 + F.col("event_id") % 3).cast("int")
-    h = (1 + F.col("user_id") % 2).cast("int")
-    wkt = F.format_string(
-        "POLYGON((%d %d, %d %d, %d %d, %d %d, %d %d))",
-        cx - w, cy - h, cx + w, cy - h, cx + w, cy + h, cx - w, cy + h,
-        cx - w, cy - h)
-    ev = ev.withColumn("GEOM", wkt)
+    ev = _rect_geom_events(spark, sf_dir)
     q_wkt = ("POLYGON((-30.5 -20.5, 40.5 -20.5, 40.5 35.5, "
              "-30.5 35.5, -30.5 -20.5))")
     q = (f"geowave:within(GEOM, '{q_wkt}') && "
@@ -6399,16 +6389,7 @@ def q_geowave_overlaps_data(spark, sf_dir):
     For axis-aligned rectangles with no boundary ties this is exactly
     bbox-intersect minus both containment directions, which the oracle
     states as interval arithmetic."""
-    ev = _t(spark, sf_dir, "events")
-    cx = (F.col("event_id") % 360 - 180).cast("int")
-    cy = (F.col("user_id") % 160 - 80).cast("int")
-    w = (1 + F.col("event_id") % 3).cast("int")
-    h = (1 + F.col("user_id") % 2).cast("int")
-    wkt = F.format_string(
-        "POLYGON((%d %d, %d %d, %d %d, %d %d, %d %d))",
-        cx - w, cy - h, cx + w, cy - h, cx + w, cy + h, cx - w, cy + h,
-        cx - w, cy - h)
-    ev = ev.withColumn("GEOM", wkt)
+    ev = _rect_geom_events(spark, sf_dir)
     q = ("geowave:overlaps(GEOM, 'POLYGON((-10.5 -10.5, 20.5 -10.5, "
          "20.5 20.5, -10.5 20.5, -10.5 -10.5))')")
     return compile_query(ev, q).select("event_id")

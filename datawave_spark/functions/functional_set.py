@@ -196,15 +196,18 @@ def method_value(node: MethodNode, ctx) -> MethodValue:
         return MethodValue(agg(vals), kind, False)
     if name in ("greaterThan", "lessThan", "compareWith"):
         vals, kind = _target_set(node.target, ctx)
+        first = next(iter(_members_of(node.target)), None)
+        arg0 = node.args[0]
+        ref = _norm_literal(
+            ctx, first, str(arg0.value if hasattr(arg0, "value")
+                            else arg0), kind)
         if name == "compareWith":
-            ref = _ref_literal(node.args[0], kind)
             op = str(node.args[1].value)
             if op not in _CMP:
                 raise ValueError(f"compareWith operator {op!r} not in "
                                  f"{sorted(_CMP)}")
             pred = _CMP[op]
         else:
-            ref = _ref_literal(node.args[0], kind)
             pred = _CMP[">"] if name == "greaterThan" else _CMP["<"]
         lit = F.lit(ref)
         return MethodValue(F.filter(vals, lambda v: pred(v, lit)),
@@ -311,6 +314,13 @@ def _norm_literal(ctx, field_name: str | None, v: str, kind: str):
     if kind == "date":
         return _ref_literal(type("L", (), {"value": v})(), "date")
     from datawave_spark.normalizers import get_normalizer
-    spec = ctx.resolve(field_name) if field_name else None
+    spec = None
+    for part in str(field_name or "").split("||"):
+        for member in ctx.model.get(part.upper(), [part] if part else []):
+            spec = ctx.resolve(member)
+            if spec is not None:
+                break
+        if spec is not None:
+            break
     norm = get_normalizer(spec.normalizer if spec else "noop")
     return str(norm.normalize_literal(v))

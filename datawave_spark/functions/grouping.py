@@ -117,6 +117,43 @@ def matching_indices_parallel(ctx: CompileContext,
     return out
 
 
+
+def _struct_field_type(ctx: CompileContext, col_name: str, sf: str):
+    for f in ctx.schema.fields:
+        if f.name == col_name:
+            for sub in f.dataType.elementType.fields:
+                if sub.name == sf:
+                    return sub.dataType
+    return None
+
+
+_NUM_TYPES = (T.DoubleType, T.FloatType, T.LongType, T.IntegerType,
+              T.ShortType, T.DecimalType)
+
+
+def _struct_matches(ctx: CompileContext, col_name: str, sf: str, g, value):
+    """One struct group's member vs a matchesInGroup VALUE arg — same
+    contract as ``_elem_matches`` (regex with includeRegex flags;
+    numeric members compare the value's numeric reading), extended to
+    ARRAY struct members (a sibling context can hold several values of
+    one field — the reference's multimap matches ANY of them)."""
+    dt = _struct_field_type(ctx, col_name, sf)
+    elem_dt = dt.elementType if isinstance(dt, T.ArrayType) else dt
+
+    def one(e):
+        if isinstance(elem_dt, _NUM_TYPES):
+            try:
+                return e.try_cast("double") == float(str(value))
+            except (TypeError, ValueError):
+                pass
+        return e.cast("string").rlike(java_full_match(str(value)))
+
+    field = g.getField(sf)
+    if isinstance(dt, T.ArrayType):
+        return F.coalesce(F.exists(field, one), F.lit(False))
+    return one(field)
+
+
 def _pairs(args) -> list[tuple[str, object]]:
     """(FIELD, value, FIELD, value, ...) → [(name, value), ...].
     A trailing integer arg (group index) is accepted and ignored for the
@@ -157,9 +194,8 @@ def g_matches_in_group(ctx: CompileContext, args):
     def group_pred(g):
         pred = None
         for name, value in pairs:
-            sf = field_map[name.upper()]
-            this = g.getField(sf).cast("string").rlike(
-                java_full_match(str(value)))
+            this = _struct_matches(ctx, col_name, field_map[name.upper()],
+                                   g, value)
             pred = this if pred is None else pred & this
         return pred
 
@@ -181,9 +217,8 @@ def matching_indices_for(ctx: CompileContext, func_node) -> F.Column:
     def pred(g):
         p = None
         for name, value in pairs:
-            sf = field_map[name.upper()]
-            this = g.getField(sf).cast("string").rlike(
-                java_full_match(str(value)))
+            this = _struct_matches(ctx, col_name, field_map[name.upper()],
+                                   g, value)
             p = this if p is None else p & this
         return p
 
@@ -223,7 +258,12 @@ def matching_group_indices(df, pairs: list[tuple[str, object]],
     getGroupsForMatchesInGroup (the index is the 'instance' part of the
     reference's FIELD.context.instance naming)."""
     ctx = CompileContext.for_dataframe(df)
-    col_name, field_map = _find_group_column(ctx, [p[0] for p in pairs])
+    found = _find_group_column(ctx, [p[0] for p in pairs])
+    if found is None:
+        raise ValueError(
+            f"no array<struct> group column covers fields "
+            f"{sorted(p[0].upper() for p in pairs)}")
+    col_name, field_map = found
     col = F.col(col_name)
 
     def pred(g):
@@ -247,9 +287,34 @@ def matching_group_indices(df, pairs: list[tuple[str, object]],
 @register_function("grouping", "atomValuesMatch")
 def g_atom_values_match(ctx: CompileContext, args):
     """GroupingRequiredFilterFunctions.atomValuesMatch:352 — two fields
-    share at least one value within the same group."""
+    share at least one value within the same group (struct groups or
+    parallel top-level arrays, index-wise)."""
     f1, f2 = args[0].name, args[1].name
-    col_name, field_map = _find_group_column(ctx, [f1, f2])
+    found = _find_group_column(ctx, [f1, f2])
+    if found is None:
+        # parallel-array groups: same index, case-folded equality
+        import itertools
+        from datawave_spark.compiler.columns import _expand_field_arg
+        out = None
+        for m1, m2 in itertools.product(_expand_field_arg(ctx, f1),
+                                        _expand_field_arg(ctx, f2)):
+            s1, s2 = ctx.resolve(m1), ctx.resolve(m2)
+            if s1 is None or s2 is None:
+                continue
+            c1, c2 = F.col(s1.column), F.col(s2.column)
+            a1 = c1 if isinstance(ctx.spark_type(s1), T.ArrayType) \
+                else F.array(c1)
+            a2 = c2 if isinstance(ctx.spark_type(s2), T.ArrayType) \
+                else F.array(c2)
+            p = F.exists(
+                F.zip_with(a1, a2,
+                           lambda x, y: F.lower(x.cast("string"))
+                           == F.lower(y.cast("string"))),
+                lambda b: b)
+            out = p if out is None else out | p
+        return F.coalesce(out, F.lit(False)) if out is not None \
+            else F.lit(False)
+    col_name, field_map = found
     s1, s2 = field_map[f1.upper()], field_map[f2.upper()]
     return F.coalesce(
         F.exists(F.col(col_name),

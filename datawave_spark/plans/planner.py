@@ -343,10 +343,15 @@ class QueryPlanner:
                                T.DateType)):
                 # datetime literals validate through Spark's own cast
                 # (one constant-folded row — a bounded plan-time check,
-                # like the reference's plan-time normalization)
+                # like the reference's plan-time normalization); a
+                # literal the field's normalizer itself rejects is a
+                # failed normalization, not a planner crash (review r9)
+                try:
+                    lit = str(norm.normalize_literal(value))
+                except (TypeError, ValueError):
+                    continue
                 row = self.df.sparkSession.range(1).select(
-                    F.lit(str(norm.normalize_literal(value)))
-                    .try_cast(et).alias("v")).first()
+                    F.lit(lit).try_cast(et).alias("v")).first()
                 if row.v is not None:
                     return False
                 continue

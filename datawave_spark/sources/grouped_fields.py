@@ -115,11 +115,13 @@ def group_structs(df: DataFrame, fields_col: str, members: list[str],
     (the flat event multimap); ``members`` names the base fields each
     sibling struct carries.  One struct is emitted per distinct
     subgroup context among the grouped names (context = last dot
-    component, the grouping functions' index-0 convention); a member
-    missing from a context is NULL in that struct; ungrouped names
-    (no dot) are ignored.  All steps are codegen'd higher-order column
-    functions over the row's own array — zero shuffle, scales with the
-    event, not the table."""
+    component, the grouping functions' index-0 convention); each member
+    holds ALL of that context's values as an array (the reference's
+    multimap can repeat a field within one subgroup, and matching is
+    any-value — review r9); a member missing from a context is an
+    empty array; ungrouped names (no dot) are ignored.  All steps are
+    codegen'd higher-order column functions over the row's own array —
+    zero shuffle, scales with the event, not the table."""
     want = [m.upper() for m in members]
     col = F.col(fields_col)
     grouped = F.filter(
@@ -127,14 +129,12 @@ def group_structs(df: DataFrame, fields_col: str, members: list[str],
         & F.upper(F.substring_index(e["name"], ".", 1)).isin(*want))
     contexts = F.array_sort(F.array_distinct(F.transform(grouped, _ctx)))
 
-    def member_val(c: Column, m: str) -> Column:
+    def member_vals(c: Column, m: str) -> Column:
         hits = F.filter(grouped,
                         lambda e: (_base(e) == m) & (_ctx(e) == c))
-        return F.try_element_at(
-            F.transform(hits, lambda e: e["value"].cast("string")),
-            F.lit(1))
+        return F.transform(hits, lambda e: e["value"].cast("string"))
 
     structs = F.transform(
         contexts,
-        lambda c: F.struct(*[member_val(c, m).alias(m) for m in want]))
+        lambda c: F.struct(*[member_vals(c, m).alias(m) for m in want]))
     return df.withColumn(out_col, structs)

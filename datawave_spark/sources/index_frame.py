@@ -276,7 +276,12 @@ def index_query(events: DataFrame, index: DataFrame, jexl: str,
                              "side must see the same bound as the index)")
         lo = F.lit(str(shard_range[0])).cast("date")
         hi = F.lit(str(shard_range[1])).cast("date")
-        index = index.filter(F.col("event_date").between(lo, hi))
+        # an index built WITHOUT date_col stores event_date NULL —
+        # those rows cannot be pruned, only kept (the events fetch
+        # still applies the exact date bound, so answers stay correct;
+        # dropping them would silently empty the query — review r9)
+        index = index.filter(F.col("event_date").isNull()
+                             | F.col("event_date").between(lo, hi))
         events = events.filter(
             F.col(date_col).cast("date").between(lo, hi))
     if fields is None:

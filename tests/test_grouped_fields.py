@@ -58,9 +58,10 @@ class TestGroupStructs:
             rows, "id int, fields array<struct<name:string,value:string>>")
         out = group_structs(df, "fields", ["NAME", "AGE"], "GROUPS") \
             .orderBy("id").collect()
+        # members are ARRAYS: a context can repeat a field (multimap)
         assert [tuple(g) for g in out[0].GROUPS] \
-            == [("alice", "30"), ("bob", "40")]
-        assert [tuple(g) for g in out[1].GROUPS] == [("carol", None)]
+            == [(["alice"], ["30"]), (["bob"], ["40"])]
+        assert [tuple(g) for g in out[1].GROUPS] == [(["carol"], [])]
         assert out[2].GROUPS == []
 
     def test_cross_group_contexts_do_not_mix(self, spark):
@@ -73,7 +74,21 @@ class TestGroupStructs:
             rows, "id int, fields array<struct<name:string,value:string>>")
         out = group_structs(df, "fields", ["NAME", "AGE"]).collect()
         assert [tuple(g) for g in out[0].GROUPS] \
-            == [("alice", "30"), (None, "99")]
+            == [(["alice"], ["30"]), ([], ["99"])]
+
+    def test_repeated_member_within_context_matches_any(self, spark):
+        # the reference's multimap can hold TWO values of one field in
+        # one subgroup; matching is any-value (review r9)
+        from datawave_spark.compiler import compile_query
+        rows = [(1, [("NAME.P.0", "bob"), ("NAME.P.0", "click"),
+                     ("OWNER.P.0", "3")]),
+                (2, [("NAME.P.0", "bob"), ("OWNER.P.0", "3")])]
+        df = spark.createDataFrame(
+            rows, "id int, fields array<struct<name:string,value:string>>")
+        df = group_structs(df, "fields", ["NAME", "OWNER"], "ITEMS")
+        hits = compile_query(
+            df, "grouping:matchesInGroup(NAME, 'click', OWNER, 3)")
+        assert [r.id for r in hits.select("id").collect()] == [1]
 
     def test_matches_in_group_over_parsed_structs(self, spark):
         # end-to-end: flat grouped names → structs → grouping function

@@ -148,3 +148,36 @@ class TestLenientStrict:
             "EVENT_TYPE == 'click' && V == 'abc' && f:lenient('V')")
         clicks = events.filter(F.col("event_type") == "click").count()
         assert res2.df.count() == clicks > 0  # both expansions fail → drop
+
+
+class TestLenientReviewRegressions:
+    """r9 review findings pinned."""
+
+    def test_lenient_range_one_bad_bound_keeps_the_other(self, events):
+        # ExpandMultiNormalizedTerms drops per-TERM: a bounded range
+        # with one failing bound keeps evaluating the surviving bound
+        res = QueryPlanner(events).plan(
+            "EVENT_TYPE == 'click' && ((_Bounded_ = true) && "
+            "(VALUE >= 'abc10' && VALUE <= 18)) && f:lenient('VALUE')")
+        expect = events.filter(
+            (F.col("event_type") == "click") & (F.col("value") <= 18))
+        assert res.df.count() == expect.count() > 0
+
+    def test_negated_dropped_term_is_false(self, events):
+        # !(dropped) — the DROPPED marker evaluates truthy, so its
+        # negation is FALSE: the conjunct kills the query, never
+        # vanishes
+        res = QueryPlanner(events).plan(
+            "EVENT_TYPE == 'click' && !(VALUE == 'abc') "
+            "&& f:lenient('VALUE')")
+        assert res.df.count() == 0
+
+    def test_lenient_date_normalizer_literal(self, events):
+        # a 'date'-typed temporal field whose normalizer itself rejects
+        # the literal: lenient drops, default stays a plan (not a crash)
+        df = events.withColumn("WHEN", F.col("ts"))
+        res = QueryPlanner(df, field_types={"WHEN": "date"}).plan(
+            "EVENT_TYPE == 'click' && WHEN == 'bogus' "
+            "&& f:lenient('WHEN')")
+        clicks = df.filter(F.col("event_type") == "click").count()
+        assert res.df.count() == clicks > 0

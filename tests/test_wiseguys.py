@@ -401,3 +401,36 @@ class TestMethodAsArgumentToMethod:
              "AG.getValuesForGroups(grouping:getGroupsForMatchesInGroup("
              "NAM, 'MEADOW', GEN, 'FEMALE'))) == true")
         assert uids(qp, q) == ["SOPRANO"]
+
+
+class TestReviewRegressions:
+    """r9 review findings pinned on the WiseGuys corpus."""
+
+    def test_compare_with_normalizes_string_literal(self, qp):
+        # FunctionalSet.compareWith:371 normalizes the reference
+        # literal through the element's type — an UPPERCASE literal
+        # must match lcNoDiacritics-normalized values
+        assert uids(qp, "NAME.compareWith('ALPHONSE','==').size() >= 1") \
+            == ["CAPONE"]
+        assert uids(qp, "filter:getAllMatches(NAM,'ANTHONY')"
+                        ".contains('ANTHONY') == true") == ["SOPRANO"]
+
+    def test_set_ne_is_no_element_equals(self, qp):
+        # JEXL ne = !(equals); set equals = ANY element equals — so a
+        # set != x must be NO-element-equals, not any-element-differs
+        q = ("AG.getValuesForGroups(grouping:getGroupsForMatchesInGroup("
+             "NAM, 'MEADOW', GEN, 'FEMALE')) != 18")
+        # SOPRANO's matching group carries AGE 18 → equals true → ne
+        # FALSE (were ne any-element-differs, SOPRANO would wrongly
+        # match nothing-else-is-18 rows too); every other row's
+        # matching set is EMPTY → equals false → ne true
+        assert uids(qp, q) == ["ANDOLINI", "CAPONE", "CORLEONE",
+                               "TATTAGLIA"]
+
+    def test_atom_values_match_parallel_arrays(self, qp):
+        # parallel-array groups: same index, case-folded equality —
+        # NAME[i] == GENDER[i] never holds in this corpus
+        assert uids(qp, "grouping:atomValuesMatch(NAME, GENDER)") == []
+        # UUID vs UUID trivially matches rows where UUID exists
+        assert uids(qp, "grouping:atomValuesMatch(UUID, UUID)") == sorted(
+            ["ANDOLINI", "CAPONE", "CORLEONE", "SOPRANO", "TATTAGLIA"])
