@@ -64,3 +64,26 @@ class TestShardRangePruning:
         with pytest.raises(ValueError, match="date_col"):
             index_query(ev, idx, QUERY, "event_id",
                         shard_range=("2024-01-03", "2024-01-05"))
+
+
+class TestDatelessIndexShardRange:
+    def test_null_date_index_rows_survive_the_prune(self, spark, tables):
+        # an index built WITHOUT date_col stores event_date NULL: the
+        # shard bound must KEEP those rows (no pruning possible) — the
+        # events-side date filter still bounds the answer, so results
+        # equal the date-filtered full scan instead of silently empty
+        ev = tables["events"]
+        idx = build_index(ev, ["event_type", "value"], "event_id",
+                          field_types={"VALUE": "number"})
+        served = index_query(
+            ev, idx, QUERY, "event_id",
+            field_types={"VALUE": "number"},
+            fields={"EVENT_TYPE", "VALUE"},
+            shard_range=("2024-01-03", "2024-01-05"), date_col="ts")
+        from datawave_spark.compiler import compile_query
+        from pyspark.sql import functions as F
+        expect = compile_query(
+            ev.filter(F.col("ts").cast("date")
+                      .between("2024-01-03", "2024-01-05")),
+            QUERY, field_types={"VALUE": "number"})
+        assert served.count() == expect.count() > 0
