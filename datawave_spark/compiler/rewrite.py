@@ -197,6 +197,9 @@ def _arg_str(a: JexlNode) -> str:
 
 
 def _parse_unique_arg(raw: str) -> tuple[str, str]:
+    # '$'-prefixed = JEXL-escaped field name (UniqueTest passes
+    # "$DEATH_DATE,BIRTH_DATE"); granularity suffix [DAY] optional
+    raw = raw.lstrip("$")
     if "[" in raw and raw.endswith("]"):
         f, g = raw[:-1].split("[", 1)
         return f, g.upper()

@@ -45,6 +45,7 @@ _TOKEN_RE = re.compile(r"""
   | (?P<and>AND\b|&&) | (?P<or>OR\b|\|\|) | (?P<not>NOT\b|!)
   | (?P<to>TO\b)
   | (?P<hashfunc>\#[A-Za-z_][A-Za-z0-9_]*)
+  | (?P<regex>/(?:\\.|[^/\\])*/)
   | (?P<phrase>"(?:\\.|[^"\\])*")
   | (?P<fielded>[A-Za-z_$][A-Za-z0-9_.$]*:)
   | (?P<comma>,)
@@ -394,6 +395,11 @@ class _Parser:
                 return FuncNode("content", fn,
                                 (Identifier(field), *args))
             return FuncNode("content", fn, tuple(args))
+        if kind == "regex":
+            # Lucene regex term (UUID:/^[CS].*/ —
+            # RegexpQueryNode → an ER node, UniqueTest's query form)
+            return CmpNode("=~", Identifier(field),
+                           Literal(re.sub(r"\\(.)", r"\1", v[1:-1])))
         if kind in ("lbracket", "lbrace"):
             lo_incl = kind == "lbracket"
             lo = self.expect("term")

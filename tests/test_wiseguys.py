@@ -449,3 +449,44 @@ class TestConcatMethods:
         got = uids(qp, f"UUID == 'SOPRANO' && "
                        f"NAM.min().hashCode() == {java_hash}")
         assert got == ["SOPRANO"]
+
+
+class TestUniqueness:
+    """UniqueTest.java:216-318 — each expected entry is an equivalence
+    CLASS: exactly one member of each class survives #UNIQUE."""
+
+    def classes(self, qp, query, expected_classes, syntax="JEXL"):
+        got = uids(qp, query, syntax=syntax)
+        assert len(got) == len(expected_classes), (query, got)
+        remaining = [set(c) for c in expected_classes]
+        for u in got:
+            hit = next((c for c in remaining if u in c), None)
+            assert hit is not None, (query, u)
+            remaining.remove(hit)
+        assert not remaining
+
+    def test_uniqueness_function(self, qp):
+        # testUniquenessUsingFunction:260 — all three share DEATH_DATE
+        # and MAGIC → one class; BIRTH_DATE splits them → three
+        self.classes(qp,
+                     "UUID =~ '^[CS].*' && f:unique($DEATH_DATE,MAGIC)",
+                     [{"SOPRANO", "CORLEONE", "CAPONE"}])
+        self.classes(qp,
+                     "UUID =~ '^[CS].*' && "
+                     "f:unique('DEATH_DATE','$BIRTH_DATE')",
+                     [{"SOPRANO"}, {"CORLEONE"}, {"CAPONE"}])
+        self.classes(qp,
+                     "UUID =~ '^[CS].*' && "
+                     "f:unique('death_date','$birth_date')",
+                     [{"SOPRANO"}, {"CORLEONE"}, {"CAPONE"}])
+
+    def test_uniqueness_lucene(self, qp):
+        # testUniquenessUsingLuceneFunction:287 — /regex/ term syntax
+        self.classes(qp, "UUID:/^[CS].*/ AND #UNIQUE(DEATH_DATE,$MAGIC)",
+                     [{"SOPRANO", "CORLEONE", "CAPONE"}], syntax="LUCENE")
+        self.classes(qp, "UUID:/^[CS].*/ AND #UNIQUE(DEATH_DATE,$BIRTH_DATE)",
+                     [{"SOPRANO"}, {"CORLEONE"}, {"CAPONE"}],
+                     syntax="LUCENE")
+        self.classes(qp, "UUID:/^[CS].*/ AND #UNIQUE(death_date,birth_date)",
+                     [{"SOPRANO"}, {"CORLEONE"}, {"CAPONE"}],
+                     syntax="LUCENE")
