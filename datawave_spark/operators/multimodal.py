@@ -391,3 +391,61 @@ def synth_png_payload(d: int) -> bytes:
     px = bytes((d * 7 + (k // w) * 13 + (k % w) * 3) % 256
                for k in range(w * h))
     return png_encode(w, h, px)
+
+
+# ------------------------------------------------- real codec: JPEG
+#
+# Baseline JFIF — the dominant web-corpus image format, previously only
+# reachable through the decode_media injection point (VERDICT r9 #1).
+# The codec itself (huffman + dequant + IDCT + 4:2:0 upsampling +
+# YCbCr→RGB, and the Annex-K encoder that builds fixtures) lives in
+# operators/_jpeg_purepy.py; this is the Spark-facing surface in the
+# same Arrow mapInPandas shape as decode_png / decode_wav.
+
+from datawave_spark.operators._jpeg_purepy import (  # noqa: E402,F401
+    jpeg_decode, jpeg_encode, jpeg_planes, ycbcr_to_rgb)
+
+
+def decode_jpeg(df: DataFrame, id_col: str = "id",
+                media_col: str = "media") -> DataFrame:
+    """Real JPEG decode via mapInPandas: (id, width, height,
+    n_components, sum_luma, mean_rgb) — full baseline entropy decode +
+    IDCT per payload; payload bytes never leave the executor."""
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"id": [], "width": [], "height": [],
+                   "n_components": [], "sum_luma": [], "mean_rgb": []}
+            for i, b in zip(pdf[id_col], pdf[media_col]):
+                w, h, nc, s, m = jpeg_decode(
+                    bytes(b) if b is not None else None)
+                out["id"].append(i)
+                out["width"].append(w)
+                out["height"].append(h)
+                out["n_components"].append(nc)
+                out["sum_luma"].append(s)
+                out["mean_rgb"].append(m)
+            yield pd.DataFrame(out)
+
+    return df.select(id_col, media_col).mapInPandas(
+        run, "id long, width int, height int, n_components int, "
+             "sum_luma long, mean_rgb double")
+
+
+def synth_jpeg_payload(d: int) -> bytes:
+    """Deterministic JPEG fixture: an image of FLAT 8×8 blocks (dims
+    8·(1+d%3) × 8·(1+d%2); block (bx,by) value = (d*7 + by*13 + bx*3)
+    % 256) encoded at quality=100, under which flat blocks round-trip
+    bit-exactly (all-ones quant ⇒ DC-only spectra reconstruct their
+    constant) — so the SQL oracle can replay sum_luma arithmetically
+    while the decoder does the real huffman/IDCT work.  ONE definition
+    shared by the Python sites and the oracles, like
+    synth_png_payload."""
+    import numpy as np
+    bw, bh = 1 + d % 3, 1 + d % 2
+    w, h = 8 * bw, 8 * bh
+    img = np.empty((h, w), dtype=np.uint8)
+    for by in range(bh):
+        for bx in range(bw):
+            img[by * 8:(by + 1) * 8, bx * 8:(bx + 1) * 8] = \
+                (d * 7 + by * 13 + bx * 3) % 256
+    return jpeg_encode(w, h, img.tobytes(), quality=100)

@@ -87,12 +87,94 @@ class EventCatalog:
                 out[name] = pruned
         return out
 
-    def query(self, jexl: str, select: list[str] | None = None) -> DataFrame:
+    def field_datatypes(self) -> dict[str, set[str]]:
+        """FIELD (upper) → datatypes ingesting it — the metadata
+        table's per-(datatype, field) rows, derived from the registered
+        schemas."""
+        out: dict[str, set[str]] = {}
+        for name, spec in self.datatypes.items():
+            for f in spec.df.schema.fields:
+                out.setdefault(f.name.upper(), set()).add(name)
+        return out
+
+    def plan(self, jexl: str, *, datatype_filter: set[str] | None = None,
+             rebuild_datatype_filter: bool = False,
+             reduce_ingest_types: bool = False,
+             prune_query_by_ingest_types: bool = False,
+             ) -> tuple[JexlNode | None, set[str]]:
+        """ShapesTest option surface (ShapesTest.java:72;
+        QueryParameters.DATATYPE_FILTER_SET + ShardQueryLogic's
+        rebuildDatatypeFilter / reduceIngestTypes /
+        pruneQueryByIngestTypes flags) → (planned AST or None when the
+        whole query prunes, effective datatype filter; empty set =
+        unfiltered).
+
+        - a non-empty parameter filter fully exclusive of a query
+          field's ingest types raises InvalidQueryException
+          (testExclusiveFilter: the metadata lookup cannot resolve the
+          field under the filter);
+        - rebuild: the filter is recomputed from the query fields'
+          ingest types regardless of the parameter;
+        - reduce: a NON-empty filter intersects with the query's
+          ingest types (an empty filter is never replaced);
+        - prune: IngestTypePruningVisitor self-prune (plus the
+          parameter filter when given), and a non-empty filter reduces
+          to the pruned query's ingest types."""
+        from datawave_spark.jexl.parser import parse
+        node: JexlNode | None = default_pipeline(parse(jexl))
+        ftypes = self.field_datatypes()
+        ing = IngestTypes(ftypes)
+        effective = {t.strip() for t in (datatype_filter or set()) if t}
+        if effective:
+            for f in _collect_fields(node):
+                ft = ing.for_field(f)
+                if UNKNOWN_TYPE not in ft and not (ft & effective):
+                    raise InvalidQueryException(
+                        f"field {f} has no ingest type in datatype "
+                        f"filter {sorted(effective)} (types: {sorted(ft)})")
+        if rebuild_datatype_filter:
+            qt = ing.of_query(node)
+            effective = set() if qt == {UNKNOWN_TYPE} else qt
+        if reduce_ingest_types and effective:
+            qt = ing.of_query(node)
+            if qt != {UNKNOWN_TYPE}:
+                effective &= qt
+        if prune_query_by_ingest_types:
+            node = prune_ingest_types(node, ftypes,
+                                      effective or None)
+            if node is not None and effective:
+                qt = ing.of_query(node)
+                if qt != {UNKNOWN_TYPE}:
+                    effective &= qt
+        return node, effective
+
+    def query(self, jexl: str, select: list[str] | None = None,
+              datatype_filter: set[str] | None = None,
+              rebuild_datatype_filter: bool = False,
+              reduce_ingest_types: bool = False,
+              prune_query_by_ingest_types: bool = False) -> DataFrame:
         """Run across all datatypes; output columns = requested
         ``select`` (datatypes missing a column contribute NULL) plus a
-        ``datatype`` discriminator."""
+        ``datatype`` discriminator.  The datatype-filter options follow
+        :meth:`plan`; a non-empty effective filter restricts which
+        datatype frames are scanned at all (the reference's scan-range
+        datatype filter)."""
         import datawave_spark.functions  # noqa: F401
-        plans = self.plan_per_datatype(jexl)
+        planned, effective = self.plan(
+            jexl, datatype_filter=datatype_filter,
+            rebuild_datatype_filter=rebuild_datatype_filter,
+            reduce_ingest_types=reduce_ingest_types,
+            prune_query_by_ingest_types=prune_query_by_ingest_types)
+        if planned is None:
+            raise ValueError("query pruned for every datatype")
+        plans = {}
+        for name, spec in self.datatypes.items():
+            if effective and name not in effective:
+                plans[name] = None          # filtered: never scanned
+                continue
+            fields = {f.name for f in spec.df.schema.fields}
+            pruned = prune_missing_fields(planned, fields)
+            plans[name] = None if pruned == Literal(False) else pruned
         parts: list[DataFrame] = []
         for name, node in plans.items():
             if node is None:
@@ -193,3 +275,226 @@ def federated_edge_query(deployments: dict[str, DataFrame], jexl: str,
         [edge_query(edges, jexl)
          .select(F.lit(name).alias(deployment_col), "*")
          for name, edges in deployments.items()])
+
+
+# -------------------------------------------- ingest-type visitor family
+#
+# Port of the reference's IngestTypeVisitor / IngestTypePruningVisitor
+# pair (warehouse/query-core/src/main/java/datawave/query/jexl/
+# visitors/IngestTypeVisitor.java:52, IngestTypePruningVisitor.java:65)
+# and the ShapesTest datatype-filter option surface
+# (query/ShapesTest.java:72: DATATYPE_FILTER_SET parameter,
+# rebuildDatatypeFilter, reduceIngestTypes, pruneQueryByIngestTypes).
+
+UNKNOWN_TYPE = "UNKNOWN_TYPE"
+IGNORED_TYPE = "IGNORED_TYPE"
+
+
+class InvalidQueryException(ValueError):
+    """A datatype filter excludes every ingest type of a query field
+    (ShapesTest.testExclusiveFilter — the reference's metadata lookup
+    cannot resolve the field under the filter and raises)."""
+
+
+def _leaf_fields(n: JexlNode) -> set[str]:
+    """Identifiers referenced by one leaf (deconstructed — '$' strip)."""
+    from datawave_spark.jexl.ast import MethodNode
+    out: set[str] = set()
+    if isinstance(n, CmpNode):
+        out.add(n.field.name)
+    elif isinstance(n, FieldCmpNode):
+        out.update((n.left.name, n.right.name))
+    elif isinstance(n, FuncNode):
+        for a in n.args:
+            if isinstance(a, Identifier):
+                out.add(a.name)
+    elif isinstance(n, MethodNode) and isinstance(n.target, Identifier):
+        out.add(n.target.name)
+    elif hasattr(n, "field") and isinstance(getattr(n, "field"), Identifier):
+        out.add(n.field.name)          # RangeNode and friends
+    expanded: set[str] = set()
+    for f in out:
+        for part in str(f).split("||"):
+            expanded.add(part.upper().lstrip("$"))
+    return expanded
+
+
+def _collect_fields(n: JexlNode) -> set[str]:
+    """Every field referenced anywhere in the query (deconstructed)."""
+    out = _leaf_fields(n)
+    for c in n.children():
+        out |= _collect_fields(c)
+    out.discard("_ANYFIELD_")
+    out.discard("ANYFIELD")
+    return out
+
+
+class IngestTypes:
+    """IngestTypeVisitor port over the engine AST.  ``ftypes`` maps
+    FIELD (upper) → the set of datatypes that ingest it (the metadata
+    table's per-(datatype, field) rows); a field absent from the map is
+    UNKNOWN_TYPE (never prunable)."""
+
+    def __init__(self, ftypes: dict[str, set[str]]):
+        self.ftypes = {k.upper(): set(v) for k, v in ftypes.items()}
+
+    def for_field(self, field: str) -> set[str]:
+        return set(self.ftypes.get(field.upper(), {UNKNOWN_TYPE}))
+
+    def of(self, n: JexlNode, external: bool = True) -> set[str]:
+        """Ingest types of a node.  ``external=False`` is the
+        reduce/rebuild entrypoint (negations and literal-less leaves
+        are IGNORED_TYPE); True is the pruning traversal's mode."""
+        from datawave_spark.jexl.ast import MarkerNode
+        if isinstance(n, AndNode):
+            return self._intersection(n, external)
+        if isinstance(n, OrNode):
+            out: set[str] = set()
+            for t in n.terms:
+                out |= self.of(t, external)
+            if len(out) > 1:
+                out.discard(IGNORED_TYPE)
+            return out
+        if isinstance(n, NotNode):
+            if external:
+                return self.of(n.term, external)
+            return {IGNORED_TYPE}
+        if isinstance(n, (Literal, MarkerNode)):
+            return {IGNORED_TYPE} if not external else {UNKNOWN_TYPE}
+        if not external:
+            # getIngestTypesForLeaf: a leaf with no literal value
+            # (null comparison, field-to-field) is IGNORED_TYPE in
+            # non-external mode
+            if isinstance(n, CmpNode) and (
+                    not isinstance(n.value, Literal)
+                    or n.value.value is None):
+                return {IGNORED_TYPE}
+            if isinstance(n, FieldCmpNode):
+                return {IGNORED_TYPE}
+        fields = _leaf_fields(n)
+        if not fields:
+            return {UNKNOWN_TYPE}
+        out = set()
+        for f in fields:
+            out |= self.for_field(f)
+        return out
+
+    def _intersection(self, n: AndNode, external: bool) -> set[str]:
+        out: set[str] = set()
+        for i, t in enumerate(n.terms):
+            child = self.of(t, external)
+            if i == 0:
+                out = child
+            else:
+                out = self._intersect(out, child)
+            if not out:
+                break
+        if len(out) > 1:
+            out.discard(IGNORED_TYPE)
+        return out
+
+    @staticmethod
+    def _intersect(a: set[str], b: set[str]) -> set[str]:
+        if UNKNOWN_TYPE in a or UNKNOWN_TYPE in b:
+            return {UNKNOWN_TYPE}
+        if (IGNORED_TYPE in a) != (IGNORED_TYPE in b):
+            out = (a | b) - {IGNORED_TYPE}
+            return out
+        return a & b
+
+    def of_query(self, n: JexlNode) -> set[str]:
+        """Top-level entry (IngestTypeVisitor.getIngestTypes static):
+        any UNKNOWN_TYPE collapses the answer to just UNKNOWN_TYPE."""
+        out = self.of(n, external=False)
+        if UNKNOWN_TYPE in out:
+            return {UNKNOWN_TYPE}
+        return out
+
+
+def _is_null_eq(n: JexlNode) -> bool:
+    return isinstance(n, CmpNode) and n.op == "==" \
+        and isinstance(n.value, Literal) and n.value.value is None
+
+
+def _is_not_null(n: JexlNode) -> bool:
+    if isinstance(n, NotNode):
+        return _is_null_eq(n.term)
+    return isinstance(n, CmpNode) and n.op == "!=" \
+        and isinstance(n.value, Literal) and n.value.value is None
+
+
+def prune_ingest_types(node: JexlNode, ftypes: dict[str, set[str]],
+                       filter_set: set[str] | None = None) -> JexlNode | None:
+    """IngestTypePruningVisitor.prune port: drop branches whose ingest
+    types are fully exclusive of their AND-context (or of the supplied
+    datatype ``filter_set``).  Returns the pruned tree, or None when
+    the whole query prunes.  Null-equality / negated leaves of
+    exclusive types evaluate TRUE (drop from intersections, collapse
+    unions); not-null terms of exclusive types evaluate FALSE (drop
+    from unions, collapse intersections) — the visitor's documented
+    rules."""
+    ing = IngestTypes(ftypes)
+
+    def should_prune(types: set[str], includes: set[str]) -> bool:
+        if UNKNOWN_TYPE in types or UNKNOWN_TYPE in includes:
+            return False
+        if IGNORED_TYPE in types:
+            return False
+        return not (types & includes)
+
+    def walk(n: JexlNode, data: set[str] | None):
+        """→ pruned node, None = node dropped, or the TRUE/FALSE
+        sentinel via Literal for union/intersection collapse."""
+        if isinstance(n, AndNode):
+            # intersection types use NON-external mode (null-literal
+            # leaves and negations contribute IGNORED_TYPE, not their
+            # field's types — IngestTypePruningVisitor's
+            # ingestTypeVisitor starts non-external), while the
+            # per-child prune checks below use external mode
+            types = ing._intersection(n, False)
+            if not types:
+                return None
+            pruning = data if data is not None else types
+            kept = []
+            for t in n.terms:
+                if _is_null_eq(t) and should_prune(ing.of(t, True), pruning):
+                    continue                       # true term drops
+                if _is_not_null(t) and should_prune(ing.of(t, True), pruning):
+                    return None                    # false term kills AND
+                out = walk(t, pruning)
+                if out is not None:
+                    kept.append(out)
+            if not kept:
+                return None
+            return kept[0] if len(kept) == 1 else AndNode(tuple(kept))
+        if isinstance(n, OrNode):
+            if data is None:
+                kept = [walk(t, None) for t in n.terms]
+                kept = [k for k in kept if k is not None]
+            else:
+                kept = []
+                for t in n.terms:
+                    tt = ing.of(t, True)
+                    if (_is_null_eq(t) or isinstance(t, NotNode)) \
+                            and should_prune(tt, data):
+                        return None                # union evaluates true
+                    if _is_not_null(t) and should_prune(tt, data):
+                        continue                   # false term drops
+                    if not isinstance(t, (AndNode, OrNode, NotNode)) \
+                            and should_prune(tt, data):
+                        continue                   # exclusive leaf drops
+                    out = walk(t, data)
+                    if out is not None:
+                        kept.append(out)
+            if not kept:
+                return None
+            return kept[0] if len(kept) == 1 else OrNode(tuple(kept))
+        if isinstance(n, NotNode):
+            out = walk(n.term, data)
+            return None if out is None else NotNode(out)
+        # leaf
+        if data is not None and should_prune(ing.of(n, True), data):
+            return None
+        return n
+
+    return walk(node, set(filter_set) if filter_set else None)

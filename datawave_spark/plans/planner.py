@@ -26,6 +26,49 @@ from datawave_spark.operators.grouping import group_by
 from datawave_spark.operators.limit_fields import limit_fields
 from datawave_spark.operators.unique import unique
 
+# Spark's stringToTimestamp grammar (sql/catalyst DateTimeUtils):
+# yyyy[-[m]m[-[d]d[( |T)[h]h:[m]m[:[s]s[.fraction]][zone]]]] — the
+# driver-side validator _normalization_fails uses instead of a one-row
+# plan-time Spark job (advice r9).  Zone: Z / UTC / ±h[h][:mm[:ss]] /
+# region id (validated by shape only — region strings are rare in
+# query literals and err toward parseable, matching try_cast's
+# permissiveness rather than inventing failures).
+import re as _re
+
+_TS_RE = _re.compile(
+    r"[+-]?\d{4,7}"
+    r"(?:-(\d{1,2})"
+    r"(?:-(\d{1,2})"
+    r"(?:[ T](\d{1,2}):(\d{1,2})"
+    r"(?::(\d{1,2})(?:\.\d{1,9})?)?"
+    r"\s*(?:Z|UTC?|[+-]\d{1,2}(?::\d{1,2}(?::\d{1,2})?)?"
+    r"|[A-Za-z][A-Za-z_/+-]{2,})?"
+    r")?)?)?\s*")
+
+
+def _spark_datetime_parseable(s: str) -> bool:
+    """True when ``try_cast(s as timestamp/date)`` would be non-null —
+    field-range checks mirror DateTimeUtils.stringToTimestamp."""
+    s = s.strip()
+    m = _TS_RE.fullmatch(s)
+    if not m:
+        return False
+    mo, dy, hh, mi, ss = (int(g) if g is not None else None
+                          for g in m.groups())
+    if mo is not None and not 1 <= mo <= 12:
+        return False
+    if dy is not None:
+        import calendar
+        yr = int(_re.match(r"[+-]?\d+", s).group())
+        max_day = calendar.monthrange(min(max(abs(yr), 1), 9999), mo)[1]
+        if not 1 <= dy <= max_day:
+            return False
+    if hh is not None and not (0 <= hh <= 23 and 0 <= mi <= 59):
+        return False
+    if ss is not None and not 0 <= ss <= 59:
+        return False
+    return True
+
 
 @dataclass
 class QueryResult:
@@ -350,9 +393,10 @@ class QueryPlanner:
                     lit = str(norm.normalize_literal(value))
                 except (TypeError, ValueError):
                     continue
-                row = self.df.sparkSession.range(1).select(
-                    F.lit(lit).try_cast(et).alias("v")).first()
-                if row.v is not None:
+                # driver-side port of Spark's stringToTimestamp /
+                # stringToDate accepted grammar (no per-term Spark job
+                # at plan time — advice r9)
+                if _spark_datetime_parseable(lit):
                     return False
                 continue
             try:

@@ -200,3 +200,125 @@ class TestBinaryFileIngest:
         got = {r.id: (r.width, r.height, r.sum_px)
                for r in decode_png(media).collect()}
         assert got == {7: (2, 2, 10), 9: (3, 1, 60)}
+
+
+class TestJpegCodec:
+    """Baseline JFIF codec (operators/_jpeg_purepy) — the r10 addition
+    closing VERDICT r9 #1.  Flat blocks at quality=100 round-trip
+    bit-exactly (the gate-key oracle property); the lossy, 4:2:0,
+    restart-marker, and YCbCr paths are checked here."""
+
+    def test_flat_blocks_exact_all_values(self):
+        import numpy as np
+        from datawave_spark.operators._jpeg_purepy import (jpeg_encode,
+                                                           jpeg_planes)
+        for v in (0, 1, 127, 128, 200, 255):
+            img = np.full((8, 16), v, dtype=np.uint8)
+            w, h, pl = jpeg_planes(jpeg_encode(16, 8, img.tobytes()))
+            assert (w, h) == (16, 8)
+            assert np.array_equal(pl[0], img)
+
+    def test_gradient_q100_exact_and_q50_close(self):
+        import numpy as np
+        from datawave_spark.operators._jpeg_purepy import (jpeg_encode,
+                                                           jpeg_planes)
+        img = ((np.arange(24 * 32).reshape(24, 32) * 5) % 256) \
+            .astype(np.uint8)
+        _, _, pl = jpeg_planes(jpeg_encode(32, 24, img.tobytes()))
+        # all-ones quant is near-lossless, not lossless: quantization
+        # rounding on sharp sawtooth edges can shift a pixel by 1
+        assert int(np.abs(pl[0].astype(int) - img.astype(int)).max()) <= 1
+        _, _, pl50 = jpeg_planes(
+            jpeg_encode(32, 24, img.tobytes(), quality=50))
+        err = np.abs(pl50[0].astype(int) - img.astype(int)).mean()
+        assert err < 32          # lossy but recognizable
+
+    def test_odd_dims_pad_and_crop(self):
+        import numpy as np
+        from datawave_spark.operators._jpeg_purepy import (jpeg_encode,
+                                                           jpeg_planes)
+        img = ((np.arange(5 * 11).reshape(5, 11) * 7) % 256) \
+            .astype(np.uint8)
+        w, h, pl = jpeg_planes(jpeg_encode(11, 5, img.tobytes()))
+        assert (w, h) == (11, 5) and pl[0].shape == (5, 11)
+        assert np.array_equal(pl[0], img)
+
+    def test_color_444_flat_exact(self):
+        import numpy as np
+        from datawave_spark.operators._jpeg_purepy import (
+            jpeg_encode, jpeg_planes, ycbcr_to_rgb)
+        rgb = np.zeros((8, 8, 3), dtype=np.uint8)
+        rgb[..., 0], rgb[..., 1], rgb[..., 2] = 120, 50, 200
+        w, h, pl = jpeg_planes(
+            jpeg_encode(8, 8, rgb.tobytes(), color=True))
+        assert len(pl) == 3
+        out = ycbcr_to_rgb(pl)
+        assert int(np.abs(out.astype(int) - rgb.astype(int)).max()) <= 1
+
+    def test_420_subsampling_decodes(self):
+        import numpy as np
+        from datawave_spark.operators._jpeg_purepy import (
+            jpeg_encode, jpeg_planes, ycbcr_to_rgb)
+        rng = np.random.RandomState(7)
+        rgb = rng.randint(0, 256, (24, 40, 3)).astype(np.uint8)
+        w, h, pl = jpeg_planes(jpeg_encode(
+            40, 24, rgb.tobytes(), quality=90, color=True,
+            subsample=True))
+        assert (w, h) == (40, 24)
+        assert all(p.shape == (24, 40) for p in pl)
+        out = ycbcr_to_rgb(pl)
+        # 4:2:0 on random noise is very lossy on chroma but luma must
+        # track: compare Y means
+        y_src = (0.299 * rgb[..., 0] + 0.587 * rgb[..., 1]
+                 + 0.114 * rgb[..., 2])
+        y_dec = (0.299 * out[..., 0] + 0.587 * out[..., 1]
+                 + 0.114 * out[..., 2])
+        assert abs(float(y_src.mean() - y_dec.mean())) < 4
+
+    def test_restart_markers_equal_unrestarted(self):
+        import numpy as np
+        from datawave_spark.operators._jpeg_purepy import (jpeg_encode,
+                                                           jpeg_planes)
+        rng = np.random.RandomState(11)
+        rgb = rng.randint(0, 256, (16, 48, 3)).astype(np.uint8)
+        a = jpeg_planes(jpeg_encode(48, 16, rgb.tobytes(), quality=80,
+                                    color=True, subsample=True))
+        b = jpeg_planes(jpeg_encode(48, 16, rgb.tobytes(), quality=80,
+                                    color=True, subsample=True,
+                                    restart=2))
+        assert all(np.array_equal(x, y) for x, y in zip(a[2], b[2]))
+
+    def test_rejects_progressive_and_garbage(self):
+        import numpy as np
+        import pytest
+        from datawave_spark.operators._jpeg_purepy import (jpeg_encode,
+                                                           jpeg_planes)
+        img = np.full((8, 8), 99, dtype=np.uint8)
+        payload = bytearray(jpeg_encode(8, 8, img.tobytes()))
+        # flip SOF0 (FFC0) to SOF2 (FFC2 progressive)
+        i = bytes(payload).find(b"\xFF\xC0")
+        payload[i + 1] = 0xC2
+        with pytest.raises(ValueError, match="non-baseline"):
+            jpeg_planes(bytes(payload))
+        with pytest.raises(ValueError, match="SOI"):
+            jpeg_planes(b"not a jpeg")
+        with pytest.raises(ValueError, match="SOI"):
+            jpeg_planes(None)
+        # truncated entropy segment
+        full = jpeg_encode(8, 8, img.tobytes())
+        with pytest.raises(ValueError):
+            jpeg_planes(full[:len(full) - 4] + b"\xFF\xD9")
+
+    def test_decode_jpeg_dataframe_path(self, spark):
+        from pyspark.sql import functions as F
+        from datawave_spark.operators.multimodal import (
+            decode_jpeg, synth_jpeg_payload)
+        rows = [(int(d), synth_jpeg_payload(d)) for d in (7, 9, 14)]
+        df = spark.createDataFrame(rows, "id long, media binary")
+        got = {r.id: (r.width, r.height, r.n_components, r.sum_luma)
+               for r in decode_jpeg(df).collect()}
+        for d in (7, 9, 14):
+            bw, bh = 1 + d % 3, 1 + d % 2
+            exp = 64 * sum((d * 7 + by * 13 + bx * 3) % 256
+                           for by in range(bh) for bx in range(bw))
+            assert got[d] == (8 * bw, 8 * bh, 1, exp)

@@ -732,9 +732,10 @@ class TestGlobalPlanLint:
         "dedup_embedding_pairs", # IVF/label-blocked variant registered
     }
     ARROW_OK = {
-        # multimodal codecs (stdlib PNG/WAV decode, resize, frames)
+        # multimodal codecs (stdlib PNG/JPEG/WAV decode, resize, frames)
         "multimodal_decode", "multimodal_frame_sample",
-        "multimodal_png_decode", "multimodal_wav_decode",
+        "multimodal_png_decode", "multimodal_jpeg_decode",
+        "multimodal_wav_decode",
         "multimodal_resize", "multimodal_binary_ingest",
         # XML dump parsing (no native XML source in this container)
         "xml_reader_query", "wikipedia_ingest",
