@@ -88,16 +88,23 @@ class CompileContext:
     fields: dict[str, FieldSpec] = dc_field(default_factory=dict)  # UPPER name → spec
     # query model: alias → concrete field names (QueryModelVisitor parity)
     model: dict[str, list[str]] = dc_field(default_factory=dict)
+    # _ANYFIELD_ expansion set (the reference's unfielded expansion goes
+    # against the INDEX — AnyFieldQueryTest's GenericCityFields); None =
+    # expand over every schema field (the permissive default)
+    anyfield: set | None = None
 
     def __post_init__(self):
         if not isinstance(self.model, _ModelDict):
             self.model = _ModelDict(self.model)
+        if self.anyfield is not None:
+            self.anyfield = {str(f).upper() for f in self.anyfield}
 
     @classmethod
     def for_dataframe(cls, df: DataFrame,
                       field_types: dict[str, str] | None = None,
                       model: dict[str, list[str]] | None = None,
-                      at_rest: set[str] | list[str] | None = None) -> "CompileContext":
+                      at_rest: set[str] | list[str] | None = None,
+                      anyfield: set[str] | list[str] | None = None) -> "CompileContext":
         """Derive a context from a DataFrame schema.  ``field_types``
         optionally binds normalizer names per field (case-insensitive).
         Fields named in ``at_rest`` hold values ALREADY normalized at
@@ -116,7 +123,8 @@ class CompileContext:
                 spec.normalized_at_rest = f.name.upper() in rest
             fields[f.name.upper()] = spec
         mdl = {k.upper(): [v.upper() for v in vs] for k, vs in (model or {}).items()}
-        return cls(schema=df.schema, fields=fields, model=mdl)
+        return cls(schema=df.schema, fields=fields, model=mdl,
+                   anyfield=anyfield)
 
     def resolve(self, name: str) -> FieldSpec | None:
         # leading '$' is the JEXL-escaped field prefix
@@ -214,6 +222,20 @@ def _typed_literal(value: Any, norm: Normalizer, elem_type: T.DataType) -> Colum
     return F.lit(v)
 
 
+def _ipv4_long(c: Column) -> Column:
+    """Canonical dotted-quad → long, octet-weighted — the ordering the
+    reference's zero-padded IpAddressType encoding realizes
+    lexicographically (IpAddressQueryTest.testRange: '9.9.140.133' must
+    sort ABOVE '9.9.40.1'; the unpadded canonical string sorts it
+    below).  Pure codegen arithmetic; a non-IPv4 value try_casts to
+    NULL and the comparison totalizes false."""
+    p = F.split(c, r"\.")
+    return (F.try_element_at(p, F.lit(1)).try_cast("long") * 16777216
+            + F.try_element_at(p, F.lit(2)).try_cast("long") * 65536
+            + F.try_element_at(p, F.lit(3)).try_cast("long") * 256
+            + F.try_element_at(p, F.lit(4)).try_cast("long"))
+
+
 def _scalar_cmp(op: str, col: Column, lit: Column, elem_type: T.DataType,
                 norm: Normalizer, normalized_at_rest: bool) -> Column:
     """One value vs literal.  Numeric fields compare numerically (the
@@ -221,6 +243,10 @@ def _scalar_cmp(op: str, col: Column, lit: Column, elem_type: T.DataType,
     sort numerics; Catalyst compares natively)."""
     if not normalized_at_rest:
         col = norm.col(col)
+    if norm.name == "ipAddress" and op != "==":
+        # IP ordering is octet-numeric, not lexicographic on the
+        # unpadded canonical form (r10: IpAddressQueryTest port)
+        col, lit = _ipv4_long(col), _ipv4_long(lit)
     if isinstance(elem_type, T.StringType) and norm.name == "number":
         # try_cast, not cast: under ANSI a stored value that fails to
         # parse would kill the whole scan; the reference's evaluator
@@ -252,7 +278,7 @@ def compile_cmp(node: CmpNode, ctx: CompileContext,
         # the child context so identity entries (SOURCE → SOURCE) and
         # alias chains cannot recurse.
         child_ctx = CompileContext(
-            schema=ctx.schema, fields=ctx.fields,
+            schema=ctx.schema, fields=ctx.fields, anyfield=ctx.anyfield,
             model={k: v for k, v in ctx.model.items() if k != name})
         positive_op = {"!=": "==", "!~": "=~"}.get(node.op, node.op)
         out = None
@@ -407,7 +433,7 @@ def compile_range(node: "RangeNode", ctx: CompileContext,
         # FunctionalSetTest's '10 <= AG && AG <= 18' reaches here via
         # the planner's mark_bounded_ranges)
         child_ctx = CompileContext(
-            schema=ctx.schema, fields=ctx.fields,
+            schema=ctx.schema, fields=ctx.fields, anyfield=ctx.anyfield,
             model={k: v for k, v in ctx.model.items() if k != name})
         out = None
         for member in ctx.model[name]:
@@ -488,6 +514,8 @@ def _compile_anyfield(node: CmpNode, ctx: CompileContext,
     would match via normalization."""
     preds = []
     for fname, spec in ctx.fields.items():
+        if ctx.anyfield is not None and fname not in ctx.anyfield:
+            continue
         positive_op = ("==" if node.op in ("==", "!=")
                        else "=~" if node.op in ("=~", "!~") else node.op)
         preds.append(compile_cmp(CmpNode(positive_op, Identifier(fname),
@@ -632,7 +660,7 @@ def compile_arith_cmp(node: ArithCmpNode, ctx: CompileContext,
         import itertools
         names = sorted(aliases)
         child = CompileContext(
-            schema=ctx.schema, fields=ctx.fields,
+            schema=ctx.schema, fields=ctx.fields, anyfield=ctx.anyfield,
             model={k: v for k, v in ctx.model.items() if k not in aliases})
         requires_and = node.op == "!="
         out = None
@@ -836,7 +864,8 @@ def compile_node(node: JexlNode, ctx: CompileContext,
 def compile_query(df: DataFrame, query, *,
                   field_types: dict[str, str] | None = None,
                   model: dict[str, list[str]] | None = None,
-                  at_rest: set[str] | list[str] | None = None) -> DataFrame:
+                  at_rest: set[str] | list[str] | None = None,
+                  anyfield: set[str] | list[str] | None = None) -> DataFrame:
     """Parse (if needed) and apply a JEXL query to a DataFrame.
     ``at_rest`` names typed fields whose stored values are already
     normalized (ingest-time normalization) — their predicates compile
@@ -846,5 +875,6 @@ def compile_query(df: DataFrame, query, *,
     import datawave_spark.functions  # noqa: F401
     node = parse(query) if isinstance(query, str) else query
     ctx = CompileContext.for_dataframe(df, field_types=field_types,
-                                       model=model, at_rest=at_rest)
+                                       model=model, at_rest=at_rest,
+                                       anyfield=anyfield)
     return df.filter(compile_node(node, ctx))

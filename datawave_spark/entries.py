@@ -237,6 +237,37 @@ def q_normalize_ipv4(spark, sf_dir):
     return out.select("event_id", "ip")
 
 
+@register("ip_range_query", """
+SELECT event_id, ip FROM (
+  SELECT event_id,
+         '10.' || (user_id % 200)::int || '.' || (user_id % 256)::int
+           || '.' || (event_id % 256)::int AS ip,
+         user_id % 200 AS o2, user_id % 256 AS o3, event_id % 256 AS o4
+  FROM events)
+WHERE (o2 * 65536 + o3 * 256 + o4) >= (9 * 65536 + 9 * 256 + 9)
+  AND (o2 * 65536 + o3 * 256 + o4) <= (40 * 65536 + 1 * 256 + 1)
+""")
+def q_ip_range(spark, sf_dir):
+    """Bounded range over an ipAddress-typed field — OCTET-NUMERIC
+    ordering, not lexicographic on the canonical string
+    (IpAddressQueryTest.testRange port, r10 fix: '10.140.x.y' must
+    sort ABOVE '10.40.1.1'; the unpadded canonical form sorts it
+    below, which returned 0 rows before _ipv4_long).  The oracle
+    replays the octet weighting arithmetically — a lexicographic
+    comparison cannot hash-match."""
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "ip", F.concat_ws(
+            ".", F.lit("10"),
+            (F.col("user_id") % 200).cast("int").cast("string"),
+            (F.col("user_id") % 256).cast("int").cast("string"),
+            (F.col("event_id") % 256).cast("int").cast("string")))
+    out = compile_query(
+        ev, "((_Bounded_ = true) && (IP >= '10.9.9.9' && "
+            "IP <= '10.40.1.1'))",
+        field_types={"IP": "ipAddress"})
+    return out.select("event_id", "ip")
+
+
 @register("filter_include_regex", """
 SELECT event_id, props FROM events
 WHERE regexp_full_match(props, '.*"k": 6[0-9].*')

