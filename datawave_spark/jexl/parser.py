@@ -72,6 +72,24 @@ def _tokenize(text: str) -> list[tuple[str, str]]:
     return tokens
 
 
+class _EscStr(str):
+    """An unescaped string literal that REMEMBERS its raw quoted body.
+    Equality/hash are plain-str (the unescaped value), so the AST
+    compares as before; ``raw`` carries the source spelling for the
+    one consumer with different semantics — regex comparisons, whose
+    pattern is the RAW body (RegexQueryTest: the SAME literal
+    spelling ``'\\\\Edge-City-1'`` is the unescaped VALUE for ``==``
+    and the regex-escaped PATTERN for ``=~``; unescaping the pattern
+    would collapse ``\\\\d`` (literal backslash + d) onto ``\\d``
+    (digit class) and throw on ``\\E``)."""
+    raw: str = ""
+
+    def __new__(cls, unescaped: str, raw: str):
+        self = super().__new__(cls, unescaped)
+        self.raw = raw
+        return self
+
+
 def _unquote(s: str) -> str:
     """commons-jexl3 StringParser semantics: only the DELIMITER quote
     and '\\\\' unescape (plus \\uXXXX); any other escape keeps its
@@ -101,6 +119,14 @@ def _unquote(s: str) -> str:
         out.append(ch)
         i += 1
     return "".join(out)
+
+
+def _regex_raw(op: str, lit: "Literal") -> "Literal":
+    """For ``=~``/``!~``, the pattern is the literal's RAW quoted body
+    (see _EscStr); every other operator keeps the unescaped value."""
+    if op in ("=~", "!~") and isinstance(lit.value, _EscStr):
+        return Literal(str(lit.value.raw))
+    return lit
 
 
 def _fold_cmp(op: str, a, b) -> bool:
@@ -336,6 +362,8 @@ class _Parser:
 
     @staticmethod
     def _make_cmp(op: str, left: JexlNode, right: JexlNode) -> JexlNode:
+        # (the module-level _regex_raw swaps a regex literal to its raw
+        # quoted body — see _EscStr)
         inverse = {"<": ">", ">": "<", "<=": ">=", ">=": "<=",
                    "==": "==", "!=": "!=", "=~": "=~", "!~": "!~"}
         if isinstance(left, Literal) and isinstance(right, Literal):
@@ -355,9 +383,9 @@ class _Parser:
             return FieldCmpNode(op, left, right)
         if isinstance(left, Literal) and isinstance(right, Identifier):
             # InvertNodeVisitor parity: 'x' == F  →  F == 'x'
-            return CmpNode(inverse[op], right, left)
+            return CmpNode(inverse[op], right, _regex_raw(op, left))
         if isinstance(left, Identifier) and isinstance(right, Literal):
-            return CmpNode(op, left, right)
+            return CmpNode(op, left, _regex_raw(op, right))
         raise JexlParseError(f"literal-to-literal comparison: {left} {op} {right}")
 
     _ADD_OPS = ("+", "-")
@@ -459,7 +487,7 @@ class _Parser:
                 return int(tok[:-1])
             return float(tok) if "." in tok else int(tok)
         if kind == "string":
-            return _unquote(tok)
+            return _EscStr(_unquote(tok), tok[1:-1])
         if kind == "ident" and tok in _KEYWORDS:
             return _KEYWORDS[tok]
         raise JexlParseError(f"expected literal, got {tok!r}")
