@@ -25,13 +25,46 @@ from datawave_spark.functions.filter_functions import _ident, _lit
 
 
 def _latlon(v: Column) -> tuple[Column, Column]:
-    """Split a "lat,lon" point value (GeoType string form).
+    """Point value → (lat, lon) columns.  Two stored forms, per the
+    reference's GeoType/PointType pair (MixedGeoAndGeoWaveTest queries
+    geo: functions over BOTH through a query-model alias):
+
+    - "lat,lon" / "lat_lon" / "lat|lon" — the GeoNormalizer-accepted
+      GeoType string forms (y-first);
+    - "POINT (x y)" WKT — PointType's raw form (x-first: lon lat).
+
     F.get + try_cast: one malformed stored point must be a NULL
     non-match (field_pred totalizes NULL → false), not an ANSI
     CAST_INVALID_INPUT / invalidArrayIndexError scan abort (r8)."""
-    parts = F.split(v.cast("string"), ",")
-    return (F.get(parts, 0).try_cast("double"),
-            F.get(parts, 1).try_cast("double"))
+    s = v.cast("string")
+    is_pt = s.rlike(r"^\s*(?i)POINT\s*\(")
+    nums = F.transform(
+        F.regexp_extract_all(s, F.lit(r"(-?\d+\.?\d*(?:[eE]-?\d+)?)"),
+                             F.lit(1)),
+        lambda e: e.cast("double"))
+    parts = F.split(s, "[,_|]")
+    lat = F.when(is_pt, F.try_element_at(nums, F.lit(2))) \
+        .otherwise(F.get(parts, 0).try_cast("double"))
+    lon = F.when(is_pt, F.try_element_at(nums, F.lit(1))) \
+        .otherwise(F.get(parts, 1).try_cast("double"))
+    return lat, lon
+
+
+def _latlon_lit(s: str) -> tuple[float, float]:
+    """Query-literal point — same separators as _latlon."""
+    import re
+    lat_s, lon_s = re.split(r"[,_|]", str(s).strip(), maxsplit=1)
+    return float(lat_s), float(lon_s)
+
+
+def _lon_in(lon: Column, lon1: float, lon2: float) -> Column:
+    """Longitude-in-range with the reference's antimeridian split
+    (GeoFunctions.evaluate: minLon > maxLon means the box crosses the
+    antimeridian and the bound becomes two ranges)."""
+    if lon1 > lon2:
+        return ((lon >= lon1) & (lon <= 180.0)) \
+            | ((lon >= -180.0) & (lon <= lon2))
+    return (lon >= lon1) & (lon <= lon2)
 
 
 @register_function("geo", "within_bounding_box")
@@ -45,20 +78,20 @@ def g_within_bbox(ctx: CompileContext, args):
     """
     if len(args) == 3:
         fname = _ident(args[0])
-        lat1, lon1 = (float(x) for x in str(_lit(args[1])).split(","))
-        lat2, lon2 = (float(x) for x in str(_lit(args[2])).split(","))
+        lat1, lon1 = _latlon_lit(str(_lit(args[1])))
+        lat2, lon2 = _latlon_lit(str(_lit(args[2])))
 
         def leaf(v: Column) -> Column:
             lat, lon = _latlon(v)
-            return (lat >= lat1) & (lat <= lat2) & (lon >= lon1) & (lon <= lon2)
+            return (lat >= lat1) & (lat <= lat2) & _lon_in(lon, lon1, lon2)
 
         return field_pred(ctx, fname, leaf)
     lon_f, lat_f = _ident(args[0]), _ident(args[1])
     min_lon, min_lat = float(_lit(args[2])), float(_lit(args[3]))
     max_lon, max_lat = float(_lit(args[4])), float(_lit(args[5]))
     lon_ok = field_pred(ctx, lon_f,
-                        lambda v: (v.try_cast("double") >= min_lon)
-                        & (v.try_cast("double") <= max_lon))
+                        lambda v: _lon_in(v.try_cast("double"),
+                                          min_lon, max_lon))
     lat_ok = field_pred(ctx, lat_f,
                         lambda v: (v.try_cast("double") >= min_lat)
                         & (v.try_cast("double") <= max_lat))
@@ -71,7 +104,7 @@ def g_within_circle(ctx: CompileContext, args):
     radius in degrees, planar distance — parity with the reference's
     naive euclidean check)."""
     fname = _ident(args[0])
-    clat, clon = (float(x) for x in str(_lit(args[1])).split(","))
+    clat, clon = _latlon_lit(str(_lit(args[1])))
     radius = float(_lit(args[2]))
 
     def leaf(v: Column) -> Column:

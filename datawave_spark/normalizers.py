@@ -191,11 +191,14 @@ def _ip_col(c: Column) -> Column:
 
 
 def _geo_py(v: Any) -> str:
-    # GeoType parity (datawave.data.type.GeoType): a "lat,lon" point
-    # normalizes to a z-order index string — here the geohash (same
-    # Morton interleave family), bit-identical to the column form.
+    # GeoType parity (datawave.data.type.GeoType): a "lat,lon" /
+    # "lat_lon" / "lat|lon" point (GeoNormalizer accepts all three —
+    # MixedGeoAndGeoWaveTest ingests the underscore form) normalizes
+    # to a z-order index string — here the geohash (same Morton
+    # interleave family), bit-identical to the column form.
+    import re as _re
     from datawave_spark.functions.geohash import geohash_py
-    lat_s, lon_s = str(v).split(",", 1)
+    lat_s, lon_s = _re.split(r"[,_|]", str(v).strip(), maxsplit=1)
     return geohash_py(float(lat_s), float(lon_s), 8)
 
 
@@ -206,7 +209,7 @@ def _geo_col(c: Column) -> Column:
     # invalidArrayIndexError, and geohash_col does NOT propagate null
     # (its bit clamping turns null into a REAL geohash, indexing the
     # bad value at an actual location — normalizer-parity referee r8)
-    parts = F.split(c.cast("string"), ",")
+    parts = F.split(c.cast("string"), "[,_|]")
     lat = F.get(parts, 0).try_cast("double")
     lon = F.get(parts, 1).try_cast("double")
     return F.when(lat.isNotNull() & lon.isNotNull(),
