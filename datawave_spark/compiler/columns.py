@@ -749,6 +749,14 @@ def _expand_field_arg(ctx: CompileContext, field_name: str) -> list[str]:
     of their members' value sets."""
     out: list[str] = []
     for part in str(field_name).split("||"):
+        if part.upper().lstrip("$") in ANYFIELD_NAMES:
+            # _ANYFIELD_ as a FUNCTION argument sweeps the expansion
+            # set like an unfielded term does
+            # (FilterFieldsQueryTest.testAnyFieldFilterIncludeRegex:
+            # 'filter:includeRegex(_ANYFIELD_, ...)')
+            out.extend(sorted(ctx.anyfield if ctx.anyfield is not None
+                              else ctx.fields))
+            continue
         out.extend(ctx.model.get(part.upper(), [part]))
     return out
 

@@ -6816,3 +6816,62 @@ def q_grouping_values_for_groups(spark, sf_dir):
     q = ("AGES.getValuesForGroups(grouping:getGroupsForMatchesInGroup("
          "NAMES, 'click', OWNERS, '3')) < 50")
     return compile_query(df, q).select("event_id")
+
+
+@register("lucene_include_pairs", """
+SELECT event_id FROM events
+WHERE regexp_full_match(event_type, 'cl.*')
+   OR regexp_full_match(props, '.*6[0-9]}')
+""")
+def q_lucene_include_pairs(spark, sf_dir):
+    """#INCLUDE with the AbstractEvaluationPhaseFunction argument shape
+    (language/functions/jexl/AbstractEvaluationPhaseFunction.java:22-91):
+    a leading OR/AND combiner word followed by (field, value) pairs —
+    '#INCLUDE(OR, F1, v1, F2, v2)' fans out to a disjunction of
+    filter:includeRegex terms (r10)."""
+    from datawave_spark.lucene.parser import parse_lucene
+    ev = _t(spark, sf_dir, "events")
+    node = parse_lucene(
+        "#INCLUDE(OR, EVENT_TYPE, cl.*, PROPS, '.*6[0-9]}')")
+    return compile_query(ev, node).select("event_id")
+
+
+@register("filter_anyfield_regex", """
+SELECT event_id FROM events WHERE regexp_full_match(event_type, 'cl.*')
+""")
+def q_filter_anyfield_regex(spark, sf_dir):
+    """filter:includeRegex(_ANYFIELD_, ...) — _ANYFIELD_ as a FUNCTION
+    argument sweeps the expansion set the way an unfielded term does
+    (FilterFieldsQueryTest.testAnyFieldFilterIncludeRegex); only
+    event_type can full-match 'cl.*' here, so the oracle is the single
+    concrete disjunct."""
+    ev = _t(spark, sf_dir, "events").select("event_id", "event_type",
+                                            "props")
+    return compile_query(
+        ev, "filter:includeRegex(_ANYFIELD_, 'cl.*')").select("event_id")
+
+
+@register("filter_occurrence_funcall", """
+SELECT user_id, day FROM (
+  SELECT user_id, CAST(CAST(ts AS DATE) AS VARCHAR) AS day,
+         list(event_type) AS t
+  FROM events GROUP BY user_id, CAST(ts AS DATE)
+) WHERE len(t) = len(list_filter(t, x -> x = 'click'))
+             + len(list_filter(t, x -> x = 'view'))
+""")
+def q_filter_occurrence_funcall(spark, sf_dir):
+    """filter:occurrence with a FUNCALL-ARITHMETIC count argument
+    (UseOccurrenceToCountInJexlContextTest — 'occurrence(NAME, ==,
+    getAllMatches(NAME, a).size() + getAllMatches(NAME, b).size())'):
+    the instance count of a multi-valued field equals the summed sizes
+    of two match sets exactly when every instance matches one of the
+    regexes.  getAllMatches keeps ALL matching instances (not a
+    distinct set), so duplicates balance."""
+    ev = _t(spark, sf_dir, "events")
+    mv = (ev.groupBy("user_id", F.col("ts").cast("date").alias("__day"))
+          .agg(F.collect_list("event_type").alias("ET")))
+    out = compile_query(
+        mv, "filter:occurrence(ET, '==', "
+            "filter:getAllMatches(ET, 'click').size() + "
+            "filter:getAllMatches(ET, 'view').size())")
+    return out.select("user_id", F.col("__day").cast("string").alias("day"))

@@ -82,6 +82,7 @@ _TOKEN_RE = re.compile(r"""
   | (?P<hashfunc>\#[A-Za-z_][A-Za-z0-9_]*)
   | (?P<regex>/(?:\\.|[^/\\])*/)
   | (?P<phrase>"(?:\\.|[^"\\])*")
+  | (?P<squote>'(?:\\.|[^'\\])*')
   | (?P<fielded>[A-Za-z_$][A-Za-z0-9_.$]*:)
   | (?P<comma>,)
   | (?P<term>[^\s()\[\]{}",]+)
@@ -187,7 +188,8 @@ class _Parser:
             terms.append(self.parse_and())
         return terms[0] if len(terms) == 1 else OrNode(tuple(terms))
 
-    _STARTERS = {"lparen", "not", "hashfunc", "phrase", "fielded", "term"}
+    _STARTERS = {"lparen", "not", "hashfunc", "phrase", "fielded", "term",
+                 "squote"}
 
     def parse_and(self) -> JexlNode:
         terms = [self.parse_unary()]
@@ -237,6 +239,13 @@ class _Parser:
                     continue
                 if k == "phrase":
                     args.append(Literal(self._unquote(v)))
+                elif k == "squote":
+                    # single-quoted function arg — ANY chars incl.
+                    # brackets/spaces (_FUNCTION_ARG_ALL_CHAR2,
+                    # AccumuloSyntaxParser.jj:116), restricted escape
+                    # set so a regex arg like '\d[0-9]' survives
+                    args.append(Literal(_discard_escape(
+                        v[1:-1], _FUNC_ARG_ESCAPES)))
                 elif k == "term":
                     # single-quoted argument (the reference's function
                     # args are usually single-quoted:
@@ -257,6 +266,12 @@ class _Parser:
                         args.append(Literal(float(v)))
                     else:
                         args.append(Identifier(v))
+                elif k in ("and", "or", "not", "to") \
+                        and re.fullmatch(r"[A-Za-z]+", v):
+                    # boolean keywords are plain WORDS in argument
+                    # position — the AbstractEvaluationPhaseFunction
+                    # combiner arg (#INCLUDE(OR, F1, v1, F2, v2))
+                    args.append(Identifier(v))
                 else:
                     raise LuceneParseError(f"bad #{name} argument {v!r}")
             self.expect("rparen")
@@ -290,6 +305,31 @@ class _Parser:
                              Identifier(f2)))
         if name in _HASH_EVAL:
             ns, fn = _HASH_EVAL[name]
+            if name in ("INCLUDE", "EXCLUDE", "TEXT", "MATCHES"):
+                # AbstractEvaluationPhaseFunction argument shapes
+                # (language/functions/jexl/AbstractEvaluationPhase
+                # Function.java:22-91):
+                #  - ONE arg → (_ANYFIELD_, value);
+                #  - odd count >1 → leading AND/OR combiner over
+                #    (field, value) pairs;
+                #  - even count → pairs combined with AND.
+                combiner = AndNode
+                if len(args) == 1:
+                    args = [Identifier("_ANYFIELD_"), self._lit(args[0])]
+                elif len(args) % 2 == 1:
+                    word = self._str(args[0]).upper()
+                    if word not in ("AND", "OR"):
+                        raise LuceneParseError(
+                            f"#{name}: odd argument count needs a "
+                            f"leading AND/OR, got {word!r}")
+                    combiner = AndNode if word == "AND" else OrNode
+                    args = args[1:]
+                if len(args) > 2:
+                    pairs = [
+                        FuncNode(ns, fn, (args[i], self._lit(args[i + 1])))
+                        for i in range(0, len(args), 2)]
+                    return combiner(tuple(pairs))
+                return FuncNode(ns, fn, (args[0], self._lit(args[1])))
             # filter: regex/value args arrive as Identifiers — convert
             # non-leading args to literals (fields stay identifiers only
             # in positions the functions expect).
@@ -407,6 +447,11 @@ class _Parser:
         if kind == "fielded":
             field = v[:-1]
             kind, v = self.next()
+        if kind == "squote":
+            # single quotes are NOT special in term position (the
+            # reference's TERM token keeps them literally) — treat the
+            # raw text as a plain term
+            kind = "term"
         if kind == "phrase":
             words = self._unquote(v).split()
             # proximity suffix "a b"~N → content:within(field, N, terms)

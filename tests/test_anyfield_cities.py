@@ -244,6 +244,11 @@ class TestAnyFieldEdgeCities:
         assert got == {"edge-case-id-7"}
 
     def test_edge_regex(self, cities):
-        # regex matching the literal-backslash prefix family
-        got = run(cities, r"_ANYFIELD_ =~ '\\\\edge-city-.*'")
+        # =~ keeps the raw backslashes as the PATTERN
+        # (JexlASTHelper.java:271 double-backslash rule, pinned by the
+        # RegexQueryTest port): 2 source backslashes = regex '\\' = one
+        # literal backslash; 4 = two.
+        got = run(cities, r"_ANYFIELD_ =~ '\\edge-city-.*'")
         assert got == {"edge-case-id-1"}
+        got = run(cities, r"_ANYFIELD_ =~ '\\\\edge-city-.*'")
+        assert got == {"edge-case-id-2"}

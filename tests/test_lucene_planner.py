@@ -56,7 +56,24 @@ class TestLucene:
         assert isinstance(node, AndNode)
         assert node.terms[1] == FuncNode("filter", "includeRegex",
                                          (Identifier("STATE"),
-                                          Identifier("laz.*")))
+                                          Literal("laz.*")))
+
+    def test_hash_include_multi_pair_combiners(self):
+        # AbstractEvaluationPhaseFunction.java:22-91: leading OR/AND
+        # word, then (field, value) pairs; bare pairs combine with AND.
+        node = parse_lucene("#INCLUDE(OR, CITY, ro.*, STATE, laz.*)")
+        assert isinstance(node, OrNode)
+        assert node.terms == (
+            FuncNode("filter", "includeRegex",
+                     (Identifier("CITY"), Literal("ro.*"))),
+            FuncNode("filter", "includeRegex",
+                     (Identifier("STATE"), Literal("laz.*"))))
+        node2 = parse_lucene("#INCLUDE(CITY, ro.*, STATE, laz.*)")
+        assert isinstance(node2, AndNode)
+        node3 = parse_lucene("#INCLUDE(rome)")
+        assert node3 == FuncNode("filter", "includeRegex",
+                                 (Identifier("_ANYFIELD_"),
+                                  Literal("rome")))
 
     def test_hash_isnotnull(self):
         assert parse_lucene("#ISNOTNULL(CITY)") == FuncNode(
