@@ -305,6 +305,27 @@ def compile_cmp(node: CmpNode, ctx: CompileContext,
     # fans out to many normalized values at query time.
     one_many = norm.one_to_many and not spec.normalized_at_rest
 
+    # A LIST-valued query literal expands to the CONJUNCTION of
+    # same-operator per-element terms (ExpandMultiNormalizedTerms
+    # .java:323-338 builds an AND node over buildUntypedNode copies;
+    # NumericListQueryTest.testFieldEqualsList: SIZE == '90,26.5'
+    # plans as SIZE == '+bE9' && SIZE == '+bE2.65').  Literal
+    # expansion is query-side, so it applies to at-rest list columns
+    # too; elements carry no delimiter, so recursion terminates.
+    if norm.one_to_many and value is not None \
+            and node.op not in ("=~", "!~"):
+        try:
+            many = norm.normalize_to_many(value)
+        except (ValueError, TypeError):
+            many = None
+        if many is not None and len(many) > 1:
+            out = None
+            for el in many:
+                p = compile_cmp(CmpNode(node.op, Identifier(name),
+                                        Literal(el)), ctx)
+                out = p if out is None else out & p
+            return ~_total(out) if negated else out
+
     if value is None:
         col = F.col(spec.column)
         if one_many:
@@ -338,7 +359,7 @@ def compile_cmp(node: CmpNode, ctx: CompileContext,
 
         def leaf(c: Column) -> Column:
             cc = norm.col(c) if not spec.normalized_at_rest else c
-            return cc.cast("string").rlike(pattern)
+            return raw_match_string(cc, elem_type).rlike(pattern)
     elif isinstance(elem_type, T.StringType) \
             and isinstance(value, (int, float)) \
             and not isinstance(value, bool) and norm.name == "noop":
@@ -779,6 +800,52 @@ def field_pred(ctx: CompileContext, field_name: str,
             preds.append(F.exists(F.col(spec.column), leaf))
         else:
             preds.append(leaf(F.col(spec.column)))
+    if not preds:
+        pred = _false()
+    else:
+        pred = preds[0]
+        for p in preds[1:]:
+            pred = pred | p
+        pred = _total(pred)
+    return ~pred if negate else pred
+
+
+_NUMERIC_TYPES = (T.DoubleType, T.FloatType, T.DecimalType, T.LongType,
+                  T.IntegerType, T.ShortType)
+
+
+def raw_match_string(c: Column, elem_dtype) -> Column:
+    """A value's string form FOR REGEX MATCHING: whole doubles render
+    Java-style without the trailing '.0' — the reference matches
+    patterns against the tuple's value ('110' must match a numeric 110,
+    MatchRegexTest.testStandardQueryWithNumeric; same rule as
+    functional_set._raw_str / grouping._elem_matches)."""
+    s = c.cast("string")
+    if isinstance(elem_dtype, _NUMERIC_TYPES):
+        return F.regexp_replace(s, r"\.0$", "")
+    return s
+
+
+def field_regex_pred(ctx: CompileContext, field_name: str,
+                     pattern: str, *, negate: bool = False) -> Column:
+    """field_pred specialized to regex matching — the leaf sees the
+    numeric-aware raw string form of each value."""
+    preds = []
+    for name in _expand_field_arg(ctx, field_name):
+        spec = ctx.resolve(name)
+        if spec is None:
+            continue
+        dtype = ctx.spark_type(spec)
+        et = _element_type(dtype)
+        if isinstance(dtype, T.ArrayType):
+            def mk_leaf(_et):
+                # PySpark lambda arity counts DEFAULT args — close over
+                # the element type instead
+                return lambda v: raw_match_string(v, _et).rlike(pattern)
+            preds.append(F.exists(F.col(spec.column), mk_leaf(et)))
+        else:
+            preds.append(
+                raw_match_string(F.col(spec.column), et).rlike(pattern))
     if not preds:
         pred = _false()
     else:

@@ -6875,3 +6875,59 @@ def q_filter_occurrence_funcall(spark, sf_dir):
             "filter:getAllMatches(ET, 'click').size() + "
             "filter:getAllMatches(ET, 'view').size())")
     return out.select("user_id", F.col("__day").cast("string").alias("day"))
+
+
+@register("list_literal_conjunction", """
+WITH d AS (
+  SELECT doc_id,
+         list_transform(string_split_regex(
+             concat(CAST(n_chars % 7 AS VARCHAR), ';',
+                    CAST(n_chars % 5 AS VARCHAR)), '[;,]'),
+                 x -> CAST(trim(x) AS DOUBLE)) AS nvals
+  FROM documents)
+SELECT doc_id FROM d
+WHERE list_contains(nvals, 3.0) AND list_contains(nvals, 2.0)
+""")
+def q_list_literal_conjunction(spark, sf_dir):
+    """A LIST-valued query literal expands to the CONJUNCTION of
+    per-element terms (ExpandMultiNormalizedTerms.java:323-338 builds
+    an AND over the OneToManyNormalizerType fan-out;
+    NumericListQueryTest.testFieldEqualsList: SIZE == '90,26.5' plans
+    as SIZE == '+bE9' && SIZE == '+bE2.65').  NUMS == '3;2' therefore
+    means 'the list holds 3 AND holds 2' — still pure codegen'd array
+    expressions, no UDF/shuffle."""
+    docs = _t(spark, sf_dir, "documents")
+    d = docs.select(
+        "doc_id",
+        F.concat_ws(";", (F.col("n_chars") % 7).cast("string"),
+                    (F.col("n_chars") % 5).cast("string")).alias("NUMS"))
+    out = compile_query(d, "NUMS == '3;2'",
+                        field_types={"NUMS": "numberList"})
+    return out.select("doc_id")
+
+
+@register("document_permutation_query", """
+SELECT event_id, event_type FROM events
+WHERE CAST(regexp_extract(props, '"k": (\\d+)', 1) AS DOUBLE) > 90
+  AND event_type = 'click'
+""")
+def q_document_permutation(spark, sf_dir):
+    """DocumentPermutation hooks (function/DocumentPermutation.java,
+    applied by QueryIterator before evaluation; BooksQueryTest
+    .AuthorNameParts + setEvaluationOnlyFields): a pre-evaluation
+    DataFrame transform derives an evaluation-only field (K_VALUE out
+    of the raw props JSON) that the query then predicates on — the
+    derived column is a plain Catalyst expression, so the whole plan
+    stays codegen'd and the scan still prunes on event_type."""
+    from datawave_spark.plans import QueryPlanner
+    ev = _t(spark, sf_dir, "events")
+
+    def derive_k(df):
+        return df.withColumn(
+            "K_VALUE",
+            F.regexp_extract("props", r'"k": (\d+)', 1).cast("double"))
+
+    res = QueryPlanner(ev, field_types={"K_VALUE": "number"},
+                       document_permutations=[derive_k]).plan(
+        "K_VALUE > 90 && EVENT_TYPE == 'click'")
+    return res.df.select("event_id", "event_type")

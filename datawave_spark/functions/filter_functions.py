@@ -58,10 +58,11 @@ def _anchored(pattern: str) -> str:
 @register_function("filter", "includeRegex")
 def f_include_regex(ctx: CompileContext, args):
     """EvaluationPhaseFilterFunctions.includeRegex:263 — any value of
-    FIELD fully matches the pattern."""
+    FIELD fully matches the pattern (numeric values match through
+    their normalized string form, not the double render)."""
+    from datawave_spark.compiler.columns import field_regex_pred
     pattern = _anchored(str(_lit(args[1])))
-    return field_pred(ctx, _ident(args[0]),
-                      lambda v: v.cast("string").rlike(pattern))
+    return field_regex_pred(ctx, _ident(args[0]), pattern)
 
 
 @register_function("filter", "excludeRegex")

@@ -87,9 +87,9 @@ def f_match_regex(ctx: CompileContext, args):
     """QueryFunctions.matchRegex:199 — full-match against the value
     with JexlPatternCache's flags (CASE_INSENSITIVE | DOTALL via
     ``(?is)``, same stance on MULTILINE as filter:includeRegex)."""
+    from datawave_spark.compiler.columns import field_regex_pred
     pattern = java_full_match(str(_lit(args[1])))
-    return field_pred(ctx, _ident(args[0]),
-                      lambda v: v.cast("string").rlike(pattern))
+    return field_regex_pred(ctx, _ident(args[0]), pattern)
 
 
 @register_function("f", "includeText")

@@ -133,10 +133,18 @@ class QueryPlanner:
                  uuid_types: list | None = None,
                  max_results: int | None = None,
                  dn_result_limits: dict[str, int] | None = None,
-                 system_from_limits: dict[str, int] | None = None):
+                 system_from_limits: dict[str, int] | None = None,
+                 document_permutations: list | None = None):
         self.df = df
         self.field_types = field_types
         self.model = model
+        # DocumentPermutation hooks (function/DocumentPermutation.java,
+        # applied by QueryIterator before evaluation;
+        # BooksQueryTest.AuthorNameParts): DataFrame → DataFrame
+        # transforms deriving evaluation-only fields — plain
+        # withColumn lambdas here, so the derived columns stay inside
+        # Catalyst's plan (no UDF unless the hook itself adds one).
+        self.document_permutations = list(document_permutations or [])
         # The reference's model table carries SEPARATE forward and
         # reverse directions (WiseGuysIngest.java:950-1035 writes
         # "forward" and "reverse" mutations independently) — reverse
@@ -224,6 +232,35 @@ class QueryPlanner:
         return cls(df, stats={r.field: int(r.cardinality) for r in rows},
                    **kwargs)
 
+    def _test_nonexistent_fields(self, node) -> None:
+        """FieldMissingFromSchemaVisitor.getNonExistentFields semantics
+        (DefaultQueryPlanner.java:1442): query fields must exist in the
+        data dictionary — here the frame's columns, the field-type
+        registry, and query-model aliases; special fields
+        (_ANYFIELD_/_NOFIELD_, HIT_TERM, property-marker labels) and
+        grouping-context suffixes (deconstructIdentifier) pass."""
+        from datawave_spark.plans.catalog import (_collect_fields,
+                                                  InvalidQueryException)
+        import re as _re
+        df = self.df
+        for permute in self.document_permutations:
+            df = permute(df)       # lazy — schema only
+        known = {c.upper() for c in df.columns}
+        known |= {k.upper() for k in (self.field_types or {})}
+        known |= {k.upper() for k in (self.model or {})}
+        known |= {"_NOFIELD_", "NOFIELD", "HIT_TERM", "RECORD_ID"}
+        missing = set()
+        for f in _collect_fields(node):
+            base = f.split(".", 1)[0]
+            if base in known or f in known \
+                    or _re.fullmatch(r"_[A-Za-z]+_", f):
+                continue
+            missing.add(f)
+        if missing:
+            raise InvalidQueryException(
+                "the query contains fields not in the data dictionary: "
+                + ", ".join(sorted(missing)))
+
     def parse(self, query: str, syntax: str = "JEXL") -> JexlNode:
         """Dialects: JEXL, LUCENE, and the reference's restricted
         parser variants — LUCENE-CONTROLLED (parse-time field
@@ -257,12 +294,21 @@ class QueryPlanner:
              return_fields: list[str] | None = None,
              disallowed_fields: list[str] | None = None,
              user_dns: list[str] | None = None,
-             system_from: str | None = None) -> QueryResult:
+             system_from: str | None = None,
+             ignore_nonexistent_fields: bool = False) -> QueryResult:
         import datawave_spark.functions  # noqa: F401  (register compilers)
         from pyspark.sql import types as T
         from datawave_spark.compiler.rewrite import (expand_composites,
                                                      whindex)
         node = self.parse(query, syntax)
+        if not ignore_nonexistent_fields:
+            # DefaultQueryPlanner.timedTestForNonExistentFields:1434
+            # (gated by QueryParameters.IGNORE_NONEXISTENT_FIELDS,
+            # ShardQueryLogic.java:1077; MiscQueryTest
+            # .testFieldIgnoreParam1): a query naming a field the data
+            # dictionary has never seen is a BadRequest, not an empty
+            # result.  Special fields and model aliases pass.
+            self._test_nonexistent_fields(node)
         node = default_pipeline(node)
         for rule in self.rules:
             node = rule(node)
@@ -287,6 +333,8 @@ class QueryPlanner:
         validate_thresholds(node, self.max_terms, self.max_depth)
 
         src = self._ensure_tf_columns(self.df, node)
+        for permute in self.document_permutations:
+            src = permute(src)
         if self.date_index is not None:
             hint = self._date_index_hint(node)
             if hint is not None:

@@ -75,6 +75,12 @@ def _eval_leaf(row, field, kind, payload):
             elif kind == "wild":
                 rx = "".join(".*" if ch == "*" else "." if ch == "?"
                              else re.escape(ch) for ch in payload)
+                # numeric values regex-match through their canonical
+                # number string ('5', not the double render '5.0') —
+                # the engine-wide rule (raw_match_string, pinned by the
+                # MatchRegexTest port's real expected rows)
+                if numeric:
+                    s = re.sub(r"\.0$", "", s)
                 if re.fullmatch("(?is)" + rx, s):
                     return True
             else:                      # bounded range, SAME value

@@ -59,6 +59,12 @@ FIELD_TYPES = {
     "GENERE": "lcNoDiacritics", "QUOTE": "lcNoDiacritics",
     "LOCATION": "lcNoDiacritics", "POSIZIONE": "lcNoDiacritics",
     "BIRTH_DATE": "date", "DEATH_DATE": "date",
+    # WiseGuysIngest:921-1029 writes metadata (and model rows) for
+    # NULL1/NULL2 though no event carries them — dictionary-known,
+    # value-less fields (CompositeFunctionsTest.testNulls: "NULL1 is
+    # not in the event(s)"); strict nonexistent-field validation must
+    # pass them (r10)
+    "NULL1": "lcNoDiacritics", "NULL2": "lcNoDiacritics",
 }
 MODEL = {
     # forward model, WiseGuysIngest:950-985
