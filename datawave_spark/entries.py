@@ -6931,3 +6931,30 @@ def q_document_permutation(spark, sf_dir):
                        document_permutations=[derive_k]).plan(
         "K_VALUE > 90 && EVENT_TYPE == 'click'")
     return res.df.select("event_id", "event_type")
+
+
+@register("json_flatten_grouped", """
+SELECT event_id FROM events
+WHERE event_type = 'click' OR props = 'click'
+   OR CAST(user_id AS VARCHAR) = 'click'
+""")
+def q_json_flatten_grouped(spark, sf_dir):
+    """GROUPED JSON flattening (ingest-json JsonObjectFlattener
+    .FlattenMode.GROUPED:60; GroupedFlattenQueryTest): nested leaves
+    sharing a name answer ONE query field across grouping contexts —
+    TYPE = [meta.east.TYPE, meta.west.TYPE] here — so 'TYPE == click'
+    matches either context.  The grouped arrays are pure Catalyst
+    select expressions over the struct column (no UDF/shuffle)."""
+    from datawave_spark.sources.readers import flatten_json
+    ev = _t(spark, sf_dir, "events")
+    nested = ev.select(
+        "event_id",
+        F.struct(
+            F.struct(F.col("event_type").alias("TYPE")).alias("EAST"),
+            F.struct(F.col("props").alias("TYPE")).alias("WEST"),
+            F.struct(F.col("user_id").cast("string").alias("TYPE"))
+            .alias("SOUTH")).alias("META"))
+    flat = flatten_json(nested, "grouped")
+    out = compile_query(flat, "TYPE == 'click'",
+                        field_types={"TYPE": "lcNoDiacritics"})
+    return out.select(F.element_at("EVENT_ID", 1).alias("event_id"))

@@ -47,6 +47,68 @@ def flatten_structs(df: DataFrame, sep: str = "_") -> DataFrame:
         df = df.select(*selects)
 
 
+def flatten_simple(df: DataFrame) -> DataFrame:
+    """JsonObjectFlattener.FlattenMode.SIMPLE
+    (ingest-json/util/JsonObjectFlattener.java:35): only TOP-LEVEL
+    primitives survive; nested objects are dropped entirely (the
+    reference's SimpleFlattenQueryTest corpus exposes only STATE /
+    STARTDATE / EVENTID)."""
+    keep = [f.name for f in df.schema.fields
+            if not isinstance(f.dataType, T.StructType)]
+    return df.select(*[F.col(f"`{c}`") for c in keep])
+
+
+def _grouped_exprs(df: DataFrame) -> dict[str, "F.Column"]:
+    """GROUPED leaf-name → value-array Column expressions over the
+    (un-flattened) frame — shared by flatten_grouped and
+    GROUPED_AND_NORMAL."""
+    def leaf_arrays(prefix_col, dtype):
+        out = []
+        for sub in dtype.fields:
+            c = prefix_col.getField(sub.name)
+            if isinstance(sub.dataType, T.StructType):
+                out.extend(leaf_arrays(c, sub.dataType))
+            elif isinstance(sub.dataType, T.ArrayType):
+                out.append((sub.name.upper(), F.coalesce(c, F.array())))
+            else:
+                out.append((sub.name.upper(),
+                            F.filter(F.array(c),
+                                     lambda v: v.isNotNull())))
+        return out
+
+    groups: dict[str, list] = {}
+    for f in df.schema.fields:
+        if isinstance(f.dataType, T.StructType):
+            pieces = leaf_arrays(F.col(f"`{f.name}`"), f.dataType)
+        elif isinstance(f.dataType, T.ArrayType):
+            pieces = [(f.name.upper(), F.coalesce(F.col(f"`{f.name}`"),
+                                                  F.array()))]
+        else:
+            pieces = [(f.name.upper(), F.filter(
+                F.array(F.col(f"`{f.name}`")), lambda v: v.isNotNull()))]
+        for name, expr in pieces:
+            groups.setdefault(name, []).append(expr)
+    out = {}
+    for name, exprs in groups.items():
+        arr = exprs[0]
+        for e in exprs[1:]:
+            arr = F.concat(arr, e)
+        out[name] = arr
+    return out
+
+
+def flatten_grouped(df: DataFrame) -> DataFrame:
+    """JsonObjectFlattener.FlattenMode.GROUPED (:60): the query field
+    is the LEAF name, the path becomes the grouping context
+    (CITY.CAPITAL_0 / CITY.LARGE_0 / CITY.SMALL_0 all answer CITY) —
+    realized as a parallel value ARRAY per leaf name, the engine's
+    grouped representation: CITY = [capital, large, small].  Scalar
+    and array leaves from different contexts concatenate; names
+    uppercase (the reference flattener canonicalizes case)."""
+    exprs = _grouped_exprs(df)
+    return df.select(*[c.alias(n) for n, c in exprs.items()])
+
+
 def read_csv_events(spark: SparkSession, path: str, *,
                     header: bool = True,
                     schema: T.StructType | str | None = None,
@@ -66,12 +128,38 @@ def read_csv_events(spark: SparkSession, path: str, *,
 
 
 def read_json_events(spark: SparkSession, path: str,
-                     schema: T.StructType | str | None = None) -> DataFrame:
-    """JSON with nested-struct flattening to JEXL-addressable fields."""
+                     schema: T.StructType | str | None = None,
+                     mode: str = "normal") -> DataFrame:
+    """JSON with nested-struct flattening to JEXL-addressable fields.
+    ``mode`` selects the JsonObjectFlattener.FlattenMode: 'simple'
+    (top-level primitives only), 'normal' (path-prefixed names,
+    CAPITAL_CITY), 'grouped' (leaf-name fields over grouped value
+    arrays), or 'grouped_and_normal' (both sets of columns)."""
     reader = spark.read
     if schema is not None:
         reader = reader.schema(schema)
-    return flatten_structs(reader.json(path))
+    df = reader.json(path)
+    return flatten_json(df, mode)
+
+
+def flatten_json(df: DataFrame, mode: str = "normal") -> DataFrame:
+    m = mode.lower()
+    if m == "simple":
+        return flatten_simple(df)
+    if m == "normal":
+        return flatten_structs(df)
+    if m == "grouped":
+        return flatten_grouped(df)
+    if m == "grouped_and_normal":
+        # FlattenMode.GROUPED_AND_NORMAL (:71): both name sets on one
+        # frame — the NORMAL path-prefixed columns plus the GROUPED
+        # leaf arrays (a leaf whose name collides with a NORMAL name,
+        # e.g. a top-level primitive, keeps the NORMAL column)
+        normal_names = {c.upper() for c in flatten_structs(df).columns}
+        extras = [c.alias(n) for n, c in _grouped_exprs(df).items()
+                  if n not in normal_names]
+        return flatten_structs(df.select("*", *extras))
+    raise ValueError(f"unknown flatten mode {mode!r}")
 
 
 def read_xml_events(spark: SparkSession, path: str, record_tag: str,
