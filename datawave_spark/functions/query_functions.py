@@ -95,8 +95,13 @@ def f_match_regex(ctx: CompileContext, args):
 @register_function("f", "includeText")
 def f_include_text(ctx: CompileContext, args):
     """QueryFunctions.includeText:219 — equality against the RAW
-    (un-normalized) value.  Our wide tables store raw values, so this is
-    plain equality without literal normalization."""
+    (un-normalized) value, case-sensitively; numeric values compare
+    through their canonical number string ('25' matches a stored
+    numeric 25 — QueryFunctionQueryTest.testIncludeText).  Compiled as
+    an escaped anchored regex so field_regex_pred's numeric-aware
+    string form applies."""
+    import re as _re
     text = str(_lit(args[1]))
-    return field_pred(ctx, _ident(args[0]),
-                      lambda v: v.cast("string") == text)
+    from datawave_spark.compiler.columns import field_regex_pred
+    return field_regex_pred(ctx, _ident(args[0]),
+                            "^" + _re.escape(text) + "$")

@@ -496,3 +496,26 @@ class TestUniqueness:
         self.classes(qp, "UUID:/^[CS].*/ AND #UNIQUE(death_date,birth_date)",
                      [{"SOPRANO"}, {"CORLEONE"}, {"CAPONE"}],
                      syntax="LUCENE")
+
+
+class TestQueryFunctions:
+    """QueryFunctionQueryTest port (QueryFunctionQueryTest.java:248-297
+    — f:includeText and f:matchRegex over the same WiseGuys corpus;
+    expected lists verbatim)."""
+
+    def test_include_text(self, qp):
+        # includeText is raw-value CASE-SENSITIVE equality; a numeric
+        # field compares through its canonical number string
+        assert uids(qp, "UUID == 'corleone' && "
+                        "f:includeText(GENERE, 'FEMALE')") == ["CORLEONE"]
+        assert uids(qp, "UUID == 'corleone' && "
+                        "f:includeText(GENERE, 'male')") == []
+        assert uids(qp, "UUID == 'corleone' && "
+                        "f:includeText(NUMBER, '25')") == ["CORLEONE"]
+
+    def test_match_regex(self, qp):
+        for q in ("UUID == 'corleone' && f:matchRegex(GENERE, '.*MALE')",
+                  "UUID == 'corleone' && f:matchRegex(GENERE, '.*male')",
+                  "UUID == 'corleone' && f:matchRegex(NUMBER, '2.*')",
+                  "UUID == 'corleone' && f:matchRegex(GENERE, '[A-Z]+')"):
+            assert uids(qp, q) == ["CORLEONE"], q
