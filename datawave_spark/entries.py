@@ -6958,3 +6958,29 @@ def q_json_flatten_grouped(spark, sf_dir):
     out = compile_query(flat, "TYPE == 'click'",
                         field_types={"TYPE": "lcNoDiacritics"})
     return out.select(F.element_at("EVENT_ID", 1).alias("event_id"))
+
+
+@register("hit_terms_value_level", """
+SELECT event_id,
+       CASE WHEN event_type = 'click'
+            THEN ['ET.0:click', 'KIND.0:' || event_type]
+            ELSE ['KIND.0:' || event_type] END AS hits
+FROM events WHERE event_type IN ('click', 'view')
+""")
+def q_hit_terms_value_level(spark, sf_dir):
+    """Value-level HIT_TERM tracking (HitListArithmetic.java:21; the
+    per-instance 'FIELD.i:value' shape pinned verbatim by
+    IfThisTestFailsThenHitTermsAreBroken.java:104): each result
+    carries the (field-instance, value) pairs that satisfied positive
+    leaves — array instances by position, scalars as .0 — computed in
+    ONE projection over already-filtered rows (no per-term re-scan)."""
+    from datawave_spark.operators.hit_terms import with_value_hit_terms
+    ev = _t(spark, sf_dir, "events")
+    df = ev.select(
+        "event_id",
+        F.array(F.col("event_type"), F.col("props")).alias("ET"),
+        F.col("event_type").alias("KIND"))
+    out = with_value_hit_terms(
+        df, "ET == 'click' || KIND == 'click' || KIND == 'view'")
+    return out.select("event_id",
+                      F.array_sort("HIT_TERM").alias("hits"))
