@@ -6984,3 +6984,33 @@ def q_hit_terms_value_level(spark, sf_dir):
         df, "ET == 'click' || KIND == 'click' || KIND == 'view'")
     return out.select("event_id",
                       F.array_sort("HIT_TERM").alias("hits"))
+
+
+@register("limit_groups_hit_preserving", """
+SELECT event_id,
+       CASE WHEN event_type = 'click' THEN ['EAST.0']
+            ELSE [] END AS kept_ctxs
+FROM events
+""")
+def q_limit_groups_hit_preserving(spark, sf_dir):
+    """Group-level limit.fields hit preservation (LimitFields.java:54 +
+    the commonality-token contract, TestLimitReturnedGroupsToHitTerm
+    Groups): with FIELD=-1 only sibling GROUPS containing a hit value
+    return — same-context companions ride along, other groups drop.
+    Pure higher-order array expressions (filter over array<struct>),
+    no UDF/shuffle."""
+    from datawave_spark.operators.limit_fields import limit_groups_to_hits
+    ev = _t(spark, sf_dir, "events")
+    df = ev.select(
+        "event_id",
+        F.array(
+            F.struct(F.lit("EAST.0").alias("CTX"),
+                     F.col("event_type").alias("TYPE")),
+            F.struct(F.lit("WEST.0").alias("CTX"),
+                     F.col("props").alias("TYPE"))).alias("GROUPS"))
+    out = limit_groups_to_hits(df, "GROUPS",
+                               {"TYPE": lambda v: v == "click"})
+    return out.select(
+        "event_id",
+        F.transform("GROUPS", lambda g: g.getField("CTX"))
+        .alias("kept_ctxs"))

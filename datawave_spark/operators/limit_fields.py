@@ -37,3 +37,31 @@ def limit_fields(df: DataFrame, limits: dict[str, int],
             col = F.concat(hits, rest)
         out = out.withColumn(fname, F.slice(col, 1, limit))
     return out
+
+
+def limit_groups_to_hits(df: DataFrame, groups_col: str,
+                         hit_preds: dict[str, Callable[[Column], Column]],
+                         limit: int = -1) -> DataFrame:
+    """Group-level hit preservation over an ``array<struct>`` grouping
+    column (LimitFields.java:54 hit handling + the commonality-token
+    contract pinned by TestLimitReturnedGroupsToHitTermGroups /
+    HitsAreAlwaysIncludedCommonalityTokenTest): a sibling group
+    containing a HIT value returns WHOLE (the hit's same-context
+    companion fields ride along); non-hit groups are dropped at
+    ``limit=-1`` or kept up to ``limit`` extras.  ``hit_preds`` maps
+    struct member name → element predicate (a member may be scalar or
+    array — the predicate receives the member column as stored)."""
+    col = F.col(groups_col)
+
+    def group_hit(g):
+        p = F.lit(False)
+        for fld, pred in hit_preds.items():
+            p = p | F.coalesce(pred(g.getField(fld)), F.lit(False))
+        return p
+
+    hits = F.filter(col, group_hit)
+    if limit >= 0:
+        rest = F.filter(col, lambda g: ~F.coalesce(group_hit(g),
+                                                   F.lit(False)))
+        hits = F.concat(hits, F.slice(rest, 1, limit))
+    return df.withColumn(groups_col, hits)
