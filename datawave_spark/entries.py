@@ -7014,3 +7014,35 @@ def q_limit_groups_hit_preserving(spark, sf_dir):
         "event_id",
         F.transform("GROUPS", lambda g: g.getField("CTX"))
         .alias("kept_ctxs"))
+
+
+@register("excerpt_phrase", """
+WITH toks AS (
+  SELECT doc_id, list_filter(regexp_split_to_array(lower(text),
+         '[^a-z0-9]+'), x -> x != '') AS t FROM documents),
+hits AS (
+  SELECT doc_id, t,
+         [i for i in range(1, len(t)) if t[i] = 'key' AND
+                                          t[i+1] = 'agg'] AS starts
+  FROM toks)
+SELECT doc_id,
+       list_transform(starts, s -> array_to_string(
+         [CASE WHEN j >= s AND j <= s + 1 THEN '[' || t[j] || ']'
+               ELSE t[j] END
+          for j in range(greatest(s - 2, 1),
+                         least(s + 3, len(t)) + 1)], ' ')) AS hit_excerpt
+FROM hits WHERE len(starts) > 0
+""")
+def q_excerpt_phrase(spark, sf_dir):
+    """PHRASE excerpts with bracketed hit terms (ExcerptTransform
+    .java:49 + TermFrequencyExcerptIterator; the exact string shape
+    pinned by the ExcerptTest port): ±2 tokens around each 'key agg'
+    phrase occurrence, hit tokens bracketed, one excerpt per
+    occurrence — sliced from the STORED tf offsets, never re-scanning
+    the text."""
+    from datawave_spark.operators.excerpt import phrase_excerpts
+    docs = _t(spark, sf_dir, "documents")
+    out = phrase_excerpts(docs, "text", "doc_id", ["key", "agg"],
+                          window=2, out_col="hit_excerpt")
+    return out.filter(F.size("hit_excerpt") > 0) \
+        .select("doc_id", "hit_excerpt")
