@@ -172,7 +172,13 @@ class EventCatalog:
             if effective and name not in effective:
                 plans[name] = None          # filtered: never scanned
                 continue
-            fields = {f.name for f in spec.df.schema.fields}
+            # EVENT_DATATYPE is queryable (BaseRawData.java:28 appends
+            # it to every event's metadata; DataTypeQueryTest
+            # .testDataTypeEqualInQuery) — a per-frame literal, so
+            # 'EVENT_DATATYPE == x' constant-folds to false on other
+            # datatypes and Catalyst never scans them
+            fields = {f.name for f in spec.df.schema.fields} \
+                | {"EVENT_DATATYPE"}
             pruned = prune_missing_fields(planned, fields)
             plans[name] = None if pruned == Literal(False) else pruned
         parts: list[DataFrame] = []
@@ -180,9 +186,14 @@ class EventCatalog:
             if node is None:
                 continue  # pruned: this datatype is never scanned
             spec = self.datatypes[name]
+            src_df = spec.df.withColumn("EVENT_DATATYPE", F.lit(name))
             ctx = CompileContext.for_dataframe(
-                spec.df, field_types=spec.field_types, model=spec.model)
-            hits = spec.df.filter(compile_node(node, ctx))
+                src_df,
+                field_types={**(spec.field_types or {}),
+                             "EVENT_DATATYPE": "lcNoDiacritics"},
+                model=spec.model)
+            hits = src_df.filter(compile_node(node, ctx)) \
+                .drop("EVENT_DATATYPE")
             cols = select or [f.name for f in spec.df.schema.fields]
             have = {f.name.upper(): f.name for f in spec.df.schema.fields}
             proj = [F.lit(name).alias("datatype")]
