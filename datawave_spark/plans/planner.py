@@ -251,7 +251,7 @@ class QueryPlanner:
         known |= {"_NOFIELD_", "NOFIELD", "HIT_TERM", "RECORD_ID"}
         missing = set()
         for f in _collect_fields(node):
-            base = f.split(".", 1)[0]
+            base = f.split("[", 1)[0].split(".", 1)[0]
             if base in known or f in known \
                     or _re.fullmatch(r"_[A-Za-z]+_", f):
                 continue
@@ -301,14 +301,6 @@ class QueryPlanner:
         from datawave_spark.compiler.rewrite import (expand_composites,
                                                      whindex)
         node = self.parse(query, syntax)
-        if not ignore_nonexistent_fields:
-            # DefaultQueryPlanner.timedTestForNonExistentFields:1434
-            # (gated by QueryParameters.IGNORE_NONEXISTENT_FIELDS,
-            # ShardQueryLogic.java:1077; MiscQueryTest
-            # .testFieldIgnoreParam1): a query naming a field the data
-            # dictionary has never seen is a BadRequest, not an empty
-            # result.  Special fields and model aliases pass.
-            self._test_nonexistent_fields(node)
         node = default_pipeline(node)
         for rule in self.rules:
             node = rule(node)
@@ -330,6 +322,19 @@ class QueryPlanner:
             node = default_pipeline(expand_regex_from_index(
                 node, self.index, max_expansion=self.max_value_expansion))
         node, opts = extract_options(node)
+        if not ignore_nonexistent_fields:
+            # DefaultQueryPlanner.timedTestForNonExistentFields:1434
+            # (gated by QueryParameters.IGNORE_NONEXISTENT_FIELDS,
+            # ShardQueryLogic.java:1077; MiscQueryTest
+            # .testFieldIgnoreParam1): a query naming a field the data
+            # dictionary has never seen is a BadRequest, not an empty
+            # result.  Runs AFTER option extraction and the rewrite
+            # passes — the reference validates at :884, after its own
+            # model/whindex stages — so option arguments (granularity
+            # suffixes), rule-introduced synthetic fields, and whindex
+            # remaps never trip it.  Special fields and model aliases
+            # pass.
+            self._test_nonexistent_fields(node)
         validate_thresholds(node, self.max_terms, self.max_depth)
 
         src = self._ensure_tf_columns(self.df, node)
