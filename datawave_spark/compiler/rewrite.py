@@ -216,14 +216,19 @@ def extract_options(node: JexlNode) -> tuple[JexlNode, QueryOptions]:
                 and n.name in OPTION_FUNCS:
             args = [_arg_str(a) for a in n.args]
             if n.name == "groupby":
-                opts.groupby.extend(args)
+                # '$'-prefixed = JEXL-escaped field name
+                # (GroupingTest.testGroupByLuceneFunction passes
+                # '#GROUPBY('AGE','$GENDER')'); deconstruct like the
+                # unique args do
+                opts.groupby.extend(a.lstrip("$") for a in args)
             elif n.name in ("unique", "most_recent_unique"):
                 opts.most_recent_unique |= n.name == "most_recent_unique"
                 for raw in args:
                     f, g = _parse_unique_arg(raw)
                     opts.unique[f] = g
             elif n.name in ("sum", "min", "max", "average", "count"):
-                opts.aggregations.extend((n.name.upper(), a) for a in args)
+                opts.aggregations.extend((n.name.upper(), a.lstrip("$"))
+                                         for a in args)
             elif n.name == "rename":
                 for raw in args:
                     old, new = raw.split("=", 1)
@@ -254,7 +259,8 @@ def extract_options(node: JexlNode) -> tuple[JexlNode, QueryOptions]:
                 for k, v in zip(args[0::2], args[1::2]):
                     key = k.lower()
                     if key in ("group.fields", "groupby"):
-                        opts.groupby.extend(v.split(","))
+                        opts.groupby.extend(x.lstrip("$")
+                                            for x in v.split(","))
                     elif key in ("unique.fields", "unique"):
                         for raw in v.split(","):
                             f, g = _parse_unique_arg(raw)

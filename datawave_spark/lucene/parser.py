@@ -77,8 +77,12 @@ _TOKEN_RE = re.compile(r"""
     (?P<ws>\s+)
   | (?P<lparen>\() | (?P<rparen>\))
   | (?P<lbracket>\[) | (?P<rbracket>\]) | (?P<lbrace>\{) | (?P<rbrace>\})
-  | (?P<and>AND\b|&&) | (?P<or>OR\b|\|\|) | (?P<not>NOT\b|!)
-  | (?P<to>TO\b)
+  # boolean/range keywords are CASE-INSENSITIVE
+  # (AccumuloSyntaxParser.jj:9 IGNORE_CASE=true — GroupingTest's
+  # '(UUID:C* or UUID:S*) and #GROUPBY(...)' spelling)
+  | (?P<and>(?i:AND)\b|&&) | (?P<or>(?i:OR)\b|\|\|)
+  | (?P<not>(?i:NOT)\b|!)
+  | (?P<to>(?i:TO)\b)
   | (?P<hashfunc>\#[A-Za-z_][A-Za-z0-9_]*)
   | (?P<regex>/(?:\\.|[^/\\])*/)
   | (?P<phrase>"(?:\\.|[^"\\])*")

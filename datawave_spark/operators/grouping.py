@@ -34,19 +34,33 @@ def group_by(df: DataFrame, group_fields: list[str],
 
     ``aggregations`` is ``[(op, field, alias), ...]``; a row count per
     group (the reference's implicit group cardinality) is always emitted
-    as ``count_alias``.  ArrayType group fields are exploded (one group
-    per value, DocumentGrouper parity).
+    as ``count_alias``.  ArrayType fields — group AND aggregated —
+    explode PAIRED BY POSITION (one ``arrays_zip`` explode), the
+    DocumentGrouper grouping-context pairing: AGE,GENDER groups the
+    (AGE.i, GENDER.i) instance pairs, never their cartesian product
+    (GroupingTest.testGroupByAgeAndGenderWithBatchSizeOfSix's expected
+    counts require exactly this).
     """
     schema = {f.name: f.dataType for f in df.schema.fields}
+    agg_fields = [fld for _, fld, _ in (aggregations or [])]
+    involved = list(dict.fromkeys(list(group_fields) + agg_fields))
+    arr = [c for c in involved if isinstance(schema.get(c), T.ArrayType)]
     out = df
-    for g in group_fields:
-        if isinstance(schema.get(g), T.ArrayType):
-            out = out.withColumn(g, F.explode_outer(g))
+    if len(arr) > 1:
+        out = out.withColumn(
+            "__ctx", F.explode_outer(F.arrays_zip(*[F.col(c) for c in arr])))
+        for c in arr:
+            out = out.withColumn(c, F.col(f"__ctx.{c}"))
+        out = out.drop("__ctx")
+    elif arr:
+        out = out.withColumn(arr[0], F.explode_outer(arr[0]))
     exprs = [F.count(F.lit(1)).alias(count_alias)]
     for op, fld, alias in (aggregations or []):
         fn = _AGGS[op.upper()]
         col = F.col(fld)
-        if op.upper() != "COUNT" and isinstance(schema.get(fld), T.StringType):
+        et = schema.get(fld)
+        et = et.elementType if isinstance(et, T.ArrayType) else et
+        if op.upper() != "COUNT" and isinstance(et, T.StringType):
             # try_cast: unparseable values drop out of the aggregate
             # (Spark aggregates skip NULL) instead of ANSI-aborting (r8)
             col = col.try_cast("double")
