@@ -7046,3 +7046,38 @@ def q_excerpt_phrase(spark, sf_dir):
                           window=2, out_col="hit_excerpt")
     return out.filter(F.size("hit_excerpt") > 0) \
         .select("doc_id", "hit_excerpt")
+
+
+@register("groupby_context_pairs", """
+WITH ctx AS (
+  SELECT user_id,
+         unnest(list_zip(
+           list_transform(range(1, 4),
+                          i -> CASE i % 2 WHEN 0 THEN 'even'
+                               ELSE 'odd' END),
+           [CAST(user_id % 5 AS DOUBLE),
+            CAST(user_id % 7 AS DOUBLE),
+            CAST(user_id % 11 AS DOUBLE)])) AS z
+  FROM events WHERE event_type = 'purchase')
+SELECT z[1] AS parity, z[2] AS bucket, COUNT(*) AS record_count
+FROM ctx GROUP BY 1, 2
+""")
+def q_groupby_context_pairs(spark, sf_dir):
+    """Multi-field #GROUPBY pairs grouping-context instances BY
+    POSITION (DocumentGrouper.java:118 pairing;
+    GroupingTest.testGroupByAgeAndGenderWithBatchSizeOfSix's expected
+    counts) — one arrays_zip explode, never the per-field cartesian
+    product (r10 fix).  PARITY/BUCKET are parallel 3-instance arrays;
+    the group key is the same-index (parity, bucket) pair."""
+    from datawave_spark.operators.grouping import group_by
+    ev = _t(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase")
+    df = ev.select(
+        F.array(F.lit("odd"), F.lit("even"), F.lit("odd"))
+        .alias("PARITY"),
+        F.array((F.col("user_id") % 5).cast("double"),
+                (F.col("user_id") % 7).cast("double"),
+                (F.col("user_id") % 11).cast("double")).alias("BUCKET"))
+    out = group_by(df, ["PARITY", "BUCKET"])
+    return out.select(F.col("PARITY").alias("parity"),
+                      F.col("BUCKET").alias("bucket"), "record_count")
