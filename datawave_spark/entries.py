@@ -7081,3 +7081,32 @@ def q_groupby_context_pairs(spark, sf_dir):
     out = group_by(df, ["PARITY", "BUCKET"])
     return out.select(F.col("PARITY").alias("parity"),
                       F.col("BUCKET").alias("bucket"), "record_count")
+
+
+@register("document_grouper_query", """
+SELECT event_type AS type_val, props AS kind_val,
+       COUNT(*) AS record_count
+FROM events GROUP BY 1, 2
+""")
+def q_document_grouper(spark, sf_dir):
+    """DocumentGrouper over ad-hoc name-encoded grouping contexts
+    (common/grouping/DocumentGrouper.java:118; rules pinned verbatim by
+    the DocumentGrouperTest port): TYPE.FOO.1 and KIND.FOO.1 DIRECT-
+    MATCH into one tuple, while the unmatched KIND.BAR.9 entry DROPS
+    (direct matches exist elsewhere) — so the groups reduce to the
+    plain (event_type, props) pairs.  Per-document pairing runs in
+    mapInPandas; the cross-document combine is a Catalyst groupBy over
+    group-cardinality-sized partials."""
+    from datawave_spark.operators.grouping import document_grouper
+    ev = _t(spark, sf_dir, "events")
+    df = ev.select(F.array(
+        F.struct(F.lit("TYPE.FOO.1").alias("name"),
+                 F.array(F.col("event_type")).alias("values")),
+        F.struct(F.lit("KIND.FOO.1").alias("name"),
+                 F.array(F.col("props")).alias("values")),
+        F.struct(F.lit("KIND.BAR.9").alias("name"),
+                 F.array(F.lit("dropped")).alias("values")),
+    ).alias("ENTRIES"))
+    out = document_grouper(df, "ENTRIES", ["TYPE", "KIND"])
+    return out.select(F.col("TYPE").alias("type_val"),
+                      F.col("KIND").alias("kind_val"), "record_count")

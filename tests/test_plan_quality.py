@@ -745,6 +745,10 @@ class TestGlobalPlanLint:
         # bbox-prune → exact-geometry pandas-UDF split
         "geowave_covers_data", "geowave_within_data",
         "geowave_overlaps_data", "geowave_crosses_line",
+        # DocumentGrouper per-document pairing (genuinely per-document
+        # custom logic, DocumentGrouper.java:118) — the cross-document
+        # combine is still a Catalyst groupBy over partials
+        "document_grouper_query",
     }
 
     # entries whose returned frame is a post-execution scan (memory
