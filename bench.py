@@ -53,6 +53,14 @@ def main() -> None:
     spark = get_spark("datawave_spark_bench")
     queries = entrymod.queries()
 
+    # Optional subset run for local iteration (comma-separated key
+    # list); the driver never sets this, so recorded BENCH_r* files
+    # are always the full map.
+    only = os.environ.get("SPARK_GRAFT_BENCH_ONLY")
+    if only:
+        keep = {k.strip() for k in only.split(",") if k.strip()}
+        queries = {k: v for k, v in queries.items() if k in keep}
+
     # Build ingest-time prepared assets (geohash-clustered events, the
     # inverted-index frame) OUTSIDE the timings — at scale these are
     # written by the ingest job; queries only read them.
@@ -150,7 +158,10 @@ def main() -> None:
     }
     # The driver keeps only the tail of stdout; persist the full
     # per-query map to a committed artifact so bench history survives.
+    # Subset runs (SPARK_GRAFT_BENCH_ONLY) must not clobber it.
     try:
+        if only:
+            raise OSError("subset run — BENCH_local.json not written")
         with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
                                "BENCH_local.json"), "w") as fh:
             json.dump(result, fh, indent=1, sort_keys=True)

@@ -6962,9 +6962,10 @@ def q_json_flatten_grouped(spark, sf_dir):
 
 @register("hit_terms_value_level", """
 SELECT event_id,
-       CASE WHEN event_type = 'click'
-            THEN ['ET.0:click', 'KIND.0:' || event_type]
-            ELSE ['KIND.0:' || event_type] END AS hits
+       array_to_string(
+         CASE WHEN event_type = 'click'
+              THEN ['ET.0:click', 'KIND.0:' || event_type]
+              ELSE ['KIND.0:' || event_type] END, ' | ') AS hits
 FROM events WHERE event_type IN ('click', 'view')
 """)
 def q_hit_terms_value_level(spark, sf_dir):
@@ -6982,14 +6983,15 @@ def q_hit_terms_value_level(spark, sf_dir):
         F.col("event_type").alias("KIND"))
     out = with_value_hit_terms(
         df, "ET == 'click' || KIND == 'click' || KIND == 'view'")
-    return out.select("event_id",
-                      F.array_sort("HIT_TERM").alias("hits"))
+    return out.select(
+        "event_id",
+        F.array_join(F.array_sort("HIT_TERM"), " | ").alias("hits"))
 
 
 @register("limit_groups_hit_preserving", """
 SELECT event_id,
-       CASE WHEN event_type = 'click' THEN ['EAST.0']
-            ELSE [] END AS kept_ctxs
+       CASE WHEN event_type = 'click' THEN 'EAST.0'
+            ELSE '' END AS kept_ctxs
 FROM events
 """)
 def q_limit_groups_hit_preserving(spark, sf_dir):
@@ -7012,8 +7014,10 @@ def q_limit_groups_hit_preserving(spark, sf_dir):
                                {"TYPE": lambda v: v == "click"})
     return out.select(
         "event_id",
-        F.transform("GROUPS", lambda g: g.getField("CTX"))
-        .alias("kept_ctxs"))
+        F.coalesce(
+            F.array_join(
+                F.transform("GROUPS", lambda g: g.getField("CTX")), " | "),
+            F.lit("")).alias("kept_ctxs"))
 
 
 @register("excerpt_phrase", """
@@ -7026,11 +7030,13 @@ hits AS (
                                           t[i+1] = 'agg'] AS starts
   FROM toks)
 SELECT doc_id,
-       list_transform(starts, s -> array_to_string(
-         [CASE WHEN j >= s AND j <= s + 1 THEN '[' || t[j] || ']'
-               ELSE t[j] END
-          for j in range(greatest(s - 2, 1),
-                         least(s + 3, len(t)) + 1)], ' ')) AS hit_excerpt
+       array_to_string(
+         list_transform(starts, s -> array_to_string(
+           [CASE WHEN j >= s AND j <= s + 1 THEN '[' || t[j] || ']'
+                 ELSE t[j] END
+            for j in range(greatest(s - 2, 1),
+                           least(s + 3, len(t)) + 1)], ' ')),
+         ' | ') AS hit_excerpt
 FROM hits WHERE len(starts) > 0
 """)
 def q_excerpt_phrase(spark, sf_dir):
@@ -7045,7 +7051,8 @@ def q_excerpt_phrase(spark, sf_dir):
     out = phrase_excerpts(docs, "text", "doc_id", ["key", "agg"],
                           window=2, out_col="hit_excerpt")
     return out.filter(F.size("hit_excerpt") > 0) \
-        .select("doc_id", "hit_excerpt")
+        .select("doc_id",
+                F.array_join("hit_excerpt", " | ").alias("hit_excerpt"))
 
 
 @register("groupby_context_pairs", """

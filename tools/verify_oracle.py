@@ -13,6 +13,8 @@ import time
 import duckdb
 import pandas as pd
 
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
 TABLES = ("region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings")
@@ -21,6 +23,17 @@ ONLY = set(sys.argv[1:])
 
 def canon(df: pd.DataFrame) -> pd.DataFrame:
     df = df.reindex(sorted(df.columns), axis=1)
+    # Mirror the driver's list-intolerant canonicalizer: it sorts raw
+    # object columns, so an array/struct-typed result column crashes the
+    # gate with "unhashable type: 'list'".  Fail loudly here too (r10
+    # lesson: .astype(str) masked exactly that class of driver failure).
+    for c in df.columns:
+        if df[c].dtype == object and df[c].map(
+                lambda v: isinstance(v, (list, dict, set))
+                or type(v).__name__ == "ndarray").any():
+            raise TypeError(
+                f"column {c!r} holds unhashable values (list/ndarray) — "
+                "the driver gate will crash; array_join it on both sides")
     out = df.astype(str)
     for c in df.columns:
         if df[c].dtype.kind == "f":
