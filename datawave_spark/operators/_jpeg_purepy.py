@@ -156,6 +156,8 @@ class _BitWriter:
             self.buf.append(byte)
             if byte == 0xFF:                 # byte stuffing
                 self.buf.append(0x00)
+        # drop emitted bits so acc stays word-sized (O(n^2) otherwise)
+        self.acc &= (1 << self.nbits) - 1
 
     def flush(self):
         if self.nbits:
@@ -371,7 +373,10 @@ class _BitReader:
                 raise ValueError("hit marker inside entropy segment")
         else:
             self.pos += 1
-        self.acc = (self.acc << 8) | byte
+        # mask to the live bits: an unmasked acc grows with every byte
+        # consumed, making each shift O(stream length) — O(n^2) decode
+        # on multi-MB payloads (advice r10)
+        self.acc = ((self.acc & ((1 << self.nbits) - 1)) << 8) | byte
         self.nbits += 8
 
     def bit(self) -> int:

@@ -26,48 +26,129 @@ from datawave_spark.operators.grouping import group_by
 from datawave_spark.operators.limit_fields import limit_fields
 from datawave_spark.operators.unique import unique
 
-# Spark's stringToTimestamp grammar (sql/catalyst DateTimeUtils):
-# yyyy[-[m]m[-[d]d[( |T)[h]h:[m]m[:[s]s[.fraction]][zone]]]] — the
-# driver-side validator _normalization_fails uses instead of a one-row
-# plan-time Spark job (advice r9).  Zone: Z / UTC / ±h[h][:mm[:ss]] /
-# region id (validated by shape only — region strings are rare in
-# query literals and err toward parseable, matching try_cast's
-# permissiveness rather than inventing failures).
+# Spark's stringToTimestamp / stringToDate grammar (sql/catalyst
+# DateTimeUtils) — the driver-side validator _normalization_fails uses
+# instead of a one-row plan-time Spark job (advice r9).  Re-derived
+# empirically against pyspark 4.1.2 try_cast (advice r10: the old
+# single regex diverged on hour-only, T-prefixed/time-only, and
+# zone-after-hh:mm shapes); tests/test_datetime_parity.py pins a
+# 150+-shape corpus against try_cast itself.
 import re as _re
 
-_TS_RE = _re.compile(
-    r"[+-]?\d{4,7}"
-    r"(?:-(\d{1,2})"
-    r"(?:-(\d{1,2})"
-    r"(?:[ T](\d{1,2}):(\d{1,2})"
-    r"(?::(\d{1,2})(?:\.\d{1,9})?)?"
-    r"\s*(?:Z|UTC?|[+-]\d{1,2}(?::\d{1,2}(?::\d{1,2})?)?"
-    r"|[A-Za-z][A-Za-z_/+-]{2,})?"
-    r")?)?)?\s*")
+_DATE_RE = _re.compile(
+    r"([+-]?)(\d{4,6})(?:-(\d{1,2})(?:-(\d{1,2}))?)?")
+_TIME_RE = _re.compile(
+    r"(\d{1,2})(?::(\d{1,2})(?::(\d{1,2})(\.\d*)?)?)?")
+_ZONE_NAMES: set | None = None
 
 
-def _spark_datetime_parseable(s: str) -> bool:
-    """True when ``try_cast(s as timestamp/date)`` would be non-null —
-    field-range checks mirror DateTimeUtils.stringToTimestamp."""
-    s = s.strip()
-    m = _TS_RE.fullmatch(s)
-    if not m:
+def _known_zone(name: str) -> bool:
+    """Java ``ZoneId.of`` acceptance for a trailing named zone: the Z /
+    UTC / GMT / UT specials, offset forms (also UTC±hh / GMT±hh
+    prefixed), or an exact-case IANA region id — Spark's try_cast
+    REJECTS unknown names ('XYZ', 'Foo/Bar'), so shape-only matching
+    wrongly keeps terms."""
+    global _ZONE_NAMES
+    if name in ("Z", "UTC", "GMT", "UT"):
+        return True
+    m = _re.fullmatch(r"(?:UTC?|GMT)?([+-]\d{1,2}(?::\d{1,2}"
+                      r"(?::\d{1,2})?)?)", name)
+    if m:
+        parts = [int(p) for p in _re.findall(r"\d+", m.group(1))]
+        return parts[0] <= 18 and all(p <= 59 for p in parts[1:])
+    if _ZONE_NAMES is None:
+        try:
+            from zoneinfo import available_timezones
+            _ZONE_NAMES = set(available_timezones())
+        except Exception:
+            _ZONE_NAMES = set()
+    return name in _ZONE_NAMES
+
+
+def _valid_date_fields(yr: int, mo, dy, max_year: int) -> bool:
+    if yr > max_year:
         return False
-    mo, dy, hh, mi, ss = (int(g) if g is not None else None
-                          for g in m.groups())
     if mo is not None and not 1 <= mo <= 12:
         return False
     if dy is not None:
-        import calendar
-        yr = int(_re.match(r"[+-]?\d+", s).group())
-        max_day = calendar.monthrange(min(max(abs(yr), 1), 9999), mo)[1]
-        if not 1 <= dy <= max_day:
+        if mo in (4, 6, 9, 11):
+            mx = 30
+        elif mo == 2:
+            leap = yr % 4 == 0 and (yr % 100 != 0 or yr % 400 == 0)
+            mx = 29 if leap else 28
+        else:
+            mx = 31
+        if not 1 <= dy <= mx:
             return False
-    if hh is not None and not (0 <= hh <= 23 and 0 <= mi <= 59):
-        return False
-    if ss is not None and not 0 <= ss <= 59:
-        return False
     return True
+
+
+def _valid_time_match(m) -> tuple:
+    """(ok, complete): complete = full hh:mm:ss[.frac] (the only form
+    a zone may follow)."""
+    hh, mi, ss, _fr = m.groups()
+    if int(hh) > 23:
+        return False, False
+    if mi is not None and int(mi) > 59:
+        return False, False
+    if ss is not None and int(ss) > 59:
+        return False, False
+    return True, ss is not None
+
+
+def _spark_datetime_parseable(s: str, date_only: bool = False) -> bool:
+    """True when ``try_cast(s as timestamp)`` (or ``as date`` when
+    ``date_only``) would be non-null — a faithful driver-side port of
+    DateTimeUtils.stringToTimestamp / stringToDate acceptance:
+
+    - date part ``[+-]yyyy[-m[m][-d[d]]]`` with proleptic-Gregorian
+      day validity and VALUE-capped years (timestamp micros fit a
+      long → |year| ≲ 294246; date days fit an int → larger cap);
+    - stringToDate then accepts ONE ' '/'T' separator plus ANY tail;
+    - stringToTimestamp accepts hour-only / hh:mm / hh:mm:ss[.frac]
+      time segments, a zone ONLY after the full hh:mm:ss form, and
+      time-only inputs (``12:30``, ``T12``) with NO zone;
+    - named zones must resolve in the tz database (exact case)."""
+    s = s.strip()
+    if not s:
+        return False
+    m = _DATE_RE.match(s)
+    if m and (m.group(3) is not None or len(s) == m.end()
+              or s[m.end()] in " T"):
+        yr = int(m.group(2))
+        mo = int(m.group(3)) if m.group(3) is not None else None
+        dy = int(m.group(4)) if m.group(4) is not None else None
+        if not _valid_date_fields(yr, mo, dy,
+                                  5877610 if date_only else 294246):
+            return False
+        if len(s) == m.end():
+            return True
+        if s[m.end()] not in " T":
+            return False
+        if date_only:        # stringToDate: any tail after the sep
+            return True
+        return _time_with_optional_zone(s[m.end() + 1:])
+    if date_only:
+        return False
+    # time-only: requires a ':' or a 'T' prefix
+    if not s.startswith("T") and ":" not in s:
+        return False
+    return _time_with_optional_zone(s[1:] if s.startswith("T") else s)
+
+
+def _time_with_optional_zone(rest: str) -> bool:
+    tm = _TIME_RE.match(rest)
+    if not tm:
+        return False
+    ok, complete = _valid_time_match(tm)
+    if not ok:
+        return False
+    tail = rest[tm.end():]
+    if not tail:
+        return True
+    if not complete:         # zone only after full hh:mm:ss[.frac]
+        return False
+    return _known_zone(tail.lstrip(" "))
 
 
 @dataclass
@@ -448,8 +529,9 @@ class QueryPlanner:
                     continue
                 # driver-side port of Spark's stringToTimestamp /
                 # stringToDate accepted grammar (no per-term Spark job
-                # at plan time — advice r9)
-                if _spark_datetime_parseable(lit):
+                # at plan time — advice r9; per-type grammars r11)
+                if _spark_datetime_parseable(
+                        lit, date_only=isinstance(et, T.DateType)):
                     return False
                 continue
             try:
