@@ -33,17 +33,23 @@ def prune_missing_fields(node: JexlNode, available: set[str]) -> JexlNode:
     constant-fold the boolean structure."""
     avail = {a.upper() for a in available}
 
+    def name_of(ident) -> str:
+        # deconstruct the JEXL '$' escape like compile_cmp/compile_range
+        # do before lookup — '$FIELD' must prune by FIELD (advice r10)
+        return ident.name.lstrip("$").upper()
+
     def walk(n: JexlNode) -> JexlNode:
         if isinstance(n, CmpNode):
-            if n.field.name.upper() in avail or n.field.name.upper() in ("_ANYFIELD_", "ANYFIELD"):
+            if name_of(n.field) in avail or \
+                    name_of(n.field) in ("_ANYFIELD_", "ANYFIELD"):
                 return n
             return Literal(n.op in ("!=", "!~"))
         if isinstance(n, FieldCmpNode):
-            if n.left.name.upper() in avail and n.right.name.upper() in avail:
+            if name_of(n.left) in avail and name_of(n.right) in avail:
                 return n
             return Literal(n.op == "!=")
         if isinstance(n, FuncNode):
-            refs = [a.name.upper() for a in n.args if isinstance(a, Identifier)]
+            refs = [name_of(a) for a in n.args if isinstance(a, Identifier)]
             if all(r in avail for r in refs):
                 return n
             return Literal(False)
@@ -186,14 +192,22 @@ class EventCatalog:
             if node is None:
                 continue  # pruned: this datatype is never scanned
             spec = self.datatypes[name]
-            src_df = spec.df.withColumn("EVENT_DATATYPE", F.lit(name))
+            # synthesize the EVENT_DATATYPE pseudo-field only when the
+            # frame doesn't carry a real column of that name — an
+            # unconditional overwrite+drop loses genuine data and breaks
+            # a later select of it (advice r10)
+            has_dt = any(f.name == "EVENT_DATATYPE"
+                         for f in spec.df.schema.fields)
+            src_df = spec.df if has_dt else \
+                spec.df.withColumn("EVENT_DATATYPE", F.lit(name))
             ctx = CompileContext.for_dataframe(
                 src_df,
                 field_types={**(spec.field_types or {}),
                              "EVENT_DATATYPE": "lcNoDiacritics"},
                 model=spec.model)
-            hits = src_df.filter(compile_node(node, ctx)) \
-                .drop("EVENT_DATATYPE")
+            hits = src_df.filter(compile_node(node, ctx))
+            if not has_dt:
+                hits = hits.drop("EVENT_DATATYPE")
             cols = select or [f.name for f in spec.df.schema.fields]
             have = {f.name.upper(): f.name for f in spec.df.schema.fields}
             proj = [F.lit(name).alias("datatype")]

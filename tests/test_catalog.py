@@ -60,6 +60,26 @@ class TestCatalog:
         with pytest.raises(ValueError):
             catalog.query("NOPE == 'x' && ALSO_NOPE == 'y'")
 
+    def test_dollar_escaped_field_not_pruned(self):
+        # '$FIELD' must deconstruct to FIELD before the availability
+        # check, like compile_cmp does (advice r10)
+        n = prune_missing_fields(jexl("$REAL == 'x'"), {"REAL"})
+        assert n != Literal(False)
+        n = prune_missing_fields(jexl("filter:isNull($REAL)"), {"REAL"})
+        assert n != Literal(False)
+
+    def test_real_event_datatype_column_survives(self, spark):
+        # a frame that genuinely carries EVENT_DATATYPE keeps its data:
+        # the pseudo-field is only synthesized when absent (advice r10)
+        df = spark.createDataFrame(
+            [("e1", "imported"), ("e2", "native")],
+            "uid string, EVENT_DATATYPE string")
+        cat = EventCatalog({"feed": df})
+        out = cat.query("EVENT_DATATYPE == 'imported'",
+                        select=["uid", "EVENT_DATATYPE"])
+        rows = [(r.uid, r.EVENT_DATATYPE) for r in out.collect()]
+        assert rows == [("e1", "imported")]
+
 
 class TestFederatedCatalog:
     """RemoteEventQueryLogic analog: a query fans out to every
