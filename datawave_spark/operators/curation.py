@@ -444,34 +444,45 @@ def dsir_topk(df: DataFrame, target: DataFrame, text_col: str,
     half-up at 4dp with doc_id tie-break so the DuckDB oracle replays
     the arithmetic bit-for-bit.
 
-    Shape: two vocabulary-sized count groupBys (the stored unigram_lm
-    discipline at ingest), totals as 1-row cross joins, one broadcast
-    token join, one per-doc mean, heap top-k.  Nothing is
-    corpus×corpus."""
-    from datawave_spark.operators.text import tokens, unigram_counts
-    ex = df.select(F.col(id_col).alias("id"),
-                   F.explode(tokens(F.col(text_col))).alias("token"))
-    # corpus LM = the same (token, n, total) table unigram_counts
-    # builds for perplexity (the stored ingest asset); target LM is
-    # the same shape over the target sample.  Both are
-    # vocabulary-sized — broadcast onto the token explosion.
-    clm = unigram_counts(df, text_col).select(
-        "token", F.col("n").alias("nc"),
-        F.col("total").cast("double").alias("tc"))
-    vrow = clm.agg(F.count(F.lit(1)).cast("double").alias("v"))
-    tlm = unigram_counts(target, text_col).select(
-        "token", F.col("n").alias("nt"), F.col("total").alias("tt"))
-    ttot = tlm.agg(F.coalesce(F.max("tt"), F.lit(0))
-                   .cast("double").alias("tt"))
-    j = (ex.join(F.broadcast(clm), "token")
-         .join(F.broadcast(tlm.select("token", "nt")), "token", "left")
-         .crossJoin(F.broadcast(vrow)).crossJoin(F.broadcast(ttot)))
+    Shape (r11 optimization pass, guide §2.3/§2.4): ONE corpus
+    tokenization and ONE target tokenization.  The corpus token counts
+    are persisted (vocabulary-sized — the lineage barrier stops every
+    aggregate over them from re-deriving the explode+groupBy subtree:
+    the previous formulation re-tokenized the corpus 3× and the target
+    2× through unigram_counts/agg re-derivations), the per-token
+    log-ratio is computed once in the vocab-sized table, and the token
+    explosion joins that ONE broadcast table.  Same arithmetic on the
+    same inputs — bit-identical scores."""
+    from datawave_spark.operators.dedup import _persist_scoped
+    from datawave_spark.operators.text import tokens
+    from datawave_spark.util import spread
+    ex = spread(df).select(F.col(id_col).alias("id"),
+                           F.explode(tokens(F.col(text_col))).alias("token"))
+    cnt = _persist_scoped(
+        ex.groupBy("token").agg(F.count(F.lit(1)).alias("nc")),
+        "curation.dsir.corpus_lm")
+    tot = cnt.agg(F.sum("nc").cast("double").alias("tc"),
+                  F.count(F.lit(1)).cast("double").alias("v"))
+    tex = spread(target).select(
+        F.explode(tokens(F.col(text_col))).alias("token"))
+    tcnt = _persist_scoped(
+        tex.groupBy("token").agg(F.count(F.lit(1)).alias("nt")),
+        "curation.dsir.target_lm")
+    ttot = tcnt.agg(F.coalesce(F.sum("nt"), F.lit(0))
+                    .cast("double").alias("tt"))
+    # per-token log-ratio, computed ONCE in the vocabulary-sized table
+    # (identical IEEE ops on identical nc/tc/nt/tt/v values as the
+    # per-row formulation it replaces)
     lr = (F.log((F.coalesce(F.col("nt"), F.lit(0)) + 1)
                 / (F.col("tt") + F.col("v")))
           - F.log(F.col("nc") / F.col("tc")))
-    scored = (j.groupBy("id")
+    lr_tbl = (cnt.join(tcnt, "token", "left")
+              .crossJoin(F.broadcast(tot)).crossJoin(F.broadcast(ttot))
+              .select("token", lr.alias("__lr")))
+    scored = (ex.join(F.broadcast(lr_tbl), "token")
+              .groupBy("id")
               .agg(F.count(F.lit(1)).alias("n_tokens"),
-                   F.sum(lr).alias("__s")))
+                   F.sum("__lr").alias("__s")))
     score = F.floor(F.col("__s") / F.col("n_tokens") * 10000
                     + F.lit(0.5)) / 10000.0
     return (scored.select(F.col("id").alias(id_col), "n_tokens",

@@ -772,10 +772,18 @@ def exact_substring_dedup(df: DataFrame, text_col: str = "text",
     starts = F.when(F.col("n_toks") >= k,
                     F.sequence(F.lit(1), F.col("n_toks") - (k - 1))
                     ).otherwise(F.array().cast("array<int>"))
-    w = (base.select("doc_id", "toks", F.explode(starts).alias("start"))
-             .select("doc_id", "start",
-                     F.md5(F.concat_ws(
-                         sep, F.slice("toks", F.col("start"), k))).alias("h")))
+    # Persist the window-hash frame: it feeds BOTH the per-hash count
+    # aggregate and the probe side of the dup-hash join — without the
+    # lineage barrier each consumer re-runs tokenize + window explode +
+    # md5 over the whole corpus (guide §8.1: materialize the
+    # fingerprint pass; the frame is 3 narrow columns per window, the
+    # text itself never enters it).
+    w = _persist_scoped(
+        base.select("doc_id", "toks", F.explode(starts).alias("start"))
+            .select("doc_id", "start",
+                    F.md5(F.concat_ws(
+                        sep, F.slice("toks", F.col("start"), k))).alias("h")),
+        "dedup.exact_substring.windows")
 
     agg = (w.groupBy("h")
             .agg(F.count(F.lit(1)).alias("cnt"),

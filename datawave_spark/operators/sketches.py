@@ -51,12 +51,20 @@ _POW54 = 1 << 54
 def _melt(df: DataFrame, value_cols: list[str]) -> DataFrame:
     """(field, v) rows from the named columns, cast to string, nulls
     dropped — the shared per-field fan-out every sketch builds on (the
-    struct array is the generator input, computed once per row)."""
+    struct array is the generator input, computed once per row).
+
+    The input is projected to the named columns and spread across the
+    cluster default parallelism FIRST: every sketch downstream of the
+    melt is md5-per-row CPU work, and a small parquet table arrives as
+    ONE split, serializing all of it onto one core (r11 measured: the
+    CMS/HLL/KMV keys ran their whole hash pass single-task)."""
+    from datawave_spark.util import spread
     pairs = F.array(*[
         F.struct(F.lit(f).alias("field"),
                  F.col(f).cast("string").alias("v"))
         for f in value_cols])
-    return (df.select(F.explode(pairs).alias("p"))
+    return (spread(df.select(*value_cols))
+            .select(F.explode(pairs).alias("p"))
             .select("p.field", "p.v")
             .filter(F.col("v").isNotNull()))
 
@@ -150,9 +158,10 @@ def hll_group_estimate(df: DataFrame, group_cols: list[str],
     DuckDB oracle replays it bit-for-bit; the register groupBy keys on
     (group..., bucket) — m rows per group after map-side combine, a
     facet-table-sized shuffle at any corpus size."""
-    frame = (df.select(*group_cols,
-                       F.col(value_col).cast("string").alias("v"))
-             .filter(F.col("v").isNotNull()))
+    from datawave_spark.util import spread
+    frame = spread(df.select(*group_cols,
+                             F.col(value_col).cast("string").alias("v"))
+                   .filter(F.col("v").isNotNull()))
     return _hll_core(frame, group_cols, b)
 
 
@@ -165,11 +174,16 @@ def cms_sketch(df: DataFrame, value_col: str, w: int = 1024,
     mergeable by cell-wise addition — build per-day sketches at ingest,
     add them for any date range.  Hashes are md5-salted per row so the
     DuckDB oracle replays cells bit-for-bit."""
+    from datawave_spark.util import spread
     v = F.col(value_col).cast("string")
     rows = F.array(*[
-        F.struct(F.lit(j).alias("j"), _cms_bucket(j, v, w).alias("bucket"))
+        F.struct(F.lit(j).alias("j"), _cms_bucket(j, F.col("__v"),
+                                                  w).alias("bucket"))
         for j in range(d)])
-    return (df.filter(v.isNotNull())
+    # project to the value column and spread BEFORE the d md5s per row
+    # — a one-split local scan would otherwise hash the whole table on
+    # one core (r11; no-op on already-wide scans)
+    return (spread(df.filter(v.isNotNull()).select(v.alias("__v")))
             .select(F.explode(rows).alias("c"))
             .groupBy(F.col("c.j").alias("j"),
                      F.col("c.bucket").alias("bucket"))
