@@ -6413,8 +6413,15 @@ def _rect_geom_events(spark, sf_dir):
     """Shared geowave fixture: each event carries a deterministic
     axis-aligned rectangle WKT (GEOM) derived from event/user ids —
     rectangle geometry keeps every geowave op's oracle in interval
-    arithmetic (see the geowave_* gate keys)."""
-    ev = _t(spark, sf_dir, "events")
+    arithmetic (see the geowave_* gate keys).
+
+    The scan is spread across the default parallelism (r11): the WKT
+    build + regex extraction + exact-geometry Arrow batches downstream
+    are per-row CPU work, and a one-split local scan would run the
+    whole Python-boundary stage as a single task."""
+    from datawave_spark.util import spread
+    ev = spread(_t(spark, sf_dir, "events")
+                .select("event_id", "user_id"))
     cx = (F.col("event_id") % 360 - 180).cast("int")
     cy = (F.col("user_id") % 160 - 80).cast("int")
     w = (1 + F.col("event_id") % 3).cast("int")
@@ -6520,7 +6527,9 @@ def q_geowave_crosses_line(spark, sf_dir):
     exactly one endpoint inside' — plain interval arithmetic for the
     oracle.  A vertical segment is parallel to the rectangle's vertical
     edges, so those can never contribute a proper crossing."""
-    ev = _t(spark, sf_dir, "events")
+    from datawave_spark.util import spread
+    ev = spread(_t(spark, sf_dir, "events")
+                .select("event_id", "user_id"))  # r11: see _rect_geom_events
     x = (F.col("event_id") % 100 - 50).cast("int")
     ya = (F.col("user_id") % 60 - 30).cast("int")
     yb = (ya + 1 + F.col("event_id") % 7).cast("int")

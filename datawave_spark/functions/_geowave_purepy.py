@@ -528,17 +528,53 @@ def compile_geowave(ctx, op: str, args):
     q_minx, q_miny, q_maxx, q_maxy = _bbox(qk, qg)
 
     @pandas_udf("boolean")
-    def exact(vals: pd.Series, iswkt: pd.Series, coarse: pd.Series,
-              nums: pd.Series) -> pd.Series:
-        """Exact geometry verdict.  ``iswkt``/``coarse``/``nums`` are
-        computed JVM-side (codegen, once per row) and shipped in the
-        same Arrow batch: Python does NO regex over non-candidates and
-        no re-parse of coordinates — candidates are evaluated straight
-        from the extracted numeric lists."""
+    def exact(vals: pd.Series) -> pd.Series:
+        """Exact geometry verdict from the raw value string — the ONE
+        UDF argument (r11, guide §4.1/§4.2).  Number extraction and the
+        coarse bbox test moved INTO the batch (numpy over the whole
+        Arrow batch): the previous 4-argument form made the JVM
+        evaluate the interpreted regexp/higher-order-function subtree
+        once per argument (EvalPython's argument projection does no
+        subexpression elimination — measured ~2.2 s of the 3.5 s key
+        cost), and shipped coordinates for every row.  The extraction
+        regexes mirror the JVM ones with engine-identical classes
+        ([0-9], the Java \\s set) so the verdicts are bit-identical."""
         n = len(vals)
         out = np.zeros(n, dtype=bool)
-        cand = coarse.fillna(False).to_numpy(dtype=bool)
-        wk = iswkt.fillna(False).to_numpy(dtype=bool)
+        notnull = vals.notna().to_numpy(dtype=bool)
+        s = vals.fillna("")
+        # JVM rlike '^\\s*(?i)(POINT|...)': Java \s is [ \t\n\x0B\f\r]
+        wk = (s.str.match(
+            r"[ \t\n\x0B\f\r]*(?:POINT|POLYGON|LINESTRING|MULTIPOLYGON)",
+            case=False).to_numpy(dtype=bool) & notnull)
+        # JVM regexp_extract_all '(-?\d+\.?\d*)': Java \d is [0-9]
+        arrs = [np.asarray(v, dtype=float)
+                for v in s.str.findall(r"-?[0-9]+\.?[0-9]*")]
+        nums = pd.Series(arrs)
+        # per-row data bbox: WKT alternates x y; "lat,lon" is y-first
+        # (exactly the JVM leaf's xs/ys selection — a row whose
+        # min/max would have been NULL there has a NaN bbox here, and
+        # NaN comparisons are False = excluded, the same totalization)
+        bbox = np.full((n, 4), np.nan)       # minx, maxx, miny, maxy
+        for i in range(n):
+            a = arrs[i]
+            if not notnull[i] or a.size == 0:
+                continue
+            if wk[i]:
+                xs, ys = a[0::2], a[1::2]
+                if xs.size and ys.size:
+                    bbox[i] = (xs.min(), xs.max(), ys.min(), ys.max())
+            elif a.size >= 2:
+                bbox[i] = (a[1], a[1], a[0], a[0])
+        if op in ("contains", "covers"):
+            cand = (bbox[:, 0] <= q_minx) & (bbox[:, 1] >= q_maxx) \
+                & (bbox[:, 2] <= q_miny) & (bbox[:, 3] >= q_maxy)
+        elif op in ("within", "covered_by"):
+            cand = (bbox[:, 0] >= q_minx) & (bbox[:, 1] <= q_maxx) \
+                & (bbox[:, 2] >= q_miny) & (bbox[:, 3] <= q_maxy)
+        else:                               # intersects / overlaps / crosses
+            cand = (bbox[:, 0] <= q_maxx) & (bbox[:, 1] >= q_minx) \
+                & (bbox[:, 2] <= q_maxy) & (bbox[:, 3] >= q_miny)
         # vectorized "lat,lon" candidates: nums = [lat, lon]
         pidx = np.flatnonzero(cand & ~wk)
         if len(pidx):
@@ -596,41 +632,59 @@ def compile_geowave(ctx, op: str, args):
                 out[widx[j]] = geometry_predicate(op, dk, dg, qk, qg)
         return pd.Series(out)
 
+    # The verdict is deterministic, but the flag stops the optimizer
+    # pushing the UDF-bearing filter through a repartition (guide §4.4
+    # family): without it, a spread() on the input is hoisted ABOVE the
+    # filter and the whole Arrow/Python pass collapses back onto the
+    # single scan task it was meant to parallelize (r11 measured: plan
+    # showed Exchange above Filter(ArrowEvalPython), 1.2 s single-core).
+    exact = exact.asNondeterministic()
+
     def leaf(v: Column) -> Column:
         vs = v.cast("string")
-        is_wkt = vs.rlike(r"^\s*(?i)(POINT|POLYGON|LINESTRING|MULTIPOLYGON)")
-        # data bbox, JVM-side for both forms: "lat,lon" is y-first; WKT
-        # alternates x y, so even-index numbers are x, odd are y.
-        nums = F.transform(
-            F.regexp_extract_all(vs, F.lit(r"(-?\d+\.?\d*)"), F.lit(1)),
-            lambda e: e.cast("double"))
-        xs = F.when(is_wkt, F.filter(nums, lambda e, i: i % 2 == F.lit(0))) \
-            .otherwise(F.slice(nums, 2, 1))
-        ys = F.when(is_wkt, F.filter(nums, lambda e, i: i % 2 == F.lit(1))) \
-            .otherwise(F.slice(nums, 1, 1))
-        d_minx, d_maxx = F.array_min(xs), F.array_max(xs)
-        d_miny, d_maxy = F.array_min(ys), F.array_max(ys)
-        if op in ("contains", "covers"):
-            # data must at least bbox-contain the query geometry
-            coarse = (d_minx <= q_minx) & (d_maxx >= q_maxx) \
-                & (d_miny <= q_miny) & (d_maxy >= q_maxy)
-        elif op in ("within", "covered_by"):
-            coarse = (d_minx >= q_minx) & (d_maxx <= q_maxx) \
-                & (d_miny >= q_miny) & (d_maxy <= q_maxy)
-        else:                               # intersects / overlaps / crosses
-            coarse = (d_minx <= q_maxx) & (d_maxx >= q_minx) \
-                & (d_miny <= q_maxy) & (d_maxy >= q_miny)
         # Rectangle short-circuit for POINT-TYPED fields: when the
         # query polygon is an axis-aligned rectangle AND the field is
         # declared a point type in the metadata registry (GeoType, as
         # opposed to GeometryType — the reference draws exactly this
         # distinction in GeoWaveFunctionsDescriptor), the bbox test IS
-        # the exact test, so the predicate is pure codegen'd JVM — no
-        # pandas UDF, no Arrow transfer, no Python workers.
+        # the exact test, so the predicate is pure JVM — no pandas UDF,
+        # no Arrow transfer, no Python workers.
         if (qk == "polygon" and _is_axis_rect(qg)
                 and op in ("intersects", "within", "covered_by")
                 and _is_point_typed(ctx, fname)):
-            return coarse
-        return exact(vs, is_wkt, coarse, nums)
+            is_wkt = vs.rlike(
+                r"^\s*(?i)(POINT|POLYGON|LINESTRING|MULTIPOLYGON)")
+            nums = F.transform(
+                F.regexp_extract_all(vs, F.lit(r"(-?\d+\.?\d*)"),
+                                     F.lit(1)),
+                lambda e: e.cast("double"))
+
+            def bbox_pred(nm: Column) -> Column:
+                # evaluated over a BOUND copy of ``nums`` (1-element
+                # array transform = a let-binding): the regexp
+                # extraction runs once per row instead of once per
+                # min/max reference — NULL propagation is unchanged
+                xs = F.when(is_wkt,
+                            F.filter(nm, lambda e, i: i % 2 == F.lit(0))) \
+                    .otherwise(F.slice(nm, 2, 1))
+                ys = F.when(is_wkt,
+                            F.filter(nm, lambda e, i: i % 2 == F.lit(1))) \
+                    .otherwise(F.slice(nm, 1, 1))
+                return (F.array_min(xs) >= q_minx) \
+                    & (F.array_max(xs) <= q_maxx) \
+                    & (F.array_min(ys) >= q_miny) \
+                    & (F.array_max(ys) <= q_maxy) \
+                    if op in ("within", "covered_by") else \
+                    (F.array_min(xs) <= q_maxx) \
+                    & (F.array_max(xs) >= q_minx) \
+                    & (F.array_min(ys) <= q_maxy) \
+                    & (F.array_max(ys) >= q_miny)
+
+            return F.get(F.transform(F.array(nums), bbox_pred), 0)
+        # General path: ONE string argument; extraction + coarse bbox
+        # prune + exact geometry all happen batch-vectorized in Python
+        # (see ``exact`` — the multi-argument form paid the interpreted
+        # JVM expression tree once PER ARGUMENT).
+        return exact(vs)
 
     return field_pred(ctx, fname, leaf)
