@@ -24,6 +24,7 @@ from datawave_spark.operators import dedup, similarity, text as text_ops
 from datawave_spark.operators.discovery import discovery, facets
 from datawave_spark.operators.grouping import group_by
 from datawave_spark.operators.unique import unique, unique_tuples
+from datawave_spark.util import spread as _spread
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 ORACLES: dict[str, str] = {}
@@ -4264,7 +4265,7 @@ def q_multimodal_wav_decode(spark, sf_dir):
     from datawave_spark.operators.multimodal import (attach_media,
                                                      decode_wav,
                                                      wav_encode)
-    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    docs = _spread(_t(spark, sf_dir, "documents").select("doc_id"))
 
     def synth(batches):
         for pdf in batches:
@@ -4928,7 +4929,7 @@ def q_multimodal_png_decode(spark, sf_dir):
     from datawave_spark.operators.multimodal import (attach_media,
                                                      decode_png,
                                                      synth_png_payload)
-    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    docs = _spread(_t(spark, sf_dir, "documents").select("doc_id"))
 
     def synth(batches):
         for pdf in batches:
@@ -4970,7 +4971,7 @@ def q_multimodal_jpeg_decode(spark, sf_dir):
     from datawave_spark.operators.multimodal import (attach_media,
                                                      decode_jpeg,
                                                      synth_jpeg_payload)
-    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    docs = _spread(_t(spark, sf_dir, "documents").select("doc_id"))
 
     def synth(batches):
         for pdf in batches:
@@ -5490,7 +5491,7 @@ def q_multimodal_resize(spark, sf_dir):
                                                      decode_png,
                                                      resize_png,
                                                      synth_png_payload)
-    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    docs = _spread(_t(spark, sf_dir, "documents").select("doc_id"))
 
     def synth(batches):
         for pdf in batches:

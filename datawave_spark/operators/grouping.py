@@ -221,7 +221,11 @@ def document_grouper(df: DataFrame, entries_col: str,
                     f"{a}_{s}" for a in af
                     for s in ("sum", "min", "max", "cnt")])
 
-    inter = df.select(entries_col).mapInPandas(gen, schema)
+    # spread before the per-document Python pass: a one-split local
+    # scan would serialize the whole pairing stage onto one task (r11;
+    # no-op on already-wide scans)
+    from datawave_spark.util import spread
+    inter = spread(df.select(entries_col)).mapInPandas(gen, schema)
     exprs = [F.sum(count_alias).alias(count_alias)]
     for a in af:
         exprs += [F.sum(f"{a}_sum").alias(f"{a}_sum"),
