@@ -46,6 +46,8 @@ import math
 import os
 import shutil
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from datawave_spark.sources.maintenance import (
@@ -194,33 +196,47 @@ def split_by_bloom(spark: SparkSession, results: DataFrame,
     """Partition a batch into (maybe_in_base, definitely_fresh) by the
     sidecar.  ``maybe`` rows need the full-ledger anti-join; ``fresh``
     rows are guaranteed absent from the bloom-covered base and need
-    only the tail.  The probe is k bit lookups per row, built as k
-    ROW-PRESERVING broadcast joins against the m/64-row bits table
-    (no row ids, no explode, no shuffle — k ≤ 8)."""
+    only the tail.
+
+    The probe is ONE vectorized Arrow pass (r11): the k bit positions
+    are computed JVM-side with the SAME xxhash64/murmur3 double-hash
+    expressions the build used, and a pandas UDF tests them against
+    the packed bit words shipped once as a Spark broadcast.  The
+    previous formulation (k row-preserving broadcast JOINS against the
+    bits table) re-planned and re-broadcast those k joins for every
+    downstream action — with feed write + ledger write + the isEmpty
+    probe per micro-batch that was ~21 tiny broadcast jobs of pure
+    driver latency on a result-sized batch.  The bits table is m/64
+    words (the module-head sizing note: ~150 MB at the 1e8-key / 1%%
+    design point — the same bytes the join formulation broadcast,
+    shipped once instead of k times; beyond ~1e9 keys skip the bloom
+    entirely, as documented)."""
+    import pyarrow.parquet as pq
+    from pyspark.sql.functions import pandas_udf
+
     key_cols, m, k = meta["key_cols"], meta["m"], meta["k"]
-    bits = spark.read.parquet(meta["bits_path"])
-    tagged = results
-    hit_cols = []
-    for i, pos in enumerate(_position_exprs(key_cols, m, k)):
-        b = F.broadcast(bits.withColumnRenamed("word", f"__w{i}")
-                        .withColumnRenamed("bits", f"__b{i}"))
-        tagged = (tagged.withColumn(f"__pos{i}", pos)
-                  .withColumn(f"__word{i}", _word(f"__pos{i}"))
-                  .withColumn(f"__mask{i}", _mask(f"__pos{i}"))
-                  .join(b, F.col(f"__word{i}") == F.col(f"__w{i}"),
-                        "left"))
-        hit_cols.append(F.coalesce(
-            F.col(f"__b{i}").bitwiseAND(F.col(f"__mask{i}")) != 0,
-            F.lit(False)))
-    maybe_col = hit_cols[0]
-    for h in hit_cols[1:]:
-        maybe_col = maybe_col & h
-    tagged = tagged.withColumn("__maybe", maybe_col)
-    drop = ([f"__pos{i}" for i in range(k)]
-            + [f"__word{i}" for i in range(k)]
-            + [f"__mask{i}" for i in range(k)]
-            + [f"__w{i}" for i in range(k)] + [f"__b{i}" for i in range(k)]
-            + ["__maybe"])
-    maybe = tagged.filter(F.col("__maybe")).drop(*drop)
-    fresh = tagged.filter(~F.col("__maybe")).drop(*drop)
+    # the bits table is a local parquet dir written by compact_ledger —
+    # a driver-side columnar read, no Spark job
+    tbl = pq.read_table(meta["bits_path"], columns=["word", "bits"])
+    words = np.zeros(m // 64 + 1, dtype=np.int64)
+    words[tbl.column("word").to_numpy()] = tbl.column("bits").to_numpy()
+    bc = spark.sparkContext.broadcast(words)
+
+    @pandas_udf("boolean")
+    def probe(poss: pd.Series) -> pd.Series:
+        w = bc.value
+        if not len(poss):
+            return pd.Series(np.zeros(0, dtype=bool))
+        arr = np.vstack(poss.to_numpy()).astype(np.int64)  # n × k
+        # same bit math as _word/_mask: positions are non-negative
+        # (pmod), so >>6 is floor/64 and &63 is %64; int64 shift by 63
+        # wraps to the same bit pattern as the JVM's shiftleft
+        masks = np.int64(1) << (arr & np.int64(63))
+        hit = (w[arr >> np.int64(6)] & masks) != 0
+        return pd.Series(hit.all(axis=1))
+
+    tagged = results.withColumn(
+        "__maybe", probe(F.array(*_position_exprs(key_cols, m, k))))
+    maybe = tagged.filter(F.col("__maybe")).drop("__maybe")
+    fresh = tagged.filter(~F.col("__maybe")).drop("__maybe")
     return maybe, fresh

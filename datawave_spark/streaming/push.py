@@ -58,7 +58,8 @@ def standing_query_push(spark: SparkSession, input_path: str,
                         available_now: bool = True,
                         options: dict[str, str] | None = None,
                         sink: Callable[[DataFrame, int], None]
-                        | None = None) -> StreamingQuery:
+                        | None = None,
+                        append_partitions: int = 1) -> StreamingQuery:
     """Run ``transform`` as a standing query over arriving input and
     push each result row exactly once (per the ledger) to the feed.
 
@@ -160,8 +161,17 @@ def standing_query_push(spark: SparkSession, input_path: str,
             else:
                 new = anti(results, delivered)
         # within-batch duplicates would double-deliver (the anti-join
-        # only sees PRIOR batches)
-        new = new.dropDuplicates(key_cols).persist()
+        # only sees PRIOR batches).  Coalesce the appends (r11, guide
+        # §6): AQE is disabled inside streaming micro-batches, so the
+        # dropDuplicates shuffle would otherwise fan every batch's
+        # result-sized append into shuffle-partition-count near-empty
+        # files, and the per-batch ledger anti-join + the feed reader
+        # pay the listing/open cost forever after.  NEW results per
+        # batch are result-sized; ``append_partitions`` (default 1)
+        # sets the file count for standing queries whose per-batch
+        # novelty is genuinely large.
+        new = (new.dropDuplicates(key_cols)
+               .coalesce(max(1, append_partitions)).persist())
         try:
             (new.withColumn("delivered_epoch", F.lit(int(epoch_id)))
              .write.mode("append").parquet(feed_path))
