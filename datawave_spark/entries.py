@@ -6257,7 +6257,10 @@ def q_filter_max_min_value(spark, sf_dir):
     from datawave_spark.functions.filter_functions import (
         f_get_max_value, f_get_min_value)
     from datawave_spark.jexl.ast import Identifier
-    ev = _t(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
+    # spread before the known-format parse chain (r11): the heavy
+    # per-element date parse would otherwise run on the one-split scan
+    ev = _spread(_t(spark, sf_dir, "events")
+                 .filter(F.col("ts").isNotNull()).select("event_id", "ts"))
     df = ev.withColumn("D", F.array(
         F.date_format("ts", "yyyyMMdd"),
         F.lit("2024-01-10 12:00:00"),
@@ -6596,7 +6599,10 @@ def q_filter_max_min_time(spark, sf_dir):
     from datawave_spark.functions.filter_functions import (
         f_get_max_time, f_get_min_time)
     from datawave_spark.jexl.ast import Identifier
-    ev = _t(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
+    # spread before the known-format parse chain (r11): the heavy
+    # per-element date parse would otherwise run on the one-split scan
+    ev = _spread(_t(spark, sf_dir, "events")
+                 .filter(F.col("ts").isNotNull()).select("event_id", "ts"))
     df = ev.withColumn("D", F.array(
         F.date_format("ts", "yyyyMMdd"),
         F.lit("2024-01-10 12:00:00"),

@@ -465,8 +465,13 @@ def read_nyctlc(spark: SparkSession, path: str,
     (validate-but-allow), which is also the only signal a misspelled
     coordinate header gives before every derived point goes NULL."""
     import logging
+    from datawave_spark.util import spread
     df = spark.read.option("header", True).csv(path)
     df = df.toDF(*[c.strip().upper() for c in df.columns])
+    # spread the raw rows before the derived-field projection (r11): a
+    # small CSV arrives as one split and the WKT/array string work
+    # would run single-task (no-op on wide scans)
+    df = spread(df)
     unknown = set(df.columns) - NYCTLC_KNOWN_FIELDS
     if unknown:
         logging.getLogger(__name__).debug(
