@@ -355,10 +355,19 @@ def verify_jaccard_pairs_from_sets(sets: DataFrame, cand: DataFrame,
         F.col("shingles").alias("__shs_b"),
         F.col("n").alias("__n_b"))
     inter = F.size(F.array_intersect("__shs_a", "__shs_b"))
-    return (cand.join(a, "id_a").join(b, "id_b")
-            .withColumn("__i", inter)
+    # Route the intersection size through a generator (the text.py
+    # quality_score barrier trick): ``__i`` feeds the Jaccard numerator,
+    # denominator AND the threshold filter, and CollapseProject would
+    # otherwise inline the array_intersect into every reference —
+    # measured 2× on the LSH verify (r11).  inline(array(struct(...)))
+    # is a projection barrier, so the intersect runs once per pair.
+    packed = (cand.join(a, "id_a").join(b, "id_b")
+              .select("id_a", "id_b", F.inline(F.array(F.struct(
+                  inter.alias("__i"),
+                  (F.col("__n_a") + F.col("__n_b")).alias("__s"))))))
+    return (packed
             .withColumn("jaccard", F.round(
-                F.col("__i") / (F.col("__n_a") + F.col("__n_b") - F.col("__i")), 4))
+                F.col("__i") / (F.col("__s") - F.col("__i")), 4))
             .filter(F.col("jaccard") >= threshold)
             .select("id_a", "id_b", "jaccard"))
 
