@@ -6736,7 +6736,10 @@ def q_grouped_ingest_query(spark, sf_dir):
     in tests/test_grouped_fields.py) before grouping:matchesInGroup
     evaluates the same disjunction as grouping_matches_in_group."""
     from datawave_spark.sources.grouped_fields import group_structs
-    ev = _t(spark, sf_dir, "events")
+    # spread before the grouped-struct rebuild + matchesInGroup HOF
+    # chain (r11): single-split scan otherwise runs it one-task
+    ev = _spread(_t(spark, sf_dir, "events")
+                 .select("event_id", "event_type", "user_id"))
     fields = F.array(
         F.struct(F.lit("NAME.PERSON_1.0").alias("name"),
                  F.col("event_type").alias("value")),
@@ -6747,8 +6750,14 @@ def q_grouped_ingest_query(spark, sf_dir):
         F.struct(F.lit("OWNER.PERSON_1.1").alias("name"),
                  (F.col("user_id") % 5).cast("string").alias("value")),
         F.struct(F.lit("COLOR").alias("name"), F.lit("red").alias("value")))
-    df = group_structs(ev.withColumn("fields", fields), "fields",
-                       ["NAME", "OWNER"], "ITEMS")
+    # the fixture array rides through a generator: a bare withColumn
+    # would let the compiled matchesInGroup FILTER push back below the
+    # spread's Exchange (deterministic predicates cross repartitions),
+    # re-serializing the HOF chain onto the one-split scan task; a
+    # Generate blocks pushdown of predicates over its output (r11)
+    df = ev.select("event_id", F.inline(F.array(F.struct(
+        fields.alias("fields")))))
+    df = group_structs(df, "fields", ["NAME", "OWNER"], "ITEMS")
     out = compile_query(df, "grouping:matchesInGroup(NAME, 'click', OWNER, 3)")
     return out.select("event_id")
 
