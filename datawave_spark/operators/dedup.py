@@ -617,8 +617,13 @@ def embedding_dedup_pairs(df: DataFrame, vec_col: str, id_col: str,
     else:
         joined = a.crossJoin(b).filter(cond)
     cos = _dot(F.col("vec_a"), F.col("vec_b")) / (F.col("nrm_a") * F.col("nrm_b"))
+    # generator barrier (r11): the threshold filter would otherwise be
+    # pushed below this projection with the O(dim) dot product inlined
+    # into it — every pair paid the dot twice (same CollapseProject
+    # behavior as the LSH verify; see verify_jaccard_pairs_from_sets)
     return (joined
-            .select("id_a", "id_b", F.round(cos, 4).alias("cos"))
+            .select("id_a", "id_b", F.inline(F.array(F.struct(
+                F.round(cos, 4).alias("cos")))))
             .filter(F.col("cos") >= threshold))
 
 
