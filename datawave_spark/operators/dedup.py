@@ -446,6 +446,13 @@ def simhash_hamming_pairs(df: DataFrame, text_col: str, id_col: str,
     # not 16 substring compares (measured ~2× on the verify fan-in,
     # which dominates this operator's cost at the bucket cap).
     b = b.withColumn("__int", F.conv("simhash", 2, 10).cast("long"))
+    # persist the capped block frame too: the self-join consumes it
+    # TWICE, and without this barrier each side re-runs the posexplode,
+    # the bucket-cap aggregation and its semi-join from the cached
+    # signatures (r11 plan: the Generate/HashAggregate/BroadcastHashJoin
+    # subtree appeared once per join side).  (id, block, val, __int) is
+    # n_blocks rows per document — corpus-sized, never pair-sized.
+    b = _persist_scoped(b, "simhash_hamming_pairs_blocks")
     left = b.select(F.col("id").alias("id_a"),
                     F.col("__int").alias("__ia"), "block", "val")
     right = b.select(F.col("id").alias("id_b"),
