@@ -71,10 +71,21 @@ def _persist_scoped(df: DataFrame, key: str) -> DataFrame:
         prev = _SCOPED_CACHE.get(key)
         _SCOPED_CACHE[key] = out
     if prev is not None and prev is not out:
+        # Spark uncaches by canonicalized-plan equality, and a REBUILD of
+        # the same query yields a plan identical to the previous build's —
+        # unpersisting prev would also evict the entry just registered for
+        # out (the cache then silently disappears on every same-session
+        # rebuild: bench repeats, test-suite order).  Only evict frames
+        # whose plan genuinely differs from the one we just persisted.
         try:
-            prev.unpersist(blocking=False)
+            same = prev.sameSemantics(out)
         except Exception:
-            pass                    # session of prev may be stopped
+            same = False            # cross-session compare may fail
+        if not same:
+            try:
+                prev.unpersist(blocking=False)
+            except Exception:
+                pass                # session of prev may be stopped
     return out
 
 
@@ -96,16 +107,27 @@ def _persist_scoped_seq(df: DataFrame, namespace: str,
     recomputes, never breaks)."""
     out = df.persist()
     evict = None
+    keep_alive = []
     with _SCOPED_LOCK:
         slots = _SCOPED_SEQ.setdefault(namespace, [])
         slots.append(out)
         if len(slots) > keep:
             evict = slots.pop(0)
+        keep_alive = list(slots)
     if evict is not None and evict is not out:
+        # Same canonicalized-plan caveat as _persist_scoped: unpersisting
+        # the evicted frame would also uncache any LIVE slot with an
+        # identical plan (rebuilds of the same query land identical
+        # plans).  Only evict when no surviving slot shares its plan.
         try:
-            evict.unpersist(blocking=False)
+            shared = any(evict.sameSemantics(s) for s in keep_alive)
         except Exception:
-            pass                    # session of evict may be stopped
+            shared = False          # cross-session compare may fail
+        if not shared:
+            try:
+                evict.unpersist(blocking=False)
+            except Exception:
+                pass                # session of evict may be stopped
     return out
 
 
