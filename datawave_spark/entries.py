@@ -4725,8 +4725,9 @@ def q_audit_selector_query(spark, sf_dir):
          "!(EVENT_TYPE == 'refund')")
     rec = audit_record(q, "EventQuery", "cn=analyst", "A,B")
     ev = _t(spark, sf_dir, "events")
-    sel = spark.createDataFrame([(s,) for s in rec.selectors],
-                                "selector string")
+    from datawave_spark.util import local_frame
+    sel = local_frame(spark, [(s,) for s in rec.selectors],
+                      "selector string")
     counts = (ev.groupBy(F.col("event_type").alias("selector"))
               .agg(F.count(F.lit(1)).alias("n")))
     return (sel.join(counts, "selector", "left")

@@ -543,10 +543,13 @@ def compile_geowave(ctx, op: str, args):
         out = np.zeros(n, dtype=bool)
         notnull = vals.notna().to_numpy(dtype=bool)
         s = vals.fillna("")
-        # JVM rlike '^\\s*(?i)(POINT|...)': Java \s is [ \t\n\x0B\f\r]
+        # JVM rlike '^\\s*(?i)(POINT|...)': Java \s is [ \t\n\x0B\f\r],
+        # and Java (?i) folds ASCII only — re.ASCII pins Python's
+        # IGNORECASE to the same ASCII-only folding (plain case=False
+        # would Unicode-fold, e.g. the Kelvin sign U+212A matches 'k')
         wk = (s.str.match(
             r"[ \t\n\x0B\f\r]*(?:POINT|POLYGON|LINESTRING|MULTIPOLYGON)",
-            case=False).to_numpy(dtype=bool) & notnull)
+            flags=re.IGNORECASE | re.ASCII).to_numpy(dtype=bool) & notnull)
         # JVM regexp_extract_all '(-?\d+\.?\d*)': Java \d is [0-9]
         arrs = [np.asarray(v, dtype=float)
                 for v in s.str.findall(r"-?[0-9]+\.?[0-9]*")]
@@ -600,17 +603,20 @@ def compile_geowave(ctx, op: str, args):
             else:
                 res = np.zeros(lat.shape, dtype=bool)
             out[pidx] = res
-        # WKT candidates (already bbox-pruned JVM-side)
+        # WKT candidates (bbox-pruned above, in this batch)
         widx = np.flatnonzero(cand & wk)
         if len(widx):
             wv = vals.iloc[widx].astype(str)
             # vectorized fast path: single-ring POLYGON rows vs a
             # polygon query — the whole candidate set in one padded
-            # numpy edge-table pass over the JVM-extracted coordinates
-            spoly = (wv.str.match(r"\s*POLYGON", case=False)
+            # numpy edge-table pass over the batch-extracted coordinates
+            # (re.ASCII: same ASCII-only fold + \s set as the JVM)
+            spoly = (wv.str.match(r"\s*POLYGON",
+                                  flags=re.IGNORECASE | re.ASCII)
                      & ~wv.str.contains(r"\)\s*,\s*\(", regex=True)
                      ).to_numpy()
-            sline = wv.str.match(r"\s*LINESTRING", case=False).to_numpy()
+            sline = wv.str.match(r"\s*LINESTRING",
+                                 flags=re.IGNORECASE | re.ASCII).to_numpy()
             handled = np.zeros(len(wv), dtype=bool)
             if qk == "polygon" and spoly.any():
                 out[widx[spoly]] = polygon_rows_predicate(

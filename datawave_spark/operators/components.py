@@ -21,7 +21,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-from datawave_spark.util import graph_partitions, iter_checkpoint
+from datawave_spark.util import graph_partitions, iter_checkpoint, local_frame
 
 
 def connected_components(pairs: DataFrame, max_iter: int = 15,
@@ -37,9 +37,13 @@ def connected_components(pairs: DataFrame, max_iter: int = 15,
     min-label propagation with a convergence check per round."""
     # Materialize the pair frame ONCE before mirroring it: the two
     # union branches otherwise re-execute the whole upstream pair
-    # pipeline (an LSH join tree) twice.
+    # pipeline (an LSH join tree) twice.  No eager count on pairs_p —
+    # the edges.count() below materializes both caches in ONE job
+    # (the union's first branch populates pairs_p partition by
+    # partition; the second branch reads the entries it finds and
+    # recomputes at worst a racing partition), so the common tiny-graph
+    # path pays one job here instead of two.
     pairs_p = pairs.select("id_a", "id_b").persist()
-    pairs_p.count()
     edges = (pairs_p.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
              .union(pairs_p.select(F.col("id_b").alias("src"),
                                    F.col("id_a").alias("dst")))
@@ -170,7 +174,10 @@ def _driver_union_find(edges: DataFrame) -> DataFrame:
     out = [(v, find(v)) for v in sorted(vertices)]
     spark = edges.sparkSession
     schema = edges.schema["src"].dataType.simpleString()
-    return spark.createDataFrame(out, f"id {schema}, component {schema}")
+    # Arrow-backed local frame: the labels are consumed by joins in
+    # every downstream action, and the pickled-RDD path would launch
+    # one Python worker per slice each time just to deserialize them.
+    return local_frame(spark, out, f"id {schema}, component {schema}")
 
 
 def dedup_clusters(df: DataFrame, id_col: str, pairs: DataFrame) -> DataFrame:
@@ -240,33 +247,51 @@ def pagerank(edges: DataFrame, src_col: str = "src", dst_col: str = "dst",
     checkpoint truncates lineage outright.  Fixed ``iters`` (no
     convergence collect): deterministic plan count, and 10 rounds is
     standard for ranking stability."""
+    from datawave_spark.util import _num_partitions
     e0 = (edges.select(F.col(src_col).cast("string").alias("src"),
                        F.col(dst_col).cast("string").alias("dst"))
           .filter(F.col("src").isNotNull() & F.col("dst").isNotNull())
           .distinct().persist())
     n_edges = e0.count()
-    parts = graph_partitions(n_edges, e0.rdd.getNumPartitions())
-    # eager-checkpoint the sized edge frame so the pre-repartition
-    # cache entry can be dropped NOW (rebinding the name would
-    # otherwise strand it in the CacheManager for the session)
-    e = iter_checkpoint(e0.repartition(parts, "src"), reliable)
-    e0.unpersist(blocking=False)
-    nodes = (e.select(F.col("src").alias("node"))
-             .union(e.select(F.col("dst").alias("node")))
-             .distinct().repartition(parts, "node").persist())
-    n = nodes.count()                    # 1 scalar on the driver
-    if n == 0:
-        e.unpersist(); nodes.unpersist()
-        return edges.sparkSession.createDataFrame(
-            [], "node string, rank double")
-    # loop-invariant out-degree table: vertex-sized, persisted like
-    # e/nodes so its groupBy shuffle runs once, not once per round
-    deg = (e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
-           .withColumnRenamed("src", "node").persist())
-    ranks = nodes.select("node", F.lit(1.0 / n).alias("rank"))
-    for _ in range(iters):
-        ranks = iter_checkpoint(
-            _pagerank_round(nodes, e, deg, ranks, n, damping), reliable)
-    nodes.unpersist(blocking=False)
-    deg.unpersist(blocking=False)
+    parts = graph_partitions(n_edges, _num_partitions(e0))
+    spark = edges.sparkSession
+    # Scope the SESSION shuffle width to the graph size for the whole
+    # iteration (r12): the explicit repartitions below size e/nodes,
+    # but every per-round join/groupBy shuffle and eager checkpoint
+    # otherwise runs at the full configured width — on a small graph
+    # that is (rounds × shuffles) stages of almost-empty tasks, the
+    # measured 32-core anti-scaling (7.9 s @32 vs 3.0 s @8 at sf0.1).
+    # Every round materializes eagerly INSIDE this scope (the
+    # localCheckpoints), so the restored conf never affects the
+    # returned frame.  parts derives from the data (graph_partitions),
+    # not the local core count — a billion-edge graph keeps full
+    # cluster width.
+    old_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(parts))
+    try:
+        # eager-checkpoint the sized edge frame so the pre-repartition
+        # cache entry can be dropped NOW (rebinding the name would
+        # otherwise strand it in the CacheManager for the session)
+        e = iter_checkpoint(e0.repartition(parts, "src"), reliable)
+        e0.unpersist(blocking=False)
+        nodes = (e.select(F.col("src").alias("node"))
+                 .union(e.select(F.col("dst").alias("node")))
+                 .distinct().repartition(parts, "node").persist())
+        n = nodes.count()                    # 1 scalar on the driver
+        if n == 0:
+            e.unpersist(); nodes.unpersist()
+            return spark.createDataFrame([], "node string, rank double")
+        # loop-invariant out-degree table: vertex-sized, persisted like
+        # e/nodes so its groupBy shuffle runs once, not once per round
+        deg = (e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+               .withColumnRenamed("src", "node").persist())
+        ranks = nodes.select("node", F.lit(1.0 / n).alias("rank"))
+        for _ in range(iters):
+            ranks = iter_checkpoint(
+                _pagerank_round(nodes, e, deg, ranks, n, damping),
+                reliable)
+        nodes.unpersist(blocking=False)
+        deg.unpersist(blocking=False)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_parts)
     return ranks

@@ -197,7 +197,8 @@ def cms_lookup(sketch: DataFrame, values: list[str], w: int = 1024,
     tiny literal frame joined against the d·w-row sketch — broadcast
     either way; never touches the raw data."""
     spark = sketch.sparkSession
-    probes = spark.createDataFrame([(x,) for x in values], "v string")
+    from datawave_spark.util import local_frame
+    probes = local_frame(spark, [(x,) for x in values], "v string")
     cells = F.array(*[
         F.struct(F.lit(j).alias("j"),
                  _cms_bucket(j, F.col("v"), w).alias("bucket"))

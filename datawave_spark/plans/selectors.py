@@ -24,6 +24,8 @@ from collections.abc import Sequence
 
 from pyspark.sql import DataFrame, functions as F
 
+from datawave_spark.util import local_frame
+
 
 def selector_query(df: DataFrame, field: str, selectors: Sequence,
                    in_threshold: int = 1000,
@@ -36,8 +38,23 @@ def selector_query(df: DataFrame, field: str, selectors: Sequence,
         return df.filter(F.col(field).isin(sels))
     spark = df.sparkSession
     dtype = df.schema[field].dataType.simpleString()
-    sel = spark.createDataFrame([(s,) for s in sels],
-                                f"`{field}` {dtype}").distinct()
+    # Dedup DRIVER-side (order-preserving) instead of .distinct():
+    # the semi-join result is duplicate-indifferent, and a Spark
+    # distinct over a driver-built frame shuffles the parallelized
+    # slices across the full cluster width for nothing (measured 5.4 s
+    # of the 2000-selector key's 5.4 s at local[32] — the shuffle plus
+    # one pickle-deserializing Python worker per slice).  local_frame
+    # ships the deduped list as Arrow batches: no Python workers at
+    # execution.  Unhashable selector types fall back to the old path.
+    try:
+        uniq = list(dict.fromkeys(sels))
+    except TypeError:
+        uniq = None
+    if uniq is None:
+        sel = spark.createDataFrame([(s,) for s in sels],
+                                    f"`{field}` {dtype}").distinct()
+    else:
+        sel = local_frame(spark, [(s,) for s in uniq], f"`{field}` {dtype}")
     if len(sels) <= broadcast_limit:
         sel = F.broadcast(sel)
     return df.join(sel, field, "left_semi")

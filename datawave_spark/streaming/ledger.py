@@ -191,6 +191,47 @@ def load_bloom(ledger_path: str) -> dict | None:
     return meta
 
 
+# One broadcast per SIDECAR ROLL, not per micro-batch: a standing
+# query calls split_by_bloom every batch, and re-broadcasting the
+# packed-bits array each time (~150 MB at the 1e8-key design point)
+# leaves reclamation to driver GC / ContextCleaner — tight-interval
+# queries accumulate broadcast blocks on driver and executors.  Keyed
+# by the bits dir's commit fingerprint (file list + mtimes), so a
+# compaction that rolls the sidecar replaces — and destroys — the
+# superseded broadcast; the old one's consumers are synchronous
+# foreachBatch actions that completed before the roll.
+_BLOOM_BC_CACHE: dict[str, tuple] = {}
+
+
+def _bits_fingerprint(bits_path: str) -> tuple:
+    out = []
+    for n in sorted(os.listdir(bits_path)):
+        st = os.stat(os.path.join(bits_path, n))
+        out.append((n, st.st_size, st.st_mtime_ns))
+    return tuple(out)
+
+
+def _bits_broadcast(spark: SparkSession, bits_path: str, m: int):
+    import pyarrow.parquet as pq
+    fp = _bits_fingerprint(bits_path)
+    hit = _BLOOM_BC_CACHE.get(bits_path)
+    if hit is not None and hit[0] == fp:
+        return hit[1]
+    # the bits table is a local parquet dir written by compact_ledger —
+    # a driver-side columnar read, no Spark job
+    tbl = pq.read_table(bits_path, columns=["word", "bits"])
+    words = np.zeros(m // 64 + 1, dtype=np.int64)
+    words[tbl.column("word").to_numpy()] = tbl.column("bits").to_numpy()
+    bc = spark.sparkContext.broadcast(words)
+    _BLOOM_BC_CACHE[bits_path] = (fp, bc)
+    if hit is not None:
+        try:
+            hit[1].destroy()
+        except Exception:
+            pass
+    return bc
+
+
 def split_by_bloom(spark: SparkSession, results: DataFrame,
                    meta: dict) -> tuple[DataFrame, DataFrame]:
     """Partition a batch into (maybe_in_base, definitely_fresh) by the
@@ -211,16 +252,10 @@ def split_by_bloom(spark: SparkSession, results: DataFrame,
     design point — the same bytes the join formulation broadcast,
     shipped once instead of k times; beyond ~1e9 keys skip the bloom
     entirely, as documented)."""
-    import pyarrow.parquet as pq
     from pyspark.sql.functions import pandas_udf
 
     key_cols, m, k = meta["key_cols"], meta["m"], meta["k"]
-    # the bits table is a local parquet dir written by compact_ledger —
-    # a driver-side columnar read, no Spark job
-    tbl = pq.read_table(meta["bits_path"], columns=["word", "bits"])
-    words = np.zeros(m // 64 + 1, dtype=np.int64)
-    words[tbl.column("word").to_numpy()] = tbl.column("bits").to_numpy()
-    bc = spark.sparkContext.broadcast(words)
+    bc = _bits_broadcast(spark, meta["bits_path"], m)
 
     @pandas_udf("boolean")
     def probe(poss: pd.Series) -> pd.Series:

@@ -6,9 +6,24 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 
 
+# spread() sizing: ~8 MB of (estimated, compressed) input per task.
+# Parquet bytes understate the decoded/CPU cost of the downstream
+# Python/codegen stage by ~4-10x, so 8 MB of input is several hundred
+# ms of vectorized work — enough to amortize a Python worker spin-up
+# many times over — while a kilobyte-sized frame stops fanning into
+# defaultParallelism tasks (32 workers for one Arrow batch of work was
+# the measured r11 anti-scaling cost on the multimodal/sketch keys).
+_SPREAD_BYTES_PER_PART = 8 << 20
+_SPREAD_MIN_PARTS = 4
+
+
 def spread(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
-    """Ensure at least ``min_partitions`` (default: cluster default
-    parallelism) for CPU-bound per-row stages (tokenization, hashing).
+    """Ensure enough partitions for CPU-bound per-row stages
+    (tokenization, hashing, codec work) — at most the cluster default
+    parallelism, scaled DOWN to the estimated input size (floor
+    ``_SPREAD_MIN_PARTS``) so tiny inputs do not pay one task + one
+    Python worker per core.  ``min_partitions`` overrides the target
+    outright.
 
     Locally a small parquet table arrives as ONE input split, which
     serializes regex/md5 work onto one core; on a real cluster a table
@@ -18,10 +33,54 @@ def spread(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
     ~100k splits, this never shrinks parallelism.
     """
     spark = df.sparkSession
-    target = min_partitions or spark.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() >= target:
+    cap = min_partitions or spark.sparkContext.defaultParallelism
+    target = cap
+    if min_partitions is None and cap > _SPREAD_MIN_PARTS:
+        # size-only estimate off the optimized logical plan — no job,
+        # no physical planning; unknown-size plans (LogicalRDD etc.)
+        # report defaultSizeInBytes (huge) and keep the full cap
+        try:
+            est = int(df._jdf.queryExecution().optimizedPlan()
+                      .stats().sizeInBytes())
+        except Exception:
+            est = -1
+        if est > 0:
+            target = max(_SPREAD_MIN_PARTS,
+                         min(cap, -(-est // _SPREAD_BYTES_PER_PART)))
+    if _num_partitions(df) >= target:
         return df
     return df.repartition(target)
+
+
+def _num_partitions(df: DataFrame) -> int:
+    """Physical partition count without building the Python RDD
+    wrapper (``df.rdd`` additionally sets up a JVM→Python serializer
+    pipeline per call; the planning cost is the same either way)."""
+    try:
+        return df._jdf.queryExecution().toRdd().getNumPartitions()
+    except Exception:
+        return df.rdd.getNumPartitions()
+
+
+def local_frame(spark, rows, schema: str):
+    """Driver-local DataFrame via the Arrow path.
+
+    ``createDataFrame(list_of_tuples)`` parallelizes PICKLED rows into
+    ``defaultParallelism`` slices, and every downstream action then
+    launches one Python worker per slice just to deserialize them —
+    measured seconds of pure worker spin-up on a 2000-row selector
+    frame at local[32].  Routing the same rows through pandas + Arrow
+    ships columnar batches that deserialize JVM-side: no Python
+    workers at execution, identical rows.  Falls back to the classic
+    path on any conversion error (exotic cell types)."""
+    try:
+        import pandas as pd
+        from pyspark.sql.types import _parse_datatype_string
+        st = _parse_datatype_string(schema)
+        pdf = pd.DataFrame(list(rows), columns=st.fieldNames())
+        return spark.createDataFrame(pdf, schema=st)
+    except Exception:
+        return spark.createDataFrame(rows, schema)
 
 
 def salted_join(fact: DataFrame, dim: DataFrame, key: str,
