@@ -456,14 +456,14 @@ def dsir_topk(df: DataFrame, target: DataFrame, text_col: str,
     from datawave_spark.operators.dedup import _persist_scoped
     from datawave_spark.operators.text import tokens
     from datawave_spark.util import spread
-    ex = spread(df).select(F.col(id_col).alias("id"),
+    ex = spread(df, sized=True).select(F.col(id_col).alias("id"),
                            F.explode(tokens(F.col(text_col))).alias("token"))
     cnt = _persist_scoped(
         ex.groupBy("token").agg(F.count(F.lit(1)).alias("nc")),
         "curation.dsir.corpus_lm")
     tot = cnt.agg(F.sum("nc").cast("double").alias("tc"),
                   F.count(F.lit(1)).cast("double").alias("v"))
-    tex = spread(target).select(
+    tex = spread(target, sized=True).select(
         F.explode(tokens(F.col(text_col))).alias("token"))
     tcnt = _persist_scoped(
         tex.groupBy("token").agg(F.count(F.lit(1)).alias("nt")),

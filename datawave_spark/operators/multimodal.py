@@ -88,7 +88,7 @@ def decode_media(df: DataFrame, id_col: str = "id",
                 "mean_byte": [d[2] for d in decoded],
             })
 
-    return spread(df.select(id_col, media_col)).mapInPandas(run, _DECODE_SCHEMA)
+    return spread(df.select(id_col, media_col), sized=True).mapInPandas(run, _DECODE_SCHEMA)
 
 
 def resize_stub(df: DataFrame, id_col: str = "id", media_col: str = "media",
@@ -106,7 +106,7 @@ def resize_stub(df: DataFrame, id_col: str = "id", media_col: str = "media",
                 "height": th, "width": tw,
             })
 
-    return spread(df.select(id_col, media_col)).mapInPandas(
+    return spread(df.select(id_col, media_col), sized=True).mapInPandas(
         run, f"id long, media binary, height int, width int")
 
 
@@ -128,7 +128,7 @@ def frame_sample_stub(df: DataFrame, id_col: str = "id",
                     rows["ts_ms"].append(i * every_ms)
             yield pd.DataFrame(rows)
 
-    return spread(df.select(id_col, media_col)).mapInPandas(
+    return spread(df.select(id_col, media_col), sized=True).mapInPandas(
         run, "id long, frame_idx int, ts_ms long")
 
 
@@ -224,7 +224,7 @@ def decode_wav(df: DataFrame, id_col: str = "id",
                 out["sum_sq"].append(ss)
             yield pd.DataFrame(out)
 
-    return spread(df.select(id_col, media_col)).mapInPandas(
+    return spread(df.select(id_col, media_col), sized=True).mapInPandas(
         run, "id long, sample_rate int, n_channels int, "
              "n_samples long, sum_sq long")
 
@@ -337,7 +337,7 @@ def decode_png(df: DataFrame, id_col: str = "id",
                 out["sum_px"].append(s)
             yield pd.DataFrame(out)
 
-    return spread(df.select(id_col, media_col)).mapInPandas(
+    return spread(df.select(id_col, media_col), sized=True).mapInPandas(
         run, "id long, width int, height int, bit_depth int, "
              "color_type int, sum_px long")
 
@@ -379,7 +379,7 @@ def resize_png(df: DataFrame, id_col: str = "id", media_col: str = "media",
             yield pd.DataFrame(out)
 
     cols = [id_col, media_col] + [c for c in (th_col, tw_col) if c]
-    return spread(df.select(*cols)).mapInPandas(
+    return spread(df.select(*cols), sized=True).mapInPandas(
         run, "id long, media binary, width int, height int")
 
 
@@ -427,7 +427,7 @@ def decode_jpeg(df: DataFrame, id_col: str = "id",
                 out["mean_rgb"].append(m)
             yield pd.DataFrame(out)
 
-    return spread(df.select(id_col, media_col)).mapInPandas(
+    return spread(df.select(id_col, media_col), sized=True).mapInPandas(
         run, "id long, width int, height int, n_components int, "
              "sum_luma long, mean_rgb double")
 

@@ -63,7 +63,7 @@ def _melt(df: DataFrame, value_cols: list[str]) -> DataFrame:
         F.struct(F.lit(f).alias("field"),
                  F.col(f).cast("string").alias("v"))
         for f in value_cols])
-    return (spread(df.select(*value_cols))
+    return (spread(df.select(*value_cols), sized=True)
             .select(F.explode(pairs).alias("p"))
             .select("p.field", "p.v")
             .filter(F.col("v").isNotNull()))
@@ -161,7 +161,7 @@ def hll_group_estimate(df: DataFrame, group_cols: list[str],
     from datawave_spark.util import spread
     frame = spread(df.select(*group_cols,
                              F.col(value_col).cast("string").alias("v"))
-                   .filter(F.col("v").isNotNull()))
+                   .filter(F.col("v").isNotNull()), sized=True)
     return _hll_core(frame, group_cols, b)
 
 
@@ -183,7 +183,7 @@ def cms_sketch(df: DataFrame, value_col: str, w: int = 1024,
     # project to the value column and spread BEFORE the d md5s per row
     # — a one-split local scan would otherwise hash the whole table on
     # one core (r11; no-op on already-wide scans)
-    return (spread(df.filter(v.isNotNull()).select(v.alias("__v")))
+    return (spread(df.filter(v.isNotNull()).select(v.alias("__v")), sized=True)
             .select(F.explode(rows).alias("c"))
             .groupBy(F.col("c.j").alias("j"),
                      F.col("c.bucket").alias("bucket"))

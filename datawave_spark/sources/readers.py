@@ -471,7 +471,7 @@ def read_nyctlc(spark: SparkSession, path: str,
     # spread the raw rows before the derived-field projection (r11): a
     # small CSV arrives as one split and the WKT/array string work
     # would run single-task (no-op on wide scans)
-    df = spread(df)
+    df = spread(df, sized=True)
     unknown = set(df.columns) - NYCTLC_KNOWN_FIELDS
     if unknown:
         logging.getLogger(__name__).debug(

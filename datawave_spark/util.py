@@ -17,13 +17,23 @@ _SPREAD_BYTES_PER_PART = 8 << 20
 _SPREAD_MIN_PARTS = 4
 
 
-def spread(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
+def spread(df: DataFrame, min_partitions: int | None = None,
+           sized: bool = False) -> DataFrame:
     """Ensure enough partitions for CPU-bound per-row stages
-    (tokenization, hashing, codec work) — at most the cluster default
-    parallelism, scaled DOWN to the estimated input size (floor
-    ``_SPREAD_MIN_PARTS``) so tiny inputs do not pay one task + one
-    Python worker per core.  ``min_partitions`` overrides the target
-    outright.
+    (tokenization, hashing, codec work), up to the cluster default
+    parallelism.  ``min_partitions`` overrides the target outright.
+
+    ``sized=True`` additionally scales the target DOWN to the
+    estimated input size (~``_SPREAD_BYTES_PER_PART`` per task, floor
+    ``_SPREAD_MIN_PARTS``) so tiny inputs stop paying one task + one
+    Python worker per core.  This is OPT-IN per call site because the
+    right granularity depends on the downstream stage's CPU cost per
+    input byte, which only the call site knows: the sketch md5 passes
+    and the multimodal codecs (hundreds of small payload rows — task
+    overhead dominated) measure faster sized, while regex/WKT/date
+    parse chains over row-per-event frames measure faster at full
+    width even on kilobyte inputs (r12 A/B: geowave 1.2×, max/min
+    1.25×, document pairing ~2× slower when sized).
 
     Locally a small parquet table arrives as ONE input split, which
     serializes regex/md5 work onto one core; on a real cluster a table
@@ -35,7 +45,7 @@ def spread(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
     spark = df.sparkSession
     cap = min_partitions or spark.sparkContext.defaultParallelism
     target = cap
-    if min_partitions is None and cap > _SPREAD_MIN_PARTS:
+    if sized and min_partitions is None and cap > _SPREAD_MIN_PARTS:
         # size-only estimate off the optimized logical plan — no job,
         # no physical planning; unknown-size plans (LogicalRDD etc.)
         # report defaultSizeInBytes (huge) and keep the full cap
