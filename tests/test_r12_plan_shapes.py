@@ -21,7 +21,7 @@ class TestSpreadSizing:
         if cap <= _SPREAD_MIN_PARTS:
             pytest.skip("needs defaultParallelism above the floor")
         df = spark.range(100).select(F.col("id"))
-        out = spread(df)
+        out = spread(df, sized=True)
         n = out.rdd.getNumPartitions()
         assert n >= _SPREAD_MIN_PARTS
         assert n < cap, "tiny input spread to full cluster width"
