@@ -6108,7 +6108,8 @@ def q_streaming_push_results(spark, sf_dir):
 
     q = standing_query_push(
         spark, sf_dir, sch, standing, ["event_id"], feed, ledger, ckpt,
-        options={"pathGlobFilter": "events.parquet"})
+        options={"pathGlobFilter": "events.parquet"},
+        batch_shuffle_partitions=8)
     q.awaitTermination()
     return spark.read.parquet(feed).select("event_id", "user_id", "value")
 
@@ -6161,7 +6162,8 @@ def q_push_ledger_compaction(spark, sf_dir):
     def run():
         standing_query_push(
             spark, src, sch, standing, ["event_id"], feed, ledger,
-            ckpt, options={"maxFilesPerTrigger": "1"}) \
+            ckpt, options={"maxFilesPerTrigger": "1"},
+            batch_shuffle_partitions=8) \
             .awaitTermination()
 
     run()                                        # epoch 1
