@@ -518,11 +518,26 @@ def kmeans_assign_expr(vec: Column, centroids) -> Column:
     the plan as literals — broadcast with the task binary, no join.
     ``try_divide`` keeps a zero-norm (degenerate) vector a NULL
     assignment instead of an ANSI-mode divide-by-zero error; callers
-    drop NULL clusters."""
-    cos = [F.try_divide(_dot(vec, F.array(*[F.lit(float(x)) for x in c])),
-                        _norm(vec)
-                        * _norm(F.array(*[F.lit(float(x)) for x in c])))
-           for c in centroids]
+    drop NULL clusters.
+
+    Construction economics (r12): each centroid's literal array is
+    built ONCE (the previous form built it twice — dot and norm — at
+    k·dim py4j literal calls each, ~1 s of pure driver build time for
+    k=8, dim=64), the centroid norm is a Python-computed CONSTANT
+    (same left-to-right double fold then IEEE sqrt as the JVM
+    ``aggregate``+``sqrt``, so the product norm_v·norm_c is
+    bit-identical — and the JVM stops re-folding a 64-element constant
+    per row), and the data-vector norm is one shared subtree."""
+    import math
+    nv = _norm(vec)
+    cos = []
+    for c in centroids:
+        vals = [float(x) for x in c]
+        acc = 0.0
+        for x in vals:                # F.aggregate's fold order exactly
+            acc += x * x
+        cos.append(F.try_divide(_dot(vec, F.lit(vals)),
+                                nv * F.lit(math.sqrt(acc))))
     arr = F.array(*cos)
     return (F.array_position(arr, F.array_max(arr)) - 1).cast("int")
 
