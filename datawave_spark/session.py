@@ -44,7 +44,8 @@ def get_spark(app_name: str = "datawave_spark", master: str | None = None,
     builder = builder.master(master or f"local[{cpus}]")
     conf = dict(_DEFAULTS)
     conf.setdefault("spark.sql.shuffle.partitions", str(cpus))
-    conf.setdefault("spark.driver.memory", "90g")
+    conf.setdefault("spark.driver.memory",
+                    os.environ.get("SPARK_GRAFT_DRIVER_MEM", "32g"))
     if extra_conf:
         conf.update(extra_conf)
     for k, v in conf.items():
